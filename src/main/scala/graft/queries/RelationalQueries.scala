@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.B): scans, filters,
+  * equi/theta joins, semi/anti/outer joins, aggregation, distinct
+  * aggregation, rollup/cube, window functions, set ops, subqueries,
+  * top-k, string/date/json scalar functions.
+  *
+  * Every query here has a DuckDB oracle. Numeric outputs that involve
+  * accumulation over doubles are cast to DECIMAL before aggregation so
+  * Spark and DuckDB produce bit-identical results regardless of
+  * reduction order — this also mirrors what a production engine would
+  * do for money columns at 100 TB (floating-point sums are
+  * non-deterministic across partitionings).
+  *
+  * Scale notes: dimension tables (region, nation, supplier, part,
+  * customer-at-small-sf) are broadcast explicitly; fact-fact joins
+  * shuffle on the join key and rely on AQE for skew handling.
+  */
+object RelationalQueries {
+
+  /** Cast a double money/quantity column to an exact decimal. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Aggregation: hash agg with partial/final, multiple measures ---
+    "q01_pricing_summary" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
+    // --- Scan + filter + projection (predicate/column pushdown) ---
+    "q02_filter_project" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part
+        .filter(col("p_size") <= 15 && col("p_type").isin("ECONOMY", "PROMO"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+    },
+
+    // --- 3-way join + agg + top-k (TPC-H q3 shape) ---
+    "q03_top_revenue_orders" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      val ord = t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t.lineitem.filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // --- EXISTS → left semi join ---
+    "q04_exists_semijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val bigLines = t.lineitem.filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      t.orders
+        .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // --- 6-way join, broadcast dims, agg per nation (TPC-H q5 shape) ---
+    "q05_nation_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ord = t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t.lineitem
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .as("revenue"))
+    },
+
+    // --- Highly selective filter + single scalar aggregate (TPC-H q6) ---
+    "q06_forecast_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // --- Left outer join + conditional aggregation ---
+    "q07_outer_join_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(when(col("o_orderkey").isNull, col("c_custkey"))).as("n_inactive"))
+    },
+
+    // --- Window: rank per partition, keep top-3 (ties included) ---
+    "q08_window_rank" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t.customer
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+    },
+
+    // --- Window: running total over a frame ---
+    "q09_running_total" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.orders
+        .filter(col("o_custkey") < 50)
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"), col("running_spend"))
+    },
+
+    // --- Rollup with grouping indicators ---
+    "q10_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"))
+    },
+
+    // --- Cube ---
+    "q11_cube" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // --- INTERSECT (distinct set semantics) ---
+    "q12_intersect" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val open = t.orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val done = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.intersect(done)
+    },
+
+    // --- EXCEPT (distinct set semantics) ---
+    "q13_except" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val open = t.orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val done = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.except(done)
+    },
+
+    // --- count(distinct) — Spark plans expand + two-phase agg ---
+    "q14_distinct_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // --- CASE/string functions: substr, upper, like, concat ---
+    "q15_case_string" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part
+        .withColumn("tier",
+          when(col("p_retailprice") < 950, "LOW")
+            .when(col("p_retailprice") < 1050, "MID")
+            .otherwise("HIGH"))
+        .withColumn("name_head", upper(substring(col("p_name"), 1, 5)))
+        .filter(col("p_name").like("%bolt%") || col("p_name").like("%widget%"))
+        .groupBy(col("tier"), col("name_head"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // --- Date/time functions: extract parts, group by them ---
+    "q16_date_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total"))
+    },
+
+    // --- Uncorrelated scalar subquery ---
+    "q17_scalar_subquery" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val avgSize = t.part.agg(avg(col("p_size")).as("a"))
+      t.part
+        .join(broadcast(avgSize))
+        .filter(col("p_size") > col("a"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_big_parts"))
+    },
+
+    // --- Top-k: order by + limit → TakeOrderedAndProject ---
+    "q18_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+
+    // --- JSON extraction from a string column ---
+    "q19_json_extract" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // --- Time-bucketed aggregation (batch twin of streaming window) ---
+    "q20_events_hourly" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+    },
+
+    // --- UNION ALL of heterogeneous branches, then agg ---
+    "q21_union_all" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k"), dec(col("l_extendedprice")).as("v"))
+      val b = t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("v"))
+      a.unionAll(b)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    },
+
+    // --- NOT EXISTS → left anti join ---
+    "q22_antijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      t.customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_no_urgent"))
+    },
+
+    // --- Theta/range join: orders paired with same-day shipments ---
+    "q23_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val li = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("first_ship"))
+      t.orders
+        .join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("first_ship") > col("o_orderdate") &&
+          col("first_ship") <= date_add(col("o_orderdate").cast("date"), 30).cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_fast"))
+    },
+
+    // --- Correlated aggregate via self-join (avg per brand) ---
+    "q24_groupwise_above_avg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val brandAvg = t.part.groupBy(col("p_brand").as("b"))
+        .agg(avg(col("p_size")).as("avg_size"))
+      t.part
+        .join(broadcast(brandAvg), col("p_brand") === col("b"))
+        .filter(col("p_size") > col("avg_size"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_above"))
+    },
+
+    // --- Sessionization: gap>30min starts a new session (lag + cumsum) ---
+    "q25_sessionize" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+         count(*) AS count_order,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT p_partkey, p_brand, p_type, p_retailprice FROM part
+         WHERE p_size <= 15 AND p_type IN ('ECONOMY','PROMO')""",
+    "q03_top_revenue_orders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q04_exists_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority""",
+    "q05_nation_revenue" ->
+      """SELECT n_name, r_name,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name, r_name""",
+    "q06_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q07_outer_join_agg" ->
+      """SELECT c_mktsegment,
+         count(DISTINCT c_custkey) AS n_customers,
+         count(o_orderkey) AS n_orders,
+         count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_inactive
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+    "q08_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+           FROM customer) WHERE rnk <= 3""",
+    "q09_running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+         FROM orders WHERE o_custkey < 50""",
+    "q10_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q12_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q13_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         count(*) AS n_lines
+         FROM lineitem GROUP BY l_returnflag""",
+    "q15_case_string" ->
+      """SELECT CASE WHEN p_retailprice < 950 THEN 'LOW'
+                     WHEN p_retailprice < 1050 THEN 'MID'
+                     ELSE 'HIGH' END AS tier,
+         upper(substr(p_name, 1, 5)) AS name_head, count(*) AS n
+         FROM part
+         WHERE p_name LIKE '%bolt%' OR p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+    "q16_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month,
+         count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+         FROM orders GROUP BY 1, 2""",
+    "q17_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_big_parts FROM part
+         WHERE p_size > (SELECT avg(p_size) FROM part)
+         GROUP BY p_brand""",
+    "q18_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q19_json_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q20_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+         count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q21_union_all" ->
+      """SELECT k % 10 AS bucket, count(*) AS n, sum(v) AS total FROM (
+           SELECT l_orderkey AS k, CAST(l_extendedprice AS DECIMAL(12,2)) AS v
+           FROM lineitem WHERE l_returnflag = 'R'
+           UNION ALL
+           SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+           FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY 1""",
+    "q22_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_no_urgent FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment""",
+    "q23_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_fast FROM orders
+         JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey) li
+           ON o_orderkey = li.l_orderkey
+          AND first_ship > o_orderdate
+          AND first_ship <= CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
+         GROUP BY o_orderpriority""",
+    "q24_groupwise_above_avg" ->
+      """SELECT p_brand, count(*) AS n_above FROM part p
+         JOIN (SELECT p_brand AS b, avg(p_size) AS avg_size FROM part GROUP BY 1) a
+           ON p.p_brand = a.b
+         WHERE p_size > avg_size
+         GROUP BY p_brand""",
+    "q25_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM (
+             SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+             FROM events))
+         GROUP BY user_id"""
+  )
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale corpus processing.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split/transform/aggregate/xxhash64/...) so the hot path stays inside
+  * whole-stage codegen — no Scala UDFs. At 100 TB these run as pure
+  * map-side expressions: no shuffle, no driver involvement.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** Whitespace-normalized text (collapse runs, trim). */
+  def normalizeWs(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
+
+  /** Token n-gram shingles: `n` consecutive tokens joined by a space.
+    * Documents with fewer than `n` tokens yield a single shingle of the
+    * whole text, so every doc lands in at least one dedup bucket.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Same as [[shingles]] but over an existing token-array column. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** 64-bit hash of one shingle under hash-function index `seed`.
+    * xxhash64 over (seed, value) gives k independent-enough functions
+    * without materializing permutations.
+    */
+  def seededHash(value: Column, seed: Int): Column =
+    xxhash64(lit(seed), value)
+
+  /** MinHash signature: array of `k` minimums of seeded hashes over the
+    * distinct shingle set. Pure expression — computed map-side.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val distinctShingles = array_distinct(shingleArr)
+    array((0 until k).map { seed =>
+      array_min(transform(distinctShingles, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each contiguous
+    * `rowsPerBand`-slice. Two docs collide in a band iff that slice of
+    * their signatures is identical.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")))).as("key"))
+    }: _*)
+
+  /** 64-bit SimHash over a token array: per bit, sum +1/-1 weighted by
+    * whether that bit of xxhash64(token) is set; the sign of each sum is
+    * the fingerprint bit. Expressed as a fold so it stays codegen'd.
+    */
+  def simhash64(toks: Column): Column =
+    simhash64OfHashes(transform(toks, t => xxhash64(t)))
+
+  /** SimHash from a pre-hashed token array (callers should materialize
+    * the hash array in its own column first so the 64 per-bit folds
+    * share it instead of re-hashing 64×).
+    */
+  def simhash64OfHashes(hashes: Column): Column = {
+    val bitCols = (0 until 64).map { i =>
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(cnt > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Rolling fingerprint of the token sequence (order-sensitive,
+    * unlike the shingle-set hashes): left fold chaining each token's
+    * hash into the accumulator. Overflow-free under ANSI mode.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Matches DuckDB's md5() for the oracle.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(normalizeWs(lower(text)).cast("binary"))
+
+  /** Stopword-marker hit count: occurrences of a literal word in the
+    * text, counted by length difference (exact, locale-free, and
+    * identical in any SQL engine — used by the lang-id oracle).
+    */
+  def literalHits(text: Column, word: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), ""))) / word.length).cast("int")
+
+  /** Tiny n-gram/stopword language guesser. Scores each language by
+    * marker-token hits over the tokenized text and returns the argmax
+    * (deterministic tie-break by score then language order).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langGuess(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      val score = markers.map(m =>
+        size(filter(toks, t => t === m))).reduce(_ + _)
+      (lang, score)
+    }
+    // argmax with deterministic preference order (first listed wins ties)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+    pick
+  }
+}

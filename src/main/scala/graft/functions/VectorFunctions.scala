@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns, written as
+  * pure Catalyst higher-order functions (zip_with / aggregate) so they
+  * run inside codegen with no UDF boundary. Accumulation is in double.
+  */
+object VectorFunctions {
+
+  /** Dot product of two equal-length vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity; 0 for zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast("double") - y.cast("double")
+      diff * diff
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-bit LSH bucket id from `nPlanes` fixed pseudo-random
+    * hyperplanes. Planes are generated deterministically from `seed`
+    * on the driver and inlined as literals — at scale they broadcast
+    * with the plan, never shuffled.
+    */
+  def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(x => lit(x)): _*)
+      when(dot(v, planeCol) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against the
+  *    full corpus — exact, O(|corpus| * |queries|) dot products, all
+  *    map-side (the corpus is never shuffled; ranking shuffles only
+  *    |queries| * k candidate rows).
+  *  - [[lshTopK]]: sign-bit LSH bucketing (random hyperplanes). Corpus
+  *    and queries hash to buckets map-side; the join is bucket-equi so
+  *    each query only scans its bucket — the 100 TB path. Recall is
+  *    tunable via nPlanes / multi-probe.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` must be small enough to broadcast.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-k: only candidates in the same
+    * hyperplane-sign bucket are scored.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("sim"), col("rnk"))
+  }
+
+  /** Per-label centroids: posexplode → mean per (label, pos) → re-
+    * assemble ordered array. One shuffle on (label, pos) — at 100 TB
+    * the partial aggregation happens map-side per dimension.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+          s => s.getField("mean_v")).as("centroid"),
+        first(col("n")).as("n_vectors"))
+}

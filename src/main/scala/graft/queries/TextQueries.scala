@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Training-data text pipeline over the `documents` table: dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), token counting,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Oracle-checked where DuckDB can express the same computation; the
+  * hash-based dedup ops (xxhash64 signatures) are rows-only checks.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Exact dedup groups: fingerprint → copies + keeper ---
+    "d01_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // --- Docs surviving exact dedup ---
+    "d02_dedup_keep" -> { (s, dir) =>
+      Dedup.exactKeep(Tables(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // --- Token counting (whitespace tokenizer) ---
+    "d03_token_count" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("len"))
+    },
+
+    // --- Quality scoring: length/word-shape ratios ---
+    "d04_quality" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        size(tokens(col("text"))).as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(tokens(col("text")))).as("avg_word_len"),
+        (size(array_distinct(tokens(col("text")))).cast("double") /
+          size(tokens(col("text")))).as("ttr"))
+    },
+
+    // --- Language ID (marker-token heuristic) ---
+    "d05_lang_guess" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("guess", langGuess(tokens(col("text"))))
+        .groupBy(col("guess"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // --- Content fingerprint (md5 of normalized text) ---
+    "d06_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    },
+
+    // --- Distinct 3-gram shingle count per doc ---
+    "d07_shingle_count" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(array_distinct(shingles(col("text"), 3))).as("n_shingles"))
+    },
+
+    // --- MinHash-LSH near-dup candidate pairs (rows-only check) ---
+    "d08_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashCandidates(Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    },
+
+    // --- SimHash near-dup pairs (rows-only check) ---
+    "d09_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 10)
+    },
+
+    // --- Exact n-gram Jaccard pairs (oracle via unnest in DuckDB) ---
+    "d10_jaccard_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+    },
+
+    // --- Rolling (order-sensitive) fingerprint (rows-only check) ---
+    "d11_rolling_fp" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("rfp"))
+    },
+
+    // --- Corpus stats per source after dedup ---
+    "d12_source_stats" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Dedup.exactKeep(d, "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+    }
+  )
+
+  // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
+  private val duckToks = "regexp_split_to_array(trim(text), ' +')"
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+          count(*) AS n_copies, min(doc_id) AS keeper
+          FROM documents GROUP BY 1""",
+    "d02_dedup_keep" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id IN (
+           SELECT min(doc_id) FROM documents
+           GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""",
+    "d03_token_count" ->
+      s"""SELECT doc_id, CAST(len($duckToks) AS INT) AS n_tokens,
+          CAST(length(text) AS INT) AS len FROM documents""",
+    "d04_quality" ->
+      s"""SELECT doc_id,
+          CAST(length(text) AS INT) AS len,
+          CAST(len($duckToks) AS INT) AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($duckToks) AS avg_word_len,
+          CAST(len(list_distinct($duckToks)) AS DOUBLE) / len($duckToks) AS ttr
+          FROM documents""",
+    "d05_lang_guess" -> {
+      // Mirror TextFunctions.langGuess: score = marker hits among tokens,
+      // argmax with first-listed-language preference, 'und' when all 0.
+      val scoreExprs = graft.functions.TextFunctions.langMarkers.map { case (lang, markers) =>
+        val score = markers
+          .map(m => s"len(list_filter($duckToks, t -> t = '$m'))")
+          .mkString(" + ")
+        (lang, score)
+      }
+      val bestExpr = scoreExprs.map(_._2).map(s => s"($s)").mkString("greatest(", ", ", ")")
+      val pick = scoreExprs.foldRight("'und'") { case ((lang, score), acc) =>
+        s"CASE WHEN ($score) = best AND best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""SELECT guess, count(*) AS n_docs FROM (
+            SELECT ($pick) AS guess FROM (
+              SELECT text, ($bestExpr) AS best FROM documents))
+          GROUP BY 1"""
+    },
+    "d06_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+    "d07_shingle_count" ->
+      s"""SELECT doc_id,
+          CAST(CASE WHEN len($duckToks) < 3 THEN 1
+               ELSE len(list_distinct(list_transform(
+                 generate_series(1, len($duckToks) - 2),
+                 i -> array_to_string($duckToks[i:i+2], ' ')))) END AS INT) AS n_shingles
+          FROM documents""",
+    "d10_jaccard_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared FROM shared
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5""",
+    "d12_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         min(doc_id) AS first_doc
+         FROM documents
+         WHERE doc_id IN (
+           SELECT min(doc_id) FROM documents
+           GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         GROUP BY source"""
+  )
+}

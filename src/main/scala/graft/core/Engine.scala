@@ -1,0 +1,135 @@
+package graft.core
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.ExecutionContext
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Engine share levels controlling SparkSession reuse across gateway
+  * sessions (ref kyuubi-common/.../engine/ShareLevel.scala:23-46):
+  * CONNECTION = one engine per session; USER = per user; GROUP = per
+  * group; SERVER = one engine for everyone.
+  */
+sealed trait ShareLevel
+object ShareLevel {
+  case object Connection extends ShareLevel
+  case object User extends ShareLevel
+  case object Group extends ShareLevel
+  case object Server extends ShareLevel
+}
+
+/** One gateway session: an isolated `SparkSession` clone (separate
+  * SQLConf / temp views / UDFs over a shared SparkContext — ref
+  * SparkSQLSessionManager.scala:108-120), plus its live operations.
+  */
+final class EngineSession(
+    val id: String,
+    val user: String,
+    val spark: SparkSession) {
+
+  private val ops = new ConcurrentHashMap[String, Operation]()
+
+  def executeStatement(
+      statement: String,
+      mode: ResultMode = ResultMode.Full,
+      timeoutMs: Long = 0)(implicit ec: ExecutionContext): ExecuteStatement = {
+    val op = new ExecuteStatement(this, statement, mode)
+    ops.put(op.handle, op)
+    if (timeoutMs > 0) op.armTimeout(timeoutMs, Operation.timeoutScheduler)
+    op.run()
+    op
+  }
+
+  def operation(handle: String): Option[Operation] = Option(ops.get(handle))
+
+  def openOperations: Seq[Operation] = ops.values.asScala.toSeq
+
+  def close(): Unit = {
+    ops.values.asScala.foreach(_.close())
+    ops.clear()
+  }
+}
+
+/** In-process stand-in for the reference's ZooKeeper/etcd engine
+  * discovery (kyuubi-ha/.../DiscoveryClient.scala): maps an engine
+  * space key to a registered engine "address". Pluggable so a real
+  * distributed registry can be swapped in.
+  */
+trait DiscoveryClient {
+  def register(space: String, address: String): Unit
+  def get(space: String): Option[String]
+  def unregister(space: String): Unit
+}
+
+final class InMemoryDiscoveryClient extends DiscoveryClient {
+  private val reg = new ConcurrentHashMap[String, String]()
+  override def register(space: String, address: String): Unit = reg.put(space, address)
+  override def get(space: String): Option[String] = Option(reg.get(space))
+  override def unregister(space: String): Unit = reg.remove(space)
+}
+
+/** The engine: owns the root SparkSession, hands out isolated session
+  * clones keyed by share level, and registers the engine-info UDFs.
+  */
+final class Engine(
+    val rootSpark: SparkSession,
+    val shareLevel: ShareLevel = ShareLevel.User,
+    val discovery: DiscoveryClient = new InMemoryDiscoveryClient) {
+
+  val engineId: String = s"graft-${UUID.randomUUID().toString.take(8)}"
+  Kdf.registerAll(rootSpark, engineId)
+
+  private val sessions = new ConcurrentHashMap[String, EngineSession]()
+  // share-level cache: key → the SparkSession to clone sessions from
+  private val sparkByKey = new ConcurrentHashMap[String, SparkSession]()
+
+  private def shareKey(user: String, sessionId: String): String = shareLevel match {
+    case ShareLevel.Connection => s"connection/$sessionId"
+    case ShareLevel.User => s"user/$user"
+    case ShareLevel.Group => s"group/${user.takeWhile(_ != '@')}"
+    case ShareLevel.Server => "server"
+  }
+
+  def openSession(user: String): EngineSession = {
+    val id = UUID.randomUUID().toString
+    val key = shareKey(user, id)
+    val base = sparkByKey.computeIfAbsent(key, _ => {
+      discovery.register(key, engineId)
+      rootSpark
+    })
+    // newSession(): isolated conf/catalog-state/temp views, shared context
+    val sess = new EngineSession(id, user, base.newSession())
+    Kdf.registerAll(sess.spark, engineId)
+    sessions.put(id, sess)
+    sess
+  }
+
+  def session(id: String): Option[EngineSession] = Option(sessions.get(id))
+
+  def closeSession(id: String): Unit =
+    Option(sessions.remove(id)).foreach(_.close())
+
+  def openSessionCount: Int = sessions.size()
+}
+
+/** Engine-info UDFs, the reference's "KDF" registry
+  * (engine/spark/udf/KDFRegistry.scala:39-108): version / engine
+  * name / engine id / system user / session user / engine url.
+  */
+object Kdf {
+  val version = "0.1.0"
+
+  def registerAll(spark: SparkSession, engineId: String): Unit = {
+    val user = sys.props.getOrElse("user.name", "unknown")
+    spark.udf.register("graft_version", udf(() => version))
+    spark.udf.register("engine_name", udf(() => s"graft-spark-engine"))
+    spark.udf.register("engine_id", udf(() => engineId))
+    spark.udf.register("system_user", udf(() => user))
+    spark.udf.register("session_user", udf(() => user))
+    spark.udf.register("engine_url", udf(() => s"local://$engineId"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.core
+
+import java.util.UUID
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import scala.concurrent.{ExecutionContext, Future, Promise}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Async operation with lifecycle state, cancellation via Spark job
+  * groups, and a query-timeout monitor — the gateway behavior of the
+  * reference's engine operations (engine/spark/operation/
+  * ExecuteStatement.scala:37-209 and SparkOperation.scala:158-195).
+  */
+abstract class Operation(val session: EngineSession) {
+  val handle: String = UUID.randomUUID().toString
+
+  @volatile private var state: OperationState = OperationState.Initialized
+  @volatile protected var operationException: Option[Throwable] = None
+  private val completion: Promise[Unit] = Promise[Unit]()
+
+  def currentState: OperationState = state
+
+  protected def setState(to: OperationState): Unit = synchronized {
+    OperationState.validateTransition(state, to)
+    state = to
+    if (to.terminal && !completion.isCompleted) completion.trySuccess(())
+  }
+
+  /** Job group id: lets cancel() kill all Spark jobs this op spawned. */
+  protected def jobGroup: String = s"graft-op-$handle"
+
+  protected def withJobGroup[A](f: => A): A = {
+    val sc = session.spark.sparkContext
+    sc.setJobGroup(jobGroup, s"graft operation $handle", interruptOnCancel = true)
+    try f finally sc.clearJobGroup()
+  }
+
+  protected def runInternal(): Unit
+
+  def run()(implicit ec: ExecutionContext): Future[Unit] = {
+    setState(OperationState.Pending)
+    Future {
+      setState(OperationState.Running)
+      Try(withJobGroup(runInternal())) match {
+        case Success(_) =>
+          synchronized { if (!state.terminal) setState(OperationState.Finished) }
+        case Failure(e) =>
+          operationException = Some(e)
+          synchronized { if (!state.terminal) setState(OperationState.Error) }
+      }
+    }
+  }
+
+  def cancel(): Unit = synchronized {
+    if (!state.terminal) {
+      session.spark.sparkContext.cancelJobGroup(jobGroup)
+      setState(OperationState.Canceled)
+    }
+  }
+
+  def close(): Unit = synchronized {
+    if (state != OperationState.Closed) {
+      if (!state.terminal) session.spark.sparkContext.cancelJobGroup(jobGroup)
+      state = OperationState.Closed // closed is legal from anywhere
+    }
+  }
+
+  /** Arm a timeout: if the op is not terminal after `ms`, cancel jobs
+    * and mark TIMEOUT (ref ExecuteStatement timeout monitor :107-133).
+    */
+  def armTimeout(ms: Long, scheduler: ScheduledExecutorService): Unit = {
+    scheduler.schedule(new Runnable {
+      override def run(): Unit = Operation.this.synchronized {
+        if (!state.terminal) {
+          session.spark.sparkContext.cancelJobGroup(jobGroup)
+          setState(OperationState.Timeout)
+        }
+      }
+    }, ms, TimeUnit.MILLISECONDS)
+  }
+
+  def exception: Option[Throwable] = operationException
+
+  /** Block until the operation reaches a terminal state. */
+  def awaitTermination(timeoutMs: Long = 300000): OperationState = {
+    scala.concurrent.Await.ready(completion.future,
+      scala.concurrent.duration.Duration(timeoutMs, TimeUnit.MILLISECONDS))
+    state
+  }
+}
+
+object Operation {
+  /** Shared scheduler for timeout monitors. */
+  lazy val timeoutScheduler: ScheduledExecutorService =
+    Executors.newScheduledThreadPool(1, r => {
+      val t = new Thread(r, "graft-op-timeout")
+      t.setDaemon(true)
+      t
+    })
+}
+
+/** How ExecuteStatement materializes its result
+  * (ref ExecuteStatement.scala:71-81,161-209).
+  */
+sealed trait ResultMode
+object ResultMode {
+  /** `df.collect()` — full materialization. */
+  case object Full extends ResultMode
+  /** `df.take(n)` — bounded by max-rows. */
+  final case class Bounded(maxRows: Int) extends ResultMode
+  /** `df.toLocalIterator()` — partition-at-a-time streaming. */
+  case object Incremental extends ResultMode
+  /** Results above `minRows` spill to ORC(zstd) and are re-read for
+    * paging (ref ExecuteStatement.scala:172-199, FetchOrcStatement).
+    */
+  final case class SaveToFile(dir: String, minRows: Long = 10000) extends ResultMode
+}
+
+/** SQL execution operation: `spark.sql(statement)` + the four
+  * result-materialization strategies, exposing a FetchIterator over
+  * rows.
+  */
+class ExecuteStatement(
+    session: EngineSession,
+    statement: String,
+    mode: ResultMode = ResultMode.Full)
+  extends Operation(session) {
+
+  @volatile private var resultDF: DataFrame = _
+  @volatile private var iter: FetchIterator[Row] = _
+  @volatile private var spillPath: Option[String] = None
+
+  def result: DataFrame = resultDF
+  def fetchIterator: FetchIterator[Row] = iter
+
+  override protected def runInternal(): Unit = {
+    resultDF = session.spark.sql(statement)
+    setState(OperationState.Compiled)
+    iter = mode match {
+      case ResultMode.Full =>
+        new ArrayFetchIterator(resultDF.collect())
+      case ResultMode.Bounded(n) =>
+        new ArrayFetchIterator(resultDF.take(n))
+      case ResultMode.Incremental =>
+        new IterableFetchIterator(new Iterable[Row] {
+          override def iterator: Iterator[Row] = resultDF.toLocalIterator().asScala
+        })
+      case ResultMode.SaveToFile(dir, minRows) =>
+        val approx = resultDF.queryExecution.optimizedPlan.stats.rowCount
+        if (approx.forall(_.longValue >= minRows)) {
+          val path = s"$dir/graft-result-$handle"
+          resultDF.write
+            .option("compression", "zstd")
+            .format("orc")
+            .save(path)
+          spillPath = Some(path)
+          val back = session.spark.read
+            .schema(resultDF.schema)
+            .format("orc").load(path)
+          new IterableFetchIterator(new Iterable[Row] {
+            override def iterator: Iterator[Row] = back.toLocalIterator().asScala
+          })
+        } else {
+          new ArrayFetchIterator(resultDF.collect())
+        }
+    }
+  }
+
+  override def close(): Unit = {
+    super.close()
+    // best-effort cleanup of the spill dir (ref ExecuteStatement.scala:63-69)
+    spillPath.foreach { p =>
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          session.spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      } catch { case _: Throwable => }
+    }
+  }
+
+  implicit private class RichJIterator[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): A = it.next()
+    }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("tokens and shingles") {
+    val df = Seq("a b c d", "  x   y  ", "solo").toDF("text")
+    val got = df.select(tokens($"text").as("t"), shingles($"text", 3).as("s"))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("a", "b", "c", "d"))
+    assert(got(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(got(1).getSeq[String](0) == Seq("x", "y"))
+    assert(got(1).getSeq[String](1) == Seq("x y")) // < n tokens → whole text
+    assert(got(2).getSeq[String](1) == Seq("solo"))
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val sig1 = df.select(minhashSignature(shingles($"text", 3), 16)).head.getSeq[Long](0)
+    val sig2 = df.select(minhashSignature(shingles($"text", 3), 16)).head.getSeq[Long](0)
+    assert(sig1.size == 16)
+    assert(sig1 == sig2)
+  }
+
+  test("identical texts share full signature; disjoint texts do not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("id", "text")
+    val sigs = df.select($"id", minhashSignature(shingles($"text", 3), 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: similar texts have small hamming distance") {
+    val df = Seq(
+      (1L, "spark query engine with columnar execution and vectorized reads"),
+      (2L, "spark query engine with columnar execution and vectorized scans"),
+      (3L, "completely different words about cooking pasta and tomato sauce")).toDF("id", "text")
+    val fps = df.select($"id", simhash64(tokens($"text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "text")
+    val fps = df.select($"id", rollingFingerprint(tokens($"text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("langGuess picks marker language, und when none") {
+    val df = Seq("the cat and the dog is here", "der hund und die katze ist",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(langGuess(tokens($"text"))).collect().map(_.getString(0))
+    assert(got(0) == "en")
+    assert(got(1) == "de")
+    assert(got(2) == "und")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "completely unrelated text about database engines and query planning"),
+    (5L, "the  quick   brown fox jumps over the lazy dog again and again today") // ws-variant of 1
+  )
+
+  lazy val df = docs.toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized copies") {
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    val big = groups.find(_.getLong(1) == 3L)
+    assert(big.isDefined, "1, 2 and 5 should collapse into one group")
+    assert(big.get.getLong(2) == 1L) // keeper is min id
+    assert(Dedup.exactKeep(df, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds the near-dup pair but not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dups always pair
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 5L)), "near dup should be caught")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, "unrelated doc must not pair")
+  }
+
+  test("simhash pairs near dups, skips unrelated") {
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated absent") {
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.get((1L, 3L)).exists(_ > 0.5))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+  import graft.functions.VectorFunctions._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+  }
+
+  test("brute-force top-k returns nearest by construction") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = SimilaritySearch.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .collect()
+    assert(top.head.getLong(1) == 1L) // rank 1 = vector 1
+  }
+
+  test("lsh top-k puts identical vectors in the same bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = SimilaritySearch.lshTopK(vecs, q, "vec_id", "embedding",
+      k = 2, dim = 8, nPlanes = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(1L))
+    assert(!got.contains(2L)) // opposite vector lands in the complement bucket
+  }
+
+  test("label centroids average per dimension") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 3.0f), 1),
+      (1L, Array(3.0f, 5.0f), 1),
+      (2L, Array(10.0f, 10.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) == Seq(2.0, 4.0))
+    assert(got(2) == Seq(10.0, 10.0))
+  }
+}

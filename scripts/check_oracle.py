@@ -66,6 +66,17 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: cols {got_cols} vs {exp_cols}")
             n_fail += 1
             continue
+        # Declared-type check: the driver's hash is representation-
+        # sensitive (e.g. DECIMAL(22,2) vs DECIMAL(38,2) hash-mismatch
+        # even with equal values), so compare DuckDB-inferred types too.
+        got_types = dict(zip(got.columns, [str(t) for t in got.types]))
+        exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_types
+                 if c in exp_types and got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"FAIL {name}: type drift {tdiff}")
+            n_fail += 1
+            continue
         if sorted(got_rows, key=key) != sorted(exp_rows, key=key):
             print(f"FAIL {name}: rows {len(got_rows)} vs {len(exp_rows)}")
             g, e = sorted(got_rows, key=key), sorted(exp_rows, key=key)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.MinHashSignatureExpr
 
 /** Text-pipeline primitives for large-scale corpus processing.
   *
@@ -40,15 +41,14 @@ object TextFunctions {
   def seededHash(value: Column, seed: Int): Column =
     xxhash64(lit(seed), value)
 
-  /** MinHash signature: array of `k` minimums of seeded hashes over the
-    * distinct shingle set. Pure expression — computed map-side.
+  /** MinHash signature: array of `k` minimums of derived hashes over the
+    * distinct shingle set. Each shingle string is xxhash64'd ONCE; the k
+    * derived hashes are multiply-add permutations computed in a single
+    * codegen'd pass (see [[MinHashSignatureExpr]]). Pure map-side.
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val distinctShingles = array_distinct(shingleArr)
-    array((0 until k).map { seed =>
-      array_min(transform(distinctShingles, s => xxhash64(lit(seed), s)))
-    }: _*)
-  }
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    MinHashSignatureExpr.ofHashes(
+      transform(array_distinct(shingleArr), s => xxhash64(s)), k)
 
   /** LSH band keys from a minhash signature: hash of each contiguous
     * `rowsPerBand`-slice. Two docs collide in a band iff that slice of
@@ -85,6 +85,33 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Hex-digit values (0..15) of the first 15 hex chars of md5(s): a
+    * 60-bit token hash computable bit-for-bit in any engine with md5 —
+    * the oracle-portable twin of xxhash64 (60 bits keeps every derived
+    * value in positive BIGINT range on both engines).
+    */
+  def md5Digits15(s: Column): Column =
+    transform(slice(split(md5(s), ""), 1, 15),
+      c => when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48))
+
+  /** 60-bit SimHash from a pre-materialized array<array<int>> of
+    * md5-digit values ([[md5Digits15]] per token). Callers MUST stage
+    * the digit array in its own projection (as [[simhash64OfHashes]]
+    * callers do for the hash array): the 60 per-bit folds reference it
+    * 60×, and CollapseProject keeps the stage boundary because the
+    * producer is non-cheap — inlining would recompute every md5 60×.
+    */
+  def simhashMd5OfDigits(tokDigits: Column): Column = {
+    val bitCols = (0 until 60).map { i =>
+      val digitIdx = i / 4 + 1
+      val mask = 1 << (i % 4)
+      val cnt = aggregate(tokDigits, lit(0),
+        (acc, d) => acc + when(element_at(d, digitIdx).bitwiseAND(lit(mask)) > 0, 1).otherwise(-1))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Rolling fingerprint of the token sequence (order-sensitive,
     * unlike the shingle-set hashes): left fold chaining each token's

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -55,25 +56,60 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
+    // Persist the signatures: both sides of the self-join (and the band
+    // explode) would otherwise re-execute the full shingle+hash lineage.
+    // At cluster scale this is the standard "materialize the sketch
+    // before the pairwise stage" step (persist → MEMORY_AND_DISK; a
+    // production pipeline would checkpoint to parquet).
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = banded.as("a")
+    // Score BEFORE deduplicating pairs so the pair-dedup shuffle carries
+    // one double per row instead of two k-long signature arrays; the
+    // dedup itself is an aggregation (map-side partial) rather than a
+    // dropDuplicates over wide rows.
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(k))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k)).as("est"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Full near-dup pipeline: MinHash-LSH candidate generation verified
+    * by exact n-gram Jaccard on the candidate pairs only — the 100 TB
+    * shape (LSH prunes the O(n²) space; exact verification touches only
+    * pairs that collided in some band).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      estThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand, estThreshold)
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    cands
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: fingerprint, band on 4×16-bit slices,
@@ -87,10 +123,41 @@ object Dedup {
     val fp = df
       .withColumn("th", transform(tokens(col(textCol)), t => xxhash64(t)))
       .select(col(idCol).as("id"), simhash64OfHashes(col("th")).as("sim"))
-    val banded = fp.select(col("id"), col("sim"),
-      explode(array((0 until 4).map { b =>
+    bandedHammingPairs(fp, nBands = 4, bandBits = 16, maxHamming)
+  }
+
+  /** Oracle-portable SimHash pairs: 60-bit md5-derived fingerprints,
+    * 4×15-bit bands. Bit-for-bit reproducible in DuckDB (md5 + integer
+    * bit ops), so the whole pipeline is oracle-checkable; production
+    * corpora use [[simhashPairs]] (xxhash64, cheaper per token).
+    */
+  def simhashPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => md5Digits15(t)).as("td"))
+      .select(col("id"), simhashMd5OfDigits(col("td")).as("sim"))
+    bandedHammingPairs(fp, nBands = 4, bandBits = 15, maxHamming)
+  }
+
+  /** Shared band-join + Hamming-verify stage over a (id, sim) frame.
+    * The fingerprint frame is persisted: both sides of the self-join
+    * would otherwise recompute the fingerprint lineage. Pair dedup is
+    * an aggregation keyed on the pair (map-side partial) computed AFTER
+    * the hamming distance so the shuffle carries one int, not two
+    * fingerprints.
+    */
+  private def bandedHammingPairs(
+      fp: DataFrame, nBands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val cached = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col("id"), col("sim"),
+      explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("sim"), b * bandBits).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")
@@ -98,31 +165,46 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+        hamming64(col("a.sim"), col("b.sim")).as("h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("h")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
-    * shingle. At scale, feed LSH candidates instead of the full corpus;
-    * the shape (explode → self-join on shingle-hash → count) is the
-    * same. Shingles are joined by 64-bit hash, never by string.
+    * rare-enough shingle. At scale, feed LSH candidates instead of the
+    * full corpus; the shape (explode → self-join on shingle-hash →
+    * count) is the same. Shingles are joined by 64-bit hash, never by
+    * string.
+    *
+    * `maxShingleDf` drops shingles whose document frequency exceeds the
+    * cap BEFORE the self-join: a shingle appearing in d docs produces
+    * O(d²) join rows, so one stopword-shingle ("of the and") would turn
+    * the join quadratic at corpus scale. Capped shingles are excluded
+    * from the shared count (set sizes stay uncapped), so `jaccard` is a
+    * slight underestimate for pairs sharing ultra-common shingles —
+    * exactly the pairs exact-dedup does not care about.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 100): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-    val shared = exploded.as("a")
-      .join(exploded.as("b"),
+    val rare = exploded.groupBy(col("sh_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh_hash"))
+    val prunedExploded = exploded.join(rare, Seq("sh_hash"), "left_semi")
+    val shared = prunedExploded.as("a")
+      .join(prunedExploded.as("b"),
         col("a.sh_hash") === col("b.sh_hash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

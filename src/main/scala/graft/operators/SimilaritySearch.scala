@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -20,6 +19,22 @@ import graft.functions.VectorFunctions._
   */
 object SimilaritySearch {
 
+  /** Rank the (query_id, neighbor_id, sim, [extra...]) scored set via
+    * the map-side [[TopKAggregator]]: partial buffers cap at 2k per map
+    * partition, so the shuffle carries O(partitions·k) rows per query
+    * instead of the full scored set (the window-ranking alternative
+    * funnels |scored| rows into |queries| reducer partitions).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopKAggregator.udaf(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
+        col("s.sim").as("sim"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast.
     */
@@ -33,12 +48,7 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: only candidates in the same
@@ -60,12 +70,21 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("sim"), col("rnk"))
+    rankTopK(scored, k)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one:
+    * |approx ∩ exact| / k per query. Both inputs must carry
+    * (query_id, neighbor_id).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** Per-label centroids: posexplode → mean per (label, pos) → re-

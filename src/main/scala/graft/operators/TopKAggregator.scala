@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** One scored candidate row flowing into the top-k aggregation. */
+case class Scored(neighbor_id: Long, sim: Double)
+
+/** Map-side top-k: a typed `Aggregator` whose partial buffers never
+  * exceed `2k` elements, so the shuffle for `groupBy(query_id)` carries
+  * at most `2k` candidates per map partition per query instead of the
+  * full |corpus|×|queries| scored set.
+  *
+  * This replaces ranking via `row_number() over (partition by
+  * query_id)`, which shuffles EVERY scored row into |queries|
+  * partitions — an extreme-skew bomb at cluster scale (each query's
+  * full corpus-worth of rows lands on one reducer). With partial
+  * aggregation (`reduce` map-side, `merge` on the reducer) the
+  * per-query reducer sees O(partitions·k) rows.
+  *
+  * Ordering: sim descending, neighbor_id ascending (deterministic
+  * tie-break). `finish` returns the sorted top-k, so callers can derive
+  * rank from array position.
+  */
+class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.neighbor_id < b.neighbor_id)
+
+  private def prune(b: Seq[Scored]): Seq[Scored] =
+    b.sortWith(better).take(k)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
+    val appended = b :+ a
+    if (appended.length >= 2 * k) prune(appended) else appended
+  }
+
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+    prune(x ++ y)
+
+  override def finish(b: Seq[Scored]): Seq[Scored] = prune(b)
+
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
+
+object TopKAggregator {
+  /** Untyped-DataFrame handle: `agg(udf(col("neighbor_id"), col("sim")))`. */
+  def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k), Encoders.product[Scored])
+}

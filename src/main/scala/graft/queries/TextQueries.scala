@@ -75,9 +75,11 @@ object TextQueries {
         shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
-    // --- SimHash near-dup pairs (rows-only check) ---
+    // --- SimHash near-dup pairs (md5-portable 60-bit variant so the
+    //     whole banded pipeline is oracle-checked; xxhash64 variant is
+    //     covered by DedupSpec) ---
     "d09_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPairsMd5(Tables(s, dir).documents, "doc_id", "text", maxHamming = 10)
     },
 
     // --- Exact n-gram Jaccard pairs (oracle via unnest in DuckDB) ---
@@ -85,6 +87,15 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("n_shared"))
+    },
+
+    // --- Full near-dup pipeline: LSH candidates verified by exact
+    //     Jaccard (rows-only: signature family is xxhash64-seeded) ---
+    "d13_neardup_verified" -> { (s, dir) =>
+      Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4,
+        estThreshold = 0.5, jaccardThreshold = 0.7)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     },
 
     // --- Rolling (order-sensitive) fingerprint (rows-only check) ---
@@ -155,6 +166,30 @@ object TextQueries {
                  generate_series(1, len($duckToks) - 2),
                  i -> array_to_string($duckToks[i:i+2], ' ')))) END AS INT) AS n_shingles
           FROM documents""",
+    "d09_simhash_pairs" -> {
+      // Mirror of Dedup.simhashPairsMd5: 60-bit md5-digit SimHash,
+      // 4×15-bit band agreement, Hamming <= 10. Bit i comes from hex
+      // digit i/4 (1-based position i/4+1), mask 1<<(i%4).
+      val digitVal = (d: String) =>
+        s"CASE WHEN ascii(substr(md5(t), $d, 1)) >= 97 THEN ascii(substr(md5(t), $d, 1)) - 87 ELSE ascii(substr(md5(t), $d, 1)) - 48 END"
+      val bitTerms = (0 until 60).map { i =>
+        val idx = i / 4 + 1
+        val mask = 1 << (i % 4)
+        s"(CASE WHEN list_sum(list_transform(dg, d -> CASE WHEN (d[$idx] & $mask) > 0 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val bandCond = (0 until 4).map { b =>
+        s"((xor(a.fp, b.fp) >> ${b * 15}) & 32767) = 0"
+      }.mkString("(", " OR ", ")")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+          td AS (SELECT doc_id,
+                   list_transform(tk, t -> list_transform(range(1, 16), d -> ${digitVal("CAST(d AS INT)")})) AS dg
+                 FROM toks),
+          fp AS (SELECT doc_id, ($bitTerms) AS fp FROM td)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND $bandCond
+          WHERE bit_count(xor(a.fp, b.fp)) <= 10"""
+    },
     "d10_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, list_distinct(
@@ -165,9 +200,11 @@ object TextQueries {
             FROM documents),
           ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
           sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+          exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
           shared AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT id_a, id_b, n_shared FROM shared
           JOIN sizes sa ON id_a = sa.doc_id

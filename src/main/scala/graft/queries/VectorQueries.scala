@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -36,10 +37,27 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
-    // --- Per-label centroid vectors ---
+    // --- Per-label per-dimension centroid sums (exact decimal so the
+    //     result is reduction-order-free and oracle-checkable; divide by
+    //     n for the centroid itself) ---
     "v03_label_centroids" -> { (s, dir) =>
-      SimilaritySearch.labelCentroids(Tables(s, dir).embeddings, "label", "embedding")
-        .select(col("label"), col("n_vectors"))
+      Tables(s, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast("double").cast(DecimalType(18, 9)))
+          .cast(DecimalType(38, 9)).as("sum_v"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- Recall@5 of the LSH path vs exact brute force (rows-only:
+    //     hyperplane family is driver-side Gaussian, not SQL-portable) ---
+    "v06_lsh_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val approx = SimilaritySearch.lshTopK(e, q, "vec_id", "embedding", k = 5,
+        dim = DIM, nPlanes = 8)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
     },
 
     // --- LSH bucket histogram (distribution sanity + skew check) ---
@@ -61,7 +79,36 @@ object VectorQueries {
     }
   )
 
+  // DuckDB double-precision cosine, matching VectorFunctions.cosine's
+  // left-to-right fold exactly (0.0-seeded fold == first-element-seeded
+  // reduce in IEEE double for these inputs).
+  private def duckCosine(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
+
   val oracles: Map[String, String] = Map(
+    "v01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+            FROM c, q WHERE query_id <> neighbor_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM scored)
+          WHERE rnk <= 5""",
+    "v03_label_centroids" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_v,
+         count(*) AS n
+         FROM (SELECT label,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                 UNNEST(embedding) AS v
+               FROM embeddings)
+         GROUP BY 1, 2""",
     "v05_embedding_stats" ->
       """SELECT label, count(*) AS n_vectors,
          count(DISTINCT len(embedding)) AS n_dims_distinct,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{RelationalQueries, TextQueries, TpchQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
+      TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
+      TpchQueries.oracles
 }

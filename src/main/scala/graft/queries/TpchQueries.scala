@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The TPC-H query corpus, adapted to the driver's slim testdata schema
+  * (the reference's correctness spine runs the same 22 queries against
+  * its generator catalog: kyuubi-spark-connector-tpch/src/main/resources/kyuubi/tpch/,
+  * TPCHQuerySuite pattern).
+  *
+  * 14 of 22 are expressible on the testdata columns and carry DuckDB
+  * oracles here (h02/h09/h11/h16/h20 need `partsupp`, h04/h12/h21 need
+  * commit/receipt dates — those run spec-complete against the graft
+  * TPC-H generator catalog in TpchCatalogSpec instead). Predicate
+  * constants are shifted into the testdata's value domains
+  * (dates 1995-2001, nations NATION_0..24, p_type ECONOMY..STANDARD);
+  * the operator shapes are unchanged.
+  *
+  * Numeric discipline: money/qty cast to DECIMAL(12,2) before
+  * aggregation (order-independent exact sums), final aggregates pinned
+  * to DECIMAL(38,s); averages/ratios computed as exact-decimal sums
+  * cast to double then divided (deterministic double from identical
+  * exact inputs on both engines).
+  */
+object TpchQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec38(c: Column, s: Int = 2): Column = c.cast(DecimalType(38, s))
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q1: pricing summary report — full-scan agg, 8 measures
+    "h01_pricing" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val disc = lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))
+      val charge = dec(col("l_extendedprice")) * disc * (lit(1).cast(DecimalType(12, 2)) + dec(col("l_tax")))
+      t.lineitem
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dec38(sum(dec(col("l_extendedprice")) * disc), 4).as("sum_disc_price"),
+          dec38(sum(charge), 6).as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // q3: shipping priority — 3-way join, top-10 by revenue
+    "h03_shipping_priority" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < ts("1996-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > ts("1996-03-15")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // q5: local supplier volume — 6-way join over a region
+    "h05_local_supplier_volume" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders.filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+    },
+
+    // q6: forecasting revenue change — selective scan, single scalar agg
+    "h06_forecast" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dec38(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 4).as("revenue"))
+    },
+
+    // q7: volume shipping between two nations per year
+    "h07_volume_shipping" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val n1 = "NATION_1"; val n2 = "NATION_2"
+      t.lineitem
+        .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1997-01-01"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(t.nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+    },
+
+    // q8: national market share within a region per year
+    "h08_market_share" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val vol = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "STANDARD")), col("l_partkey") === col("p_partkey"))
+        .join(t.orders.filter(col("o_orderdate") >= ts("1995-01-01") &&
+          col("o_orderdate") < ts("1997-01-01")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("cn_region") === col("r_regionkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+    },
+
+    // q10: returned item reporting — top 20 customers by lost revenue
+    "h10_returned_items" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(col("o_orderdate") >= ts("1996-10-01") &&
+          col("o_orderdate") < ts("1997-01-01")), col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // q13: customer order-count distribution (comment filter dropped —
+    // testdata has no o_comment)
+    "h13_order_distribution" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // q14: promotion effect — conditional-ratio over one month
+    "h14_promo_effect" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val vol = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      t.lineitem
+        .filter(col("l_shipdate") >= ts("1996-09-01") && col("l_shipdate") < ts("1996-10-01"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") /
+          sum(vol).cast("double")).as("promo_revenue"))
+    },
+
+    // q15: top supplier — scalar-subquery max over a revenue view
+    "h15_top_supplier" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+      revenue
+        .join(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables(s, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // q17: small-quantity-order revenue (container filter → brand+type)
+    "h17_small_quantity" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pk = t.part.filter(col("p_brand") === "Brand#13" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey"))
+      val partAvg = t.lineitem
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("avg_pk"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      t.lineitem
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(partAvg), col("l_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+    },
+
+    // q18: large-volume customers — having over a join
+    "h18_large_orders" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val bigOrders = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t.orders
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // q19: discounted revenue — disjunctive brand/quantity predicates
+    "h19_discounted_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#13" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#14" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // q22: global sales opportunity — anti join + scalar avg subquery
+    // (phone country code → custkey mod 7)
+    "h22_sales_opportunity" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      t.customer
+        .withColumn("cntrycode", (col("c_custkey") % 7).cast("int"))
+        .filter(col("cntrycode").isin(1, 2, 3))
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dec38(sum(dec(col("c_acctbal")))).as("totacctbal"))
+    }
+  )
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "h01_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          CAST(sum($rev) AS DECIMAL(38,4)) AS sum_disc_price,
+          CAST(sum($rev * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+          CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""",
+    "h03_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(sum($rev) AS DECIMAL(38,4)) AS revenue,
+          CAST(o_orderdate AS DATE) AS orderdate
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-03-15'
+            AND l_shipdate > TIMESTAMP '1996-03-15'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC LIMIT 10""",
+    "h05_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name""",
+    "h06_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "h07_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INT) AS l_year,
+          CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          GROUP BY 1, 2, 3""",
+    "h08_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN $rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(sum($rev) AS DOUBLE) AS mkt_share
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+            AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1""",
+    "h10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "h13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "h14_promo_effect" ->
+      s"""SELECT 100.0 *
+          CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+          / CAST(sum($rev) AS DOUBLE) AS promo_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "h15_top_supplier" ->
+      s"""WITH revenue AS (
+            SELECT l_suppkey, CAST(sum($rev) AS DECIMAL(38,4)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "h17_small_quantity" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'),
+         pa AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
+                FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN pk ON l_partkey = p_partkey
+         JOIN pa ON lineitem.l_partkey = pa.l_partkey
+         WHERE l_quantity < 0.5 * avg_qty""",
+    "h18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         o_totalprice, sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey) b ON o_orderkey = b.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE sum_qty > 150
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "h19_discounted_revenue" ->
+      s"""SELECT CAST(sum($rev) AS DECIMAL(38,4)) AS revenue, count(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+             OR (p_brand = 'Brand#14' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+    "h22_sales_opportunity" ->
+      """SELECT cntrycode, count(*) AS numcust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+         FROM (SELECT CAST(c_custkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
+               FROM customer
+               WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3)
+                 AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0))
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY cntrycode"""
+  )
+}

@@ -22,6 +22,7 @@ object Bench {
     val tpchNs = sys.env.getOrElse("SPARK_GRAFT_TPCH_SF", "sf1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[graft.plans.GraftSparkExtension].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

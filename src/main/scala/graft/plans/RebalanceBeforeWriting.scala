@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RebalancePartitions, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.DataWritingCommand
+import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+
+/** Small-file prevention: interpose `RebalancePartitions` between an
+  * insert and its query so AQE sizes the write's output partitions to
+  * the advisory partition size instead of whatever parallelism the
+  * query ended with (reference: RebalanceBeforeWriting.scala:31 — every
+  * production insert path hits this; without it a 2000-task query
+  * writing a small table produces 2000 tiny files, the classic
+  * 100 TB-lake operational failure).
+  *
+  * Partitioned writes rebalance ON the partition columns so each
+  * dynamic partition's rows co-locate (one file per partition value
+  * instead of tasks × partitions). Disabled with
+  * `spark.graft.rebalanceBeforeWrite=false`; plans that already end in
+  * a rebalance/sort are left alone (a user-requested layout wins).
+  */
+object RebalanceBeforeWriting extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rebalanceBeforeWrite", "true").toBoolean
+
+  private def needsRebalance(query: LogicalPlan): Boolean = query match {
+    case _: RebalancePartitions => false
+    case _: Sort => false
+    case _ => true
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan match {
+      case i: InsertIntoHadoopFsRelationCommand if needsRebalance(i.query) =>
+        val partitionAttrs = i.partitionColumns.flatMap(pc =>
+          i.query.output.find(_.name == pc.name))
+        i.copy(query = RebalancePartitions(partitionAttrs, i.query))
+      case other => other
+    }
+  }
+}
+
+/** `DROP TABLE/VIEW x` → `... IF EXISTS x`: multi-tenant gateways see
+  * constant speculative DROPs from ETL clients; failing them poisons
+  * shared session state for nothing (reference DropIgnoreNonexistent.scala:27).
+  * Opt-in: `spark.graft.dropIgnoreNonexistent=true`.
+  */
+object DropIgnoreNonexistent extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{DropTable, DropView, NoopCommand}
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.dropIgnoreNonexistent", "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan match {
+      case d @ DropTable(_, false, _) => d.copy(ifExists = true)
+      case d @ DropView(_, false) => d.copy(ifExists = true)
+      case other => other
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The extension bundle, end-to-end through a session built with
+  * spark.sql.extensions=GraftSparkExtension (SparkFixture).
+  */
+class ExtensionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("delegate parser: ordinary SQL still parses and runs") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
+  test("OPTIMIZE 'path' ZORDER BY rewrites a parquet directory in z-order") {
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    spark.range(0, 4096)
+      .select((col("id") % 64).cast("int").as("x"), (col("id") / 64).cast("int").as("y"))
+      .write.parquet(dir)
+    spark.sql(s"OPTIMIZE '$dir' ZORDER BY x, y")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4096)
+    // z-layout: consecutive rows in file order stay close in BOTH dims
+    val rows = back.limit(256).select("x", "y").collect()
+    val xs = rows.map(_.getInt(0)); val ys = rows.map(_.getInt(1))
+    assert(xs.max - xs.min < 64, "x not clustered after OPTIMIZE")
+    assert(ys.max - ys.min < 64, "y not clustered after OPTIMIZE")
+  }
+
+  test("OPTIMIZE with WHERE preserves all rows") {
+    val dir = Files.createTempDirectory("graft_zorder_w").toString + "/t"
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("x"), (col("id") % 10).cast("int").as("y"))
+      .write.parquet(dir)
+    spark.sql(s"OPTIMIZE '$dir' WHERE x < 500 ZORDER BY x, y")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("rebalance-before-write coalesces small-file inserts") {
+    val dir = Files.createTempDirectory("graft_rebalance").toString + "/t"
+    // 8 near-empty shuffle partitions would produce 8 tiny files without
+    // the injected RebalancePartitions + AQE coalescing
+    spark.range(0, 1000).repartition(8).write.parquet(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"$files parquet files written — rebalance did not coalesce")
+  }
+
+  test("rebalance respects user-requested sort layouts") {
+    import org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions
+    val df = spark.range(0, 100).toDF("id").orderBy("id")
+    // rule must not wrap a Sort (explicit layout wins): apply directly
+    val cmd = org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand(
+      outputPath = new org.apache.hadoop.fs.Path("/tmp/never-written"),
+      staticPartitions = Map.empty,
+      ifPartitionNotExists = false,
+      partitionColumns = Nil,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty,
+      query = df.queryExecution.analyzed,
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      catalogTable = None,
+      fileIndex = None,
+      outputColumnNames = df.queryExecution.analyzed.output.map(_.name))
+    val out = RebalanceBeforeWriting(cmd)
+    assert(!out.asInstanceOf[org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand]
+      .query.isInstanceOf[RebalancePartitions])
+  }
+
+  test("watchdog: over-limit scans throw, pruned/unlimited pass") {
+    val dir = Files.createTempDirectory("graft_watchdog").toString + "/t"
+    spark.range(0, 100000).select(col("id"), (col("id") % 7).as("v")).write.parquet(dir)
+    try {
+      spark.conf.set("spark.graft.watchdog.maxScanBytes", "10")
+      val e = intercept[Exception] { spark.read.parquet(dir).count() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[MaxScanExceededException]),
+        s"expected MaxScanExceededException, got $e")
+      spark.conf.set("spark.graft.watchdog.maxScanBytes", (100L << 30).toString)
+      assert(spark.read.parquet(dir).count() == 100000)
+    } finally spark.conf.unset("spark.graft.watchdog.maxScanBytes")
+  }
+
+  test("drop-ignore-nonexistent rewrites DROP TABLE to IF EXISTS") {
+    try {
+      spark.conf.set("spark.graft.dropIgnoreNonexistent", "true")
+      spark.sql("DROP TABLE graft_no_such_table_xyz")   // must not throw
+      spark.conf.set("spark.graft.dropIgnoreNonexistent", "false")
+      intercept[Exception] { spark.sql("DROP TABLE graft_no_such_table_xyz") }
+    } finally spark.conf.unset("spark.graft.dropIgnoreNonexistent")
+  }
+}

@@ -72,19 +72,30 @@ final class InMemoryDiscoveryClient extends DiscoveryClient {
   override def unregister(space: String): Unit = reg.remove(space)
 }
 
-/** The engine: owns the root SparkSession, hands out isolated session
-  * clones keyed by share level, and registers the engine-info UDFs.
+/** The engine: owns the root SparkSession, hands out sessions keyed by
+  * share level, and registers the engine-info UDFs.
+  *
+  * Share semantics (ref ShareLevel.scala:23-46 +
+  * SparkSQLSessionManager.scala:108-120): each share key owns one
+  * "engine" SparkSession, cloned lazily from the root. With
+  * `singleSession = false` (reference default) every gateway session
+  * still gets its own `newSession()` clone of that engine session
+  * (isolated temp views / conf); with `singleSession = true`
+  * (reference's kyuubi.engine.single.spark.session) sessions sharing a
+  * key share the engine SparkSession itself — temp views become
+  * visible across connections of the same user/group/server scope.
   */
 final class Engine(
     val rootSpark: SparkSession,
     val shareLevel: ShareLevel = ShareLevel.User,
+    val singleSession: Boolean = false,
     val discovery: DiscoveryClient = new InMemoryDiscoveryClient) {
 
   val engineId: String = s"graft-${UUID.randomUUID().toString.take(8)}"
   Kdf.registerAll(rootSpark, engineId)
 
   private val sessions = new ConcurrentHashMap[String, EngineSession]()
-  // share-level cache: key → the SparkSession to clone sessions from
+  // share-level cache: key → that scope's engine SparkSession
   private val sparkByKey = new ConcurrentHashMap[String, SparkSession]()
 
   private def shareKey(user: String, sessionId: String): String = shareLevel match {
@@ -99,11 +110,11 @@ final class Engine(
     val key = shareKey(user, id)
     val base = sparkByKey.computeIfAbsent(key, _ => {
       discovery.register(key, engineId)
-      rootSpark
+      rootSpark.newSession()
     })
-    // newSession(): isolated conf/catalog-state/temp views, shared context
-    val sess = new EngineSession(id, user, base.newSession())
-    Kdf.registerAll(sess.spark, engineId)
+    val sessionSpark = if (singleSession) base else base.newSession()
+    val sess = new EngineSession(id, user, sessionSpark)
+    Kdf.registerAll(sess.spark, engineId, sessionUser = Some(user))
     sessions.put(id, sess)
     sess
   }
@@ -123,13 +134,20 @@ final class Engine(
 object Kdf {
   val version = "0.1.0"
 
-  def registerAll(spark: SparkSession, engineId: String): Unit = {
-    val user = sys.props.getOrElse("user.name", "unknown")
+  /** `session_user` reflects the gateway session's user (per-session
+    * registration on the session's own SparkSession clone, ref
+    * KDFRegistry session_user); `system_user` is the engine process
+    * owner.
+    */
+  def registerAll(spark: SparkSession, engineId: String,
+      sessionUser: Option[String] = None): Unit = {
+    val sysUser = sys.props.getOrElse("user.name", "unknown")
+    val sessUser = sessionUser.getOrElse(sysUser)
     spark.udf.register("graft_version", udf(() => version))
     spark.udf.register("engine_name", udf(() => s"graft-spark-engine"))
     spark.udf.register("engine_id", udf(() => engineId))
-    spark.udf.register("system_user", udf(() => user))
-    spark.udf.register("session_user", udf(() => user))
+    spark.udf.register("system_user", udf(() => sysUser))
+    spark.udf.register("session_user", udf(() => sessUser))
     spark.udf.register("engine_url", udf(() => s"local://$engineId"))
   }
 }

@@ -23,14 +23,26 @@ object MetadataOps {
       .select(col("name").as("TABLE_SCHEM"), col("catalog").as("TABLE_CATALOG"))
   }
 
+  /** Walks every database matching `dbPattern` (ref GetTables.scala:75
+    * walks catalogs/namespaces; Spark's session catalog is the scope
+    * here, with `listDatabases(pattern)` doing the namespace match).
+    */
   def getTables(spark: SparkSession, dbPattern: String = "*", tablePattern: String = "*"): DataFrame = {
-    spark.catalog.listTables(spark.catalog.currentDatabase, tablePattern)
-      .select(
-        col("catalog").as("TABLE_CAT"),
-        col("namespace").cast("string").as("TABLE_SCHEM"),
-        col("name").as("TABLE_NAME"),
-        col("tableType").as("TABLE_TYPE"),
-        col("description").as("REMARKS"))
+    import spark.implicits._
+    val dbs = spark.catalog.listDatabases(dbPattern).collect().map(_.name)
+    val perDb = dbs.toSeq.map(db => spark.catalog.listTables(db, tablePattern).toDF())
+    val all = perDb match {
+      case Nil =>
+        // no database matched: empty frame in the same layout
+        spark.catalog.listTables(spark.catalog.currentDatabase, "__graft_no_match__").toDF()
+      case head +: tail => tail.foldLeft(head)(_ unionAll _)
+    }
+    all.select(
+      col("catalog").as("TABLE_CAT"),
+      col("namespace").cast("string").as("TABLE_SCHEM"),
+      col("name").as("TABLE_NAME"),
+      col("tableType").as("TABLE_TYPE"),
+      col("description").as("REMARKS"))
   }
 
   def getColumns(spark: SparkSession, table: String): DataFrame = {
@@ -42,11 +54,42 @@ object MetadataOps {
         SchemaMapper.getColumnSize(f.dataType).getOrElse(0),
         SchemaMapper.getDecimalDigits(f.dataType).getOrElse(0),
         SchemaMapper.getNumPrecRadix(f.dataType).getOrElse(0),
-        f.nullable, i + 1)
+        // JDBC layout: NULLABLE is the integer DatabaseMetaData code,
+        // IS_NULLABLE the 'YES'/'NO' string (ref GetColumns)
+        if (f.nullable) java.sql.DatabaseMetaData.columnNullable
+        else java.sql.DatabaseMetaData.columnNoNulls,
+        if (f.nullable) "YES" else "NO",
+        i + 1)
     }.toSeq
     rows.toDF("TABLE_NAME", "COLUMN_NAME", "TYPE_NAME", "DATA_TYPE",
-      "COLUMN_SIZE", "DECIMAL_DIGITS", "NUM_PREC_RADIX", "IS_NULLABLE",
-      "ORDINAL_POSITION")
+      "COLUMN_SIZE", "DECIMAL_DIGITS", "NUM_PREC_RADIX", "NULLABLE",
+      "IS_NULLABLE", "ORDINAL_POSITION")
+  }
+
+  /** The reference serves these as empty result sets with the JDBC
+    * layout (Spark tables expose no PK/FK metadata) — server op list,
+    * kyuubi-server/.../operation/{GetPrimaryKeys,GetCrossReference}.
+    */
+  def getPrimaryKeys(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("TABLE_CAT", StringType), StructField("TABLE_SCHEM", StringType),
+        StructField("TABLE_NAME", StringType), StructField("COLUMN_NAME", StringType),
+        StructField("KEY_SEQ", IntegerType), StructField("PK_NAME", StringType))))
+  }
+
+  def getCrossReference(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("PKTABLE_CAT", StringType), StructField("PKTABLE_SCHEM", StringType),
+        StructField("PKTABLE_NAME", StringType), StructField("PKCOLUMN_NAME", StringType),
+        StructField("FKTABLE_CAT", StringType), StructField("FKTABLE_SCHEM", StringType),
+        StructField("FKTABLE_NAME", StringType), StructField("FKCOLUMN_NAME", StringType),
+        StructField("KEY_SEQ", IntegerType), StructField("UPDATE_RULE", IntegerType),
+        StructField("DELETE_RULE", IntegerType), StructField("FK_NAME", StringType),
+        StructField("PK_NAME", StringType))))
   }
 
   def getFunctions(spark: SparkSession, pattern: String = "*"): DataFrame = {
@@ -95,23 +138,46 @@ object PlanOnly {
   case object Parse extends Mode
   case object Analyze extends Mode
   case object Optimize extends Mode
+  /** Optimized plan with per-node Statistics forced (ref mode
+    * optimize_with_stats, PlanOnlyStatement.scala:113-118). */
+  case object OptimizeWithStats extends Mode
   case object Physical extends Mode
   case object Execution extends Mode
+  /** Output-column → source-column map (ref lineage mode +
+    * SparkSQLLineageParseHelper). */
+  case object Lineage extends Mode
 
-  def run(spark: SparkSession, statement: String, mode: Mode): String = {
+  sealed trait Style
+  case object Plain extends Style
+  case object Json extends Style
+
+  def run(spark: SparkSession, statement: String, mode: Mode, style: Style = Plain): String = {
     val parsed = spark.sessionState.sqlParser.parsePlan(statement)
+    def analyzed = {
+      val a = spark.sessionState.analyzer.execute(parsed)
+      spark.sessionState.analyzer.checkAnalysis(a)
+      a
+    }
+    def render(plan: org.apache.spark.sql.catalyst.trees.TreeNode[_]): String = style match {
+      case Plain => plan.toString
+      case Json => plan.prettyJson
+    }
     mode match {
-      case Parse => parsed.toString
-      case Analyze =>
-        spark.sessionState.analyzer.execute(parsed).toString
-      case Optimize =>
-        val analyzed = spark.sessionState.analyzer.execute(parsed)
-        spark.sessionState.analyzer.checkAnalysis(analyzed)
-        spark.sessionState.optimizer.execute(analyzed).toString
-      case Physical =>
-        spark.sql(statement).queryExecution.sparkPlan.toString
-      case Execution =>
-        spark.sql(statement).queryExecution.executedPlan.toString
+      case Parse => render(parsed)
+      case Analyze => render(analyzed)
+      case Optimize => render(spark.sessionState.optimizer.execute(analyzed))
+      case OptimizeWithStats =>
+        val optimized = spark.sessionState.optimizer.execute(analyzed)
+        optimized.foreach(_.stats) // force statistics on every node
+        optimized.treeString(verbose = true, addSuffix = true)
+      case Physical => render(spark.sql(statement).queryExecution.sparkPlan)
+      case Execution => render(spark.sql(statement).queryExecution.executedPlan)
+      case Lineage =>
+        val lin = graft.plans.ColumnLineage.of(
+          spark.sessionState.optimizer.execute(analyzed))
+        lin.toSeq.sortBy(_._1).map { case (out, srcs) =>
+          s"$out <- ${srcs.toSeq.sorted.mkString(", ")}"
+        }.mkString("\n")
     }
   }
 }

@@ -64,6 +64,9 @@ abstract class Operation(val session: EngineSession) {
     if (state != OperationState.Closed) {
       if (!state.terminal) session.spark.sparkContext.cancelJobGroup(jobGroup)
       state = OperationState.Closed // closed is legal from anywhere
+      // close() bypasses setState (anywhere→Closed), so release waiters
+      // here too or awaitTermination() blocks its full timeout
+      if (!completion.isCompleted) completion.trySuccess(())
     }
   }
 
@@ -148,8 +151,14 @@ class ExecuteStatement(
           override def iterator: Iterator[Row] = resultDF.toLocalIterator().asScala
         })
       case ResultMode.SaveToFile(dir, minRows) =>
-        val approx = resultDF.queryExecution.optimizedPlan.stats.rowCount
-        if (approx.forall(_.longValue >= minRows)) {
+        // Spill only when the result is KNOWN (stats) or OBSERVED
+        // (bounded probe) to be big: without CBO, rowCount is None, and
+        // treating unknown as big would route every 3-row result
+        // through an ORC write + re-read.
+        val statsSayBig = resultDF.queryExecution.optimizedPlan.stats.rowCount
+          .exists(_.longValue >= minRows)
+        lazy val probe = resultDF.take(math.min(minRows, 100000L).toInt + 1)
+        if (statsSayBig || probe.length > minRows) {
           val path = s"$dir/graft-result-$handle"
           resultDF.write
             .option("compression", "zstd")
@@ -163,7 +172,7 @@ class ExecuteStatement(
             override def iterator: Iterator[Row] = back.toLocalIterator().asScala
           })
         } else {
-          new ArrayFetchIterator(resultDF.collect())
+          new ArrayFetchIterator(probe)
         }
     }
   }

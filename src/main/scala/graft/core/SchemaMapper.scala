@@ -58,10 +58,13 @@ object SchemaMapper {
     * (ref SchemaHelper.getColumnSize:135-151).
     */
   def getColumnSize(dt: DataType): Option[Int] = dt match {
+    // DecimalType IS a NumericType: this case must precede the numeric
+    // catch-all or precision degrades to defaultSize (ref
+    // SchemaHelper.getColumnSize:138-142 orders it the same way)
+    case d: DecimalType => Some(d.precision)
     case dt @ (BooleanType | _: NumericType | DateType | TimestampType | TimestampNTZType |
         CalendarIntervalType | NullType) =>
       Some(dt.defaultSize)
-    case d: DecimalType => Some(d.precision)
     case StructType(fields) =>
       val sizes = fields.map(f => getColumnSize(f.dataType))
       if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None

@@ -119,6 +119,12 @@ object ResultMode {
     * paging (ref ExecuteStatement.scala:172-199, FetchOrcStatement).
     */
   final case class SaveToFile(dir: String, minRows: Long = 10000) extends ResultMode
+  /** Plan-aware Arrow batches (ref ArrowBasedExecuteStatement +
+    * SparkDatasetHelper.scala:43-234): limited queries avoid full-scan
+    * jobs; full results encode per-partition on executors. Pages are
+    * record batches fetched via [[ExecuteStatement.arrowIterator]].
+    */
+  final case class Arrow(maxRecordsPerBatch: Int = 10000) extends ResultMode
 }
 
 /** SQL execution operation: `spark.sql(statement)` + the four
@@ -133,14 +139,26 @@ class ExecuteStatement(
 
   @volatile private var resultDF: DataFrame = _
   @volatile private var iter: FetchIterator[Row] = _
+  @volatile private var arrowIter: FetchIterator[Array[Byte]] = _
   @volatile private var spillPath: Option[String] = None
 
   def result: DataFrame = resultDF
   def fetchIterator: FetchIterator[Row] = iter
+  /** Pages of IPC-serialized Arrow record batches (ResultMode.Arrow). */
+  def arrowIterator: FetchIterator[Array[Byte]] = arrowIter
 
   override protected def runInternal(): Unit = {
     resultDF = session.spark.sql(statement)
     setState(OperationState.Compiled)
+    mode match {
+      case ResultMode.Arrow(maxPerBatch) =>
+        arrowIter = new ArrayFetchIterator(
+          org.apache.spark.sql.graft.ArrowHelper
+            .collectAsArrowBatches(resultDF, maxPerBatch).toArray)
+        iter = new ArrayFetchIterator(Array.empty[Row])
+        return
+      case _ =>
+    }
     iter = mode match {
       case ResultMode.Full =>
         new ArrayFetchIterator(resultDF.collect())
@@ -174,6 +192,8 @@ class ExecuteStatement(
         } else {
           new ArrayFetchIterator(probe)
         }
+      case ResultMode.Arrow(_) =>
+        throw new IllegalStateException("Arrow handled above")
     }
   }
 

@@ -306,6 +306,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_above"))
     },
 
+    // --- Approx/sketch aggregates (SURVEY §2.B: expose Spark built-ins).
+    //     HLL++/GK sketches differ per engine, so the oracle checks the
+    //     ENGINE-INDEPENDENT contract instead of the sketch value: each
+    //     engine's own approximation must sit within the advertised
+    //     error of its own exact answer — 'ok' rows hash-match. ---
+    "q26_approx_sketches" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_nd"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("approx_nd"),
+          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_p50"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+        .select(col("o_orderpriority"),
+          when(abs(col("approx_nd") - col("exact_nd")) <= col("exact_nd") * 0.1, "ok")
+            .otherwise("off").as("nd_check"),
+          when(abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.1, "ok")
+            .otherwise("off").as("p50_check"))
+    },
+
     // --- Sessionization: gap>30min starts a new session (lag + cumsum) ---
     "q25_sessionize" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -460,6 +481,16 @@ object RelationalQueries {
            ON p.p_brand = a.b
          WHERE p_size > avg_size
          GROUP BY p_brand""",
+    "q26_approx_sketches" ->
+      """SELECT o_orderpriority,
+         CASE WHEN abs(approx_nd - exact_nd) <= exact_nd * 0.1 THEN 'ok' ELSE 'off' END AS nd_check,
+         CASE WHEN abs(approx_p50 - exact_p50) <= exact_p50 * 0.1 THEN 'ok' ELSE 'off' END AS p50_check
+         FROM (SELECT o_orderpriority,
+                 count(DISTINCT o_custkey) AS exact_nd,
+                 approx_count_distinct(o_custkey) AS approx_nd,
+                 approx_quantile(o_totalprice, 0.5) AS approx_p50,
+                 quantile_cont(o_totalprice, 0.5) AS exact_p50
+               FROM orders GROUP BY o_orderpriority)""",
     "q25_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{TpchCatalogQueries, TpchCorpusSql}
+import graft.queries.{TpcdsCorpusSql, TpchCatalogQueries, TpchCorpusSql}
 
 /** Driver-run benchmark: every SparkEntry query on the driver-provided
   * parquet fixtures, plus the full 22-query TPC-H corpus against the
@@ -48,7 +48,16 @@ object Bench {
       timed(s"tpch_${tpchNs}_$qn")(spark.sql(sql).foreach(_ => ()))
     }
 
-    val results = suite ++ tpch
+    // TPC-DS benchmark slice at the BASELINE's scale (sf10): these 6
+    // queries are the reference's only published latencies
+    val tpcdsNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_SF", "sf10")
+    spark.conf.set("spark.sql.catalog.tpcds",
+      classOf[graft.sources.tpcds.TpcdsCatalog].getName)
+    val tpcds = TpcdsCorpusSql.queries(s"tpcds.$tpcdsNs").map { case (qn, sql) =>
+      timed(s"tpcds_${tpcdsNs}_$qn")(spark.sql(sql).foreach(_ => ()))
+    }
+
+    val results = suite ++ tpch ++ tpcds
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.reverse.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")

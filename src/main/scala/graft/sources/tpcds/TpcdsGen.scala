@@ -1,0 +1,339 @@
+package graft.sources.tpcds
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.tpch.TpchGen.{bounded, boundedL, mix}
+
+/** Deterministic TPC-DS-shaped row generation for the benchmark slice
+  * of the schema: the 16 tables touched by the reference's published
+  * TPC-DS numbers (q1, q2, q3, q5, q6, q99 — BASELINE.md /
+  * dev/kyuubi-tpcds/README.md:80-105), with the spec's key
+  * relationships: a 1900-2100 date_dim with consecutive
+  * d_month_seq/d_week_seq, surrogate-key joins sales→date/item/
+  * customer/store, and returns derived from every 10th sale so
+  * sale↔return joins land. Column sets cover the full benchmark query
+  * corpus for these tables (the framework extends per-column).
+  *
+  * Same executor-parallel property as the TPC-H generator: every field
+  * is a pure function of (table, rowIndex) — any executor generates any
+  * row range (reference seeks trino-tpcds generators to chunk offsets,
+  * TPCDSBatchScan.scala:28-103).
+  */
+object TpcdsGen {
+
+  // --- date_dim: fixed 1900-01-01 .. 2099-12-31, spec julian-ish SKs ---
+  val dateSkBase = 2415022L // spec d_date_sk of 1900-01-01
+  val epoch1900: Long = LocalDate.of(1900, 1, 1).toEpochDay
+  val dateDimRows: Long = LocalDate.of(2100, 1, 1).toEpochDay - epoch1900
+
+  // sales activity window: 1998-01-01 .. 2002-12-31
+  private val saleLo = LocalDate.of(1998, 1, 1).toEpochDay - epoch1900
+  private val saleHi = LocalDate.of(2003, 1, 1).toEpochDay - epoch1900
+
+  val dayNames = Array("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
+  val states = Array("TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "MI", "NC")
+  val categories = Array("Sports", "Books", "Home", "Electronics", "Jewelry",
+    "Music", "Women", "Men", "Children", "Shoes")
+  val shipModeTypes = Array("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY")
+
+  def str(s: String): UTF8String = UTF8String.fromString(s)
+  def money(cents: Long): Decimal = Decimal(BigDecimal(cents, 2), 7, 2)
+
+  // --- scaling (spec-calibrated: sf1 and sf10 match published counts) ---
+  def storeSalesCount(sf: Double): Long = math.max(100L, (2880000L * sf).toLong)
+  def catalogSalesCount(sf: Double): Long = math.max(50L, (1440000L * sf).toLong)
+  def webSalesCount(sf: Double): Long = math.max(25L, (720000L * sf).toLong)
+  def storeReturnsCount(sf: Double): Long = storeSalesCount(sf) / 10
+  def catalogReturnsCount(sf: Double): Long = catalogSalesCount(sf) / 10
+  def webReturnsCount(sf: Double): Long = webSalesCount(sf) / 10
+  def customerCount(sf: Double): Long = math.max(100L, (100000 * math.pow(sf, 0.7)).toLong)
+  def customerAddressCount(sf: Double): Long = math.max(50L, (50000 * math.pow(sf, 0.7)).toLong)
+  def itemCount(sf: Double): Long = math.max(100L, (18000 * math.pow(sf, 0.75)).toLong)
+  def storeCount(sf: Double): Long = math.max(2L, (12 * math.pow(sf, 0.93)).toLong)
+  def warehouseCount(sf: Double): Long = math.max(1L, (5 * math.pow(sf, 0.3)).toLong)
+  def callCenterCount(sf: Double): Long = math.max(2L, (6 * math.pow(sf, 0.6)).toLong)
+  def catalogPageCount(sf: Double): Long = 11718L
+  def webSiteCount(sf: Double): Long = math.max(2L, (30 * math.pow(sf, 0.15)).toLong)
+  def shipModeCount(sf: Double): Long = shipModeTypes.length.toLong * 4
+
+  def rowCount(table: String, sf: Double): Long = table match {
+    case "date_dim" => dateDimRows
+    case "store_sales" => storeSalesCount(sf)
+    case "store_returns" => storeReturnsCount(sf)
+    case "catalog_sales" => catalogSalesCount(sf)
+    case "catalog_returns" => catalogReturnsCount(sf)
+    case "web_sales" => webSalesCount(sf)
+    case "web_returns" => webReturnsCount(sf)
+    case "customer" => customerCount(sf)
+    case "customer_address" => customerAddressCount(sf)
+    case "item" => itemCount(sf)
+    case "store" => storeCount(sf)
+    case "warehouse" => warehouseCount(sf)
+    case "call_center" => callCenterCount(sf)
+    case "catalog_page" => catalogPageCount(sf)
+    case "web_site" => webSiteCount(sf)
+    case "ship_mode" => shipModeCount(sf)
+  }
+
+  val avgRowBytes: Map[String, Int] = Map(
+    "date_dim" -> 140, "store_sales" -> 110, "store_returns" -> 90,
+    "catalog_sales" -> 140, "catalog_returns" -> 110, "web_sales" -> 140,
+    "web_returns" -> 100, "customer" -> 130, "customer_address" -> 90,
+    "item" -> 150, "store" -> 120, "warehouse" -> 80, "call_center" -> 90,
+    "catalog_page" -> 80, "web_site" -> 80, "ship_mode" -> 60)
+
+  private def dec72 = DecimalType(7, 2)
+
+  val schemas: Map[String, StructType] = Map(
+    "date_dim" -> StructType(Seq(
+      StructField("d_date_sk", LongType, nullable = false),
+      StructField("d_date_id", StringType, nullable = false),
+      StructField("d_date", DateType, nullable = false),
+      StructField("d_month_seq", IntegerType, nullable = false),
+      StructField("d_week_seq", IntegerType, nullable = false),
+      StructField("d_quarter_seq", IntegerType, nullable = false),
+      StructField("d_year", IntegerType, nullable = false),
+      StructField("d_dow", IntegerType, nullable = false),
+      StructField("d_moy", IntegerType, nullable = false),
+      StructField("d_dom", IntegerType, nullable = false),
+      StructField("d_qoy", IntegerType, nullable = false),
+      StructField("d_day_name", StringType, nullable = false),
+      StructField("d_holiday", StringType, nullable = false),
+      StructField("d_weekend", StringType, nullable = false))),
+    "store_sales" -> StructType(Seq(
+      StructField("ss_sold_date_sk", LongType, nullable = false),
+      StructField("ss_item_sk", LongType, nullable = false),
+      StructField("ss_customer_sk", LongType, nullable = false),
+      StructField("ss_store_sk", LongType, nullable = false),
+      StructField("ss_ticket_number", LongType, nullable = false),
+      StructField("ss_quantity", IntegerType, nullable = false),
+      StructField("ss_sales_price", dec72, nullable = false),
+      StructField("ss_ext_sales_price", dec72, nullable = false),
+      StructField("ss_net_paid", dec72, nullable = false),
+      StructField("ss_net_profit", dec72, nullable = false))),
+    "store_returns" -> StructType(Seq(
+      StructField("sr_returned_date_sk", LongType, nullable = false),
+      StructField("sr_item_sk", LongType, nullable = false),
+      StructField("sr_customer_sk", LongType, nullable = false),
+      StructField("sr_store_sk", LongType, nullable = false),
+      StructField("sr_ticket_number", LongType, nullable = false),
+      StructField("sr_return_quantity", IntegerType, nullable = false),
+      StructField("sr_return_amt", dec72, nullable = false),
+      StructField("sr_net_loss", dec72, nullable = false))),
+    "catalog_sales" -> StructType(Seq(
+      StructField("cs_sold_date_sk", LongType, nullable = false),
+      StructField("cs_ship_date_sk", LongType, nullable = false),
+      StructField("cs_bill_customer_sk", LongType, nullable = false),
+      StructField("cs_call_center_sk", LongType, nullable = false),
+      StructField("cs_catalog_page_sk", LongType, nullable = false),
+      StructField("cs_ship_mode_sk", LongType, nullable = false),
+      StructField("cs_warehouse_sk", LongType, nullable = false),
+      StructField("cs_item_sk", LongType, nullable = false),
+      StructField("cs_order_number", LongType, nullable = false),
+      StructField("cs_quantity", IntegerType, nullable = false),
+      StructField("cs_ext_sales_price", dec72, nullable = false),
+      StructField("cs_net_profit", dec72, nullable = false))),
+    "catalog_returns" -> StructType(Seq(
+      StructField("cr_returned_date_sk", LongType, nullable = false),
+      StructField("cr_item_sk", LongType, nullable = false),
+      StructField("cr_catalog_page_sk", LongType, nullable = false),
+      StructField("cr_order_number", LongType, nullable = false),
+      StructField("cr_return_quantity", IntegerType, nullable = false),
+      StructField("cr_return_amount", dec72, nullable = false),
+      StructField("cr_net_loss", dec72, nullable = false))),
+    "web_sales" -> StructType(Seq(
+      StructField("ws_sold_date_sk", LongType, nullable = false),
+      StructField("ws_ship_date_sk", LongType, nullable = false),
+      StructField("ws_item_sk", LongType, nullable = false),
+      StructField("ws_bill_customer_sk", LongType, nullable = false),
+      StructField("ws_web_site_sk", LongType, nullable = false),
+      StructField("ws_order_number", LongType, nullable = false),
+      StructField("ws_quantity", IntegerType, nullable = false),
+      StructField("ws_ext_sales_price", dec72, nullable = false),
+      StructField("ws_net_profit", dec72, nullable = false))),
+    "web_returns" -> StructType(Seq(
+      StructField("wr_returned_date_sk", LongType, nullable = false),
+      StructField("wr_item_sk", LongType, nullable = false),
+      StructField("wr_order_number", LongType, nullable = false),
+      StructField("wr_return_quantity", IntegerType, nullable = false),
+      StructField("wr_return_amt", dec72, nullable = false),
+      StructField("wr_net_loss", dec72, nullable = false))),
+    "customer" -> StructType(Seq(
+      StructField("c_customer_sk", LongType, nullable = false),
+      StructField("c_customer_id", StringType, nullable = false),
+      StructField("c_current_addr_sk", LongType, nullable = false),
+      StructField("c_first_name", StringType, nullable = false),
+      StructField("c_last_name", StringType, nullable = false))),
+    "customer_address" -> StructType(Seq(
+      StructField("ca_address_sk", LongType, nullable = false),
+      StructField("ca_address_id", StringType, nullable = false),
+      StructField("ca_state", StringType, nullable = false),
+      StructField("ca_zip", StringType, nullable = false))),
+    "item" -> StructType(Seq(
+      StructField("i_item_sk", LongType, nullable = false),
+      StructField("i_item_id", StringType, nullable = false),
+      StructField("i_brand_id", IntegerType, nullable = false),
+      StructField("i_brand", StringType, nullable = false),
+      StructField("i_manufact_id", IntegerType, nullable = false),
+      StructField("i_category", StringType, nullable = false),
+      StructField("i_current_price", dec72, nullable = false))),
+    "store" -> StructType(Seq(
+      StructField("s_store_sk", LongType, nullable = false),
+      StructField("s_store_id", StringType, nullable = false),
+      StructField("s_store_name", StringType, nullable = false),
+      StructField("s_state", StringType, nullable = false))),
+    "warehouse" -> StructType(Seq(
+      StructField("w_warehouse_sk", LongType, nullable = false),
+      StructField("w_warehouse_name", StringType, nullable = false))),
+    "call_center" -> StructType(Seq(
+      StructField("cc_call_center_sk", LongType, nullable = false),
+      StructField("cc_call_center_id", StringType, nullable = false),
+      StructField("cc_name", StringType, nullable = false))),
+    "catalog_page" -> StructType(Seq(
+      StructField("cp_catalog_page_sk", LongType, nullable = false),
+      StructField("cp_catalog_page_id", StringType, nullable = false))),
+    "web_site" -> StructType(Seq(
+      StructField("web_site_sk", LongType, nullable = false),
+      StructField("web_site_id", StringType, nullable = false),
+      StructField("web_name", StringType, nullable = false))),
+    "ship_mode" -> StructType(Seq(
+      StructField("sm_ship_mode_sk", LongType, nullable = false),
+      StructField("sm_ship_mode_id", StringType, nullable = false),
+      StructField("sm_type", StringType, nullable = false))))
+
+  /** day offset (0-based from 1900-01-01) → d_date_sk. */
+  def dateSk(day: Long): Long = dateSkBase + day
+  private def saleDay(h: Long): Long = saleLo + boundedL(h, saleHi - saleLo)
+
+  def row(table: String, sf: Double, idx: Long): Array[Any] = table match {
+    case "date_dim" =>
+      val d = LocalDate.ofEpochDay(epoch1900 + idx)
+      val dow = d.getDayOfWeek.getValue % 7 // Sunday=0
+      Array(dateSk(idx), str(f"D${idx}%010d"), (epoch1900 + idx).toInt,
+        (d.getYear - 1900) * 12 + d.getMonthValue - 1,
+        (idx / 7).toInt,
+        (d.getYear - 1900) * 4 + (d.getMonthValue - 1) / 3,
+        d.getYear, dow, d.getMonthValue, d.getDayOfMonth,
+        (d.getMonthValue - 1) / 3 + 1,
+        str(dayNames(dow)),
+        str(if (d.getDayOfYear <= 7) "Y" else "N"),
+        str(if (dow == 0 || dow == 6) "Y" else "N"))
+
+    case "store_sales" =>
+      val h = mix(11, idx)
+      val qty = 1 + bounded(mix(h, 1), 100)
+      val price = 100 + boundedL(mix(h, 2), 19900)    // 1.00 .. 200.00
+      val ext = qty * price
+      Array(dateSk(saleDay(mix(h, 3))),
+        boundedL(mix(h, 4), itemCount(sf)) + 1,
+        boundedL(mix(h, 5), customerCount(sf)) + 1,
+        boundedL(mix(h, 6), storeCount(sf)) + 1,
+        idx + 1, qty, money(price), money(ext), money(ext),
+        money(ext / 5 - boundedL(mix(h, 7), ext / 2)))
+
+    case "store_returns" =>
+      // every 10th store sale is returned, 1-30 days later
+      val saleIdx = idx * 10
+      val sale = row("store_sales", sf, saleIdx)
+      val h = mix(12, idx)
+      val qty = 1 + bounded(mix(h, 1), sale(5).asInstanceOf[Int])
+      val amt = qty * (sale(6).asInstanceOf[Decimal].toBigDecimal * 100).toLong
+      Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 2), 30),
+        sale(1), sale(2), sale(3), sale(4), qty, money(amt), money(amt / 2))
+
+    case "catalog_sales" =>
+      val h = mix(13, idx)
+      val qty = 1 + bounded(mix(h, 1), 100)
+      val price = 100 + boundedL(mix(h, 2), 29900)
+      val sold = saleDay(mix(h, 3))
+      Array(dateSk(sold), dateSk(sold + 1 + bounded(mix(h, 4), 120)),
+        boundedL(mix(h, 5), customerCount(sf)) + 1,
+        boundedL(mix(h, 6), callCenterCount(sf)) + 1,
+        boundedL(mix(h, 7), catalogPageCount(sf)) + 1,
+        boundedL(mix(h, 8), shipModeCount(sf)) + 1,
+        boundedL(mix(h, 9), warehouseCount(sf)) + 1,
+        boundedL(mix(h, 10), itemCount(sf)) + 1,
+        idx + 1, qty, money(qty * price),
+        money(qty * price / 5 - boundedL(mix(h, 11), qty * price / 2)))
+
+    case "catalog_returns" =>
+      val sale = row("catalog_sales", sf, idx * 10)
+      val h = mix(14, idx)
+      val qty = 1 + bounded(mix(h, 1), sale(9).asInstanceOf[Int])
+      val amt = 100L * qty + boundedL(mix(h, 2), 10000)
+      Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
+        sale(7), sale(4), sale(8), qty, money(amt), money(amt / 2))
+
+    case "web_sales" =>
+      val h = mix(15, idx)
+      val qty = 1 + bounded(mix(h, 1), 100)
+      val price = 100 + boundedL(mix(h, 2), 29900)
+      val sold = saleDay(mix(h, 3))
+      Array(dateSk(sold), dateSk(sold + 1 + bounded(mix(h, 4), 120)),
+        boundedL(mix(h, 5), itemCount(sf)) + 1,
+        boundedL(mix(h, 6), customerCount(sf)) + 1,
+        boundedL(mix(h, 7), webSiteCount(sf)) + 1,
+        idx + 1, qty, money(qty * price),
+        money(qty * price / 5 - boundedL(mix(h, 8), qty * price / 2)))
+
+    case "web_returns" =>
+      val sale = row("web_sales", sf, idx * 10)
+      val h = mix(16, idx)
+      val qty = 1 + bounded(mix(h, 1), sale(6).asInstanceOf[Int])
+      val amt = 100L * qty + boundedL(mix(h, 2), 10000)
+      Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
+        sale(2), sale(5), qty, money(amt), money(amt / 2))
+
+    case "customer" =>
+      val k = idx + 1
+      val h = mix(17, k)
+      Array(k, str(f"AAAAAAAA$k%08d"),
+        boundedL(mix(h, 1), customerAddressCount(sf)) + 1,
+        str(s"First${bounded(mix(h, 2), 1000)}"),
+        str(s"Last${bounded(mix(h, 3), 1000)}"))
+
+    case "customer_address" =>
+      val k = idx + 1
+      val h = mix(18, k)
+      Array(k, str(f"CA$k%010d"), str(states(bounded(mix(h, 1), states.length))),
+        str(f"${10000 + bounded(mix(h, 2), 89999)}%05d"))
+
+    case "item" =>
+      val k = idx + 1
+      val h = mix(19, k)
+      val brandId = 1 + bounded(mix(h, 1), 1000)
+      Array(k, str(f"I$k%012d"), brandId,
+        str(s"brand#${brandId % 100}"),
+        1 + bounded(mix(h, 2), 1000),
+        str(categories(bounded(mix(h, 3), categories.length))),
+        money(100 + boundedL(mix(h, 4), 9900)))
+
+    case "store" =>
+      val k = idx + 1
+      Array(k, str(f"S$k%08d"), str(s"Store $k"),
+        str(states(bounded(mix(20, k), states.length))))
+
+    case "warehouse" =>
+      val k = idx + 1
+      Array(k, str(s"Warehouse $k"))
+
+    case "call_center" =>
+      val k = idx + 1
+      Array(k, str(f"CC$k%06d"), str(s"Center $k"))
+
+    case "catalog_page" =>
+      val k = idx + 1
+      Array(k, str(f"CP$k%010d"))
+
+    case "web_site" =>
+      val k = idx + 1
+      Array(k, str(f"WS$k%06d"), str(s"site_$k"))
+
+    case "ship_mode" =>
+      val k = idx + 1
+      Array(k, str(f"SM$k%04d"), str(shipModeTypes(idx.toInt % shipModeTypes.length)))
+  }
+}

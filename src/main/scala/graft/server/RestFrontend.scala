@@ -1,0 +1,166 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.concurrent.ExecutionContext
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.{Engine, EngineSession, ExecuteStatement, OperationState, ResultMode}
+
+/** Minimal HTTP/JSON frontend over the engine — the gateway's network
+  * entry point (the reference exposes REST alongside Thrift:
+  * kyuubi-server/.../api/v1/BatchesResource.scala; this covers the
+  * session/statement/batch lifecycle on the JDK's HttpServer, zero
+  * dependencies):
+  *
+  *   POST   /api/v1/sessions                      {"user": u}   → {"sessionId": id}
+  *   DELETE /api/v1/sessions/{sid}
+  *   POST   /api/v1/sessions/{sid}/statements     {"sql": s}    → {"operationId": id}
+  *   GET    /api/v1/sessions/{sid}/statements/{op}               → {"state": ...}
+  *   GET    /api/v1/sessions/{sid}/statements/{op}/result?maxRows=n → {"rows": [...]}
+  *   POST   /api/v1/batches                       {"sql": s}    → {"id": ..., "state": ...}
+  *   GET    /api/v1/batches/{id}                                 → {"state": ...}
+  *
+  * Statements run async (the engine's operation pool); clients poll
+  * state then page results — the same interaction contract as the
+  * reference's REST v1.
+  */
+class RestFrontend(engine: Engine, port: Int = 0) {
+
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutor(Executors.newFixedThreadPool(8))
+
+  private val batches = new ConcurrentHashMap[String, (EngineSession, ExecuteStatement)]()
+  private val opSessions = new ConcurrentHashMap[String, EngineSession]()
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+  server.createContext("/api/v1/", handle _)
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    try route(ex)
+    catch {
+      case e: Throwable =>
+        reply(ex, 500, s"""{"error": ${q(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/").split("/").filter(_.nonEmpty)
+    val method = ex.getRequestMethod
+    (method, path.toList) match {
+      case ("POST", "sessions" :: Nil) =>
+        val user = field(body(ex), "user").getOrElse("anonymous")
+        val sess = engine.openSession(user)
+        reply(ex, 200, s"""{"sessionId": ${q(sess.id)}}""")
+
+      case ("DELETE", "sessions" :: sid :: Nil) =>
+        engine.closeSession(sid)
+        reply(ex, 200, """{"closed": true}""")
+
+      case ("POST", "sessions" :: sid :: "statements" :: Nil) =>
+        withSession(ex, sid) { sess =>
+          val sql = field(body(ex), "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
+          val op = sess.executeStatement(sql, ResultMode.Full)
+          opSessions.put(op.handle, sess)
+          reply(ex, 200, s"""{"operationId": ${q(op.handle)}}""")
+        }
+
+      case ("GET", "sessions" :: sid :: "statements" :: opId :: Nil) =>
+        withOp(ex, sid, opId) { op =>
+          val err = op.exception.map(e => s""", "error": ${q(String.valueOf(e.getMessage))}""").getOrElse("")
+          reply(ex, 200, s"""{"state": ${q(op.currentState.toString)}$err}""")
+        }
+
+      case ("GET", "sessions" :: sid :: "statements" :: opId :: "result" :: Nil) =>
+        withOp(ex, sid, opId) { op =>
+          if (!op.currentState.terminal) reply(ex, 409, s"""{"state": ${q(op.currentState.toString)}}""")
+          else if (op.currentState != OperationState.Finished)
+            reply(ex, 400, s"""{"state": ${q(op.currentState.toString)}}""")
+          else {
+            // serve from the operation's materialized fetch iterator —
+            // never re-execute the statement for a result page
+            val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+            def param(name: String): Option[String] =
+              query.split("&").find(_.startsWith(s"$name=")).map(_.stripPrefix(s"$name="))
+            val maxRows = param("maxRows").map(_.toInt).getOrElse(1000)
+            val offset = param("offset").map(_.toLong).getOrElse(-1L)
+            val it = op.fetchIterator
+            if (offset >= 0) it.fetchAbsolute(offset) else it.fetchNext()
+            val page = it.take(maxRows).toArray
+            val json = op.result.sparkSession
+              .createDataFrame(java.util.Arrays.asList(page: _*), op.result.schema)
+              .toJSON.collect()
+            reply(ex, 200,
+              s"""{"offset": ${it.getFetchStart}, "rows": [${json.mkString(",")}]}""")
+          }
+        }
+
+      case ("POST", "batches" :: Nil) =>
+        val sql = field(body(ex), "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
+        val user = field(body(ex), "user").getOrElse("batch")
+        val sess = engine.openSession(user)
+        val op = sess.executeStatement(sql, ResultMode.Bounded(1))
+        batches.put(op.handle, (sess, op))
+        reply(ex, 200, s"""{"id": ${q(op.handle)}, "state": ${q(op.currentState.toString)}}""")
+
+      case ("GET", "batches" :: id :: Nil) =>
+        Option(batches.get(id)) match {
+          case Some((_, op)) => reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
+          case None => reply(ex, 404, """{"error": "no such batch"}""")
+        }
+
+      case _ => reply(ex, 404, """{"error": "not found"}""")
+    }
+  }
+
+  private def withSession(ex: HttpExchange, sid: String)(f: EngineSession => Unit): Unit =
+    engine.session(sid) match {
+      case Some(s) => f(s)
+      case None => reply(ex, 404, """{"error": "no such session"}""")
+    }
+
+  private def withOp(ex: HttpExchange, sid: String, opId: String)(f: ExecuteStatement => Unit): Unit =
+    engine.session(sid).orElse(Option(opSessions.get(opId))) match {
+      case Some(s) => s.operation(opId) match {
+        case Some(op: ExecuteStatement) => f(op)
+        case _ => reply(ex, 404, """{"error": "no such operation"}""")
+      }
+      case None => reply(ex, 404, """{"error": "no such session"}""")
+    }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def field(json: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
+    if (m.find())
+      Some(m.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+    else None
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def reply(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.core.Engine
+
+class RestFrontendSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def withServer(f: (HttpClient, String) => Unit): Unit = {
+    val front = new RestFrontend(new Engine(spark), port = 0)
+    val port = front.start()
+    try f(HttpClient.newHttpClient(), s"http://localhost:$port/api/v1")
+    finally front.stop()
+  }
+
+  private def post(c: HttpClient, url: String, body: String): (Int, String) = {
+    val r = c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def get(c: HttpClient, url: String): (Int, String) = {
+    val r = c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def extract(json: String, key: String): String = {
+    val m = java.util.regex.Pattern.compile("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").matcher(json)
+    assert(m.find(), s"$key not in $json"); m.group(1)
+  }
+
+  test("session → statement → poll → result lifecycle over HTTP") {
+    withServer { (c, base) =>
+      val (sc, sbody) = post(c, s"$base/sessions", """{"user": "resty"}""")
+      assert(sc == 200)
+      val sid = extract(sbody, "sessionId")
+
+      val (qc, qbody) = post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT id, id * 2 AS twice FROM range(5)"}""")
+      assert(qc == 200)
+      val opId = extract(qbody, "operationId")
+
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (state != "FINISHED" && System.nanoTime() < deadline) {
+        val (_, st) = get(c, s"$base/sessions/$sid/statements/$opId")
+        state = extract(st, "state")
+        if (state == "ERROR") fail(s"statement failed: $st")
+        Thread.sleep(100)
+      }
+      assert(state == "FINISHED")
+
+      val (rc, rbody) = get(c, s"$base/sessions/$sid/statements/$opId/result?maxRows=10")
+      assert(rc == 200)
+      assert(rbody.contains(""""twice":8"""), rbody)
+
+      val (dc, _) = c.send(HttpRequest.newBuilder(URI.create(s"$base/sessions/$sid"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString()) match {
+        case r => (r.statusCode(), r.body())
+      }
+      assert(dc == 200)
+    }
+  }
+
+  test("batch submission is fire-and-forget with state polling") {
+    withServer { (c, base) =>
+      val (bc, bbody) = post(c, s"$base/batches", """{"sql": "SELECT count(*) FROM range(100000)"}""")
+      assert(bc == 200)
+      val id = extract(bbody, "id")
+      var state = extract(bbody, "state")
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set("FINISHED", "ERROR")(state) && System.nanoTime() < deadline) {
+        val (_, st) = get(c, s"$base/batches/$id")
+        state = extract(st, "state")
+        Thread.sleep(100)
+      }
+      assert(state == "FINISHED")
+    }
+  }
+
+  test("errors surface as JSON with useful statuses") {
+    withServer { (c, base) =>
+      assert(get(c, s"$base/batches/nope")._1 == 404)
+      assert(post(c, s"$base/sessions/nope/statements", """{"sql": "SELECT 1"}""")._1 == 404)
+      val (_, sbody) = post(c, s"$base/sessions", "{}")
+      val sid = extract(sbody, "sessionId")
+      val (qc, qbody) = post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT FROM nothing syntax error"}""")
+      assert(qc == 200)
+      val opId = extract(qbody, "operationId")
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set("FINISHED", "ERROR")(state) && System.nanoTime() < deadline) {
+        val (_, st) = get(c, s"$base/sessions/$sid/statements/$opId")
+        state = extract(st, "state")
+        Thread.sleep(100)
+      }
+      assert(state == "ERROR")
+    }
+  }
+}

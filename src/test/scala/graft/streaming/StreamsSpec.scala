@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling windows emit closed windows in append mode") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val out = Streams.windowedCounts(ms.toDF(), "ts", "user_id", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("graft_wc").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(1), 1.0), Event(1, ts(3), 2.0), Event(2, ts(4), 5.0))
+      q.processAllAvailable()
+      // watermark still at 10:04-5m → nothing closed yet
+      assert(spark.table("graft_wc").count() == 0)
+      // an event at 10:31 pushes the watermark past the 10:00-10:10 window
+      ms.addData(Event(1, ts(31), 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(45), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_wc").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"got $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on silence") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val out = Streams.sessionize(ms.toDS(), gapSeconds = 120, lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("graft_sess").outputMode("append").start()
+    try {
+      // user 1: two events 1 min apart (one session), then a 10-min gap
+      ms.addData(Event(1, ts(1), 0), Event(1, ts(2), 0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(12), 0)) // new session; watermark moves to 10:11
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(30), 0)) // silence for user 1 → timeout fires
+      q.processAllAvailable()
+      val sessions = spark.table("graft_sess").as[Streams.SessionOut].collect()
+      val u1 = sessions.filter(_.user_id == 1)
+      assert(u1.exists(s => s.n_events == 2 && s.session_start == ts(1) && s.session_end == ts(2)),
+        s"got ${u1.mkString(", ")}")
+      assert(u1.exists(s => s.n_events == 1 && s.session_start == ts(12)),
+        s"timeout-closed session missing: ${u1.mkString(", ")}")
+    } finally q.stop()
+  }
+}

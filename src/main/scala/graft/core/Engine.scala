@@ -115,6 +115,8 @@ final class Engine(
     val sessionSpark = if (singleSession) base else base.newSession()
     val sess = new EngineSession(id, user, sessionSpark)
     Kdf.registerAll(sess.spark, engineId, sessionUser = Some(user))
+    // identity for the authz rules (graft.plans.ApplyAuthzPolicies)
+    sess.spark.conf.set("spark.graft.authz.user", user)
     sessions.put(id, sess)
     sess
   }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(session => new ApplyAuthzPolicies(session))
     ext.injectPostHocResolutionRule(_ => RebalanceBeforeWriting)
     ext.injectPostHocResolutionRule(_ => DropIgnoreNonexistent)
     ext.injectPlannerStrategy(session => new MaxScanStrategy(session))

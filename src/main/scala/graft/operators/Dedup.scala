@@ -196,8 +196,11 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    // persisted: consumed by the df-count AND both self-join sides —
+    // without it the shingle lineage executes four times
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rare = exploded.groupBy(col("sh_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)

@@ -21,5 +21,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => RebalanceBeforeWriting)
     ext.injectPostHocResolutionRule(_ => DropIgnoreNonexistent)
     ext.injectPlannerStrategy(session => new MaxScanStrategy(session))
+    ext.injectQueryStagePrepRule(session => new DynamicShufflePartitions(session))
+    ext.injectQueryStagePrepRule(session => new FinalStageConfigIsolation(session))
   }
 }

@@ -88,6 +88,34 @@ class ExtensionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.watchdog.maxScanBytes")
   }
 
+  test("dynamic shuffle partitions scale with scan volume") {
+    try {
+      spark.conf.set("spark.graft.dynamicShufflePartitions", "true")
+      spark.conf.set("spark.sql.catalog.tpch", classOf[graft.sources.tpch.TpchCatalog].getName)
+      // sf1 lineitem reports ~780 MB of stats; advisory 64 MB → >4 initial partitions
+      spark.sql(
+        """SELECT l_orderkey, count(*) FROM tpch.sf1.lineitem
+           GROUP BY l_orderkey LIMIT 1""").foreach(_ => ())
+      val initial = spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      assert(initial.toInt > 4, s"initialPartitionNum $initial not derived from scan size")
+    } finally {
+      spark.conf.unset("spark.graft.dynamicShufflePartitions")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    }
+  }
+
+  test("final-stage conf isolation applies spark.sql.finalStage.* overrides") {
+    try {
+      spark.conf.set("spark.sql.finalStage.adaptive.advisoryPartitionSizeInBytes", "256m")
+      spark.range(0, 10000).groupBy((col("id") % 5).as("k")).count().foreach(_ => ())
+      assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "256m",
+        "final-stage override not applied")
+    } finally {
+      spark.conf.unset("spark.sql.finalStage.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("drop-ignore-nonexistent rewrites DROP TABLE to IF EXISTS") {
     try {
       spark.conf.set("spark.graft.dropIgnoreNonexistent", "true")

@@ -29,7 +29,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * schema (ts: timestamp) identical for every consumer.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // builders (Verify/Bench/Engine fixtures) set this at session
+    // construction; the guarded set here covers externally-built
+    // sessions without re-writing shared conf on every call
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     load("events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -37,15 +37,16 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
-    // --- Per-label per-dimension centroid sums (exact decimal so the
-    //     result is reduction-order-free and oracle-checkable; divide by
-    //     n for the centroid itself) ---
+    // --- Per-label per-dimension centroid sums in integer micro-units:
+    //     floor(v * 1e6) is the same IEEE double in every engine, so the
+    //     long sums are reduction-order-free AND rounding-tie-free
+    //     (decimal casts of floats tie-break differently across engines
+    //     at the last digit). Divide by n for the centroid itself. ---
     "v03_label_centroids" -> { (s, dir) =>
       Tables(s, dir).embeddings
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(sum(col("v").cast("double").cast(DecimalType(18, 9)))
-          .cast(DecimalType(38, 9)).as("sum_v"),
+        .agg(sum(floor(col("v").cast("double") * 1000000)).as("sum_v_micro"),
           count(lit(1)).as("n"))
     },
 
@@ -102,7 +103,7 @@ object VectorQueries {
           WHERE rnk <= 5""",
     "v03_label_centroids" ->
       """SELECT label, CAST(pos AS INT) AS pos,
-         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_v,
+         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_micro,
          count(*) AS n
          FROM (SELECT label,
                  UNNEST(generate_series(0, len(embedding) - 1)) AS pos,

@@ -23,6 +23,43 @@ object MetadataOps {
       .select(col("name").as("TABLE_SCHEM"), col("catalog").as("TABLE_CATALOG"))
   }
 
+  /** DSv2-aware walk: namespaces of every registered catalog plugin
+    * (ref GetSchemas + SparkCatalogUtils: the reference enumerates all
+    * catalogs, not just the session catalog).
+    */
+  def getSchemasAllCatalogs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    val mgr = spark.sessionState.catalogManager
+    // conf-registered plugins are loaded lazily: enumerate
+    // spark.sql.catalog.<name> keys rather than only-loaded catalogs
+    val CatalogKey = "^spark\\.sql\\.catalog\\.([^.]+)$".r
+    val confCatalogs = spark.conf.getAll.keys.collect { case CatalogKey(n) => n }
+    val rows = (mgr.listCatalogs(None) ++ confCatalogs).distinct.flatMap { cat =>
+      try mgr.catalog(cat) match {
+        case ns: SupportsNamespaces =>
+          ns.listNamespaces().map(n => (n.mkString("."), cat)).toSeq
+        case _ => Seq.empty
+      } catch { case _: Throwable => Seq.empty }
+    }
+    rows.toDF("TABLE_SCHEM", "TABLE_CATALOG")
+  }
+
+  /** DSv2-aware table walk over one catalog plugin's namespaces. */
+  def getTablesForCatalog(spark: SparkSession, catalogName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.{SupportsNamespaces, TableCatalog}
+    val mgr = spark.sessionState.catalogManager
+    val rows = mgr.catalog(catalogName) match {
+      case tc: TableCatalog with SupportsNamespaces =>
+        tc.listNamespaces().flatMap(ns =>
+          tc.listTables(ns).map(id =>
+            (catalogName, id.namespace().mkString("."), id.name(), "TABLE", ""))).toSeq
+      case _ => Seq.empty
+    }
+    rows.toDF("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE", "REMARKS")
+  }
+
   /** Walks every database matching `dbPattern` (ref GetTables.scala:75
     * walks catalogs/namespaces; Spark's session catalog is the scope
     * here, with `listDatabases(pattern)` doing the namespace match).

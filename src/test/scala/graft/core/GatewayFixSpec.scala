@@ -71,6 +71,16 @@ class GatewayFixSpec extends AnyFunSuite {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_meta_db CASCADE")
   }
 
+  test("DSv2 metadata walk sees generator-catalog namespaces and tables") {
+    spark.conf.set("spark.sql.catalog.tpch", classOf[graft.sources.tpch.TpchCatalog].getName)
+    val schemas = MetadataOps.getSchemasAllCatalogs(spark).collect()
+    assert(schemas.exists(r => r.getString(1) == "tpch" && r.getString(0) == "tiny"),
+      s"tpch.tiny missing from ${schemas.mkString(",")}")
+    val tables = MetadataOps.getTablesForCatalog(spark, "tpch").collect()
+    assert(tables.exists(_.getAs[String]("TABLE_NAME") == "lineitem"))
+    assert(tables.forall(_.getAs[String]("TABLE_CAT") == "tpch"))
+  }
+
   test("getPrimaryKeys / getCrossReference: empty results, JDBC schemas") {
     assert(MetadataOps.getPrimaryKeys(spark).count() == 0)
     assert(MetadataOps.getPrimaryKeys(spark).columns.toSeq ==

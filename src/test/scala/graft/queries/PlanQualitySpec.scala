@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Physical-plan assertions for the scale-critical properties the
+  * operators claim — the plan IS the contract at 100 TB, so regressions
+  * here are performance bugs even when results stay correct.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sfDir
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val df = RelationalQueries.queries("q02_filter_project")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan.take(600))
+    assert(scan.contains("p_size") && !scan.contains("p_mfgr"),
+      "scan must read only referenced columns")
+  }
+
+  test("q05: dimension joins broadcast, no cartesian products") {
+    val plan = planOf(RelationalQueries.queries("q05_nation_revenue")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("v01: ANN ranking is a partial aggregation, not a window") {
+    val plan = planOf(VectorQueries.queries("v01_knn_brute")(spark, dir))
+    assert(!plan.contains("Window"), "window ranking shuffles the full scored set")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate-based top-k in:\n${plan.take(800)}")
+  }
+
+  test("d08: signature computed by the custom single-pass expression") {
+    val df = TextQueries.queries("d08_minhash_pairs")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_minhash_signature"),
+      "minhash must use MinHashSignatureExpr, not composed array_min/transform")
+    df.unpersist() // the operator persists its sketch; drop it for test isolation
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    val plan = planOf(RelationalQueries.queries("q01_pricing_summary")(spark, dir))
+    assert(plan.contains("*("), s"no WholeStageCodegen spans in:\n${plan.take(400)}")
+  }
+
+  test("no operator or query source collects results to the driver") {
+    // driver-side collect() in an operator means the op isn't
+    // distributed; enforce at the source level for the query/operator
+    // packages (Verify/Bench/server materialize on purpose)
+    val roots = Seq("src/main/scala/graft/queries", "src/main/scala/graft/operators",
+      "src/main/scala/graft/functions")
+    val offenders = roots.flatMap { root =>
+      val dirF = new java.io.File(root)
+      if (!dirF.exists()) Nil
+      else dirF.listFiles().filter(_.getName.endsWith(".scala")).toSeq.flatMap { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        if (src.contains(".collect()")) Some(f.getName) else None
+      }
+    }
+    assert(offenders.isEmpty, s"driver-side collect() in: ${offenders.mkString(", ")}")
+  }
+}

@@ -18,8 +18,10 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectResolutionRule(session => new ApplyAuthzPolicies(session))
+    ext.injectPostHocResolutionRule(_ => InsertZorderBeforeWriting)
     ext.injectPostHocResolutionRule(_ => RebalanceBeforeWriting)
     ext.injectPostHocResolutionRule(_ => DropIgnoreNonexistent)
+    ext.injectCheckRule(_ => UnsupportedOperationsCheck)
     ext.injectPlannerStrategy(session => new MaxScanStrategy(session))
     ext.injectQueryStagePrepRule(session => new DynamicShufflePartitions(session))
     ext.injectQueryStagePrepRule(session => new FinalStageConfigIsolation(session))

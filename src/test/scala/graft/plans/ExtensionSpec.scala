@@ -88,6 +88,24 @@ class ExtensionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.watchdog.maxScanBytes")
   }
 
+  test("inserts into zorder-configured tables are clustered automatically") {
+    spark.sql("DROP TABLE IF EXISTS graft_zw")
+    spark.sql("CREATE TABLE graft_zw (x INT, y INT) USING parquet")
+    try {
+      spark.conf.set("spark.graft.zorder.cols.graft_zw", "x, y")
+      spark.range(0, 4096)
+        .selectExpr("CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y")
+        .write.mode("append").insertInto("graft_zw")
+      val rows = spark.table("graft_zw").limit(256).collect()
+      val xs = rows.map(_.getInt(0)); val ys = rows.map(_.getInt(1))
+      assert(xs.max - xs.min < 64 && ys.max - ys.min < 64,
+        s"insert not z-clustered: x range ${xs.max - xs.min}, y range ${ys.max - ys.min}")
+    } finally {
+      spark.conf.unset("spark.graft.zorder.cols.graft_zw")
+      spark.sql("DROP TABLE IF EXISTS graft_zw")
+    }
+  }
+
   test("dynamic shuffle partitions scale with scan volume") {
     try {
       spark.conf.set("spark.graft.dynamicShufflePartitions", "true")

@@ -1,12 +1,17 @@
 package graft.queries
 
-/** The TPC-DS queries with published reference latencies (BASELINE.md:
-  * q1, q2, q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105),
-  * spec text over the generator catalog namespace `p`.
+/** TPC-DS corpus over the generator catalog namespace `p`: the 6
+  * queries with published reference latencies (BASELINE.md: q1, q2,
+  * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
+  * the 13 further spec queries expressible on the generator's
+  * 16-table schema slice (q15, q19, q32, q42, q45, q52, q55, q59,
+  * q62, q65, q92, q97, q98).
   */
 object TpcdsCorpusSql {
 
-  def queries(p: String): Seq[(String, String)] = Seq(
+  def queries(p: String): Seq[(String, String)] = baseline(p) ++ extended(p)
+
+  def baseline(p: String): Seq[(String, String)] = Seq(
     "q1" ->
       s"""WITH customer_total_return AS (
             SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
@@ -151,4 +156,184 @@ object TpcdsCorpusSql {
             AND cs_ship_mode_sk = sm_ship_mode_sk AND cs_call_center_sk = cc_call_center_sk
           GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
           ORDER BY wh, sm_type, cc_name LIMIT 100""")
+
+  def extended(p: String): Seq[(String, String)] = Seq(
+    "q15" ->
+      s"""SELECT ca_zip, sum(cs_sales_price) AS total
+          FROM $p.catalog_sales, $p.customer, $p.customer_address, $p.date_dim
+          WHERE cs_bill_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+            AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475',
+                  '85392', '85460', '80348', '81792')
+              OR ca_state IN ('CA', 'WA', 'GA') OR cs_sales_price > 500)
+            AND cs_sold_date_sk = d_date_sk AND d_qoy = 2 AND d_year = 2001
+          GROUP BY ca_zip ORDER BY ca_zip LIMIT 100""",
+    "q19" ->
+      s"""SELECT i_brand_id, i_brand, i_manufact_id, i_manufact,
+            sum(ss_ext_sales_price) AS ext_price
+          FROM $p.date_dim, $p.store_sales, $p.item, $p.customer, $p.customer_address, $p.store
+          WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+            AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+            AND ss_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+            AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5) AND ss_store_sk = s_store_sk
+          GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+          ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+          LIMIT 100""",
+    "q32" ->
+      s"""SELECT sum(cs_ext_discount_amt) AS excess_discount_amount
+          FROM $p.catalog_sales, $p.item, $p.date_dim
+          WHERE i_manufact_id = 977 AND i_item_sk = cs_item_sk
+            AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+            AND d_date_sk = cs_sold_date_sk
+            AND cs_ext_discount_amt > (
+              SELECT 1.3 * avg(cs_ext_discount_amt)
+              FROM $p.catalog_sales, $p.date_dim
+              WHERE cs_item_sk = i_item_sk
+                AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+                AND d_date_sk = cs_sold_date_sk)
+          LIMIT 100""",
+    "q42" ->
+      s"""SELECT dt.d_year, item.i_category_id, item.i_category,
+            sum(ss_ext_sales_price) AS total
+          FROM $p.date_dim dt, $p.store_sales, $p.item
+          WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+            AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+          GROUP BY dt.d_year, item.i_category_id, item.i_category
+          ORDER BY total DESC, dt.d_year, i_category_id, i_category LIMIT 100""",
+    "q45" ->
+      s"""SELECT ca_zip, ca_city, sum(ws_sales_price) AS total
+          FROM $p.web_sales, $p.customer, $p.customer_address, $p.date_dim, $p.item
+          WHERE ws_bill_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+            AND ws_item_sk = i_item_sk
+            AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475',
+                  '85392', '85460', '80348', '81792')
+              OR i_item_id IN (SELECT i_item_id FROM $p.item
+                               WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+            AND ws_sold_date_sk = d_date_sk AND d_qoy = 2 AND d_year = 2001
+          GROUP BY ca_zip, ca_city ORDER BY ca_zip, ca_city LIMIT 100""",
+    "q52" ->
+      s"""SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+            sum(ss_ext_sales_price) AS ext_price
+          FROM $p.date_dim dt, $p.store_sales, $p.item
+          WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+            AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+          GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+          ORDER BY dt.d_year, ext_price DESC, brand_id LIMIT 100""",
+    "q55" ->
+      s"""SELECT i_brand_id AS brand_id, i_brand AS brand,
+            sum(ss_ext_sales_price) AS ext_price
+          FROM $p.date_dim, $p.store_sales, $p.item
+          WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+            AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+          GROUP BY i_brand, i_brand_id
+          ORDER BY ext_price DESC, brand_id LIMIT 100""",
+    "q59" ->
+      s"""WITH wss AS (
+            SELECT d_week_seq, ss_store_sk,
+              sum(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price END) AS sun_sales,
+              sum(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price END) AS mon_sales,
+              sum(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price END) AS tue_sales,
+              sum(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price END) AS wed_sales,
+              sum(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price END) AS thu_sales,
+              sum(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price END) AS fri_sales,
+              sum(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price END) AS sat_sales
+            FROM $p.store_sales, $p.date_dim
+            WHERE d_date_sk = ss_sold_date_sk
+            GROUP BY d_week_seq, ss_store_sk)
+          SELECT s_store_name1, s_store_id1, d_week_seq1,
+            sun_sales1 / sun_sales2, mon_sales1 / mon_sales2, tue_sales1 / tue_sales2,
+            wed_sales1 / wed_sales2, thu_sales1 / thu_sales2, fri_sales1 / fri_sales2,
+            sat_sales1 / sat_sales2
+          FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+                  s_store_id AS s_store_id1, sun_sales AS sun_sales1, mon_sales AS mon_sales1,
+                  tue_sales AS tue_sales1, wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+                  fri_sales AS fri_sales1, sat_sales AS sat_sales1
+                FROM wss, $p.store, $p.date_dim d
+                WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+                  AND d_month_seq BETWEEN 1200 AND 1211) y,
+               (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+                  s_store_id AS s_store_id2, sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+                  tue_sales AS tue_sales2, wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+                  fri_sales AS fri_sales2, sat_sales AS sat_sales2
+                FROM wss, $p.store, $p.date_dim d
+                WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+                  AND d_month_seq BETWEEN 1212 AND 1223) x
+          WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
+          ORDER BY s_store_name1, s_store_id1, d_week_seq1 LIMIT 100""",
+    "q62" ->
+      s"""SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+            sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS days_30,
+            sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+                      AND ws_ship_date_sk - ws_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS days_60,
+            sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+                      AND ws_ship_date_sk - ws_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS days_90,
+            sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+                      AND ws_ship_date_sk - ws_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS days_120,
+            sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120 THEN 1 ELSE 0 END) AS days_more
+          FROM $p.web_sales, $p.warehouse, $p.ship_mode, $p.web_site, $p.date_dim
+          WHERE d_month_seq BETWEEN 1200 AND 1211
+            AND ws_ship_date_sk = d_date_sk AND ws_warehouse_sk = w_warehouse_sk
+            AND ws_ship_mode_sk = sm_ship_mode_sk AND ws_web_site_sk = web_site_sk
+          GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+          ORDER BY wh, sm_type, web_name LIMIT 100""",
+    "q65" ->
+      s"""SELECT s_store_name, i_item_desc, sc.revenue, i_current_price, i_brand
+          FROM $p.store, $p.item,
+            (SELECT ss_store_sk, avg(revenue) AS ave FROM (
+               SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+               FROM $p.store_sales, $p.date_dim
+               WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1187
+               GROUP BY ss_store_sk, ss_item_sk) sa
+             GROUP BY ss_store_sk) sb,
+            (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+             FROM $p.store_sales, $p.date_dim
+             WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1187
+             GROUP BY ss_store_sk, ss_item_sk) sc
+          WHERE sb.ss_store_sk = sc.ss_store_sk AND sc.revenue <= 0.1 * sb.ave
+            AND s_store_sk = sc.ss_store_sk AND i_item_sk = sc.ss_item_sk
+          ORDER BY s_store_name, i_item_desc LIMIT 100""",
+    "q92" ->
+      s"""SELECT sum(ws_ext_discount_amt) AS excess_discount_amount
+          FROM $p.web_sales, $p.item, $p.date_dim
+          WHERE i_manufact_id = 350 AND i_item_sk = ws_item_sk
+            AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+            AND d_date_sk = ws_sold_date_sk
+            AND ws_ext_discount_amt > (
+              SELECT 1.3 * avg(ws_ext_discount_amt)
+              FROM $p.web_sales, $p.date_dim
+              WHERE ws_item_sk = i_item_sk
+                AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+                AND d_date_sk = ws_sold_date_sk)
+          ORDER BY excess_discount_amount LIMIT 100""",
+    "q97" ->
+      s"""WITH ssci AS (
+            SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+            FROM $p.store_sales, $p.date_dim
+            WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1200 AND 1211
+            GROUP BY ss_customer_sk, ss_item_sk),
+          csci AS (
+            SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+            FROM $p.catalog_sales, $p.date_dim
+            WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1200 AND 1211
+            GROUP BY cs_bill_customer_sk, cs_item_sk)
+          SELECT
+            sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                     THEN 1 ELSE 0 END) AS store_only,
+            sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS catalog_only,
+            sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS store_and_catalog
+          FROM ssci FULL OUTER JOIN csci
+            ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+          LIMIT 100""",
+    "q98" ->
+      s"""SELECT i_item_desc, i_category, i_class, i_current_price,
+            sum(ss_ext_sales_price) AS itemrevenue,
+            sum(ss_ext_sales_price) * 100 / sum(sum(ss_ext_sales_price))
+              OVER (PARTITION BY i_class) AS revenueratio
+          FROM $p.store_sales, $p.item, $p.date_dim
+          WHERE ss_item_sk = i_item_sk AND i_category IN ('Sports', 'Books', 'Home')
+            AND ss_sold_date_sk = d_date_sk
+            AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+          GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+          ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio""")
 }

@@ -134,7 +134,9 @@ object TpcdsGen {
       StructField("cs_item_sk", LongType, nullable = false),
       StructField("cs_order_number", LongType, nullable = false),
       StructField("cs_quantity", IntegerType, nullable = false),
+      StructField("cs_sales_price", dec72, nullable = false),
       StructField("cs_ext_sales_price", dec72, nullable = false),
+      StructField("cs_ext_discount_amt", dec72, nullable = false),
       StructField("cs_net_profit", dec72, nullable = false))),
     "catalog_returns" -> StructType(Seq(
       StructField("cr_returned_date_sk", LongType, nullable = false),
@@ -150,9 +152,13 @@ object TpcdsGen {
       StructField("ws_item_sk", LongType, nullable = false),
       StructField("ws_bill_customer_sk", LongType, nullable = false),
       StructField("ws_web_site_sk", LongType, nullable = false),
+      StructField("ws_ship_mode_sk", LongType, nullable = false),
+      StructField("ws_warehouse_sk", LongType, nullable = false),
       StructField("ws_order_number", LongType, nullable = false),
       StructField("ws_quantity", IntegerType, nullable = false),
+      StructField("ws_sales_price", dec72, nullable = false),
       StructField("ws_ext_sales_price", dec72, nullable = false),
+      StructField("ws_ext_discount_amt", dec72, nullable = false),
       StructField("ws_net_profit", dec72, nullable = false))),
     "web_returns" -> StructType(Seq(
       StructField("wr_returned_date_sk", LongType, nullable = false),
@@ -170,21 +176,29 @@ object TpcdsGen {
     "customer_address" -> StructType(Seq(
       StructField("ca_address_sk", LongType, nullable = false),
       StructField("ca_address_id", StringType, nullable = false),
+      StructField("ca_city", StringType, nullable = false),
       StructField("ca_state", StringType, nullable = false),
-      StructField("ca_zip", StringType, nullable = false))),
+      StructField("ca_zip", StringType, nullable = false),
+      StructField("ca_gmt_offset", DecimalType(5, 2), nullable = false))),
     "item" -> StructType(Seq(
       StructField("i_item_sk", LongType, nullable = false),
       StructField("i_item_id", StringType, nullable = false),
+      StructField("i_item_desc", StringType, nullable = false),
       StructField("i_brand_id", IntegerType, nullable = false),
       StructField("i_brand", StringType, nullable = false),
-      StructField("i_manufact_id", IntegerType, nullable = false),
+      StructField("i_class", StringType, nullable = false),
+      StructField("i_category_id", IntegerType, nullable = false),
       StructField("i_category", StringType, nullable = false),
+      StructField("i_manufact_id", IntegerType, nullable = false),
+      StructField("i_manufact", StringType, nullable = false),
+      StructField("i_manager_id", IntegerType, nullable = false),
       StructField("i_current_price", dec72, nullable = false))),
     "store" -> StructType(Seq(
       StructField("s_store_sk", LongType, nullable = false),
       StructField("s_store_id", StringType, nullable = false),
       StructField("s_store_name", StringType, nullable = false),
-      StructField("s_state", StringType, nullable = false))),
+      StructField("s_state", StringType, nullable = false),
+      StructField("s_zip", StringType, nullable = false))),
     "warehouse" -> StructType(Seq(
       StructField("w_warehouse_sk", LongType, nullable = false),
       StructField("w_warehouse_name", StringType, nullable = false))),
@@ -256,7 +270,8 @@ object TpcdsGen {
         boundedL(mix(h, 8), shipModeCount(sf)) + 1,
         boundedL(mix(h, 9), warehouseCount(sf)) + 1,
         boundedL(mix(h, 10), itemCount(sf)) + 1,
-        idx + 1, qty, money(qty * price),
+        idx + 1, qty, money(price), money(qty * price),
+        money(boundedL(mix(h, 12), qty * price / 10 + 1)),
         money(qty * price / 5 - boundedL(mix(h, 11), qty * price / 2)))
 
     case "catalog_returns" =>
@@ -276,16 +291,19 @@ object TpcdsGen {
         boundedL(mix(h, 5), itemCount(sf)) + 1,
         boundedL(mix(h, 6), customerCount(sf)) + 1,
         boundedL(mix(h, 7), webSiteCount(sf)) + 1,
-        idx + 1, qty, money(qty * price),
+        boundedL(mix(h, 9), shipModeCount(sf)) + 1,
+        boundedL(mix(h, 10), warehouseCount(sf)) + 1,
+        idx + 1, qty, money(price), money(qty * price),
+        money(boundedL(mix(h, 11), qty * price / 10 + 1)),
         money(qty * price / 5 - boundedL(mix(h, 8), qty * price / 2)))
 
     case "web_returns" =>
       val sale = row("web_sales", sf, idx * 10)
       val h = mix(16, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(6).asInstanceOf[Int])
+      val qty = 1 + bounded(mix(h, 1), sale(8).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(2), sale(5), qty, money(amt), money(amt / 2))
+        sale(2), sale(7), qty, money(amt), money(amt / 2))
 
     case "customer" =>
       val k = idx + 1
@@ -298,23 +316,32 @@ object TpcdsGen {
     case "customer_address" =>
       val k = idx + 1
       val h = mix(18, k)
-      Array(k, str(f"CA$k%010d"), str(states(bounded(mix(h, 1), states.length))),
-        str(f"${10000 + bounded(mix(h, 2), 89999)}%05d"))
+      Array(k, str(f"CA$k%010d"), str(s"City${bounded(mix(h, 3), 500)}"),
+        str(states(bounded(mix(h, 1), states.length))),
+        str(f"${10000 + bounded(mix(h, 2), 89999)}%05d"),
+        Decimal(BigDecimal(-500 - 100L * bounded(mix(h, 4), 4), 2), 5, 2))
 
     case "item" =>
       val k = idx + 1
       val h = mix(19, k)
       val brandId = 1 + bounded(mix(h, 1), 1000)
-      Array(k, str(f"I$k%012d"), brandId,
+      val manufactId = 1 + bounded(mix(h, 2), 1000)
+      val categoryId = 1 + bounded(mix(h, 3), categories.length)
+      Array(k, str(f"I$k%012d"), str(s"Description of item $k"), brandId,
         str(s"brand#${brandId % 100}"),
-        1 + bounded(mix(h, 2), 1000),
-        str(categories(bounded(mix(h, 3), categories.length))),
+        str(s"class${bounded(mix(h, 5), 16)}"),
+        categoryId,
+        str(categories(categoryId - 1)),
+        manufactId,
+        str(f"manufact#$manufactId%04d"),
+        1 + bounded(mix(h, 6), 100),
         money(100 + boundedL(mix(h, 4), 9900)))
 
     case "store" =>
       val k = idx + 1
       Array(k, str(f"S$k%08d"), str(s"Store $k"),
-        str(states(bounded(mix(20, k), states.length))))
+        str(states(bounded(mix(20, k), states.length))),
+        str(f"${10000 + bounded(mix(21, k), 89999)}%05d"))
 
     case "warehouse" =>
       val k = idx + 1

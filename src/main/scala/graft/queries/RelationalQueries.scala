@@ -327,6 +327,53 @@ object RelationalQueries {
             .otherwise("off").as("p50_check"))
     },
 
+    // --- Explicit GROUPING SETS (beyond rollup/cube) ---
+    "q27_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir).orders.createOrReplaceTempView("graft_q27_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_priority
+               FROM graft_q27_orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                 (o_orderstatus, o_orderpriority))""")
+    },
+
+    // --- Window analytics: ntile, percent_rank, lead, first_value ---
+    "q28_window_analytics" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t.customer
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+        .withColumn("seg_min",
+          first(col("c_acctbal")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile"),
+          col("pct_rank"), col("next_bal"), col("seg_min"))
+    },
+
+    // --- Lateral view / explode over a computed array ---
+    "q29_lateral_explode" -> { (s, dir) =>
+      Tables(s, dir).part
+        .select(col("p_partkey"), posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("p_partkey")).as("n_parts"))
+    },
+
+    // --- Pivot (status × priority counts as columns) ---
+    "q30_pivot" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_partial"))
+    },
+
     // --- Sessionization: gap>30min starts a new session (lag + cumsum) ---
     "q25_sessionize" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -481,6 +528,34 @@ object RelationalQueries {
            ON p.p_brand = a.b
          WHERE p_size > avg_size
          GROUP BY p_brand""",
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         CAST(grouping(o_orderpriority) AS INT) AS g_priority
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+           (o_orderstatus, o_orderpriority))""",
+    "q28_window_analytics" ->
+      """SELECT c_custkey, c_mktsegment, CAST(quartile AS INT) AS quartile,
+         pct_rank, next_bal, seg_min FROM (
+           SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             lead(c_acctbal, 1) OVER w AS next_bal,
+             first_value(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_min
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC))
+         WHERE c_custkey <= 100""",
+    "q29_lateral_explode" ->
+      """SELECT word, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+         FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part)
+         GROUP BY word""",
+    "q30_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+         FROM orders GROUP BY o_orderpriority""",
     "q26_approx_sketches" ->
       """SELECT o_orderpriority,
          CASE WHEN abs(approx_nd - exact_nd) <= exact_nd * 0.1 THEN 'ok' ELSE 'off' END AS nd_check,

@@ -172,6 +172,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-dup pairs: vectors in the same hyperplane
+    * LSH bucket are scored pairwise; pairs above `minCosine` are
+    * near-duplicates. The bucket join bounds the pair space the same
+    * way banding does for MinHash — only same-bucket vectors meet.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      minCosine: Double,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * rare-enough shingle. At scale, feed LSH candidates instead of the
     * full corpus; the shape (explode → self-join on shingle-hash →

@@ -69,6 +69,24 @@ object VectorQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // --- IVF approximate top-5 (coarse-quantizer scale path; rows-only:
+    //     centroids come from a distributed Lloyd iteration) ---
+    "v07_knn_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = 8)
+      graft.operators.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
+        centroids, k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Embedding-cosine near-dup pairs (rows-only: LSH buckets) ---
+    "v08_embedding_neardup" -> { (s, dir) =>
+      graft.operators.Dedup.embeddingNearDupPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding",
+        dim = DIM, minCosine = 0.4, nPlanes = 8)
+    },
+
     // --- Dimension / count facts (oracle-checked) ---
     "v05_embedding_stats" -> { (s, dir) =>
       Tables(s, dir).embeddings

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val emb = Tables(spark, SparkFixture.sfDir).embeddings
+
+  test("probing every list reproduces brute force exactly (recall 1.0)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val ivfAll = IvfIndex.ivfTopK(emb, queries, "vec_id", "embedding",
+      centroids, k = 5, nProbe = 8)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val recall = SimilaritySearch.recallAtK(ivfAll, brute, 5)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall == 1.0, s"full probe must equal brute force, recall=$recall")
+  }
+
+  test("partial probe trades recall for a bounded candidate set") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val ivf = IvfIndex.ivfTopK(emb, queries, "vec_id", "embedding",
+      centroids, k = 5, nProbe = 3)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val recall = SimilaritySearch.recallAtK(ivf, brute, 5)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.2, s"recall collapsed: $recall")
+    assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
+  test("embedding-cosine near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Dedup.embeddingNearDupPairs(emb.limit(500), "vec_id", "embedding",
+      dim = 64, minCosine = 0.0, nPlanes = 4).collect()
+    assert(pairs.nonEmpty, "same-bucket pairs with cos >= 0 expected")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be ordered (no duplicates)")
+    assert(pairs.forall(_.getDouble(2) >= 0.0))
+  }
+}

@@ -95,4 +95,34 @@ class ZorderSpec extends AnyFunSuite {
     val clustered = ZorderOptimize.cluster(df, Seq(col("x"), col("y")))
     assert(clustered.count() == 4096)
   }
+
+  test("z-ordered parquet skips row groups for multi-dimensional filters") {
+    // many small row groups so min/max stats have pruning power
+    val dir = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    // hash-derived coords: row order carries NO locality, so the plain
+    // file's row-group min/max stats cover the full domain (no pruning)
+    val df = spark.range(0, 500000).select(
+      pmod(xxhash64(col("id")), lit(700)).cast("int").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(700)).cast("int").as("y"))
+    // 100 files each: plain randomly partitioned (every file's min/max
+    // covers the full domain), z-ordered range-partitioned on the key
+    // (each file covers a small hyper-rectangle)
+    df.repartition(100).write.parquet(s"$dir/plain")
+    val zkey = org.apache.spark.sql.graft.ZorderBytes.zorder(col("x"), col("y"))
+    df.repartitionByRange(100, zkey).sortWithinPartitions(zkey)
+      .write.parquet(s"$dir/zorder")
+
+    // the scan metric counts rows surviving footer-stats pruning
+    def rowsReadAfterPruning(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("x") === 7 && col("y") === 7)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+    val plain = rowsReadAfterPruning(s"$dir/plain")
+    val zordered = rowsReadAfterPruning(s"$dir/zorder")
+    // identical results, far fewer rows surface from the z-ordered scan
+    assert(zordered * 5 < plain,
+      s"z-order skipping ineffective: zordered=$zordered plain=$plain")
+  }
 }

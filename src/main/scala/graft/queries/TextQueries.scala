@@ -104,6 +104,29 @@ object TextQueries {
         .select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("rfp"))
     },
 
+    // --- BPE-ish token counting: letter runs / digit runs / single
+    //     punctuation (the regex family both engines share) ---
+    "d14_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .as("n_bpe_tokens"),
+          size(tokens(col("text"))).as("n_ws_tokens"))
+    },
+
+    // --- Quality scoring: punctuation + stopword ratios ---
+    "d15_quality_ratios" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val stopwords = Seq("the", "and", "of", "is", "a", "to", "in")
+      val toks = tokens(col("text"))
+      d.select(
+        col("doc_id"),
+        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+          length(col("text"))).as("punct_ratio"),
+        (size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+          size(toks)).as("stopword_ratio"))
+    },
+
     // --- Corpus stats per source after dedup ---
     "d12_source_stats" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -210,6 +233,17 @@ object TextQueries {
           JOIN sizes sa ON id_a = sa.doc_id
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5""",
+    "d14_bpe_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+          CAST(len($duckToks) AS INT) AS n_ws_tokens
+          FROM documents""",
+    "d15_quality_ratios" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+          CAST(len(list_filter($duckToks, t -> t IN ('the','and','of','is','a','to','in'))) AS DOUBLE)
+            / len($duckToks) AS stopword_ratio
+          FROM documents""",
     "d12_source_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -39,6 +39,7 @@ class RestFrontend(engine: Engine, port: Int = 0) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/api/v1/", handle _)
+  server.createContext("/v1/statement", handleTrino _)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
@@ -117,6 +118,78 @@ class RestFrontend(engine: Engine, port: Int = 0) {
         }
 
       case _ => reply(ex, 404, """{"error": "not found"}""")
+    }
+  }
+
+  /** Trino-wire-shaped protocol (the reference's third frontend,
+    * server/trino/api/v1/StatementResource.scala): `POST /v1/statement`
+    * with the SQL as the request body returns a JSON document with a
+    * `nextUri`; the client follows `nextUri` until it disappears, with
+    * `columns` + `data` appearing on the final page. States map to
+    * Trino's QUEUED/RUNNING/FINISHED/FAILED vocabulary.
+    */
+  private def handleTrino(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement").split("/").filter(_.nonEmpty)
+      (ex.getRequestMethod, path.toList) match {
+        case ("POST", Nil) =>
+          val sql = body(ex).trim
+          if (sql.isEmpty) { reply(ex, 400, """{"error": "empty statement"}"""); return }
+          val user = Option(ex.getRequestHeaders.getFirst("X-Trino-User")).getOrElse("trino")
+          val sess = engine.openSession(user)
+          val op = sess.executeStatement(sql, ResultMode.Full)
+          opSessions.put(op.handle, sess)
+          reply(ex, 200, trinoDoc(op, firstPoll = true))
+        case ("GET", opId :: _ :: Nil) =>
+          Option(opSessions.get(opId)).flatMap(_.operation(opId)) match {
+            case Some(op: ExecuteStatement) => reply(ex, 200, trinoDoc(op, firstPoll = false))
+            case _ => reply(ex, 404, """{"error": "no such query"}""")
+          }
+        case _ => reply(ex, 404, """{"error": "not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        reply(ex, 500, s"""{"error": ${q(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+  }
+
+  private def trinoDoc(op: ExecuteStatement, firstPoll: Boolean): String = {
+    val id = op.handle
+    val state = op.currentState match {
+      case OperationState.Initialized | OperationState.Pending => "QUEUED"
+      case OperationState.Running | OperationState.Compiled => "RUNNING"
+      case OperationState.Finished => "FINISHED"
+      case _ => "FAILED"
+    }
+    val base = s""""id": ${q(id)}, "stats": {"state": ${q(state)}}"""
+    state match {
+      case "FINISHED" if !firstPoll =>
+        val schema = op.result.schema
+        val cols = schema.fields.map(f =>
+          s"""{"name": ${q(f.name)}, "type": ${q(graft.core.SchemaMapper.toWireType(f.dataType).toLowerCase)}}""")
+          .mkString("[", ",", "]")
+        val it = op.fetchIterator
+        it.fetchAbsolute(0)
+        val data = it.map(row =>
+          (0 until row.length).map(i => cell(row, i, schema.fields(i).dataType))
+            .mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""{$base, "columns": $cols, "data": $data}"""
+      case "FAILED" =>
+        val msg = op.exception.map(e => String.valueOf(e.getMessage)).getOrElse("failed")
+        s"""{$base, "error": {"message": ${q(msg)}}}"""
+      case _ =>
+        s"""{$base, "nextUri": ${q(s"/v1/statement/$id/1")}}"""
+    }
+  }
+
+  private def cell(row: org.apache.spark.sql.Row, i: Int, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    if (row.isNullAt(i)) "null"
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           _: DecimalType => String.valueOf(row.get(i))
+      case BooleanType => String.valueOf(row.getBoolean(i))
+      case _ => q(String.valueOf(row.get(i)))
     }
   }
 

@@ -83,6 +83,37 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("Trino-wire protocol: POST /v1/statement, follow nextUri to data") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val (pc, pbody) = post(c, s"$root/v1/statement", "SELECT id * 3 AS triple FROM range(4)")
+      assert(pc == 200, pbody)
+      var doc = pbody
+      var hops = 0
+      while (doc.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(doc)
+        assert(m.find())
+        Thread.sleep(100)
+        doc = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(doc.contains("\"state\": \"FINISHED\""), doc)
+      assert(doc.contains("\"name\": \"triple\""), doc)
+      assert(doc.contains("[9]"), s"row data missing: $doc")
+      // failures surface as Trino error documents
+      val (_, fbody) = post(c, s"$root/v1/statement", "SELECT bogus FROM nothing")
+      var fdoc = fbody
+      hops = 0
+      while (fdoc.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(fdoc)
+        assert(m.find()); Thread.sleep(100)
+        fdoc = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(fdoc.contains("\"state\": \"FAILED\"") && fdoc.contains("error"), fdoc)
+    }
+  }
+
   test("errors surface as JSON with useful statuses") {
     withServer { (c, base) =>
       assert(get(c, s"$base/batches/nope")._1 == 404)

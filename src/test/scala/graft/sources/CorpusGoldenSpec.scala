@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.queries.{TpcdsCorpusSql, TpchCorpusSql}
+
+/** Golden-hash corpus checks, the reference's TPCDSQuerySuite pattern
+  * (TPCDSQuerySuite.scala:44-80: run every corpus query on the tiny
+  * generated catalog and assert `sum(hash(*))` + row count against
+  * checked-in goldens). Pins BOTH the generators and the query
+  * semantics across rounds — any accidental change to row generation,
+  * schema, or plan semantics breaks a golden.
+  *
+  * Goldens regenerate by running the suite with
+  * GRAFT_REGEN_GOLDENS=1 (prints the new table on mismatch).
+  */
+class CorpusGoldenSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkFixture.spark
+    s.conf.set("spark.sql.catalog.tpch", classOf[graft.sources.tpch.TpchCatalog].getName)
+    s.conf.set("spark.sql.catalog.tpcds", classOf[graft.sources.tpcds.TpcdsCatalog].getName)
+    s
+  }
+
+  private val goldens: Map[String, (Long, Long)] = Map(
+    "tpch_q1" -> ((1041469010L, 4L)),
+    "tpch_q2" -> ((-1950694986L, 5L)),
+    "tpch_q3" -> ((2124624481L, 10L)),
+    "tpch_q4" -> ((3271768924L, 5L)),
+    "tpch_q5" -> ((-439164708L, 5L)),
+    "tpch_q6" -> ((-1823347536L, 1L)),
+    "tpch_q7" -> ((-2448649297L, 4L)),
+    "tpch_q8" -> ((2852953924L, 2L)),
+    "tpch_q9" -> ((13188266148L, 140L)),
+    "tpch_q10" -> ((-6278072471L, 20L)),
+    "tpch_q11" -> ((-759019493L, 100L)),
+    "tpch_q12" -> ((-364128163L, 2L)),
+    "tpch_q13" -> ((2898385391L, 35L)),
+    "tpch_q14" -> ((891408141L, 1L)),
+    "tpch_q15" -> ((-269536071L, 1L)),
+    "tpch_q16" -> ((3918751526L, 100L)),
+    "tpch_q17" -> ((216353606L, 1L)),
+    "tpch_q18" -> ((0L, 0L)),
+    "tpch_q19" -> ((42L, 1L)),
+    "tpch_q20" -> ((0L, 0L)),
+    "tpch_q21" -> ((5327804731L, 7L)),
+    "tpch_q22" -> ((436550858L, 7L)),
+    "tpcds_q1" -> ((0L, 0L)),
+    "tpcds_q2" -> ((-10905643021L, 2513L)),
+    "tpcds_q3" -> ((0L, 0L)),
+    "tpcds_q5" -> ((-1473785625L, 100L)),
+    "tpcds_q6" -> ((-406667221L, 10L)),
+    "tpcds_q99" -> ((-2382844707L, 10L)),
+    "tpcds_q15" -> ((-4444947545L, 100L)),
+    "tpcds_q19" -> ((1042825787L, 2L)),
+    "tpcds_q32" -> ((42L, 1L)),
+    "tpcds_q42" -> ((4721031941L, 4L)),
+    "tpcds_q45" -> ((-2530376521L, 6L)),
+    "tpcds_q52" -> ((1954955943L, 4L)),
+    "tpcds_q55" -> ((-1848472167L, 2L)),
+    "tpcds_q59" -> ((18053377373L, 100L)),
+    "tpcds_q62" -> ((19125000213L, 75L)),
+    "tpcds_q65" -> ((-2653433748L, 7L)),
+    "tpcds_q92" -> ((42L, 1L)),
+    "tpcds_q97" -> ((1066272465L, 1L)),
+    "tpcds_q98" -> ((-20370270597L, 115L)))
+
+  private def check(name: String, sql: String): Unit = {
+    val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()
+    val got = (if (h.isNullAt(0)) 0L else h.getLong(0), h.getLong(1))
+    assert(got == goldens(name),
+      s"$name: got $got, golden ${goldens(name)} — generator or semantics changed")
+  }
+
+  test("TPC-H corpus matches checked-in goldens at tiny") {
+    TpchCorpusSql.queries("tpch.tiny").foreach { case (n, sql) => check(s"tpch_$n", sql) }
+  }
+
+  test("TPC-DS corpus matches checked-in goldens at tiny") {
+    TpcdsCorpusSql.queries("tpcds.tiny").foreach { case (n, sql) => check(s"tpcds_$n", sql) }
+  }
+}

@@ -335,5 +335,96 @@ object TpcdsCorpusSql {
             AND ss_sold_date_sk = d_date_sk
             AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
           GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
-          ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio""")
+          ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio""",
+    "q7" ->
+      s"""SELECT i_item_id, avg(ss_quantity) AS agg1, avg(ss_list_price) AS agg2,
+            avg(ss_coupon_amt) AS agg3, avg(ss_sales_price) AS agg4
+          FROM $p.store_sales, $p.customer_demographics, $p.date_dim, $p.item, $p.promotion
+          WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+            AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+            AND cd_gender = 'M' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+            AND (p_channel_email = 'N' OR p_channel_event = 'N') AND d_year = 2000
+          GROUP BY i_item_id ORDER BY i_item_id LIMIT 100""",
+    "q26" ->
+      s"""SELECT i_item_id, avg(cs_quantity) AS agg1, avg(cs_list_price) AS agg2,
+            avg(cs_coupon_amt) AS agg3, avg(cs_sales_price) AS agg4
+          FROM $p.catalog_sales, $p.customer_demographics, $p.date_dim, $p.item, $p.promotion
+          WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+            AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+            AND cd_gender = 'M' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+            AND (p_channel_email = 'N' OR p_channel_event = 'N') AND d_year = 2000
+          GROUP BY i_item_id ORDER BY i_item_id LIMIT 100""",
+    "q34" ->
+      s"""SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+          FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+                FROM $p.store_sales, $p.date_dim, $p.store, $p.household_demographics
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_hdemo_sk = hd_demo_sk
+                  AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+                  AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+                  AND hd_vehicle_count > 0 AND d_year IN (2000, 2001, 2002)
+                GROUP BY ss_ticket_number, ss_customer_sk) dn, $p.customer
+          WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 20
+          ORDER BY c_last_name, c_first_name, ss_ticket_number DESC
+          LIMIT 1000""",
+    "q48" ->
+      s"""SELECT sum(ss_quantity) AS total_qty
+          FROM $p.store_sales, $p.store, $p.customer_demographics, $p.customer_address, $p.date_dim
+          WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+            AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+                   AND cd_education_status = '4 yr Degree' AND ss_sales_price BETWEEN 100.00 AND 150.00)
+              OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+                   AND cd_education_status = '2 yr Degree' AND ss_sales_price BETWEEN 50.00 AND 100.00)
+              OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+                   AND cd_education_status = 'College' AND ss_sales_price BETWEEN 150.00 AND 200.00))
+            AND ((ss_addr_sk = ca_address_sk AND ca_state IN ('CA', 'OH', 'TX')
+                   AND ss_net_profit BETWEEN 0 AND 2000)
+              OR (ss_addr_sk = ca_address_sk AND ca_state IN ('OR', 'NM', 'KY')
+                   AND ss_net_profit BETWEEN 150 AND 3000)
+              OR (ss_addr_sk = ca_address_sk AND ca_state IN ('VA', 'TX', 'MS')
+                   AND ss_net_profit BETWEEN 50 AND 25000))""",
+    "q73" ->
+      s"""SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+          FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+                FROM $p.store_sales, $p.date_dim, $p.store, $p.household_demographics
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_hdemo_sk = hd_demo_sk AND d_dom BETWEEN 1 AND 2
+                  AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+                  AND hd_vehicle_count > 0 AND d_year IN (2000, 2001, 2002)
+                GROUP BY ss_ticket_number, ss_customer_sk) dj, $p.customer
+          WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+          ORDER BY cnt DESC, c_last_name ASC
+          LIMIT 1000""",
+    "q88" ->
+      s"""SELECT * FROM
+          (SELECT count(*) AS h8_30_to_9 FROM $p.store_sales, $p.household_demographics, $p.time_dim, $p.store
+           WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+             AND t_hour = 8 AND t_minute >= 30 AND hd_dep_count = 4 AND s_store_name = 'Store 1') s1,
+          (SELECT count(*) AS h9_to_9_30 FROM $p.store_sales, $p.household_demographics, $p.time_dim, $p.store
+           WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+             AND t_hour = 9 AND t_minute < 30 AND hd_dep_count = 4 AND s_store_name = 'Store 1') s2,
+          (SELECT count(*) AS h9_30_to_10 FROM $p.store_sales, $p.household_demographics, $p.time_dim, $p.store
+           WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+             AND t_hour = 9 AND t_minute >= 30 AND hd_dep_count = 4 AND s_store_name = 'Store 1') s3,
+          (SELECT count(*) AS h10_to_10_30 FROM $p.store_sales, $p.household_demographics, $p.time_dim, $p.store
+           WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+             AND t_hour = 10 AND t_minute < 30 AND hd_dep_count = 4 AND s_store_name = 'Store 1') s4""",
+    "q90" ->
+      s"""SELECT CAST(amc AS DECIMAL(15,4)) / CAST(pmc AS DECIMAL(15,4)) AS am_pm_ratio
+          FROM (SELECT count(*) AS amc FROM $p.web_sales, $p.household_demographics, $p.time_dim, $p.web_page
+                WHERE ws_sold_time_sk = t_time_sk AND ws_ship_hdemo_sk = hd_demo_sk
+                  AND ws_web_page_sk = wp_web_page_sk AND t_hour BETWEEN 8 AND 9
+                  AND hd_dep_count = 6 AND wp_char_count BETWEEN 100 AND 5000) at_sq,
+               (SELECT count(*) AS pmc FROM $p.web_sales, $p.household_demographics, $p.time_dim, $p.web_page
+                WHERE ws_sold_time_sk = t_time_sk AND ws_ship_hdemo_sk = hd_demo_sk
+                  AND ws_web_page_sk = wp_web_page_sk AND t_hour BETWEEN 19 AND 20
+                  AND hd_dep_count = 6 AND wp_char_count BETWEEN 100 AND 5000) pt_sq
+          ORDER BY am_pm_ratio LIMIT 100""",
+    "q96" ->
+      s"""SELECT count(*) AS cnt
+          FROM $p.store_sales, $p.household_demographics, $p.time_dim, $p.store
+          WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+            AND ss_store_sk = s_store_sk AND t_hour = 20 AND t_minute >= 30
+            AND hd_dep_count = 7 AND s_store_name = 'Store 1'
+          ORDER BY cnt LIMIT 100""")
 }

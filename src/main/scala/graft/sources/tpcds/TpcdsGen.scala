@@ -58,6 +58,13 @@ object TpcdsGen {
   def catalogPageCount(sf: Double): Long = 11718L
   def webSiteCount(sf: Double): Long = math.max(2L, (30 * math.pow(sf, 0.15)).toLong)
   def shipModeCount(sf: Double): Long = shipModeTypes.length.toLong * 4
+  def promotionCount(sf: Double): Long = math.max(50L, (300 * math.pow(sf, 0.25)).toLong)
+  val customerDemographicsCount: Long = 1920800L   // spec: fixed cross product
+  val householdDemographicsCount: Long = 7200L     // spec: fixed
+  val timeDimCount: Long = 86400L                  // one row per second of day
+  val incomeBandCount: Long = 20L
+  def reasonCount(sf: Double): Long = math.max(10L, (35 * math.pow(sf, 0.11)).toLong)
+  def webPageCount(sf: Double): Long = math.max(10L, (60 * math.pow(sf, 0.52)).toLong)
 
   def rowCount(table: String, sf: Double): Long = table match {
     case "date_dim" => dateDimRows
@@ -76,6 +83,13 @@ object TpcdsGen {
     case "catalog_page" => catalogPageCount(sf)
     case "web_site" => webSiteCount(sf)
     case "ship_mode" => shipModeCount(sf)
+    case "promotion" => promotionCount(sf)
+    case "customer_demographics" => customerDemographicsCount
+    case "household_demographics" => householdDemographicsCount
+    case "time_dim" => timeDimCount
+    case "income_band" => incomeBandCount
+    case "reason" => reasonCount(sf)
+    case "web_page" => webPageCount(sf)
   }
 
   val avgRowBytes: Map[String, Int] = Map(
@@ -83,7 +97,9 @@ object TpcdsGen {
     "catalog_sales" -> 140, "catalog_returns" -> 110, "web_sales" -> 140,
     "web_returns" -> 100, "customer" -> 130, "customer_address" -> 90,
     "item" -> 150, "store" -> 120, "warehouse" -> 80, "call_center" -> 90,
-    "catalog_page" -> 80, "web_site" -> 80, "ship_mode" -> 60)
+    "catalog_page" -> 80, "web_site" -> 80, "ship_mode" -> 60,
+    "promotion" -> 80, "customer_demographics" -> 90, "household_demographics" -> 60,
+    "time_dim" -> 80, "income_band" -> 30, "reason" -> 60, "web_page" -> 50)
 
   private def dec72 = DecimalType(7, 2)
 
@@ -105,12 +121,19 @@ object TpcdsGen {
       StructField("d_weekend", StringType, nullable = false))),
     "store_sales" -> StructType(Seq(
       StructField("ss_sold_date_sk", LongType, nullable = false),
+      StructField("ss_sold_time_sk", LongType, nullable = false),
       StructField("ss_item_sk", LongType, nullable = false),
       StructField("ss_customer_sk", LongType, nullable = false),
+      StructField("ss_cdemo_sk", LongType, nullable = false),
+      StructField("ss_hdemo_sk", LongType, nullable = false),
+      StructField("ss_addr_sk", LongType, nullable = false),
       StructField("ss_store_sk", LongType, nullable = false),
+      StructField("ss_promo_sk", LongType, nullable = false),
       StructField("ss_ticket_number", LongType, nullable = false),
       StructField("ss_quantity", IntegerType, nullable = false),
+      StructField("ss_list_price", dec72, nullable = false),
       StructField("ss_sales_price", dec72, nullable = false),
+      StructField("ss_coupon_amt", dec72, nullable = false),
       StructField("ss_ext_sales_price", dec72, nullable = false),
       StructField("ss_net_paid", dec72, nullable = false),
       StructField("ss_net_profit", dec72, nullable = false))),
@@ -132,8 +155,12 @@ object TpcdsGen {
       StructField("cs_ship_mode_sk", LongType, nullable = false),
       StructField("cs_warehouse_sk", LongType, nullable = false),
       StructField("cs_item_sk", LongType, nullable = false),
+      StructField("cs_bill_cdemo_sk", LongType, nullable = false),
+      StructField("cs_promo_sk", LongType, nullable = false),
       StructField("cs_order_number", LongType, nullable = false),
       StructField("cs_quantity", IntegerType, nullable = false),
+      StructField("cs_list_price", dec72, nullable = false),
+      StructField("cs_coupon_amt", dec72, nullable = false),
       StructField("cs_sales_price", dec72, nullable = false),
       StructField("cs_ext_sales_price", dec72, nullable = false),
       StructField("cs_ext_discount_amt", dec72, nullable = false),
@@ -152,6 +179,9 @@ object TpcdsGen {
       StructField("ws_item_sk", LongType, nullable = false),
       StructField("ws_bill_customer_sk", LongType, nullable = false),
       StructField("ws_web_site_sk", LongType, nullable = false),
+      StructField("ws_sold_time_sk", LongType, nullable = false),
+      StructField("ws_ship_hdemo_sk", LongType, nullable = false),
+      StructField("ws_web_page_sk", LongType, nullable = false),
       StructField("ws_ship_mode_sk", LongType, nullable = false),
       StructField("ws_warehouse_sk", LongType, nullable = false),
       StructField("ws_order_number", LongType, nullable = false),
@@ -197,6 +227,7 @@ object TpcdsGen {
       StructField("s_store_sk", LongType, nullable = false),
       StructField("s_store_id", StringType, nullable = false),
       StructField("s_store_name", StringType, nullable = false),
+      StructField("s_county", StringType, nullable = false),
       StructField("s_state", StringType, nullable = false),
       StructField("s_zip", StringType, nullable = false))),
     "warehouse" -> StructType(Seq(
@@ -216,7 +247,50 @@ object TpcdsGen {
     "ship_mode" -> StructType(Seq(
       StructField("sm_ship_mode_sk", LongType, nullable = false),
       StructField("sm_ship_mode_id", StringType, nullable = false),
-      StructField("sm_type", StringType, nullable = false))))
+      StructField("sm_type", StringType, nullable = false))),
+    "promotion" -> StructType(Seq(
+      StructField("p_promo_sk", LongType, nullable = false),
+      StructField("p_promo_id", StringType, nullable = false),
+      StructField("p_channel_dmail", StringType, nullable = false),
+      StructField("p_channel_email", StringType, nullable = false),
+      StructField("p_channel_event", StringType, nullable = false),
+      StructField("p_channel_tv", StringType, nullable = false))),
+    "customer_demographics" -> StructType(Seq(
+      StructField("cd_demo_sk", LongType, nullable = false),
+      StructField("cd_gender", StringType, nullable = false),
+      StructField("cd_marital_status", StringType, nullable = false),
+      StructField("cd_education_status", StringType, nullable = false),
+      StructField("cd_purchase_estimate", IntegerType, nullable = false),
+      StructField("cd_credit_rating", StringType, nullable = false),
+      StructField("cd_dep_count", IntegerType, nullable = false),
+      StructField("cd_dep_employed_count", IntegerType, nullable = false),
+      StructField("cd_dep_college_count", IntegerType, nullable = false))),
+    "household_demographics" -> StructType(Seq(
+      StructField("hd_demo_sk", LongType, nullable = false),
+      StructField("hd_income_band_sk", LongType, nullable = false),
+      StructField("hd_buy_potential", StringType, nullable = false),
+      StructField("hd_dep_count", IntegerType, nullable = false),
+      StructField("hd_vehicle_count", IntegerType, nullable = false))),
+    "time_dim" -> StructType(Seq(
+      StructField("t_time_sk", LongType, nullable = false),
+      StructField("t_time_id", StringType, nullable = false),
+      StructField("t_time", IntegerType, nullable = false),
+      StructField("t_hour", IntegerType, nullable = false),
+      StructField("t_minute", IntegerType, nullable = false),
+      StructField("t_second", IntegerType, nullable = false),
+      StructField("t_meal_time", StringType, nullable = true))),
+    "income_band" -> StructType(Seq(
+      StructField("ib_income_band_sk", LongType, nullable = false),
+      StructField("ib_lower_bound", IntegerType, nullable = false),
+      StructField("ib_upper_bound", IntegerType, nullable = false))),
+    "reason" -> StructType(Seq(
+      StructField("r_reason_sk", LongType, nullable = false),
+      StructField("r_reason_id", StringType, nullable = false),
+      StructField("r_reason_desc", StringType, nullable = false))),
+    "web_page" -> StructType(Seq(
+      StructField("wp_web_page_sk", LongType, nullable = false),
+      StructField("wp_web_page_id", StringType, nullable = false),
+      StructField("wp_char_count", IntegerType, nullable = false))))
 
   /** day offset (0-based from 1900-01-01) → d_date_sk. */
   def dateSk(day: Long): Long = dateSkBase + day
@@ -242,10 +316,17 @@ object TpcdsGen {
       val price = 100 + boundedL(mix(h, 2), 19900)    // 1.00 .. 200.00
       val ext = qty * price
       Array(dateSk(saleDay(mix(h, 3))),
+        boundedL(mix(h, 8), timeDimCount),
         boundedL(mix(h, 4), itemCount(sf)) + 1,
         boundedL(mix(h, 5), customerCount(sf)) + 1,
+        boundedL(mix(h, 9), customerDemographicsCount) + 1,
+        boundedL(mix(h, 10), householdDemographicsCount) + 1,
+        boundedL(mix(h, 11), customerAddressCount(sf)) + 1,
         boundedL(mix(h, 6), storeCount(sf)) + 1,
-        idx + 1, qty, money(price), money(ext), money(ext),
+        boundedL(mix(h, 12), promotionCount(sf)) + 1,
+        idx + 1, qty, money(price + price / 4), money(price),
+        money(boundedL(mix(h, 13), price / 2 + 1)),
+        money(ext), money(ext),
         money(ext / 5 - boundedL(mix(h, 7), ext / 2)))
 
     case "store_returns" =>
@@ -253,10 +334,10 @@ object TpcdsGen {
       val saleIdx = idx * 10
       val sale = row("store_sales", sf, saleIdx)
       val h = mix(12, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(5).asInstanceOf[Int])
-      val amt = qty * (sale(6).asInstanceOf[Decimal].toBigDecimal * 100).toLong
+      val qty = 1 + bounded(mix(h, 1), sale(10).asInstanceOf[Int])
+      val amt = qty * (sale(12).asInstanceOf[Decimal].toBigDecimal * 100).toLong
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 2), 30),
-        sale(1), sale(2), sale(3), sale(4), qty, money(amt), money(amt / 2))
+        sale(2), sale(3), sale(7), sale(9), qty, money(amt), money(amt / 2))
 
     case "catalog_sales" =>
       val h = mix(13, idx)
@@ -270,17 +351,21 @@ object TpcdsGen {
         boundedL(mix(h, 8), shipModeCount(sf)) + 1,
         boundedL(mix(h, 9), warehouseCount(sf)) + 1,
         boundedL(mix(h, 10), itemCount(sf)) + 1,
-        idx + 1, qty, money(price), money(qty * price),
+        boundedL(mix(h, 13), customerDemographicsCount) + 1,
+        boundedL(mix(h, 14), promotionCount(sf)) + 1,
+        idx + 1, qty, money(price + price / 4),
+        money(boundedL(mix(h, 15), price / 2 + 1)),
+        money(price), money(qty * price),
         money(boundedL(mix(h, 12), qty * price / 10 + 1)),
         money(qty * price / 5 - boundedL(mix(h, 11), qty * price / 2)))
 
     case "catalog_returns" =>
       val sale = row("catalog_sales", sf, idx * 10)
       val h = mix(14, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(9).asInstanceOf[Int])
+      val qty = 1 + bounded(mix(h, 1), sale(11).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(7), sale(4), sale(8), qty, money(amt), money(amt / 2))
+        sale(7), sale(4), sale(10), qty, money(amt), money(amt / 2))
 
     case "web_sales" =>
       val h = mix(15, idx)
@@ -291,6 +376,9 @@ object TpcdsGen {
         boundedL(mix(h, 5), itemCount(sf)) + 1,
         boundedL(mix(h, 6), customerCount(sf)) + 1,
         boundedL(mix(h, 7), webSiteCount(sf)) + 1,
+        boundedL(mix(h, 12), timeDimCount),
+        boundedL(mix(h, 13), householdDemographicsCount) + 1,
+        boundedL(mix(h, 14), webPageCount(sf)) + 1,
         boundedL(mix(h, 9), shipModeCount(sf)) + 1,
         boundedL(mix(h, 10), warehouseCount(sf)) + 1,
         idx + 1, qty, money(price), money(qty * price),
@@ -300,10 +388,10 @@ object TpcdsGen {
     case "web_returns" =>
       val sale = row("web_sales", sf, idx * 10)
       val h = mix(16, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(8).asInstanceOf[Int])
+      val qty = 1 + bounded(mix(h, 1), sale(11).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(2), sale(7), qty, money(amt), money(amt / 2))
+        sale(2), sale(10), qty, money(amt), money(amt / 2))
 
     case "customer" =>
       val k = idx + 1
@@ -340,6 +428,7 @@ object TpcdsGen {
     case "store" =>
       val k = idx + 1
       Array(k, str(f"S$k%08d"), str(s"Store $k"),
+        str(s"County ${bounded(mix(22, k), 30)}"),
         str(states(bounded(mix(20, k), states.length))),
         str(f"${10000 + bounded(mix(21, k), 89999)}%05d"))
 
@@ -362,5 +451,53 @@ object TpcdsGen {
     case "ship_mode" =>
       val k = idx + 1
       Array(k, str(f"SM$k%04d"), str(shipModeTypes(idx.toInt % shipModeTypes.length)))
+
+    case "promotion" =>
+      val k = idx + 1
+      def yn(h: Long): UTF8String = str(if ((h & 1) == 0) "Y" else "N")
+      Array(k, str(f"P$k%08d"), yn(mix(23, k)), yn(mix(24, k)), yn(mix(25, k)), yn(mix(26, k)))
+
+    case "customer_demographics" =>
+      // spec layout: the sk ENCODES the demographic cross product
+      val k = idx + 1
+      val maritals = Array("M", "S", "D", "W", "U")
+      val educations = Array("Primary", "Secondary", "College", "2 yr Degree",
+        "4 yr Degree", "Advanced Degree", "Unknown")
+      val credits = Array("Low Risk", "Good", "High Risk", "Unknown")
+      Array(k, str(if (idx % 2 == 0) "M" else "F"),
+        str(maritals(((idx / 2) % 5).toInt)),
+        str(educations(((idx / 10) % 7).toInt)),
+        (500 * (1 + (idx / 70) % 20)).toInt,
+        str(credits(((idx / 1400) % 4).toInt)),
+        ((idx / 5600) % 7).toInt, ((idx / 39200) % 7).toInt, ((idx / 274400) % 7).toInt)
+
+    case "household_demographics" =>
+      val k = idx + 1
+      val potentials = Array(">10000", "5001-10000", "1001-5000", "501-1000", "0-500", "Unknown")
+      Array(k, (idx % incomeBandCount) + 1,
+        str(potentials(((idx / 20) % 6).toInt)),
+        ((idx / 120) % 10).toInt, ((idx / 1200) % 6).toInt)
+
+    case "time_dim" =>
+      val sec = idx
+      val hour = (sec / 3600).toInt
+      val meal =
+        if (hour >= 6 && hour <= 8) str("breakfast")
+        else if (hour >= 18 && hour <= 20) str("dinner")
+        else null
+      Array(sec, str(f"T$sec%06d"), sec.toInt, hour,
+        ((sec / 60) % 60).toInt, (sec % 60).toInt, meal)
+
+    case "income_band" =>
+      val k = idx + 1
+      Array(k, (idx * 10000).toInt, (idx * 10000 + 9999).toInt)
+
+    case "reason" =>
+      val k = idx + 1
+      Array(k, str(f"R$k%04d"), str(s"reason $k"))
+
+    case "web_page" =>
+      val k = idx + 1
+      Array(k, str(f"WP$k%06d"), (100 + bounded(mix(27, k), 7000)).toInt)
   }
 }

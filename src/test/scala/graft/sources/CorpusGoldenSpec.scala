@@ -64,7 +64,15 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q65" -> ((-2653433748L, 7L)),
     "tpcds_q92" -> ((42L, 1L)),
     "tpcds_q97" -> ((1066272465L, 1L)),
-    "tpcds_q98" -> ((-20370270597L, 115L)))
+    "tpcds_q98" -> ((-20370270597L, 115L)),
+    "tpcds_q7" -> ((-1509484125L, 43L)),
+    "tpcds_q26" -> ((4370902038L, 29L)),
+    "tpcds_q34" -> ((-26038675127L, 1000L)),
+    "tpcds_q48" -> ((1016272549L, 1L)),
+    "tpcds_q73" -> ((254438209L, 304L)),
+    "tpcds_q88" -> ((-1653987626L, 1L)),
+    "tpcds_q90" -> ((314705662L, 1L)),
+    "tpcds_q96" -> ((-477923172L, 1L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -3,9 +3,10 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * the 13 further spec queries expressible on the generator's
-  * 16-table schema slice (q15, q19, q32, q42, q45, q52, q55, q59,
-  * q62, q65, q92, q97, q98).
+  * 27 further spec queries expressible on the generator's 23-table
+  * schema (q7, q13, q15, q19, q26, q27, q32, q34, q36, q42, q43, q45,
+  * q48, q52, q53, q55, q59, q62, q65, q73, q88, q89, q90, q92, q96,
+  * q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -426,5 +427,87 @@ object TpcdsCorpusSql {
           WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
             AND ss_store_sk = s_store_sk AND t_hour = 20 AND t_minute >= 30
             AND hd_dep_count = 7 AND s_store_name = 'Store 1'
-          ORDER BY cnt LIMIT 100""")
+          ORDER BY cnt LIMIT 100""",
+    "q13" ->
+      s"""SELECT avg(ss_quantity) AS avg_qty, avg(ss_ext_sales_price) AS avg_esp,
+            sum(ss_ext_sales_price) AS sum_esp
+          FROM $p.store_sales, $p.store, $p.customer_demographics,
+               $p.household_demographics, $p.customer_address, $p.date_dim
+          WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+            AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+                   AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+                   AND ss_sales_price BETWEEN 100.00 AND 150.00 AND hd_dep_count = 3)
+              OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+                   AND cd_marital_status = 'S' AND cd_education_status = 'College'
+                   AND ss_sales_price BETWEEN 50.00 AND 100.00 AND hd_dep_count = 1)
+              OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+                   AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+                   AND ss_sales_price BETWEEN 150.00 AND 200.00 AND hd_dep_count = 1))
+            AND ((ss_addr_sk = ca_address_sk AND ca_state IN ('TX', 'OH', 'TX')
+                   AND ss_net_profit BETWEEN 100 AND 200)
+              OR (ss_addr_sk = ca_address_sk AND ca_state IN ('OR', 'NM', 'KY')
+                   AND ss_net_profit BETWEEN 150 AND 300)
+              OR (ss_addr_sk = ca_address_sk AND ca_state IN ('VA', 'TX', 'MS')
+                   AND ss_net_profit BETWEEN 50 AND 250))""",
+    "q27" ->
+      s"""SELECT i_item_id, s_state, CAST(grouping(s_state) AS INT) AS g_state,
+            avg(ss_quantity) AS agg1, avg(ss_list_price) AS agg2,
+            avg(ss_coupon_amt) AS agg3, avg(ss_sales_price) AS agg4
+          FROM $p.store_sales, $p.customer_demographics, $p.date_dim, $p.store, $p.item
+          WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+            AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+            AND cd_gender = 'M' AND cd_marital_status = 'S'
+            AND cd_education_status = 'College' AND d_year = 2002
+            AND s_state IN ('TN', 'CA', 'TX', 'NY', 'OH', 'GA')
+          GROUP BY ROLLUP (i_item_id, s_state)
+          ORDER BY i_item_id, s_state LIMIT 100""",
+    "q36" ->
+      s"""SELECT sum(ss_net_profit) / sum(ss_ext_sales_price) AS gross_margin,
+            i_category, i_class, CAST(grouping(i_category) + grouping(i_class) AS INT) AS lochierarchy
+          FROM $p.store_sales, $p.date_dim, $p.item, $p.store
+          WHERE d_year = 2001 AND d_date_sk = ss_sold_date_sk AND i_item_sk = ss_item_sk
+            AND s_store_sk = ss_store_sk
+            AND s_state IN ('TN', 'CA', 'TX', 'NY', 'OH', 'GA', 'WA', 'IL', 'MI', 'NC')
+          GROUP BY ROLLUP (i_category, i_class)
+          ORDER BY lochierarchy DESC, i_category, i_class LIMIT 100""",
+    "q43" ->
+      s"""SELECT s_store_name, s_store_id,
+            sum(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price ELSE null END) AS sun_sales,
+            sum(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price ELSE null END) AS mon_sales,
+            sum(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price ELSE null END) AS tue_sales,
+            sum(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price ELSE null END) AS wed_sales,
+            sum(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price ELSE null END) AS thu_sales,
+            sum(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price ELSE null END) AS fri_sales,
+            sum(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price ELSE null END) AS sat_sales
+          FROM $p.date_dim, $p.store, $p.store_sales
+          WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk AND d_year = 2000
+          GROUP BY s_store_name, s_store_id
+          ORDER BY s_store_name, s_store_id LIMIT 100""",
+    "q53" ->
+      s"""SELECT i_manufact_id, sum(ss_sales_price) AS sum_sales,
+            avg(sum(ss_sales_price)) OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+          FROM $p.item, $p.store_sales, $p.date_dim, $p.store
+          WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+            AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 1200 AND 1211
+            AND i_category IN ('Books', 'Children', 'Electronics')
+            AND i_class IN ('class1', 'class2', 'class3')
+          GROUP BY i_manufact_id, d_qoy
+          ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id LIMIT 100""",
+    "q89" ->
+      s"""SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy, sum_sales, avg_monthly_sales
+          FROM (SELECT i_category, i_class, i_brand, s_store_name, 'graft' AS s_company_name,
+                  d_moy, sum(ss_sales_price) AS sum_sales,
+                  avg(sum(ss_sales_price)) OVER (PARTITION BY i_category, i_brand, s_store_name)
+                    AS avg_monthly_sales
+                FROM $p.item, $p.store_sales, $p.date_dim, $p.store
+                WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+                  AND ss_store_sk = s_store_sk AND d_year = 2000
+                  AND ((i_category IN ('Books', 'Electronics', 'Sports')
+                         AND i_class IN ('class1', 'class2', 'class3'))
+                    OR (i_category IN ('Men', 'Jewelry', 'Women')
+                         AND i_class IN ('class4', 'class5', 'class6')))
+                GROUP BY i_category, i_class, i_brand, s_store_name, d_moy) tmp1
+          WHERE CASE WHEN avg_monthly_sales <> 0
+                     THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales ELSE null END > 0.1
+          ORDER BY sum_sales - avg_monthly_sales, s_store_name LIMIT 100""")
 }

@@ -72,7 +72,13 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q73" -> ((254438209L, 304L)),
     "tpcds_q88" -> ((-1653987626L, 1L)),
     "tpcds_q90" -> ((314705662L, 1L)),
-    "tpcds_q96" -> ((-477923172L, 1L)))
+    "tpcds_q96" -> ((-477923172L, 1L)),
+    "tpcds_q13" -> ((-416780422L, 1L)),
+    "tpcds_q27" -> ((-9085389191L, 100L)),
+    "tpcds_q36" -> ((2419402869L, 100L)),
+    "tpcds_q43" -> ((296242283L, 2L)),
+    "tpcds_q53" -> ((24425737112L, 100L)),
+    "tpcds_q89" -> ((5699338990L, 100L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -1,0 +1,61 @@
+package graft.core
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Multi-tenancy under concurrency: many sessions running statements
+  * simultaneously against one engine (shared SparkContext, isolated
+  * session state), plus explicit cancellation of a running operation.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("16 sessions x 4 statements run concurrently with correct results") {
+    val engine = new Engine(spark)
+    val pool = Executors.newFixedThreadPool(16)
+    // submissions block in awaitTermination on `pool`; operations MUST
+    // run on a different executor or the two workloads deadlock
+    val opPool = Executors.newFixedThreadPool(16)
+    val opEc: ExecutionContext = ExecutionContext.fromExecutor(opPool)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val work = (1 to 16).map { u =>
+        Future {
+          val sess = engine.openSession(s"user$u")
+          (1 to 4).map { i =>
+            val op = sess.executeStatement(
+              s"SELECT sum(id) AS s FROM range(${u * 1000 + i})")(opEc)
+            op.awaitTermination(120000)
+            assert(op.currentState == OperationState.Finished, s"${op.exception}")
+            val n = (u * 1000 + i).toLong
+            assert(op.fetchIterator.next().getLong(0) == n * (n - 1) / 2)
+          }
+          engine.closeSession(sess.id)
+        }
+      }
+      Await.result(Future.sequence(work), 180.seconds)
+      assert(engine.openSessionCount == 0)
+    } finally { pool.shutdown(); opPool.shutdown() }
+  }
+
+  test("cancel() stops a running statement and lands in CANCELED") {
+    val engine = new Engine(spark)
+    val sess = engine.openSession("canceller")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // a statement slow enough to still be running when we cancel
+    val op = sess.executeStatement(
+      "SELECT count(*) FROM range(1000000000) a CROSS JOIN range(100) b")
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (op.currentState != OperationState.Running && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    op.cancel()
+    val state = op.awaitTermination(60000)
+    assert(state == OperationState.Canceled, s"got $state")
+  }
+}

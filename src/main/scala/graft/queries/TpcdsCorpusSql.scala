@@ -3,10 +3,10 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 27 further spec queries expressible on the generator's 23-table
-  * schema (q7, q13, q15, q19, q26, q27, q32, q34, q36, q42, q43, q45,
-  * q48, q52, q53, q55, q59, q62, q65, q73, q88, q89, q90, q92, q96,
-  * q97, q98).
+  * 31 further spec queries expressible on the generator's 24-table
+  * schema (q7, q13, q15, q19, q21, q22, q26, q27, q32, q34, q36, q37,
+  * q42, q43, q45, q48, q52, q53, q55, q59, q62, q65, q73, q82, q88,
+  * q89, q90, q92, q96, q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -509,5 +509,51 @@ object TpcdsCorpusSql {
                 GROUP BY i_category, i_class, i_brand, s_store_name, d_moy) tmp1
           WHERE CASE WHEN avg_monthly_sales <> 0
                      THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales ELSE null END > 0.1
-          ORDER BY sum_sales - avg_monthly_sales, s_store_name LIMIT 100""")
+          ORDER BY sum_sales - avg_monthly_sales, s_store_name LIMIT 100""",
+    "q21" ->
+      s"""SELECT w_warehouse_name, i_item_id,
+            sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+            sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+          FROM $p.inventory, $p.warehouse, $p.item, $p.date_dim
+          WHERE i_current_price BETWEEN 0.99 AND 49.49 AND i_item_sk = inv_item_sk
+            AND inv_warehouse_sk = w_warehouse_sk AND inv_date_sk = d_date_sk
+            AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+          GROUP BY w_warehouse_name, i_item_id
+          HAVING (CASE WHEN sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) > 0
+                       THEN CAST(sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS DOUBLE)
+                          / sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END)
+                       ELSE null END) BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+          ORDER BY w_warehouse_name, i_item_id LIMIT 100""",
+    "q22" ->
+      s"""SELECT i_product_name, i_brand, i_class, i_category,
+            avg(inv_quantity_on_hand) AS qoh
+          FROM $p.inventory, $p.date_dim,
+               (SELECT i_item_sk, i_item_id AS i_product_name, i_brand, i_class, i_category
+                FROM $p.item) item
+          WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+            AND d_month_seq BETWEEN 1200 AND 1211
+          GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+          ORDER BY qoh, i_product_name, i_brand, i_class, i_category LIMIT 100""",
+    "q37" ->
+      s"""SELECT i_item_id, i_item_desc, i_current_price
+          FROM $p.item, $p.inventory, $p.date_dim, $p.catalog_sales
+          WHERE i_current_price BETWEEN 68 AND 98 AND inv_item_sk = i_item_sk
+            AND d_date_sk = inv_date_sk
+            AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+            AND i_manufact_id IN (677, 940, 694, 808)
+            AND inv_quantity_on_hand BETWEEN 100 AND 500
+            AND cs_item_sk = i_item_sk
+          GROUP BY i_item_id, i_item_desc, i_current_price
+          ORDER BY i_item_id LIMIT 100""",
+    "q82" ->
+      s"""SELECT i_item_id, i_item_desc, i_current_price
+          FROM $p.item, $p.inventory, $p.date_dim, $p.store_sales
+          WHERE i_current_price BETWEEN 62 AND 92 AND inv_item_sk = i_item_sk
+            AND d_date_sk = inv_date_sk
+            AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-07-25'
+            AND i_manufact_id IN (129, 270, 821, 423)
+            AND inv_quantity_on_hand BETWEEN 100 AND 500
+            AND ss_item_sk = i_item_sk
+          GROUP BY i_item_id, i_item_desc, i_current_price
+          ORDER BY i_item_id LIMIT 100""")
 }

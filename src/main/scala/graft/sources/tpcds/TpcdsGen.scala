@@ -32,6 +32,8 @@ object TpcdsGen {
   // sales activity window: 1998-01-01 .. 2002-12-31
   private val saleLo = LocalDate.of(1998, 1, 1).toEpochDay - epoch1900
   private val saleHi = LocalDate.of(2003, 1, 1).toEpochDay - epoch1900
+  val saleLoPub: Long = saleLo
+  val saleHiPub: Long = saleHi
 
   val dayNames = Array("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
   val states = Array("TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "MI", "NC")
@@ -64,6 +66,9 @@ object TpcdsGen {
   val timeDimCount: Long = 86400L                  // one row per second of day
   val incomeBandCount: Long = 20L
   def reasonCount(sf: Double): Long = math.max(10L, (35 * math.pow(sf, 0.11)).toLong)
+  /** weekly stock positions: items x warehouses x ~261 Mondays of the window */
+  def inventoryWeeks: Long = (saleHiPub - saleLoPub) / 7
+  def inventoryCount(sf: Double): Long = itemCount(sf) * warehouseCount(sf) * inventoryWeeks
   def webPageCount(sf: Double): Long = math.max(10L, (60 * math.pow(sf, 0.52)).toLong)
 
   def rowCount(table: String, sf: Double): Long = table match {
@@ -90,6 +95,7 @@ object TpcdsGen {
     case "income_band" => incomeBandCount
     case "reason" => reasonCount(sf)
     case "web_page" => webPageCount(sf)
+    case "inventory" => inventoryCount(sf)
   }
 
   val avgRowBytes: Map[String, Int] = Map(
@@ -99,7 +105,8 @@ object TpcdsGen {
     "item" -> 150, "store" -> 120, "warehouse" -> 80, "call_center" -> 90,
     "catalog_page" -> 80, "web_site" -> 80, "ship_mode" -> 60,
     "promotion" -> 80, "customer_demographics" -> 90, "household_demographics" -> 60,
-    "time_dim" -> 80, "income_band" -> 30, "reason" -> 60, "web_page" -> 50)
+    "time_dim" -> 80, "income_band" -> 30, "reason" -> 60, "web_page" -> 50,
+    "inventory" -> 40)
 
   private def dec72 = DecimalType(7, 2)
 
@@ -290,7 +297,12 @@ object TpcdsGen {
     "web_page" -> StructType(Seq(
       StructField("wp_web_page_sk", LongType, nullable = false),
       StructField("wp_web_page_id", StringType, nullable = false),
-      StructField("wp_char_count", IntegerType, nullable = false))))
+      StructField("wp_char_count", IntegerType, nullable = false))),
+    "inventory" -> StructType(Seq(
+      StructField("inv_date_sk", LongType, nullable = false),
+      StructField("inv_item_sk", LongType, nullable = false),
+      StructField("inv_warehouse_sk", LongType, nullable = false),
+      StructField("inv_quantity_on_hand", IntegerType, nullable = false))))
 
   /** day offset (0-based from 1900-01-01) → d_date_sk. */
   def dateSk(day: Long): Long = dateSkBase + day
@@ -499,5 +511,16 @@ object TpcdsGen {
     case "web_page" =>
       val k = idx + 1
       Array(k, str(f"WP$k%06d"), (100 + bounded(mix(27, k), 7000)).toInt)
+
+    case "inventory" =>
+      // idx enumerates (week, item, warehouse) lexicographically
+      val nItems = itemCount(sf)
+      val nWh = warehouseCount(sf)
+      val week = idx / (nItems * nWh)
+      val rem = idx % (nItems * nWh)
+      val item = rem / nWh + 1
+      val wh = rem % nWh + 1
+      Array(dateSk(saleLoPub + week * 7), item, wh,
+        bounded(mix(mix(28, idx), 1), 1000))
   }
 }

@@ -78,7 +78,11 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q36" -> ((2419402869L, 100L)),
     "tpcds_q43" -> ((296242283L, 2L)),
     "tpcds_q53" -> ((24425737112L, 100L)),
-    "tpcds_q89" -> ((5699338990L, 100L)))
+    "tpcds_q89" -> ((5699338990L, 100L)),
+    "tpcds_q21" -> ((8617160789L, 100L)),
+    "tpcds_q22" -> ((-2291829853L, 100L)),
+    "tpcds_q37" -> ((158900913L, 1L)),
+    "tpcds_q82" -> ((1858056585L, 1L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -3,10 +3,10 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 31 further spec queries expressible on the generator's 24-table
-  * schema (q7, q13, q15, q19, q21, q22, q26, q27, q32, q34, q36, q37,
-  * q42, q43, q45, q48, q52, q53, q55, q59, q62, q65, q73, q82, q88,
-  * q89, q90, q92, q96, q97, q98).
+  * 33 further spec queries expressible on the generator's 24-table
+  * schema (q7, q13, q15, q19, q21, q22, q26, q27, q32, q33, q34, q36,
+  * q37, q42, q43, q45, q48, q52, q53, q55, q59, q60, q62, q65, q73,
+  * q82, q88, q89, q90, q92, q96, q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -555,5 +555,64 @@ object TpcdsCorpusSql {
             AND inv_quantity_on_hand BETWEEN 100 AND 500
             AND ss_item_sk = i_item_sk
           GROUP BY i_item_id, i_item_desc, i_current_price
-          ORDER BY i_item_id LIMIT 100""")
+          ORDER BY i_item_id LIMIT 100""",
+    "q33" ->
+      s"""WITH manufacturers AS (
+            SELECT i_manufact_id FROM $p.item WHERE i_category = 'Electronics'),
+          ss AS (
+            SELECT i_manufact_id, sum(ss_ext_sales_price) AS total_sales
+            FROM $p.store_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufacturers)
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 5 AND ss_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5.00
+            GROUP BY i_manufact_id),
+          cs AS (
+            SELECT i_manufact_id, sum(cs_ext_sales_price) AS total_sales
+            FROM $p.catalog_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufacturers)
+              AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 5 AND cs_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5.00
+            GROUP BY i_manufact_id),
+          ws AS (
+            SELECT i_manufact_id, sum(ws_ext_sales_price) AS total_sales
+            FROM $p.web_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufacturers)
+              AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 5 AND ws_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5.00
+            GROUP BY i_manufact_id)
+          SELECT i_manufact_id, sum(total_sales) AS total_sales
+          FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
+          GROUP BY i_manufact_id ORDER BY total_sales, i_manufact_id LIMIT 100""",
+    "q60" ->
+      s"""WITH music AS (SELECT i_item_id FROM $p.item WHERE i_category = 'Music'),
+          ss AS (
+            SELECT i_item_id, sum(ss_ext_sales_price) AS total_sales
+            FROM $p.store_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM music)
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 9 AND ss_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -6.00
+            GROUP BY i_item_id),
+          cs AS (
+            SELECT i_item_id, sum(cs_ext_sales_price) AS total_sales
+            FROM $p.catalog_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM music)
+              AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 9 AND cs_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -6.00
+            GROUP BY i_item_id),
+          ws AS (
+            SELECT i_item_id, sum(ws_ext_sales_price) AS total_sales
+            FROM $p.web_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM music)
+              AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 9 AND ws_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -6.00
+            GROUP BY i_item_id)
+          SELECT i_item_id, sum(total_sales) AS total_sales
+          FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
+          GROUP BY i_item_id ORDER BY i_item_id, total_sales LIMIT 100""")
 }

@@ -163,6 +163,7 @@ object TpcdsGen {
       StructField("cs_warehouse_sk", LongType, nullable = false),
       StructField("cs_item_sk", LongType, nullable = false),
       StructField("cs_bill_cdemo_sk", LongType, nullable = false),
+      StructField("cs_bill_addr_sk", LongType, nullable = false),
       StructField("cs_promo_sk", LongType, nullable = false),
       StructField("cs_order_number", LongType, nullable = false),
       StructField("cs_quantity", IntegerType, nullable = false),
@@ -185,6 +186,7 @@ object TpcdsGen {
       StructField("ws_ship_date_sk", LongType, nullable = false),
       StructField("ws_item_sk", LongType, nullable = false),
       StructField("ws_bill_customer_sk", LongType, nullable = false),
+      StructField("ws_bill_addr_sk", LongType, nullable = false),
       StructField("ws_web_site_sk", LongType, nullable = false),
       StructField("ws_sold_time_sk", LongType, nullable = false),
       StructField("ws_ship_hdemo_sk", LongType, nullable = false),
@@ -364,6 +366,7 @@ object TpcdsGen {
         boundedL(mix(h, 9), warehouseCount(sf)) + 1,
         boundedL(mix(h, 10), itemCount(sf)) + 1,
         boundedL(mix(h, 13), customerDemographicsCount) + 1,
+        boundedL(mix(h, 16), customerAddressCount(sf)) + 1,
         boundedL(mix(h, 14), promotionCount(sf)) + 1,
         idx + 1, qty, money(price + price / 4),
         money(boundedL(mix(h, 15), price / 2 + 1)),
@@ -374,10 +377,10 @@ object TpcdsGen {
     case "catalog_returns" =>
       val sale = row("catalog_sales", sf, idx * 10)
       val h = mix(14, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(11).asInstanceOf[Int])
+      val qty = 1 + bounded(mix(h, 1), sale(12).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(7), sale(4), sale(10), qty, money(amt), money(amt / 2))
+        sale(7), sale(4), sale(11), qty, money(amt), money(amt / 2))
 
     case "web_sales" =>
       val h = mix(15, idx)
@@ -387,6 +390,7 @@ object TpcdsGen {
       Array(dateSk(sold), dateSk(sold + 1 + bounded(mix(h, 4), 120)),
         boundedL(mix(h, 5), itemCount(sf)) + 1,
         boundedL(mix(h, 6), customerCount(sf)) + 1,
+        boundedL(mix(h, 16), customerAddressCount(sf)) + 1,
         boundedL(mix(h, 7), webSiteCount(sf)) + 1,
         boundedL(mix(h, 12), timeDimCount),
         boundedL(mix(h, 13), householdDemographicsCount) + 1,
@@ -400,10 +404,10 @@ object TpcdsGen {
     case "web_returns" =>
       val sale = row("web_sales", sf, idx * 10)
       val h = mix(16, idx)
-      val qty = 1 + bounded(mix(h, 1), sale(11).asInstanceOf[Int])
+      val qty = 1 + bounded(mix(h, 1), sale(12).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(2), sale(10), qty, money(amt), money(amt / 2))
+        sale(2), sale(11), qty, money(amt), money(amt / 2))
 
     case "customer" =>
       val k = idx + 1

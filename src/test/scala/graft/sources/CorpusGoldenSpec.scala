@@ -82,7 +82,9 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q21" -> ((8617160789L, 100L)),
     "tpcds_q22" -> ((-2291829853L, 100L)),
     "tpcds_q37" -> ((158900913L, 1L)),
-    "tpcds_q82" -> ((1858056585L, 1L)))
+    "tpcds_q82" -> ((1858056585L, 1L)),
+    "tpcds_q33" -> ((8938769906L, 29L)),
+    "tpcds_q60" -> ((-11178994614L, 19L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

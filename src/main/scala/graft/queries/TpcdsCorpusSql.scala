@@ -3,10 +3,10 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 33 further spec queries expressible on the generator's 24-table
-  * schema (q7, q13, q15, q19, q21, q22, q26, q27, q32, q33, q34, q36,
-  * q37, q42, q43, q45, q48, q52, q53, q55, q59, q60, q62, q65, q73,
-  * q82, q88, q89, q90, q92, q96, q97, q98).
+  * 38 further spec queries expressible on the generator's 24-table
+  * schema (q7, q12, q13, q15, q19, q20, q21, q22, q26, q27, q32, q33,
+  * q34, q36, q37, q42, q43, q44, q45, q47, q48, q52, q53, q55, q59,
+  * q60, q62, q63, q65, q73, q82, q88, q89, q90, q92, q96, q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -614,5 +614,95 @@ object TpcdsCorpusSql {
             GROUP BY i_item_id)
           SELECT i_item_id, sum(total_sales) AS total_sales
           FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
-          GROUP BY i_item_id ORDER BY i_item_id, total_sales LIMIT 100""")
+          GROUP BY i_item_id ORDER BY i_item_id, total_sales LIMIT 100""",
+    "q12" ->
+      s"""SELECT i_item_desc, i_category, i_class, i_current_price,
+            sum(ws_ext_sales_price) AS itemrevenue,
+            sum(ws_ext_sales_price) * 100 / sum(sum(ws_ext_sales_price))
+              OVER (PARTITION BY i_class) AS revenueratio
+          FROM $p.web_sales, $p.item, $p.date_dim
+          WHERE ws_item_sk = i_item_sk AND i_category IN ('Sports', 'Books', 'Home')
+            AND ws_sold_date_sk = d_date_sk
+            AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+          GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+          ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+          LIMIT 100""",
+    "q20" ->
+      s"""SELECT i_item_desc, i_category, i_class, i_current_price,
+            sum(cs_ext_sales_price) AS itemrevenue,
+            sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price))
+              OVER (PARTITION BY i_class) AS revenueratio
+          FROM $p.catalog_sales, $p.item, $p.date_dim
+          WHERE cs_item_sk = i_item_sk AND i_category IN ('Sports', 'Books', 'Home')
+            AND cs_sold_date_sk = d_date_sk
+            AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+          GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+          ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+          LIMIT 100""",
+    "q44" ->
+      s"""SELECT asceding.rnk, i1.i_item_id AS best_performing, i2.i_item_id AS worst_performing
+          FROM (SELECT * FROM (
+                  SELECT item_sk, rank() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+                  FROM (SELECT ss_item_sk AS item_sk, avg(ss_net_profit) AS rank_col
+                        FROM $p.store_sales WHERE ss_store_sk = 1
+                        GROUP BY ss_item_sk
+                        HAVING avg(ss_net_profit) > 0.9 * (
+                          SELECT avg(ss_net_profit) FROM $p.store_sales
+                          WHERE ss_store_sk = 1)) v1) v11
+                WHERE rnk < 11) asceding,
+               (SELECT * FROM (
+                  SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk ASC) AS rnk
+                  FROM (SELECT ss_item_sk AS item_sk, avg(ss_net_profit) AS rank_col
+                        FROM $p.store_sales WHERE ss_store_sk = 1
+                        GROUP BY ss_item_sk
+                        HAVING avg(ss_net_profit) > 0.9 * (
+                          SELECT avg(ss_net_profit) FROM $p.store_sales
+                          WHERE ss_store_sk = 1)) v2) v21
+                WHERE rnk < 11) descending,
+               $p.item i1, $p.item i2
+          WHERE asceding.rnk = descending.rnk
+            AND i1.i_item_sk = asceding.item_sk AND i2.i_item_sk = descending.item_sk
+          ORDER BY asceding.rnk LIMIT 100""",
+    "q47" ->
+      s"""WITH v1 AS (
+            SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+              sum(ss_sales_price) AS sum_sales,
+              avg(sum(ss_sales_price)) OVER (
+                PARTITION BY i_category, i_brand, s_store_name, d_year) AS avg_monthly_sales,
+              rank() OVER (
+                PARTITION BY i_category, i_brand, s_store_name
+                ORDER BY d_year, d_moy) AS rn
+            FROM $p.item, $p.store_sales, $p.date_dim, $p.store
+            WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk
+              AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12) OR (d_year = 2001 AND d_moy = 1))
+            GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
+          v2 AS (
+            SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year, v1.d_moy,
+              v1.avg_monthly_sales, v1.sum_sales,
+              v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+            FROM v1, v1 v1_lag, v1 v1_lead
+            WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+              AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+              AND v1.s_store_name = v1_lag.s_store_name
+              AND v1.s_store_name = v1_lead.s_store_name
+              AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+          SELECT * FROM v2
+          WHERE d_year = 2000 AND avg_monthly_sales > 0
+            AND CASE WHEN avg_monthly_sales > 0
+                     THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+                     ELSE null END > 0.1
+          ORDER BY sum_sales - avg_monthly_sales, s_store_name, d_moy LIMIT 100""",
+    "q63" ->
+      s"""SELECT i_manager_id, sum(ss_sales_price) AS sum_sales,
+            avg(sum(ss_sales_price)) OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+          FROM $p.item, $p.store_sales, $p.date_dim, $p.store
+          WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+            AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 1200 AND 1211
+            AND ((i_category IN ('Books', 'Children', 'Electronics')
+                   AND i_class IN ('class1', 'class2', 'class3'))
+              OR (i_category IN ('Women', 'Music', 'Men')
+                   AND i_class IN ('class4', 'class5', 'class6')))
+          GROUP BY i_manager_id, d_moy
+          ORDER BY i_manager_id, avg_monthly_sales, sum_sales LIMIT 100""")
 }

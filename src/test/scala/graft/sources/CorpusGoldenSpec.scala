@@ -84,7 +84,12 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q37" -> ((158900913L, 1L)),
     "tpcds_q82" -> ((1858056585L, 1L)),
     "tpcds_q33" -> ((8938769906L, 29L)),
-    "tpcds_q60" -> ((-11178994614L, 19L)))
+    "tpcds_q60" -> ((-11178994614L, 19L)),
+    "tpcds_q12" -> ((44609390L, 38L)),
+    "tpcds_q20" -> ((3351570228L, 57L)),
+    "tpcds_q44" -> ((2511287601L, 10L)),
+    "tpcds_q47" -> ((-21047221149L, 100L)),
+    "tpcds_q63" -> ((-5818126470L, 100L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -3,10 +3,10 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 38 further spec queries expressible on the generator's 24-table
+  * 39 further spec queries expressible on the generator's 24-table
   * schema (q7, q12, q13, q15, q19, q20, q21, q22, q26, q27, q32, q33,
   * q34, q36, q37, q42, q43, q44, q45, q47, q48, q52, q53, q55, q59,
-  * q60, q62, q63, q65, q73, q82, q88, q89, q90, q92, q96, q97, q98).
+  * q60, q62, q63, q65, q73, q74, q82, q88, q89, q90, q92, q96, q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -704,5 +704,36 @@ object TpcdsCorpusSql {
               OR (i_category IN ('Women', 'Music', 'Men')
                    AND i_class IN ('class4', 'class5', 'class6')))
           GROUP BY i_manager_id, d_moy
-          ORDER BY i_manager_id, avg_monthly_sales, sum_sales LIMIT 100""")
+          ORDER BY i_manager_id, avg_monthly_sales, sum_sales LIMIT 100""",
+    "q74" ->
+      s"""WITH year_total AS (
+            SELECT c_customer_id AS customer_id, c_first_name, c_last_name,
+              d_year AS year_, sum(ss_net_paid) AS year_total, 's' AS sale_type
+            FROM $p.customer, $p.store_sales, $p.date_dim
+            WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+              AND d_year IN (2001, 2002)
+            GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+            UNION ALL
+            SELECT c_customer_id, c_first_name, c_last_name,
+              d_year, sum(ws_net_paid), 'w'
+            FROM $p.customer, $p.web_sales, $p.date_dim
+            WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+              AND d_year IN (2001, 2002)
+            GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+          SELECT t_s_secyear.customer_id, t_s_secyear.c_first_name, t_s_secyear.c_last_name
+          FROM year_total t_s_firstyear, year_total t_s_secyear,
+               year_total t_w_firstyear, year_total t_w_secyear
+          WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+            AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+            AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+            AND t_s_firstyear.year_ = 2001 AND t_s_secyear.year_ = 2002
+            AND t_w_firstyear.year_ = 2001 AND t_w_secyear.year_ = 2002
+            AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+            AND CASE WHEN t_w_firstyear.year_total > 0
+                     THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE null END
+              > CASE WHEN t_s_firstyear.year_total > 0
+                     THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE null END
+          ORDER BY customer_id, c_first_name, c_last_name LIMIT 100""")
 }

@@ -198,6 +198,7 @@ object TpcdsGen {
       StructField("ws_sales_price", dec72, nullable = false),
       StructField("ws_ext_sales_price", dec72, nullable = false),
       StructField("ws_ext_discount_amt", dec72, nullable = false),
+      StructField("ws_net_paid", dec72, nullable = false),
       StructField("ws_net_profit", dec72, nullable = false))),
     "web_returns" -> StructType(Seq(
       StructField("wr_returned_date_sk", LongType, nullable = false),
@@ -399,6 +400,7 @@ object TpcdsGen {
         boundedL(mix(h, 10), warehouseCount(sf)) + 1,
         idx + 1, qty, money(price), money(qty * price),
         money(boundedL(mix(h, 11), qty * price / 10 + 1)),
+        money(qty * price),
         money(qty * price / 5 - boundedL(mix(h, 8), qty * price / 2)))
 
     case "web_returns" =>

@@ -7,11 +7,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.tpch.TpchGen.{bounded, boundedL, mix}
 
-/** Deterministic TPC-DS-shaped row generation for the benchmark slice
-  * of the schema: the 16 tables touched by the reference's published
-  * TPC-DS numbers (q1, q2, q3, q5, q6, q99 — BASELINE.md /
-  * dev/kyuubi-tpcds/README.md:80-105), with the spec's key
-  * relationships: a 1900-2100 date_dim with consecutive
+/** Deterministic TPC-DS-shaped row generation: 24 tables (all facts,
+  * the date/time/demographic/address/promotion dimensions, and weekly
+  * inventory) covering the 45-query corpus in TpcdsCorpusSql, incl.
+  * every query with published reference numbers (q1, q2, q3, q5, q6,
+  * q99 — BASELINE.md / dev/kyuubi-tpcds/README.md:80-105), with the
+  * spec's key relationships: a 1900-2100 date_dim with consecutive
   * d_month_seq/d_week_seq, surrogate-key joins sales→date/item/
   * customer/store, and returns derived from every 10th sale so
   * sale↔return joins land. Column sets cover the full benchmark query

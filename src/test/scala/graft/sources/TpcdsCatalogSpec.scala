@@ -8,7 +8,8 @@ import graft.sources.tpcds.{TpcdsCatalog, TpcdsGen}
 
 /** TPC-DS generator-catalog correctness at tiny scale: calendar
   * integrity, key relationships (returns derive from sales), and the
-  * 6 benchmark queries run + deterministic + non-degenerate.
+  * corpus queries run + deterministic + non-degenerate (golden hashes
+  * are pinned separately in CorpusGoldenSpec).
   */
 class TpcdsCatalogSpec extends AnyFunSuite {
   private lazy val spark = {
@@ -53,7 +54,7 @@ class TpcdsCatalogSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("the 6 benchmark queries run, return rows, and are deterministic") {
+  test("the corpus queries run, return rows, and are deterministic") {
     TpcdsCorpusSql.queries("tpcds.tiny").foreach { case (name, sql) =>
       val r1 = spark.sql(sql).collect()
       val r2 = spark.sql(sql).collect()

@@ -3,8 +3,8 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 39 further spec queries expressible on the generator's 24-table
-  * schema (q7, q12, q13, q15, q19, q20, q21, q22, q26, q27, q32, q33,
+  * 41 further spec queries expressible on the generator's 24-table
+  * schema (q7, q9, q12, q13, q15, q19, q20, q21, q22, q26, q27, q28, q32, q33,
   * q34, q36, q37, q42, q43, q44, q45, q47, q48, q52, q53, q55, q59,
   * q60, q62, q63, q65, q73, q74, q82, q88, q89, q90, q92, q96, q97, q98).
   */
@@ -735,5 +735,64 @@ object TpcdsCorpusSql {
                      THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE null END
               > CASE WHEN t_s_firstyear.year_total > 0
                      THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE null END
-          ORDER BY customer_id, c_first_name, c_last_name LIMIT 100""")
+          ORDER BY customer_id, c_first_name, c_last_name LIMIT 100""",
+    "q9" ->
+      s"""SELECT CASE WHEN (SELECT count(*) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 1 AND 20) > 1000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 1 AND 20)
+                      ELSE (SELECT avg(ss_net_paid) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 1 AND 20) END AS bucket1,
+                 CASE WHEN (SELECT count(*) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 21 AND 40) > 1000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 21 AND 40)
+                      ELSE (SELECT avg(ss_net_paid) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 21 AND 40) END AS bucket2,
+                 CASE WHEN (SELECT count(*) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 41 AND 60) > 1000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 41 AND 60)
+                      ELSE (SELECT avg(ss_net_paid) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 41 AND 60) END AS bucket3,
+                 CASE WHEN (SELECT count(*) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 61 AND 80) > 1000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 61 AND 80)
+                      ELSE (SELECT avg(ss_net_paid) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 61 AND 80) END AS bucket4,
+                 CASE WHEN (SELECT count(*) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 81 AND 100) > 1000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 81 AND 100)
+                      ELSE (SELECT avg(ss_net_paid) FROM $p.store_sales
+                            WHERE ss_quantity BETWEEN 81 AND 100) END AS bucket5
+          FROM $p.reason WHERE r_reason_sk = 1""",
+    "q28" ->
+      s"""SELECT * FROM
+          (SELECT avg(ss_list_price) AS b1_lp, count(ss_list_price) AS b1_cnt,
+                  count(DISTINCT ss_list_price) AS b1_cntd
+           FROM $p.store_sales
+           WHERE ss_quantity BETWEEN 0 AND 5
+             AND (ss_list_price BETWEEN 8 AND 18 OR ss_coupon_amt BETWEEN 459 AND 1459
+               OR ss_wholesale_cost BETWEEN 57 AND 77)) b1,
+          (SELECT avg(ss_list_price) AS b2_lp, count(ss_list_price) AS b2_cnt,
+                  count(DISTINCT ss_list_price) AS b2_cntd
+           FROM $p.store_sales
+           WHERE ss_quantity BETWEEN 6 AND 10
+             AND (ss_list_price BETWEEN 90 AND 100 OR ss_coupon_amt BETWEEN 2323 AND 3323
+               OR ss_wholesale_cost BETWEEN 31 AND 51)) b2,
+          (SELECT avg(ss_list_price) AS b3_lp, count(ss_list_price) AS b3_cnt,
+                  count(DISTINCT ss_list_price) AS b3_cntd
+           FROM $p.store_sales
+           WHERE ss_quantity BETWEEN 11 AND 15
+             AND (ss_list_price BETWEEN 142 AND 152 OR ss_coupon_amt BETWEEN 12214 AND 13214
+               OR ss_wholesale_cost BETWEEN 79 AND 99)) b3,
+          (SELECT avg(ss_list_price) AS b4_lp, count(ss_list_price) AS b4_cnt,
+                  count(DISTINCT ss_list_price) AS b4_cntd
+           FROM $p.store_sales
+           WHERE ss_quantity BETWEEN 16 AND 20
+             AND (ss_list_price BETWEEN 135 AND 145 OR ss_coupon_amt BETWEEN 6071 AND 7071
+               OR ss_wholesale_cost BETWEEN 38 AND 58)) b4
+          LIMIT 100""")
 }

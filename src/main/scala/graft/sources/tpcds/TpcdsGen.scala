@@ -144,7 +144,9 @@ object TpcdsGen {
       StructField("ss_coupon_amt", dec72, nullable = false),
       StructField("ss_ext_sales_price", dec72, nullable = false),
       StructField("ss_net_paid", dec72, nullable = false),
-      StructField("ss_net_profit", dec72, nullable = false))),
+      StructField("ss_net_profit", dec72, nullable = false),
+      StructField("ss_ext_discount_amt", dec72, nullable = false),
+      StructField("ss_wholesale_cost", dec72, nullable = false))),
     "store_returns" -> StructType(Seq(
       StructField("sr_returned_date_sk", LongType, nullable = false),
       StructField("sr_item_sk", LongType, nullable = false),
@@ -343,7 +345,9 @@ object TpcdsGen {
         idx + 1, qty, money(price + price / 4), money(price),
         money(boundedL(mix(h, 13), price / 2 + 1)),
         money(ext), money(ext),
-        money(ext / 5 - boundedL(mix(h, 7), ext / 2)))
+        money(ext / 5 - boundedL(mix(h, 7), ext / 2)),
+        money(boundedL(mix(h, 14), ext / 10 + 1)),
+        money(price / 2 + boundedL(mix(h, 15), price / 4 + 1)))
 
     case "store_returns" =>
       // every 10th store sale is returned, 1-30 days later

@@ -90,7 +90,9 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q44" -> ((2511287601L, 10L)),
     "tpcds_q47" -> ((-21047221149L, 100L)),
     "tpcds_q63" -> ((-5818126470L, 100L)),
-    "tpcds_q74" -> ((-7635514590L, 100L)))
+    "tpcds_q74" -> ((-7635514590L, 100L)),
+    "tpcds_q9" -> ((-681555545L, 1L)),
+    "tpcds_q28" -> ((2113909099L, 1L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -3,10 +3,11 @@ package graft.queries
 /** TPC-DS corpus over the generator catalog namespace `p`: the 6
   * queries with published reference latencies (BASELINE.md: q1, q2,
   * q3, q5, q6, q99 at sf10 — dev/kyuubi-tpcds/README.md:80-105) plus
-  * 41 further spec queries expressible on the generator's 24-table
+  * 44 further spec queries expressible on the generator's 24-table
   * schema (q7, q9, q12, q13, q15, q19, q20, q21, q22, q26, q27, q28, q32, q33,
   * q34, q36, q37, q42, q43, q44, q45, q47, q48, q52, q53, q55, q59,
-  * q60, q62, q63, q65, q73, q74, q82, q88, q89, q90, q92, q96, q97, q98).
+  * q60, q62, q63, q65, q70, q71, q73, q74, q77, q82, q88, q89, q90, q92,
+  * q96, q97, q98).
   */
 object TpcdsCorpusSql {
 
@@ -794,5 +795,107 @@ object TpcdsCorpusSql {
            WHERE ss_quantity BETWEEN 16 AND 20
              AND (ss_list_price BETWEEN 135 AND 145 OR ss_coupon_amt BETWEEN 6071 AND 7071
                OR ss_wholesale_cost BETWEEN 38 AND 58)) b4
-          LIMIT 100""")
+          LIMIT 100""",
+    "q70" ->
+      s"""SELECT sum(ss_net_profit) AS total_sum, s_state, s_county,
+            CAST(grouping(s_state) + grouping(s_county) AS INT) AS lochierarchy,
+            rank() OVER (
+              PARTITION BY grouping(s_state) + grouping(s_county),
+                CASE WHEN grouping(s_county) = 0 THEN s_state END
+              ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
+          FROM $p.store_sales, $p.date_dim d1, $p.store
+          WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+            AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+            AND s_state IN (
+              SELECT s_state FROM (
+                SELECT s_state, rank() OVER (PARTITION BY s_state ORDER BY sum(ss_net_profit) DESC) AS ranking
+                FROM $p.store_sales, $p.store, $p.date_dim
+                WHERE d_month_seq BETWEEN 1200 AND 1211
+                  AND d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+                GROUP BY s_state) tmp1
+              WHERE ranking <= 5)
+          GROUP BY ROLLUP (s_state, s_county)
+          ORDER BY lochierarchy DESC,
+            CASE WHEN grouping(s_state) + grouping(s_county) = 0 THEN s_state END,
+            rank_within_parent LIMIT 100""",
+    "q71" ->
+      s"""SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+            sum(ext_price) AS ext_price
+          FROM $p.item,
+            (SELECT ws_ext_sales_price AS ext_price, ws_sold_date_sk AS sold_date_sk,
+               ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+             FROM $p.web_sales, $p.date_dim
+             WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+             UNION ALL
+             SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk, cs_sold_time_sk
+             FROM $p.catalog_sales, $p.date_dim
+             WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+             UNION ALL
+             SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk, ss_sold_time_sk
+             FROM $p.store_sales, $p.date_dim
+             WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999) tmp,
+            $p.time_dim
+          WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+            AND time_sk = t_time_sk AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+          GROUP BY i_brand, i_brand_id, t_hour, t_minute
+          ORDER BY ext_price DESC, brand_id, t_hour, t_minute LIMIT 100""",
+    "q77" ->
+      s"""WITH ss AS (
+            SELECT s_store_sk, sum(ss_ext_sales_price) AS sales, sum(ss_net_profit) AS profit
+            FROM $p.store_sales, $p.date_dim, $p.store
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+              AND ss_store_sk = s_store_sk
+            GROUP BY s_store_sk),
+          sr AS (
+            SELECT s_store_sk, sum(sr_return_amt) AS returns_amt, sum(sr_net_loss) AS profit_loss
+            FROM $p.store_returns, $p.date_dim, $p.store
+            WHERE sr_returned_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+              AND sr_store_sk = s_store_sk
+            GROUP BY s_store_sk),
+          cs AS (
+            SELECT cs_call_center_sk, sum(cs_ext_sales_price) AS sales, sum(cs_net_profit) AS profit
+            FROM $p.catalog_sales, $p.date_dim
+            WHERE cs_sold_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+            GROUP BY cs_call_center_sk),
+          cr AS (
+            SELECT cr_call_center_sk, sum(cr_return_amount) AS returns_amt, sum(cr_net_loss) AS profit_loss
+            FROM $p.catalog_returns, $p.date_dim
+            WHERE cr_returned_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+            GROUP BY cr_call_center_sk),
+          ws AS (
+            SELECT wp_web_page_sk, sum(ws_ext_sales_price) AS sales, sum(ws_net_profit) AS profit
+            FROM $p.web_sales, $p.date_dim, $p.web_page
+            WHERE ws_sold_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+              AND ws_web_page_sk = wp_web_page_sk
+            GROUP BY wp_web_page_sk),
+          wr AS (
+            SELECT wsx.ws_web_page_sk AS wp_web_page_sk, sum(wr_return_amt) AS returns_amt,
+              sum(wr_net_loss) AS profit_loss
+            FROM $p.web_returns wrx LEFT OUTER JOIN $p.web_sales wsx
+              ON wrx.wr_item_sk = wsx.ws_item_sk AND wrx.wr_order_number = wsx.ws_order_number,
+              $p.date_dim
+            WHERE wr_returned_date_sk = d_date_sk
+              AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+            GROUP BY wsx.ws_web_page_sk)
+          SELECT channel, id, sum(sales) AS sales, sum(returns_amt) AS returns_amt,
+            sum(profit) AS profit
+          FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+                  coalesce(returns_amt, 0) AS returns_amt,
+                  profit - coalesce(profit_loss, 0) AS profit
+                FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+                UNION ALL
+                SELECT 'catalog channel', cs_call_center_sk, sales,
+                  coalesce(returns_amt, 0), profit - coalesce(profit_loss, 0)
+                FROM cs LEFT JOIN cr ON cs.cs_call_center_sk = cr.cr_call_center_sk
+                UNION ALL
+                SELECT 'web channel', ws.wp_web_page_sk, sales,
+                  coalesce(returns_amt, 0), profit - coalesce(profit_loss, 0)
+                FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+          GROUP BY ROLLUP (channel, id)
+          ORDER BY channel, id LIMIT 100""")
 }

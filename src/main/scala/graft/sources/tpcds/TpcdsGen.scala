@@ -175,7 +175,8 @@ object TpcdsGen {
       StructField("cs_sales_price", dec72, nullable = false),
       StructField("cs_ext_sales_price", dec72, nullable = false),
       StructField("cs_ext_discount_amt", dec72, nullable = false),
-      StructField("cs_net_profit", dec72, nullable = false))),
+      StructField("cs_net_profit", dec72, nullable = false),
+      StructField("cs_sold_time_sk", LongType, nullable = false))),
     "catalog_returns" -> StructType(Seq(
       StructField("cr_returned_date_sk", LongType, nullable = false),
       StructField("cr_item_sk", LongType, nullable = false),
@@ -183,7 +184,8 @@ object TpcdsGen {
       StructField("cr_order_number", LongType, nullable = false),
       StructField("cr_return_quantity", IntegerType, nullable = false),
       StructField("cr_return_amount", dec72, nullable = false),
-      StructField("cr_net_loss", dec72, nullable = false))),
+      StructField("cr_net_loss", dec72, nullable = false),
+      StructField("cr_call_center_sk", LongType, nullable = false))),
     "web_sales" -> StructType(Seq(
       StructField("ws_sold_date_sk", LongType, nullable = false),
       StructField("ws_ship_date_sk", LongType, nullable = false),
@@ -378,7 +380,8 @@ object TpcdsGen {
         money(boundedL(mix(h, 15), price / 2 + 1)),
         money(price), money(qty * price),
         money(boundedL(mix(h, 12), qty * price / 10 + 1)),
-        money(qty * price / 5 - boundedL(mix(h, 11), qty * price / 2)))
+        money(qty * price / 5 - boundedL(mix(h, 11), qty * price / 2)),
+        boundedL(mix(h, 17), timeDimCount))
 
     case "catalog_returns" =>
       val sale = row("catalog_sales", sf, idx * 10)
@@ -386,7 +389,7 @@ object TpcdsGen {
       val qty = 1 + bounded(mix(h, 1), sale(12).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(7), sale(4), sale(11), qty, money(amt), money(amt / 2))
+        sale(7), sale(4), sale(11), qty, money(amt), money(amt / 2), sale(3))
 
     case "web_sales" =>
       val h = mix(15, idx)

@@ -92,7 +92,10 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q63" -> ((-5818126470L, 100L)),
     "tpcds_q74" -> ((-7635514590L, 100L)),
     "tpcds_q9" -> ((-681555545L, 1L)),
-    "tpcds_q28" -> ((2113909099L, 1L)))
+    "tpcds_q28" -> ((2113909099L, 1L)),
+    "tpcds_q70" -> ((-1664788455L, 5L)),
+    "tpcds_q71" -> ((1494558268L, 2L)),
+    "tpcds_q77" -> ((8464487556L, 18L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

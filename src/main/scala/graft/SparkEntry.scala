@@ -25,5 +25,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      TpchQueries.oracles ++ MultimodalQueries.oracles
+      TpchQueries.oracles ++ TpchCatalogQueries.oracles ++ MultimodalQueries.oracles
 }

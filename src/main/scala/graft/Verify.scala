@@ -1,8 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.TpchCatalogQueries
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also dumps the `tpch.tiny` generator-catalog tables to
+  * `<outDir>/tpch_aux/` and substitutes that absolute path for the
+  * `__AUX__` placeholder in oracle SQL, so DuckDB can independently
+  * re-compute the 8 partsupp/commitdate TPC-H queries over the same
+  * inputs (see TpchCatalogQueries).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -24,6 +35,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val auxDir = Paths.get(outDir).toAbsolutePath.normalize.resolve("tpch_aux")
+    try {
+      TpchCatalogQueries.register(spark)
+      TpchCatalogQueries.auxTables.foreach { t =>
+        spark.table(s"tpch.tiny.$t").coalesce(1).write.mode("overwrite")
+          .parquet(auxDir.resolve(s"$t.parquet").toString)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] tpch_aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,7 +58,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxDir.toString))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -28,13 +28,21 @@ object RelationalQueries {
   /** Cast a double money/quantity column to an exact decimal. */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  /** Final-output decimal normalization. Spark's sum over DECIMAL(p,s)
-    * declares DECIMAL(p+10,s) while DuckDB declares DECIMAL(38,s); the
-    * driver's hash is representation-sensitive, so every final decimal
-    * aggregate is pinned to DECIMAL(38,s) on BOTH sides (see the
-    * matching CAST in each oracle).
+  /** Final-output numeric normalization. The driver's hash is
+    * representation-sensitive: a DECIMAL output formats with trailing
+    * zeros ("275005.00") on the parquet side but "275005.0" after the
+    * oracle's decimal->float conversion, so equal values still
+    * hash-mismatch. Every money aggregate therefore accumulates as an
+    * EXACT decimal (order-independent across partitionings) and the
+    * final value is cast to DOUBLE on BOTH sides. Decimal->double is
+    * correctly rounded in Spark (BigDecimal.doubleValue) and DuckDB
+    * (int/10^s with both exact in double) while the unscaled value is
+    * < 2^53 — true for every gate scale factor — so the two engines
+    * produce bit-identical doubles. No decimal rescale happens on the
+    * way out: DuckDB truncates on rescale while Spark rounds HALF_UP,
+    * so only natural-scale sums are cast.
     */
-  private def dec38(c: Column, s: Int = 2): Column = c.cast(DecimalType(38, s))
+  private def dbl(c: Column): Column = c.cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Aggregation: hash agg with partial/final, multiple measures ---
@@ -44,9 +52,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4)
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"),
           min(col("l_quantity")).as("min_qty"),
@@ -70,7 +78,7 @@ object RelationalQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4)
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
           .as("revenue"))
         .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -101,7 +109,7 @@ object RelationalQueries {
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4)
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
           .as("revenue"))
     },
 
@@ -114,7 +122,7 @@ object RelationalQueries {
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
-        .agg(dec38(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 4).as("revenue"),
+        .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -149,7 +157,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.orders
         .filter(col("o_custkey") < 50)
-        .withColumn("running_spend", dec38(sum(dec(col("o_totalprice"))).over(w)))
+        .withColumn("running_spend", dbl(sum(dec(col("o_totalprice"))).over(w)))
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("orderdate"), col("running_spend"))
     },
@@ -159,7 +167,7 @@ object RelationalQueries {
       val t = Tables(s, dir)
       t.orders
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), dec38(sum(dec(col("o_totalprice")))).as("total"),
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"),
           grouping(col("o_orderpriority")).cast("int").as("g_priority"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"))
     },
@@ -169,7 +177,7 @@ object RelationalQueries {
       val t = Tables(s, dir)
       t.lineitem
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dec38(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
     },
 
     // --- INTERSECT (distinct set semantics) ---
@@ -218,7 +226,7 @@ object RelationalQueries {
       val t = Tables(s, dir)
       t.orders
         .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
-        .agg(count(lit(1)).as("n_orders"), dec38(sum(dec(col("o_totalprice")))).as("total"))
+        .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("total"))
     },
 
     // --- Uncorrelated scalar subquery ---
@@ -256,7 +264,7 @@ object RelationalQueries {
       t.events
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), dec38(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_value"))
     },
 
     // --- UNION ALL of heterogeneous branches, then agg ---
@@ -268,7 +276,7 @@ object RelationalQueries {
         .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("v"))
       a.unionAll(b)
         .groupBy((col("k") % 10).as("bucket"))
-        .agg(count(lit(1)).as("n"), dec38(sum(col("v"))).as("total"))
+        .agg(count(lit(1)).as("n"), dbl(sum(col("v"))).as("total"))
     },
 
     // --- NOT EXISTS → left anti join ---
@@ -391,9 +399,9 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -403,7 +411,7 @@ object RelationalQueries {
          WHERE p_size <= 15 AND p_type IN ('ECONOMY','PROMO')""",
     "q03_top_revenue_orders" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -417,7 +425,7 @@ object RelationalQueries {
          GROUP BY o_orderpriority""",
     "q05_nation_revenue" ->
       """SELECT n_name, r_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -427,7 +435,7 @@ object RelationalQueries {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name, r_name""",
     "q06_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
          count(*) AS n_lines
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -448,17 +456,17 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
          FROM orders WHERE o_custkey < 50""",
     "q10_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
          CAST(GROUPING(o_orderstatus) AS INT) AS g_status
          FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
     "q11_cube" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q12_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -484,7 +492,7 @@ object RelationalQueries {
          GROUP BY 1, 2""",
     "q16_date_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month,
-         count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+         count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2""",
     "q17_scalar_subquery" ->
       """SELECT p_brand, count(*) AS n_big_parts FROM part
@@ -500,10 +508,10 @@ object RelationalQueries {
          FROM events GROUP BY event_type""",
     "q20_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q21_union_all" ->
-      """SELECT k % 10 AS bucket, count(*) AS n, CAST(sum(v) AS DECIMAL(38,2)) AS total FROM (
+      """SELECT k % 10 AS bucket, count(*) AS n, CAST(sum(v) AS DOUBLE) AS total FROM (
            SELECT l_orderkey AS k, CAST(l_extendedprice AS DECIMAL(12,2)) AS v
            FROM lineitem WHERE l_returnflag = 'R'
            UNION ALL

@@ -20,15 +20,16 @@ import graft.Tables
   * the operator shapes are unchanged.
   *
   * Numeric discipline: money/qty cast to DECIMAL(12,2) before
-  * aggregation (order-independent exact sums), final aggregates pinned
-  * to DECIMAL(38,s); averages/ratios computed as exact-decimal sums
-  * cast to double then divided (deterministic double from identical
-  * exact inputs on both engines).
+  * aggregation (order-independent exact sums), final aggregates cast
+  * to DOUBLE on both sides (bit-identical while the unscaled sum is
+  * < 2^53; decimal OUTPUTS would hash-mismatch the driver gate on
+  * trailing-zero formatting); averages/ratios computed as
+  * exact-decimal sums cast to double then divided.
   */
 object TpchQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def dec38(c: Column, s: Int = 2): Column = c.cast(DecimalType(38, s))
+  private def dbl(c: Column): Column = c.cast("double")
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -41,10 +42,10 @@ object TpchQueries {
         .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          dec38(sum(dec(col("l_extendedprice")) * disc), 4).as("sum_disc_price"),
-          dec38(sum(charge), 6).as("sum_charge"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * disc)).as("sum_disc_price"),
+          dbl(sum(charge)).as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
           (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -60,7 +61,7 @@ object TpchQueries {
         .join(t.lineitem.filter(col("l_shipdate") > ts("1996-03-15")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("orderdate"))
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
@@ -79,7 +80,7 @@ object TpchQueries {
         .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
     },
 
     // q6: forecasting revenue change — selective scan, single scalar agg
@@ -88,7 +89,7 @@ object TpchQueries {
       t.lineitem
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(dec38(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 4).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
     },
 
     // q7: volume shipping between two nations per year
@@ -108,7 +109,7 @@ object TpchQueries {
           (col("supp_nation") === n2 && col("cust_nation") === n1))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
     },
 
     // q8: national market share within a region per year
@@ -142,7 +143,7 @@ object TpchQueries {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     },
@@ -177,7 +178,7 @@ object TpchQueries {
       val revenue = t.lineitem
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
         .groupBy(col("l_suppkey"))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("total_revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("total_revenue"))
       val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
       revenue
         .join(broadcast(maxRev))
@@ -207,7 +208,7 @@ object TpchQueries {
       val t = Tables(s, dir)
       val bigOrders = t.lineitem
         .groupBy(col("l_orderkey"))
-        .agg(dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
         .filter(col("sum_qty") > 150)
       t.orders
         .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
@@ -227,7 +228,7 @@ object TpchQueries {
           (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
             (col("p_brand") === "Brand#13" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
             (col("p_brand") === "Brand#14" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
-        .agg(dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 4).as("revenue"),
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -244,7 +245,7 @@ object TpchQueries {
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
-        .agg(count(lit(1)).as("numcust"), dec38(sum(dec(col("c_acctbal")))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), dbl(sum(dec(col("c_acctbal")))).as("totacctbal"))
     }
   )
 
@@ -253,10 +254,10 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "h01_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          CAST(sum($rev) AS DECIMAL(38,4)) AS sum_disc_price,
-          CAST(sum($rev * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum($rev) AS DOUBLE) AS sum_disc_price,
+          CAST(sum($rev * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -264,7 +265,7 @@ object TpchQueries {
           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           GROUP BY l_returnflag, l_linestatus""",
     "h03_shipping_priority" ->
-      s"""SELECT l_orderkey, CAST(sum($rev) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT l_orderkey, CAST(sum($rev) AS DOUBLE) AS revenue,
           CAST(o_orderdate AS DATE) AS orderdate
           FROM customer JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON o_orderkey = l_orderkey
@@ -274,7 +275,7 @@ object TpchQueries {
           GROUP BY l_orderkey, o_orderdate
           ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC LIMIT 10""",
     "h05_local_supplier_volume" ->
-      s"""SELECT n_name, CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT n_name, CAST(sum($rev) AS DOUBLE) AS revenue
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN supplier ON l_suppkey = s_suppkey
@@ -285,14 +286,14 @@ object TpchQueries {
             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
           GROUP BY n_name""",
     "h06_forecast" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "h07_volume_shipping" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
           CAST(year(l_shipdate) AS INT) AS l_year,
-          CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+          CAST(sum($rev) AS DOUBLE) AS revenue
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN supplier ON l_suppkey = s_suppkey
@@ -320,7 +321,7 @@ object TpchQueries {
           GROUP BY 1""",
     "h10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
-          CAST(sum($rev) AS DECIMAL(38,4)) AS revenue
+          CAST(sum($rev) AS DOUBLE) AS revenue
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
@@ -343,7 +344,7 @@ object TpchQueries {
           WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
     "h15_top_supplier" ->
       s"""WITH revenue AS (
-            SELECT l_suppkey, CAST(sum($rev) AS DECIMAL(38,4)) AS total_revenue
+            SELECT l_suppkey, CAST(sum($rev) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey)
@@ -362,20 +363,20 @@ object TpchQueries {
       """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
          o_totalprice, sum_qty
          FROM orders
-         JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+         JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
                FROM lineitem GROUP BY l_orderkey) b ON o_orderkey = b.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE sum_qty > 150
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     "h19_discounted_revenue" ->
-      s"""SELECT CAST(sum($rev) AS DECIMAL(38,4)) AS revenue, count(*) AS n_lines
+      s"""SELECT CAST(sum($rev) AS DOUBLE) AS revenue, count(*) AS n_lines
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
              OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
              OR (p_brand = 'Brand#14' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
     "h22_sales_opportunity" ->
       """SELECT cntrycode, count(*) AS numcust,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
          FROM (SELECT CAST(c_custkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
                FROM customer
                WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3)

@@ -45,6 +45,24 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] tpch_aux dump failed: ${e.getMessage}")
     }
+    // Vector-index artifacts (hyperplane family, trained IVF centroids)
+    // so DuckDB can recompute the LSH/IVF paths independently.
+    val vecAuxDir = Paths.get(outDir).toAbsolutePath.normalize.resolve("vec_aux")
+    try {
+      import spark.implicits._
+      import graft.queries.VectorQueries._
+      graft.functions.VectorFunctions.hyperplanes(DIM, N_PLANES, SEED)
+        .zipWithIndex.map { case (p, i) => (i, p.toSeq) }.toSeq
+        .toDF("plane_id", "plane").coalesce(1).write.mode("overwrite")
+        .parquet(vecAuxDir.resolve("lsh_planes.parquet").toString)
+      graft.operators.IvfIndex.train(
+        Tables(spark, sfDir).embeddings, "vec_id", "embedding", nLists = N_LISTS)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(vecAuxDir.resolve("ivf_centroids.parquet").toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] vec_aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,7 +76,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxDir.toString))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxDir.toString)
+        .replace("__VAUX__", vecAuxDir.toString))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -32,14 +32,22 @@ object VectorFunctions {
       diff * diff
     }), lit(0.0), (acc, x) => acc + x)
 
+  /** The deterministic pseudo-random hyperplane family for
+    * [[hyperplaneBucket]] — also dumped by graft.Verify so the DuckDB
+    * oracle can recompute the bucketing independently.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
   /** Sign-bit LSH bucket id from `nPlanes` fixed pseudo-random
     * hyperplanes. Planes are generated deterministically from `seed`
     * on the driver and inlined as literals — at scale they broadcast
     * with the plan, never shuffled.
     */
   def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    val planes = hyperplanes(dim, nPlanes, seed)
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(x => lit(x)): _*)
       when(dot(v, planeCol) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))

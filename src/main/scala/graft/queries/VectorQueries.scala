@@ -11,13 +11,22 @@ import graft.operators.SimilaritySearch
 /** Similarity search / embedding analytics over the `embeddings` table
   * (vec_id, embedding array<float>, label).
   *
-  * Ranking queries are rows-only checks (float accumulation order
-  * differs across engines); the count/exact-arithmetic ones carry
-  * DuckDB oracles.
+  * Every query here is oracle-checked. The LSH/IVF paths depend on
+  * index artifacts (the hyperplane family, the trained centroid
+  * matrix); graft.Verify dumps those to parquet (`__VAUX__` below)
+  * and DuckDB recomputes bucketing, assignment, scoring and ranking
+  * over them independently. Dot products fold left-to-right from 0.0
+  * in both engines (Spark `aggregate` vs DuckDB `list_reduce`), which
+  * is bit-identical in IEEE double, so sign bits, argmax ids and
+  * cosine ranks agree exactly.
   */
 object VectorQueries {
 
-  private val DIM = 64
+  val DIM = 64
+  val N_PLANES = 8
+  val SEED = 42L
+  val N_LISTS = 8
+  val N_PROBE = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Exact brute-force cosine top-5 for 10 query vectors ---
@@ -28,12 +37,13 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
-    // --- LSH-bucketed approximate top-5 (the scale path) ---
+    // --- LSH-bucketed approximate top-5 (the scale path; oracle
+    //     recomputes buckets from the dumped hyperplanes) ---
     "v02_knn_lsh" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
       SimilaritySearch.lshTopK(e, q, "vec_id", "embedding", k = 5,
-        dim = DIM, nPlanes = 8)
+        dim = DIM, nPlanes = N_PLANES)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
@@ -50,41 +60,40 @@ object VectorQueries {
           count(lit(1)).as("n"))
     },
 
-    // --- Recall@5 of the LSH path vs exact brute force (rows-only:
-    //     hyperplane family is driver-side Gaussian, not SQL-portable) ---
+    // --- Recall@5 of the LSH path vs exact brute force ---
     "v06_lsh_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
       val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       val approx = SimilaritySearch.lshTopK(e, q, "vec_id", "embedding", k = 5,
-        dim = DIM, nPlanes = 8)
+        dim = DIM, nPlanes = N_PLANES)
       SimilaritySearch.recallAtK(approx, exact, k = 5)
     },
 
     // --- LSH bucket histogram (distribution sanity + skew check) ---
     "v04_bucket_histogram" -> { (s, dir) =>
       Tables(s, dir).embeddings
-        .select(hyperplaneBucket(col("embedding"), DIM, 8, 42L).as("bucket"))
+        .select(hyperplaneBucket(col("embedding"), DIM, N_PLANES, SEED).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
     },
 
-    // --- IVF approximate top-5 (coarse-quantizer scale path; rows-only:
-    //     centroids come from a distributed Lloyd iteration) ---
+    // --- IVF approximate top-5 (coarse quantizer; the trained
+    //     centroid matrix is dumped for the oracle like the planes) ---
     "v07_knn_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = 8)
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
       graft.operators.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
-        centroids, k = 5, nProbe = 3)
+        centroids, k = 5, nProbe = N_PROBE)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
-    // --- Embedding-cosine near-dup pairs (rows-only: LSH buckets) ---
+    // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding",
-        dim = DIM, minCosine = 0.4, nPlanes = 8)
+        dim = DIM, minCosine = 0.4, nPlanes = N_PLANES)
     },
 
     // --- Dimension / count facts (oracle-checked) ---
@@ -107,7 +116,88 @@ object VectorQueries {
         / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
 
+  private val bucketCte = """bkt AS (
+            SELECT e.vec_id,
+              CAST(sum(CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i]), (x, y) -> x + y) >= 0
+                THEN 1::BIGINT << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN '__VAUX__/lsh_planes.parquet/*.parquet' p
+            GROUP BY e.vec_id)"""
+
+  private val exactTopCte = s"""exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, c.neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rnk
+              FROM (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings) c,
+                   (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+              WHERE q.query_id <> c.neighbor_id)
+            WHERE rnk <= 5)"""
+
+  private val lshTopCte = s"""approx AS (
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT q.query_id, c.neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rnk
+              FROM (SELECT b.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+                    FROM bkt b JOIN embeddings e USING (vec_id)) c
+              JOIN (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+                    FROM bkt b JOIN embeddings e USING (vec_id)
+                    WHERE b.vec_id < 10) q USING (bucket)
+              WHERE q.query_id <> c.neighbor_id)
+            WHERE rnk <= 5)"""
+
   val oracles: Map[String, String] = Map(
+    "v02_knn_lsh" ->
+      s"""WITH $bucketCte, $lshTopCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM approx""",
+    "v04_bucket_histogram" ->
+      s"""WITH $bucketCte
+          SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket""",
+    "v06_lsh_recall" ->
+      s"""WITH $bucketCte, $exactTopCte, $lshTopCte
+          SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM approx JOIN exact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
+    "v07_knn_ivf" ->
+      s"""WITH cents AS (SELECT list_id, centroid
+                         FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id AS neighbor_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE r = 1),
+          probe AS (
+            SELECT vec_id AS query_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c
+              WHERE e.vec_id < 10)
+            WHERE r <= 3)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT p.query_id, a.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id
+                ORDER BY ${duckCosine("eq.embedding", "ec.embedding")} DESC, a.neighbor_id ASC) AS rnk
+            FROM probe p
+            JOIN asg a USING (list_id)
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= 5""",
+    "v08_embedding_neardup" ->
+      s"""WITH $bucketCte
+          SELECT id_a, id_b, cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${duckCosine("ea.embedding", "eb.embedding")} AS cos
+            FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id)
+          WHERE cos >= 0.4""",
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -109,6 +109,19 @@ object TpcdsGen {
     "time_dim" -> 80, "income_band" -> 30, "reason" -> 60, "web_page" -> 50,
     "inventory" -> 40)
 
+  val colors: Array[String] = Array(
+    "almond", "azure", "beige", "black", "blue", "brown", "coral", "cream",
+    "cyan", "gold", "green", "grey", "ivory", "khaki", "lime", "magenta",
+    "maroon", "navy", "olive", "orange")
+  val sizes: Array[String] =
+    Array("small", "medium", "large", "extra large", "economy", "N/A", "petite")
+  val unitsPool: Array[String] =
+    Array("Each", "Dozen", "Case", "Pallet", "Gross", "Box", "Bundle", "Carton")
+  val containers: Array[String] = Array("Unknown", "Standard")
+  val birthCountries: Array[String] = Array(
+    "UNITED STATES", "CANADA", "MEXICO", "BRAZIL", "GERMANY", "FRANCE",
+    "JAPAN", "CHINA", "INDIA", "AUSTRALIA")
+
   private def dec72 = DecimalType(7, 2)
 
   val schemas: Map[String, StructType] = Map(
@@ -155,7 +168,9 @@ object TpcdsGen {
       StructField("sr_ticket_number", LongType, nullable = false),
       StructField("sr_return_quantity", IntegerType, nullable = false),
       StructField("sr_return_amt", dec72, nullable = false),
-      StructField("sr_net_loss", dec72, nullable = false))),
+      StructField("sr_net_loss", dec72, nullable = false),
+      StructField("sr_reason_sk", LongType, nullable = false),
+      StructField("sr_cdemo_sk", LongType, nullable = false))),
     "catalog_sales" -> StructType(Seq(
       StructField("cs_sold_date_sk", LongType, nullable = false),
       StructField("cs_ship_date_sk", LongType, nullable = false),
@@ -185,7 +200,10 @@ object TpcdsGen {
       StructField("cr_return_quantity", IntegerType, nullable = false),
       StructField("cr_return_amount", dec72, nullable = false),
       StructField("cr_net_loss", dec72, nullable = false),
-      StructField("cr_call_center_sk", LongType, nullable = false))),
+      StructField("cr_call_center_sk", LongType, nullable = false),
+      StructField("cr_returning_customer_sk", LongType, nullable = false),
+      StructField("cr_returning_addr_sk", LongType, nullable = false),
+      StructField("cr_reason_sk", LongType, nullable = false))),
     "web_sales" -> StructType(Seq(
       StructField("ws_sold_date_sk", LongType, nullable = false),
       StructField("ws_ship_date_sk", LongType, nullable = false),
@@ -204,20 +222,31 @@ object TpcdsGen {
       StructField("ws_ext_sales_price", dec72, nullable = false),
       StructField("ws_ext_discount_amt", dec72, nullable = false),
       StructField("ws_net_paid", dec72, nullable = false),
-      StructField("ws_net_profit", dec72, nullable = false))),
+      StructField("ws_net_profit", dec72, nullable = false),
+      StructField("ws_promo_sk", LongType, nullable = false))),
     "web_returns" -> StructType(Seq(
       StructField("wr_returned_date_sk", LongType, nullable = false),
       StructField("wr_item_sk", LongType, nullable = false),
       StructField("wr_order_number", LongType, nullable = false),
       StructField("wr_return_quantity", IntegerType, nullable = false),
       StructField("wr_return_amt", dec72, nullable = false),
-      StructField("wr_net_loss", dec72, nullable = false))),
+      StructField("wr_net_loss", dec72, nullable = false),
+      StructField("wr_returning_customer_sk", LongType, nullable = false),
+      StructField("wr_returning_addr_sk", LongType, nullable = false),
+      StructField("wr_reason_sk", LongType, nullable = false),
+      StructField("wr_refunded_cash", dec72, nullable = false))),
     "customer" -> StructType(Seq(
       StructField("c_customer_sk", LongType, nullable = false),
       StructField("c_customer_id", StringType, nullable = false),
       StructField("c_current_addr_sk", LongType, nullable = false),
       StructField("c_first_name", StringType, nullable = false),
-      StructField("c_last_name", StringType, nullable = false))),
+      StructField("c_last_name", StringType, nullable = false),
+      StructField("c_current_cdemo_sk", LongType, nullable = false),
+      StructField("c_current_hdemo_sk", LongType, nullable = false),
+      StructField("c_preferred_cust_flag", StringType, nullable = false),
+      StructField("c_birth_year", IntegerType, nullable = false),
+      StructField("c_birth_month", IntegerType, nullable = false),
+      StructField("c_birth_country", StringType, nullable = false))),
     "customer_address" -> StructType(Seq(
       StructField("ca_address_sk", LongType, nullable = false),
       StructField("ca_address_id", StringType, nullable = false),
@@ -237,21 +266,30 @@ object TpcdsGen {
       StructField("i_manufact_id", IntegerType, nullable = false),
       StructField("i_manufact", StringType, nullable = false),
       StructField("i_manager_id", IntegerType, nullable = false),
-      StructField("i_current_price", dec72, nullable = false))),
+      StructField("i_current_price", dec72, nullable = false),
+      StructField("i_color", StringType, nullable = false),
+      StructField("i_product_name", StringType, nullable = false),
+      StructField("i_size", StringType, nullable = false),
+      StructField("i_units", StringType, nullable = false),
+      StructField("i_container", StringType, nullable = false))),
     "store" -> StructType(Seq(
       StructField("s_store_sk", LongType, nullable = false),
       StructField("s_store_id", StringType, nullable = false),
       StructField("s_store_name", StringType, nullable = false),
       StructField("s_county", StringType, nullable = false),
       StructField("s_state", StringType, nullable = false),
-      StructField("s_zip", StringType, nullable = false))),
+      StructField("s_zip", StringType, nullable = false),
+      StructField("s_city", StringType, nullable = false),
+      StructField("s_gmt_offset", DecimalType(5, 2), nullable = false))),
     "warehouse" -> StructType(Seq(
       StructField("w_warehouse_sk", LongType, nullable = false),
-      StructField("w_warehouse_name", StringType, nullable = false))),
+      StructField("w_warehouse_name", StringType, nullable = false),
+      StructField("w_state", StringType, nullable = false))),
     "call_center" -> StructType(Seq(
       StructField("cc_call_center_sk", LongType, nullable = false),
       StructField("cc_call_center_id", StringType, nullable = false),
-      StructField("cc_name", StringType, nullable = false))),
+      StructField("cc_name", StringType, nullable = false),
+      StructField("cc_county", StringType, nullable = false))),
     "catalog_page" -> StructType(Seq(
       StructField("cp_catalog_page_sk", LongType, nullable = false),
       StructField("cp_catalog_page_id", StringType, nullable = false))),
@@ -359,7 +397,8 @@ object TpcdsGen {
       val qty = 1 + bounded(mix(h, 1), sale(10).asInstanceOf[Int])
       val amt = qty * (sale(12).asInstanceOf[Decimal].toBigDecimal * 100).toLong
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 2), 30),
-        sale(2), sale(3), sale(7), sale(9), qty, money(amt), money(amt / 2))
+        sale(2), sale(3), sale(7), sale(9), qty, money(amt), money(amt / 2),
+        boundedL(mix(h, 4), reasonCount(sf)) + 1, sale(4))
 
     case "catalog_sales" =>
       val h = mix(13, idx)
@@ -389,7 +428,8 @@ object TpcdsGen {
       val qty = 1 + bounded(mix(h, 1), sale(12).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(7), sale(4), sale(11), qty, money(amt), money(amt / 2), sale(3))
+        sale(7), sale(4), sale(11), qty, money(amt), money(amt / 2), sale(3),
+        sale(2), sale(9), boundedL(mix(h, 4), reasonCount(sf)) + 1)
 
     case "web_sales" =>
       val h = mix(15, idx)
@@ -409,7 +449,8 @@ object TpcdsGen {
         idx + 1, qty, money(price), money(qty * price),
         money(boundedL(mix(h, 11), qty * price / 10 + 1)),
         money(qty * price),
-        money(qty * price / 5 - boundedL(mix(h, 8), qty * price / 2)))
+        money(qty * price / 5 - boundedL(mix(h, 8), qty * price / 2)),
+        boundedL(mix(h, 17), promotionCount(sf)) + 1)
 
     case "web_returns" =>
       val sale = row("web_sales", sf, idx * 10)
@@ -417,7 +458,9 @@ object TpcdsGen {
       val qty = 1 + bounded(mix(h, 1), sale(12).asInstanceOf[Int])
       val amt = 100L * qty + boundedL(mix(h, 2), 10000)
       Array(sale(0).asInstanceOf[Long] + 1 + bounded(mix(h, 3), 30),
-        sale(2), sale(11), qty, money(amt), money(amt / 2))
+        sale(2), sale(11), qty, money(amt), money(amt / 2),
+        sale(3), sale(4), boundedL(mix(h, 4), reasonCount(sf)) + 1,
+        money(amt * 3 / 4))
 
     case "customer" =>
       val k = idx + 1
@@ -425,7 +468,13 @@ object TpcdsGen {
       Array(k, str(f"AAAAAAAA$k%08d"),
         boundedL(mix(h, 1), customerAddressCount(sf)) + 1,
         str(s"First${bounded(mix(h, 2), 1000)}"),
-        str(s"Last${bounded(mix(h, 3), 1000)}"))
+        str(s"Last${bounded(mix(h, 3), 1000)}"),
+        boundedL(mix(h, 4), customerDemographicsCount) + 1,
+        boundedL(mix(h, 5), householdDemographicsCount) + 1,
+        str(if ((mix(h, 6) & 1) == 0) "Y" else "N"),
+        1920 + bounded(mix(h, 7), 73),
+        1 + bounded(mix(h, 8), 12),
+        str(birthCountries(bounded(mix(h, 9), birthCountries.length))))
 
     case "customer_address" =>
       val k = idx + 1
@@ -449,22 +498,31 @@ object TpcdsGen {
         manufactId,
         str(f"manufact#$manufactId%04d"),
         1 + bounded(mix(h, 6), 100),
-        money(100 + boundedL(mix(h, 4), 9900)))
+        money(100 + boundedL(mix(h, 4), 9900)),
+        str(colors(bounded(mix(h, 7), colors.length))),
+        str(f"product#$k%010d"),
+        str(sizes(bounded(mix(h, 9), sizes.length))),
+        str(unitsPool(bounded(mix(h, 10), unitsPool.length))),
+        str(containers(bounded(mix(h, 11), containers.length))))
 
     case "store" =>
       val k = idx + 1
       Array(k, str(f"S$k%08d"), str(s"Store $k"),
         str(s"County ${bounded(mix(22, k), 30)}"),
         str(states(bounded(mix(20, k), states.length))),
-        str(f"${10000 + bounded(mix(21, k), 89999)}%05d"))
+        str(f"${10000 + bounded(mix(21, k), 89999)}%05d"),
+        str(s"City${bounded(mix(29, k), 500)}"),
+        Decimal(BigDecimal(-500 - 100L * bounded(mix(30, k), 4), 2), 5, 2))
 
     case "warehouse" =>
       val k = idx + 1
-      Array(k, str(s"Warehouse $k"))
+      Array(k, str(s"Warehouse $k"),
+        str(states(bounded(mix(31, k), states.length))))
 
     case "call_center" =>
       val k = idx + 1
-      Array(k, str(f"CC$k%06d"), str(s"Center $k"))
+      Array(k, str(f"CC$k%06d"), str(s"Center $k"),
+        str(s"County ${bounded(mix(32, k), 30)}"))
 
     case "catalog_page" =>
       val k = idx + 1

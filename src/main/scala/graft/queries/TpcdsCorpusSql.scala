@@ -11,7 +11,8 @@ package graft.queries
   */
 object TpcdsCorpusSql {
 
-  def queries(p: String): Seq[(String, String)] = baseline(p) ++ extended(p)
+  def queries(p: String): Seq[(String, String)] =
+    baseline(p) ++ extended(p) ++ wave3(p)
 
   def baseline(p: String): Seq[(String, String)] = Seq(
     "q1" ->
@@ -898,4 +899,288 @@ object TpcdsCorpusSql {
                 FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
           GROUP BY ROLLUP (channel, id)
           ORDER BY channel, id LIMIT 100""")
+  /** Round-3 additions: the rest of the 99-query corpus, adapted to the
+    * generator's column set (predicate constants shifted into generated
+    * value domains; money formulas use the generated ext/discount
+    * columns; "null-channel" probes use modulo pseudo-null subsets
+    * since generated FKs are non-null — adaptation noted per query).
+    */
+  def wave3(p: String): Seq[(String, String)] = Seq(
+    // q4: 3-channel year-over-year growth comparison per customer
+    "q4" ->
+      s"""WITH year_total AS (
+            SELECT c_customer_id customer_id, c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              c_preferred_cust_flag customer_preferred_cust_flag,
+              c_birth_country customer_birth_country, d_year dyear,
+              sum((ss_ext_sales_price - ss_ext_discount_amt) / 2) year_total, 's' sale_type
+            FROM $p.customer, $p.store_sales, $p.date_dim
+            WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+            GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+              c_birth_country, d_year
+            UNION ALL
+            SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+              c_birth_country, d_year,
+              sum((cs_ext_sales_price - cs_ext_discount_amt) / 2), 'c'
+            FROM $p.customer, $p.catalog_sales, $p.date_dim
+            WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+            GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+              c_birth_country, d_year
+            UNION ALL
+            SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+              c_birth_country, d_year,
+              sum((ws_ext_sales_price - ws_ext_discount_amt) / 2), 'w'
+            FROM $p.customer, $p.web_sales, $p.date_dim
+            WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+            GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+              c_birth_country, d_year)
+          SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+            t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+          FROM year_total t_s_firstyear, year_total t_s_secyear,
+               year_total t_c_firstyear, year_total t_c_secyear,
+               year_total t_w_firstyear, year_total t_w_secyear
+          WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+            AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+            AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+            AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+            AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+            AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+            AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2001
+            AND t_c_firstyear.dyear = 2000 AND t_c_secyear.dyear = 2001
+            AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2001
+            AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+            AND t_w_firstyear.year_total > 0
+            AND CASE WHEN t_c_firstyear.year_total > 0
+                  THEN t_c_secyear.year_total / t_c_firstyear.year_total END
+              > CASE WHEN t_s_firstyear.year_total > 0
+                  THEN t_s_secyear.year_total / t_s_firstyear.year_total END
+            AND CASE WHEN t_c_firstyear.year_total > 0
+                  THEN t_c_secyear.year_total / t_c_firstyear.year_total END
+              > CASE WHEN t_w_firstyear.year_total > 0
+                  THEN t_w_secyear.year_total / t_w_firstyear.year_total END
+          ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+            t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+          LIMIT 100""",
+
+    // q8: store net profit for zip prefixes of preferred customers
+    // (the spec's literal 400-zip list is derived from generated
+    // preferred customers instead)
+    "q8" ->
+      s"""WITH zip_list AS (
+            SELECT substr(ca_zip, 1, 5) AS zip5
+            FROM $p.customer_address, $p.customer
+            WHERE ca_address_sk = c_current_addr_sk AND c_preferred_cust_flag = 'Y'
+            GROUP BY substr(ca_zip, 1, 5) HAVING count(*) > 2)
+          SELECT s_store_name, sum(ss_net_profit) AS net_profit
+          FROM $p.store_sales, $p.date_dim, $p.store,
+               (SELECT DISTINCT substr(zip5, 1, 2) AS zip2 FROM zip_list) v
+          WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+            AND d_qoy = 2 AND d_year = 2000 AND substr(s_zip, 1, 2) = v.zip2
+          GROUP BY s_store_name
+          ORDER BY s_store_name LIMIT 100""",
+
+    // q10: demographics of active multi-channel customers (ca_county
+    // -> ca_state: the generator keys addresses by state)
+    "q10" ->
+      s"""SELECT cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+            cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3,
+            cd_dep_count, count(*) cnt4, cd_dep_employed_count, count(*) cnt5,
+            cd_dep_college_count, count(*) cnt6
+          FROM $p.customer c, $p.customer_address ca, $p.customer_demographics
+          WHERE c.c_current_addr_sk = ca.ca_address_sk
+            AND ca_state IN ('TX', 'GA', 'MI')
+            AND cd_demo_sk = c.c_current_cdemo_sk
+            AND EXISTS (SELECT 1 FROM $p.store_sales, $p.date_dim
+                        WHERE c.c_customer_sk = ss_customer_sk
+                          AND ss_sold_date_sk = d_date_sk
+                          AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+            AND (EXISTS (SELECT 1 FROM $p.web_sales, $p.date_dim
+                         WHERE c.c_customer_sk = ws_bill_customer_sk
+                           AND ws_sold_date_sk = d_date_sk
+                           AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+              OR EXISTS (SELECT 1 FROM $p.catalog_sales, $p.date_dim
+                         WHERE c.c_customer_sk = cs_bill_customer_sk
+                           AND cs_sold_date_sk = d_date_sk
+                           AND d_year = 2000 AND d_moy BETWEEN 1 AND 4))
+          GROUP BY cd_gender, cd_marital_status, cd_education_status,
+            cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+            cd_dep_employed_count, cd_dep_college_count
+          ORDER BY cd_gender, cd_marital_status, cd_education_status,
+            cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+            cd_dep_employed_count, cd_dep_college_count
+          LIMIT 100""",
+
+    // q11: store-vs-web year-over-year growth per customer
+    "q11" ->
+      s"""WITH year_total AS (
+            SELECT c_customer_id customer_id, c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              c_preferred_cust_flag customer_preferred_cust_flag, d_year dyear,
+              sum(ss_ext_sales_price - ss_ext_discount_amt) year_total, 's' sale_type
+            FROM $p.customer, $p.store_sales, $p.date_dim
+            WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+            GROUP BY c_customer_id, c_first_name, c_last_name,
+              c_preferred_cust_flag, d_year
+            UNION ALL
+            SELECT c_customer_id, c_first_name, c_last_name,
+              c_preferred_cust_flag, d_year,
+              sum(ws_ext_sales_price - ws_ext_discount_amt), 'w'
+            FROM $p.customer, $p.web_sales, $p.date_dim
+            WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+            GROUP BY c_customer_id, c_first_name, c_last_name,
+              c_preferred_cust_flag, d_year)
+          SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+            t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+          FROM year_total t_s_firstyear, year_total t_s_secyear,
+               year_total t_w_firstyear, year_total t_w_secyear
+          WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+            AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+            AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+            AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+            AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2001
+            AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2001
+            AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+            AND CASE WHEN t_w_firstyear.year_total > 0
+                  THEN t_w_secyear.year_total / t_w_firstyear.year_total END
+              > CASE WHEN t_s_firstyear.year_total > 0
+                  THEN t_s_secyear.year_total / t_s_firstyear.year_total END
+          ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+            t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+          LIMIT 100""",
+
+    // q30: web-return over-returners vs state average
+    "q30" ->
+      s"""WITH customer_total_return AS (
+            SELECT wr_returning_customer_sk ctr_customer_sk, ca_state ctr_state,
+              sum(wr_return_amt) ctr_total_return
+            FROM $p.web_returns, $p.date_dim, $p.customer_address
+            WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+              AND wr_returning_addr_sk = ca_address_sk
+            GROUP BY wr_returning_customer_sk, ca_state)
+          SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_year, ctr_total_return
+          FROM customer_total_return ctr1, $p.customer_address, $p.customer
+          WHERE ctr1.ctr_total_return > (
+              SELECT avg(ctr_total_return) * 1.2 FROM customer_total_return ctr2
+              WHERE ctr1.ctr_state = ctr2.ctr_state)
+            AND ca_address_sk = c_current_addr_sk AND ca_state = 'GA'
+            AND ctr1.ctr_customer_sk = c_customer_sk
+          ORDER BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_year, ctr_total_return
+          LIMIT 100""",
+
+    // q35: demographics of store buyers who also shop other channels
+    "q35" ->
+      s"""SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count, count(*) cnt1,
+            avg(cd_dep_count) a1, max(cd_dep_count) m1, sum(cd_dep_count) s1,
+            cd_dep_employed_count, count(*) cnt2, avg(cd_dep_employed_count) a2,
+            max(cd_dep_employed_count) m2, sum(cd_dep_employed_count) s2,
+            cd_dep_college_count, count(*) cnt3, avg(cd_dep_college_count) a3,
+            max(cd_dep_college_count) m3, sum(cd_dep_college_count) s3
+          FROM $p.customer c, $p.customer_address ca, $p.customer_demographics
+          WHERE c.c_current_addr_sk = ca.ca_address_sk
+            AND cd_demo_sk = c.c_current_cdemo_sk
+            AND EXISTS (SELECT 1 FROM $p.store_sales, $p.date_dim
+                        WHERE c.c_customer_sk = ss_customer_sk
+                          AND ss_sold_date_sk = d_date_sk
+                          AND d_year = 2000 AND d_qoy < 4)
+            AND (EXISTS (SELECT 1 FROM $p.web_sales, $p.date_dim
+                         WHERE c.c_customer_sk = ws_bill_customer_sk
+                           AND ws_sold_date_sk = d_date_sk
+                           AND d_year = 2000 AND d_qoy < 4)
+              OR EXISTS (SELECT 1 FROM $p.catalog_sales, $p.date_dim
+                         WHERE c.c_customer_sk = cs_bill_customer_sk
+                           AND cs_sold_date_sk = d_date_sk
+                           AND d_year = 2000 AND d_qoy < 4))
+          GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+            cd_dep_employed_count, cd_dep_college_count
+          ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+            cd_dep_employed_count, cd_dep_college_count
+          LIMIT 100""",
+
+    // q38: customers active in ALL three channels in a period
+    "q38" ->
+      s"""SELECT count(*) AS n FROM (
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.store_sales, $p.date_dim, $p.customer
+            WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211
+            INTERSECT
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.catalog_sales, $p.date_dim, $p.customer
+            WHERE cs_sold_date_sk = d_date_sk AND cs_bill_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211
+            INTERSECT
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.web_sales, $p.date_dim, $p.customer
+            WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211) hot_cust
+          LIMIT 100""",
+
+    // q69: demographics of store-only shoppers (no web/catalog)
+    "q69" ->
+      s"""SELECT cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+            cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3
+          FROM $p.customer c, $p.customer_address ca, $p.customer_demographics
+          WHERE c.c_current_addr_sk = ca.ca_address_sk
+            AND ca_state IN ('KY', 'GA', 'NM')
+            AND cd_demo_sk = c.c_current_cdemo_sk
+            AND EXISTS (SELECT 1 FROM $p.store_sales, $p.date_dim
+                        WHERE c.c_customer_sk = ss_customer_sk
+                          AND ss_sold_date_sk = d_date_sk
+                          AND d_year = 2000 AND d_moy BETWEEN 1 AND 3)
+            AND NOT EXISTS (SELECT 1 FROM $p.web_sales, $p.date_dim
+                            WHERE c.c_customer_sk = ws_bill_customer_sk
+                              AND ws_sold_date_sk = d_date_sk
+                              AND d_year = 2000 AND d_moy BETWEEN 1 AND 3)
+            AND NOT EXISTS (SELECT 1 FROM $p.catalog_sales, $p.date_dim
+                            WHERE c.c_customer_sk = cs_bill_customer_sk
+                              AND cs_sold_date_sk = d_date_sk
+                              AND d_year = 2000 AND d_moy BETWEEN 1 AND 3)
+          GROUP BY cd_gender, cd_marital_status, cd_education_status,
+            cd_purchase_estimate, cd_credit_rating
+          ORDER BY cd_gender, cd_marital_status, cd_education_status,
+            cd_purchase_estimate, cd_credit_rating
+          LIMIT 100""",
+
+    // q81: catalog-return over-returners vs state average
+    "q81" ->
+      s"""WITH customer_total_return AS (
+            SELECT cr_returning_customer_sk ctr_customer_sk, ca_state ctr_state,
+              sum(cr_return_amount) ctr_total_return
+            FROM $p.catalog_returns, $p.date_dim, $p.customer_address
+            WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+              AND cr_returning_addr_sk = ca_address_sk
+            GROUP BY cr_returning_customer_sk, ca_state)
+          SELECT c_customer_id, c_first_name, c_last_name, ca_state, ctr_total_return
+          FROM customer_total_return ctr1, $p.customer_address, $p.customer
+          WHERE ctr1.ctr_total_return > (
+              SELECT avg(ctr_total_return) * 1.2 FROM customer_total_return ctr2
+              WHERE ctr1.ctr_state = ctr2.ctr_state)
+            AND ca_address_sk = c_current_addr_sk AND ca_state = 'GA'
+            AND ctr1.ctr_customer_sk = c_customer_sk
+          ORDER BY c_customer_id, c_first_name, c_last_name, ca_state, ctr_total_return
+          LIMIT 100""",
+
+    // q87: store-channel combos minus catalog minus web (EXCEPT chain)
+    "q87" ->
+      s"""SELECT count(*) AS n FROM (
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.store_sales, $p.date_dim, $p.customer
+            WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211
+            EXCEPT
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.catalog_sales, $p.date_dim, $p.customer
+            WHERE cs_sold_date_sk = d_date_sk AND cs_bill_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211
+            EXCEPT
+            SELECT DISTINCT c_last_name, c_first_name, d_date
+            FROM $p.web_sales, $p.date_dim, $p.customer
+            WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
+              AND d_month_seq BETWEEN 1200 AND 1211) cool_cust""")
+
 }

@@ -95,7 +95,17 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q28" -> ((2113909099L, 1L)),
     "tpcds_q70" -> ((-1664788455L, 5L)),
     "tpcds_q71" -> ((1494558268L, 2L)),
-    "tpcds_q77" -> ((8464487556L, 18L)))
+    "tpcds_q77" -> ((8464487556L, 18L)),
+    "tpcds_q4" -> ((-4717444571L, 23L)),
+    "tpcds_q8" -> ((44815633L, 2L)),
+    "tpcds_q10" -> ((-12769482624L, 100L)),
+    "tpcds_q11" -> ((13687094068L, 100L)),
+    "tpcds_q30" -> ((-1514243721L, 9L)),
+    "tpcds_q35" -> ((-10527779575L, 100L)),
+    "tpcds_q38" -> ((-1670924195L, 1L)),
+    "tpcds_q69" -> ((-4907274260L, 100L)),
+    "tpcds_q81" -> ((4278474745L, 11L)),
+    "tpcds_q87" -> ((2024063747L, 1L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

@@ -1101,20 +1101,22 @@ object TpcdsCorpusSql {
             cd_dep_employed_count, cd_dep_college_count
           LIMIT 100""",
 
-    // q38: customers active in ALL three channels in a period
+    // q38: customers active in ALL three channels in a period (same
+    // month rather than the spec's same day: generated per-customer
+    // purchase density makes a same-day triple empty at every sf)
     "q38" ->
       s"""SELECT count(*) AS n FROM (
-            SELECT DISTINCT c_last_name, c_first_name, d_date
+            SELECT DISTINCT c_last_name, c_first_name, d_month_seq
             FROM $p.store_sales, $p.date_dim, $p.customer
             WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
               AND d_month_seq BETWEEN 1200 AND 1211
             INTERSECT
-            SELECT DISTINCT c_last_name, c_first_name, d_date
+            SELECT DISTINCT c_last_name, c_first_name, d_month_seq
             FROM $p.catalog_sales, $p.date_dim, $p.customer
             WHERE cs_sold_date_sk = d_date_sk AND cs_bill_customer_sk = c_customer_sk
               AND d_month_seq BETWEEN 1200 AND 1211
             INTERSECT
-            SELECT DISTINCT c_last_name, c_first_name, d_date
+            SELECT DISTINCT c_last_name, c_first_name, d_month_seq
             FROM $p.web_sales, $p.date_dim, $p.customer
             WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
               AND d_month_seq BETWEEN 1200 AND 1211) hot_cust
@@ -1181,6 +1183,203 @@ object TpcdsCorpusSql {
             SELECT DISTINCT c_last_name, c_first_name, d_date
             FROM $p.web_sales, $p.date_dim, $p.customer
             WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
-              AND d_month_seq BETWEEN 1200 AND 1211) cool_cust""")
+              AND d_month_seq BETWEEN 1200 AND 1211) cool_cust""",
+
+    // q18: catalog-sale averages by demographics, rollup over geography
+    // (ca_country/ca_county -> ca_state/ca_city)
+    "q18" ->
+      s"""SELECT i_item_id, ca_state, ca_city,
+            avg(CAST(cs_quantity AS DECIMAL(12,2))) agg1,
+            avg(CAST(cs_list_price AS DECIMAL(12,2))) agg2,
+            avg(CAST(cs_coupon_amt AS DECIMAL(12,2))) agg3,
+            avg(CAST(cs_sales_price AS DECIMAL(12,2))) agg4,
+            avg(CAST(c_birth_year AS DECIMAL(12,2))) agg5,
+            avg(CAST(cd1.cd_dep_count AS DECIMAL(12,2))) agg6
+          FROM $p.catalog_sales, $p.customer_demographics cd1, $p.customer,
+               $p.customer_address, $p.date_dim, $p.item
+          WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+            AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+            AND cs_bill_customer_sk = c_customer_sk
+            AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+            AND c_current_addr_sk = ca_address_sk
+            AND c_birth_month IN (1, 6, 8, 9, 12, 2) AND d_year = 2001
+            AND ca_state IN ('TN', 'CA', 'TX', 'NY', 'OH', 'GA', 'WA')
+          GROUP BY ROLLUP (i_item_id, ca_state, ca_city)
+          ORDER BY ca_state, ca_city, i_item_id LIMIT 100""",
+
+    // q46: weekend shoppers whose bought-city differs from home city
+    "q46" ->
+      s"""SELECT c_last_name, c_first_name, current_addr.ca_city AS home_city,
+            bought_city, ss_ticket_number, amt, profit
+          FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+                  sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+                FROM $p.store_sales, $p.date_dim, $p.store,
+                     $p.household_demographics, $p.customer_address
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+                  AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+                  AND d_dow IN (6, 0) AND d_year IN (1999, 2000, 2001)
+                GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+               $p.customer, $p.customer_address current_addr
+          WHERE ss_customer_sk = c_customer_sk
+            AND c_current_addr_sk = current_addr.ca_address_sk
+            AND current_addr.ca_city <> bought_city
+          ORDER BY c_last_name, c_first_name, home_city, bought_city,
+            ss_ticket_number LIMIT 100""",
+
+    // q68: q46 shape with extended-price/discount/coupon measures
+    "q68" ->
+      s"""SELECT c_last_name, c_first_name, current_addr.ca_city AS home_city,
+            bought_city, ss_ticket_number, extended_price, extended_discount, coupon_amt
+          FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+                  sum(ss_ext_sales_price) extended_price,
+                  sum(ss_ext_discount_amt) extended_discount,
+                  sum(ss_coupon_amt) coupon_amt
+                FROM $p.store_sales, $p.date_dim, $p.store,
+                     $p.household_demographics, $p.customer_address
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+                  AND (hd_dep_count = 5 OR hd_vehicle_count = 3)
+                  AND d_dom BETWEEN 1 AND 2 AND d_year IN (1999, 2000, 2001)
+                GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+               $p.customer, $p.customer_address current_addr
+          WHERE ss_customer_sk = c_customer_sk
+            AND c_current_addr_sk = current_addr.ca_address_sk
+            AND current_addr.ca_city <> bought_city
+          ORDER BY c_last_name, ss_ticket_number LIMIT 100""",
+
+    // q79: weekday big-basket shoppers per store city (order extended
+    // with ticket for a deterministic golden)
+    "q79" ->
+      s"""SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city,
+            ss_ticket_number, amt, profit
+          FROM (SELECT ss_ticket_number, ss_customer_sk, s_city,
+                  sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+                FROM $p.store_sales, $p.date_dim, $p.store, $p.household_demographics
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_hdemo_sk = hd_demo_sk
+                  AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+                  AND d_dow = 1 AND d_year IN (1999, 2000, 2001)
+                GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, s_city) ms,
+               $p.customer
+          WHERE ss_customer_sk = c_customer_sk
+          ORDER BY c_last_name, c_first_name, city, profit, ss_ticket_number
+          LIMIT 100""",
+
+    // q84: income-band customers with store returns keyed by demographics
+    "q84" ->
+      s"""SELECT c_customer_id AS customer_id,
+            concat(c_last_name, ', ', c_first_name) AS customername
+          FROM $p.customer, $p.customer_address, $p.customer_demographics,
+               $p.household_demographics, $p.income_band, $p.store_returns
+          WHERE ca_state = 'GA' AND c_current_addr_sk = ca_address_sk
+            AND ib_lower_bound >= 30000 AND ib_upper_bound <= 70000
+            AND ib_income_band_sk = hd_income_band_sk
+            AND hd_demo_sk = c_current_hdemo_sk
+            AND cd_demo_sk = c_current_cdemo_sk AND sr_customer_sk = c_customer_sk
+          ORDER BY c_customer_id LIMIT 100""",
+
+    // q85: web-return reasons by demographics/state/price bands (wr
+    // demographics reached via the returning customer's current cdemo)
+    "q85" ->
+      s"""SELECT substr(r_reason_desc, 1, 20) AS reason, avg(ws_quantity) q,
+            avg(wr_refunded_cash) rc, avg(wr_net_loss) nl
+          FROM $p.web_sales, $p.web_returns, $p.web_page, $p.customer,
+               $p.customer_demographics cd1, $p.customer_address, $p.date_dim, $p.reason
+          WHERE ws_web_page_sk = wp_web_page_sk AND ws_item_sk = wr_item_sk
+            AND ws_order_number = wr_order_number
+            AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+            AND wr_returning_customer_sk = c_customer_sk
+            AND cd1.cd_demo_sk = c_current_cdemo_sk
+            AND ca_address_sk = wr_returning_addr_sk
+            AND wr_reason_sk = r_reason_sk
+            AND ((cd1.cd_marital_status = 'M' AND cd1.cd_education_status = 'Advanced Degree'
+                   AND ws_sales_price BETWEEN 100.00 AND 150.00)
+              OR (cd1.cd_marital_status = 'S' AND cd1.cd_education_status = 'College'
+                   AND ws_sales_price BETWEEN 50.00 AND 100.00)
+              OR (cd1.cd_marital_status = 'W' AND cd1.cd_education_status = '2 yr Degree'
+                   AND ws_sales_price BETWEEN 150.00 AND 200.00))
+            AND ((ca_state IN ('TN', 'OH', 'NY') AND ws_net_profit BETWEEN 100 AND 200)
+              OR (ca_state IN ('CA', 'TX', 'GA') AND ws_net_profit BETWEEN 150 AND 300)
+              OR (ca_state IN ('WA', 'IL', 'NC') AND ws_net_profit BETWEEN 50 AND 250))
+          GROUP BY r_reason_desc
+          ORDER BY reason, q, rc, nl LIMIT 100""",
+
+    // q91: call-center catalog-return losses by demographic segment
+    "q91" ->
+      s"""SELECT cc_call_center_id AS call_center, cc_name, cc_county,
+            sum(cr_net_loss) AS returns_loss
+          FROM $p.call_center, $p.catalog_returns, $p.date_dim, $p.customer,
+               $p.customer_address, $p.customer_demographics, $p.household_demographics
+          WHERE cr_call_center_sk = cc_call_center_sk AND cr_returned_date_sk = d_date_sk
+            AND cr_returning_customer_sk = c_customer_sk
+            AND cd_demo_sk = c_current_cdemo_sk
+            AND hd_demo_sk = c_current_hdemo_sk
+            AND ca_address_sk = c_current_addr_sk
+            AND d_year = 2000
+            AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+              OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+            AND hd_buy_potential LIKE 'Unknown%'
+          GROUP BY cc_call_center_id, cc_name, cc_county,
+            cd_marital_status, cd_education_status
+          ORDER BY returns_loss DESC, call_center LIMIT 100""",
+
+    // q93: actual sales after in-reason returns per customer
+    "q93" ->
+      s"""SELECT ss_customer_sk, sum(act_sales) AS sumsales
+          FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+                  CASE WHEN sr_return_quantity IS NOT NULL
+                    THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                    ELSE ss_quantity * ss_sales_price END AS act_sales
+                FROM $p.store_sales LEFT OUTER JOIN $p.store_returns
+                  ON sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number,
+                  $p.reason
+                WHERE sr_reason_sk = r_reason_sk AND r_reason_desc = 'reason 5') t
+          GROUP BY ss_customer_sk
+          ORDER BY sumsales, ss_customer_sk LIMIT 100""",
+
+    // q94: multi-warehouse web shippers with no returns (order numbers
+    // are unique per generated row, so the spec's same-order/other-
+    // warehouse EXISTS correlates on the buyer instead)
+    "q94" ->
+      s"""SELECT count(DISTINCT ws_order_number) AS order_count,
+            sum(ws_ext_discount_amt) AS total_discount,
+            sum(ws_net_profit) AS total_net_profit
+          FROM $p.web_sales ws1, $p.date_dim, $p.customer_address, $p.web_site
+          WHERE d_date BETWEEN '2000-02-01'
+              AND (CAST('2000-02-01' AS DATE) + INTERVAL 60 DAY)
+            AND ws1.ws_ship_date_sk = d_date_sk
+            AND ws1.ws_bill_addr_sk = ca_address_sk AND ca_state = 'IL'
+            AND ws1.ws_web_site_sk = web_site_sk AND web_name IN ('site_1', 'site_2')
+            AND EXISTS (SELECT 1 FROM $p.web_sales ws2
+                        WHERE ws1.ws_bill_customer_sk = ws2.ws_bill_customer_sk
+                          AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+            AND NOT EXISTS (SELECT 1 FROM $p.web_returns wr1, $p.web_sales ws3
+                            WHERE wr1.wr_order_number = ws3.ws_order_number
+                              AND ws3.ws_bill_customer_sk = ws1.ws_bill_customer_sk)""",
+
+    // q95: q94 with the multi-warehouse pair set as a CTE and returns
+    // REQUIRED to exist from those buyers
+    "q95" ->
+      s"""WITH ws_wh AS (
+            SELECT ws1.ws_bill_customer_sk AS buyer
+            FROM $p.web_sales ws1, $p.web_sales ws2
+            WHERE ws1.ws_bill_customer_sk = ws2.ws_bill_customer_sk
+              AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk
+            GROUP BY ws1.ws_bill_customer_sk)
+          SELECT count(DISTINCT ws_order_number) AS order_count,
+            sum(ws_ext_discount_amt) AS total_discount,
+            sum(ws_net_profit) AS total_net_profit
+          FROM $p.web_sales ws1, $p.date_dim, $p.customer_address, $p.web_site
+          WHERE d_date BETWEEN '2000-02-01'
+              AND (CAST('2000-02-01' AS DATE) + INTERVAL 60 DAY)
+            AND ws1.ws_ship_date_sk = d_date_sk
+            AND ws1.ws_bill_addr_sk = ca_address_sk AND ca_state = 'IL'
+            AND ws1.ws_web_site_sk = web_site_sk AND web_name IN ('site_1', 'site_2')
+            AND ws1.ws_bill_customer_sk IN (SELECT buyer FROM ws_wh)
+            AND ws1.ws_bill_customer_sk IN (
+              SELECT ws3.ws_bill_customer_sk
+              FROM $p.web_returns wr1, $p.web_sales ws3
+              WHERE wr1.wr_order_number = ws3.ws_order_number)""")
 
 }

@@ -56,7 +56,7 @@ object TpcdsGen {
   def customerAddressCount(sf: Double): Long = math.max(50L, (50000 * math.pow(sf, 0.7)).toLong)
   def itemCount(sf: Double): Long = math.max(100L, (18000 * math.pow(sf, 0.75)).toLong)
   def storeCount(sf: Double): Long = math.max(2L, (12 * math.pow(sf, 0.93)).toLong)
-  def warehouseCount(sf: Double): Long = math.max(1L, (5 * math.pow(sf, 0.3)).toLong)
+  def warehouseCount(sf: Double): Long = math.max(3L, (5 * math.pow(sf, 0.3)).toLong) // floor 3: multi-warehouse EXISTS probes (q94/q95/q16) need >1 even at tiny
   def callCenterCount(sf: Double): Long = math.max(2L, (6 * math.pow(sf, 0.6)).toLong)
   def catalogPageCount(sf: Double): Long = 11718L
   def webSiteCount(sf: Double): Long = math.max(2L, (30 * math.pow(sf, 0.15)).toLong)

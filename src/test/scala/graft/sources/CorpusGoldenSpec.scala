@@ -51,7 +51,7 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q3" -> ((0L, 0L)),
     "tpcds_q5" -> ((-1473785625L, 100L)),
     "tpcds_q6" -> ((-406667221L, 10L)),
-    "tpcds_q99" -> ((-2382844707L, 10L)),
+    "tpcds_q99" -> ((-6637072429L, 30L)),
     "tpcds_q15" -> ((-4444947545L, 100L)),
     "tpcds_q19" -> ((1042825787L, 2L)),
     "tpcds_q32" -> ((42L, 1L)),
@@ -60,7 +60,7 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q52" -> ((1954955943L, 4L)),
     "tpcds_q55" -> ((-1848472167L, 2L)),
     "tpcds_q59" -> ((18053377373L, 100L)),
-    "tpcds_q62" -> ((19125000213L, 75L)),
+    "tpcds_q62" -> ((-39750983724L, 100L)),
     "tpcds_q65" -> ((-2653433748L, 7L)),
     "tpcds_q92" -> ((42L, 1L)),
     "tpcds_q97" -> ((1066272465L, 1L)),
@@ -79,8 +79,8 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q43" -> ((296242283L, 2L)),
     "tpcds_q53" -> ((24425737112L, 100L)),
     "tpcds_q89" -> ((5699338990L, 100L)),
-    "tpcds_q21" -> ((8617160789L, 100L)),
-    "tpcds_q22" -> ((-2291829853L, 100L)),
+    "tpcds_q21" -> ((-7227885815L, 100L)),
+    "tpcds_q22" -> ((20481647841L, 100L)),
     "tpcds_q37" -> ((158900913L, 1L)),
     "tpcds_q82" -> ((1858056585L, 1L)),
     "tpcds_q33" -> ((8938769906L, 29L)),
@@ -102,10 +102,20 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q11" -> ((13687094068L, 100L)),
     "tpcds_q30" -> ((-1514243721L, 9L)),
     "tpcds_q35" -> ((-10527779575L, 100L)),
-    "tpcds_q38" -> ((-1670924195L, 1L)),
+    "tpcds_q38" -> ((1293116811L, 1L)),
     "tpcds_q69" -> ((-4907274260L, 100L)),
     "tpcds_q81" -> ((4278474745L, 11L)),
-    "tpcds_q87" -> ((2024063747L, 1L)))
+    "tpcds_q87" -> ((2024063747L, 1L)),
+    "tpcds_q18" -> ((-16519324181L, 100L)),
+    "tpcds_q46" -> ((2348400727L, 100L)),
+    "tpcds_q68" -> ((6151489018L, 100L)),
+    "tpcds_q79" -> ((3236983833L, 100L)),
+    "tpcds_q84" -> ((-25129950607L, 53L)),
+    "tpcds_q85" -> ((-1498963174L, 1L)),
+    "tpcds_q91" -> ((-257856323L, 2L)),
+    "tpcds_q93" -> ((-2960897594L, 100L)),
+    "tpcds_q94" -> ((1446774066L, 1L)),
+    "tpcds_q95" -> ((-14215183L, 1L)))
 
   private def check(name: String, sql: String): Unit = {
     val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()

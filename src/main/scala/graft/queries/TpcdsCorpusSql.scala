@@ -1380,6 +1380,360 @@ object TpcdsCorpusSql {
             AND ws1.ws_bill_customer_sk IN (
               SELECT ws3.ws_bill_customer_sk
               FROM $p.web_returns wr1, $p.web_sales ws3
-              WHERE wr1.wr_order_number = ws3.ws_order_number)""")
+              WHERE wr1.wr_order_number = ws3.ws_order_number)""",
+
+    // q14: brand/class/category triples sold in all three channels,
+    // above-average monthly sales rollup (item has no i_class_id
+    // column — the string i_class keys the triple; web uses
+    // ws_sales_price, the generated web price column)
+    "q14" ->
+      s"""WITH cross_items AS (
+            SELECT i_item_sk AS ci_item_sk
+            FROM $p.item, (
+              SELECT iss.i_brand_id brand_id, iss.i_class class_id, iss.i_category_id category_id
+              FROM $p.store_sales, $p.item iss, $p.date_dim d1
+              WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+                AND d1.d_year BETWEEN 1999 AND 2001
+              INTERSECT
+              SELECT ics.i_brand_id, ics.i_class, ics.i_category_id
+              FROM $p.catalog_sales, $p.item ics, $p.date_dim d2
+              WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+                AND d2.d_year BETWEEN 1999 AND 2001
+              INTERSECT
+              SELECT iws.i_brand_id, iws.i_class, iws.i_category_id
+              FROM $p.web_sales, $p.item iws, $p.date_dim d3
+              WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+                AND d3.d_year BETWEEN 1999 AND 2001) triples
+            WHERE i_brand_id = brand_id AND i_class = class_id
+              AND i_category_id = category_id),
+          avg_sales AS (
+            SELECT avg(quantity * list_price) AS average_sales FROM (
+              SELECT ss_quantity quantity, ss_list_price list_price
+              FROM $p.store_sales, $p.date_dim
+              WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+              UNION ALL
+              SELECT cs_quantity, cs_list_price FROM $p.catalog_sales, $p.date_dim
+              WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+              UNION ALL
+              SELECT ws_quantity, ws_sales_price FROM $p.web_sales, $p.date_dim
+              WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x)
+          SELECT channel, i_brand_id, i_class, i_category_id,
+            sum(sales) AS sum_sales, sum(number_sales) AS sum_number_sales
+          FROM (
+            SELECT 'store' channel, i_brand_id, i_class, i_category_id,
+              sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+            FROM $p.store_sales, $p.item, $p.date_dim
+            WHERE ss_item_sk IN (SELECT ci_item_sk FROM cross_items)
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_year = 2001 AND d_moy = 11
+            GROUP BY i_brand_id, i_class, i_category_id
+            HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)
+            UNION ALL
+            SELECT 'catalog', i_brand_id, i_class, i_category_id,
+              sum(cs_quantity * cs_list_price), count(*)
+            FROM $p.catalog_sales, $p.item, $p.date_dim
+            WHERE cs_item_sk IN (SELECT ci_item_sk FROM cross_items)
+              AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+              AND d_year = 2001 AND d_moy = 11
+            GROUP BY i_brand_id, i_class, i_category_id
+            HAVING sum(cs_quantity * cs_list_price) > (SELECT average_sales FROM avg_sales)
+            UNION ALL
+            SELECT 'web', i_brand_id, i_class, i_category_id,
+              sum(ws_quantity * ws_sales_price), count(*)
+            FROM $p.web_sales, $p.item, $p.date_dim
+            WHERE ws_item_sk IN (SELECT ci_item_sk FROM cross_items)
+              AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+              AND d_year = 2001 AND d_moy = 11
+            GROUP BY i_brand_id, i_class, i_category_id
+            HAVING sum(ws_quantity * ws_sales_price) > (SELECT average_sales FROM avg_sales)) y
+          GROUP BY ROLLUP (channel, i_brand_id, i_class, i_category_id)
+          ORDER BY channel, i_brand_id, i_class, i_category_id LIMIT 100""",
+
+    // q17: buy-return-rebuy quantity statistics (catalog rebuy
+    // correlates on the customer: generated catalog item choice is
+    // independent, so the spec's same-item rebuy is empty)
+    "q17" ->
+      s"""SELECT i_item_id, i_item_desc, s_state,
+            count(ss_quantity) store_sales_quantitycount,
+            avg(ss_quantity) store_sales_quantityave,
+            stddev_samp(ss_quantity) store_sales_quantitystdev,
+            count(sr_return_quantity) store_returns_quantitycount,
+            avg(sr_return_quantity) store_returns_quantityave,
+            stddev_samp(sr_return_quantity) store_returns_quantitystdev,
+            count(cs_quantity) catalog_sales_quantitycount,
+            avg(cs_quantity) catalog_sales_quantityave,
+            stddev_samp(cs_quantity) catalog_sales_quantitystdev
+          FROM $p.store_sales, $p.store_returns, $p.catalog_sales,
+               $p.date_dim d1, $p.date_dim d2, $p.date_dim d3, $p.store, $p.item
+          WHERE d1.d_year = 2000 AND d1.d_date_sk = ss_sold_date_sk
+            AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+            AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+            AND ss_ticket_number = sr_ticket_number
+            AND sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 2000
+            AND sr_customer_sk = cs_bill_customer_sk
+            AND cs_sold_date_sk = d3.d_date_sk AND d3.d_year = 2000
+          GROUP BY i_item_id, i_item_desc, s_state
+          ORDER BY i_item_id, i_item_desc, s_state LIMIT 100""",
+
+    // q23: catalog/web sales of frequent store items to the biggest
+    // store spenders (frequency at month granularity and widened
+    // thresholds for generated purchase density)
+    "q23" ->
+      s"""WITH frequent_ss_items AS (
+            SELECT substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+              d_month_seq seq, count(*) cnt
+            FROM $p.store_sales, $p.date_dim, $p.item
+            WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+              AND d_year IN (1999, 2000, 2001, 2002)
+            GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_month_seq
+            HAVING count(*) > 2),
+          max_store_sales AS (
+            SELECT max(csales) tpcds_cmax FROM (
+              SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) csales
+              FROM $p.store_sales, $p.customer, $p.date_dim
+              WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year IN (1999, 2000, 2001, 2002)
+              GROUP BY c_customer_sk) t),
+          best_ss_customer AS (
+            SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) ssales
+            FROM $p.store_sales, $p.customer
+            WHERE ss_customer_sk = c_customer_sk
+            GROUP BY c_customer_sk
+            HAVING sum(ss_quantity * ss_sales_price) >
+              0.1 * (SELECT tpcds_cmax FROM max_store_sales))
+          SELECT sum(sales) AS total_sales FROM (
+            SELECT cs_quantity * cs_list_price sales
+            FROM $p.catalog_sales, $p.date_dim
+            WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+              AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+              AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+            UNION ALL
+            SELECT ws_quantity * ws_sales_price
+            FROM $p.web_sales, $p.date_dim
+            WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+              AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+              AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)) x
+          LIMIT 100""",
+
+    // q25: buy-return-rebuy net-profit report by item and store
+    "q25" ->
+      s"""SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+            sum(ss_net_profit) AS store_sales_profit,
+            sum(sr_net_loss) AS store_returns_loss,
+            sum(cs_net_profit) AS catalog_sales_profit
+          FROM $p.store_sales, $p.store_returns, $p.catalog_sales,
+               $p.date_dim d1, $p.date_dim d2, $p.date_dim d3, $p.store, $p.item
+          WHERE d1.d_moy = 4 AND d1.d_year = 2000 AND d1.d_date_sk = ss_sold_date_sk
+            AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+            AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+            AND ss_ticket_number = sr_ticket_number
+            AND sr_returned_date_sk = d2.d_date_sk
+            AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2000
+            AND sr_customer_sk = cs_bill_customer_sk
+            AND cs_sold_date_sk = d3.d_date_sk
+            AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2000
+          GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+          ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name LIMIT 100""",
+
+    // q29: buy-return-rebuy quantity report across following years
+    "q29" ->
+      s"""SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+            sum(ss_quantity) AS store_sales_quantity,
+            sum(sr_return_quantity) AS store_returns_quantity,
+            sum(cs_quantity) AS catalog_sales_quantity
+          FROM $p.store_sales, $p.store_returns, $p.catalog_sales,
+               $p.date_dim d1, $p.date_dim d2, $p.date_dim d3, $p.store, $p.item
+          WHERE d1.d_moy = 4 AND d1.d_year = 1999 AND d1.d_date_sk = ss_sold_date_sk
+            AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+            AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+            AND ss_ticket_number = sr_ticket_number
+            AND sr_returned_date_sk = d2.d_date_sk
+            AND d2.d_moy BETWEEN 4 AND 7 AND d2.d_year = 1999
+            AND sr_customer_sk = cs_bill_customer_sk
+            AND cs_sold_date_sk = d3.d_date_sk
+            AND d3.d_year IN (1999, 2000, 2001)
+          GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+          ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name LIMIT 100""",
+
+    // q39: inventory coefficient-of-variation month-over-month pairs
+    // (cov threshold 0.6 — generated on-hand quantities are uniform,
+    // the spec's 1.0 sits above the distribution's reach)
+    "q39" ->
+      s"""WITH inv AS (
+            SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+              CASE mean WHEN 0 THEN null ELSE stdev / mean END cov
+            FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                    stddev_samp(inv_quantity_on_hand) stdev,
+                    avg(inv_quantity_on_hand) mean
+                  FROM $p.inventory, $p.item, $p.warehouse, $p.date_dim
+                  WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
+                    AND inv_date_sk = d_date_sk AND d_year = 2000
+                  GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+            WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.6)
+          SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1, inv1.d_moy moy1,
+            inv1.mean mean1, inv1.cov cov1, inv2.w_warehouse_sk wsk2,
+            inv2.i_item_sk isk2, inv2.d_moy moy2, inv2.mean mean2, inv2.cov cov2
+          FROM inv inv1, inv inv2
+          WHERE inv1.i_item_sk = inv2.i_item_sk
+            AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+            AND inv1.d_moy = 1 AND inv2.d_moy = 2
+          ORDER BY wsk1, isk1, moy1, mean1, cov1 LIMIT 100""",
+
+    // q40: catalog sales net of returns by warehouse state around a date
+    "q40" ->
+      s"""SELECT w_state, i_item_id,
+            sum(CASE WHEN d_date < DATE '2000-03-11'
+                  THEN cs_sales_price - coalesce(cr_return_amount, 0) ELSE 0 END) AS sales_before,
+            sum(CASE WHEN d_date >= DATE '2000-03-11'
+                  THEN cs_sales_price - coalesce(cr_return_amount, 0) ELSE 0 END) AS sales_after
+          FROM $p.catalog_sales LEFT OUTER JOIN $p.catalog_returns
+            ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk,
+            $p.warehouse, $p.item, $p.date_dim
+          WHERE i_current_price BETWEEN 10 AND 30 AND i_item_sk = cs_item_sk
+            AND cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+            AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+          GROUP BY w_state, i_item_id
+          ORDER BY w_state, i_item_id LIMIT 100""",
+
+    // q41: distinct product names whose manufact has items matching
+    // OR'd color/units/size conjunctions (manufact-id range widened:
+    // generated manufacts are near-singletons)
+    "q41" ->
+      s"""SELECT DISTINCT i_product_name
+          FROM $p.item i1
+          WHERE i_manufact_id BETWEEN 1 AND 1000
+            AND (SELECT count(*) AS item_cnt FROM $p.item
+                 WHERE (i_manufact = i1.i_manufact
+                     AND i_category = 'Women'
+                     AND i_color IN ('blue', 'navy', 'cyan', 'azure')
+                     AND i_units IN ('Each', 'Dozen', 'Box', 'Case')
+                     AND i_size IN ('small', 'medium', 'large'))
+                    OR (i_manufact = i1.i_manufact
+                     AND i_category = 'Men'
+                     AND i_color IN ('black', 'grey', 'brown', 'maroon')
+                     AND i_units IN ('Each', 'Gross', 'Carton', 'Bundle')
+                     AND i_size IN ('economy', 'N/A', 'petite'))
+                    OR (i_manufact = i1.i_manufact
+                     AND i_category = 'Children'
+                     AND i_color IN ('green', 'lime', 'olive', 'gold')
+                     AND i_units IN ('Each', 'Dozen', 'Pallet', 'Box')
+                     AND i_size IN ('small', 'medium', 'large'))
+                    OR (i_manufact = i1.i_manufact
+                     AND i_category = 'Shoes'
+                     AND i_color IN ('ivory', 'cream', 'beige', 'khaki')
+                     AND i_units IN ('Each', 'Case', 'Gross', 'Carton')
+                     AND i_size IN ('economy', 'N/A', 'petite'))) > 0
+          ORDER BY i_product_name LIMIT 100""",
+
+    // q49: worst return ratios per channel, double-ranked (return-amt
+    // threshold in generated dollars)
+    "q49" ->
+      s"""SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
+            SELECT 'web' AS channel, r.item, r.return_ratio,
+              rank() OVER (ORDER BY r.return_ratio) return_rank,
+              rank() OVER (ORDER BY r.currency_ratio) currency_rank
+            FROM (SELECT ws.ws_item_sk item,
+                    CAST(sum(coalesce(wr.wr_return_quantity, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(ws.ws_quantity, 0)) AS DECIMAL(15, 4)) return_ratio,
+                    CAST(sum(coalesce(wr.wr_return_amt, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(ws.ws_net_paid, 0)) AS DECIMAL(15, 4)) currency_ratio
+                  FROM $p.web_sales ws LEFT OUTER JOIN $p.web_returns wr
+                    ON ws.ws_order_number = wr.wr_order_number
+                      AND ws.ws_item_sk = wr.wr_item_sk,
+                    $p.date_dim
+                  WHERE wr.wr_return_amt > 100 AND ws.ws_net_profit > 1
+                    AND ws.ws_net_paid > 0 AND ws.ws_quantity > 0
+                    AND ws_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy = 12
+                  GROUP BY ws.ws_item_sk) r
+            UNION ALL
+            SELECT 'catalog', r.item, r.return_ratio,
+              rank() OVER (ORDER BY r.return_ratio) return_rank,
+              rank() OVER (ORDER BY r.currency_ratio) currency_rank
+            FROM (SELECT cs.cs_item_sk item,
+                    CAST(sum(coalesce(cr.cr_return_quantity, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(cs.cs_quantity, 0)) AS DECIMAL(15, 4)) return_ratio,
+                    CAST(sum(coalesce(cr.cr_return_amount, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(cs.cs_ext_sales_price, 0)) AS DECIMAL(15, 4)) currency_ratio
+                  FROM $p.catalog_sales cs LEFT OUTER JOIN $p.catalog_returns cr
+                    ON cs.cs_order_number = cr.cr_order_number
+                      AND cs.cs_item_sk = cr.cr_item_sk,
+                    $p.date_dim
+                  WHERE cr.cr_return_amount > 100 AND cs.cs_net_profit > 1
+                    AND cs.cs_ext_sales_price > 0 AND cs.cs_quantity > 0
+                    AND cs_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy = 12
+                  GROUP BY cs.cs_item_sk) r
+            UNION ALL
+            SELECT 'store', r.item, r.return_ratio,
+              rank() OVER (ORDER BY r.return_ratio) return_rank,
+              rank() OVER (ORDER BY r.currency_ratio) currency_rank
+            FROM (SELECT sts.ss_item_sk item,
+                    CAST(sum(coalesce(sr.sr_return_quantity, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(sts.ss_quantity, 0)) AS DECIMAL(15, 4)) return_ratio,
+                    CAST(sum(coalesce(sr.sr_return_amt, 0)) AS DECIMAL(15, 4)) /
+                      CAST(sum(coalesce(sts.ss_net_paid, 0)) AS DECIMAL(15, 4)) currency_ratio
+                  FROM $p.store_sales sts LEFT OUTER JOIN $p.store_returns sr
+                    ON sts.ss_ticket_number = sr.sr_ticket_number
+                      AND sts.ss_item_sk = sr.sr_item_sk,
+                    $p.date_dim
+                  WHERE sr.sr_return_amt > 100 AND sts.ss_net_profit > 1
+                    AND sts.ss_net_paid > 0 AND sts.ss_quantity > 0
+                    AND ss_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy = 12
+                  GROUP BY sts.ss_item_sk) r) t
+          WHERE return_rank <= 10 OR currency_rank <= 10
+          ORDER BY channel, return_rank, currency_rank, item LIMIT 100""",
+
+    // q50: sold-to-returned day-gap buckets per store
+    "q50" ->
+      s"""SELECT s_store_name, s_county, s_state, s_zip,
+            sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
+            sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+                  AND sr_returned_date_sk - ss_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d60,
+            sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+                  AND sr_returned_date_sk - ss_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d90,
+            sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+                  AND sr_returned_date_sk - ss_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d120,
+            sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120 THEN 1 ELSE 0 END) AS dmore
+          FROM $p.store_sales, $p.store_returns, $p.store, $p.date_dim d1, $p.date_dim d2
+          WHERE d2.d_year = 2000 AND d2.d_moy = 8
+            AND ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+            AND ss_sold_date_sk = d1.d_date_sk AND sr_returned_date_sk = d2.d_date_sk
+            AND ss_customer_sk = sr_customer_sk AND ss_store_sk = sr_store_sk
+            AND ss_store_sk = s_store_sk
+          GROUP BY s_store_name, s_county, s_state, s_zip
+          ORDER BY s_store_name, s_county, s_state, s_zip LIMIT 100""",
+
+    // q51: cumulative web-vs-store revenue crossover per item
+    "q51" ->
+      s"""WITH web_v1 AS (
+            SELECT ws_item_sk item_sk, d_date,
+              sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+            FROM $p.web_sales, $p.date_dim
+            WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1200 AND 1211
+              AND ws_item_sk IS NOT NULL
+            GROUP BY ws_item_sk, d_date),
+          store_v1 AS (
+            SELECT ss_item_sk item_sk, d_date,
+              sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+            FROM $p.store_sales, $p.date_dim
+            WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1200 AND 1211
+              AND ss_item_sk IS NOT NULL
+            GROUP BY ss_item_sk, d_date)
+          SELECT * FROM (
+            SELECT item_sk, d_date, web_sales, store_sales,
+              max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) web_cumulative,
+              max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) store_cumulative
+            FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                    ELSE store.item_sk END item_sk,
+                    CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                      ELSE store.d_date END d_date,
+                    web.cume_sales web_sales, store.cume_sales store_sales
+                  FROM web_v1 web FULL OUTER JOIN store_v1 store
+                    ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x) y
+          WHERE web_cumulative > store_cumulative
+          ORDER BY item_sk, d_date LIMIT 100""")
 
 }

@@ -115,6 +115,17 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q91" -> ((-257856323L, 2L)),
     "tpcds_q93" -> ((-2960897594L, 100L)),
     "tpcds_q94" -> ((1446774066L, 1L)),
+    "tpcds_q14" -> ((2732449876L, 100L)),
+    "tpcds_q17" -> ((7350625068L, 100L)),
+    "tpcds_q23" -> ((892788213L, 1L)),
+    "tpcds_q25" -> ((5381628373L, 15L)),
+    "tpcds_q29" -> ((-5041599959L, 46L)),
+    "tpcds_q39" -> ((9932955778L, 100L)),
+    "tpcds_q40" -> ((13182233876L, 87L)),
+    "tpcds_q41" -> ((-4086892924L, 18L)),
+    "tpcds_q49" -> ((6977815519L, 11L)),
+    "tpcds_q50" -> ((-1381579830L, 2L)),
+    "tpcds_q51" -> ((35400288801L, 100L)),
     "tpcds_q95" -> ((-14215183L, 1L)))
 
   private def check(name: String, sql: String): Unit = {

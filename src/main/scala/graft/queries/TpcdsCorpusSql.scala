@@ -1734,6 +1734,334 @@ object TpcdsCorpusSql {
                   FROM web_v1 web FULL OUTER JOIN store_v1 store
                     ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x) y
           WHERE web_cumulative > store_cumulative
-          ORDER BY item_sk, d_date LIMIT 100""")
+          ORDER BY item_sk, d_date LIMIT 100""",
+
+    // q16: catalog orders shipped from multiple warehouses with no
+    // returns (order numbers unique per row -> buyer-correlated
+    // EXISTS, as in q94; call-center filter keys on generated names)
+    "q16" ->
+      s"""SELECT count(DISTINCT cs_order_number) AS order_count,
+            sum(cs_ext_discount_amt) AS total_discount,
+            sum(cs_net_profit) AS total_net_profit
+          FROM $p.catalog_sales cs1, $p.date_dim, $p.customer_address, $p.call_center
+          WHERE d_date BETWEEN '2000-02-01'
+              AND (CAST('2000-02-01' AS DATE) + INTERVAL 60 DAY)
+            AND cs1.cs_ship_date_sk = d_date_sk
+            AND cs1.cs_bill_addr_sk = ca_address_sk AND ca_state = 'GA'
+            AND cs1.cs_call_center_sk = cc_call_center_sk
+            AND cc_name IN ('Center 1', 'Center 2')
+            AND EXISTS (SELECT 1 FROM $p.catalog_sales cs2
+                        WHERE cs1.cs_bill_customer_sk = cs2.cs_bill_customer_sk
+                          AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+            AND NOT EXISTS (SELECT 1 FROM $p.catalog_returns cr1, $p.catalog_sales cs3
+                            WHERE cr1.cr_order_number = cs3.cs_order_number
+                              AND cs3.cs_bill_customer_sk = cs1.cs_bill_customer_sk)""",
+
+    // q24: returned-item net-paid per customer/store/color with a
+    // 5%-of-average HAVING (cross-state customers stand in for the
+    // spec's cross-country ones)
+    "q24" ->
+      s"""WITH ssales AS (
+            SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+              i_color, i_current_price, i_manufact_id, i_units, i_size,
+              sum(ss_net_paid) netpaid
+            FROM $p.store_sales, $p.store_returns, $p.store, $p.item,
+                 $p.customer, $p.customer_address
+            WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+              AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+              AND ca_state <> s_state
+            GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+              i_color, i_current_price, i_manufact_id, i_units, i_size)
+          SELECT c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+          FROM ssales WHERE i_color = 'navy'
+          GROUP BY c_last_name, c_first_name, s_store_name
+          HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+          ORDER BY c_last_name, c_first_name, s_store_name LIMIT 100""",
+
+    // q31: web-vs-store quarter-over-quarter growth per state
+    "q31" ->
+      s"""WITH ss AS (
+            SELECT ca_state county, d_qoy qoy, d_year year_,
+              sum(ss_ext_sales_price) store_sales
+            FROM $p.store_sales, $p.date_dim, $p.customer_address
+            WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+            GROUP BY ca_state, d_qoy, d_year),
+          ws AS (
+            SELECT ca_state county, d_qoy qoy, d_year year_,
+              sum(ws_ext_sales_price) web_sales
+            FROM $p.web_sales, $p.date_dim, $p.customer_address
+            WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+            GROUP BY ca_state, d_qoy, d_year)
+          SELECT ss1.county, ss1.year_ AS yr,
+            ws2.web_sales / ws1.web_sales web_q1_q2_increase,
+            ss2.store_sales / ss1.store_sales store_q1_q2_increase,
+            ws3.web_sales / ws2.web_sales web_q2_q3_increase,
+            ss3.store_sales / ss2.store_sales store_q2_q3_increase
+          FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+          WHERE ss1.qoy = 1 AND ss1.year_ = 2000 AND ss1.county = ss2.county
+            AND ss2.qoy = 2 AND ss2.year_ = 2000 AND ss2.county = ss3.county
+            AND ss3.qoy = 3 AND ss3.year_ = 2000
+            AND ss1.county = ws1.county AND ws1.qoy = 1 AND ws1.year_ = 2000
+            AND ws1.county = ws2.county AND ws2.qoy = 2 AND ws2.year_ = 2000
+            AND ws1.county = ws3.county AND ws3.qoy = 3 AND ws3.year_ = 2000
+            AND CASE WHEN ws1.web_sales > 0 THEN ws2.web_sales / ws1.web_sales END
+              > CASE WHEN ss1.store_sales > 0 THEN ss2.store_sales / ss1.store_sales END
+            AND CASE WHEN ws2.web_sales > 0 THEN ws3.web_sales / ws2.web_sales END
+              > CASE WHEN ss2.store_sales > 0 THEN ss3.store_sales / ss2.store_sales END
+          ORDER BY ss1.county LIMIT 100""",
+
+    // q54: store revenue segments of catalog/web category buyers
+    // (county match -> state match over the generated geography)
+    "q54" ->
+      s"""WITH my_customers AS (
+            SELECT DISTINCT c_customer_sk, c_current_addr_sk
+            FROM (SELECT cs_sold_date_sk sold_date_sk, cs_bill_customer_sk customer_sk,
+                    cs_item_sk item_sk FROM $p.catalog_sales
+                  UNION ALL
+                  SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+                  FROM $p.web_sales) cs_or_ws_sales,
+              $p.item, $p.date_dim, $p.customer
+            WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+              AND i_category = 'Electronics' AND i_class = 'class3'
+              AND c_customer_sk = cs_or_ws_sales.customer_sk
+              AND d_moy = 3 AND d_year = 2000),
+          my_revenue AS (
+            SELECT c_customer_sk, sum(ss_ext_sales_price) AS revenue
+            FROM my_customers, $p.store_sales, $p.customer_address, $p.store, $p.date_dim
+            WHERE c_current_addr_sk = ca_address_sk AND ca_state = s_state
+              AND ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN
+                (SELECT DISTINCT d_month_seq + 1 FROM $p.date_dim
+                 WHERE d_year = 2000 AND d_moy = 3)
+                AND (SELECT DISTINCT d_month_seq + 3 FROM $p.date_dim
+                     WHERE d_year = 2000 AND d_moy = 3)
+            GROUP BY c_customer_sk),
+          segments AS (SELECT CAST((revenue / 50) AS INT) AS segment FROM my_revenue)
+          SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
+          FROM segments GROUP BY segment
+          ORDER BY segment, num_customers LIMIT 100""",
+
+    // q56: three-channel revenue for color-picked items in a month
+    "q56" ->
+      s"""WITH ss AS (
+            SELECT i_item_id, sum(ss_ext_sales_price) total_sales
+            FROM $p.store_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM $p.item
+                                WHERE i_color IN ('navy', 'blue', 'azure'))
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 2 AND ss_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5
+            GROUP BY i_item_id),
+          cs AS (
+            SELECT i_item_id, sum(cs_ext_sales_price) total_sales
+            FROM $p.catalog_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM $p.item
+                                WHERE i_color IN ('navy', 'blue', 'azure'))
+              AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 2 AND cs_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5
+            GROUP BY i_item_id),
+          ws AS (
+            SELECT i_item_id, sum(ws_ext_sales_price) total_sales
+            FROM $p.web_sales, $p.date_dim, $p.customer_address, $p.item
+            WHERE i_item_id IN (SELECT i_item_id FROM $p.item
+                                WHERE i_color IN ('navy', 'blue', 'azure'))
+              AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+              AND d_year = 2000 AND d_moy = 2 AND ws_bill_addr_sk = ca_address_sk
+              AND ca_gmt_offset = -5
+            GROUP BY i_item_id)
+          SELECT i_item_id, sum(total_sales) total_sales
+          FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) x
+          GROUP BY i_item_id
+          ORDER BY total_sales, i_item_id LIMIT 100""",
+
+    // q57: call-center brand months deviating >10% from the yearly
+    // average, with lag/lead month context
+    "q57" ->
+      s"""WITH v1 AS (
+            SELECT i_category, i_brand, cc_name, d_year, d_moy,
+              sum(cs_sales_price) sum_sales,
+              avg(sum(cs_sales_price)) OVER (
+                PARTITION BY i_category, i_brand, cc_name, d_year) avg_monthly_sales,
+              rank() OVER (
+                PARTITION BY i_category, i_brand, cc_name
+                ORDER BY d_year, d_moy) rn
+            FROM $p.item, $p.catalog_sales, $p.date_dim, $p.call_center
+            WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+              AND cc_call_center_sk = cs_call_center_sk
+              AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12)
+                OR (d_year = 2001 AND d_moy = 1))
+            GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+          v2 AS (
+            SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+              v1.avg_monthly_sales, v1.sum_sales,
+              v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+            FROM v1, v1 v1_lag, v1 v1_lead
+            WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+              AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+              AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+              AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+          SELECT * FROM v2
+          WHERE d_year = 2000 AND avg_monthly_sales > 0
+            AND CASE WHEN avg_monthly_sales > 0
+                  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+                  ELSE null END > 0.1
+          ORDER BY sum_sales - avg_monthly_sales, i_category, i_brand, cc_name, d_moy
+          LIMIT 100""",
+
+    // q58: items with comparable revenue in all three channels for one
+    // month (month rather than the spec's week, band 0.1x-10x: a
+    // same-week triple with 10% bands is empty at generated density)
+    "q58" ->
+      s"""WITH ss_items AS (
+            SELECT i_item_id item_id, sum(ss_ext_sales_price) ss_item_rev
+            FROM $p.store_sales, $p.item, $p.date_dim
+            WHERE ss_item_sk = i_item_sk
+              AND d_date IN (SELECT d_date FROM $p.date_dim
+                             WHERE d_month_seq = (SELECT DISTINCT d_month_seq FROM $p.date_dim
+                                                  WHERE d_date = '2000-01-03'))
+              AND ss_sold_date_sk = d_date_sk
+            GROUP BY i_item_id),
+          cs_items AS (
+            SELECT i_item_id item_id, sum(cs_ext_sales_price) cs_item_rev
+            FROM $p.catalog_sales, $p.item, $p.date_dim
+            WHERE cs_item_sk = i_item_sk
+              AND d_date IN (SELECT d_date FROM $p.date_dim
+                             WHERE d_month_seq = (SELECT DISTINCT d_month_seq FROM $p.date_dim
+                                                  WHERE d_date = '2000-01-03'))
+              AND cs_sold_date_sk = d_date_sk
+            GROUP BY i_item_id),
+          ws_items AS (
+            SELECT i_item_id item_id, sum(ws_ext_sales_price) ws_item_rev
+            FROM $p.web_sales, $p.item, $p.date_dim
+            WHERE ws_item_sk = i_item_sk
+              AND d_date IN (SELECT d_date FROM $p.date_dim
+                             WHERE d_month_seq = (SELECT DISTINCT d_month_seq FROM $p.date_dim
+                                                  WHERE d_date = '2000-01-03'))
+              AND ws_sold_date_sk = d_date_sk
+            GROUP BY i_item_id)
+          SELECT ss_items.item_id, ss_item_rev,
+            ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ss_dev,
+            cs_item_rev,
+            cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 cs_dev,
+            ws_item_rev,
+            ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ws_dev,
+            (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+          FROM ss_items, cs_items, ws_items
+          WHERE ss_items.item_id = cs_items.item_id
+            AND ss_items.item_id = ws_items.item_id
+            AND ss_item_rev BETWEEN 0.1 * cs_item_rev AND 10 * cs_item_rev
+            AND ss_item_rev BETWEEN 0.1 * ws_item_rev AND 10 * ws_item_rev
+            AND cs_item_rev BETWEEN 0.1 * ss_item_rev AND 10 * ss_item_rev
+            AND ws_item_rev BETWEEN 0.1 * ss_item_rev AND 10 * ss_item_rev
+          ORDER BY item_id, ss_item_rev LIMIT 100""",
+
+    // q61: promotional-channel share of category sales in a region
+    "q61" ->
+      s"""SELECT promotions, total,
+            CAST(promotions AS DECIMAL(15, 4)) / CAST(total AS DECIMAL(15, 4)) * 100 ratio
+          FROM (SELECT sum(ss_ext_sales_price) promotions
+                FROM $p.store_sales, $p.store, $p.promotion, $p.date_dim,
+                     $p.customer, $p.customer_address, $p.item
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+                  AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+                  AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+                  AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+                  AND d_year = 2000 AND d_moy = 11) promotional_sales,
+               (SELECT sum(ss_ext_sales_price) total
+                FROM $p.store_sales, $p.store, $p.date_dim,
+                     $p.customer, $p.customer_address, $p.item
+                WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+                  AND ss_customer_sk = c_customer_sk
+                  AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+                  AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+                  AND d_year = 2000 AND d_moy = 11) all_sales""",
+
+    // q64: returned store items (whose catalog twin out-sold its
+    // refunds) bought by income-banded customers, compared across two
+    // years per item and store
+    "q64" ->
+      s"""WITH cs_ui AS (
+            SELECT cs_item_sk, sum(cs_ext_sales_price) sale,
+              sum(cr_return_amount) refund
+            FROM $p.catalog_sales, $p.catalog_returns
+            WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+            GROUP BY cs_item_sk
+            HAVING sum(cs_ext_sales_price) > 2 * sum(cr_return_amount)),
+          cross_sales AS (
+            SELECT i_product_name product_name, i_item_sk item_sk,
+              s_store_name store_name, s_zip store_zip, d1.d_year syear,
+              count(*) cnt, sum(ss_wholesale_cost) s1, sum(ss_list_price) s2,
+              sum(ss_coupon_amt) s3
+            FROM $p.store_sales, $p.store_returns, cs_ui, $p.date_dim d1,
+                 $p.store, $p.customer, $p.customer_demographics cd1,
+                 $p.household_demographics hd1, $p.income_band ib1,
+                 $p.customer_address ad2, $p.item
+            WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d1.d_date_sk
+              AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+              AND ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
+              AND ss_item_sk = cs_ui.cs_item_sk
+              AND c_current_cdemo_sk = cd1.cd_demo_sk
+              AND c_current_hdemo_sk = hd1.hd_demo_sk
+              AND c_current_addr_sk = ad2.ca_address_sk
+              AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+              AND i_color IN ('navy', 'blue', 'azure', 'gold', 'lime', 'green')
+              AND i_current_price BETWEEN 10 AND 60
+            GROUP BY i_product_name, i_item_sk, s_store_name, s_zip, d1.d_year)
+          SELECT cs1.product_name, cs1.store_name, cs1.store_zip, cs1.syear,
+            cs1.cnt, cs1.s1, cs1.s2, cs1.s3, cs2.s1 s1_2, cs2.s2 s2_2,
+            cs2.s3 s3_2, cs2.syear syear_2, cs2.cnt cnt_2
+          FROM cross_sales cs1, cross_sales cs2
+          WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 2000 AND cs2.syear = 2001
+            AND cs2.cnt <= cs1.cnt AND cs1.store_name = cs2.store_name
+            AND cs1.store_zip = cs2.store_zip
+          ORDER BY cs1.product_name, cs1.store_name, cnt_2, cs1.syear LIMIT 100""",
+
+    // q66: warehouse monthly shipping report across web+catalog for
+    // express modes in a time-of-day window (sm_carrier -> sm_type)
+    "q66" ->
+      s"""SELECT w_warehouse_name, w_state, yr, sum(CASE WHEN d_moy = 1 THEN sales_amt ELSE 0 END) jan_sales, sum(CASE WHEN d_moy = 2 THEN sales_amt ELSE 0 END) feb_sales, sum(CASE WHEN d_moy = 3 THEN sales_amt ELSE 0 END) mar_sales, sum(CASE WHEN d_moy = 4 THEN sales_amt ELSE 0 END) apr_sales, sum(CASE WHEN d_moy = 5 THEN sales_amt ELSE 0 END) may_sales, sum(CASE WHEN d_moy = 6 THEN sales_amt ELSE 0 END) jun_sales, sum(CASE WHEN d_moy = 7 THEN sales_amt ELSE 0 END) jul_sales, sum(CASE WHEN d_moy = 8 THEN sales_amt ELSE 0 END) aug_sales, sum(CASE WHEN d_moy = 9 THEN sales_amt ELSE 0 END) sep_sales, sum(CASE WHEN d_moy = 10 THEN sales_amt ELSE 0 END) oct_sales, sum(CASE WHEN d_moy = 11 THEN sales_amt ELSE 0 END) nov_sales, sum(CASE WHEN d_moy = 12 THEN sales_amt ELSE 0 END) dec_sales,
+            sum(net_annual) AS net_annual
+          FROM (
+            SELECT w_warehouse_name, w_state, d_year yr,
+              ws_ext_sales_price * ws_quantity sales_amt,
+              ws_net_paid * ws_quantity net_annual, d_moy
+            FROM $p.web_sales, $p.warehouse, $p.date_dim, $p.time_dim, $p.ship_mode
+            WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+              AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+              AND d_year = 2000 AND t_time BETWEEN 30838 AND 59638
+              AND sm_type IN ('EXPRESS', 'OVERNIGHT')
+            UNION ALL
+            SELECT w_warehouse_name, w_state, d_year, 
+              cs_ext_sales_price * cs_quantity, cs_net_profit * cs_quantity, d_moy
+            FROM $p.catalog_sales, $p.warehouse, $p.date_dim, $p.time_dim, $p.ship_mode
+            WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+              AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+              AND d_year = 2000 AND t_time BETWEEN 30838 AND 59638
+              AND sm_type IN ('EXPRESS', 'OVERNIGHT')) x
+          GROUP BY w_warehouse_name, w_state, yr
+          ORDER BY w_warehouse_name, w_state, yr LIMIT 100""",
+
+    // q67: top-ranked rollup sales per category over every grouping depth
+    "q67" ->
+      s"""SELECT * FROM (
+            SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+              d_moy, s_store_id, sumsales,
+              rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) rk
+            FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                    d_qoy, d_moy, s_store_id,
+                    sum(coalesce(ss_sales_price * ss_quantity, 0)) sumsales
+                  FROM $p.store_sales, $p.date_dim, $p.store, $p.item
+                  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+                    AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 1200 AND 1211
+                  GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+                    d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+          WHERE rk <= 100
+          ORDER BY i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+            d_moy, s_store_id, sumsales, rk
+          LIMIT 100""")
 
 }

@@ -126,6 +126,17 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q49" -> ((6977815519L, 11L)),
     "tpcds_q50" -> ((-1381579830L, 2L)),
     "tpcds_q51" -> ((35400288801L, 100L)),
+    "tpcds_q16" -> ((-1423259066L, 1L)),
+    "tpcds_q24" -> ((7805790522L, 100L)),
+    "tpcds_q31" -> ((-1080933055L, 1L)),
+    "tpcds_q54" -> ((881672793L, 1L)),
+    "tpcds_q56" -> ((-6504224102L, 29L)),
+    "tpcds_q57" -> ((-3409098842L, 100L)),
+    "tpcds_q58" -> ((-6250637512L, 18L)),
+    "tpcds_q61" -> ((354196235L, 1L)),
+    "tpcds_q64" -> ((-9189837170L, 25L)),
+    "tpcds_q66" -> ((-1261399221L, 3L)),
+    "tpcds_q67" -> ((7229407379L, 100L)),
     "tpcds_q95" -> ((-14215183L, 1L)))
 
   private def check(name: String, sql: String): Unit = {

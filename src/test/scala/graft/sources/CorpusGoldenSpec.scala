@@ -137,6 +137,13 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q64" -> ((-9189837170L, 25L)),
     "tpcds_q66" -> ((-1261399221L, 3L)),
     "tpcds_q67" -> ((7229407379L, 100L)),
+    "tpcds_q72" -> ((-7589572880L, 15L)),
+    "tpcds_q75" -> ((-2891769047L, 25L)),
+    "tpcds_q76" -> ((13002152304L, 100L)),
+    "tpcds_q78" -> ((2148276172L, 10L)),
+    "tpcds_q80" -> ((3606407579L, 84L)),
+    "tpcds_q83" -> ((-4686579791L, 28L)),
+    "tpcds_q86" -> ((-22764819393L, 100L)),
     "tpcds_q95" -> ((-14215183L, 1L)))
 
   private def check(name: String, sql: String): Unit = {

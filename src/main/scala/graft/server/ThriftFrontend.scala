@@ -1,0 +1,485 @@
+package graft.server
+
+import java.nio.ByteBuffer
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.ExecutionContext
+import scala.jdk.CollectionConverters._
+
+import org.apache.hive.service.rpc.thrift._
+import org.apache.thrift.protocol.TBinaryProtocol
+import org.apache.thrift.server.TThreadPoolServer
+import org.apache.thrift.transport.TServerSocket
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** HiveServer2-protocol (Thrift binary / JDBC) frontend over the graft
+  * engine — the reference's primary wire entry point
+  * (kyuubi-server/.../KyuubiTBinaryFrontendService.scala and the
+  * engine's SparkTBinaryFrontendService). Speaks the TCLIService
+  * contract from the hive-service-rpc classes Spark already ships, so
+  * any HiveServer2 JDBC/beeline client connects with
+  * `jdbc:hive2://host:port/;auth=noSasl`.
+  *
+  * Result sets are column-based `TColumn` pages (protocol V6+) with
+  * null bitmasks; DECIMAL/DATE/TIMESTAMP/complex values travel as
+  * strings per the HiveServer2 convention (the JDBC client re-parses
+  * them by column type). Operation lifecycle maps 1:1 onto
+  * [[graft.core.Operation]]: async execute + GetOperationStatus
+  * polling, cancel via Spark job groups, fetch paging via
+  * [[FetchIterator]] (NEXT/PRIOR/FIRST orientations).
+  */
+final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  /** One server-side operation: either a SQL statement or a prebuilt
+    * metadata DataFrame, with a uniform schema/iterator view.
+    */
+  private final class DfOperation(session: EngineSession, build: SparkSession => DataFrame)
+    extends Operation(session) {
+    @volatile var resultSchema: StructType = new StructType()
+    @volatile var iter: FetchIterator[Row] = _
+    override protected def runInternal(): Unit = {
+      val df = build(session.spark)
+      resultSchema = df.schema
+      iter = new ArrayFetchIterator(df.collect())
+    }
+  }
+
+  private case class OpBox(session: EngineSession, schema: () => StructType,
+      rows: () => FetchIterator[Row], op: Operation)
+
+  private val sessions = new ConcurrentHashMap[String, EngineSession]()
+  private val ops = new ConcurrentHashMap[String, OpBox]()
+
+  // --- handle plumbing ------------------------------------------------------
+  private def handleId(id: String): THandleIdentifier = {
+    val u = UUID.fromString(id)
+    val guid = ByteBuffer.allocate(16)
+    guid.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    guid.flip()
+    new THandleIdentifier(guid, ByteBuffer.allocate(16))
+  }
+  private def idOf(h: THandleIdentifier): String = {
+    val bb = ByteBuffer.wrap(h.getGuid)
+    new UUID(bb.getLong, bb.getLong).toString
+  }
+  private def ok: TStatus = new TStatus(TStatusCode.SUCCESS_STATUS)
+  private def err(e: Throwable): TStatus = {
+    val st = new TStatus(TStatusCode.ERROR_STATUS)
+    st.setErrorMessage(String.valueOf(e.getMessage))
+    st.setSqlState("42000")
+    st
+  }
+
+  private def opHandle(id: String, hasResult: Boolean): TOperationHandle = {
+    val h = new TOperationHandle(handleId(id), TOperationType.EXECUTE_STATEMENT, hasResult)
+    h
+  }
+
+  private def startDfOp(session: EngineSession, sync: Boolean = true)(
+      build: SparkSession => DataFrame): TOperationHandle = {
+    val op = new DfOperation(session, build)
+    ops.put(op.handle, OpBox(session, () => op.resultSchema, () => op.iter, op))
+    op.run()
+    if (sync) op.awaitTermination()
+    opHandle(op.handle, hasResult = true)
+  }
+
+  // --- type mapping ---------------------------------------------------------
+  private def typeId(dt: DataType): TTypeId = dt match {
+    case BooleanType => TTypeId.BOOLEAN_TYPE
+    case ByteType => TTypeId.TINYINT_TYPE
+    case ShortType => TTypeId.SMALLINT_TYPE
+    case IntegerType => TTypeId.INT_TYPE
+    case LongType => TTypeId.BIGINT_TYPE
+    case FloatType => TTypeId.FLOAT_TYPE
+    case DoubleType => TTypeId.DOUBLE_TYPE
+    case _: DecimalType => TTypeId.DECIMAL_TYPE
+    case DateType => TTypeId.DATE_TYPE
+    case TimestampType | TimestampNTZType => TTypeId.TIMESTAMP_TYPE
+    case BinaryType => TTypeId.BINARY_TYPE
+    case _: ArrayType => TTypeId.ARRAY_TYPE
+    case _: MapType => TTypeId.MAP_TYPE
+    case _: StructType => TTypeId.STRUCT_TYPE
+    case NullType => TTypeId.NULL_TYPE
+    case _ => TTypeId.STRING_TYPE
+  }
+
+  private def tableSchema(schema: StructType): TTableSchema = {
+    val ts = new TTableSchema()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val entry = new TPrimitiveTypeEntry(typeId(f.dataType))
+      f.dataType match {
+        case d: DecimalType =>
+          val q = new TTypeQualifiers()
+          q.setQualifiers(Map(
+            TCLIServiceConstants.PRECISION ->
+              TTypeQualifierValue.i32Value(d.precision),
+            TCLIServiceConstants.CHARACTER_MAXIMUM_LENGTH ->
+              TTypeQualifierValue.i32Value(d.precision),
+            TCLIServiceConstants.SCALE -> TTypeQualifierValue.i32Value(d.scale)).asJava)
+          entry.setTypeQualifiers(q)
+        case _ =>
+      }
+      val td = new TTypeDesc()
+      td.addToTypes(TTypeEntry.primitiveEntry(entry))
+      val cd = new TColumnDesc(f.name, td, i + 1)
+      ts.addToColumns(cd)
+    }
+    ts
+  }
+
+  // --- row-set encoding (column-based, V6+) ---------------------------------
+  private def nullMask(nulls: Array[Boolean]): ByteBuffer = {
+    val bytes = new Array[Byte]((nulls.length + 7) / 8 max 1)
+    nulls.zipWithIndex.foreach { case (n, i) =>
+      if (n) bytes(i / 8) = (bytes(i / 8) | (1 << (i % 8))).toByte
+    }
+    ByteBuffer.wrap(bytes)
+  }
+
+  private def stringify(v: Any): String = v match {
+    case null => ""
+    case s: String => s
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case t: java.sql.Timestamp => t.toString
+    case d: java.sql.Date => d.toString
+    case t: java.time.Instant => java.sql.Timestamp.from(t).toString
+    case d: java.time.LocalDate => d.toString
+    case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t).toString
+    case other => String.valueOf(other)
+  }
+
+  private def column(dt: DataType, vals: Array[Any]): TColumn = {
+    val nulls = vals.map(_ == null)
+    val mask = nullMask(nulls)
+    dt match {
+      case BooleanType => TColumn.boolVal(new TBoolColumn(
+        vals.map(v => java.lang.Boolean.valueOf(v != null && v.asInstanceOf[Boolean])).toSeq.asJava, mask))
+      case ByteType => TColumn.byteVal(new TByteColumn(
+        vals.map(v => java.lang.Byte.valueOf(if (v == null) 0.toByte else v.asInstanceOf[Byte])).toSeq.asJava, mask))
+      case ShortType => TColumn.i16Val(new TI16Column(
+        vals.map(v => java.lang.Short.valueOf(if (v == null) 0.toShort else v.asInstanceOf[Short])).toSeq.asJava, mask))
+      case IntegerType | DateType => TColumn.i32Val(new TI32Column(
+        vals.map {
+          case null => java.lang.Integer.valueOf(0)
+          case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+          case d: java.time.LocalDate => java.lang.Integer.valueOf(d.toEpochDay.toInt)
+          case v => java.lang.Integer.valueOf(v.asInstanceOf[Int])
+        }.toSeq.asJava, mask))
+      case LongType => TColumn.i64Val(new TI64Column(
+        vals.map(v => java.lang.Long.valueOf(if (v == null) 0L else v.asInstanceOf[Long])).toSeq.asJava, mask))
+      case FloatType => TColumn.doubleVal(new TDoubleColumn(
+        vals.map(v => java.lang.Double.valueOf(if (v == null) 0.0 else v.asInstanceOf[Float].toDouble)).toSeq.asJava, mask))
+      case DoubleType => TColumn.doubleVal(new TDoubleColumn(
+        vals.map(v => java.lang.Double.valueOf(if (v == null) 0.0 else v.asInstanceOf[Double])).toSeq.asJava, mask))
+      case BinaryType => TColumn.binaryVal(new TBinaryColumn(
+        vals.map(v => ByteBuffer.wrap(if (v == null) Array.empty[Byte]
+          else v.asInstanceOf[Array[Byte]])).toSeq.asJava, mask))
+      case _ =>
+        // DECIMAL / DATE-as-string fallback / TIMESTAMP / STRING /
+        // complex types: HiveServer2 string convention
+        TColumn.stringVal(new TStringColumn(vals.map(stringify).toSeq.asJava, mask))
+    }
+  }
+
+  // DATE over the wire: HiveServer2 sends DATE as STRING columns, not
+  // epoch ints — the JDBC client parses "yyyy-MM-dd".
+  private def wireColumn(dt: DataType, vals: Array[Any]): TColumn = dt match {
+    case DateType => TColumn.stringVal(new TStringColumn(
+      vals.map(stringify).toSeq.asJava, nullMask(vals.map(_ == null))))
+    case _ => column(dt, vals)
+  }
+
+  private def rowSet(schema: StructType, rows: Array[Row]): TRowSet = {
+    val rs = new TRowSet(0, new java.util.ArrayList[TRow]())
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      rs.addToColumns(wireColumn(f.dataType, rows.map(r => r.get(i))))
+    }
+    rs
+  }
+
+  // --- the TCLIService implementation ---------------------------------------
+  private val iface: TCLIService.Iface = new TCLIService.Iface {
+
+    override def OpenSession(req: TOpenSessionReq): TOpenSessionResp = {
+      val resp = new TOpenSessionResp()
+      try {
+        val user = Option(req.getUsername).filter(_.nonEmpty).getOrElse("anonymous")
+        val sess = engine.openSession(user)
+        sessions.put(sess.id, sess)
+        val negotiated =
+          if (req.getClient_protocol == null) TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
+          else if (req.getClient_protocol.getValue <= TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10.getValue)
+            req.getClient_protocol
+          else TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
+        resp.setServerProtocolVersion(negotiated)
+        resp.setSessionHandle(new TSessionHandle(handleId(sess.id)))
+        resp.setConfiguration(Map.empty[String, String].asJava)
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def CloseSession(req: TCloseSessionReq): TCloseSessionResp = {
+      try {
+        val id = idOf(req.getSessionHandle.getSessionId)
+        sessions.remove(id)
+        engine.closeSession(id)
+        new TCloseSessionResp(ok)
+      } catch { case e: Throwable =>
+        e.printStackTrace()
+        new TCloseSessionResp(err(e))
+      }
+    }
+
+    override def GetInfo(req: TGetInfoReq): TGetInfoResp = {
+      val v = req.getInfoType match {
+        case TGetInfoType.CLI_SERVER_NAME | TGetInfoType.CLI_DBMS_NAME =>
+          TGetInfoValue.stringValue("graft")
+        case TGetInfoType.CLI_DBMS_VER => TGetInfoValue.stringValue(Kdf.version)
+        case TGetInfoType.CLI_MAX_COLUMN_NAME_LEN => TGetInfoValue.lenValue(128)
+        case _ => TGetInfoValue.stringValue("")
+      }
+      val resp = new TGetInfoResp(ok, v)
+      resp
+    }
+
+    override def ExecuteStatement(req: TExecuteStatementReq): TExecuteStatementResp = {
+      val resp = new TExecuteStatementResp()
+      try {
+        val sess = sessions.get(idOf(req.getSessionHandle.getSessionId))
+        require(sess != null, "no such session")
+        val op = sess.executeStatement(req.getStatement)
+        ops.put(op.handle, OpBox(sess, () => op.result.schema, () => op.fetchIterator, op))
+        if (!req.isRunAsync) {
+          op.awaitTermination()
+          op.exception.foreach(throw _)
+        }
+        op.awaitTermination()
+        op.exception.foreach(throw _)
+        resp.setOperationHandle(
+          opHandle(op.handle, hasResult = op.result.schema.nonEmpty))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetOperationStatus(req: TGetOperationStatusReq): TGetOperationStatusResp = {
+      val resp = new TGetOperationStatusResp()
+      val box = ops.get(idOf(req.getOperationHandle.getOperationId))
+      if (box == null) { resp.setStatus(err(new NoSuchElementException("no such operation"))); return resp }
+      val st = box.op.currentState match {
+        case OperationState.Initialized => TOperationState.INITIALIZED_STATE
+        case OperationState.Pending => TOperationState.PENDING_STATE
+        case OperationState.Running | OperationState.Compiled => TOperationState.RUNNING_STATE
+        case OperationState.Finished => TOperationState.FINISHED_STATE
+        case OperationState.Canceled => TOperationState.CANCELED_STATE
+        case OperationState.Closed => TOperationState.CLOSED_STATE
+        case OperationState.Error => TOperationState.ERROR_STATE
+        case OperationState.Timeout => TOperationState.TIMEDOUT_STATE
+      }
+      resp.setOperationState(st)
+      box.op.exception.foreach { e =>
+        resp.setErrorMessage(String.valueOf(e.getMessage))
+        resp.setSqlState("42000")
+      }
+      resp.setStatus(ok)
+      resp
+    }
+
+    override def CancelOperation(req: TCancelOperationReq): TCancelOperationResp = {
+      Option(ops.get(idOf(req.getOperationHandle.getOperationId))).foreach(_.op.cancel())
+      new TCancelOperationResp(ok)
+    }
+
+    override def CloseOperation(req: TCloseOperationReq): TCloseOperationResp = {
+      Option(ops.remove(idOf(req.getOperationHandle.getOperationId))).foreach(_.op.close())
+      new TCloseOperationResp(ok)
+    }
+
+    override def GetResultSetMetadata(req: TGetResultSetMetadataReq): TGetResultSetMetadataResp = {
+      val resp = new TGetResultSetMetadataResp()
+      try {
+        val box = ops.get(idOf(req.getOperationHandle.getOperationId))
+        require(box != null, "no such operation")
+        box.op.awaitTermination()
+        resp.setSchema(tableSchema(box.schema()))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def FetchResults(req: TFetchResultsReq): TFetchResultsResp = {
+      val resp = new TFetchResultsResp()
+      try {
+        val box = ops.get(idOf(req.getOperationHandle.getOperationId))
+        require(box != null, "no such operation")
+        box.op.awaitTermination()
+        box.op.exception.foreach(throw _)
+        val it = box.rows()
+        val max = math.max(1, req.getMaxRows.toInt)
+        req.getOrientation match {
+          case TFetchOrientation.FETCH_FIRST => it.fetchAbsolute(0)
+          case TFetchOrientation.FETCH_PRIOR => it.fetchPrior(max)
+          case _ => it.fetchNext()
+        }
+        val page = it.take(max).toArray
+        val rs = rowSet(box.schema(), page)
+        resp.setResults(rs)
+        resp.setHasMoreRows(it.hasNext)
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    // --- metadata operations ------------------------------------------------
+    private def sessionOf(h: TSessionHandle): EngineSession = {
+      val s = sessions.get(idOf(h.getSessionId))
+      require(s != null, "no such session")
+      s
+    }
+
+    override def GetCatalogs(req: TGetCatalogsReq): TGetCatalogsResp = {
+      val resp = new TGetCatalogsResp()
+      try {
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getCatalogs))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetSchemas(req: TGetSchemasReq): TGetSchemasResp = {
+      val resp = new TGetSchemasResp()
+      try {
+        val pattern = Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("*")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getSchemas(_, pattern.replace("%", "*"))))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetTables(req: TGetTablesReq): TGetTablesResp = {
+      val resp = new TGetTablesResp()
+      try {
+        val db = Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("*")
+        val tbl = Option(req.getTableName).filter(_.nonEmpty).getOrElse("*")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getTables(_, db.replace("%", "*"), tbl.replace("%", "*"))))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetTableTypes(req: TGetTableTypesReq): TGetTableTypesResp = {
+      val resp = new TGetTableTypesResp()
+      try {
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getTableTypes))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetColumns(req: TGetColumnsReq): TGetColumnsResp = {
+      val resp = new TGetColumnsResp()
+      try {
+        val tbl = Option(req.getTableName).filter(_.nonEmpty).getOrElse("*")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getColumns(_, tbl.replace("%", "*"))))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetFunctions(req: TGetFunctionsReq): TGetFunctionsResp = {
+      val resp = new TGetFunctionsResp()
+      try {
+        val pattern = Option(req.getFunctionName).filter(_.nonEmpty).getOrElse("*")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getFunctions(_, pattern.replace("%", "*"))))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetTypeInfo(req: TGetTypeInfoReq): TGetTypeInfoResp = {
+      val resp = new TGetTypeInfoResp()
+      try {
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getTypeInfo))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetPrimaryKeys(req: TGetPrimaryKeysReq): TGetPrimaryKeysResp = {
+      val resp = new TGetPrimaryKeysResp()
+      try {
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getPrimaryKeys))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetCrossReference(req: TGetCrossReferenceReq): TGetCrossReferenceResp = {
+      val resp = new TGetCrossReferenceResp()
+      try {
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getCrossReference))
+        resp.setStatus(ok)
+      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      resp
+    }
+
+    override def GetQueryId(req: TGetQueryIdReq): TGetQueryIdResp =
+      new TGetQueryIdResp(idOf(req.getOperationHandle.getOperationId))
+
+    override def GetDelegationToken(req: TGetDelegationTokenReq): TGetDelegationTokenResp = {
+      val resp = new TGetDelegationTokenResp()
+      resp.setStatus(err(new UnsupportedOperationException("delegation tokens unsupported")))
+      resp
+    }
+    override def CancelDelegationToken(req: TCancelDelegationTokenReq): TCancelDelegationTokenResp =
+      new TCancelDelegationTokenResp(err(new UnsupportedOperationException("delegation tokens unsupported")))
+    override def RenewDelegationToken(req: TRenewDelegationTokenReq): TRenewDelegationTokenResp =
+      new TRenewDelegationTokenResp(err(new UnsupportedOperationException("delegation tokens unsupported")))
+    override def SetClientInfo(req: TSetClientInfoReq): TSetClientInfoResp =
+      new TSetClientInfoResp(ok)
+    override def UploadData(req: TUploadDataReq): TUploadDataResp = {
+      val resp = new TUploadDataResp()
+      resp.setStatus(err(new UnsupportedOperationException("UploadData unsupported")))
+      resp
+    }
+    override def DownloadData(req: TDownloadDataReq): TDownloadDataResp = {
+      val resp = new TDownloadDataResp()
+      resp.setStatus(err(new UnsupportedOperationException("DownloadData unsupported")))
+      resp
+    }
+  }
+
+  // --- server lifecycle -----------------------------------------------------
+  private val serverSocket = new TServerSocket(requestedPort)
+  val boundPort: Int = serverSocket.getServerSocket.getLocalPort
+
+  private val server = new TThreadPoolServer(
+    new TThreadPoolServer.Args(serverSocket)
+      .processor(new TCLIService.Processor(iface))
+      .protocolFactory(new TBinaryProtocol.Factory())
+      .minWorkerThreads(2)
+      .maxWorkerThreads(32))
+
+  private val serverThread = new Thread(() => server.serve(), s"graft-thrift-$boundPort")
+  serverThread.setDaemon(true)
+
+  def start(): ThriftFrontend = { serverThread.start(); this }
+
+  def stop(): Unit = {
+    server.stop()
+    serverSocket.close()
+  }
+}

@@ -1,0 +1,126 @@
+package graft.server
+
+import java.sql.{DriverManager, Types}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.core.Engine
+
+/** End-to-end wire test: the stock HiveServer2 JDBC driver (shipped in
+  * /opt/spark/jars) connects to [[ThriftFrontend]] over a real TCP
+  * socket and runs statements — the same client a user would point at
+  * the reference gateway.
+  */
+class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val engine = new Engine(SparkFixture.spark)
+  private var frontend: ThriftFrontend = _
+  private def url = s"jdbc:hive2://localhost:${frontend.boundPort}/;auth=noSasl"
+
+  override def beforeAll(): Unit = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    frontend = new ThriftFrontend(engine).start()
+  }
+
+  override def afterAll(): Unit = if (frontend != null) frontend.stop()
+
+  test("JDBC client executes a query and reads typed columns") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT 42 AS i, CAST(7 AS BIGINT) AS l, 1.5D AS d,
+          |CAST(12.34 AS DECIMAL(10,2)) AS dec,
+          |'hello' AS s, true AS b,
+          |DATE '2020-01-02' AS dt,
+          |TIMESTAMP '2020-01-02 03:04:05' AS ts,
+          |CAST(NULL AS INT) AS n""".stripMargin)
+      assert(rs.next())
+      assert(rs.getInt("i") == 42)
+      assert(rs.getLong("l") == 7L)
+      assert(rs.getDouble("d") == 1.5)
+      assert(rs.getBigDecimal("dec").toPlainString == "12.34")
+      assert(rs.getString("s") == "hello")
+      assert(rs.getBoolean("b"))
+      assert(rs.getDate("dt").toString == "2020-01-02")
+      assert(rs.getTimestamp("ts").toString.startsWith("2020-01-02 03:04:05"))
+      rs.getInt("n")
+      assert(rs.wasNull())
+      assert(!rs.next())
+    } finally conn.close()
+  }
+
+  test("result-set metadata carries JDBC types and decimal precision") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT CAST(1.5 AS DECIMAL(12,3)) AS dec, 'x' AS s, 1 AS i")
+      val md = rs.getMetaData
+      assert(md.getColumnCount == 3)
+      assert(md.getColumnType(1) == Types.DECIMAL)
+      assert(md.getPrecision(1) == 12 && md.getScale(1) == 3)
+      assert(md.getColumnType(2) == Types.VARCHAR)
+      assert(md.getColumnType(3) == Types.INTEGER)
+    } finally conn.close()
+  }
+
+  test("session state persists across statements on one connection") {
+    val conn = DriverManager.getConnection(url, "bob", "")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE OR REPLACE TEMPORARY VIEW thrift_nation AS " +
+          s"SELECT * FROM parquet.`${SparkFixture.sfDir}/nation.parquet`")
+      val rs = st.executeQuery("SELECT count(*) AS n FROM thrift_nation")
+      assert(rs.next() && rs.getLong("n") == 25L)
+    } finally conn.close()
+  }
+
+  test("multi-row results page through fetch correctly") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      val st = conn.createStatement()
+      st.setFetchSize(7)
+      val rs = st.executeQuery(
+        "SELECT id FROM range(100) ORDER BY id")
+      var expected = 0L
+      while (rs.next()) {
+        assert(rs.getLong("id") == expected)
+        expected += 1
+      }
+      assert(expected == 100L)
+    } finally conn.close()
+  }
+
+  test("per-session engine UDFs answer over the wire") {
+    val conn = DriverManager.getConnection(url, "carol", "")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT session_user() AS u, engine_name() AS e")
+      assert(rs.next())
+      assert(rs.getString("u") == "carol")
+      assert(rs.getString("e") == "graft-spark-engine")
+    } finally conn.close()
+  }
+
+  test("statement errors surface as SQLExceptions") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      intercept[java.sql.SQLException] {
+        conn.createStatement().executeQuery("SELECT * FROM graft_no_such_table")
+      }
+    } finally conn.close()
+  }
+
+  test("catalog metadata flows through DatabaseMetaData") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      val schemas = conn.getMetaData.getSchemas
+      var sawDefault = false
+      while (schemas.next())
+        sawDefault |= schemas.getString(1) == "default"
+      assert(sawDefault)
+    } finally conn.close()
+  }
+}

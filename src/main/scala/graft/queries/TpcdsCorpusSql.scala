@@ -1,6 +1,7 @@
 package graft.queries
 
-/** The COMPLETE 99-query TPC-DS corpus over the generator catalog
+/** The COMPLETE 103-file TPC-DS corpus (99 queries + the a/b variants
+  * of q14/q23/q24/q39) over the generator catalog
   * namespace `p` — the same corpus the reference hash-verifies
   * (TPCDSQuerySuite.scala:44-80, goldens in
   * kyuubi-spark-connector-tpcds/src/main/resources/kyuubi/tpcds_3.2/).
@@ -2330,6 +2331,154 @@ object TpcdsCorpusSql {
           ORDER BY lochierarchy DESC,
             CASE WHEN grouping(i_category) + grouping(i_class) = 0 THEN i_category END,
             rank_within_parent, i_category, i_class
-          LIMIT 100""")
+          LIMIT 100""",
+
+    // q14b: this-year vs last-year same-week store sales of
+    // cross-channel items (the b variant of q14's CTE pair)
+    "q14b" ->
+      s"""WITH cross_items AS (
+            SELECT i_item_sk AS ci_item_sk
+            FROM $p.item, (
+              SELECT iss.i_brand_id brand_id, iss.i_class class_id, iss.i_category_id category_id
+              FROM $p.store_sales, $p.item iss, $p.date_dim d1
+              WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+                AND d1.d_year BETWEEN 1999 AND 2001
+              INTERSECT
+              SELECT ics.i_brand_id, ics.i_class, ics.i_category_id
+              FROM $p.catalog_sales, $p.item ics, $p.date_dim d2
+              WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+                AND d2.d_year BETWEEN 1999 AND 2001
+              INTERSECT
+              SELECT iws.i_brand_id, iws.i_class, iws.i_category_id
+              FROM $p.web_sales, $p.item iws, $p.date_dim d3
+              WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+                AND d3.d_year BETWEEN 1999 AND 2001) triples
+            WHERE i_brand_id = brand_id AND i_class = class_id
+              AND i_category_id = category_id),
+          avg_sales AS (
+            SELECT avg(quantity * list_price) AS average_sales FROM (
+              SELECT ss_quantity quantity, ss_list_price list_price
+              FROM $p.store_sales, $p.date_dim
+              WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+              UNION ALL
+              SELECT cs_quantity, cs_list_price FROM $p.catalog_sales, $p.date_dim
+              WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+              UNION ALL
+              SELECT ws_quantity, ws_sales_price FROM $p.web_sales, $p.date_dim
+              WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x)
+          SELECT this_year.channel ty_channel, this_year.i_brand_id ty_brand,
+            this_year.i_class ty_class, this_year.i_category_id ty_category,
+            this_year.sales ty_sales, this_year.number_sales ty_number_sales,
+            last_year.channel ly_channel, last_year.i_brand_id ly_brand,
+            last_year.i_class ly_class, last_year.i_category_id ly_category,
+            last_year.sales ly_sales, last_year.number_sales ly_number_sales
+          FROM (
+            SELECT 'store' channel, i_brand_id, i_class, i_category_id,
+              sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+            FROM $p.store_sales, $p.item, $p.date_dim
+            WHERE ss_item_sk IN (SELECT ci_item_sk FROM cross_items)
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_week_seq = (SELECT DISTINCT d_week_seq FROM $p.date_dim
+                                WHERE d_year = 2001 AND d_moy = 12 AND d_dom = 11)
+            GROUP BY i_brand_id, i_class, i_category_id
+            HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) this_year,
+            (
+            SELECT 'store' channel, i_brand_id, i_class, i_category_id,
+              sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+            FROM $p.store_sales, $p.item, $p.date_dim
+            WHERE ss_item_sk IN (SELECT ci_item_sk FROM cross_items)
+              AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND d_week_seq = (SELECT DISTINCT d_week_seq FROM $p.date_dim
+                                WHERE d_year = 2000 AND d_moy = 12 AND d_dom = 11)
+            GROUP BY i_brand_id, i_class, i_category_id
+            HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) last_year
+          WHERE this_year.i_brand_id = last_year.i_brand_id
+            AND this_year.i_class = last_year.i_class
+            AND this_year.i_category_id = last_year.i_category_id
+          ORDER BY ty_channel, ty_brand, ty_class, ty_category LIMIT 100""",
+
+    // q23b: the per-customer-name variant of q23's final projection
+    "q23b" ->
+      s"""WITH frequent_ss_items AS (
+            SELECT substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+              d_month_seq seq, count(*) cnt
+            FROM $p.store_sales, $p.date_dim, $p.item
+            WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+              AND d_year IN (1999, 2000, 2001, 2002)
+            GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_month_seq
+            HAVING count(*) > 2),
+          max_store_sales AS (
+            SELECT max(csales) tpcds_cmax FROM (
+              SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) csales
+              FROM $p.store_sales, $p.customer, $p.date_dim
+              WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year IN (1999, 2000, 2001, 2002)
+              GROUP BY c_customer_sk) t),
+          best_ss_customer AS (
+            SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) ssales
+            FROM $p.store_sales, $p.customer
+            WHERE ss_customer_sk = c_customer_sk
+            GROUP BY c_customer_sk
+            HAVING sum(ss_quantity * ss_sales_price) >
+              0.1 * (SELECT tpcds_cmax FROM max_store_sales))
+          SELECT c_last_name, c_first_name, sales FROM (
+            SELECT c_last_name, c_first_name, sum(cs_quantity * cs_list_price) sales
+            FROM $p.catalog_sales, $p.customer, $p.date_dim
+            WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+              AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+              AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+              AND cs_bill_customer_sk = c_customer_sk
+            GROUP BY c_last_name, c_first_name
+            UNION ALL
+            SELECT c_last_name, c_first_name, sum(ws_quantity * ws_sales_price)
+            FROM $p.web_sales, $p.customer, $p.date_dim
+            WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+              AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+              AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+              AND ws_bill_customer_sk = c_customer_sk
+            GROUP BY c_last_name, c_first_name) x
+          ORDER BY c_last_name, c_first_name, sales LIMIT 100""",
+
+    // q24b: q24 over a different color band
+    "q24b" ->
+      s"""WITH ssales AS (
+            SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+              i_color, i_current_price, i_manufact_id, i_units, i_size,
+              sum(ss_net_paid) netpaid
+            FROM $p.store_sales, $p.store_returns, $p.store, $p.item,
+                 $p.customer, $p.customer_address
+            WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+              AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+              AND ca_state <> s_state
+            GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+              i_color, i_current_price, i_manufact_id, i_units, i_size)
+          SELECT c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+          FROM ssales WHERE i_color = 'gold'
+          GROUP BY c_last_name, c_first_name, s_store_name
+          HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+          ORDER BY c_last_name, c_first_name, s_store_name LIMIT 100""",
+
+    // q39b: q39 with the stricter second-month cov gate
+    "q39b" ->
+      s"""WITH inv AS (
+            SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+              CASE mean WHEN 0 THEN null ELSE stdev / mean END cov
+            FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                    stddev_samp(inv_quantity_on_hand) stdev,
+                    avg(inv_quantity_on_hand) mean
+                  FROM $p.inventory, $p.item, $p.warehouse, $p.date_dim
+                  WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
+                    AND inv_date_sk = d_date_sk AND d_year = 2000
+                  GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+            WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.6)
+          SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1, inv1.d_moy moy1,
+            inv1.mean mean1, inv1.cov cov1, inv2.w_warehouse_sk wsk2,
+            inv2.i_item_sk isk2, inv2.d_moy moy2, inv2.mean mean2, inv2.cov cov2
+          FROM inv inv1, inv inv2
+          WHERE inv1.i_item_sk = inv2.i_item_sk
+            AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+            AND inv1.d_moy = 1 AND inv2.d_moy = 2 AND inv2.cov > 0.75
+          ORDER BY wsk1, isk1, moy1, mean1, cov1 LIMIT 100""")
 
 }

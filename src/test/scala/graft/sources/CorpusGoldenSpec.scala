@@ -144,6 +144,10 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q80" -> ((3606407579L, 84L)),
     "tpcds_q83" -> ((-4686579791L, 28L)),
     "tpcds_q86" -> ((-22764819393L, 100L)),
+    "tpcds_q14b" -> ((-3520539631L, 4L)),
+    "tpcds_q23b" -> ((8546308887L, 100L)),
+    "tpcds_q24b" -> ((1581184840L, 100L)),
+    "tpcds_q39b" -> ((481673434L, 100L)),
     "tpcds_q95" -> ((-14215183L, 1L)))
 
   private def check(name: String, sql: String): Unit = {

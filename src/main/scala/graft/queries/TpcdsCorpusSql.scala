@@ -135,8 +135,12 @@ object TpcdsCorpusSql {
           GROUP BY ROLLUP (channel, id)
           ORDER BY channel, id LIMIT 100""",
     "q6" ->
+      // FROM order puts the 1-month date join and the priced-item
+      // semi-filter before the customer/address joins: the generator
+      // catalog reports row counts but no column histograms, so the
+      // greedy join order follows the text — selective first.
       s"""SELECT a.ca_state AS state, count(*) AS cnt
-          FROM $p.customer_address a, $p.customer c, $p.store_sales s, $p.date_dim d, $p.item i
+          FROM $p.store_sales s, $p.date_dim d, $p.item i, $p.customer c, $p.customer_address a
           WHERE a.ca_address_sk = c.c_current_addr_sk AND c.c_customer_sk = s.ss_customer_sk
             AND s.ss_sold_date_sk = d.d_date_sk AND s.ss_item_sk = i.i_item_sk
             AND d.d_month_seq = (

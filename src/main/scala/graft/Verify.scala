@@ -8,7 +8,7 @@ import graft.queries.TpchCatalogQueries
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Also dumps the `tpch.tiny` generator-catalog tables to
+  * Also dumps the gate-namespace generator-catalog tables to
   * `<outDir>/tpch_aux/` and substitutes that absolute path for the
   * `__AUX__` placeholder in oracle SQL, so DuckDB can independently
   * re-compute the 8 partsupp/commitdate TPC-H queries over the same
@@ -39,7 +39,8 @@ object Verify {
     try {
       TpchCatalogQueries.register(spark)
       TpchCatalogQueries.auxTables.foreach { t =>
-        spark.table(s"tpch.tiny.$t").coalesce(1).write.mode("overwrite")
+        spark.table(s"tpch.${TpchCatalogQueries.gateNamespace}.$t")
+          .coalesce(1).write.mode("overwrite")
           .parquet(auxDir.resolve(s"$t.parquet").toString)
       }
     } catch { case e: Throwable =>

@@ -9,11 +9,13 @@ import graft.sources.tpch.TpchCatalog
 /** The 8 TPC-H queries that need columns the slim testdata lacks
   * (partsupp, commit/receipt dates, containers): spec SQL from
   * [[TpchCorpusSql]] run against the graft TPC-H generator catalog at
-  * `tiny` scale. Together with TpchQueries (14 oracle-checked over
+  * `sf0_1` scale (tiny leaves q18/q20 with empty results — a
+  * trivially-matching oracle). Together with TpchQueries (14
+  * oracle-checked over
   * testdata) this completes the 22-query corpus the reference tests
   * against (kyuubi-spark-connector-tpch/src/main/resources/kyuubi/tpch/).
   *
-  * Oracle strategy: graft.Verify dumps the `tpch.tiny` generator
+  * Oracle strategy: graft.Verify dumps the `tpch.sf0_1` generator
   * tables to parquet next to the results (`__AUX__` in the oracle SQL
   * below is replaced with that directory's absolute path), and DuckDB
   * re-computes each query over the SAME inputs independently. The
@@ -31,7 +33,12 @@ object TpchCatalogQueries {
   def register(s: SparkSession): Unit =
     s.conf.set("spark.sql.catalog.tpch", classOf[TpchCatalog].getName)
 
-  private val corpus: Map[String, String] = TpchCorpusSql.queries("tpch.tiny").toMap
+  /** The catalog namespace the driver-gate h-entries (and the aux
+    * oracle dump) run against. */
+  val gateNamespace = "sf0_1"
+
+  private val corpus: Map[String, String] =
+    TpchCorpusSql.queries(s"tpch.$gateNamespace").toMap
 
   /** Cast every decimal output column to double (driver-gate policy). */
   private def dblDecimals(df: DataFrame): DataFrame =

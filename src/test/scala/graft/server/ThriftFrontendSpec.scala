@@ -113,6 +113,34 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("concurrent connections keep isolated sessions under load") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val work = (0 until 8).map { i =>
+        Future {
+          val conn = DriverManager.getConnection(url, s"user$i", "")
+          try {
+            val st = conn.createStatement()
+            // session-scoped view named identically on every connection:
+            // isolation means each sees its own
+            st.execute(s"CREATE OR REPLACE TEMPORARY VIEW conc_v AS SELECT $i AS me")
+            val rs = st.executeQuery(
+              s"SELECT me, session_user() AS u, (SELECT sum(id) FROM range(${1000 * (i + 1)})) AS s FROM conc_v")
+            assert(rs.next())
+            assert(rs.getInt("me") == i)
+            assert(rs.getString("u") == s"user$i")
+            assert(rs.getLong("s") == 1000L * (i + 1) * (1000L * (i + 1) - 1) / 2)
+          } finally conn.close()
+        }
+      }
+      Await.result(Future.sequence(work), 120.seconds)
+    } finally pool.shutdown()
+  }
+
   test("catalog metadata flows through DatabaseMetaData") {
     val conn = DriverManager.getConnection(url, "alice", "")
     try {

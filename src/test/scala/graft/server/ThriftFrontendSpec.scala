@@ -141,6 +141,23 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pool.shutdown()
   }
 
+  test("beeline (the reference's CLI) connects and runs a query") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+    val out = new ByteArrayOutputStream()
+    val beeline = new org.apache.hive.beeline.BeeLine()
+    beeline.setOutputStream(new PrintStream(out))
+    beeline.setErrorStream(new PrintStream(new ByteArrayOutputStream()))
+    try {
+      val rc = beeline.begin(Array(
+        "-u", url, "-n", "dave", "--silent=true", "--outputformat=csv2",
+        "-e", "SELECT 6 * 7 AS answer, session_user() AS u"),
+        new ByteArrayInputStream(Array.emptyByteArray))
+      val printed = out.toString
+      assert(rc == 0, s"beeline rc=$rc output:\n$printed")
+      assert(printed.contains("42,dave"), s"unexpected beeline output:\n$printed")
+    } finally beeline.close()
+  }
+
   test("catalog metadata flows through DatabaseMetaData") {
     val conn = DriverManager.getConnection(url, "alice", "")
     try {

@@ -37,7 +37,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the TPC-DS spec's own unpartitioned-window queries
+    // (q44/q49/q51) emit a WindowExec WARN per execution; the driver keeps
+    // only a bounded tail of output, and that spam evicted the JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
 
     var errors = List.empty[String]
     def timed(name: String)(body: => Unit): (String, Double) = {
@@ -76,11 +79,32 @@ object Bench {
       timed(s"tpcds_${corpusNs}_$qn")(spark.sql(sql).foreach(_ => ()))
     }
 
+    // Z-order skipping comparable (BASELINE z-order.md:313-331 reports
+    // a 2-predicate scan going 27.6s → 2.5s after OPTIMIZE ZORDER BY):
+    // the same lineitem rows written range-partitioned on l_orderkey
+    // (the natural/linear layout) vs z-order clustered on the two
+    // filtered columns, then an identical 2-predicate scan on each.
+    // Layout writes are setup, not part of the timed scans.
+    val zorder = {
+      import org.apache.spark.sql.functions.col
+      val zdir = "target/bench_zorder"
+      val li = Tables(spark, sfDir).lineitem
+      li.repartitionByRange(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$zdir/linear")
+      graft.operators.ZorderOptimize.cluster(li, Seq(col("l_partkey"), col("l_suppkey")))
+        .write.mode("overwrite").parquet(s"$zdir/zordered")
+      def scan(layout: String): Unit = spark.read.parquet(s"$zdir/$layout")
+        .filter("l_partkey BETWEEN 1000 AND 1199 AND l_suppkey BETWEEN 100 AND 199")
+        .foreach(_ => ())
+      Seq(timed("z01_scan_linear")(scan("linear")),
+        timed("z02_scan_zordered")(scan("zordered")))
+    }
+
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
-    val results = suite ++ tpch ++ tpcds ++ corpus
+    val results = suite ++ tpch ++ tpcds ++ corpus ++ zorder
     val total = results.map(_._2).sum
     val errJson = errors.reverse.map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
@@ -94,14 +118,16 @@ object Bench {
     val headline = Seq("q1", "q2", "q3", "q5", "q6", "q99")
       .map(q => s"tpcds_${tpcdsNs}_$q")
     val flagship = Seq("d08_minhash_pairs", "d10_jaccard_pairs",
-      "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9")
+      "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
+      "z01_scan_linear", "z02_scan_zordered")
     val keep = (headline ++ flagship).toSet
     val compact = jmap(results.filter { case (k, _) => keep(k) })
     val groups = Seq(
       "suite_sec" -> suite.map(_._2).sum,
       "tpch_sec" -> tpch.map(_._2).sum,
       "tpcds_sec" -> tpcds.map(_._2).sum,
-      "tpcds_corpus_sec" -> corpus.map(_._2).sum)
+      "tpcds_corpus_sec" -> corpus.map(_._2).sum,
+      "zorder_sec" -> zorder.map(_._2).sum)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
     spark.stop()

@@ -35,7 +35,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    val auxDir = Paths.get(outDir).toAbsolutePath.normalize.resolve("tpch_aux")
+    // Aux dumps live in a SIBLING of outDir, not inside it: the driver
+    // enumerates every outDir subdirectory as a query result, so in-tree
+    // aux dirs surfaced as bogus gate entries (tpch_aux "no_oracle";
+    // vec_aux errored its pandas compare on array columns in r03). The
+    // oracle SQL references these by absolute path, so location is free.
+    val auxRoot = Paths.get(outDir + "_aux").toAbsolutePath.normalize
+    val auxDir = auxRoot.resolve("tpch_aux")
     try {
       TpchCatalogQueries.register(spark)
       TpchCatalogQueries.auxTables.foreach { t =>
@@ -48,7 +54,7 @@ object Verify {
     }
     // Vector-index artifacts (hyperplane family, trained IVF centroids)
     // so DuckDB can recompute the LSH/IVF paths independently.
-    val vecAuxDir = Paths.get(outDir).toAbsolutePath.normalize.resolve("vec_aux")
+    val vecAuxDir = auxRoot.resolve("vec_aux")
     try {
       import spark.implicits._
       import graft.queries.VectorQueries._
@@ -64,6 +70,22 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] vec_aux dump failed: ${e.getMessage}")
     }
+    // MinHash signatures (xxhash64 family — not expressible in DuckDB)
+    // so the oracle can independently recompute d08's banding/pair-join/
+    // estimate and d13's exact-Jaccard verification from the sketch.
+    val textAuxDir = auxRoot.resolve("text_aux")
+    try {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.TextFunctions
+      Tables(spark, sfDir).documents
+        .select(col("doc_id"),
+          TextFunctions.minhashSignature(
+            TextFunctions.shingles(col("text"), 3), 64).as("sig"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(textAuxDir.resolve("minhash_sigs.parquet").toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] text_aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -78,7 +100,8 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxDir.toString)
-        .replace("__VAUX__", vecAuxDir.toString))}" }
+        .replace("__VAUX__", vecAuxDir.toString)
+        .replace("__TAUX__", textAuxDir.toString))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

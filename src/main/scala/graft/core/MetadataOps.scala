@@ -76,7 +76,9 @@ object MetadataOps {
     }
     all.select(
       col("catalog").as("TABLE_CAT"),
-      col("namespace").cast("string").as("TABLE_SCHEM"),
+      // JDBC layout wants the plain dotted schema name, not the
+      // array-cast rendering "[db]"
+      array_join(col("namespace"), ".").as("TABLE_SCHEM"),
       col("name").as("TABLE_NAME"),
       col("tableType").as("TABLE_TYPE"),
       col("description").as("REMARKS"))
@@ -101,6 +103,15 @@ object MetadataOps {
     rows.toDF("TABLE_NAME", "COLUMN_NAME", "TYPE_NAME", "DATA_TYPE",
       "COLUMN_SIZE", "DECIMAL_DIGITS", "NUM_PREC_RADIX", "NULLABLE",
       "IS_NULLABLE", "ORDINAL_POSITION")
+  }
+
+  /** Empty frame in the getColumns layout (wildcard walk, no match). */
+  def noColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, Int, Int, Int, Int, Int, String, Int)]
+      .toDF("TABLE_NAME", "COLUMN_NAME", "TYPE_NAME", "DATA_TYPE",
+        "COLUMN_SIZE", "DECIMAL_DIGITS", "NUM_PREC_RADIX", "NULLABLE",
+        "IS_NULLABLE", "ORDINAL_POSITION")
   }
 
   /** The reference serves these as empty result sets with the JDBC

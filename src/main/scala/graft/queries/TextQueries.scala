@@ -69,7 +69,8 @@ object TextQueries {
           size(array_distinct(shingles(col("text"), 3))).as("n_shingles"))
     },
 
-    // --- MinHash-LSH near-dup candidate pairs (rows-only check) ---
+    // --- MinHash-LSH near-dup candidate pairs (oracle: banding/join/
+    //     estimate recomputed by DuckDB from the dumped signature sketch) ---
     "d08_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashCandidates(Tables(s, dir).documents, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -90,7 +91,8 @@ object TextQueries {
     },
 
     // --- Full near-dup pipeline: LSH candidates verified by exact
-    //     Jaccard (rows-only: signature family is xxhash64-seeded) ---
+    //     Jaccard (oracle: candidates from the dumped sketch, exact
+    //     Jaccard recomputed from document shingles) ---
     "d13_neardup_verified" -> { (s, dir) =>
       Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 4,
@@ -141,7 +143,50 @@ object TextQueries {
   // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
   private val duckToks = "regexp_split_to_array(trim(text), ' +')"
 
+  // MinHash-LSH candidate pairs recomputed from the dumped signature
+  // sketch (graft.Verify writes doc_id→64-long signature to __TAUX__;
+  // the xxhash64 family itself has no DuckDB equivalent, but banding,
+  // the pair join, and the agreement estimate are all re-derived).
+  // Band collision is raw slice equality — the SAME equivalence the
+  // Spark side keys by (its xxhash64 band key is just a compaction of
+  // the slice). 16 bands × 4 rows, est = agreeing positions / 64.
+  private val minhashCandSql =
+    """sig AS (SELECT doc_id, sig FROM '__TAUX__/minhash_sigs.parquet/*.parquet'),
+       banded AS (
+         SELECT doc_id, sig, bs.b AS band,
+                array_to_string(sig[bs.b*4+1 : bs.b*4+4], ',') AS key
+         FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       est AS (
+         SELECT id_a, id_b,
+                CAST(len(list_filter(generate_series(1, 64), i -> sa[i] = sb[i])) AS DOUBLE) / 64 AS est_jaccard
+         FROM cand)"""
+
   val oracles: Map[String, String] = Map(
+    "d08_minhash_pairs" ->
+      s"""WITH $minhashCandSql
+          SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+    "d13_neardup_verified" ->
+      s"""WITH $minhashCandSql,
+          sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents)
+          SELECT e.id_a, e.id_b,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(sa.s || sb.s)) AS jaccard
+          FROM est e
+          JOIN sh sa ON e.id_a = sa.doc_id
+          JOIN sh sb ON e.id_b = sb.doc_id
+          WHERE e.est_jaccard >= 0.5
+            AND CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / len(list_distinct(sa.s || sb.s)) >= 0.7""",
     "d01_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
           count(*) AS n_copies, min(doc_id) AS keeper

@@ -76,6 +76,44 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     st
   }
 
+  // --- Hive JDBC search-pattern translation ---------------------------------
+  /** HiveServer2 metadata patterns: '%' = any string, '_' = any single
+    * char, backslash escapes both (reference:
+    * MetadataOperation.convertSchemaPattern). Spark's catalog APIs only
+    * understand '*' globs, so the walk is pruned with a widened glob
+    * (every wildcard → '*', an upper bound) and rows are then re-filtered
+    * with the exact anchored regex.
+    */
+  private[server] def hivePattern(p: String): (String, String) = {
+    val glob = new StringBuilder
+    val regex = new StringBuilder("^")
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' if i + 1 < p.length =>
+          val c = p.charAt(i + 1)
+          glob.append(c)
+          regex.append(java.util.regex.Pattern.quote(c.toString))
+          i += 1
+        case '%' | '*' => glob.append('*'); regex.append(".*")
+        case '_' => glob.append('*'); regex.append('.')
+        case c =>
+          glob.append(c)
+          regex.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    regex.append('$')
+    // '|' separates alternatives in Spark's filterPattern — a literal one
+    // would silently change glob semantics, so widen to match-all and let
+    // the regex do the work.
+    val g = if (glob.toString.contains("|")) "*" else glob.toString
+    (g, regex.toString)
+  }
+
+  private def rlikeFilter(df: DataFrame, colName: String, regex: String): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(colName).rlike(regex))
+
   private def opHandle(id: String, hasResult: Boolean): TOperationHandle = {
     val h = new TOperationHandle(handleId(id), TOperationType.EXECUTE_STATEMENT, hasResult)
     h
@@ -111,7 +149,9 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   }
 
   private def tableSchema(schema: StructType): TTableSchema = {
-    val ts = new TTableSchema()
+    // columns is a required thrift field: initialize it so a zero-column
+    // schema (USE/SET-style statements) still serializes
+    val ts = new TTableSchema(new java.util.ArrayList[TColumnDesc]())
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val entry = new TPrimitiveTypeEntry(typeId(f.dataType))
       f.dataType match {
@@ -231,6 +271,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       try {
         val id = idOf(req.getSessionHandle.getSessionId)
         sessions.remove(id)
+        // Reap this session's operations: clients that drop without
+        // CloseOperation would otherwise leak collected result arrays
+        // for the life of the server.
+        ops.forEach { (opId, box) =>
+          if (box.session.id == id) {
+            try box.op.close() catch { case _: Throwable => }
+            ops.remove(opId)
+          }
+        }
         engine.closeSession(id)
         new TCloseSessionResp(ok)
       } catch { case e: Throwable =>
@@ -258,14 +307,19 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         require(sess != null, "no such session")
         val op = sess.executeStatement(req.getStatement)
         ops.put(op.handle, OpBox(sess, () => op.result.schema, () => op.fetchIterator, op))
+        // Async clients get the handle immediately and discover
+        // completion/errors via GetOperationStatus polling; only the
+        // sync path blocks the worker thread (matches the reference's
+        // runAsync contract in ExecuteStatement).
         if (!req.isRunAsync) {
           op.awaitTermination()
           op.exception.foreach(throw _)
         }
-        op.awaitTermination()
-        op.exception.foreach(throw _)
-        resp.setOperationHandle(
-          opHandle(op.handle, hasResult = op.result.schema.nonEmpty))
+        // Async: the statement hasn't compiled yet, so the schema is
+        // unknown — advertise a result set and let GetResultSetMetadata /
+        // FetchResults (which both await termination) sort it out.
+        resp.setOperationHandle(opHandle(op.handle,
+          hasResult = req.isRunAsync || op.result.schema.nonEmpty))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp
@@ -324,7 +378,9 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         box.op.awaitTermination()
         box.op.exception.foreach(throw _)
         val it = box.rows()
-        val max = math.max(1, req.getMaxRows.toInt)
+        // Clamp before narrowing: Long.MaxValue ("all rows") must not
+        // overflow toInt into a 1-row-per-round-trip fetch.
+        val max = math.max(1L, math.min(req.getMaxRows, Int.MaxValue.toLong)).toInt
         req.getOrientation match {
           case TFetchOrientation.FETCH_FIRST => it.fetchAbsolute(0)
           case TFetchOrientation.FETCH_PRIOR => it.fetchPrior(max)
@@ -358,9 +414,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     override def GetSchemas(req: TGetSchemasReq): TGetSchemasResp = {
       val resp = new TGetSchemasResp()
       try {
-        val pattern = Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("*")
+        val (glob, regex) = hivePattern(
+          Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("%"))
         resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
-          MetadataOps.getSchemas(_, pattern.replace("%", "*"))))
+          s => rlikeFilter(MetadataOps.getSchemas(s, glob), "TABLE_SCHEM", regex)))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp
@@ -369,10 +426,13 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     override def GetTables(req: TGetTablesReq): TGetTablesResp = {
       val resp = new TGetTablesResp()
       try {
-        val db = Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("*")
-        val tbl = Option(req.getTableName).filter(_.nonEmpty).getOrElse("*")
+        val (dbGlob, dbRegex) = hivePattern(
+          Option(req.getSchemaName).filter(_.nonEmpty).getOrElse("%"))
+        val (tblGlob, tblRegex) = hivePattern(
+          Option(req.getTableName).filter(_.nonEmpty).getOrElse("%"))
         resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
-          MetadataOps.getTables(_, db.replace("%", "*"), tbl.replace("%", "*"))))
+          s => rlikeFilter(rlikeFilter(MetadataOps.getTables(s, dbGlob, tblGlob),
+            "TABLE_SCHEM", dbRegex), "TABLE_NAME", tblRegex)))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp
@@ -390,9 +450,23 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     override def GetColumns(req: TGetColumnsReq): TGetColumnsResp = {
       val resp = new TGetColumnsResp()
       try {
-        val tbl = Option(req.getTableName).filter(_.nonEmpty).getOrElse("*")
-        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
-          MetadataOps.getColumns(_, tbl.replace("%", "*"))))
+        // getColumns resolves an exact table; JDBC clients send the name
+        // they got from GetTables. A wildcard pattern walks the matching
+        // tables of the current database and unions their columns.
+        val tblArg = Option(req.getTableName).filter(_.nonEmpty).getOrElse("%")
+        val (glob, regex) = hivePattern(tblArg)
+        val build: SparkSession => DataFrame =
+          if (!tblArg.exists(c => c == '%' || c == '_' || c == '*')) {
+            MetadataOps.getColumns(_, tblArg.replace("\\", ""))
+          } else { s =>
+            val names = rlikeFilter(
+              MetadataOps.getTables(s, "*", glob), "TABLE_NAME", regex)
+              .select("TABLE_SCHEM", "TABLE_NAME").collect()
+            names.map(r => MetadataOps.getColumns(s, s"${r.getString(0)}.${r.getString(1)}"))
+              .reduceOption(_ unionAll _)
+              .getOrElse(MetadataOps.noColumns(s))
+          }
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(build))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp
@@ -401,9 +475,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     override def GetFunctions(req: TGetFunctionsReq): TGetFunctionsResp = {
       val resp = new TGetFunctionsResp()
       try {
-        val pattern = Option(req.getFunctionName).filter(_.nonEmpty).getOrElse("*")
+        val (glob, regex) = hivePattern(
+          Option(req.getFunctionName).filter(_.nonEmpty).getOrElse("%"))
         resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
-          MetadataOps.getFunctions(_, pattern.replace("%", "*"))))
+          s => rlikeFilter(MetadataOps.getFunctions(s, glob), "FUNCTION_NAME", regex)))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp

@@ -28,7 +28,7 @@ object GoldenDump {
       try {
         val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()
         val hv = if (h.isNullAt(0)) 0L else h.getLong(0)
-        println(s"""GOLDEN    "$name" -> (($hv}L, ${h.getLong(1)}L)),""".replace("}L", "L"))
+        println("GOLDEN    \"" + name + "\" -> ((" + hv + "L, " + h.getLong(1) + "L)),")
       } catch {
         case e: Throwable =>
           println(s"GOLDENERR $name: ${e.getMessage.linesIterator.take(3).mkString(" | ")}")

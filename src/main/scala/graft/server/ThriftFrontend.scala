@@ -111,8 +111,12 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     (g, regex.toString)
   }
 
-  private def rlikeFilter(df: DataFrame, colName: String, regex: String): DataFrame =
-    df.filter(org.apache.spark.sql.functions.col(colName).rlike(regex))
+  private def rlikeFilter(df: DataFrame, colName: String, regex: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // null-safe: temp views surface a null schema, which must still
+    // match a match-all pattern
+    df.filter(coalesce(col(colName), lit("")).rlike(regex))
+  }
 
   private def opHandle(id: String, hasResult: Boolean): TOperationHandle = {
     val h = new TOperationHandle(handleId(id), TOperationType.EXECUTE_STATEMENT, hasResult)
@@ -462,7 +466,12 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
             val names = rlikeFilter(
               MetadataOps.getTables(s, "*", glob), "TABLE_NAME", regex)
               .select("TABLE_SCHEM", "TABLE_NAME").collect()
-            names.map(r => MetadataOps.getColumns(s, s"${r.getString(0)}.${r.getString(1)}"))
+            names.map { r =>
+              // temp views have no schema: resolve by bare name
+              val qualified = Option(r.getString(0)).filter(_.nonEmpty)
+                .map(db => s"$db.${r.getString(1)}").getOrElse(r.getString(1))
+              MetadataOps.getColumns(s, qualified)
+            }
               .reduceOption(_ unionAll _)
               .getOrElse(MetadataOps.noColumns(s))
           }

@@ -168,4 +168,73 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sawDefault)
     } finally conn.close()
   }
+
+  test("metadata patterns honor the '_' single-char wildcard and escapes") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      // 'defaul_' must match exactly "default"; 'defaul\_' (escaped)
+      // must match a literal underscore, so nothing here.
+      val md = conn.getMetaData
+      val hit = md.getSchemas(null, "defaul_")
+      assert(hit.next() && hit.getString(1) == "default")
+      val miss = md.getSchemas(null, "defaul\\_")
+      assert(!miss.next())
+
+      // through the connection: engine sessions do not see views created
+      // later on other sessions
+      conn.createStatement().execute(
+        "CREATE OR REPLACE TEMPORARY VIEW thrift_pat_v AS SELECT 1 AS c1")
+      val tbl = md.getTables(null, null, "thrift_pat__", null)
+      var names = List.empty[String]
+      while (tbl.next()) names ::= tbl.getString(3)
+      assert(names.contains("thrift_pat_v"), s"saw $names")
+      val cols = md.getColumns(null, null, "thrift_pat__", null)
+      assert(cols.next() && cols.getString("COLUMN_NAME") == "c1")
+    } finally conn.close()
+  }
+
+  test("runAsync returns before completion; status polling observes the finish") {
+    // Drive the TCLIService interface directly (the JDBC client hides
+    // the async handshake): ExecuteStatement with runAsync must return
+    // while the statement is still running, and GetOperationStatus
+    // must eventually report FINISHED with fetchable results.
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val sess = client.OpenSession(new TOpenSessionReq())
+      assert(sess.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val req = new TExecuteStatementReq(sess.getSessionHandle,
+        "SELECT 64 AS n FROM (SELECT sum(xxhash64(cast(id AS string))) FROM range(50000000))")
+      req.setRunAsync(true)
+      val t0 = System.nanoTime()
+      val exec = client.ExecuteStatement(req)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(exec.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      assert(elapsedMs < 1500, s"async ExecuteStatement blocked ${elapsedMs}ms")
+      var state = TOperationState.INITIALIZED_STATE
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (state != TOperationState.FINISHED_STATE && System.nanoTime() < deadline) {
+        val st = client.GetOperationStatus(
+          new TGetOperationStatusReq(exec.getOperationHandle))
+        assert(st.getOperationState != TOperationState.ERROR_STATE,
+          String.valueOf(st.getErrorMessage))
+        state = st.getOperationState
+        if (state != TOperationState.FINISHED_STATE) Thread.sleep(50)
+      }
+      assert(state == TOperationState.FINISHED_STATE)
+      // maxRows = Long.MaxValue ("all rows") must not overflow the page
+      // size into 1-row round-trips
+      val fr = new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, Long.MaxValue)
+      val page = client.FetchResults(fr)
+      assert(page.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val col = page.getResults.getColumns.get(0).getI32Val.getValues
+      assert(col.size == 1 && col.get(0) == 64)
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
 }

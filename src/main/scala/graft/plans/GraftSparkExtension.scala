@@ -25,5 +25,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(session => new MaxScanStrategy(session))
     ext.injectQueryStagePrepRule(session => new DynamicShufflePartitions(session))
     ext.injectQueryStagePrepRule(session => new FinalStageConfigIsolation(session))
+    ext.injectQueryStagePrepRule(session => new InsertShuffleNodeBeforeJoin(session))
+    ext.injectRuntimeOptimizerRule(session => RemoveRebalanceShuffle(session))
   }
 }

@@ -36,7 +36,14 @@ object RebalanceBeforeWriting extends Rule[LogicalPlan] {
       case i: InsertIntoHadoopFsRelationCommand if needsRebalance(i.query) =>
         val partitionAttrs = i.partitionColumns.flatMap(pc =>
           i.query.output.find(_.name == pc.name))
-        i.copy(query = RebalancePartitions(partitionAttrs, i.query))
+        // Advisory larger than the session's (64m default): the final
+        // write stage wants bigger output files than intermediate
+        // shuffles. Carrying it on the node also lets
+        // [[RemoveRebalanceShuffle]] distinguish this injected insurance
+        // shuffle from a user-requested fine-grained rebalance.
+        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          conf.getConfString("spark.graft.rebalanceBeforeWrite.advisorySize", "256m"))
+        i.copy(query = RebalancePartitions(partitionAttrs, i.query, None, Some(advisory)))
       case other => other
     }
   }

@@ -134,6 +134,55 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("force-shuffle-before-join inserts an exchange under shuffle-free SMJ children") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // aggregate outputs are already hash-partitioned on k, so the join
+      // plans SMJ with Sort directly over HashAggregate — no exchange for
+      // OptimizeSkewedJoin to split
+      val a = spark.range(0, 1000).selectExpr("id % 10 AS k", "id AS v")
+        .groupBy("k").agg(sum("v").as("s"))
+      val b = spark.range(0, 1000).selectExpr("id % 10 AS k")
+        .groupBy("k").count()
+      val plan = a.join(b, "k").queryExecution.sparkPlan
+      val smj0 = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assume(smj0.isDefined, "planner did not pick SMJ; test premise gone")
+      assert(!smj0.get.children.forall(c =>
+        c.isInstanceOf[SortExec] && c.children.head.isInstanceOf[ShuffleExchangeExec]),
+        "children already shuffled; test premise gone")
+
+      spark.conf.set("spark.graft.forceShuffleBeforeJoin", "true")
+      val forced = new InsertShuffleNodeBeforeJoin(spark)(plan)
+      val smj = forced.collectFirst { case j: SortMergeJoinExec => j }.get
+      smj.children.foreach { c =>
+        assert(c.isInstanceOf[SortExec] && c.children.head.isInstanceOf[ShuffleExchangeExec],
+          s"no shuffle inserted under SMJ child:\n$c")
+      }
+      // idempotent: a second application leaves the plan unchanged
+      assert(new InsertShuffleNodeBeforeJoin(spark)(forced).fastEquals(forced))
+    } finally {
+      spark.conf.unset("spark.graft.forceShuffleBeforeJoin")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("remove-rebalance-shuffle cancels the write's insurance shuffle on tiny inputs") {
+    // With the rebalance in place, the 8 near-empty REPARTITION_BY_NUM
+    // partitions coalesce into <=2 files (test above). When the remove
+    // rule fires (tiny materialized input, no expanding operator), the
+    // write inherits the 8-partition layout: observable as 8 files.
+    val dir = Files.createTempDirectory("graft_rm_rebalance").toString + "/t"
+    try {
+      spark.conf.set("spark.graft.removeRebalanceShuffle", "true")
+      spark.range(0, 1000).repartition(8).write.parquet(dir)
+      val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 8, s"$files files written — rebalance shuffle was not removed")
+    } finally spark.conf.unset("spark.graft.removeRebalanceShuffle")
+  }
+
   test("drop-ignore-nonexistent rewrites DROP TABLE to IF EXISTS") {
     try {
       spark.conf.set("spark.graft.dropIgnoreNonexistent", "true")

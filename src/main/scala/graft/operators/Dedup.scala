@@ -197,6 +197,54 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Connected components over an undirected edge list — the final
+    * stage of a near-dup pipeline: pair edges (from LSH / SimHash /
+    * Jaccard) become cluster assignments, one canonical keeper per
+    * cluster.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with its own id; each round replaces a node's label with
+    * the minimum over itself and its neighbors. Converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow (most
+    * are pairs/triangles), so 2-4 rounds in practice; `maxIter` bounds
+    * pathological chains. Each round is two hash-shuffles on the node
+    * id (a groupBy min and a join) — no driver-side graph, scales to
+    * billions of edges. `localCheckpoint` truncates the growing
+    * iteration lineage (a production cluster run would use
+    * `checkpoint` to reliable storage instead).
+    *
+    * Returns (id, cluster) for every node that appears in an edge,
+    * where cluster = min node id in the component.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbMin = sym.join(cur, sym("dst") === cur("id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("nb_comp"))
+      val next = cur.join(nbMin, cur("id") === nbMin("src"), "left")
+        .select(cur("id"), least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(cur.as("c"), col("n.id") === col("c.id"))
+        .filter(col("n.comp") =!= col("c.comp")).count()
+      cur = next
+      iter += 1
+    }
+    sym.unpersist()
+    cur.select(col("id"), col("comp").as("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * rare-enough shingle. At scale, feed LSH candidates instead of the
     * full corpus; the shape (explode → self-join on shingle-hash →

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Training-data text pipeline over the `documents` table: dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard), token counting,
@@ -137,11 +137,97 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("first_doc"))
+    },
+
+    // --- Duplicate clusters: exact-Jaccard pairs → connected
+    //     components (min-label propagation); cluster = min doc id ---
+    "d16_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+    },
+
+    // --- Docs surviving near-dup dedup: drop every cluster member
+    //     except the canonical (min-id) keeper ---
+    "d17_neardup_keep" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // --- Deterministic Bernoulli sample (hash-gated scan filter) ---
+    "d18_sample_bernoulli" -> { (s, dir) =>
+      Sampling.bernoulli(Tables(s, dir).documents, "doc_id", 0.2)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // --- Deterministic stratified sample: 20 lowest-hashed docs per
+    //     source ---
+    "d19_sample_stratified" -> { (s, dir) =>
+      Sampling.stratifiedFixedN(Tables(s, dir).documents, "source", "doc_id", 20)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // --- Vocabulary by document frequency: top 100 tokens (ties
+    //     broken by token so the limit boundary is deterministic) ---
+    "d20_vocab_df" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(100)
     }
   )
 
   // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
   private val duckToks = "regexp_split_to_array(trim(text), ' +')"
+
+  // Shared CTE chain mirroring Dedup.ngramJaccardPairs (df-capped
+  // 3-gram shingle join, threshold 0.5) ending in `pairs(id_a, id_b)`.
+  private val jaccardPairsCtes =
+    s"""sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                 ELSE list_transform(
+                   generate_series(1, len($duckToks) - 2),
+                   i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+        exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        cc(id, comp) AS (
+          SELECT DISTINCT a, a FROM sym
+          UNION
+          SELECT s.b, c.comp FROM cc c JOIN sym s ON c.id = s.a),
+        clusters AS (SELECT id, min(comp) AS cluster FROM cc GROUP BY id)"""
+
+  // Uniform [0, 65536) from the first 4 hex digits of md5(doc_id) —
+  // mirrors Sampling.hashBucket16.
+  private val duckHash16 = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    def digit(i: Int) =
+      s"(CASE WHEN ascii(substr($h, $i, 1)) >= 97 THEN ascii(substr($h, $i, 1)) - 87 ELSE ascii(substr($h, $i, 1)) - 48 END)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
 
   // MinHash-LSH candidate pairs recomputed from the dumped signature
   // sketch (graft.Verify writes doc_id→64-long signature to __TAUX__;
@@ -297,6 +383,23 @@ object TextQueries {
          WHERE doc_id IN (
            SELECT min(doc_id) FROM documents
            GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-         GROUP BY source"""
+         GROUP BY source""",
+    "d16_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes
+          SELECT id AS doc_id, cluster FROM clusters""",
+    "d17_neardup_keep" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes
+          SELECT d.doc_id, d.source, d.n_chars FROM documents d
+          WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE cluster <> id)""",
+    "d18_sample_bernoulli" ->
+      s"""SELECT doc_id, source FROM documents WHERE $duckHash16 < 13107""",
+    "d19_sample_stratified" ->
+      s"""SELECT doc_id, source FROM (
+            SELECT doc_id, source, $duckHash16 AS hv FROM documents)
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 20""",
+    "d20_vocab_df" ->
+      s"""SELECT token, count(*) AS df FROM (
+            SELECT doc_id, unnest(list_distinct($duckToks)) AS token FROM documents)
+          GROUP BY token ORDER BY df DESC, token LIMIT 100"""
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  lazy val rows = (1 to 1000).map(i => (f"doc_$i%04d", if (i % 3 == 0) "web" else "book"))
+  lazy val df = rows.toDF("doc_id", "source")
+
+  test("bernoulli sample is deterministic and near the rate") {
+    val a = Sampling.bernoulli(df, "doc_id", 0.2).collect().map(_.getString(0)).toSet
+    val b = Sampling.bernoulli(df, "doc_id", 0.2).collect().map(_.getString(0)).toSet
+    assert(a == b, "same input + rate must select the same rows")
+    assert(a.size > 120 && a.size < 280, s"20% of 1000 should be ~200, got ${a.size}")
+  }
+
+  test("bernoulli at higher rate is a superset (nested samples)") {
+    val small = Sampling.bernoulli(df, "doc_id", 0.1).collect().map(_.getString(0)).toSet
+    val big = Sampling.bernoulli(df, "doc_id", 0.3).collect().map(_.getString(0)).toSet
+    assert(small.subsetOf(big), "hash-threshold samples must nest as the rate grows")
+  }
+
+  test("stratified sample returns exactly n per stratum, deterministically") {
+    val s1 = Sampling.stratifiedFixedN(df, "source", "doc_id", 25).collect()
+    val byStratum = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byStratum == Map("web" -> 25, "book" -> 25))
+    val s2 = Sampling.stratifiedFixedN(df, "source", "doc_id", 25)
+      .collect().map(_.getString(0)).sorted
+    assert(s1.map(_.getString(0)).sorted.sameElements(s2))
+  }
+
+  test("stratified sample caps at stratum size when n exceeds it") {
+    val tiny = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("doc_id", "source")
+    val got = Sampling.stratifiedFixedN(tiny, "source", "doc_id", 5).count()
+    assert(got == 3)
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("components merge transitively across a chain") {
+    // 1-2, 2-3, 3-4 is one component even though 1 and 4 never pair
+    // directly; 5-6 is a second; 7 appears in no edge (absent).
+    val edges = Seq(("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d5", "d6"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "d4" -> "d1",
+      "d5" -> "d5", "d6" -> "d5"))
+  }
+
+  test("a long path converges within the diameter bound") {
+    val chain = (1 until 15).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
+    assert(got.length == 15)
+    assert(got.forall(_.getString(1) == "n01"), "every node labels to the min id")
+  }
+
+  test("edge direction does not matter") {
+    val e1 = Seq(("b", "a")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(e1, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a"))
+  }
+}

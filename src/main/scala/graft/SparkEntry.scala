@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, RelationalQueries, TextQueries, TpchCatalogQueries, TpchQueries, VectorQueries}
+import graft.queries.{MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries, TpchCatalogQueries, TpchQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      TpchQueries.queries ++ TpchCatalogQueries.queries ++ MultimodalQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries ++
+      VectorQueries.queries ++ TpchQueries.queries ++ TpchCatalogQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      TpchQueries.oracles ++ TpchCatalogQueries.oracles ++ MultimodalQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
+      VectorQueries.oracles ++ TpchQueries.oracles ++ TpchCatalogQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -20,10 +20,41 @@ abstract class Operation(val session: EngineSession) {
   @volatile protected var operationException: Option[Throwable] = None
   private val completion: Promise[Unit] = Promise[Unit]()
 
+  // Per-operation log, fetchable while the op runs (the reference's
+  // OperationLog surface: clients pull it via FetchResults with
+  // fetchType=LOG — engine SparkOperation.getOperationLogRowSet).
+  // Bounded so a chatty operation cannot hold the server's heap.
+  private val opLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val opLogSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val OpLogCap = 10000
+
+  protected[graft] def logLine(msg: String): Unit = {
+    if (opLogSize.incrementAndGet() <= OpLogCap) {
+      opLog.add(s"${java.time.Instant.now()} $msg")
+    } else opLogSize.decrementAndGet()
+  }
+
+  /** Drain up to `max` pending log lines (incremental: each line is
+    * delivered once, in order).
+    */
+  def fetchLog(max: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var n = 0
+    var line = opLog.poll()
+    while (line != null) {
+      out += line
+      opLogSize.decrementAndGet()
+      n += 1
+      line = if (n < max) opLog.poll() else null
+    }
+    out.result()
+  }
+
   def currentState: OperationState = state
 
   protected def setState(to: OperationState): Unit = synchronized {
     OperationState.validateTransition(state, to)
+    logLine(s"operation $handle: $state -> $to")
     state = to
     if (to.terminal && !completion.isCompleted) completion.trySuccess(())
   }
@@ -48,6 +79,7 @@ abstract class Operation(val session: EngineSession) {
           synchronized { if (!state.terminal) setState(OperationState.Finished) }
         case Failure(e) =>
           operationException = Some(e)
+          logLine(s"operation $handle failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
           synchronized { if (!state.terminal) setState(OperationState.Error) }
       }
     }

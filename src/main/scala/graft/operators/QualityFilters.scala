@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus quality filtering for training-data pipelines: repetition
+  * metrics (in the spirit of the Gopher data-quality rules: most-frequent
+  * token / 2-gram fraction, duplicate n-gram fraction), a combined
+  * keep/drop quality gate, and regex redaction (PII patterns and term
+  * denylists).
+  *
+  * Everything is a pure map-side array/regex expression — no shuffle, no
+  * UDFs, fully inside whole-stage codegen. Per-doc cost is O(u·n) where
+  * u = distinct tokens and n = doc tokens, both bounded by document
+  * length, so at 100 TB these scale linearly with input bytes and never
+  * touch the network.
+  */
+object QualityFilters {
+
+  /** Fraction of `arr` occupied by its most frequent element. */
+  private def topElementFrac(arr: Column): Column =
+    array_max(transform(array_distinct(arr), g =>
+      size(filter(arr, x => x === g)))).cast("double") / size(arr)
+
+  /** Per-document repetition metrics:
+    *  - `max_token_frac`: share of tokens taken by the single most
+    *    frequent token;
+    *  - `top_2gram_frac`: share of 2-grams taken by the most frequent
+    *    2-gram;
+    *  - `dup_3gram_frac`: fraction of 3-gram positions whose gram also
+    *    occurs elsewhere in the doc (1 - distinct/total).
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val g2 = shinglesOfTokens(toks, 2)
+    val g3 = shinglesOfTokens(toks, 3)
+    docs.select(
+      col(idCol),
+      topElementFrac(toks).as("max_token_frac"),
+      topElementFrac(g2).as("top_2gram_frac"),
+      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3))
+        .as("dup_3gram_frac"))
+  }
+
+  /** Combined quality gate: token count, type-token ratio and the
+    * repetition ceiling decide `keep`. Thresholds are explicit columns so
+    * downstream can audit WHY a doc was dropped (the pipeline-debugging
+    * requirement that motivates keeping flags instead of filtering
+    * silently).
+    */
+  def qualityGate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minTtr: Double, maxTokenFrac: Double): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(
+        col(idCol),
+        size(toks).as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        topElementFrac(toks).as("max_token_frac"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("ttr") >= minTtr &&
+          col("max_token_frac") <= maxTokenFrac)
+  }
+
+  // Canned PII patterns (RE2-compatible so external engines can mirror
+  // them; Java regex accepts the same syntax).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Replace every match of `pattern` with `mask` (regexp_replace is
+    * global in Spark).
+    */
+  def redact(text: Column, pattern: String, mask: String): Column =
+    regexp_replace(text, pattern, mask)
+
+  /** Redaction audit: hit count plus the redacted text, per document. */
+  def redactionStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      pattern: String, mask: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("n_hits"),
+      redact(col(textCol), pattern, mask).as("redacted"))
+}

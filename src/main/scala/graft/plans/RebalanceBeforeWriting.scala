@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RebalancePartitions, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RebalancePartitions, Repartition, RepartitionByExpression, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.DataWritingCommand
 import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
@@ -24,8 +24,15 @@ object RebalanceBeforeWriting extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rebalanceBeforeWrite", "true").toBoolean
 
+  // Any explicit user layout wins — including repartition(n)/coalesce
+  // and repartition(cols)/repartitionByRange. Injecting a rebalance on
+  // top of those isn't merely redundant: the optimizer's
+  // CollapseRepartition keeps the OUTER node, so the injected rebalance
+  // would silently delete the layout the user asked for.
   private def needsRebalance(query: LogicalPlan): Boolean = query match {
     case _: RebalancePartitions => false
+    case _: Repartition => false
+    case _: RepartitionByExpression => false
     case _: Sort => false
     case _ => true
   }

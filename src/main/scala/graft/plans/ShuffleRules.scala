@@ -156,21 +156,37 @@ case class RemoveRebalanceShuffle(session: SparkSession) extends Rule[LogicalPla
     case u: Union => u.children.flatMap(stageGroupSizes)
     case u: UnaryNode => stageGroupSizes(u.child)
     case p if p.collectLeaves().forall(_.isInstanceOf[LogicalQueryStage]) =>
+      // A LogicalQueryStage's physicalPlan is not necessarily a
+      // QueryStageExec itself — after a partial/final aggregate, the
+      // stage-ified logical node carries HashAggregate ON TOP of its
+      // input ShuffleQueryStage — so dig the stages out of the wrapped
+      // physical tree (QueryStageExec is a physical leaf, so collect
+      // finds each stage exactly once).
       val stages = p.collect { case s: LogicalQueryStage => s.physicalPlan }
-      val allMaterialized = stages.forall {
+        .flatMap(_.collect { case q: QueryStageExec => q })
+      val allMaterialized = stages.nonEmpty && stages.forall {
         case s: ShuffleQueryStageExec => s.isMaterialized && s.mapStats.isDefined
         case s: QueryStageExec => s.isMaterialized
-        case _ => false
       }
       if (allMaterialized) {
-        Seq(stages.collect { case s: QueryStageExec =>
-          s.getRuntimeStatistics.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
-        })
+        Seq(stages.map(s =>
+          s.getRuntimeStatistics.sizeInBytes.min(BigInt(Long.MaxValue)).toLong))
       } else Seq.empty
     case _ => Seq.empty
   }
 
-  private def hasReducingOperator(plan: LogicalPlan): Boolean = plan.exists {
+  /** All logical nodes of `plan`, INCLUDING those a LogicalQueryStage
+    * swallowed (its `logicalPlan` is a member, not a child, so a plain
+    * `exists` goes blind exactly when AQE has materialized the input —
+    * the only time this rule runs).
+    */
+  private def logicalNodes(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan.collect { case x => x }.flatMap {
+      case s: LogicalQueryStage => s +: logicalNodes(s.logicalPlan)
+      case x => Seq(x)
+    }
+
+  private def hasReducingOperator(plan: LogicalPlan): Boolean = logicalNodes(plan).exists {
     case _: Aggregate | _: Filter | _: Sample | _: Offset | _: GlobalLimit | _: LocalLimit |
         _: WindowGroupLimit => true
     case Join(_, _, joinType, _, _) => joinType match {
@@ -180,7 +196,7 @@ case class RemoveRebalanceShuffle(session: SparkSession) extends Rule[LogicalPla
     case _ => false
   }
 
-  private def hasExpandingOperator(plan: LogicalPlan): Boolean = plan.exists {
+  private def hasExpandingOperator(plan: LogicalPlan): Boolean = logicalNodes(plan).exists {
     case _: Generate | _: Expand => true
     case Join(_, _, LeftExistence(_), _, _) => false
     case _: Join => true

@@ -117,6 +117,16 @@ class RestFrontend(engine: Engine, port: Int = 0) {
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
 
+      // Batch operation log (reference BatchesResource `GET .../localLog`):
+      // incremental — each line is delivered once.
+      case ("GET", "batches" :: id :: "localLog" :: Nil) =>
+        Option(batches.get(id)) match {
+          case Some((_, op)) =>
+            val lines = op.fetchLog(1000)
+            reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
+          case None => reply(ex, 404, """{"error": "no such batch"}""")
+        }
+
       case _ => reply(ex, 404, """{"error": "not found"}""")
     }
   }

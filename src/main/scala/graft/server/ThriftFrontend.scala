@@ -379,6 +379,18 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       try {
         val box = ops.get(idOf(req.getOperationHandle.getOperationId))
         require(box != null, "no such operation")
+        // fetchType 1 = operation LOG (HiveServer2 convention): a
+        // single-string-column page of pending log lines, available
+        // WHILE the op runs — no awaitTermination.
+        if (req.getFetchType == 1) {
+          val max = math.max(1L, math.min(req.getMaxRows, 10000L)).toInt
+          val lines = box.op.fetchLog(max)
+          val logSchema = StructType(Seq(StructField("operation_log", StringType)))
+          resp.setResults(rowSet(logSchema, lines.map(Row(_)).toArray))
+          resp.setHasMoreRows(false)
+          resp.setStatus(ok)
+          return resp
+        }
         box.op.awaitTermination()
         box.op.exception.foreach(throw _)
         val it = box.rows()

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Round-5 pipeline operators: quality/repetition filters, benchmark
+  * decontamination, Bloom incremental dedup, regex redaction.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("repetitionMetrics flags a degenerate doc and clears a diverse one") {
+    val df = Seq(
+      ("rep", "spam spam spam spam spam spam"),
+      ("div", "one two three four five six")).toDF("doc_id", "text")
+    val m = QualityFilters.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("rep") == ((1.0, 1.0, 0.75)), "all-one-token doc: every metric maxed")
+    assert(m("div")._1 === 1.0 / 6)
+    assert(m("div")._3 === 0.0, "no repeated 3-gram in an all-distinct doc")
+  }
+
+  test("qualityGate keeps only docs passing every threshold") {
+    val df = Seq(
+      ("short", "too few words"),
+      ("spammy", Seq.fill(40)("buy").mkString(" ")),
+      ("good", (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val keep = QualityFilters.qualityGate(df, "doc_id", "text", 30, 0.3, 0.2)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(keep == Map("short" -> false, "spammy" -> false, "good" -> true))
+  }
+
+  test("redaction masks PII patterns and counts hits") {
+    val df = Seq(
+      ("a", "mail bob@example.com or 555-867-5309 at 10.0.0.1"),
+      ("b", "nothing here")).toDF("doc_id", "text")
+    val pat = s"${QualityFilters.EmailRe}|${QualityFilters.PhoneRe}|${QualityFilters.Ipv4Re}"
+    val out = QualityFilters.redactionStats(df, "doc_id", "text", pat, "[PII]")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out("a")._1 == 3)
+    assert(out("a")._2 == "mail [PII] or [PII] at [PII]")
+    assert(out("b") == ((0, "nothing here")))
+  }
+
+  test("decontamination finds exactly the docs overlapping the eval set") {
+    val evalSet = Seq(("e1", "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      ("c1", "prefix alpha beta gamma delta epsilon zeta suffix"), // contains the eval 6-gram
+      ("c2", "alpha beta gamma delta other words entirely"), // only shorter overlaps
+      ("c3", "no overlap at all with anything")).toDF("doc_id", "text")
+    val hit = Decontaminate.contaminated(corpus, evalSet, "doc_id", "text", n = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hit == Map("c1" -> 1L))
+    val kept = Decontaminate.clean(corpus, evalSet, "doc_id", "text", n = 6)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("c2", "c3"))
+  }
+
+  test("bloom filter has no false negatives and a sane positive rate") {
+    val seen = (1 to 2000).map(i => s"seen_$i").toDF("key")
+    val bloom = BloomDedup.buildBloom(seen, col("key"), 2000, 2000 * 8)
+    val probeSeen = BloomDedup.definitelyNew(seen, bloom, col("key")).count()
+    assert(probeSeen == 0, "a seen key must never be reported definitely-new")
+    val fresh = (1 to 2000).map(i => s"new_$i").toDF("key")
+    val passed = BloomDedup.definitelyNew(fresh, bloom, col("key")).count()
+    assert(passed > 1800, s"fp rate should be ~2% at 8 bits/key, got ${2000 - passed} positives")
+  }
+
+  test("bloom probe stays codegen-friendly (no UDF in the plan)") {
+    val seen = (1 to 100).map(i => s"k$i").toDF("key")
+    val bloom = BloomDedup.buildBloom(seen, col("key"), 100, 800)
+    val plan = BloomDedup.definitelyNew(seen, bloom, col("key"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+}

@@ -44,9 +44,11 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("rebalance-before-write coalesces small-file inserts") {
     val dir = Files.createTempDirectory("graft_rebalance").toString + "/t"
-    // 8 near-empty shuffle partitions would produce 8 tiny files without
-    // the injected RebalancePartitions + AQE coalescing
-    spark.range(0, 1000).repartition(8).write.parquet(dir)
+    // A near-empty 4-split scan would produce 4 tiny files without the
+    // injected RebalancePartitions + AQE coalescing. (No explicit
+    // repartition here — a user repartition is an explicit layout and
+    // suppresses the insurance rebalance by design.)
+    spark.range(0, 1000, 1, 4).write.parquet(dir)
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files <= 2, s"$files parquet files written — rebalance did not coalesce")
   }
@@ -169,18 +171,57 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("user repartition(n) layout survives the write (no rebalance injected on top)") {
+    // CollapseRepartition keeps the OUTER of two adjacent repartitions,
+    // so injecting the insurance rebalance over an explicit
+    // repartition(8) would silently delete the user's layout. The rule
+    // must skip such plans: observable as exactly 8 output files.
+    val dir = Files.createTempDirectory("graft_user_repart").toString + "/t"
+    spark.range(0, 1000).repartition(8).write.parquet(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 8, s"$files files written — user repartition(8) was not preserved")
+  }
+
   test("remove-rebalance-shuffle cancels the write's insurance shuffle on tiny inputs") {
-    // With the rebalance in place, the 8 near-empty REPARTITION_BY_NUM
-    // partitions coalesce into <=2 files (test above). When the remove
-    // rule fires (tiny materialized input, no expanding operator), the
-    // write inherits the 8-partition layout: observable as 8 files.
-    val dir = Files.createTempDirectory("graft_rm_rebalance").toString + "/t"
+    // The remove rule fires at AQE re-optimization, once the input
+    // stage (here: the aggregate's shuffle) is materialized and proves
+    // tiny + non-expanding. Observable in the final adaptive plan: the
+    // REBALANCE exchange is present with the rule off, gone with it on.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var captured: List[QueryExecution] = Nil
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, d: Long): Unit =
+        captured ::= qe
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    def finalPlanHasRebalance(dir: String): Boolean = {
+      captured = Nil
+      spark.range(0, 1000).selectExpr("id % 8 AS k", "id AS v")
+        .groupBy("k").sum("v").write.parquet(dir)
+      val deadline = System.nanoTime() + 30e9.toLong
+      var qe: Option[QueryExecution] = None
+      while (qe.isEmpty && System.nanoTime() < deadline) {
+        qe = captured.find(_.optimizedPlan.toString.contains("WriteFiles"))
+        if (qe.isEmpty) Thread.sleep(50)
+      }
+      assert(qe.nonEmpty, "write QueryExecution not captured")
+      qe.get.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .contains("REBALANCE_PARTITIONS_BY_NONE")
+    }
+    val base = Files.createTempDirectory("graft_rm_rebalance").toString
+    spark.listenerManager.register(l)
     try {
+      assert(finalPlanHasRebalance(base + "/keep"),
+        "premise gone: no insurance rebalance planned for an aggregate write")
       spark.conf.set("spark.graft.removeRebalanceShuffle", "true")
-      spark.range(0, 1000).repartition(8).write.parquet(dir)
-      val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
-      assert(files == 8, s"$files files written — rebalance shuffle was not removed")
-    } finally spark.conf.unset("spark.graft.removeRebalanceShuffle")
+      assert(!finalPlanHasRebalance(base + "/removed"),
+        "rebalance shuffle survived in the final adaptive plan")
+    } finally {
+      spark.conf.unset("spark.graft.removeRebalanceShuffle")
+      spark.listenerManager.unregister(l)
+    }
   }
 
   test("drop-ignore-nonexistent rewrites DROP TABLE to IF EXISTS") {

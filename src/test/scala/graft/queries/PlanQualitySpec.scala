@@ -56,15 +56,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*("), s"no WholeStageCodegen spans in:\n${plan.take(400)}")
   }
 
+  test("d21: repetition metrics are pure map-side (no exchange in the plan)") {
+    val plan = planOf(PipelineQueries.queries("d21_repetition")(spark, dir))
+    assert(!plan.contains("Exchange"), s"repetition metrics must not shuffle:\n${plan.take(600)}")
+  }
+
+  test("d22: decontamination joins the corpus against a BROADCAST eval gram set") {
+    val plan = planOf(PipelineQueries.queries("d22_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast — corpus side must not shuffle for the join:\n${plan.take(600)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator
     // packages (Verify/Bench/server materialize on purpose)
     val roots = Seq("src/main/scala/graft/queries", "src/main/scala/graft/operators",
       "src/main/scala/graft/functions")
-    // IvfIndex.train collects the nLists x dim centroid MATRIX (an
-    // index artifact like the LSH hyperplanes), never result rows
-    val exempt = Set("IvfIndex.scala")
+    // IvfIndex.train / PqIndex.train collect the centroid/codebook
+    // MATRICES (index artifacts like the LSH hyperplanes), never
+    // result rows
+    val exempt = Set("IvfIndex.scala", "PqIndex.scala")
     val offenders = roots.flatMap { root =>
       val dirF = new java.io.File(root)
       if (!dirF.exists()) Nil

@@ -80,6 +80,12 @@ class RestFrontendSpec extends AnyFunSuite {
         Thread.sleep(100)
       }
       assert(state == "FINISHED")
+      // operation log is fetchable and incremental
+      val (lc, lbody) = get(c, s"$base/batches/$id/localLog")
+      assert(lc == 200)
+      assert(lbody.contains("-> FINISHED"), lbody)
+      val (_, again) = get(c, s"$base/batches/$id/localLog")
+      assert(again.contains("\"rowCount\": 0"), s"second drain should be empty: $again")
     }
   }
 

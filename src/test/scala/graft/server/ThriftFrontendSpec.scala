@@ -2,6 +2,8 @@ package graft.server
 
 import java.sql.{DriverManager, Types}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -234,6 +236,38 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(page.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
       val col = page.getResults.getColumns.get(0).getI32Val.getValues
       assert(col.size == 1 && col.get(0) == 64)
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
+  test("FetchResults with fetchType=1 returns the operation log") {
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val sess = client.OpenSession(new TOpenSessionReq())
+      val exec = client.ExecuteStatement(
+        new TExecuteStatementReq(sess.getSessionHandle, "SELECT 1 AS one"))
+      assert(exec.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val logReq = new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, 1000)
+      logReq.setFetchType(1)
+      val logPage = client.FetchResults(logReq)
+      assert(logPage.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val lines = logPage.getResults.getColumns.get(0).getStringVal.getValues
+      assert(!lines.isEmpty, "state transitions should have produced log lines")
+      assert(lines.asScala.exists(_.contains("-> FINISHED")),
+        s"got ${lines.asScala.mkString(" | ")}")
+      // the log fetch is incremental: a second drain returns nothing new
+      val again = client.FetchResults(logReq)
+      assert(again.getResults.getColumns.get(0).getStringVal.getValues.isEmpty)
+      // fetchType=0 still returns the query result afterwards
+      val rr = client.FetchResults(new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, 10))
+      assert(rr.getResults.getColumns.get(0).getI32Val.getValues.get(0) == 1)
       client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
     } finally sock.close()
   }

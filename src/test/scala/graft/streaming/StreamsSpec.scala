@@ -37,6 +37,24 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits first arrivals and drops in-horizon re-arrivals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // key = user_id: value carries which arrival won
+    val out = Streams.dedupStream(ms.toDF(), "ts", Seq("user_id"), "5 minutes")
+    val q = out.writeStream.format("memory").queryName("graft_dedup").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(1), 10.0), Event(1, ts(2), 20.0), Event(2, ts(3), 30.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(4), 40.0)) // still duplicate within horizon
+      q.processAllAvailable()
+      val rows = spark.table("graft_dedup").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+      assert(rows == Set((1L, 10.0), (2L, 30.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on silence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -67,6 +67,14 @@ object Verify {
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list_id", "centroid").coalesce(1).write.mode("overwrite")
         .parquet(vecAuxDir.resolve("ivf_centroids.parquet").toString)
+      graft.operators.PqIndex.train(
+        Tables(spark, sfDir).embeddings, "vec_id", "embedding",
+        dim = DIM, m = M_SUB, k = K_CODES)
+        .zipWithIndex.flatMap { case (cbk, j) =>
+          cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+        }.toSeq
+        .toDF("j", "code", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(vecAuxDir.resolve("pq_codebooks.parquet").toString)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] vec_aux dump failed: ${e.getMessage}")
     }

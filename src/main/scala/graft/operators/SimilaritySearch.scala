@@ -51,6 +51,22 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k by raw dot product (the ranking PQ-ADC approximates;
+    * used as the recall baseline for [[PqIndex]]).
+    */
+  def dotTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k: only candidates in the same
     * hyperplane-sign bucket are scored.
     */

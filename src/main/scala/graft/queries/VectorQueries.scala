@@ -27,6 +27,8 @@ object VectorQueries {
   val SEED = 42L
   val N_LISTS = 8
   val N_PROBE = 3
+  val M_SUB = 8 // PQ subspaces (dsub = DIM / M_SUB = 8 floats -> 1 code)
+  val K_CODES = 16 // PQ codebook size per subspace
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Exact brute-force cosine top-5 for 10 query vectors ---
@@ -89,6 +91,29 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
+    // --- PQ-ADC approximate top-5: corpus compressed to M_SUB code
+    //     bytes per vector, ranking by lookup-table dot product
+    //     (oracle recomputes codes + ADC from the dumped codebooks) ---
+    "v09_pq_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cbs = graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        dim = DIM, m = M_SUB, k = K_CODES)
+      graft.operators.PqIndex.pqTopK(e, q, "vec_id", "embedding", cbs, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Recall@5 of the PQ path vs exact dot-product ranking ---
+    "v10_pq_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cbs = graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        dim = DIM, m = M_SUB, k = K_CODES)
+      val approx = graft.operators.PqIndex.pqTopK(e, q, "vec_id", "embedding", cbs, k = 5)
+      val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -115,6 +140,58 @@ object VectorQueries {
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
         / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private val DSUB = DIM / M_SUB
+
+  // PQ path recomputed from the dumped codebooks: argmin-L2 code
+  // assignment (tie -> larger code, mirroring Spark's struct-max),
+  // then ADC = per-subspace LUT dot products folded in subspace order
+  // (both folds ascending, matching Spark's `aggregate` exactly).
+  private val pqPairsCte =
+    s"""cb AS (SELECT j, code, centroid FROM '__VAUX__/pq_codebooks.parquet/*.parquet'),
+        cbj AS (SELECT j, list(centroid ORDER BY code) AS cents FROM cb GROUP BY j),
+        cbnest AS (SELECT list(cents ORDER BY j) AS m FROM cbj),
+        asg AS (
+          SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, cb.j, cb.code,
+              row_number() OVER (PARTITION BY e.vec_id, cb.j
+                ORDER BY list_reduce(list_transform(generate_series(1, $DSUB),
+                  i -> (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])
+                     * (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])),
+                  (x, y) -> x + y) ASC, cb.code DESC) AS r
+            FROM embeddings e CROSS JOIN cb)
+          WHERE r = 1),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM asg GROUP BY vec_id),
+        pqpairs AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_reduce(list_transform(generate_series(1, $M_SUB), j ->
+              list_reduce(list_transform(generate_series(1, $DSUB), i ->
+                CAST(q.embedding[(j-1)*$DSUB+i] AS DOUBLE) * s.m[j][n.codes[j]+1][i]),
+                (x, y) -> x + y)),
+              (x, y) -> x + y) AS adc
+          FROM embeddings q, codes n, cbnest s
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        pqtop AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc DESC, neighbor_id ASC) AS rnk
+            FROM pqpairs)
+          WHERE rnk <= 5)"""
+
+  private val dotTopCte =
+    s"""dexact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rnk
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          WHERE rnk <= 5)"""
 
   private val bucketCte = """bkt AS (
             SELECT e.vec_id,
@@ -148,6 +225,16 @@ object VectorQueries {
             WHERE rnk <= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "v09_pq_topk" ->
+      s"""WITH $pqPairsCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM pqtop""",
+    "v10_pq_recall" ->
+      s"""WITH $pqPairsCte, $dotTopCte
+          SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM dexact) e
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM pqtop JOIN dexact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
     "v02_knn_lsh" ->
       s"""WITH $bucketCte, $lshTopCte
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM approx""",

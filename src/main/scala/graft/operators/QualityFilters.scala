@@ -31,17 +31,28 @@ object QualityFilters {
     *    2-gram;
     *  - `dup_3gram_frac`: fraction of 3-gram positions whose gram also
     *    occurs elsewhere in the doc (1 - distinct/total).
+    *
+    * The arrays are materialized as their own projection first: a
+    * nested-lambda counter over an inline `split`/`transform`
+    * construction would re-evaluate that construction once per distinct
+    * element (no common-subexpression elimination inside lambda trees —
+    * O(u·n·cost(build)) per doc, 24s for 500 docs when first written).
+    * Against an attribute reference the counter just walks the
+    * materialized array value.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val g2 = shinglesOfTokens(toks, 2)
-    val g3 = shinglesOfTokens(toks, 3)
-    docs.select(
-      col(idCol),
-      topElementFrac(toks).as("max_token_frac"),
-      topElementFrac(g2).as("top_2gram_frac"),
-      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3))
-        .as("dup_3gram_frac"))
+    docs
+      .select(col(idCol), toks.as("t"))
+      .select(col(idCol), col("t"),
+        shinglesOfTokens(col("t"), 2).as("g2"),
+        shinglesOfTokens(col("t"), 3).as("g3"))
+      .select(
+        col(idCol),
+        topElementFrac(col("t")).as("max_token_frac"),
+        topElementFrac(col("g2")).as("top_2gram_frac"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")))
+          .as("dup_3gram_frac"))
   }
 
   /** Combined quality gate: token count, type-token ratio and the
@@ -52,18 +63,17 @@ object QualityFilters {
     */
   def qualityGate(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, minTtr: Double, maxTokenFrac: Double): DataFrame = {
-    val toks = tokens(col(textCol))
+      minTokens: Int, minTtr: Double, maxTokenFrac: Double): DataFrame =
     docs
+      .select(col(idCol), tokens(col(textCol)).as("t")) // materialize once (see repetitionMetrics)
       .select(
         col(idCol),
-        size(toks).as("n_tokens"),
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-        topElementFrac(toks).as("max_token_frac"))
+        size(col("t")).as("n_tokens"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"),
+        topElementFrac(col("t")).as("max_token_frac"))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("ttr") >= minTtr &&
           col("max_token_frac") <= maxTokenFrac)
-  }
 
   // Canned PII patterns (RE2-compatible so external engines can mirror
   // them; Java regex accepts the same syntax).

@@ -23,6 +23,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m("div")._3 === 0.0, "no repeated 3-gram in an all-distinct doc")
   }
 
+  test("repetition metrics run in linear time (materialized arrays, no lambda re-eval)") {
+    // Regression guard: with the gram arrays built INSIDE the counting
+    // lambdas, Spark re-evaluates the construction per distinct element
+    // (no CSE in lambda trees) — 24s for these 500 docs. Materialized,
+    // it's sub-second; 10s is generous headroom for CI noise.
+    val docs = graft.Tables(spark, graft.SparkFixture.sfDir).documents
+    val t0 = System.nanoTime()
+    QualityFilters.repetitionMetrics(docs, "doc_id", "text").foreach(_ => ())
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"repetitionMetrics took $sec%.1fs for 500 docs — lambda re-eval is back")
+  }
+
   test("qualityGate keeps only docs passing every threshold") {
     val df = Seq(
       ("short", "too few words"),

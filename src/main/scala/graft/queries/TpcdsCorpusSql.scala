@@ -2073,27 +2073,34 @@ object TpcdsCorpusSql {
     // q72: catalog orders short on same-week inventory, promo vs not
     // (cs has no bill-hdemo column -> hd via the buyer's household;
     // "no promotion" modeled as a non-direct-mail promo left join)
+    // Join order rewritten for the stats-blind left-deep planner (same
+    // trick as q6): the spec text joins catalog_sales to inventory
+    // FIRST — ~1300 inventory rows per item explode the full 1.4M-row
+    // fact to ~2B intermediate rows before any selective dimension
+    // applies. Joining the selective dims (cd 1/7, hd 1/6, d1 year
+    // ~1/5) first cuts catalog_sales to ~7k rows, which AQE then
+    // broadcasts into the inventory join — inventory never shuffles.
+    // Inner-join reordering; the result is identical (golden-pinned).
     "q72" ->
       s"""SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
             sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) no_promo,
             sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) promo,
             count(*) total_cnt
           FROM $p.catalog_sales
-          JOIN $p.inventory ON (cs_item_sk = inv_item_sk)
-          JOIN $p.warehouse ON (w_warehouse_sk = inv_warehouse_sk)
-          JOIN $p.item ON (i_item_sk = cs_item_sk)
           JOIN $p.customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
           JOIN $p.customer ON (cs_bill_customer_sk = c_customer_sk)
           JOIN $p.household_demographics ON (c_current_hdemo_sk = hd_demo_sk)
           JOIN $p.date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
-          JOIN $p.date_dim d2 ON (inv_date_sk = d2.d_date_sk)
           JOIN $p.date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+          JOIN $p.item ON (i_item_sk = cs_item_sk)
+          JOIN $p.inventory ON (cs_item_sk = inv_item_sk)
+          JOIN $p.date_dim d2 ON (inv_date_sk = d2.d_date_sk AND d1.d_week_seq = d2.d_week_seq)
+          JOIN $p.warehouse ON (w_warehouse_sk = inv_warehouse_sk)
           LEFT OUTER JOIN $p.promotion
             ON (cs_promo_sk = p_promo_sk AND p_channel_dmail = 'Y')
           LEFT OUTER JOIN $p.catalog_returns
             ON (cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number)
-          WHERE d1.d_week_seq = d2.d_week_seq
-            AND inv_quantity_on_hand < cs_quantity
+          WHERE inv_quantity_on_hand < cs_quantity
             AND d3.d_date > d1.d_date + 5
             AND hd_buy_potential = '>10000' AND d1.d_year = 2000
             AND cd_marital_status = 'D'

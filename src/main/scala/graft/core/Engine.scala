@@ -118,13 +118,17 @@ final class Engine(
     // identity for the authz rules (graft.plans.ApplyAuthzPolicies)
     sess.spark.conf.set("spark.graft.authz.user", user)
     sessions.put(id, sess)
+    Events.post(Events.SessionEvent(id, user, "OPENED", System.currentTimeMillis()))
     sess
   }
 
   def session(id: String): Option[EngineSession] = Option(sessions.get(id))
 
   def closeSession(id: String): Unit =
-    Option(sessions.remove(id)).foreach(_.close())
+    Option(sessions.remove(id)).foreach { s =>
+      s.close()
+      Events.post(Events.SessionEvent(id, s.user, "CLOSED", System.currentTimeMillis()))
+    }
 
   def openSessionCount: Int = sessions.size()
 }

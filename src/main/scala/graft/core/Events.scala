@@ -1,0 +1,78 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.CopyOnWriteArrayList
+
+/** Lifecycle event surface — the reference's kyuubi-events module
+  * (EventBus.post + JSON logging handlers feeding audit/history UIs):
+  * session open/close and every operation state transition are posted
+  * to registered handlers; the bundled [[Events.JsonlLogger]] appends
+  * one JSON object per line, the format downstream log pipelines
+  * ingest.
+  *
+  * Posting is fire-and-forget: a throwing handler never breaks the
+  * query path, and with no handlers registered the hot-path cost is a
+  * single empty-list check.
+  */
+object Events {
+
+  sealed trait Event {
+    def asJson: String
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  final case class SessionEvent(
+      sessionId: String, user: String, action: String, ts: Long) extends Event {
+    override def asJson: String =
+      s"""{"event":"session","sessionId":"${esc(sessionId)}","user":"${esc(user)}",""" +
+        s""""action":"${esc(action)}","ts":$ts}"""
+  }
+
+  final case class OperationEvent(
+      opId: String, sessionId: String, state: String,
+      error: Option[String], ts: Long) extends Event {
+    override def asJson: String =
+      s"""{"event":"operation","opId":"${esc(opId)}","sessionId":"${esc(sessionId)}",""" +
+        s""""state":"${esc(state)}"""" +
+        error.map(e => s""","error":"${esc(e)}"""").getOrElse("") +
+        s""","ts":$ts}"""
+  }
+
+  trait Handler {
+    def onEvent(e: Event): Unit
+  }
+
+  private val handlers = new CopyOnWriteArrayList[Handler]()
+
+  def register(h: Handler): Unit = handlers.add(h)
+  def unregister(h: Handler): Unit = handlers.remove(h)
+
+  def post(e: Event): Unit = {
+    if (!handlers.isEmpty) {
+      handlers.forEach { h =>
+        try h.onEvent(e) catch { case _: Throwable => }
+      }
+    }
+  }
+
+  /** One JSON object per line, append-only (the reference's
+    * JsonLoggingEventHandler shape).
+    */
+  final class JsonlLogger(path: Path) extends Handler {
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    override def onEvent(e: Event): Unit = synchronized {
+      Files.write(path, (e.asJson + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
+}

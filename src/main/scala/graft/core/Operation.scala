@@ -56,6 +56,9 @@ abstract class Operation(val session: EngineSession) {
     OperationState.validateTransition(state, to)
     logLine(s"operation $handle: $state -> $to")
     state = to
+    Events.post(Events.OperationEvent(handle, session.id, to.toString,
+      operationException.map(e => String.valueOf(e.getMessage)),
+      System.currentTimeMillis()))
     if (to.terminal && !completion.isCompleted) completion.trySuccess(())
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{BloomDedup, Decontaminate, QualityFilters}
+import graft.operators.{BloomDedup, Decontaminate, Packing, QualityFilters}
 
 /** Round-5 training-data pipeline queries: repetition quality metrics,
   * benchmark decontamination, a combined quality gate, regex redaction,
@@ -46,6 +46,23 @@ object PipelineQueries {
     "d24_term_redact" -> { (s, dir) =>
       QualityFilters.redactionStats(Tables(s, dir).documents, "doc_id", "text",
         pattern = "\\b(customer|stream)\\b", mask = "[MASKED]")
+    },
+
+    // --- Sequence packing: concat-and-chunk pack assignment per
+    //     source shard (512-token packs) ---
+    "d26_sequence_pack" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Packing.packByBudget(d, "source", "doc_id",
+        size(tokens(col("text"))), budget = 512)
+    },
+
+    // --- Pack fill statistics ---
+    "d27_pack_stats" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Packing.packStats(
+        Packing.packByBudget(d, "source", "doc_id",
+          size(tokens(col("text"))), budget = 512),
+        "source")
     },
 
     // --- Bloom-sketch incremental dedup: "seen" corpus (doc_id%3==0)
@@ -120,6 +137,25 @@ object PipelineQueries {
            CAST(len(regexp_extract_all(text, '\b(customer|stream)\b')) AS INT) AS n_hits,
            regexp_replace(text, '\b(customer|stream)\b', '[MASKED]', 'g') AS redacted
          FROM documents""",
+    "d26_sequence_pack" ->
+      s"""WITH t AS (SELECT source, doc_id,
+            CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+          SELECT source, doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+          FROM t""",
+    "d27_pack_stats" ->
+      s"""WITH t AS (SELECT source, doc_id,
+            CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+          p AS (SELECT source, doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+          FROM t)
+          SELECT source, pack_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM p GROUP BY source, pack_id""",
     "d25_bloom_incremental" ->
       """WITH d AS (SELECT doc_id,
              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

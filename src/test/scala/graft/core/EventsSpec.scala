@@ -1,0 +1,61 @@
+package graft.core
+
+import java.nio.file.Files
+
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class EventsSpec extends AnyFunSuite {
+  private lazy val engine = new Engine(SparkFixture.spark)
+
+  test("session and operation lifecycle events land in the JSONL log") {
+    val path = Files.createTempDirectory("graft_events").resolve("events.jsonl")
+    val logger = new Events.JsonlLogger(path)
+    Events.register(logger)
+    try {
+      val sess = engine.openSession("evt_user")
+      val op = sess.executeStatement("SELECT 1")
+      op.awaitTermination()
+      engine.closeSession(sess.id)
+      val lines = Files.readAllLines(path).asScala
+      assert(lines.exists(l => l.contains(""""event":"session"""") &&
+        l.contains(""""action":"OPENED"""") && l.contains(sess.id)))
+      assert(lines.exists(l => l.contains(""""event":"session"""") &&
+        l.contains(""""action":"CLOSED"""")))
+      assert(lines.exists(l => l.contains(""""event":"operation"""") &&
+        l.contains(""""state":"RUNNING"""") && l.contains(op.handle)))
+      assert(lines.exists(l => l.contains(""""state":"FINISHED"""")))
+    } finally Events.unregister(logger)
+  }
+
+  test("a failing operation posts its error; a throwing handler never breaks the path") {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.Event]()
+    val bad = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = throw new RuntimeException("boom")
+    }
+    val good = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = seen.add(e)
+    }
+    Events.register(bad)
+    Events.register(good)
+    try {
+      val sess = engine.openSession("evt_user2")
+      val op = sess.executeStatement("SELECT * FROM graft_no_such_table_events")
+      op.awaitTermination()
+      engine.closeSession(sess.id)
+      val errEvent = seen.asScala.collectFirst {
+        case e: Events.OperationEvent if e.state == "ERROR" => e
+      }
+      assert(errEvent.isDefined, s"no ERROR event in ${seen.asScala.mkString(",")}")
+      assert(errEvent.get.error.nonEmpty)
+      assert(errEvent.get.asJson.contains(""""error":""""))
+    } finally {
+      Events.unregister(bad)
+      Events.unregister(good)
+    }
+  }
+}

@@ -62,8 +62,10 @@ abstract class Operation(val session: EngineSession) {
     if (to.terminal && !completion.isCompleted) completion.trySuccess(())
   }
 
-  /** Job group id: lets cancel() kill all Spark jobs this op spawned. */
-  protected def jobGroup: String = s"graft-op-$handle"
+  /** Job group id: lets cancel() kill all Spark jobs this op spawned,
+    * and lets frontends derive stage progress from the status tracker.
+    */
+  def jobGroup: String = s"graft-op-$handle"
 
   protected def withJobGroup[A](f: => A): A = {
     val sc = session.spark.sparkContext

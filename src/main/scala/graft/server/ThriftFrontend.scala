@@ -258,6 +258,20 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         val user = Option(req.getUsername).filter(_.nonEmpty).getOrElse("anonymous")
         val sess = engine.openSession(user)
         sessions.put(sess.id, sess)
+        // Apply the client's session configuration (the Hive JDBC URL's
+        // /db, ?conf and #var segments arrive here as use:database,
+        // set:hiveconf:* and set:hivevar:* — reference
+        // SparkSQLSessionManager.openSession conf processing).
+        Option(req.getConfiguration).foreach(_.forEach { (k, v) =>
+          try {
+            if (k == "use:database") {
+              if (v != null && v.nonEmpty && v != "default") sess.spark.sql(s"USE `$v`")
+            } else {
+              val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
+              if (key.startsWith("spark.")) sess.spark.conf.set(key, v)
+            }
+          } catch { case _: Throwable => } // bad conf must not kill the session
+        })
         val negotiated =
           if (req.getClient_protocol == null) TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
           else if (req.getClient_protocol.getValue <= TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10.getValue)
@@ -347,6 +361,29 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       box.op.exception.foreach { e =>
         resp.setErrorMessage(String.valueOf(e.getMessage))
         resp.setSqlState("42000")
+      }
+      // In-place progress (beeline's progress bar): stage-level task
+      // counts for this operation's job group from the status tracker.
+      if (req.isGetProgressUpdate) {
+        val tracker = box.session.spark.sparkContext.statusTracker
+        val stages = tracker.getJobIdsForGroup(box.op.jobGroup).toSeq
+          .flatMap(id => tracker.getJobInfo(id).toSeq.flatMap(_.stageIds().toSeq))
+          .distinct.flatMap(sid => tracker.getStageInfo(sid).toSeq)
+        val total = stages.map(_.numTasks).sum
+        val done = stages.map(_.numCompletedTasks).sum
+        val prog = new TProgressUpdateResp()
+        prog.setHeaderNames(Seq("STAGE", "TASKS", "COMPLETED", "ACTIVE").asJava)
+        prog.setRows(stages.map(s => Seq(s.stageId.toString, s.numTasks.toString,
+          s.numCompletedTasks.toString, s.numActiveTasks.toString).asJava).asJava)
+        prog.setProgressedPercentage(
+          if (box.op.currentState.terminal) 1.0
+          else if (total > 0) done.toDouble / total else 0.0)
+        prog.setStatus(
+          if (box.op.currentState.terminal) TJobExecutionStatus.COMPLETE
+          else TJobExecutionStatus.IN_PROGRESS)
+        prog.setFooterSummary("")
+        prog.setStartTime(0L)
+        resp.setProgressUpdateResponse(prog)
       }
       resp.setStatus(ok)
       resp

@@ -240,6 +240,62 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("JDBC URL database and conf segments apply to the session") {
+    SparkFixture.spark.sql("CREATE DATABASE IF NOT EXISTS graft_conf_db")
+    val conn = DriverManager.getConnection(
+      s"jdbc:hive2://localhost:${frontend.boundPort}/graft_conf_db;auth=noSasl" +
+        "?spark.sql.shuffle.partitions=7")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT current_database() AS db, CAST(7 AS INT) AS x")
+      assert(rs.next() && rs.getString("db") == "graft_conf_db")
+      val rs2 = conn.createStatement().executeQuery("SET spark.sql.shuffle.partitions")
+      assert(rs2.next() && rs2.getString(2) == "7",
+        "hiveconf segment should set the session conf")
+    } finally {
+      conn.close()
+      SparkFixture.spark.sql("DROP DATABASE IF EXISTS graft_conf_db")
+    }
+  }
+
+  test("GetOperationStatus returns stage progress when asked") {
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val sess = client.OpenSession(new TOpenSessionReq())
+      val req = new TExecuteStatementReq(sess.getSessionHandle,
+        "SELECT count(*) FROM (SELECT xxhash64(cast(id AS string)) h FROM range(20000000)) WHERE h % 7 = 0")
+      req.setRunAsync(true)
+      val exec = client.ExecuteStatement(req)
+      var state = TOperationState.INITIALIZED_STATE
+      var sawProgress = false
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (state != TOperationState.FINISHED_STATE && System.nanoTime() < deadline) {
+        val sreq = new TGetOperationStatusReq(exec.getOperationHandle)
+        sreq.setGetProgressUpdate(true)
+        val st = client.GetOperationStatus(sreq)
+        assert(st.getProgressUpdateResponse != null, "progress update missing")
+        if (st.getProgressUpdateResponse.getStatus == TJobExecutionStatus.IN_PROGRESS) {
+          sawProgress = true
+        }
+        state = st.getOperationState
+        if (state != TOperationState.FINISHED_STATE) Thread.sleep(30)
+      }
+      assert(state == TOperationState.FINISHED_STATE)
+      val sreq = new TGetOperationStatusReq(exec.getOperationHandle)
+      sreq.setGetProgressUpdate(true)
+      val fin = client.GetOperationStatus(sreq)
+      assert(fin.getProgressUpdateResponse.getStatus == TJobExecutionStatus.COMPLETE)
+      assert(fin.getProgressUpdateResponse.getProgressedPercentage == 1.0)
+      assert(sawProgress, "never observed an in-progress update while running")
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
   test("FetchResults with fetchType=1 returns the operation log") {
     import org.apache.hive.service.rpc.thrift._
     import org.apache.thrift.protocol.TBinaryProtocol

@@ -1,0 +1,50 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+/** Gateway metrics — the reference's kyuubi-metrics surface (session /
+  * operation counters exported over HTTP for scraping). Implemented as
+  * an [[Events.Handler]], so the counters derive from the same
+  * lifecycle stream the JSONL logger sees, and a frontend exposes the
+  * snapshot (REST `GET /api/v1/metrics`).
+  */
+object Metrics {
+
+  final class Collector extends Events.Handler {
+    private val startedAtMs = System.currentTimeMillis()
+    private val counters = new ConcurrentHashMap[String, LongAdder]()
+
+    private def inc(name: String): Unit =
+      counters.computeIfAbsent(name, _ => new LongAdder).increment()
+
+    override def onEvent(e: Events.Event): Unit = e match {
+      case Events.SessionEvent(_, _, "OPENED", _) => inc("sessions_opened")
+      case Events.SessionEvent(_, _, "CLOSED", _) => inc("sessions_closed")
+      case Events.OperationEvent(_, _, state, _, _) => state match {
+        case "RUNNING" => inc("operations_started")
+        case "FINISHED" => inc("operations_finished")
+        case "ERROR" => inc("operations_failed")
+        case "CANCELED" => inc("operations_canceled")
+        case "TIMEOUT" => inc("operations_timed_out")
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    def snapshot: Map[String, Long] = {
+      val rt = Runtime.getRuntime
+      counters.asScala.map { case (k, v) => k -> v.sum() }.toMap ++ Map(
+        "uptime_ms" -> (System.currentTimeMillis() - startedAtMs),
+        "heap_used_bytes" -> (rt.totalMemory() - rt.freeMemory()),
+        "heap_max_bytes" -> rt.maxMemory())
+    }
+
+    def asJson: String =
+      snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+  }
+}

@@ -8,7 +8,7 @@ import scala.concurrent.ExecutionContext
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.core.{Engine, EngineSession, ExecuteStatement, OperationState, ResultMode}
+import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, OperationState, ResultMode}
 
 /** Minimal HTTP/JSON frontend over the engine — the gateway's network
   * entry point (the reference exposes REST alongside Thrift:
@@ -36,13 +36,19 @@ class RestFrontend(engine: Engine, port: Int = 0) {
   private val batches = new ConcurrentHashMap[String, (EngineSession, ExecuteStatement)]()
   private val opSessions = new ConcurrentHashMap[String, EngineSession]()
 
+  // Session/operation counters fed by the lifecycle event bus,
+  // exported at GET /api/v1/metrics (the reference's kyuubi-metrics
+  // reporter surface).
+  private val metrics = new Metrics.Collector
+  Events.register(metrics)
+
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/api/v1/", handle _)
   server.createContext("/v1/statement", handleTrino _)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); Events.unregister(metrics) }
 
   private def handle(ex: HttpExchange): Unit = {
     try route(ex)
@@ -126,6 +132,9 @@ class RestFrontend(engine: Engine, port: Int = 0) {
             reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
+
+      case ("GET", "metrics" :: Nil) =>
+        reply(ex, 200, metrics.asJson)
 
       case _ => reply(ex, 404, """{"error": "not found"}""")
     }

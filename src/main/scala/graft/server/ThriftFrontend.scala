@@ -55,6 +55,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
 
   private val sessions = new ConcurrentHashMap[String, EngineSession]()
   private val ops = new ConcurrentHashMap[String, OpBox]()
+  // Sessions that requested arrow result pages (operation.result.format=arrow).
+  private val arrowSessions = ConcurrentHashMap.newKeySet[String]()
 
   // --- handle plumbing ------------------------------------------------------
   private def handleId(id: String): THandleIdentifier = {
@@ -264,11 +266,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         // SparkSQLSessionManager.openSession conf processing).
         Option(req.getConfiguration).foreach(_.forEach { (k, v) =>
           try {
+            val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
             if (k == "use:database") {
               if (v != null && v.nonEmpty && v != "default") sess.spark.sql(s"USE `$v`")
-            } else {
-              val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
-              if (key.startsWith("spark.")) sess.spark.conf.set(key, v)
+            } else if (key.endsWith("operation.result.format")) {
+              // arrow result pages (reference ArrowBasedExecuteStatement,
+              // selected by kyuubi.operation.result.format=arrow)
+              if ("arrow".equalsIgnoreCase(v)) arrowSessions.add(sess.id)
+            } else if (key.startsWith("spark.")) {
+              sess.spark.conf.set(key, v)
             }
           } catch { case _: Throwable => } // bad conf must not kill the session
         })
@@ -289,6 +295,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       try {
         val id = idOf(req.getSessionHandle.getSessionId)
         sessions.remove(id)
+        arrowSessions.remove(id)
         // Reap this session's operations: clients that drop without
         // CloseOperation would otherwise leak collected result arrays
         // for the life of the server.
@@ -323,7 +330,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       try {
         val sess = sessions.get(idOf(req.getSessionHandle.getSessionId))
         require(sess != null, "no such session")
-        val op = sess.executeStatement(req.getStatement)
+        val op =
+          if (arrowSessions.contains(sess.id)) {
+            sess.executeStatement(req.getStatement, ResultMode.Arrow())
+          } else sess.executeStatement(req.getStatement)
         ops.put(op.handle, OpBox(sess, () => op.result.schema, () => op.fetchIterator, op))
         // Async clients get the handle immediately and discover
         // completion/errors via GetOperationStatus polling; only the
@@ -430,10 +440,32 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         }
         box.op.awaitTermination()
         box.op.exception.foreach(throw _)
-        val it = box.rows()
         // Clamp before narrowing: Long.MaxValue ("all rows") must not
         // overflow toInt into a 1-row-per-round-trip fetch.
         val max = math.max(1L, math.min(req.getMaxRows, Int.MaxValue.toLong)).toInt
+        // Arrow result pages: one binary column whose values are
+        // IPC-serialized record batches (maxRows counts batches); the
+        // schema stays available via GetResultSetMetadata for decoding.
+        box.op match {
+          case es: ExecuteStatement if es.arrowIterator != null =>
+            val ait = es.arrowIterator
+            req.getOrientation match {
+              case TFetchOrientation.FETCH_FIRST => ait.fetchAbsolute(0)
+              case TFetchOrientation.FETCH_PRIOR => ait.fetchPrior(max)
+              case _ => ait.fetchNext()
+            }
+            val page = ait.take(max).toArray
+            val rs = new TRowSet(0, new java.util.ArrayList[TRow]())
+            rs.addToColumns(TColumn.binaryVal(new TBinaryColumn(
+              page.map(ByteBuffer.wrap(_): ByteBuffer).toSeq.asJava,
+              ByteBuffer.wrap(Array.fill((page.length + 7) / 8)(0.toByte)))))
+            resp.setResults(rs)
+            resp.setHasMoreRows(ait.hasNext)
+            resp.setStatus(ok)
+            return resp
+          case _ =>
+        }
+        val it = box.rows()
         req.getOrientation match {
           case TFetchOrientation.FETCH_FIRST => it.fetchAbsolute(0)
           case TFetchOrientation.FETCH_PRIOR => it.fetchPrior(max)

@@ -51,9 +51,15 @@ class ConcurrencySpec extends AnyFunSuite {
     // a statement slow enough to still be running when we cancel
     val op = sess.executeStatement(
       "SELECT count(*) FROM range(1000000000) a CROSS JOIN range(100) b")
+    // The op passes through RUNNING into COMPILED within milliseconds
+    // (COMPILED = spark.sql returned, jobs now executing); waiting for
+    // RUNNING alone can miss the window entirely and burn the whole
+    // deadline while the query completes — then cancel() arrives too
+    // late and the test flakes FINISHED.
     val deadline = System.nanoTime() + 30e9.toLong
-    while (op.currentState != OperationState.Running && System.nanoTime() < deadline)
-      Thread.sleep(20)
+    while (!Set[OperationState](OperationState.Running, OperationState.Compiled)
+        .contains(op.currentState) && System.nanoTime() < deadline)
+      Thread.sleep(5)
     op.cancel()
     val state = op.awaitTermination(60000)
     assert(state == OperationState.Canceled, s"got $state")

@@ -86,6 +86,16 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(lbody.contains("-> FINISHED"), lbody)
       val (_, again) = get(c, s"$base/batches/$id/localLog")
       assert(again.contains("\"rowCount\": 0"), s"second drain should be empty: $again")
+      // the event-bus-fed metrics surface saw this batch
+      val (mc, mbody) = get(c, s"$base/metrics")
+      assert(mc == 200)
+      def counter(name: String): Long = {
+        val m = java.util.regex.Pattern.compile("\"" + name + "\":\\s*(\\d+)").matcher(mbody)
+        if (m.find()) m.group(1).toLong else -1L
+      }
+      assert(counter("sessions_opened") >= 1, mbody)
+      assert(counter("operations_finished") >= 1, mbody)
+      assert(counter("heap_used_bytes") > 0, mbody)
     }
   }
 

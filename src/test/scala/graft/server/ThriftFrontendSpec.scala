@@ -296,6 +296,39 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("operation.result.format=arrow serves IPC record batches over the wire") {
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val open = new TOpenSessionReq()
+      open.setConfiguration(Map("kyuubi.operation.result.format" -> "arrow").asJava)
+      val sess = client.OpenSession(open)
+      val sql = "SELECT id, id * 2 AS twice FROM range(7)"
+      val exec = client.ExecuteStatement(new TExecuteStatementReq(sess.getSessionHandle, sql))
+      assert(exec.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS,
+        String.valueOf(exec.getStatus.getErrorMessage))
+      // schema still negotiable for decoding
+      val md = client.GetResultSetMetadata(new TGetResultSetMetadataReq(exec.getOperationHandle))
+      assert(md.getSchema.getColumns.size() == 2)
+      val page = client.FetchResults(new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, 100))
+      assert(page.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val blobs = page.getResults.getColumns.get(0).getBinaryVal.getValues
+      assert(!blobs.isEmpty, "expected at least one arrow batch")
+      val batches = blobs.asScala.map { bb =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      }.toSeq
+      val n = org.apache.spark.sql.graft.ArrowHelper.rowCount(
+        batches, SparkFixture.spark.sql(sql))
+      assert(n == 7, s"decoded $n rows from arrow batches")
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
   test("FetchResults with fetchType=1 returns the operation log") {
     import org.apache.hive.service.rpc.thrift._
     import org.apache.thrift.protocol.TBinaryProtocol

@@ -33,10 +33,18 @@ final class EngineSession(
 
   private val ops = new ConcurrentHashMap[String, Operation]()
 
+  /** Last activity (open/statement) — drives the engine's idle reaper
+    * (ref kyuubi.session.engine.idle.timeout).
+    */
+  @volatile var lastAccessedMs: Long = System.currentTimeMillis()
+
+  def touch(): Unit = lastAccessedMs = System.currentTimeMillis()
+
   def executeStatement(
       statement: String,
       mode: ResultMode = ResultMode.Full,
       timeoutMs: Long = 0)(implicit ec: ExecutionContext): ExecuteStatement = {
+    touch()
     val op = new ExecuteStatement(this, statement, mode)
     ops.put(op.handle, op)
     if (timeoutMs > 0) op.armTimeout(timeoutMs, Operation.timeoutScheduler)
@@ -131,6 +139,28 @@ final class Engine(
     }
 
   def openSessionCount: Int = sessions.size()
+
+  /** Close sessions idle longer than `idleTimeoutMs` and with no live
+    * operation (ref kyuubi.session.engine.idle.timeout — the reaper
+    * that keeps a long-lived multi-tenant gateway from accumulating
+    * abandoned sessions). Returns the closed session ids. Call it from
+    * a scheduler ([[startIdleReaper]]) or directly in tests.
+    */
+  def reapIdleSessions(idleTimeoutMs: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - idleTimeoutMs
+    sessions.asScala.toSeq.collect {
+      case (id, s) if s.lastAccessedMs < cutoff &&
+          s.openOperations.forall(_.currentState.terminal) =>
+        closeSession(id)
+        id
+    }
+  }
+
+  /** Arm a periodic idle reaper on the shared scheduler. */
+  def startIdleReaper(idleTimeoutMs: Long, periodMs: Long = 60000): Unit =
+    Operation.timeoutScheduler.scheduleAtFixedRate(
+      () => try reapIdleSessions(idleTimeoutMs) catch { case _: Throwable => },
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 }
 
 /** Engine-info UDFs, the reference's "KDF" registry

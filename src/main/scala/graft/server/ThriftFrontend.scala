@@ -57,6 +57,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   private val ops = new ConcurrentHashMap[String, OpBox]()
   // Sessions that requested arrow result pages (operation.result.format=arrow).
   private val arrowSessions = ConcurrentHashMap.newKeySet[String]()
+  // Per-session bounded-collect cap (operation.result.max.rows).
+  private val maxRowsBySession = new ConcurrentHashMap[String, Integer]()
 
   // --- handle plumbing ------------------------------------------------------
   private def handleId(id: String): THandleIdentifier = {
@@ -273,6 +275,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
               // arrow result pages (reference ArrowBasedExecuteStatement,
               // selected by kyuubi.operation.result.format=arrow)
               if ("arrow".equalsIgnoreCase(v)) arrowSessions.add(sess.id)
+            } else if (key.endsWith("operation.result.max.rows")) {
+              // bounded collect (ref kyuubi.operation.result.max.rows)
+              val n = v.toInt
+              if (n > 0) maxRowsBySession.put(sess.id, n)
             } else if (key.startsWith("spark.")) {
               sess.spark.conf.set(key, v)
             }
@@ -296,6 +302,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         val id = idOf(req.getSessionHandle.getSessionId)
         sessions.remove(id)
         arrowSessions.remove(id)
+        maxRowsBySession.remove(id)
         // Reap this session's operations: clients that drop without
         // CloseOperation would otherwise leak collected result arrays
         // for the life of the server.
@@ -333,7 +340,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         val op =
           if (arrowSessions.contains(sess.id)) {
             sess.executeStatement(req.getStatement, ResultMode.Arrow())
-          } else sess.executeStatement(req.getStatement)
+          } else Option(maxRowsBySession.get(sess.id)) match {
+            case Some(n) => sess.executeStatement(req.getStatement, ResultMode.Bounded(n))
+            case None => sess.executeStatement(req.getStatement)
+          }
         ops.put(op.handle, OpBox(sess, () => op.result.schema, () => op.fetchIterator, op))
         // Async clients get the handle immediately and discover
         // completion/errors via GetOperationStatus polling; only the

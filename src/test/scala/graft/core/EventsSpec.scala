@@ -32,6 +32,17 @@ class EventsSpec extends AnyFunSuite {
     } finally Events.unregister(logger)
   }
 
+  test("idle reaper closes only idle, operation-free sessions") {
+    val idle = engine.openSession("idle_user")
+    val fresh = engine.openSession("fresh_user")
+    idle.lastAccessedMs = System.currentTimeMillis() - 3600 * 1000
+    val reaped = engine.reapIdleSessions(idleTimeoutMs = 60 * 1000)
+    assert(reaped == Seq(idle.id), s"reaped $reaped")
+    assert(engine.session(idle.id).isEmpty)
+    assert(engine.session(fresh.id).isDefined)
+    engine.closeSession(fresh.id)
+  }
+
   test("a failing operation posts its error; a throwing handler never breaks the path") {
     val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.Event]()
     val bad = new Events.Handler {

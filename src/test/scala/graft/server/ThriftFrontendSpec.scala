@@ -296,6 +296,27 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("operation.result.max.rows bounds the collect per session") {
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val open = new TOpenSessionReq()
+      open.setConfiguration(Map("kyuubi.operation.result.max.rows" -> "3").asJava)
+      val sess = client.OpenSession(open)
+      val exec = client.ExecuteStatement(new TExecuteStatementReq(
+        sess.getSessionHandle, "SELECT id FROM range(10)"))
+      val page = client.FetchResults(new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, 100))
+      assert(page.getResults.getColumns.get(0).getI64Val.getValues.size() == 3,
+        "bounded collect should cap the result at 3 rows")
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
   test("operation.result.format=arrow serves IPC record batches over the wire") {
     import org.apache.hive.service.rpc.thrift._
     import org.apache.thrift.protocol.TBinaryProtocol

@@ -55,6 +55,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val ms = MemoryStream[Event]
+    val out = Streams.dedupStream(ms.toDF(), "ts", Seq("user_id"), "10 minutes")
+    // the memory sink cannot recover from a checkpoint; the file sink can
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData(Event(1, ts(1), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: user 1 must STILL be deduplicated —
+    // if the state store were lost, its second event would re-emit
+    val q2 = start()
+    try {
+      ms.addData(Event(1, ts(2), 2.0), Event(2, ts(3), 3.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+      assert(rows.contains((1L, 1.0)), s"first-run emission missing: $rows")
+      assert(!rows.contains((1L, 2.0)),
+        s"user 1 re-emitted after restart — dedup state lost: $rows")
+      assert(rows.contains((2L, 3.0)), s"new key missing after restart: $rows")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on silence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{BloomDedup, Decontaminate, Packing, QualityFilters}
+import graft.operators.{BloomDedup, Decontaminate, Dedup, Packing, QualityFilters}
 
 /** Round-5 training-data pipeline queries: repetition quality metrics,
   * benchmark decontamination, a combined quality gate, regex redaction,
@@ -63,6 +63,24 @@ object PipelineQueries {
         Packing.packByBudget(d, "source", "doc_id",
           size(tokens(col("text"))), budget = 512),
         "source")
+    },
+
+    // --- The composed corpus pipeline, end to end: quality gate →
+    //     exact dedup → benchmark decontamination → sequence packing.
+    //     One auditable output: every surviving doc with its pack. ---
+    "d28_corpus_pipeline" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val gated = d.join(
+        QualityFilters.qualityGate(d, "doc_id", "text", 30, 0.3, 0.2)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = Dedup.exactKeep(gated, "doc_id", "text")
+      val corpus = deduped.filter(col("doc_id") % 20 =!= 0)
+      val evalSet = d.filter(col("doc_id") % 20 === 0)
+      val cleaned = Decontaminate.clean(corpus, evalSet, "doc_id", "text", n = 4)
+      Packing.packByBudget(cleaned, "source", "doc_id",
+        size(tokens(col("text"))), budget = 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("pack_id"))
     },
 
     // --- Bloom-sketch incremental dedup: "seen" corpus (doc_id%3==0)
@@ -156,6 +174,31 @@ object PipelineQueries {
           SELECT source, pack_id, count(*) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
           FROM p GROUP BY source, pack_id""",
+    "d28_corpus_pipeline" ->
+      s"""WITH b AS (SELECT doc_id, source, text, $duckToks AS t FROM documents),
+          gate AS (SELECT doc_id FROM (
+              SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+                ${duckTopFrac("t")} AS mtf FROM b) x
+            WHERE n_tokens >= 30 AND ttr >= 0.3 AND mtf <= 0.2),
+          keepers AS (SELECT min(doc_id) AS doc_id
+                      FROM documents JOIN gate USING (doc_id)
+                      GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+          corpus AS (SELECT doc_id FROM keepers WHERE doc_id % 20 <> 0),
+          sh AS (SELECT doc_id, list_distinct(${duckGrams(4)}) AS s FROM b),
+          ex AS (SELECT doc_id, md5(unnest(s)) AS g FROM sh),
+          ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 20 = 0),
+          hit AS (SELECT DISTINCT e.doc_id FROM ex e
+                  JOIN ev USING (g) JOIN corpus c ON c.doc_id = e.doc_id),
+          clean AS (SELECT doc_id FROM corpus
+                    WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+          toks AS (SELECT d.source, d.doc_id,
+              CAST(len($duckToks) AS BIGINT) AS n_tokens
+            FROM documents d JOIN clean USING (doc_id))
+          SELECT source, doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+          FROM toks""",
     "d25_bloom_incremental" ->
       """WITH d AS (SELECT doc_id,
              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

@@ -31,7 +31,18 @@ object BloomDedup {
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    df.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    Option(df.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0))
+      .getOrElse {
+        // Zero input rows yield a null sketch; without this fallback the
+        // probe would read null and report NOTHING as definitely-new —
+        // the inverted semantics for an empty seen-corpus. An empty
+        // filter (same impl the aggregate serializes) matches no key.
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), math.max(numBits, 8L))
+          .writeTo(out)
+        out.toByteArray
+      }
   }
 
   /** Probe column: true iff `key` is possibly in the sketched set. */

@@ -81,6 +81,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(passed > 1800, s"fp rate should be ~2% at 8 bits/key, got ${2000 - passed} positives")
   }
 
+  test("an empty seen-corpus bloom passes every incoming row as new") {
+    val empty = spark.emptyDataset[String].toDF("key")
+    val bloom = BloomDedup.buildBloom(empty, col("key"), 100, 800)
+    val incoming = (1 to 50).map(i => s"doc_$i").toDF("key")
+    assert(BloomDedup.definitelyNew(incoming, bloom, col("key")).count() == 50,
+      "nothing was seen, so everything must be definitely-new")
+  }
+
   test("bloom probe stays codegen-friendly (no UDF in the plan)") {
     val seen = (1 to 100).map(i => s"k$i").toDF("key")
     val bloom = BloomDedup.buildBloom(seen, col("key"), 100, 800)

@@ -29,6 +29,7 @@ object Metrics {
         case "ERROR" => inc("operations_failed")
         case "CANCELED" => inc("operations_canceled")
         case "TIMEOUT" => inc("operations_timed_out")
+        case "CLOSED" => inc("operations_closed")
         case _ => ()
       }
       case _ => ()

@@ -52,14 +52,19 @@ abstract class Operation(val session: EngineSession) {
 
   def currentState: OperationState = state
 
-  protected def setState(to: OperationState): Unit = synchronized {
-    OperationState.validateTransition(state, to)
-    logLine(s"operation $handle: $state -> $to")
-    state = to
+  protected def setState(to: OperationState): Unit = {
+    synchronized {
+      OperationState.validateTransition(state, to)
+      logLine(s"operation $handle: $state -> $to")
+      state = to
+      if (to.terminal && !completion.isCompleted) completion.trySuccess(())
+    }
+    // Post OUTSIDE the monitor: a slow handler (the JSONL logger is
+    // synchronized file I/O) must not hold the operation lock — cancel/
+    // close/awaitTermination contend on it.
     Events.post(Events.OperationEvent(handle, session.id, to.toString,
       operationException.map(e => String.valueOf(e.getMessage)),
       System.currentTimeMillis()))
-    if (to.terminal && !completion.isCompleted) completion.trySuccess(())
   }
 
   /** Job group id: lets cancel() kill all Spark jobs this op spawned,
@@ -97,13 +102,26 @@ abstract class Operation(val session: EngineSession) {
     }
   }
 
-  def close(): Unit = synchronized {
-    if (state != OperationState.Closed) {
-      if (!state.terminal) session.spark.sparkContext.cancelJobGroup(jobGroup)
-      state = OperationState.Closed // closed is legal from anywhere
-      // close() bypasses setState (anywhere→Closed), so release waiters
-      // here too or awaitTermination() blocks its full timeout
-      if (!completion.isCompleted) completion.trySuccess(())
+  def close(): Unit = {
+    val transitioned = synchronized {
+      if (state != OperationState.Closed) {
+        if (!state.terminal) session.spark.sparkContext.cancelJobGroup(jobGroup)
+        logLine(s"operation $handle: $state -> CLOSED")
+        state = OperationState.Closed // closed is legal from anywhere
+        // close() bypasses setState (anywhere→Closed), so release waiters
+        // here too or awaitTermination() blocks its full timeout
+        if (!completion.isCompleted) completion.trySuccess(())
+        true
+      } else false
+    }
+    // close() bypasses setState, so post the terminal transition here
+    // too — otherwise the event log shows force-closed operations as
+    // RUNNING forever and the metrics counters never balance.
+    if (transitioned) {
+      Events.post(Events.OperationEvent(handle, session.id,
+        OperationState.Closed.toString,
+        operationException.map(e => String.valueOf(e.getMessage)),
+        System.currentTimeMillis()))
     }
   }
 

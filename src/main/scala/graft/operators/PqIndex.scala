@@ -105,11 +105,6 @@ object PqIndex {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adcDot(col("lt"), col("codes"), m))
-    val topk = TopKAggregator.udaf(k)
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("neighbor_id"), col("adc")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
-        col("s.sim").as("adc"), (col("pos") + 1).cast("int").as("rnk"))
+    SimilaritySearch.rankTopK(scored, k, simAlias = "adc")
   }
 }

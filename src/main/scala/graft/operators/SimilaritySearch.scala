@@ -25,14 +25,15 @@ object SimilaritySearch {
     * instead of the full scored set (the window-ranking alternative
     * funnels |scored| rows into |queries| reducer partitions).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int,
+      simAlias: String = "sim"): DataFrame = {
     val topk = TopKAggregator.udaf(k)
     scored
       .groupBy(col("query_id"))
-      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .agg(topk(col("neighbor_id"), col(simAlias)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
-        col("s.sim").as("sim"), (col("pos") + 1).cast("int").as("rnk"))
+        col("s.sim").as(simAlias), (col("pos") + 1).cast("int").as("rnk"))
   }
 
   /** Exact top-k cosine neighbors for each query vector.

@@ -28,12 +28,16 @@ object RebalanceBeforeWriting extends Rule[LogicalPlan] {
   // and repartition(cols)/repartitionByRange. Injecting a rebalance on
   // top of those isn't merely redundant: the optimizer's
   // CollapseRepartition keeps the OUTER node, so the injected rebalance
-  // would silently delete the layout the user asked for.
+  // would silently delete the layout the user asked for. The layout
+  // survives per-row operators, so look through Project/Filter too —
+  // `repartition(8).withColumn(...)` is still an explicit layout.
   private def needsRebalance(query: LogicalPlan): Boolean = query match {
     case _: RebalancePartitions => false
     case _: Repartition => false
     case _: RepartitionByExpression => false
     case _: Sort => false
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project => needsRebalance(p.child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter => needsRebalance(f.child)
     case _ => true
   }
 

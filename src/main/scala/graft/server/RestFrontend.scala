@@ -42,13 +42,35 @@ class RestFrontend(engine: Engine, port: Int = 0) {
   private val metrics = new Metrics.Collector
   Events.register(metrics)
 
+  // Engine-side session closes (idle reaper included) purge this
+  // frontend's per-session state, so abandoned batches don't pin
+  // their sessions and result arrays forever.
+  private val sessionCloseListener: Events.Handler = new Events.Handler {
+    override def onEvent(e: Events.Event): Unit = e match {
+      case Events.SessionEvent(sid, _, "CLOSED", _) =>
+        batches.forEach { (id, pair) =>
+          if (pair._1.id == sid) {
+            try pair._2.close() catch { case _: Throwable => }
+            batches.remove(id)
+          }
+        }
+        opSessions.forEach { (opId, s) => if (s.id == sid) opSessions.remove(opId) }
+      case _ => ()
+    }
+  }
+  Events.register(sessionCloseListener)
+
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/api/v1/", handle _)
   server.createContext("/v1/statement", handleTrino _)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { server.stop(0); Events.unregister(metrics) }
+  def stop(): Unit = {
+    server.stop(0)
+    Events.unregister(metrics)
+    Events.unregister(sessionCloseListener)
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     try route(ex)

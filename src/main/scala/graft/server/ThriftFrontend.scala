@@ -60,6 +60,28 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   // Per-session bounded-collect cap (operation.result.max.rows).
   private val maxRowsBySession = new ConcurrentHashMap[String, Integer]()
 
+  // Purge this frontend's per-session state when the ENGINE closes a
+  // session (the idle reaper, or any other engine-side close): without
+  // this, OpBoxes keep collected result arrays alive for abandoned
+  // clients forever, and a reaped session's stale map entry would keep
+  // serving statements as if nothing happened.
+  private val sessionCloseListener: Events.Handler = new Events.Handler {
+    override def onEvent(e: Events.Event): Unit = e match {
+      case Events.SessionEvent(sid, _, "CLOSED", _) =>
+        sessions.remove(sid)
+        arrowSessions.remove(sid)
+        maxRowsBySession.remove(sid)
+        ops.forEach { (opId, box) =>
+          if (box.session.id == sid) {
+            try box.op.close() catch { case _: Throwable => }
+            ops.remove(opId)
+          }
+        }
+      case _ => ()
+    }
+  }
+  Events.register(sessionCloseListener)
+
   // --- handle plumbing ------------------------------------------------------
   private def handleId(id: String): THandleIdentifier = {
     val u = UUID.fromString(id)
@@ -129,6 +151,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
 
   private def startDfOp(session: EngineSession, sync: Boolean = true)(
       build: SparkSession => DataFrame): TOperationHandle = {
+    session.touch() // metadata traffic is session activity for the idle reaper
     val op = new DfOperation(session, build)
     ops.put(op.handle, OpBox(session, () => op.resultSchema, () => op.iter, op))
     op.run()
@@ -267,22 +290,34 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         // set:hiveconf:* and set:hivevar:* — reference
         // SparkSQLSessionManager.openSession conf processing).
         Option(req.getConfiguration).foreach(_.forEach { (k, v) =>
-          try {
-            val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
-            if (k == "use:database") {
-              if (v != null && v.nonEmpty && v != "default") sess.spark.sql(s"USE `$v`")
-            } else if (key.endsWith("operation.result.format")) {
-              // arrow result pages (reference ArrowBasedExecuteStatement,
-              // selected by kyuubi.operation.result.format=arrow)
-              if ("arrow".equalsIgnoreCase(v)) arrowSessions.add(sess.id)
-            } else if (key.endsWith("operation.result.max.rows")) {
-              // bounded collect (ref kyuubi.operation.result.max.rows)
-              val n = v.toInt
-              if (n > 0) maxRowsBySession.put(sess.id, n)
-            } else if (key.startsWith("spark.")) {
-              sess.spark.conf.set(key, v)
+          val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
+          if (k == "use:database") {
+            // A bad database name must FAIL the connection (stock
+            // HiveServer2 semantics) — silently staying on 'default'
+            // would serve wrong-table results to every later query.
+            if (v != null && v.nonEmpty && v != "default") {
+              try sess.spark.sql(s"USE `$v`")
+              catch { case e: Throwable =>
+                engine.closeSession(sess.id)
+                sessions.remove(sess.id)
+                throw new IllegalArgumentException(s"database '$v' not found", e)
+              }
             }
-          } catch { case _: Throwable => } // bad conf must not kill the session
+          } else {
+            try {
+              if (key.endsWith("operation.result.format")) {
+                // arrow result pages (reference ArrowBasedExecuteStatement,
+                // selected by kyuubi.operation.result.format=arrow)
+                if ("arrow".equalsIgnoreCase(v)) arrowSessions.add(sess.id)
+              } else if (key.endsWith("operation.result.max.rows")) {
+                // bounded collect (ref kyuubi.operation.result.max.rows)
+                val n = v.toInt
+                if (n > 0) maxRowsBySession.put(sess.id, n)
+              } else if (key.startsWith("spark.")) {
+                sess.spark.conf.set(key, v)
+              }
+            } catch { case _: Throwable => } // bad conf must not kill the session
+          }
         })
         val negotiated =
           if (req.getClient_protocol == null) TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
@@ -384,7 +419,9 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       }
       // In-place progress (beeline's progress bar): stage-level task
       // counts for this operation's job group from the status tracker.
-      if (req.isGetProgressUpdate) {
+      // Best-effort: a tracker failure (e.g. context stopping) must
+      // degrade to a response without progress, not kill the connection.
+      if (req.isGetProgressUpdate) try {
         val tracker = box.session.spark.sparkContext.statusTracker
         val stages = tracker.getJobIdsForGroup(box.op.jobGroup).toSeq
           .flatMap(id => tracker.getJobInfo(id).toSeq.flatMap(_.stageIds().toSeq))
@@ -404,7 +441,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         prog.setFooterSummary("")
         prog.setStartTime(0L)
         resp.setProgressUpdateResponse(prog)
-      }
+      } catch { case _: Throwable => }
       resp.setStatus(ok)
       resp
     }
@@ -436,6 +473,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       try {
         val box = ops.get(idOf(req.getOperationHandle.getOperationId))
         require(box != null, "no such operation")
+        box.session.touch() // paging is session activity for the idle reaper
         // fetchType 1 = operation LOG (HiveServer2 convention): a
         // single-string-column page of pending log lines, available
         // WHILE the op runs — no awaitTermination.
@@ -656,5 +694,6 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   def stop(): Unit = {
     server.stop()
     serverSocket.close()
+    Events.unregister(sessionCloseListener)
   }
 }

@@ -180,6 +180,11 @@ class ExtensionSpec extends AnyFunSuite {
     spark.range(0, 1000).repartition(8).write.parquet(dir)
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 8, s"$files files written — user repartition(8) was not preserved")
+    // the layout also survives per-row operators between repartition and write
+    val dir2 = Files.createTempDirectory("graft_user_repart2").toString + "/t"
+    spark.range(0, 1000).repartition(8).withColumn("x", lit(1)).write.parquet(dir2)
+    val files2 = new java.io.File(dir2).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files2 == 8, s"$files2 files written — layout lost through a Project")
   }
 
   test("remove-rebalance-shuffle cancels the write's insurance shuffle on tiny inputs") {

@@ -258,6 +258,13 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a bad database in the JDBC URL fails the connection") {
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(
+        s"jdbc:hive2://localhost:${frontend.boundPort}/graft_no_such_db_xyz;auth=noSasl")
+    }
+  }
+
   test("GetOperationStatus returns stage progress when asked") {
     import org.apache.hive.service.rpc.thrift._
     import org.apache.thrift.protocol.TBinaryProtocol

@@ -71,8 +71,16 @@ object Bench {
       Tables(spark, sfDir).lineitem.limit(1000).foreach(_ => ())
       spark.sql("SELECT sum(id) FROM range(1000000)").foreach(_ => ())
     } catch { case _: Throwable => }
+    // Release each query's tracked sketch caches before the next one
+    // runs: the pipeline operators persist intermediates (signatures,
+    // buckets, shingle explosions) that must outlive their own call,
+    // and in a 93-query single-JVM run the accumulation was squeezing
+    // storage memory and destabilizing later timings (r5's d10 showed
+    // 109.6 s in the bench vs 6-13 s isolated).
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      timed(name)(fn(spark, sfDir).foreach(_ => ()))
+      val r = timed(name)(fn(spark, sfDir).foreach(_ => ()))
+      graft.operators.SketchRegistry.releaseAll()
+      r
     }
 
     // Untimed setup: dump each corpus' generator tables to a parquet
@@ -87,6 +95,13 @@ object Bench {
         spark.table(src(t)).write.mode("overwrite").parquet(path)
         spark.sql(s"DROP TABLE IF EXISTS $db.$t")
         spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
+        // The generator catalogs report row/size stats through DSv2
+        // (SupportsReportStatistics); plain parquet tables lose them and
+        // the stats-blind CBO mis-orders the fact-to-fact join chains
+        // (r5: tpch q9 4.8 s → 18.3 s). ANALYZE restores table + column
+        // stats — part of untimed setup, like the reference generating
+        // its benchmark database before timing.
+        spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
       }
       db
     }

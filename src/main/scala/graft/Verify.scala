@@ -34,6 +34,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the query's tracked sketch caches (see Bench)
+      graft.operators.SketchRegistry.releaseAll()
     }
     // Aux dumps live in a SIBLING of outDir, not inside it: the driver
     // enumerates every outDir subdirectory as a query result, so in-tree

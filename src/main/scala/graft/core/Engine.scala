@@ -148,11 +148,23 @@ final class Engine(
     */
   def reapIdleSessions(idleTimeoutMs: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - idleTimeoutMs
-    sessions.asScala.toSeq.collect {
-      case (id, s) if s.lastAccessedMs < cutoff &&
-          s.openOperations.forall(_.currentState.terminal) =>
-        closeSession(id)
-        id
+    def idle(s: EngineSession): Boolean =
+      s.lastAccessedMs < cutoff && s.openOperations.forall(_.currentState.terminal)
+    sessions.asScala.toSeq.flatMap { case (id, s) =>
+      // Check-then-act guard: remove THIS instance atomically, then
+      // re-verify idleness — a client that touch()ed or started a
+      // statement between the first check and the remove wins, and the
+      // session is reinstated instead of closed under it.
+      if (idle(s) && sessions.remove(id, s)) {
+        if (idle(s)) {
+          s.close()
+          Events.post(Events.SessionEvent(id, s.user, "CLOSED", System.currentTimeMillis()))
+          Some(id)
+        } else {
+          sessions.put(id, s)
+          None
+        }
+      } else None
     }
   }
 

@@ -61,10 +61,40 @@ abstract class Operation(val session: EngineSession) {
     }
     // Post OUTSIDE the monitor: a slow handler (the JSONL logger is
     // synchronized file I/O) must not hold the operation lock — cancel/
-    // close/awaitTermination contend on it.
+    // close/awaitTermination contend on it. Callers must NOT wrap this
+    // in their own synchronized (the lock is reentrant, so an outer
+    // monitor would silently re-hold it through the post) — terminal
+    // call sites use markTerminal below, which does the state check
+    // atomically and posts lock-free.
     Events.post(Events.OperationEvent(handle, session.id, to.toString,
       operationException.map(e => String.valueOf(e.getMessage)),
       System.currentTimeMillis()))
+  }
+
+  /** Compare-and-transition: move to terminal state `to` unless the
+    * operation already terminated. The check and the transition are
+    * one atomic step under the monitor; the event post happens after
+    * the monitor is released. Returns whether the transition won.
+    */
+  protected def markTerminal(to: OperationState): Boolean = {
+    require(to.terminal, s"markTerminal called with non-terminal $to")
+    val won = synchronized {
+      if (state.terminal) false
+      else {
+        OperationState.validateTransition(state, to)
+        logLine(s"operation $handle: $state -> $to")
+        state = to
+        if (!completion.isCompleted) completion.trySuccess(())
+        true
+      }
+    }
+    if (won) {
+      Events.post(Events.OperationEvent(handle, session.id, to.toString,
+        operationException.map(e => String.valueOf(e.getMessage)),
+        System.currentTimeMillis()))
+      session.touch() // a finishing op is client activity: don't reap
+    }
+    won
   }
 
   /** Job group id: lets cancel() kill all Spark jobs this op spawned,
@@ -86,19 +116,22 @@ abstract class Operation(val session: EngineSession) {
       setState(OperationState.Running)
       Try(withJobGroup(runInternal())) match {
         case Success(_) =>
-          synchronized { if (!state.terminal) setState(OperationState.Finished) }
+          markTerminal(OperationState.Finished)
         case Failure(e) =>
           operationException = Some(e)
           logLine(s"operation $handle failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
-          synchronized { if (!state.terminal) setState(OperationState.Error) }
+          markTerminal(OperationState.Error)
       }
     }
   }
 
-  def cancel(): Unit = synchronized {
-    if (!state.terminal) {
+  def cancel(): Unit = {
+    // Win the terminal transition first, then kill the jobs: the
+    // job-group cancel is a SparkContext call that must not run under
+    // the operation monitor, and a lost race (op just finished) means
+    // there is nothing to kill.
+    if (markTerminal(OperationState.Canceled)) {
       session.spark.sparkContext.cancelJobGroup(jobGroup)
-      setState(OperationState.Canceled)
     }
   }
 
@@ -130,10 +163,9 @@ abstract class Operation(val session: EngineSession) {
     */
   def armTimeout(ms: Long, scheduler: ScheduledExecutorService): Unit = {
     scheduler.schedule(new Runnable {
-      override def run(): Unit = Operation.this.synchronized {
-        if (!state.terminal) {
+      override def run(): Unit = {
+        if (markTerminal(OperationState.Timeout)) {
           session.spark.sparkContext.cancelJobGroup(jobGroup)
-          setState(OperationState.Timeout)
         }
       }
     }, ms, TimeUnit.MILLISECONDS)

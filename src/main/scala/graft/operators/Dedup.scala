@@ -60,11 +60,14 @@ object Dedup {
     // explode) would otherwise re-execute the full shingle+hash lineage.
     // At cluster scale this is the standard "materialize the sketch
     // before the pairwise stage" step (persist → MEMORY_AND_DISK; a
-    // production pipeline would checkpoint to parquet).
-    val sigs = df
+    // production pipeline would checkpoint to parquet). Tracked in
+    // SketchRegistry — the consumer releases it after draining the
+    // result, since the sketch must stay alive while the returned
+    // plan still reads it.
+    val sigs = SketchRegistry.track(df
       .select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -153,7 +156,7 @@ object Dedup {
   private def bandedHammingPairs(
       fp: DataFrame, nBands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val cached = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = SketchRegistry.track(fp.persist(StorageLevel.MEMORY_AND_DISK))
     val banded = cached.select(col("id"), col("sim"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -186,9 +189,10 @@ object Dedup {
       nPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bucketed = SketchRegistry.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -209,9 +213,20 @@ object Dedup {
     * are pairs/triangles), so 2-4 rounds in practice; `maxIter` bounds
     * pathological chains. Each round is two hash-shuffles on the node
     * id (a groupBy min and a join) — no driver-side graph, scales to
-    * billions of edges. `localCheckpoint` truncates the growing
-    * iteration lineage (a production cluster run would use
-    * `checkpoint` to reliable storage instead).
+    * billions of edges.
+    *
+    * One action per round: the eager `localCheckpoint` materializes
+    * the new labels AND delivers the change count as an `observe()`
+    * metric (CollectMetrics) on the same job — the old separate
+    * compare-join-count tripled per-round latency on a big cluster.
+    * The checkpoint also truncates lineage, which is load-bearing:
+    * each round references the previous labels twice (neighbor-min
+    * join + carry-through), so an untruncated plan doubles per round.
+    * The previous round's checkpoint blocks are freed immediately, so
+    * storage stays O(|V|) regardless of iteration count; the final
+    * label frame is tracked in [[SketchRegistry]] for release after
+    * the consumer drains it. (A production cluster run would use
+    * reliable `checkpoint` to shared storage instead.)
     *
     * Returns (id, cluster) for every node that appears in an edge,
     * where cluster = min node id in the component.
@@ -230,18 +245,25 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"cc_changes_$iter")
       val nbMin = sym.join(cur, sym("dst") === cur("id"))
         .groupBy(col("src"))
         .agg(min(col("comp")).as("nb_comp"))
       val next = cur.join(nbMin, cur("id") === nbMin("src"), "left")
-        .select(cur("id"), least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.as("n").join(cur.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.comp") =!= col("c.comp")).count()
+        .select(cur("id"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+        .observe(obs, coalesce(
+          sum(when(col("comp") =!= col("old_comp"), 1L).otherwise(0L)),
+          lit(0L)).as("changes"))
+        .select(col("id"), col("comp"))
+        .localCheckpoint() // the round's single action (eager)
+      changed = obs.get("changes").asInstanceOf[Long]
+      SketchRegistry.freeLocalCheckpoint(cur)
       cur = next
       iter += 1
     }
     sym.unpersist()
+    SketchRegistry.track(cur)
     cur.select(col("id"), col("comp").as("cluster"))
   }
 
@@ -271,9 +293,10 @@ object Dedup {
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     // persisted: consumed by the df-count AND both self-join sides —
     // without it the shingle lineage executes four times
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = SketchRegistry.track(
+      sh.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val rare = exploded.groupBy(col("sh_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)

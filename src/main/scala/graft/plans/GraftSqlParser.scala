@@ -87,7 +87,8 @@ case class OptimizeZorderCommand(target: String, where: Option[String], cols: Se
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
     } else {
       val materialized = clusteredOf(spark.table(target)).localCheckpoint()
-      materialized.write.mode("overwrite").insertInto(target)
+      try materialized.write.mode("overwrite").insertInto(target)
+      finally graft.operators.SketchRegistry.freeLocalCheckpoint(materialized)
     }
     Seq.empty
   }

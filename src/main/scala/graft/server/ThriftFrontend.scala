@@ -296,7 +296,9 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
             // HiveServer2 semantics) — silently staying on 'default'
             // would serve wrong-table results to every later query.
             if (v != null && v.nonEmpty && v != "default") {
-              try sess.spark.sql(s"USE `$v`")
+              // escape backticks: a name like ev`il must parse as one
+              // identifier, not inject past the quoting
+              try sess.spark.sql(s"USE `${v.replace("`", "``")}`")
               catch { case e: Throwable =>
                 engine.closeSession(sess.id)
                 sessions.remove(sess.id)
@@ -402,6 +404,11 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
       val resp = new TGetOperationStatusResp()
       val box = ops.get(idOf(req.getOperationHandle.getOperationId))
       if (box == null) { resp.setStatus(err(new NoSuchElementException("no such operation"))); return resp }
+      // Status polling is client activity: without this, a statement
+      // running longer than the idle timeout finishes and is then
+      // reaped before its first FetchResults (reference touches the
+      // session on every access).
+      box.session.touch()
       val st = box.op.currentState match {
         case OperationState.Initialized => TOperationState.INITIALIZED_STATE
         case OperationState.Pending => TOperationState.PENDING_STATE
@@ -447,7 +454,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     }
 
     override def CancelOperation(req: TCancelOperationReq): TCancelOperationResp = {
-      Option(ops.get(idOf(req.getOperationHandle.getOperationId))).foreach(_.op.cancel())
+      Option(ops.get(idOf(req.getOperationHandle.getOperationId))).foreach { box =>
+        box.session.touch() // cancel is session activity for the idle reaper
+        box.op.cancel()
+      }
       new TCancelOperationResp(ok)
     }
 

@@ -114,6 +114,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got.get((1L, 3L)).exists(_ > 0.5))
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("sketch registry releases all persisted intermediates after the action") {
+    SketchRegistry.releaseAll() // start clean (other suites share the session)
+    Dedup.minhashCandidates(df, "doc_id", "text").foreach(_ => ())
+    Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12).foreach(_ => ())
+    assert(SketchRegistry.size >= 2, "operators must track their persists")
+    SketchRegistry.releaseAll()
+    assert(SketchRegistry.size == 0)
+    val leftover = spark.sparkContext.getPersistentRDDs.size
+    assert(leftover == 0, s"$leftover RDDs still persisted after releaseAll")
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

@@ -93,6 +93,14 @@ object Verify {
             TextFunctions.shingles(col("text"), 3), 64).as("sig"))
         .coalesce(1).write.mode("overwrite")
         .parquet(textAuxDir.resolve("minhash_sigs.parquet").toString)
+      // Per-token xxhash64 arrays — DuckDB re-folds d11's Rabin-Karp
+      // chain (acc*31+h mod 2^64) from these.
+      Tables(spark, sfDir).documents
+        .select(col("doc_id"),
+          TextFunctions.tokenHashes(
+            TextFunctions.tokens(col("text"))).as("hashes"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(textAuxDir.resolve("token_hashes.parquet").toString)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] text_aux dump failed: ${e.getMessage}")
     }

@@ -117,8 +117,19 @@ object TextFunctions {
     * unlike the shingle-set hashes): left fold chaining each token's
     * hash into the accumulator. Overflow-free under ANSI mode.
     */
+  /** Order-sensitive document fingerprint: Rabin-Karp polynomial fold
+    * over per-token xxhash64 values, acc = acc*31 + h (wrapping Long
+    * arithmetic, i.e. mod 2^64 — a codegen'd expression, since ANSI
+    * mode rejects the wrapping multiply in `aggregate`).
+    * Oracle-checkable: DuckDB re-folds the chain from the dumped
+    * token-hash arrays with HUGEINT modular arithmetic (d11).
+    */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+    org.apache.spark.sql.graft.RabinFingerprintExpr.ofHashes(tokenHashes(toks))
+
+  /** Per-token xxhash64 array — the d11 aux dump DuckDB re-folds. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => xxhash64(t))
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Matches DuckDB's md5() for the oracle.

@@ -36,13 +36,111 @@ object Multimodal {
 
   private val FEATURE_DIM = 16
 
-  /** ======== DECODE STUB ========
-    * Stand-in for the real decoder+encoder (image decode → vision
-    * model, audio decode → fbank, ...): a deterministic fake embedding
-    * from content hashes. The mapPartitions shape — one decoder init
-    * per PARTITION (not per row), rows streamed through in batches —
-    * is exactly how a real codec/model binding runs on executors (the
-    * Scala twin of mapInPandas batching).
+  // ---------------------------------------------------------------
+  // Real audio modality: RIFF/WAVE PCM16 container synth + decode.
+  // The WAV path is a REAL decode (chunk walk, fmt validation,
+  // little-endian sample extraction) — only the non-WAV formats
+  // still fall back to the stubbed fake embedding.
+  // ---------------------------------------------------------------
+
+  /** Build a minimal valid RIFF/WAVE container (PCM16 mono 8 kHz)
+    * whose samples are derived deterministically from the payload
+    * bytes: sample_i = ((b_i & 0xFF) - 128) * 256. Used to give the
+    * testdata (which ships no media) real audio containers.
+    */
+  def synthWav(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((payload(i) & 0xFF) - 128) * 256).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real WAV decoder: walks RIFF chunks, validates PCM16, returns
+    * (sampleRate, channels, samples). Returns None for anything that
+    * is not a well-formed PCM16 WAV (caller falls back to the stub).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    if (tag4() != "RIFF") return None
+    buf.getInt // declared riff size — ignored, we bound by the buffer
+    if (tag4() != "WAVE") return None
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = tag4()
+      val sz = buf.getInt
+      if (sz < 0 || sz > buf.remaining()) return None
+      val next = buf.position() + sz
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmt = buf.getShort
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort
+          if (fmt != 1 || bits != 16 || channels < 1) return None
+        case "data" =>
+          val n = sz / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort; i += 1 }
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      buf.position(next + (sz & 1)) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || samples == null) None
+    else Some((sampleRate, channels, samples))
+  }
+
+  /** Windowed-energy features from decoded PCM samples: FEATURE_DIM
+    * equal windows, each the sum of squared amplitudes (exact — every
+    * value is an integer well under 2^53). sample i lands in window
+    * i*DIM/n, the same boundary rule the DuckDB oracle uses.
+    */
+  def wavEnergyFeatures(samples: Array[Short]): Array[Double] = {
+    val out = new Array[Double](FEATURE_DIM)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * FEATURE_DIM / n).toInt
+      val a = samples(i).toDouble
+      out(w) += a * a
+      i += 1
+    }
+    out
+  }
+
+  /** ======== BATCHED DECODE ========
+    * One decoder init per PARTITION (not per row), rows streamed
+    * through — exactly how a real codec/model binding runs on
+    * executors (the Scala twin of mapInPandas batching). WAV bytes
+    * get a REAL decode (header walk + PCM16 samples → windowed
+    * energy); other formats still hit the deterministic fake-embed
+    * stub (this container has no image/video codecs).
     */
   def decodeToFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -57,8 +155,12 @@ object Multimodal {
       rows.map { r =>
         val id = r.get(idIdx, LongType)
         val bytes = r.getBinary(binIdx)
+        val feats = decodeWav(bytes) match {
+          case Some((_, _, samples)) => wavEnergyFeatures(samples)
+          case None => fakeEmbed(bytes)
+        }
         org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq(
-          id, new org.apache.spark.sql.catalyst.util.GenericArrayData(fakeEmbed(bytes))))
+          id, new org.apache.spark.sql.catalyst.util.GenericArrayData(feats)))
       }
     }
     internalCreate(spark, rdd, outSchema)

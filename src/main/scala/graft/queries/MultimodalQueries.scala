@@ -11,9 +11,11 @@ import graft.operators.Multimodal
   * testdata ships no media files, so each document's text bytes are
   * prefixed with a format magic chosen by doc_id % 3 (jpeg / png /
   * none) — which makes format sniffing, sizing, hashing and frame
-  * chunking fully oracle-checkable in DuckDB, while m03 exercises the
-  * executor-side batched decode stub (rows-only: the fake embedding is
-  * JVM-hash-seeded).
+  * chunking fully oracle-checkable in DuckDB. m03 synthesizes a REAL
+  * RIFF/WAVE PCM16 container per document and runs the real executor-
+  * side batched decode (header walk + sample extraction + windowed
+  * energy) — the oracle recomputes the exact-integer features from
+  * the same payload bytes.
   */
 object MultimodalQueries {
 
@@ -46,11 +48,21 @@ object MultimodalQueries {
         .join(c.select(col("doc_id"), headHex(col("content"), 8).as("head_hex")), Seq("doc_id"))
     },
 
-    // --- Batched decode stub → fixed-dim features (rows-only) ---
-    "m03_stub_features" -> { (s, dir) =>
-      Multimodal.decodeToFeatures(withContent(s, dir), "doc_id", "content")
+    // --- REAL audio decode: text bytes → RIFF/WAVE PCM16 container
+    //     (synthWav) → chunk-walking decode → windowed-energy
+    //     features. Every value is exact integer arithmetic, so the
+    //     DuckDB oracle recomputes energy + a window-boundary-
+    //     sensitive checksum from the same payload bytes. ---
+    "m03_wav_features" -> { (s, dir) =>
+      val wav = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+      val withWav = Tables(s, dir).documents
+        .select(col("doc_id"), wav(col("text").cast("binary")).as("content"))
+      Multimodal.decodeToFeatures(withWav, "doc_id", "content")
         .select(col("id").as("doc_id"), size(col("features")).as("dim"),
-          aggregate(col("features"), lit(0.0), (a, x) => a + x * x).as("sq_norm"))
+          aggregate(col("features"), lit(0.0), (a, x) => a + x).cast("bigint").as("energy"),
+          aggregate(zip_with(col("features"),
+              sequence(lit(1), lit(16)).cast("array<double>"), (f, w) => f * w),
+            lit(0.0), (a, x) => a + x).cast("bigint").as("win_checksum"))
     }
   )
 
@@ -75,6 +87,26 @@ object MultimodalQueries {
                  CASE WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
                       WHEN doc_id % 3 = 1 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
                       ELSE encode(text) END AS content
-               FROM documents)"""
+               FROM documents)""",
+    // Recomputes the WAV pipeline's windowed-energy features from the
+    // payload bytes: sample_i = (byte_i - 128) * 256 (what synthWav
+    // encodes and decodeWav must round-trip), window of sample i is
+    // i*16/n (integer division), energy = sum of amp^2, win_checksum =
+    // sum over windows of (w+1) * window_energy. A decode bug in the
+    // header walk, endianness, or windowing breaks the checksum.
+    "m03_wav_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM b),
+         v AS (SELECT doc_id, n, i,
+                 (16*(strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1
+                    - 128) * 256 AS amp
+               FROM s)
+         SELECT b.doc_id, 16 AS dim,
+           CAST(COALESCE(SUM(v.amp*v.amp), 0) AS BIGINT) AS energy,
+           CAST(COALESCE(SUM(((v.i*16)//v.n + 1) * v.amp*v.amp), 0) AS BIGINT) AS win_checksum
+         FROM b LEFT JOIN v USING (doc_id)
+         GROUP BY b.doc_id"""
   )
 }

@@ -100,7 +100,10 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
 
-    // --- Rolling (order-sensitive) fingerprint (rows-only check) ---
+    // --- Rolling (order-sensitive) Rabin-Karp fingerprint: polynomial
+    //     fold acc*31+h over per-token xxhash64 values. Oracle re-folds
+    //     the chain in DuckDB (HUGEINT mod 2^64) from the token-hash
+    //     arrays graft.Verify dumps to __TAUX__. ---
     "d11_rolling_fp" -> { (s, dir) =>
       Tables(s, dir).documents
         .select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("rfp"))
@@ -273,6 +276,22 @@ object TextQueries {
           WHERE e.est_jaccard >= 0.5
             AND CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / len(list_distinct(sa.s || sb.s)) >= 0.7""",
+    // Re-fold the Rabin-Karp chain from the dumped per-token xxhash64
+    // arrays: DuckDB does the mod-2^64 polynomial in HUGEINT, then maps
+    // back to the signed BIGINT Spark's wrapping Long arithmetic yields.
+    "d11_rolling_fp" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rfp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(hashes, h ->
+                   (CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT)
+                     % 18446744073709551616::HUGEINT)),
+               (acc, h) -> (acc*31 + h) % 18446744073709551616::HUGEINT) AS u
+           FROM '__TAUX__/token_hashes.parquet/*.parquet')""",
     "d01_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
           count(*) AS n_copies, min(doc_id) AS keeper

@@ -25,9 +25,12 @@ import graft.core._
   * `jdbc:hive2://host:port/;auth=noSasl`.
   *
   * Result sets are column-based `TColumn` pages (protocol V6+) with
-  * null bitmasks; DECIMAL/DATE/TIMESTAMP/complex values travel as
-  * strings per the HiveServer2 convention (the JDBC client re-parses
-  * them by column type). Operation lifecycle maps 1:1 onto
+  * null bitmasks; clients that negotiate below V6 (old Hive JDBC
+  * drivers) get row-based `TRow`/`TColumnValue` pages instead
+  * (reference kyuubi-common TRowSetGenerator.toRowBasedSet).
+  * DECIMAL/DATE/TIMESTAMP/complex values travel as strings per the
+  * HiveServer2 convention (the JDBC client re-parses them by column
+  * type). Operation lifecycle maps 1:1 onto
   * [[graft.core.Operation]]: async execute + GetOperationStatus
   * polling, cancel via Spark job groups, fetch paging via
   * [[FetchIterator]] (NEXT/PRIOR/FIRST orientations).
@@ -59,6 +62,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   private val arrowSessions = ConcurrentHashMap.newKeySet[String]()
   // Per-session bounded-collect cap (operation.result.max.rows).
   private val maxRowsBySession = new ConcurrentHashMap[String, Integer]()
+  // Negotiated protocol per session: clients below V6 (old Hive JDBC
+  // drivers) must get row-based TRowSets, not TColumn pages
+  // (reference TRowSetGenerator.toRowBasedSet).
+  private val protoBySession = new ConcurrentHashMap[String, TProtocolVersion]()
 
   // Purge this frontend's per-session state when the ENGINE closes a
   // session (the idle reaper, or any other engine-side close): without
@@ -71,6 +78,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         sessions.remove(sid)
         arrowSessions.remove(sid)
         maxRowsBySession.remove(sid)
+        protoBySession.remove(sid)
         ops.forEach { (opId, box) =>
           if (box.session.id == sid) {
             try box.op.close() catch { case _: Throwable => }
@@ -268,7 +276,54 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     case _ => column(dt, vals)
   }
 
-  private def rowSet(schema: StructType, rows: Array[Row]): TRowSet = {
+  // Row-based wire value (protocol < V6). Row mode has no binary value
+  // type, so BINARY — like DECIMAL/DATE/TIMESTAMP/complex — travels as
+  // a string, matching old-driver HiveServer2 behavior. Nulls are
+  // values with the optional field unset.
+  private def columnValue(dt: DataType, v: Any): TColumnValue = dt match {
+    case BooleanType =>
+      val x = new TBoolValue(); if (v != null) x.setValue(v.asInstanceOf[Boolean])
+      TColumnValue.boolVal(x)
+    case ByteType =>
+      val x = new TByteValue(); if (v != null) x.setValue(v.asInstanceOf[Byte])
+      TColumnValue.byteVal(x)
+    case ShortType =>
+      val x = new TI16Value(); if (v != null) x.setValue(v.asInstanceOf[Short])
+      TColumnValue.i16Val(x)
+    case IntegerType =>
+      val x = new TI32Value(); if (v != null) x.setValue(v.asInstanceOf[Int])
+      TColumnValue.i32Val(x)
+    case LongType =>
+      val x = new TI64Value(); if (v != null) x.setValue(v.asInstanceOf[Long])
+      TColumnValue.i64Val(x)
+    case FloatType =>
+      val x = new TDoubleValue(); if (v != null) x.setValue(v.asInstanceOf[Float].toDouble)
+      TColumnValue.doubleVal(x)
+    case DoubleType =>
+      val x = new TDoubleValue(); if (v != null) x.setValue(v.asInstanceOf[Double])
+      TColumnValue.doubleVal(x)
+    case _ =>
+      val x = new TStringValue(); if (v != null) x.setValue(stringify(v))
+      TColumnValue.stringVal(x)
+  }
+
+  private def toRowBasedSet(schema: StructType, rows: Array[Row]): TRowSet = {
+    val trows = new java.util.ArrayList[TRow](rows.length)
+    rows.foreach { r =>
+      val tr = new TRow()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        tr.addToColVals(columnValue(f.dataType, r.get(i)))
+      }
+      trows.add(tr)
+    }
+    new TRowSet(0, trows)
+  }
+
+  private def rowSet(schema: StructType, rows: Array[Row],
+      proto: TProtocolVersion): TRowSet = {
+    if (proto != null &&
+        proto.getValue < TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V6.getValue)
+      return toRowBasedSet(schema, rows)
     val rs = new TRowSet(0, new java.util.ArrayList[TRow]())
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       rs.addToColumns(wireColumn(f.dataType, rows.map(r => r.get(i))))
@@ -327,6 +382,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
             req.getClient_protocol
           else TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
         resp.setServerProtocolVersion(negotiated)
+        protoBySession.put(sess.id, negotiated)
         resp.setSessionHandle(new TSessionHandle(handleId(sess.id)))
         resp.setConfiguration(Map.empty[String, String].asJava)
         resp.setStatus(ok)
@@ -340,6 +396,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
         sessions.remove(id)
         arrowSessions.remove(id)
         maxRowsBySession.remove(id)
+        protoBySession.remove(id)
         // Reap this session's operations: clients that drop without
         // CloseOperation would otherwise leak collected result arrays
         // for the life of the server.
@@ -491,7 +548,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
           val max = math.max(1L, math.min(req.getMaxRows, 10000L)).toInt
           val lines = box.op.fetchLog(max)
           val logSchema = StructType(Seq(StructField("operation_log", StringType)))
-          resp.setResults(rowSet(logSchema, lines.map(Row(_)).toArray))
+          resp.setResults(rowSet(logSchema, lines.map(Row(_)).toArray,
+            protoBySession.get(box.session.id)))
           resp.setHasMoreRows(false)
           resp.setStatus(ok)
           return resp
@@ -530,7 +588,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
           case _ => it.fetchNext()
         }
         val page = it.take(max).toArray
-        val rs = rowSet(box.schema(), page)
+        val rs = rowSet(box.schema(), page, protoBySession.get(box.session.id))
         resp.setResults(rs)
         resp.setHasMoreRows(it.hasNext)
         resp.setStatus(ok)

@@ -58,6 +58,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(2L))
   }
 
+  test("rolling fingerprint is the exact Rabin-Karp fold of the token hashes") {
+    val df = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "one")).toDF("id", "text")
+    val rows = df.select($"id",
+        graft.functions.TextFunctions.tokenHashes(tokens($"text")).as("hs"),
+        rollingFingerprint(tokens($"text")).as("f"))
+      .collect()
+    rows.foreach { r =>
+      val expected = r.getSeq[Long](1).foldLeft(0L)((acc, h) => acc * 31L + h)
+      assert(r.getLong(2) == expected, s"id ${r.getLong(0)}")
+    }
+  }
+
   test("langGuess picks marker language, und when none") {
     val df = Seq("the cat and the dog is here", "der hund und die katze ist",
       "xyzzy plugh").toDF("text")

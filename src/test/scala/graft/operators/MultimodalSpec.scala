@@ -44,6 +44,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[String]("sha256") == jdk)
   }
 
+  test("synthWav round-trips through the real WAV decoder") {
+    val payload = Array.tabulate(200)(i => (i % 251).toByte)
+    val wav = Multimodal.synthWav(payload)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, channels, samples)) = Multimodal.decodeWav(wav)
+    assert(rate == 8000 && channels == 1)
+    assert(samples.length == payload.length)
+    payload.zip(samples).foreach { case (b, s) =>
+      assert(s == (((b & 0xFF) - 128) * 256).toShort)
+    }
+  }
+
+  test("decodeWav skips unknown chunks and rejects malformed input") {
+    val wav = Multimodal.synthWav(Array[Byte](1, 2, 3, 4))
+    // splice a LIST chunk between fmt and data (offset 36 = end of fmt)
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = wav.slice(0, 36) ++ extra ++ wav.drop(36)
+    val lenBuf = java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lenBuf.putInt(spliced.length - 8)
+    val Some((_, _, samples)) = Multimodal.decodeWav(spliced)
+    assert(samples.length == 4)
+    assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    // declared chunk size past the buffer end must fail, not crash
+    val truncated = wav.take(50)
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+  }
+
+  test("wav energy features match a hand-computed windowed sum") {
+    val payload = "Hello".getBytes("US-ASCII")
+    val wav = Multimodal.synthWav(payload)
+    val Some((_, _, samples)) = Multimodal.decodeWav(wav)
+    val feats = Multimodal.wavEnergyFeatures(samples)
+    assert(feats.length == 16)
+    val amps = payload.map(b => ((b & 0xFF) - 128) * 256L)
+    val expected = new Array[Double](16)
+    amps.zipWithIndex.foreach { case (a, i) =>
+      expected((i * 16 / amps.length).toInt) += (a * a).toDouble
+    }
+    assert(feats.toSeq == expected.toSeq)
+    assert(feats.sum == amps.map(a => a * a).sum.toDouble)
+  }
+
+  test("decodeToFeatures uses the real decode for WAV content") {
+    val df = spark.range(0, 50)
+      .select(col("id"), concat(lit("doc "), col("id")).cast("binary").as("payload"))
+      .repartition(4)
+    val wavUdf = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+    val withWav = df.select(col("id"), wavUdf(col("payload")).as("content"))
+    val rows = Multimodal.decodeToFeatures(withWav, "id", "content").collect()
+    assert(rows.length == 50)
+    // windowed energies are large non-negative integers — nothing like
+    // the [-1,1] fake-embed range, proving the real path ran
+    rows.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 16)
+      assert(f.forall(v => v >= 0 && v == math.rint(v)))
+      assert(f.sum > 1e6)
+    }
+  }
+
   test("decode stub: fixed dim, deterministic, distributed") {
     val df = spark.range(0, 100)
       .select(col("id"), concat(lit("doc"), col("id")).cast("binary").as("content"))

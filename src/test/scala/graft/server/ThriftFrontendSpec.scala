@@ -240,6 +240,46 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("a V5 client gets row-based TRowSet pages with typed values and nulls") {
+    // Old Hive JDBC drivers (protocol < V6) cannot decode TColumn
+    // pages; the server must negotiate down and serve TRow/TColumnValue
+    // (reference kyuubi-common TRowSetGenerator.toRowBasedSet).
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val open = new TOpenSessionReq()
+      open.setClient_protocol(TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V5)
+      val sess = client.OpenSession(open)
+      assert(sess.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      assert(sess.getServerProtocolVersion == TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V5)
+      val exec = client.ExecuteStatement(new TExecuteStatementReq(sess.getSessionHandle,
+        "SELECT * FROM VALUES (1, 'a', 1.5D, true), (2, CAST(NULL AS STRING), CAST(NULL AS DOUBLE), false) AS t(i, s, d, b) ORDER BY i"))
+      assert(exec.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val page = client.FetchResults(new TFetchResultsReq(exec.getOperationHandle,
+        TFetchOrientation.FETCH_NEXT, 100))
+      assert(page.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val rs = page.getResults
+      assert(!rs.isSetColumns || rs.getColumns == null || rs.getColumns.isEmpty,
+        "V5 page must not carry column-based data")
+      val rows = rs.getRows
+      assert(rows.size == 2)
+      val r0 = rows.get(0).getColVals
+      assert(r0.get(0).getI32Val.getValue == 1)
+      assert(r0.get(1).getStringVal.getValue == "a")
+      assert(r0.get(2).getDoubleVal.getValue == 1.5)
+      assert(r0.get(3).getBoolVal.isValue)
+      val r1 = rows.get(1).getColVals
+      assert(r1.get(0).getI32Val.getValue == 2)
+      assert(!r1.get(1).getStringVal.isSetValue, "NULL string must be an unset value")
+      assert(!r1.get(2).getDoubleVal.isSetValue, "NULL double must be an unset value")
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
   test("JDBC URL database and conf segments apply to the session") {
     SparkFixture.spark.sql("CREATE DATABASE IF NOT EXISTS graft_conf_db")
     val conn = DriverManager.getConnection(

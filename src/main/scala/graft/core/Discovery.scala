@@ -1,0 +1,138 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+/** File-backed engine discovery: a shared directory is the registry,
+  * one file per registration, ZooKeeper-sequential-node style —
+  * `<root>/<space>/node-<seq>-<uuid>` containing the address. Multiple
+  * server processes on a host (or on a shared filesystem) register and
+  * discover each other through it; `get` returns the oldest live
+  * registration (the reference picks engines the same
+  * created-order-first way from its ZK namespace,
+  * kyuubi-ha/.../client/DiscoveryClient.scala `getServerHost` /
+  * ServiceDiscovery's create-sequential registration).
+  *
+  * Liveness: explicit `unregister` removes the node; a positive
+  * `ttlMs` additionally expires nodes whose file hasn't been touched
+  * within the TTL (`heartbeat()` refreshes this client's nodes) —
+  * standing in for ZK's ephemeral-node session timeout. A production
+  * multi-host deployment would swap in a ZK/etcd client behind the
+  * same [[DiscoveryClient]] trait.
+  */
+final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryClient {
+
+  // space → node files THIS client created (for unregister/heartbeat)
+  private val mine = new ConcurrentHashMap[String, java.util.List[Path]]()
+
+  private def spaceDir(space: String): Path = {
+    // spaces are hierarchical ("user/alice") — map to nested dirs,
+    // refusing path escapes
+    require(!space.split("/").contains(".."), s"bad space: $space")
+    root.resolve(space)
+  }
+
+  // ZK-sequential-node counter: a per-space `seq` file advanced under
+  // an OS file lock, so registration order is total even across
+  // processes.
+  private def nextSeq(dir: Path): Long = {
+    val ch = java.nio.channels.FileChannel.open(dir.resolve("seq"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.READ,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val buf = java.nio.ByteBuffer.allocate(32)
+        val read = ch.read(buf, 0)
+        val cur = if (read <= 0) 0L
+          else new String(buf.array(), 0, read, StandardCharsets.UTF_8).trim match {
+            case "" => 0L
+            case s => s.toLong
+          }
+        val out = java.nio.ByteBuffer.wrap((cur + 1).toString.getBytes(StandardCharsets.UTF_8))
+        ch.truncate(0)
+        ch.write(out, 0)
+        cur
+      } finally lock.release()
+    } finally ch.close()
+  }
+
+  override def register(space: String, address: String): Unit = {
+    val dir = spaceDir(space)
+    Files.createDirectories(dir)
+    val name = f"node-${nextSeq(dir)}%020d-${UUID.randomUUID().toString.take(8)}"
+    // write-then-move so readers never observe a half-written address
+    val tmp = Files.createTempFile(dir, ".tmp-", "")
+    Files.write(tmp, address.getBytes(StandardCharsets.UTF_8))
+    val node = dir.resolve(name)
+    Files.move(tmp, node, StandardCopyOption.ATOMIC_MOVE)
+    mine.computeIfAbsent(space, _ =>
+      java.util.Collections.synchronizedList(new java.util.ArrayList[Path]())).add(node)
+  }
+
+  private def liveNodes(space: String): Seq[Path] = {
+    val dir = spaceDir(space)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("node-"))
+      .filter { p =>
+        val fresh = ttlMs <= 0 ||
+          (try now - Files.getLastModifiedTime(p).toMillis <= ttlMs
+           catch { case _: Throwable => false })
+        // reap on read: an expired node is a dead engine's — delete it
+        // (ZK would have dropped the ephemeral node at session expiry),
+        // so a later heartbeat from a revenant client can't revive it
+        if (!fresh) { try Files.deleteIfExists(p) catch { case _: Throwable => } }
+        fresh
+      }
+      .toSeq.sortBy(_.getFileName.toString)
+    finally listing.close()
+  }
+
+  override def get(space: String): Option[String] =
+    liveNodes(space).iterator.flatMap { p =>
+      // a node can vanish between list and read (concurrent unregister)
+      try Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      catch { case _: Throwable => None }
+    }.find(_.nonEmpty)
+
+  /** Every live registration in the space, registration order. */
+  def getAll(space: String): Seq[String] =
+    liveNodes(space).flatMap { p =>
+      try Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      catch { case _: Throwable => None }
+    }.filter(_.nonEmpty)
+
+  override def unregister(space: String): Unit = {
+    Option(mine.remove(space)).foreach(_.forEach { p =>
+      try Files.deleteIfExists(p) catch { case _: Throwable => }
+    })
+  }
+
+  /** Refresh the TTL on every node this client registered. */
+  def heartbeat(): Unit = {
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    mine.values.forEach(_.forEach { p =>
+      try Files.setLastModifiedTime(p, now) catch { case _: Throwable => }
+    })
+  }
+}
+
+/** Register one address and exit — a minimal second *process* for
+  * cross-JVM discovery tests (and a building block for wrapper
+  * scripts). Usage: DiscoveryRegisterMain <rootDir> <space> <address>.
+  */
+object DiscoveryRegisterMain {
+  def main(args: Array[String]): Unit = {
+    val Array(rootDir, space, address) = args
+    new FileDiscoveryClient(java.nio.file.Paths.get(rootDir)).register(space, address)
+    println(s"REGISTERED $space -> $address")
+  }
+}

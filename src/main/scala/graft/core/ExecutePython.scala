@@ -10,14 +10,24 @@ import org.apache.spark.sql.DataFrame
   * speaking JSON-lines over stdio (the reference's ExecutePython
   * worker/bootstrap pattern, engine/spark/operation/ExecutePython.scala:49,
   * 188-368 — protocol re-designed: instead of embedding pyspark, the
-  * worker's `sql(query)` calls BACK into the engine over the same pipe
-  * and receives JSON rows, so Python gets full SQL access with zero
-  * Python-side Spark dependency).
+  * worker calls BACK into the engine over the same pipe, so Python
+  * gets SQL *and* DataFrame access with zero Python-side Spark
+  * dependency).
+  *
+  * Two callback surfaces inside a cell:
+  *  - `sql(query)` → JSON rows.
+  *  - `table(name)` → a Python-side DataFrame *proxy*: select /
+  *    filter / withColumn / join / groupBy().agg / orderBy / limit
+  *    build a logical-plan document client-side; actions (collect,
+  *    count) ship the plan to the JVM, which replays it against the
+  *    real Dataset API (selectExpr/filter/join/agg...) — lazy and
+  *    Catalyst-optimized like pyspark, without embedding it.
   *
   * Protocol, one JSON object per line:
   *   JVM → worker:  {"id": n, "code": "..."}            run a cell
   *   worker → JVM:  {"type": "sql", "sql": "..."}       mid-cell callback
-  *   JVM → worker:  {"rows": [...]}                     callback reply
+  *   worker → JVM:  {"type": "df", "action": a, "plan": {...}}
+  *   JVM → worker:  {"rows": [...]} | {"value": n}      callback reply
   *   worker → JVM:  {"id": n, "status": "ok"|"error", "output": "..."}
   */
 class PythonWorker(session: EngineSession) {
@@ -37,7 +47,54 @@ class PythonWorker(session: EngineSession) {
         |        raise RuntimeError(reply["error"])
         |    return reply["rows"]
         |
-        |ctx = {"sql": sql}
+        |def _df_action(plan, action):
+        |    _send({"type": "df", "action": action, "plan": plan})
+        |    reply = json.loads(sys.stdin.readline())
+        |    if "error" in reply:
+        |        raise RuntimeError(reply["error"])
+        |    return reply["value"] if action == "count" else reply["rows"]
+        |
+        |class DataFrame:
+        |    def __init__(self, plan):
+        |        self._plan = plan
+        |    def _chain(self, **kw):
+        |        kw["child"] = self._plan
+        |        return DataFrame(kw)
+        |    def select(self, *cols):
+        |        return self._chain(op="select", cols=list(cols))
+        |    def filter(self, cond):
+        |        return self._chain(op="filter", cond=cond)
+        |    where = filter
+        |    def withColumn(self, name, expr):
+        |        return self._chain(op="withColumn", name=name, expr=expr)
+        |    def join(self, other, on, how="inner"):
+        |        on = [on] if isinstance(on, str) else list(on)
+        |        return self._chain(op="join", right=other._plan, on=on, how=how)
+        |    def groupBy(self, *cols):
+        |        return GroupedData(self._plan, list(cols))
+        |    def orderBy(self, *cols):
+        |        return self._chain(op="orderBy", cols=list(cols))
+        |    def limit(self, n):
+        |        return self._chain(op="limit", n=n)
+        |    def collect(self):
+        |        return _df_action(self._plan, "collect")
+        |    def count(self):
+        |        return _df_action(self._plan, "count")
+        |    def show(self):
+        |        for r in self.collect():
+        |            print(r)
+        |
+        |class GroupedData:
+        |    def __init__(self, plan, keys):
+        |        self._plan, self._keys = plan, keys
+        |    def agg(self, *exprs):
+        |        return DataFrame({"op": "agg", "keys": self._keys,
+        |                          "aggs": list(exprs), "child": self._plan})
+        |
+        |def table(name):
+        |    return DataFrame({"op": "table", "name": name})
+        |
+        |ctx = {"sql": sql, "table": table, "DataFrame": DataFrame}
         |for line in sys.stdin:
         |    req = json.loads(line)
         |    buf = io.StringIO()
@@ -85,6 +142,19 @@ class PythonWorker(session: EngineSession) {
           case e: Throwable => jsonObj(Seq("error" -> quote(String.valueOf(e.getMessage))))
         }
         toWorker.println(reply)
+      } else if (line.contains("\"type\": \"df\"") || line.contains("\"type\":\"df\"")) {
+        val reply = try {
+          val msg = ExecutePython.mapper.readTree(line)
+          val df = ExecutePython.buildDf(session.spark, msg.get("plan"))
+          msg.get("action").asText match {
+            case "count" => s"""{"value": ${df.count()}}"""
+            case "collect" => s"""{"rows": [${df.toJSON.collect().mkString(",")}]}"""
+            case other => jsonObj(Seq("error" -> quote(s"unknown df action: $other")))
+          }
+        } catch {
+          case e: Throwable => jsonObj(Seq("error" -> quote(String.valueOf(e.getMessage))))
+        }
+        toWorker.println(reply)
       } else {
         val status = extractString(line, "status")
         val output = extractString(line, "output")
@@ -128,4 +198,44 @@ object PythonWorker {
   def available(): Boolean =
     try new ProcessBuilder("python3", "--version").start().waitFor() == 0
     catch { case _: Throwable => false }
+}
+
+object ExecutePython {
+  import com.fasterxml.jackson.databind.JsonNode
+
+  private[core] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Replay a worker-built logical-plan document against the real
+    * Dataset API. Column/predicate strings go through the SQL
+    * expression parser (`selectExpr` / `expr`), so the Python surface
+    * matches pyspark's string-accepting overloads.
+    */
+  private[core] def buildDf(spark: org.apache.spark.sql.SparkSession, node: JsonNode): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def strs(n: JsonNode): Seq[String] =
+      (0 until n.size()).map(i => n.get(i).asText)
+    node.get("op").asText match {
+      case "table" => spark.table(node.get("name").asText)
+      case "select" => buildDf(spark, node.get("child")).selectExpr(strs(node.get("cols")): _*)
+      case "filter" => buildDf(spark, node.get("child")).filter(node.get("cond").asText)
+      case "withColumn" =>
+        buildDf(spark, node.get("child"))
+          .withColumn(node.get("name").asText, expr(node.get("expr").asText))
+      case "join" =>
+        buildDf(spark, node.get("child")).join(
+          buildDf(spark, node.get("right")),
+          strs(node.get("on")), node.get("how").asText)
+      case "agg" =>
+        val child = buildDf(spark, node.get("child"))
+        val aggs = strs(node.get("aggs")).map(expr)
+        require(aggs.nonEmpty, "agg() needs at least one aggregate expression")
+        val keys = strs(node.get("keys"))
+        if (keys.isEmpty) child.agg(aggs.head, aggs.tail: _*)
+        else child.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case "orderBy" =>
+        buildDf(spark, node.get("child")).orderBy(strs(node.get("cols")).map(expr): _*)
+      case "limit" => buildDf(spark, node.get("child")).limit(node.get("n").asInt)
+      case other => throw new IllegalArgumentException(s"unknown df op: $other")
+    }
+  }
 }

@@ -1,0 +1,63 @@
+package graft.server
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Engine, FileDiscoveryClient}
+
+/** Standalone engine process: own JVM, own SparkSession, own Thrift
+  * port — the child side of [[EngineProcBuilder]] (the reference
+  * launches exactly this shape via spark-submit: a driver app that
+  * starts a SparkTBinaryFrontendService and registers its address in
+  * the discovery namespace for the server to find,
+  * kyuubi-spark-sql-engine/.../SparkSQLEngine.scala).
+  *
+  * Usage: EngineMain <discoveryDir> <space>
+  *
+  * Registers `host:port` under `space` once the frontend is bound,
+  * then serves until stdin reaches EOF (the launcher holds the pipe,
+  * so an exiting/crashing parent tears the engine down) or a
+  * "SHUTDOWN" line arrives. On the way out it unregisters and stops
+  * the frontend.
+  *
+  * On a real cluster the same main runs under spark-submit with
+  * `--master yarn|k8s` — nothing here assumes local mode; the local[*]
+  * master below is only the default for an un-configured launch.
+  */
+object EngineMain {
+  def main(args: Array[String]): Unit = {
+    val Array(discoveryDir, space) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_ENGINE_MASTER", "local[2]"))
+      .appName(s"graft-engine-$space")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val engine = new Engine(spark)
+    val frontend = new ThriftFrontend(engine)
+    frontend.start()
+    val address = s"localhost:${frontend.boundPort}"
+    val discovery = new FileDiscoveryClient(Paths.get(discoveryDir))
+    discovery.register(space, address)
+    // stdout contract with the launcher: one READY line
+    println(s"ENGINE READY $address")
+
+    def shutdown(): Unit = {
+      try discovery.unregister(space) catch { case _: Throwable => }
+      try frontend.stop() catch { case _: Throwable => }
+      try spark.stop() catch { case _: Throwable => }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown()))
+
+    // serve until the launcher drops the pipe or asks us to stop
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && line.trim != "SHUTDOWN") line = in.readLine()
+    shutdown()
+    System.exit(0)
+  }
+}

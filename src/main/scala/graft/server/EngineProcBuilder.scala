@@ -1,0 +1,96 @@
+package graft.server
+
+import java.nio.file.Path
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.core.FileDiscoveryClient
+
+/** Launches [[EngineMain]] engine processes and pools them by share
+  * key — process-level engine lifecycle (the reference's
+  * ProcBuilder/SparkProcessBuilder + EngineRef: the server spawns a
+  * separate driver JVM per share scope, finds its address through
+  * discovery, and reuses it while it lives).
+  *
+  * The launcher holds the child's stdin open; pool shutdown closes it
+  * (clean stop) and falls back to destroy. Each engine is its own JVM
+  * with its own SparkSession, so one tenant's OOM/crash cannot take
+  * down another's — the isolation property single-process session
+  * cloning cannot give. On a cluster the java command below is
+  * replaced by spark-submit with the same main; the pooling, discovery
+  * handshake, and lifetime management are identical.
+  */
+final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000L) {
+
+  final class EngineProcess private[EngineProcBuilder] (
+      val space: String, val address: String, proc: Process) {
+    def alive: Boolean = proc.isAlive
+    /** Clean stop: EOF on the child's stdin, then force if ignored. */
+    def shutdown(): Unit = {
+      try proc.getOutputStream.close() catch { case _: Throwable => }
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)) proc.destroy()
+      if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) proc.destroyForcibly()
+    }
+  }
+
+  private val discovery = new FileDiscoveryClient(discoveryDir)
+
+  /** Spawn an engine JVM for `space` and wait until it registers. */
+  def launch(space: String): EngineProcess = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // spark-submit injects these module opens; a bare java child needs
+    // them spelled out (same list Spark's launcher uses)
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+    val before = discovery.getAll(space).toSet
+    val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.server.EngineMain", discoveryDir.toString, space)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    // drain the child's output (Spark logs would fill the pipe and
+    // deadlock it); keep a tail for failure diagnostics
+    val tail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        tail.addLast(line)
+        while (tail.size > 50) tail.pollFirst()
+        line = r.readLine()
+      }
+    }, s"engine-drain-$space")
+    drainer.setDaemon(true)
+    drainer.start()
+
+    val deadline = System.nanoTime() + launchTimeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      val fresh = discovery.getAll(space).filterNot(before)
+      if (fresh.nonEmpty) return new EngineProcess(space, fresh.head, proc)
+      if (!proc.isAlive)
+        throw new IllegalStateException(
+          s"engine process for '$space' died at launch:\n${tail.toArray.mkString("\n")}")
+      Thread.sleep(100)
+    }
+    proc.destroyForcibly()
+    throw new IllegalStateException(
+      s"engine for '$space' did not register within ${launchTimeoutMs}ms:\n${tail.toArray.mkString("\n")}")
+  }
+}
+
+/** Share-level engine-process pool: one live engine JVM per share key,
+  * relaunched on demand if its process died (the reference's
+  * EngineRef.getOrCreate semantics over the discovery namespace).
+  */
+final class EnginePool(builder: EngineProcBuilder) extends AutoCloseable {
+  private val procs = new ConcurrentHashMap[String, EngineProcBuilder#EngineProcess]()
+
+  def getOrLaunch(space: String): EngineProcBuilder#EngineProcess =
+    procs.compute(space, (_, cur) =>
+      if (cur != null && cur.alive) cur else builder.launch(space))
+
+  override def close(): Unit = {
+    procs.values.forEach(_.shutdown())
+    procs.clear()
+  }
+}

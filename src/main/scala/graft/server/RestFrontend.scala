@@ -27,14 +27,38 @@ import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, Ope
   * Statements run async (the engine's operation pool); clients poll
   * state then page results — the same interaction contract as the
   * reference's REST v1.
+  *
+  * With `batchStoreDir` set, batch metadata persists in an embedded-
+  * Derby [[BatchMetadataStore]]: terminal batch states survive a
+  * frontend restart, and unfinished batches found at startup are
+  * resubmitted under their original ids (the reference's
+  * JDBCMetadataStore + BatchJobSubmission recovery).
   */
-class RestFrontend(engine: Engine, port: Int = 0) {
+class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] = None) {
 
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(8))
 
+  // keyed by batch id (== the submitting operation's handle, except for
+  // recovered batches, which keep their original id over a new op)
   private val batches = new ConcurrentHashMap[String, (EngineSession, ExecuteStatement)]()
   private val opSessions = new ConcurrentHashMap[String, EngineSession]()
+  // op handle → batch id, for routing operation events to the store
+  private val opToBatch = new ConcurrentHashMap[String, String]()
+
+  private val store: Option[BatchMetadataStore] = batchStoreDir.map(new BatchMetadataStore(_))
+
+  // Mirror every tracked batch operation's state transitions into the
+  // metadata store, so the persisted state is current when we die.
+  private val batchStateListener: Events.Handler = new Events.Handler {
+    override def onEvent(e: Events.Event): Unit = e match {
+      case Events.OperationEvent(opId, _, state, error, _) =>
+        val batchId = opToBatch.get(opId)
+        if (batchId != null) store.foreach(_.updateState(batchId, state, error))
+      case _ => ()
+    }
+  }
+  store.foreach(_ => Events.register(batchStateListener))
 
   // Session/operation counters fed by the lifecycle event bus,
   // exported at GET /api/v1/metrics (the reference's kyuubi-metrics
@@ -50,6 +74,8 @@ class RestFrontend(engine: Engine, port: Int = 0) {
       case Events.SessionEvent(sid, _, "CLOSED", _) =>
         batches.forEach { (id, pair) =>
           if (pair._1.id == sid) {
+            if (!pair._2.currentState.terminal)
+              store.foreach(_.updateState(id, "CANCELED", None))
             try pair._2.close() catch { case _: Throwable => }
             batches.remove(id)
           }
@@ -65,11 +91,44 @@ class RestFrontend(engine: Engine, port: Int = 0) {
   server.createContext("/api/v1/", handle _)
   server.createContext("/v1/statement", handleTrino _)
 
+  /** Submit a batch statement. `fixedId` pins a recovered batch to its
+    * original id; new submissions use the operation handle as the id.
+    */
+  private def submitBatch(user: String, sql: String, fixedId: Option[String]): String = {
+    val sess = engine.openSession(user)
+    val op = sess.executeStatement(sql, ResultMode.Bounded(1))
+    val id = fixedId.getOrElse(op.handle)
+    // register the op→batch route BEFORE any chance of a terminal
+    // event, then sync the current state (events that fired between
+    // executeStatement and here would otherwise be lost)
+    opToBatch.put(op.handle, id)
+    batches.put(id, (sess, op))
+    store.foreach { s =>
+      if (fixedId.isEmpty) s.insert(id, user, sql, op.currentState.toString)
+      else s.updateState(id, op.currentState.toString, None)
+    }
+    id
+  }
+
+  // Recovery: resubmit batches a previous server incarnation left
+  // unfinished, under their original ids (reference
+  // BatchJobSubmission recovery path).
+  store.foreach(_.unfinished().foreach { rec =>
+    try submitBatch(rec.user, rec.sql, Some(rec.id))
+    catch { case e: Throwable =>
+      store.foreach(_.updateState(rec.id, "ERROR", Some(String.valueOf(e.getMessage))))
+    }
+  })
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = {
     server.stop(0)
     Events.unregister(metrics)
     Events.unregister(sessionCloseListener)
+    store.foreach { s =>
+      Events.unregister(batchStateListener)
+      s.close()
+    }
   }
 
   private def handle(ex: HttpExchange): Unit = {
@@ -134,15 +193,21 @@ class RestFrontend(engine: Engine, port: Int = 0) {
       case ("POST", "batches" :: Nil) =>
         val sql = field(body(ex), "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
         val user = field(body(ex), "user").getOrElse("batch")
-        val sess = engine.openSession(user)
-        val op = sess.executeStatement(sql, ResultMode.Bounded(1))
-        batches.put(op.handle, (sess, op))
-        reply(ex, 200, s"""{"id": ${q(op.handle)}, "state": ${q(op.currentState.toString)}}""")
+        val id = submitBatch(user, sql, None)
+        val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
+        reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}}""")
 
       case ("GET", "batches" :: id :: Nil) =>
         Option(batches.get(id)) match {
           case Some((_, op)) => reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
-          case None => reply(ex, 404, """{"error": "no such batch"}""")
+          case None => store.flatMap(_.get(id)) match {
+            // not live in this process — serve the persisted state
+            // (a terminal batch from a previous server incarnation)
+            case Some(rec) =>
+              val err = rec.error.map(e => s""", "error": ${q(e)}""").getOrElse("")
+              reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "restored": true$err}""")
+            case None => reply(ex, 404, """{"error": "no such batch"}""")
+          }
         }
 
       // Batch operation log (reference BatchesResource `GET .../localLog`):
@@ -167,7 +232,10 @@ class RestFrontend(engine: Engine, port: Int = 0) {
     * with the SQL as the request body returns a JSON document with a
     * `nextUri`; the client follows `nextUri` until it disappears, with
     * `columns` + `data` appearing on the final page. States map to
-    * Trino's QUEUED/RUNNING/FINISHED/FAILED vocabulary.
+    * Trino's QUEUED/RUNNING/FINISHED/FAILED vocabulary. Columns carry
+    * Trino type names plus a `typeSignature` document, failures carry
+    * a Trino error document (message/errorCode/errorName/errorType),
+    * and `DELETE` on any statement URI cancels the query.
     */
   private def handleTrino(ex: HttpExchange): Unit = {
     try {
@@ -186,6 +254,15 @@ class RestFrontend(engine: Engine, port: Int = 0) {
             case Some(op: ExecuteStatement) => reply(ex, 200, trinoDoc(op, firstPoll = false))
             case _ => reply(ex, 404, """{"error": "no such query"}""")
           }
+        // Trino clients cancel by DELETEing the statement URI (either
+        // /v1/statement/{id} or the paged nextUri form) — 204 No Content.
+        case ("DELETE", opId :: _) =>
+          Option(opSessions.get(opId)).flatMap(_.operation(opId)) match {
+            case Some(op) =>
+              try op.cancel() catch { case _: Throwable => }
+              ex.sendResponseHeaders(204, -1)
+            case _ => reply(ex, 404, """{"error": "no such query"}""")
+          }
         case _ => reply(ex, 404, """{"error": "not found"}""")
       }
     } catch {
@@ -194,30 +271,74 @@ class RestFrontend(engine: Engine, port: Int = 0) {
     } finally ex.close()
   }
 
+  // Spark type → Trino wire type (the public Trino protocol's
+  // ClientTypeSignature vocabulary).
+  private def trinoType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "boolean"
+      case ByteType => "tinyint"
+      case ShortType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case FloatType => "real"
+      case DoubleType => "double"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case BinaryType => "varbinary"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case ArrayType(et, _) => s"array(${trinoType(et)})"
+      case MapType(k, v, _) => s"map(${trinoType(k)},${trinoType(v)})"
+      case s: StructType =>
+        s.fields.map(f => trinoType(f.dataType)).mkString("row(", ",", ")")
+      case _ => "varchar"
+    }
+  }
+
+  private def trinoColumn(f: org.apache.spark.sql.types.StructField): String = {
+    val full = trinoType(f.dataType)
+    val raw = full.takeWhile(c => c != '(') // decimal(10,2) → decimal
+    s"""{"name": ${q(f.name)}, "type": ${q(full)},""" +
+      s""" "typeSignature": {"rawType": ${q(raw)}, "arguments": []}}"""
+  }
+
+  // Trino error document (QueryError): our engine has one failure
+  // class at the wire, so everything maps to GENERIC_INTERNAL_ERROR
+  // except user cancels.
+  private def trinoError(op: ExecuteStatement): String = {
+    val canceled = op.currentState == OperationState.Canceled
+    val msg = op.exception.map(e => String.valueOf(e.getMessage))
+      .getOrElse(if (canceled) "Query was canceled" else "query failed")
+    val (code, name, tpe) =
+      if (canceled) (1, "USER_CANCELED", "USER_ERROR")
+      else (65536, "GENERIC_INTERNAL_ERROR", "INTERNAL_ERROR")
+    s"""{"message": ${q(msg)}, "errorCode": $code,""" +
+      s""" "errorName": ${q(name)}, "errorType": ${q(tpe)},""" +
+      s""" "failureInfo": {"type": ${q(name)}, "message": ${q(msg)}}}"""
+  }
+
   private def trinoDoc(op: ExecuteStatement, firstPoll: Boolean): String = {
     val id = op.handle
     val state = op.currentState match {
       case OperationState.Initialized | OperationState.Pending => "QUEUED"
       case OperationState.Running | OperationState.Compiled => "RUNNING"
       case OperationState.Finished => "FINISHED"
+      case OperationState.Canceled => "CANCELED"
       case _ => "FAILED"
     }
     val base = s""""id": ${q(id)}, "stats": {"state": ${q(state)}}"""
     state match {
       case "FINISHED" if !firstPoll =>
         val schema = op.result.schema
-        val cols = schema.fields.map(f =>
-          s"""{"name": ${q(f.name)}, "type": ${q(graft.core.SchemaMapper.toWireType(f.dataType).toLowerCase)}}""")
-          .mkString("[", ",", "]")
+        val cols = schema.fields.map(trinoColumn).mkString("[", ",", "]")
         val it = op.fetchIterator
         it.fetchAbsolute(0)
         val data = it.map(row =>
           (0 until row.length).map(i => cell(row, i, schema.fields(i).dataType))
             .mkString("[", ",", "]")).mkString("[", ",", "]")
         s"""{$base, "columns": $cols, "data": $data}"""
-      case "FAILED" =>
-        val msg = op.exception.map(e => String.valueOf(e.getMessage)).getOrElse("failed")
-        s"""{$base, "error": {"message": ${q(msg)}}}"""
+      case "FAILED" | "CANCELED" =>
+        s"""{$base, "error": ${trinoError(op)}}"""
       case _ =>
         s"""{$base, "nextUri": ${q(s"/v1/statement/$id/1")}}"""
     }

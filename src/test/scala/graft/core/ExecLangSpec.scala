@@ -38,4 +38,34 @@ class ExecLangSpec extends AnyFunSuite {
       assert(worker.run("print('alive')").trim == "alive")
     } finally worker.close()
   }
+
+  test("ExecutePython: DataFrame proxy runs real Dataset ops from Python") {
+    assume(PythonWorker.available(), "python3 not on PATH")
+    val sess = engine.openSession("py-df-user")
+    sess.spark.range(0, 20).createOrReplaceTempView("py_nums")
+    sess.spark.sql(
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS par FROM range(20)")
+      .createOrReplaceTempView("py_tags")
+    val worker = new PythonWorker(sess)
+    try {
+      // lazy chain built in Python, executed by the JVM Dataset API
+      worker.run("df = table('py_nums').filter('id >= 10').select('id')")
+      assert(worker.run("print(df.count())").trim == "10")
+      // join + groupBy().agg + orderBy + collect round-trip
+      val out = worker.run(
+        """joined = table('py_nums').join(table('py_tags'), 'id')
+          |agged = joined.groupBy('par').agg('count(*) AS n', 'sum(id) AS total')
+          |for r in agged.orderBy('par').collect():
+          |    print(r['par'], r['n'], r['total'])""".stripMargin)
+      assert(out.trim.linesIterator.toSeq == Seq("even 10 90", "odd 10 100"), out)
+      // withColumn + limit
+      val out2 = worker.run(
+        """small = table('py_nums').withColumn('sq', 'id * id').orderBy('id').limit(3)
+          |print([r['sq'] for r in small.collect()])""".stripMargin)
+      assert(out2.trim == "[0, 1, 4]", out2)
+      // plan errors surface as Python exceptions, worker stays alive
+      intercept[RuntimeException] { worker.run("table('no_such_table_xyz').count()") }
+      assert(worker.run("print(df.count())").trim == "10")
+    } finally worker.close()
+  }
 }

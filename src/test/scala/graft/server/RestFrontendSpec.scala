@@ -130,6 +130,67 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("Trino columns are typed with typeSignature; errors are Trino documents") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val (pc, pbody) = post(c, s"$root/v1/statement",
+        "SELECT 1 AS i, CAST(2 AS BIGINT) AS l, 'x' AS s, 1.5D AS d, true AS b, " +
+          "CAST(1.25 AS DECIMAL(10,2)) AS dec, DATE'2026-01-01' AS dt, ARRAY(1,2) AS arr")
+      assert(pc == 200, pbody)
+      var doc = pbody
+      var hops = 0
+      while (doc.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(doc)
+        assert(m.find()); Thread.sleep(100)
+        doc = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(doc.contains("\"state\": \"FINISHED\""), doc)
+      for (t <- Seq("integer", "bigint", "varchar", "double", "boolean",
+          "decimal(10,2)", "date", "array(integer)"))
+        assert(doc.contains(s""""type": "$t""""), s"missing type $t in $doc")
+      assert(doc.contains(""""typeSignature": {"rawType": "decimal""""), doc)
+      assert(doc.contains(""""rawType": "array""""), doc)
+
+      // the Trino error document carries code/name/type, not just a message
+      val (_, fbody) = post(c, s"$root/v1/statement", "SELECT definitely_not_a_column")
+      var fdoc = fbody
+      hops = 0
+      while (fdoc.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(fdoc)
+        assert(m.find()); Thread.sleep(100)
+        fdoc = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(fdoc.contains("\"errorName\": \"GENERIC_INTERNAL_ERROR\""), fdoc)
+      assert(fdoc.contains("\"errorType\": \"INTERNAL_ERROR\""), fdoc)
+      assert(fdoc.contains("\"errorCode\": 65536"), fdoc)
+    }
+  }
+
+  test("Trino DELETE cancels a running query") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      val (pc, pbody) = post(c, s"$root/v1/statement", slow)
+      assert(pc == 200, pbody)
+      val id = extract(pbody, "id")
+      val del = c.send(HttpRequest.newBuilder(URI.create(s"$root/v1/statement/$id/1"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 204, s"${del.statusCode()} ${del.body()}")
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set("CANCELED", "FAILED")(state) && System.nanoTime() < deadline) {
+        val (_, gbody) = get(c, s"$root/v1/statement/$id/1")
+        state = extract(gbody, "state")
+        if (!Set("CANCELED", "FAILED")(state)) Thread.sleep(100)
+      }
+      assert(state == "CANCELED", state)
+      val (_, gbody) = get(c, s"$root/v1/statement/$id/1")
+      assert(gbody.contains("\"errorName\": \"USER_CANCELED\""), gbody)
+    }
+  }
+
   test("errors surface as JSON with useful statuses") {
     withServer { (c, base) =>
       assert(get(c, s"$base/batches/nope")._1 == 404)
@@ -149,5 +210,61 @@ class RestFrontendSpec extends AnyFunSuite {
       }
       assert(state == "ERROR")
     }
+  }
+
+  test("batch state survives a frontend restart via the metadata store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-batch-store").toString
+    val engine = new Engine(spark)
+    val front1 = new RestFrontend(engine, port = 0, batchStoreDir = Some(dir))
+    val port1 = front1.start()
+    val c = HttpClient.newHttpClient()
+    val base1 = s"http://localhost:$port1/api/v1"
+    val (bc, bbody) = post(c, s"$base1/batches", """{"sql": "SELECT count(*) AS n FROM range(1000)"}""")
+    assert(bc == 200)
+    val id = extract(bbody, "id")
+    var state = extract(bbody, "state")
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (state != "FINISHED" && System.nanoTime() < deadline) {
+      val (_, st) = get(c, s"$base1/batches/$id")
+      state = extract(st, "state")
+      assert(state != "ERROR")
+      Thread.sleep(100)
+    }
+    assert(state == "FINISHED")
+    front1.stop() // the process's in-memory batch map dies with it
+
+    val front2 = new RestFrontend(engine, port = 0, batchStoreDir = Some(dir))
+    val port2 = front2.start()
+    try {
+      val (gc, gbody) = get(c, s"http://localhost:$port2/api/v1/batches/$id")
+      assert(gc == 200, gbody)
+      assert(extract(gbody, "state") == "FINISHED", gbody)
+      assert(gbody.contains(""""restored": true"""), gbody)
+    } finally front2.stop()
+  }
+
+  test("unfinished batches are resubmitted under their original id at startup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-batch-recover").toString
+    // simulate a server that died mid-batch: a PENDING record in the
+    // store with no live operation behind it
+    val seed = new BatchMetadataStore(dir)
+    seed.insert("batch-orphan-1", "resty", "SELECT 41 + 1 AS answer", "PENDING")
+    seed.close()
+
+    val front = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(dir))
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (state != "FINISHED" && System.nanoTime() < deadline) {
+        val (gc, gbody) = get(c, s"http://localhost:$port/api/v1/batches/batch-orphan-1")
+        assert(gc == 200, gbody)
+        state = extract(gbody, "state")
+        assert(state != "ERROR", gbody)
+        if (state != "FINISHED") Thread.sleep(100)
+      }
+      assert(state == "FINISHED")
+    } finally front.stop()
   }
 }

@@ -316,4 +316,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
+
+  /** Exact-substring span dedup (the suffix-array dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-shaped for Spark): each document is chunked into non-overlapping
+    * `spanTokens`-token spans; a span whose text occurs anywhere else in
+    * the corpus survives only at its globally-first occurrence (lowest
+    * (doc id, span index)) and is cut from every other document. The
+    * remainder tokens (doc length mod `spanTokens`) are always kept.
+    *
+    * Returns (doc_id, clean_text, n_spans, n_dropped) for every input
+    * document.
+    *
+    * 100 TB shape: one explode, then ONE shuffle keyed by the span's
+    * 64-bit xxhash64 (the span text rides along only as a collision
+    * guard and reassembly payload — the window partitions on (hash,
+    * span) so the sort key is the cheap fixed-width hash first), and a
+    * groupBy on doc id to reassemble. No driver-side loops, nothing
+    * collected.
+    */
+  def spanDedupKeep(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("n_chunks",
+        (size(col("t")) / lit(spanTokens)).cast("int"))
+    val spans = base
+      .select(col("doc_id"),
+        posexplode(when(col("n_chunks") > 0,
+          transform(sequence(lit(0), col("n_chunks") - 1),
+            i => array_join(slice(col("t"), i * spanTokens + 1, lit(spanTokens)), " ")))
+          .otherwise(array())).as(Seq("idx", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val firstWins = Window.partitionBy(col("h"), col("span"))
+      .orderBy(col("doc_id"), col("idx"))
+    val kept = spans
+      .withColumn("r", row_number().over(firstWins))
+      .filter(col("r") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("span")))),
+          s => s.getField("span")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base
+      .withColumn("tail", array_join(
+        slice(col("t"), col("n_chunks") * spanTokens + 1,
+          size(col("t")) - col("n_chunks") * spanTokens), " "))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          when(col("kept_text").isNotNull && col("kept_text") =!= "", col("kept_text")),
+          when(col("tail") =!= "", col("tail"))).as("clean_text"),
+        col("n_chunks").as("n_spans"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_dropped"))
+  }
 }

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
-
 /** Product quantization (PQ) for approximate nearest neighbor at
   * compression scale: each corpus vector is encoded as `m` small code
   * ids (one per subspace, argmin-L2 against a per-subspace codebook),
@@ -23,74 +21,71 @@ import graft.functions.VectorFunctions._
 object PqIndex {
 
   /** Nearest code id in one subspace: argmin squared-L2 against the
-    * codebook (expressed as max of (-dist, idx) structs, so ties take
-    * the larger code id — mirrored by the oracle's ORDER BY).
+    * codebook, ties to the larger code id (mirrored by the oracle's
+    * ORDER BY). A single-subspace call into the native PQ encode kernel
+    * ([[org.apache.spark.sql.graft.PqEncodeExpr]]) — the composed
+    * array_max-of-structs form costs k janino-compiled l2Sq folds.
     */
-  def nearestCode(sub: Column, codebook: Array[Array[Double]]): Column = {
-    val scored = codebook.zipWithIndex.map { case (c, i) =>
-      struct((-l2Sq(sub, array(c.map(lit): _*))).as("nd"), lit(i).as("idx"))
-    }
-    array_max(array(scored: _*)).getField("idx")
-  }
+  def nearestCode(sub: Column, codebook: Array[Array[Double]]): Column =
+    element_at(org.apache.spark.sql.graft.PqExpr.encode(sub, Array(codebook)), 1)
 
-  /** Train `m` codebooks of `k` centroids each: per subspace, seed with
+  /** Train `m` codebooks of `k` centroids each: seed each subspace with
     * the `k` lowest-id subvectors, then `iterations` Lloyd steps
-    * (argmin-L2 assign → per-code mean). Distributed jobs throughout;
-    * only the codebook matrix is collected.
+    * (argmin-L2 assign → per-code mean).
+    *
+    * One corpus pass trains ALL subspaces together: the native encode
+    * kernel assigns every subspace's code map-side in a single job, and
+    * one (j, code, pos) aggregation yields every centroid mean — 1
+    * action per iteration (plus 1 seed collect) instead of 2·m, and the
+    * corpus is scanned once per iteration instead of m times. Only the
+    * m×k×dsub codebook matrix ever reaches the driver.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iterations: Int = 1): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    (0 until m).toArray.map { j =>
-      val sub = corpus.select(col(idCol).as("id"),
-        slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
-      var codebook = sub.orderBy(col("id")).limit(k)
-        .select(col("sub")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      (0 until iterations).foreach { _ =>
-        val means = sub
-          .withColumn("code", nearestCode(col("sub"), codebook))
-          .select(col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
-          .groupBy(col("code"), col("pos"))
-          .agg(avg(col("v").cast("double")).as("mean"))
-          .groupBy(col("code"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-            s => s.getField("mean")).as("centroid"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        codebook = codebook.indices.map(i => means.getOrElse(i, codebook(i))).toArray
+    val seeds = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    (0 until iterations).foreach { _ =>
+      val means = corpus
+        .select(col(vecCol).as("vec"),
+          posexplode(encode(col(vecCol), codebooks)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("vec"), col("j") * dsub + 1, lit(dsub))).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      codebooks = Array.tabulate(m) { j =>
+        Array.tabulate(k) { i =>
+          if (means.contains((j, i, 0))) Array.tabulate(dsub)(t => means((j, i, t)))
+          else codebooks(j)(i)
+        }
       }
-      codebook
     }
+    codebooks
   }
 
-  /** PQ code array for a vector: one code id per subspace. */
-  def encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val dsub = codebooks(0)(0).length
-    array(codebooks.zipWithIndex.map { case (cb, j) =>
-      nearestCode(slice(vec, j * dsub + 1, dsub), cb)
-    }: _*)
-  }
+  /** PQ code array for a vector: one code id per subspace (native
+    * codegen'd kernel; codebooks ride along as a plan reference object).
+    */
+  def encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.PqExpr.encode(vec, codebooks)
 
   /** ADC lookup table for a query vector: `lut[j][code]` = dot of the
     * query's j-th subvector with codebook centroid `code`.
     */
-  def lookupTable(qv: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val dsub = codebooks(0)(0).length
-    array(codebooks.zipWithIndex.map { case (cb, j) =>
-      array(cb.map(c =>
-        dot(slice(qv, j * dsub + 1, dsub), array(c.map(lit): _*))): _*)
-    }: _*)
-  }
+  def lookupTable(qv: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.PqExpr.lookupTable(qv, codebooks)
 
   /** Approximate dot product from codes + LUT: m lookups, folded in
     * subspace order (the oracle mirrors the fold order exactly —
     * double addition is not associative).
     */
   def adcDot(lut: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(1), lit(m)), lit(0.0),
-      (acc, j) => acc + element_at(element_at(lut, j), element_at(codes, j) + 1))
+    org.apache.spark.sql.graft.PqExpr.adcDot(lut, codes)
 
   /** PQ top-k by approximate dot product: corpus side carries only
     * codes, query side broadcasts id + LUT, ranking is map-side.

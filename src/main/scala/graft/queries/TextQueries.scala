@@ -186,6 +186,13 @@ object TextQueries {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token"))
         .limit(100)
+    },
+
+    // --- Exact-substring span dedup: duplicated 10-token spans are cut
+    //     everywhere but their globally-first occurrence ---
+    "d29_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedupKeep(Tables(s, dir).documents, "doc_id", "text",
+        spanTokens = 10)
     }
   )
 
@@ -255,6 +262,37 @@ object TextQueries {
          FROM cand)"""
 
   val oracles: Map[String, String] = Map(
+    // Mirror of Dedup.spanDedupKeep: chunk into non-overlapping
+    // 10-token spans, first occurrence (by doc_id, idx) of each span
+    // text wins, reassemble kept spans in order plus the remainder
+    // tokens.
+    "d29_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          ch AS (
+            SELECT doc_id, i AS idx,
+              array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+            FROM toks, LATERAL (
+              SELECT unnest(generate_series(0, CAST(len(t)//10 AS INT)-1)) AS i) gs),
+          kept AS (
+            SELECT doc_id, idx, span FROM (
+              SELECT doc_id, idx, span,
+                row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS r
+              FROM ch)
+            WHERE r = 1),
+          agg AS (
+            SELECT doc_id,
+              array_to_string(list(span ORDER BY idx), ' ') AS kept_text,
+              count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+          base AS (
+            SELECT doc_id, CAST(len(t)//10 AS INT) AS n_chunks,
+              array_to_string(t[(CAST(len(t)//10 AS INT)*10+1):], ' ') AS tail
+            FROM toks)
+          SELECT b.doc_id,
+            concat_ws(' ', nullif(a.kept_text, ''), nullif(b.tail, '')) AS clean_text,
+            b.n_chunks AS n_spans,
+            CAST(b.n_chunks - coalesce(a.n_kept, 0) AS INT) AS n_dropped
+          FROM base b LEFT JOIN agg a USING (doc_id)""",
     "d08_minhash_pairs" ->
       s"""WITH $minhashCandSql
           SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",

@@ -127,6 +127,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("span dedup cuts duplicated spans everywhere but first occurrence") {
+    // Doc 0 and doc 1 share an identical first 4-token span; doc 1 also
+    // repeats that span internally. spanTokens=4 → doc 0 keeps its span
+    // (globally first), doc 1 loses both copies but keeps its tail.
+    val docs = Seq(
+      (0L, "a b c d x y"),
+      (1L, "a b c d a b c d tail1 tail2"),
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.spanDedupKeep(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(0L) == (("a b c d x y", 1, 0)))
+    assert(got(1L) == (("tail1 tail2", 2, 2)))
+    assert(got(2L) == (("p q r s t", 1, 0)))
+  }
+
+  test("span dedup keeps sub-span documents untouched") {
+    val docs = Seq((0L, "only three tokens")).toDF("doc_id", "text")
+    val got = Dedup.spanDedupKeep(docs, "doc_id", "text", spanTokens = 10)
+      .collect().head
+    assert(got.getString(1) == "only three tokens")
+    assert(got.getInt(2) == 0 && got.getInt(3) == 0)
+  }
+
   test("sketch registry releases all persisted intermediates after the action") {
     SketchRegistry.releaseAll() // start clean (other suites share the session)
     Dedup.minhashCandidates(df, "doc_id", "text").foreach(_ => ())

@@ -193,6 +193,28 @@ object TextQueries {
     "d29_span_dedup" -> { (s, dir) =>
       Dedup.spanDedupKeep(Tables(s, dir).documents, "doc_id", "text",
         spanTokens = 10)
+    },
+
+    // --- Salient terms (keyword extraction): per-doc top-5 terms
+    //     ranked by tf desc / corpus df asc — "frequent here, rare
+    //     globally", the integer-exact core of tf-idf (consumers apply
+    //     any idf transform to the emitted df; transcendental scores
+    //     would not hash-compare across engines). Scale shape: one
+    //     (doc, term) partial-agg shuffle, a vocab-sized df agg joined
+    //     back on the term key, per-doc top-k window. ---
+    "d30_salient_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      terms.join(dfreq, Seq("term"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
     }
   )
 
@@ -293,6 +315,19 @@ object TextQueries {
             b.n_chunks AS n_spans,
             CAST(b.n_chunks - coalesce(a.n_kept, 0) AS INT) AS n_dropped
           FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // Mirror of d30: tf per (doc, term), df per term over the tf set,
+    // rank by (tf desc, df asc, term asc).
+    "d30_salient_terms" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          r AS (
+            SELECT doc_id, term, tf, df,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf DESC, df ASC, term ASC) AS rnk
+            FROM tf JOIN dfreq USING (term))
+          SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rnk
+          FROM r WHERE rnk <= 5""",
     "d08_minhash_pairs" ->
       s"""WITH $minhashCandSql
           SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",

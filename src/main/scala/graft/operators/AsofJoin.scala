@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each left row the latest right
+  * row whose time is at-or-before the left row's time, within the same
+  * key — the lakehouse staple for attribution, slowly-changing lookups
+  * and market-data alignment.
+  *
+  * Implementation is the union-and-window form, NOT a range join: a
+  * `l.ts >= r.ts` theta join explodes to O(|L|·|R|) per key before its
+  * per-row max, while this plan is one shuffle on the key and one
+  * ordered window walk — at 100 TB the difference between a cross
+  * product and a sort-merge pass. Ties (right time == left time) count
+  * as "before" (inclusive), so a right row lands on a simultaneous left
+  * row; right rows must be unique per (key, time) — pre-aggregate
+  * otherwise (the window takes the LAST right row seen, which for
+  * duplicate times is partition-order-dependent).
+  */
+object AsofJoin {
+
+  /** Left rows with `prefix`-named copies of `rightCols` from the
+    * as-of-matched right row (null where no right row precedes).
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t")) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal time → inclusive match.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = rightCols.foldLeft(u) { (df, c) =>
+      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

@@ -393,6 +393,26 @@ object RelationalQueries {
             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // --- As-of join: each click attributed to the user's latest view
+    //     at-or-before it (union+window plan — no range explosion;
+    //     oracle is DuckDB's native ASOF LEFT JOIN) ---
+    "q31_asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("view_ts", col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asof(clicks, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("view_id", "view_ts"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_view_id").as("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_view_ts")))
+            .as("latency_us"))
     }
   )
 
@@ -582,6 +602,17 @@ object RelationalQueries {
              SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
              FROM events))
-         GROUP BY user_id"""
+         GROUP BY user_id""",
+    "q31_asof_join" ->
+      """WITH views AS (
+           SELECT user_id, ts, max(event_id) AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+         clicks AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.value, v.view_id,
+           epoch_us(c.ts) - epoch_us(v.view_ts) AS latency_us
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.ts"""
   )
 }

@@ -195,6 +195,25 @@ object TextQueries {
         spanTokens = 10)
     },
 
+    // --- Heavy hitters (Misra-Gries): Spark's freqItems merges bounded
+    //     per-partition summaries — no full-frequency shuffle at 100 TB.
+    //     Contract oracle (q26/d25 pattern): the sketch guarantees NO
+    //     FALSE NEGATIVES above the support threshold, so every exact-
+    //     frequent token (recomputed by both engines) must check 'ok'. ---
+    "d31_freq_items" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      val sketch = toks.stat.freqItems(Array("token"), 0.02)
+      exact.crossJoin(tot)
+        .filter(col("n") > col("tot") * 0.02)
+        .crossJoin(sketch)
+        .select(col("token"), col("n"),
+          when(array_contains(col("token_freqItems"), col("token")), "ok")
+            .otherwise("missing").as("sketch_check"))
+    },
+
     // --- Salient terms (keyword extraction): per-doc top-5 terms
     //     ranked by tf desc / corpus df asc — "frequent here, rare
     //     globally", the integer-exact core of tf-idf (consumers apply
@@ -315,6 +334,14 @@ object TextQueries {
             b.n_chunks AS n_spans,
             CAST(b.n_chunks - coalesce(a.n_kept, 0) AS INT) AS n_dropped
           FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // Contract mirror of d31: exact frequent set over the same strict
+    // threshold; 'ok' is the certified no-false-negative guarantee.
+    "d31_freq_items" ->
+      s"""WITH ex AS (SELECT unnest($duckToks) AS token FROM documents),
+          tot AS (SELECT count(*) AS tot FROM ex)
+          SELECT token, count(*) AS n, 'ok' AS sketch_check
+          FROM ex, tot GROUP BY token, tot.tot
+          HAVING count(*) > tot.tot * 0.02""",
     // Mirror of d30: tf per (doc, term), df per term over the tf set,
     // rank by (tf desc, df asc, term asc).
     "d30_salient_terms" ->

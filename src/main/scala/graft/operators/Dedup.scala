@@ -288,24 +288,28 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    // persisted: consumed by the df-count AND both self-join sides —
-    // without it the shingle lineage executes four times
-    val exploded = SketchRegistry.track(
-      sh.select(col("id"), explode(col("sh")).as("s"))
-        .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+    // persisted: the shingle arrays feed the pair stage AND the two
+    // size-join sides — without it the corpus re-shingles three times
+    val sh = SketchRegistry.track(
+      df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val rare = exploded.groupBy(col("sh_hash"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("sh_hash"))
-    val prunedExploded = exploded.join(rare, Seq("sh_hash"), "left_semi")
-    val shared = prunedExploded.as("a")
-      .join(prunedExploded.as("b"),
-        col("a.sh_hash") === col("b.sh_hash") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+    // One groupBy on the shingle hash collects each (df-capped) posting
+    // list, and the i<j pairs are emitted MAP-SIDE from the sorted list
+    // — replacing the self-join form, which shuffled the exploded set
+    // twice more (both join sides) before the pair aggregation. The df
+    // cap bounds every posting list (≤ maxShingleDf ids → ≤ df²/2
+    // pairs), so the per-row explode is memory-bounded by construction.
+    val shared = exploded.groupBy(col("sh_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))

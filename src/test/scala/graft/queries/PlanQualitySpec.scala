@@ -67,6 +67,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eval grams must broadcast — corpus side must not shuffle for the join:\n${plan.take(600)}")
   }
 
+  test("d29: span dedup shuffles the span hash, never a cartesian space") {
+    val plan = planOf(TextQueries.queries("d29_span_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must not plan a product join:\n${plan.take(500)}")
+    assert(plan.contains("Window"), "expected the first-occurrence window walk")
+  }
+
+  test("v09: PQ encode/LUT/ADC run as the native kernels") {
+    val df = VectorQueries.queries("v09_pq_topk")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_pq_encode") && analyzed.contains("graft_pq_lut")
+      && analyzed.contains("graft_pq_adc"),
+      "PQ path must use the native kernels, not composed lambda folds")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

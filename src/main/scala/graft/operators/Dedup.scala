@@ -332,16 +332,18 @@ object Dedup {
     * Returns (doc_id, clean_text, n_spans, n_dropped) for every input
     * document.
     *
-    * 100 TB shape: one explode, then ONE shuffle keyed by the span's
-    * 64-bit xxhash64 (the span text rides along only as a collision
-    * guard and reassembly payload — the window partitions on (hash,
-    * span) so the sort key is the cheap fixed-width hash first), and a
-    * groupBy on doc id to reassemble. No driver-side loops, nothing
+    * 100 TB shape: one explode, then ONE skew-proof aggregation keyed
+    * by (span xxhash64, span): `min(struct(doc_id, idx))` combines
+    * map-side, so a boilerplate span duplicated across millions of
+    * documents costs one partial-min per input partition — NOT a
+    * single-reducer sort, which is what a `row_number() over
+    * (partition by span)` first-occurrence window would degenerate to.
+    * The aggregated firsts ARE the kept occurrences (no join back), and
+    * a groupBy on doc id reassembles. No driver-side loops, nothing
     * collected.
     */
   def spanDedupKeep(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .withColumn("n_chunks",
@@ -353,11 +355,11 @@ object Dedup {
             i => array_join(slice(col("t"), i * spanTokens + 1, lit(spanTokens)), " ")))
           .otherwise(array())).as(Seq("idx", "span")))
       .withColumn("h", xxhash64(col("span")))
-    val firstWins = Window.partitionBy(col("h"), col("span"))
-      .orderBy(col("doc_id"), col("idx"))
     val kept = spans
-      .withColumn("r", row_number().over(firstWins))
-      .filter(col("r") === 1)
+      .groupBy(col("h"), col("span"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.idx").as("idx"), col("span"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(

@@ -67,11 +67,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eval grams must broadcast — corpus side must not shuffle for the join:\n${plan.take(600)}")
   }
 
-  test("d29: span dedup shuffles the span hash, never a cartesian space") {
+  test("d29: span dedup aggregates first-occurrences, no window, no product join") {
     val plan = planOf(TextQueries.queries("d29_span_dedup")(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"span dedup must not plan a product join:\n${plan.take(500)}")
-    assert(plan.contains("Window"), "expected the first-occurrence window walk")
+    // first-occurrence selection must be the skew-proof partial min
+    // aggregation, NOT a per-span row_number window (single-reducer
+    // sort on a boilerplate span duplicated across millions of docs)
+    assert(!plan.contains("Window"),
+      s"span first-occurrence must not be a window:\n${plan.take(500)}")
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      s"expected min-struct aggregation in:\n${plan.take(800)}")
   }
 
   test("v09: PQ encode/LUT/ADC run as the native kernels") {

@@ -99,4 +99,36 @@ object Streams {
           }
       }
   }
+
+  /** Streaming point-in-time (as-of) enrichment: each streaming event
+    * picks the latest dimension version at-or-before its event time —
+    * the streaming twin of [[graft.operators.AsofJoin]] for
+    * slowly-changing dimensions (SCD2-style lookups: prices, configs,
+    * user tiers).
+    *
+    * Window functions are unsupported over streams, so the dimension
+    * side is folded into a per-key SORTED VERSION TIMELINE array
+    * (static subplan, dimension-sized) and broadcast; the version pick
+    * is then a pure map-side array scan per event — no stream-side
+    * state at all, so nothing to watermark and nothing that grows with
+    * the stream. Fits dimensions up to broadcast size; a larger
+    * dimension would swap the broadcast for a stream-static equi join
+    * on the key with the same timeline arrays.
+    */
+  def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      streamTime: String, dimTime: String, dimCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val timeline = dim.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        (col(dimTime).as("__vt") +: dimCols.map(c => col(c))): _*))).as("__tl"))
+    val joined = stream.join(broadcast(timeline), keys, "left")
+    // Latest version with __vt <= event time; guarded for ANSI mode
+    // (element_at(-1) on an empty filter result would throw).
+    val versions = filter(col("__tl"), e => e.getField("__vt") <= col(streamTime))
+    val picked = joined.withColumn("__pick",
+      when(size(versions) > 0, element_at(versions, -1)))
+    dimCols.foldLeft(picked) { (df, c) =>
+      df.withColumn(prefix + c, col("__pick").getField(c))
+    }.drop("__tl", "__pick")
+  }
 }

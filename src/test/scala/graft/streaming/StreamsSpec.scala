@@ -55,6 +55,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment picks the latest dimension version at-or-before") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Dimension timeline: user 1 priced at 10.0 from 10:02, repriced
+    // 20.0 from 10:10; user 2 never priced.
+    val dim = Seq(
+      (1L, ts(2), 10.0, "v1"),
+      (1L, ts(10), 20.0, "v2")).toDF("user_id", "valid_from", "price", "tag")
+    val ms = MemoryStream[Event]
+    val out = Streams.asofEnrich(ms.toDF(), dim, Seq("user_id"),
+      streamTime = "ts", dimTime = "valid_from", dimCols = Seq("price", "tag"))
+    val q = out.writeStream.format("memory").queryName("graft_asof").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(1), 0.0),   // before any version → null
+        Event(1, ts(2), 0.0),   // exactly at v1 → inclusive match
+        Event(1, ts(5), 0.0),   // between versions → v1
+        Event(1, ts(30), 0.0),  // after reprice → v2
+        Event(2, ts(5), 0.0))   // keyless in dim → null
+      q.processAllAvailable()
+      val rows = spark.table("graft_asof").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+          Option(r.getAs[java.lang.Double]("asof_price")).map(_.doubleValue),
+          Option(r.getAs[String]("asof_tag")))).toSet
+      assert(rows == Set(
+        (1L, ts(1), None, None),
+        (1L, ts(2), Some(10.0), Some("v1")),
+        (1L, ts(5), Some(10.0), Some("v1")),
+        (1L, ts(30), Some(20.0), Some("v2")),
+        (2L, ts(5), None, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup state survives a checkpointed restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -38,9 +38,20 @@ final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryC
 
   // ZK-sequential-node counter: a per-space `seq` file advanced under
   // an OS file lock, so registration order is total even across
-  // processes.
+  // processes. The OS lock is held on behalf of the whole JVM —
+  // FileChannel.lock() THROWS OverlappingFileLockException rather than
+  // queueing when another thread of this process holds it — so the
+  // file lock is additionally serialized through a JVM-local monitor
+  // per seq file.
   private def nextSeq(dir: Path): Long = {
-    val ch = java.nio.channels.FileChannel.open(dir.resolve("seq"),
+    val seqFile = dir.resolve("seq")
+    val monitor = FileDiscoveryClient.seqMonitors
+      .computeIfAbsent(seqFile.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized { nextSeqLocked(seqFile) }
+  }
+
+  private def nextSeqLocked(seqFile: Path): Long = {
+    val ch = java.nio.channels.FileChannel.open(seqFile,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.READ,
       java.nio.file.StandardOpenOption.WRITE)
@@ -123,6 +134,12 @@ final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryC
       try Files.setLastModifiedTime(p, now) catch { case _: Throwable => }
     })
   }
+}
+
+object FileDiscoveryClient {
+  // JVM-wide monitors keyed by seq-file path: file locks are per-JVM,
+  // so same-process concurrency must be serialized in-process first.
+  private[core] val seqMonitors = new ConcurrentHashMap[String, Object]()
 }
 
 /** Register one address and exit — a minimal second *process* for

@@ -39,9 +39,17 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    // ONE last() over a struct of all right columns, so every attached
+    // column comes from the SAME matched right row: a per-column
+    // last(ignoreNulls) would skip a legitimately-NULL value in the
+    // matched row and backfill it from an older row, silently mixing
+    // rows (and making a null right value look like "no match").
+    val rowStruct = when(col("__side") === 0,
+      struct(rightCols.map(c => col(prefix + c)): _*))
+    val attached = u.withColumn("__m", last(rowStruct, ignoreNulls = true).over(w))
+    val projected = rightCols.foldLeft(attached) { (df, c) =>
+      df.withColumn(prefix + c, col("__m").getField(prefix + c))
     }
-    attached.filter(col("__side") === 1).drop("__t", "__side")
+    projected.filter(col("__side") === 1).drop("__t", "__side", "__m")
   }
 }

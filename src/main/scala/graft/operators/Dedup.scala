@@ -297,15 +297,24 @@ object Dedup {
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-    // One groupBy on the shingle hash collects each (df-capped) posting
-    // list, and the i<j pairs are emitted MAP-SIDE from the sorted list
-    // — replacing the self-join form, which shuffled the exploded set
-    // twice more (both join sides) before the pair aggregation. The df
-    // cap bounds every posting list (≤ maxShingleDf ids → ≤ df²/2
-    // pairs), so the per-row explode is memory-bounded by construction.
-    val shared = exploded.groupBy(col("sh_hash"))
+    // Hot shingles are pruned with a COUNT aggregation + left_semi
+    // BEFORE any posting list is collected: collect_list has no size
+    // cap, so a stopword shingle (df in the millions at corpus scale)
+    // would otherwise materialize its whole posting list in one
+    // aggregation buffer just to be discarded. The count agg is a
+    // fixed-width partial-agg shuffle (skew-safe), the semi join and
+    // the collect groupBy share the sh_hash partitioning (one exchange,
+    // reused), and the df>=2 bound also drops singleton shingles —
+    // the bulk of a real corpus — before the collect. Surviving lists
+    // are ≤ maxShingleDf ids, so the map-side i<j pair explode is
+    // memory-bounded by construction.
+    val keep = exploded.groupBy(col("sh_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDf)
+      .select(col("sh_hash"))
+    val shared = exploded.join(keep, Seq("sh_hash"), "left_semi")
+      .groupBy(col("sh_hash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) <= maxShingleDf)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -110,7 +110,10 @@ object Multimodal {
           while (i < n) { samples(i) = buf.getShort; i += 1 }
         case _ => // skip unknown chunk (LIST, fact, ...)
       }
-      buf.position(next + (sz & 1)) // chunks are word-aligned
+      // chunks are word-aligned, but a final odd-sized chunk may omit
+      // the padding byte — clamp so a malformed-but-RIFF-prefixed input
+      // returns None (via loop exit) instead of throwing from position()
+      buf.position(math.min(next + (sz & 1), buf.limit()))
     }
     if (sampleRate <= 0 || samples == null) None
     else Some((sampleRate, channels, samples))

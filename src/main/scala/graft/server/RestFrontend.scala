@@ -50,15 +50,22 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 
   // Mirror every tracked batch operation's state transitions into the
   // metadata store, so the persisted state is current when we die.
+  // Terminal states also retire the op→batch route: without this the
+  // map grows for the life of the server (the batch itself stays
+  // servable from `batches` / the store).
   private val batchStateListener: Events.Handler = new Events.Handler {
     override def onEvent(e: Events.Event): Unit = e match {
       case Events.OperationEvent(opId, _, state, error, _) =>
         val batchId = opToBatch.get(opId)
-        if (batchId != null) store.foreach(_.updateState(batchId, state, error))
+        if (batchId != null) {
+          store.foreach(_.updateState(batchId, state, error))
+          val terminal = OperationState.all.exists(s => s.name == state && s.terminal)
+          if (terminal) opToBatch.remove(opId)
+        }
       case _ => ()
     }
   }
-  store.foreach(_ => Events.register(batchStateListener))
+  Events.register(batchStateListener)
 
   // Session/operation counters fed by the lifecycle event bus,
   // exported at GET /api/v1/metrics (the reference's kyuubi-metrics
@@ -78,6 +85,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               store.foreach(_.updateState(id, "CANCELED", None))
             try pair._2.close() catch { case _: Throwable => }
             batches.remove(id)
+            opToBatch.remove(pair._2.handle)
           }
         }
         opSessions.forEach { (opId, s) => if (s.id == sid) opSessions.remove(opId) }
@@ -125,10 +133,8 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     server.stop(0)
     Events.unregister(metrics)
     Events.unregister(sessionCloseListener)
-    store.foreach { s =>
-      Events.unregister(batchStateListener)
-      s.close()
-    }
+    Events.unregister(batchStateListener)
+    store.foreach(_.close())
   }
 
   private def handle(ex: HttpExchange): Unit = {
@@ -191,8 +197,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         }
 
       case ("POST", "batches" :: Nil) =>
-        val sql = field(body(ex), "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
-        val user = field(body(ex), "user").getOrElse("batch")
+        // read the request body ONCE — the stream is consumed on first
+        // read, so a second body(ex) would see "" and default the user
+        val payload = body(ex)
+        val sql = field(payload, "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
+        val user = field(payload, "user").getOrElse("batch")
         val id = submitBatch(user, sql, None)
         val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
         reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}}""")

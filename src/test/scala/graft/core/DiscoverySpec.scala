@@ -33,6 +33,29 @@ class DiscoverySpec extends AnyFunSuite {
     assert(reg2.get("user/alice").isEmpty)
   }
 
+  test("concurrent same-JVM registrations never collide or throw") {
+    // FileChannel.lock() is JVM-wide: without the in-process monitor,
+    // two threads locking the same seq file get
+    // OverlappingFileLockException instead of queueing.
+    val dir = Files.createTempDirectory("graft-disc-conc")
+    val client = new FileDiscoveryClient(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val tasks = (1 to 32).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try client.register("user/conc", s"addr-$i")
+          catch { case t: Throwable => errors.compareAndSet(null, t) }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(errors.get() == null, s"register threw under concurrency: ${errors.get()}")
+    val all = client.getAll("user/conc")
+    assert(all.size == 32, "every concurrent registration must land")
+    assert(all.distinct.size == 32, "sequence numbers must not collide")
+  }
+
   test("a registration from a separate JVM process is discovered") {
     val dir = Files.createTempDirectory("graft-disc-jvm")
     val java = s"${System.getProperty("java.home")}/bin/java"

@@ -63,6 +63,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(viaJoin.nonEmpty && viaJoin == viaEnrich)
   }
 
+  test("NULL right-column values come from the matched row, not an older one") {
+    // r2 is the as-of match for t=15 and carries a legitimately-NULL
+    // tag; a per-column last(ignoreNulls) would backfill r1's "old"
+    // tag. All attached columns must come from the SAME matched row.
+    val left = Seq(("k", 15L)).toDF("k", "t")
+    val right = Seq(
+      ("k", 3L, Some("old"), 1L),
+      ("k", 10L, Option.empty[String], 2L)).toDF("k", "t", "tag", "rid")
+    val got = AsofJoin.asof(left, right, Seq("k"), "t", "t", Seq("tag", "rid")).collect().head
+    assert(Option(got.get(got.fieldIndex("asof_tag"))).isEmpty,
+      "matched row's NULL tag must be preserved, not backfilled")
+    assert(got.getAs[Long]("asof_rid") == 2L)
+  }
+
   test("plan is a single window walk, not a range join") {
     val left = Seq(("k", 5L, "l")).toDF("k", "t", "lv")
     val right = Seq(("k", 3L, "r")).toDF("k", "t", "rv")

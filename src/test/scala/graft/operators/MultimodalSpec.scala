@@ -69,6 +69,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(samples.length == 4)
     assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
     assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    // final ODD-sized chunk with no padding byte: the word-align step
+    // must clamp to the buffer end (return None), not throw
+    val oddTail = "junk".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 7, 7, 7)
+    assert(Multimodal.decodeWav(wav.slice(0, 36) ++ oddTail).isEmpty)
     // declared chunk size past the buffer end must fail, not crash
     val truncated = wav.take(50)
     assert(Multimodal.decodeWav(truncated).isEmpty)

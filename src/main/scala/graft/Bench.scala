@@ -28,6 +28,14 @@ import graft.queries.{TpcdsCorpusSql, TpchCatalogQueries, TpchCorpusSql}
   * `count()` would let Catalyst prune projections and under-measure the
   * scan. Query failures are reported in the JSON and fail the process.
   *
+  * Corpus/headline queries run `SPARK_GRAFT_BENCH_ITERS` (default 3)
+  * iterations and report the MIN, the reference's RunBenchmark
+  * methodology — so one run contended by a co-tenant JVM cannot poison
+  * the artifact (r5 shipped d10 at 109.6 s and r6 shipped q58/q69 at
+  * ~35 s that way; all ran at single-digit seconds uncontended). The
+  * avg and raw runs land in bench_full.json, and the stdout line
+  * carries the observed system load average plus a `contended` flag.
+  *
   * Output discipline: the driver captures only a bounded TAIL of
   * stdout (BENCH_r02 recorded `parsed: null` because a ~7 KB
   * all-queries JSON line was cut mid-line by that capture). So stdout
@@ -55,14 +63,36 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     var errors = List.empty[String]
-    def timed(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      try body
-      catch { case e: Throwable =>
-        errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query iteration record: timings of every run, reported as the
+    // MIN (avg kept alongside in bench_full.json). The reference's
+    // RunBenchmark runs each query `iterations` times (default 3) and
+    // reports min/avg (dev/kyuubi-tpcds/README.md:48-60) — the min is
+    // robust against a co-tenant JVM inflating ONE run, which poisoned
+    // the shipped r5 (d10) and r6 (corpus q58/q69/q61) artifacts.
+    final case class Timing(name: String, runs: Seq[Double]) {
+      def min: Double = if (runs.isEmpty) 0.0 else runs.min
+      def avg: Double = if (runs.isEmpty) 0.0 else runs.sum / runs.size
     }
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def timedN(name: String, n: Int, between: () => Unit = () => ())(body: => Unit): Timing = {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < n && !failed) {
+        val t0 = System.nanoTime()
+        try { body; runs += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed = true
+          errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+        }
+        between() // untimed inter-iteration cleanup (cache release)
+        i += 1
+      }
+      Timing(name, runs.toSeq)
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
 
     // Untimed warmup: absorb JVM/codegen/scan-init one-time costs so
     // they aren't charged to whichever suite query Map ordering puts
@@ -76,11 +106,16 @@ object Bench {
     // buckets, shingle explosions) that must outlive their own call,
     // and in a 93-query single-JVM run the accumulation was squeezing
     // storage memory and destabilizing later timings (r5's d10 showed
-    // 109.6 s in the bench vs 6-13 s isolated).
+    // 109.6 s in the bench vs 6-13 s isolated). The headline operators
+    // BASELINE.md is compared against get the full iteration treatment;
+    // the rest of the suite is coverage and runs once.
+    val flagshipSuite = Set("d08_minhash_pairs", "d10_jaccard_pairs",
+      "v01_knn_brute", "v07_knn_ivf")
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val r = timed(name)(fn(spark, sfDir).foreach(_ => ()))
-      graft.operators.SketchRegistry.releaseAll()
-      r
+      val n = if (flagshipSuite(name)) iters else 1
+      timedN(name, n, between = () => graft.operators.SketchRegistry.releaseAll()) {
+        fn(spark, sfDir).foreach(_ => ())
+      }
     }
 
     // Untimed setup: dump each corpus' generator tables to a parquet
@@ -88,7 +123,8 @@ object Bench {
     // timing — dev/kyuubi-tpcds/README.md:30-44), so the timed queries
     // measure query execution over files, not repeated in-process
     // data generation.
-    def materialize(db: String, tables: Seq[String], src: String => String): String = {
+    def materialize(db0: String, tables: Seq[String], src: String => String): String = {
+      val db = db0.replace('.', '_') // "sf0.01" would break the identifier
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       tables.foreach { t =>
         val path = new java.io.File(s"target/bench_mat/$db/$t").getAbsolutePath
@@ -120,27 +156,27 @@ object Bench {
       "store", "customer", "customer_address", "item", "catalog_page",
       "web_site", "warehouse", "ship_mode", "call_center")
     val matT0 = System.nanoTime()
-    val tpchDb = materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.$tpchNs.$t")
+    val tpchDb = materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.`$tpchNs`.$t")
     val tpcdsDb = materialize(s"tpcds_$tpcdsNs", tpcdsBaselineTables,
-      t => s"tpcds.$tpcdsNs.$t")
+      t => s"tpcds.`$tpcdsNs`.$t")
     val corpusDb = materialize(s"tpcds_$corpusNs",
       graft.sources.tpcds.TpcdsGen.schemas.keys.toSeq.sorted,
-      t => s"tpcds.$corpusNs.$t")
+      t => s"tpcds.`$corpusNs`.$t")
     val matSec = (System.nanoTime() - matT0) / 1e9
 
     val tpch = TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
-      timed(s"tpch_${tpchNs}_$qn")(spark.sql(sql).foreach(_ => ()))
+      timedN(s"tpch_${tpchNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
     }
 
     // TPC-DS in two tiers: the 6 BASELINE.md-published queries at the
     // baseline's sf10 (the judge's comparable slice), and the complete
     // 99-query corpus at sf1 (coverage + throughput without pushing
-    // the round bench past its window).
+    // the round bench past its window). Both get min-of-N iterations.
     val tpcds = TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
-      timed(s"tpcds_${tpcdsNs}_$qn")(spark.sql(sql).foreach(_ => ()))
+      timedN(s"tpcds_${tpcdsNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
     }
     val corpus = TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
-      timed(s"tpcds_${corpusNs}_$qn")(spark.sql(sql).foreach(_ => ()))
+      timedN(s"tpcds_${corpusNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
     }
 
     // Z-order skipping comparable (BASELINE z-order.md:313-331 reports
@@ -148,20 +184,24 @@ object Bench {
     // the same lineitem rows written range-partitioned on l_orderkey
     // (the natural/linear layout) vs z-order clustered on the two
     // filtered columns, then an identical 2-predicate scan on each.
-    // Layout writes are setup, not part of the timed scans.
+    // Layout writes are setup, not part of the timed scans. Runs on the
+    // already-materialized TPC-H lineitem (sf1 → ~6M rows, 128 files):
+    // at sf0.1's 600k rows a scan is launch-overhead-bound and the
+    // skipping signal drowns; the baseline's 11× is a data-size effect.
     val zorder = {
       import org.apache.spark.sql.functions.col
       val zdir = "target/bench_zorder"
-      val li = Tables(spark, sfDir).lineitem
-      li.repartitionByRange(col("l_orderkey"))
+      val li = spark.table(s"$tpchDb.lineitem")
+      li.repartitionByRange(128, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$zdir/linear")
-      graft.operators.ZorderOptimize.cluster(li, Seq(col("l_partkey"), col("l_suppkey")))
+      graft.operators.ZorderOptimize.cluster(
+          li, Seq(col("l_partkey"), col("l_suppkey")), 128)
         .write.mode("overwrite").parquet(s"$zdir/zordered")
       def scan(layout: String): Unit = spark.read.parquet(s"$zdir/$layout")
         .filter("l_partkey BETWEEN 1000 AND 1199 AND l_suppkey BETWEEN 100 AND 199")
         .foreach(_ => ())
-      Seq(timed("z01_scan_linear")(scan("linear")),
-        timed("z02_scan_zordered")(scan("zordered")))
+      Seq(timedN("z01_scan_linear", iters)(scan("linear")),
+        timedN("z02_scan_zordered", iters)(scan("zordered")))
     }
 
     def r3(v: Double): String = f"$v%.3f"
@@ -169,13 +209,26 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
     val results = suite ++ tpch ++ tpcds ++ corpus ++ zorder
-    val total = results.map(_._2).sum
+    // Group totals and per-query numbers are MIN over iterations — one
+    // contended run can no longer poison the artifact; avg + raw runs
+    // are preserved in bench_full.json for honesty about spread.
+    val mins = results.map(t => t.name -> t.min)
+    val total = mins.map(_._2).sum
+    val loadEnd = loadAvg()
+    // Co-tenancy tattletale: local[32] saturates ~32 cores itself; a
+    // load average well past the core count means another JVM was
+    // competing and even the min may be inflated.
+    val contended = math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
     val errJson = errors.reverse.map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
 
-    // Full per-query map → file (unbounded size is fine there).
+    // Full per-query min/avg/runs → file (unbounded size is fine there).
+    val fullQ = results.map { t =>
+      "\"" + t.name + "\":{\"min\":" + r3(t.min) + ",\"avg\":" + r3(t.avg) +
+        ",\"runs\":[" + t.runs.map(r3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     Files.writeString(Paths.get("target/bench_full.json"),
-      s"""{"total":${r3(total)},"queries":${jmap(results)},"errors":$errJson}""")
+      s"""{"total":${r3(total)},"iterations":$iters,"queries":$fullQ,"errors":$errJson}""")
 
     // Compact stdout line: group totals + the BASELINE.md-published
     // TPC-DS sf10 queries + the heaviest pipeline operators.
@@ -187,16 +240,16 @@ object Bench {
     val keep = (headline ++ flagship).toSet
     // distinctBy: baseline-slice and corpus names collide when the two
     // TPC-DS namespaces are configured equal; keep the slice timing.
-    val compact = jmap(results.filter { case (k, _) => keep(k) }.distinctBy(_._1))
+    val compact = jmap(mins.filter { case (k, _) => keep(k) }.distinctBy(_._1))
     val groups = Seq(
-      "suite_sec" -> suite.map(_._2).sum,
+      "suite_sec" -> suite.map(_.min).sum,
       "mat_sec" -> matSec,
-      "tpch_sec" -> tpch.map(_._2).sum,
-      "tpcds_sec" -> tpcds.map(_._2).sum,
-      "tpcds_corpus_sec" -> corpus.map(_._2).sum,
-      "zorder_sec" -> zorder.map(_._2).sum)
+      "tpch_sec" -> tpch.map(_.min).sum,
+      "tpcds_sec" -> tpcds.map(_.min).sum,
+      "tpcds_corpus_sec" -> corpus.map(_.min).sum,
+      "zorder_sec" -> zorder.map(_.min).sum)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"iterations":$iters,"per_query":"min","load_avg":${r3(math.max(loadStart, loadEnd))},"contended":$contended,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: " + errors.reverse.mkString("; "))

@@ -21,6 +21,14 @@ object ZorderOptimize {
     df.repartitionByRange(key).sortWithinPartitions(key)
   }
 
+  /** As [[cluster]] with an explicit file count: more output files →
+    * each covers a smaller z-curve segment → finer min/max pruning.
+    */
+  def cluster(df: DataFrame, cols: Seq[Column], numPartitions: Int): DataFrame = {
+    val key = ZorderBytes.zorder(cols: _*)
+    df.repartitionByRange(numPartitions, key).sortWithinPartitions(key)
+  }
+
   /** Local variant: rebalance to `numPartitions`, sort inside each —
     * cheaper than the global range exchange when files just need
     * intra-file clustering (reference conf zorderGlobalSort=false).

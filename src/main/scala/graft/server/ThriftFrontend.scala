@@ -35,7 +35,8 @@ import graft.core._
   * polling, cancel via Spark job groups, fetch paging via
   * [[FetchIterator]] (NEXT/PRIOR/FIRST orientations).
   */
-final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
+final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
+    auth: Option[AuthenticationProvider] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -337,7 +338,12 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
     override def OpenSession(req: TOpenSessionReq): TOpenSessionResp = {
       val resp = new TOpenSessionResp()
       try {
-        val user = Option(req.getUsername).filter(_.nonEmpty).getOrElse("anonymous")
+        // With SASL, the identity the transport PROVED wins over the
+        // request body's username (reference KyuubiTBinaryFrontendService
+        // getUserName: SASL authorization id first).
+        val user = PlainSasl.authenticatedUser
+          .orElse(Option(req.getUsername).filter(_.nonEmpty))
+          .getOrElse("anonymous")
         val sess = engine.openSession(user)
         sessions.put(sess.id, sess)
         // Apply the client's session configuration (the Hive JDBC URL's
@@ -747,9 +753,18 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0) {
   private val serverSocket = new TServerSocket(requestedPort)
   val boundPort: Int = serverSocket.getServerSocket.getLocalPort
 
+  // auth=None keeps the historical noSasl wire; a provider switches the
+  // whole socket to SASL PLAIN (credentials checked BEFORE any
+  // TCLIService call reaches the processor).
+  private val transportFactory = auth match {
+    case Some(p) => PlainSasl.serverTransportFactory(p)
+    case None => new org.apache.thrift.transport.TTransportFactory()
+  }
+
   private val server = new TThreadPoolServer(
     new TThreadPoolServer.Args(serverSocket)
       .processor(new TCLIService.Processor(iface))
+      .transportFactory(transportFactory)
       .protocolFactory(new TBinaryProtocol.Factory())
       .minWorkerThreads(2)
       .maxWorkerThreads(32))

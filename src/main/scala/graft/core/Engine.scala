@@ -168,6 +168,18 @@ final class Engine(
     }
   }
 
+  /** Shut the engine down: close every session and drop every
+    * discovery registration (the reference engine's stop() path
+    * deregisters from its ZK namespace before exiting).
+    */
+  def close(): Unit = {
+    sessions.keySet().asScala.toSeq.foreach(closeSession)
+    sparkByKey.keySet().asScala.toSeq.foreach { key =>
+      try discovery.unregister(key) catch { case _: Throwable => }
+    }
+    sparkByKey.clear()
+  }
+
   /** Arm a periodic idle reaper on the shared scheduler. */
   def startIdleReaper(idleTimeoutMs: Long, periodMs: Long = 60000): Unit =
     Operation.timeoutScheduler.scheduleAtFixedRate(

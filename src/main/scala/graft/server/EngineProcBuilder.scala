@@ -15,11 +15,70 @@ import graft.core.FileDiscoveryClient
   * (clean stop) and falls back to destroy. Each engine is its own JVM
   * with its own SparkSession, so one tenant's OOM/crash cannot take
   * down another's — the isolation property single-process session
-  * cloning cannot give. On a cluster the java command below is
-  * replaced by spark-submit with the same main; the pooling, discovery
-  * handshake, and lifetime management are identical.
+  * cloning cannot give.
+  *
+  * Command construction follows the reference's SparkProcessBuilder
+  * (kyuubi-server/.../engine/spark/SparkProcessBuilder.scala:133-163):
+  * `spark-submit --class <mainClass> --conf k=v … [--proxy-user u]
+  * <mainResource> <args>`. That path is taken when SPARK_HOME is set
+  * AND the engine classes are packaged as a jar (a real deployment);
+  * in dev, where classes live in an unpacked directory spark-submit
+  * cannot take as its primary resource, the fallback is a bare java
+  * child with Spark's own module-opens — the pooling, discovery
+  * handshake, and lifetime management are identical either way.
   */
-final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000L) {
+final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000L,
+    sparkHome: Option[String] = sys.env.get("SPARK_HOME"),
+    master: String = sys.env.getOrElse("SPARK_MASTER", "local[2]"),
+    sparkConf: Map[String, String] = Map.empty,
+    proxyUser: Option[String] = None,
+    engineJar: Option[String] = None) {
+
+  private val mainClass = "graft.server.EngineMain"
+
+  /** The engine's primary resource: the jar holding [[EngineMain]], if
+    * it IS a jar (under sbt it is an unpacked classes directory, which
+    * spark-submit rejects as an app resource — that forces the bare-
+    * java fallback, honestly).
+    */
+  private def resolvedEngineJar: Option[String] = engineJar.orElse {
+    try {
+      val loc = Class.forName(mainClass).getProtectionDomain.getCodeSource.getLocation
+      val f = new java.io.File(loc.toURI)
+      if (f.isFile && f.getName.endsWith(".jar")) Some(f.getAbsolutePath) else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** spark-submit invocation, the reference SparkProcessBuilder shape. */
+  def sparkSubmitCommand(home: String, jar: String, space: String): Seq[String] = {
+    val conf = Map(
+      "spark.master" -> master,
+      "spark.app.name" -> s"graft-engine-$space",
+      "spark.ui.enabled" -> "false") ++ sparkConf
+    Seq(s"$home/bin/spark-submit", "--class", mainClass) ++
+      conf.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") } ++
+      proxyUser.toSeq.flatMap(u => Seq("--proxy-user", u)) ++
+      Seq(jar, discoveryDir.toString, space)
+  }
+
+  /** Bare-java fallback: Spark's module-opens spelled out, classpath
+    * inherited from this JVM.
+    */
+  def bareJavaCommand(space: String): Seq[String] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+    Seq(javaBin) ++ moduleOpts ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      mainClass, discoveryDir.toString, space)
+  }
+
+  /** The exact command line `launch(space)` will run. */
+  def command(space: String): Seq[String] = (sparkHome, resolvedEngineJar) match {
+    case (Some(home), Some(jar)) => sparkSubmitCommand(home, jar, space)
+    case _ => bareJavaCommand(space)
+  }
 
   final class EngineProcess private[EngineProcBuilder] (
       val space: String, val address: String, proc: Process) {
@@ -36,16 +95,8 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
 
   /** Spawn an engine JVM for `space` and wait until it registers. */
   def launch(space: String): EngineProcess = {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // spark-submit injects these module opens; a bare java child needs
-    // them spelled out (same list Spark's launcher uses)
-    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
-      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val before = discovery.getAll(space).toSet
-    val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
-      "-Xmx1g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.server.EngineMain", discoveryDir.toString, space)
+    val cmd = command(space)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     // drain the child's output (Spark logs would fill the pipe and
     // deadlock it); keep a tail for failure diagnostics

@@ -33,6 +33,42 @@ class EngineProcSpec extends AnyFunSuite {
     } finally sock.close()
   }
 
+  test("spark-submit command line has the reference SparkProcessBuilder shape") {
+    val dir = Files.createTempDirectory("graft-cmd")
+    val builder = new EngineProcBuilder(dir,
+      sparkHome = Some("/opt/spark"),
+      master = "yarn",
+      sparkConf = Map("spark.executor.memory" -> "4g"),
+      proxyUser = Some("alice"),
+      engineJar = Some("/deploy/graft-engine.jar"))
+    val cmd = builder.command("user/alice")
+    // spark-submit --class <main> --conf k=v ... --proxy-user u <jar> <args>
+    assert(cmd.head == "/opt/spark/bin/spark-submit")
+    assert(cmd.slice(1, 3) == Seq("--class", "graft.server.EngineMain"))
+    val confPairs = cmd.sliding(2).collect {
+      case Seq("--conf", kv) => kv
+    }.toSeq
+    assert(confPairs.contains("spark.master=yarn"))
+    assert(confPairs.contains("spark.executor.memory=4g"))
+    assert(confPairs.contains("spark.app.name=graft-engine-user/alice"))
+    val proxyIdx = cmd.indexOf("--proxy-user")
+    assert(proxyIdx > 0 && cmd(proxyIdx + 1) == "alice")
+    // resource comes AFTER every option, app args after the resource
+    assert(cmd.takeRight(3) == Seq("/deploy/graft-engine.jar", dir.toString, "user/alice"))
+    assert(proxyIdx > cmd.lastIndexOf("--conf"), "--proxy-user follows the conf block")
+  }
+
+  test("without a packaged engine jar the command falls back to bare java") {
+    val dir = Files.createTempDirectory("graft-cmd2")
+    // SPARK_HOME is set in this environment, but under sbt the engine
+    // classes are an unpacked directory — not a legal app resource
+    val builder = new EngineProcBuilder(dir)
+    val cmd = builder.command("user/bob")
+    assert(cmd.head.endsWith("/bin/java"))
+    assert(cmd.containsSlice(Seq("graft.server.EngineMain", dir.toString, "user/bob")))
+    assert(cmd.exists(_.startsWith("--add-opens")), "Spark module-opens must be spelled out")
+  }
+
   test("engine pool spawns an isolated engine JVM, discovers it, reuses it, stops it") {
     val dir = Files.createTempDirectory("graft-engine-pool")
     val builder = new EngineProcBuilder(dir)

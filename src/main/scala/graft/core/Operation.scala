@@ -286,6 +286,10 @@ class ExecuteStatement(
 
   override def close(): Unit = {
     super.close()
+    // Release the sketch frames THIS session's operators persisted —
+    // the ledger is keyed by owning SparkSession, so another tenant's
+    // in-flight sketches stay cached.
+    graft.operators.SketchRegistry.release(session.spark)
     // best-effort cleanup of the spill dir (ref ExecuteStatement.scala:63-69)
     spillPath.foreach { p =>
       try {

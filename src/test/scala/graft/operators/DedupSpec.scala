@@ -161,6 +161,37 @@ class DedupSpec extends AnyFunSuite {
     val leftover = spark.sparkContext.getPersistentRDDs.size
     assert(leftover == 0, s"$leftover RDDs still persisted after releaseAll")
   }
+
+  test("one session's release leaves another session's sketches cached") {
+    SketchRegistry.releaseAll()
+    // Two tenants = two session clones over one context, the gateway
+    // topology. Each runs a sketch-persisting operator.
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    // distinct data per tenant: identical plans would share ONE
+    // CacheManager entry (plan-matching dedup), which is not the
+    // cross-tenant case the scoping protects
+    def docsOn(s: org.apache.spark.sql.SparkSession, tag: String) = {
+      import s.implicits._
+      Seq((1L, s"alpha beta gamma delta epsilon $tag"),
+        (2L, s"alpha beta gamma delta zeta $tag")).toDF("doc_id", "text")
+    }
+    Dedup.minhashCandidates(docsOn(s1, "one"), "doc_id", "text").foreach(_ => ())
+    Dedup.minhashCandidates(docsOn(s2, "two"), "doc_id", "text").foreach(_ => ())
+    assert(SketchRegistry.size(s1) >= 1 && SketchRegistry.size(s2) >= 1)
+    val s2Persisted = spark.sparkContext.getPersistentRDDs.size
+    // tenant 1 closes its statement — only ITS frames are freed
+    SketchRegistry.release(s1)
+    assert(SketchRegistry.size(s1) == 0)
+    assert(SketchRegistry.size(s2) >= 1, "other tenant's ledger must survive")
+    assert(spark.sparkContext.getPersistentRDDs.size < s2Persisted,
+      "tenant 1's frames must actually unpersist")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "tenant 2's frames must stay cached")
+    SketchRegistry.release(s2)
+    assert(SketchRegistry.size == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

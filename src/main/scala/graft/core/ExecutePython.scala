@@ -32,8 +32,54 @@ import org.apache.spark.sql.DataFrame
   */
 class PythonWorker(session: EngineSession) {
 
+  /** Real-PySpark prelude: connect to the engine JVM's py4j gateway
+    * (pyspark's own read_int/UTF8Deserializer handshake + ClientServer
+    * with auth token) and wrap the JVM-side SESSION SparkSession in a
+    * pyspark SparkSession — python's `spark` sees the session's temp
+    * views and conf (the reference's kyuubi_util.get_spark_session).
+    * Failure to attach leaves `spark` undefined and the proxy surface
+    * intact — pyspark is probed, never required.
+    */
+  private val pysparkPrelude =
+    """try:
+      |    import os
+      |    from py4j.clientserver import ClientServer, JavaParameters, PythonParameters
+      |    from pyspark.serializers import read_int, UTF8Deserializer
+      |    from pyspark.conf import SparkConf
+      |    from pyspark.context import SparkContext
+      |    from pyspark.sql import SparkSession
+      |    with open(os.environ["GRAFT_GATEWAY_INFO"], "rb") as _info:
+      |        _port = read_int(_info)
+      |        _secret = UTF8Deserializer().loads(_info)
+      |    _gateway = ClientServer(
+      |        java_parameters=JavaParameters(
+      |            port=_port, auth_token=_secret, auto_convert=True),
+      |        python_parameters=PythonParameters(port=0, eager_load=False))
+      |    from py4j.java_gateway import java_import
+      |    for _pkg in ["org.apache.spark.SparkConf",
+      |                 "org.apache.spark.api.java.*",
+      |                 "org.apache.spark.api.python.*",
+      |                 "org.apache.spark.resource.*",
+      |                 "org.apache.spark.sql.*",
+      |                 "org.apache.spark.sql.api.python.*"]:
+      |        java_import(_gateway.jvm, _pkg)
+      |    _jjsc = _gateway.jvm.JavaSparkContext(
+      |        _gateway.jvm.org.apache.spark.SparkContext.getOrCreate())
+      |    _conf = SparkConf()
+      |    _conf.setMaster("graft-attached").setAppName("graft-python")
+      |    _sc = SparkContext(conf=_conf, gateway=_gateway, jsc=_jjsc)
+      |    _jsession = _gateway.jvm.graft.core.PySparkSessions.get(
+      |        os.environ["GRAFT_SESSION_UUID"])
+      |    spark = SparkSession(sparkContext=_sc, jsparkSession=_jsession)
+      |except Exception as _e:
+      |    import sys as _sys
+      |    print("pyspark attach failed: %s" % _e, file=_sys.stderr)
+      |""".stripMargin
+
   private val script: Path = {
+    val pyspark = PythonWorker.pysparkUsable
     val code =
+      (if (pyspark) pysparkPrelude else "") +
       """import sys, json, io, contextlib, traceback
         |
         |def _send(obj):
@@ -95,6 +141,8 @@ class PythonWorker(session: EngineSession) {
         |    return DataFrame({"op": "table", "name": name})
         |
         |ctx = {"sql": sql, "table": table, "DataFrame": DataFrame}
+        |if "spark" in dir():
+        |    ctx["spark"] = spark
         |for line in sys.stdin:
         |    req = json.loads(line)
         |    buf = io.StringIO()
@@ -116,8 +164,20 @@ class PythonWorker(session: EngineSession) {
     p
   }
 
-  private lazy val process: Process =
-    new ProcessBuilder("python3", script.toString).redirectErrorStream(false).start()
+  private lazy val process: Process = {
+    val pb = new ProcessBuilder("python3", script.toString).redirectErrorStream(false)
+    if (PythonWorker.pysparkUsable) {
+      // JVM-first attachment: start (once) the in-process py4j gateway,
+      // expose this session's SparkSession by uuid, point the worker at
+      // the connection-info file.
+      val info = org.apache.spark.api.python.GraftPythonGateway.ensureStarted()
+      PySparkSessions.put(session.id, session.spark)
+      pb.environment().put("GRAFT_GATEWAY_INFO", info)
+      pb.environment().put("GRAFT_SESSION_UUID", session.id)
+      pb.environment().put("PYSPARK_PIN_THREAD", "true")
+    }
+    pb.start()
+  }
   private lazy val toWorker = new PrintWriter(process.getOutputStream, true)
   private lazy val fromWorker =
     new BufferedReader(new InputStreamReader(process.getInputStream, StandardCharsets.UTF_8))
@@ -167,6 +227,7 @@ class PythonWorker(session: EngineSession) {
   }
 
   def close(): Unit = {
+    PySparkSessions.remove(session.id)
     try process.destroy() catch { case _: Throwable => }
     try Files.deleteIfExists(script) catch { case _: Throwable => }
   }
@@ -197,6 +258,14 @@ class PythonWorker(session: EngineSession) {
 object PythonWorker {
   def available(): Boolean =
     try new ProcessBuilder("python3", "--version").start().waitFor() == 0
+    catch { case _: Throwable => false }
+
+  /** Probe once per JVM: real-pyspark mode needs pyspark AND py4j
+    * importable by the worker interpreter.
+    */
+  lazy val pysparkUsable: Boolean =
+    try new ProcessBuilder("python3", "-c", "import pyspark, py4j")
+      .start().waitFor() == 0
     catch { case _: Throwable => false }
 }
 

@@ -68,4 +68,29 @@ class ExecLangSpec extends AnyFunSuite {
       assert(worker.run("print(df.count())").trim == "10")
     } finally worker.close()
   }
+
+  test("ExecutePython: a REAL pyspark session attaches over the py4j gateway") {
+    assume(PythonWorker.available(), "python3 not on PATH")
+    assume(PythonWorker.pysparkUsable, "pyspark/py4j not importable by python3")
+    val sess = engine.openSession("py-real-user")
+    sess.spark.sql("SELECT 123 AS marker").createOrReplaceTempView("py_real_view")
+    val worker = new PythonWorker(sess)
+    try {
+      // the prelude must have attached a real pyspark SparkSession
+      assert(worker.run("print(type(spark).__name__)").trim == "SparkSession")
+      // full pyspark DataFrame API against the ENGINE's JVM context
+      val out = worker.run(
+        """from pyspark.sql import functions as F
+          |print(spark.range(10).agg(F.sum('id').alias('t')).collect()[0]['t'])""".stripMargin)
+      assert(out.trim == "45", out)
+      // python sees THIS session's temp views (session-scoped wrap)
+      val out2 = worker.run("print(spark.table('py_real_view').collect()[0]['marker'])")
+      assert(out2.trim == "123", out2)
+      // pyspark errors surface and the worker survives them
+      intercept[RuntimeException] {
+        worker.run("spark.table('definitely_missing_xyz').collect()")
+      }
+      assert(worker.run("print(spark.range(3).count())").trim == "3")
+    } finally worker.close()
+  }
 }

@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JDBC-style metadata operations over the Spark catalog, covering the
@@ -114,30 +116,95 @@ object MetadataOps {
         "IS_NULLABLE", "ORDINAL_POSITION")
   }
 
-  /** The reference serves these as empty result sets with the JDBC
-    * layout (Spark tables expose no PK/FK metadata) — server op list,
-    * kyuubi-server/.../operation/{GetPrimaryKeys,GetCrossReference}.
+  /** Constraint metadata where Spark exposes it: DSv2 tables carry
+    * informational constraints through `Table.constraints()` (Spark 4's
+    * constraint API), which is walked here. V1 session-catalog tables
+    * (parquet/hive) have NO constraint metadata in Spark's catalog —
+    * for those the result is empty with the JDBC layout, exactly the
+    * reference's behavior (kyuubi-server/.../operation/
+    * {GetPrimaryKeys,GetCrossReference} forward to the engine, which
+    * serves what the catalog knows).
     */
-  def getPrimaryKeys(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("TABLE_CAT", StringType), StructField("TABLE_SCHEM", StringType),
-        StructField("TABLE_NAME", StringType), StructField("COLUMN_NAME", StringType),
-        StructField("KEY_SEQ", IntegerType), StructField("PK_NAME", StringType))))
+  private def v2Constraints(spark: SparkSession, catalog: String, schema: String,
+      table: String): Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    // CatalogManager resolves catalog confs through SQLConf.get — the
+    // THREAD-ACTIVE session — so the gateway session must be active
+    // here or its spark.sql.catalog.* settings are invisible (restored
+    // after, per the shared-context discipline).
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try {
+      spark.sessionState.catalogManager.catalog(catalog) match {
+        case tc: TableCatalog =>
+          tc.loadTable(Identifier.of(Array(schema), table)).constraints().toSeq
+        case _ => Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty } // unknown catalog/table → empty
+    finally {
+      prev match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None => SparkSession.clearActiveSession()
+      }
+    }
   }
 
-  def getCrossReference(spark: SparkSession): DataFrame = {
+  def getPrimaryKeys(spark: SparkSession, catalog: String = "",
+      schema: String = "", table: String = ""): DataFrame = {
+    import org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
+    val rows = v2Constraints(spark, catalog, schema, table).collect {
+      case pk: PrimaryKey =>
+        pk.columns().zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(catalog, schema, table, c.fieldNames.mkString("."),
+            i + 1, pk.name())
+        }.toSeq
+    }.flatten
+    spark.createDataFrame(rows.asJava, pkSchema)
+  }
+
+  private val pkSchema = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("PKTABLE_CAT", StringType), StructField("PKTABLE_SCHEM", StringType),
-        StructField("PKTABLE_NAME", StringType), StructField("PKCOLUMN_NAME", StringType),
-        StructField("FKTABLE_CAT", StringType), StructField("FKTABLE_SCHEM", StringType),
-        StructField("FKTABLE_NAME", StringType), StructField("FKCOLUMN_NAME", StringType),
-        StructField("KEY_SEQ", IntegerType), StructField("UPDATE_RULE", IntegerType),
-        StructField("DELETE_RULE", IntegerType), StructField("FK_NAME", StringType),
-        StructField("PK_NAME", StringType))))
+    StructType(Seq(
+      StructField("TABLE_CAT", StringType), StructField("TABLE_SCHEM", StringType),
+      StructField("TABLE_NAME", StringType), StructField("COLUMN_NAME", StringType),
+      StructField("KEY_SEQ", IntegerType), StructField("PK_NAME", StringType)))
+  }
+
+  /** Foreign keys of `fTable` that reference `pTable` (JDBC
+    * getCrossReference contract); empty parent names match any.
+    */
+  def getCrossReference(spark: SparkSession,
+      pCatalog: String = "", pSchema: String = "", pTable: String = "",
+      fCatalog: String = "", fSchema: String = "", fTable: String = ""): DataFrame = {
+    import org.apache.spark.sql.connector.catalog.constraints.ForeignKey
+    val rows = v2Constraints(spark, fCatalog, fSchema, fTable).collect {
+      case fk: ForeignKey
+          if pTable.isEmpty || fk.referencedTable().name().equalsIgnoreCase(pTable) =>
+        fk.columns().zip(fk.referencedColumns()).zipWithIndex.map {
+          case ((from, to), i) =>
+            org.apache.spark.sql.Row(
+              pCatalog, fk.referencedTable().namespace().mkString("."),
+              fk.referencedTable().name(), to.fieldNames.mkString("."),
+              fCatalog, fSchema, fTable, from.fieldNames.mkString("."),
+              i + 1,
+              // importedKeyNoAction: informational constraints declare
+              // no referential action
+              3, 3, fk.name(), null)
+        }.toSeq
+    }.flatten
+    spark.createDataFrame(rows.asJava, crossRefSchema)
+  }
+
+  private val crossRefSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("PKTABLE_CAT", StringType), StructField("PKTABLE_SCHEM", StringType),
+      StructField("PKTABLE_NAME", StringType), StructField("PKCOLUMN_NAME", StringType),
+      StructField("FKTABLE_CAT", StringType), StructField("FKTABLE_SCHEM", StringType),
+      StructField("FKTABLE_NAME", StringType), StructField("FKCOLUMN_NAME", StringType),
+      StructField("KEY_SEQ", IntegerType), StructField("UPDATE_RULE", IntegerType),
+      StructField("DELETE_RULE", IntegerType), StructField("FK_NAME", StringType),
+      StructField("PK_NAME", StringType)))
   }
 
   def getFunctions(spark: SparkSession, pattern: String = "*"): DataFrame = {

@@ -21,22 +21,122 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * for the Ranger REST sync); the acting user comes from the session
   * conf `spark.graft.authz.user` (set by Engine.openSession).
   */
+/** Ranger's public data-masking type vocabulary
+  * (kyuubi-spark-authz/.../rule/datamasking/: MASK, MASK_SHOW_LAST_4,
+  * MASK_SHOW_FIRST_4, MASK_HASH, MASK_NULL, MASK_DATE_SHOW_YEAR,
+  * CUSTOM), each rendered to a SQL expression over the column. The
+  * redact transform is Hive's mask() convention: upper→X, lower→x,
+  * digit→n, other characters kept.
+  */
+sealed trait MaskType {
+  def toSql(col: String, dataType: org.apache.spark.sql.types.DataType): String
+}
+
+object MaskType {
+  import org.apache.spark.sql.types.StringType
+
+  private def redact(inner: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($inner, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n')"
+
+  /** Full redaction; non-string columns have no character structure to
+    * redact and nullify instead (Ranger's non-string MASK default).
+    */
+  case object Full extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String =
+      if (dt == StringType) redact(col) else "NULL"
+  }
+
+  /** Redact all but the last 4 characters. */
+  case object ShowLast4 extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String =
+      s"concat(${redact(s"left($col, greatest(length($col) - 4, 0))")}, right($col, 4))"
+  }
+
+  /** Redact all but the first 4 characters. */
+  case object ShowFirst4 extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String =
+      s"concat(left($col, 4), ${redact(s"substring($col, 5)")})"
+  }
+
+  /** One-way hash; equality joins on the masked column still work.
+    * String columns only (a hex digest cannot keep a non-string
+    * column's type) — others nullify, keeping the schema stable.
+    */
+  case object Hash extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String =
+      if (dt == StringType) s"sha2(cast($col AS string), 256)" else "NULL"
+  }
+
+  /** Replace with NULL of the column's type. */
+  case object Nullify extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String = "NULL"
+  }
+
+  /** Keep the year, zero the month/day (Ranger MASK_DATE_SHOW_YEAR). */
+  case object DateShowYear extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String =
+      s"trunc($col, 'YEAR')"
+  }
+
+  /** Arbitrary SQL over the row (Ranger CUSTOM). */
+  final case class Custom(sql: String) extends MaskType {
+    def toSql(col: String, dt: org.apache.spark.sql.types.DataType): String = sql
+  }
+}
+
 object AuthzPolicies {
 
   /** @param rowFilters table name → SQL predicate kept rows must satisfy
-    * @param masks (table, column) → SQL expression replacing the column
+    * @param masks (table, column) → masking type applied to the column
     */
   final case class Policy(
       rowFilters: Map[String, String] = Map.empty,
-      masks: Map[(String, String), String] = Map.empty)
+      masks: Map[(String, String), MaskType] = Map.empty)
+
+  /** Table access policy, Ranger's resource-policy item model: allow
+    * users, deny users, deny-exceptions (excludes from the deny list),
+    * and an override priority. Evaluation in [[decideAccess]]:
+    * policies for the table are consulted in priority order (highest
+    * first); within a policy DENY overrides ALLOW, and a user in
+    * `denyExceptions` escapes that policy's deny list. `"*"` matches
+    * any user. Once ANY access policy exists for a table, the default
+    * flips to deny — Ranger's no-matching-allow-item semantics.
+    */
+  final case class AccessPolicy(
+      table: String,
+      allowed: Set[String] = Set.empty,
+      denied: Set[String] = Set.empty,
+      denyExceptions: Set[String] = Set.empty,
+      priority: Int = 0)
 
   @volatile private var byUser: Map[String, Policy] = Map.empty
+  @volatile private var accessPolicies: List[AccessPolicy] = Nil
 
   def setPolicy(user: String, policy: Policy): Unit = synchronized {
     byUser = byUser + (user -> policy)
   }
-  def clear(): Unit = synchronized { byUser = Map.empty }
+  def addAccessPolicy(p: AccessPolicy): Unit = synchronized {
+    accessPolicies = p :: accessPolicies
+  }
+  def clear(): Unit = synchronized { byUser = Map.empty; accessPolicies = Nil }
   def policyFor(user: String): Option[Policy] = byUser.get(user)
+
+  /** True when `user` may read `table` under the registered access
+    * policies; tables with no policy stay open (the programmatic store
+    * is opt-in; a Ranger deployment would sync a full policy set).
+    */
+  def decideAccess(user: String, table: String): Boolean = {
+    val ps = accessPolicies.filter(_.table == table)
+    if (ps.isEmpty) return true
+    def in(s: Set[String]): Boolean = s.contains(user) || s.contains("*")
+    // highest priority first (Ranger override policies), deny first
+    // within each policy (deny-overrides-allow)
+    ps.sortBy(-_.priority).foreach { p =>
+      if (in(p.denied) && !p.denyExceptions.contains(user)) return false
+      if (in(p.allowed)) return true
+    }
+    false // policies exist, none allowed this user
+  }
 }
 
 class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
@@ -46,6 +146,19 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val user = session.conf.getOption("spark.graft.authz.user")
+    // Object-level check first (reference RuleAuthorization): a denied
+    // relation fails the query before any rewrite happens.
+    user.foreach { u =>
+      plan.foreach {
+        case rel: LogicalRelation =>
+          tableName(rel).foreach { t =>
+            if (!AuthzPolicies.decideAccess(u, t))
+              throw new SecurityException(
+                s"Permission denied: user [$u] does not have [select] privilege on [$t]")
+          }
+        case _ => ()
+      }
+    }
     val policy = user.flatMap(AuthzPolicies.policyFor)
     if (policy.isEmpty) return plan
     val p = policy.get
@@ -68,7 +181,8 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         val masked: LogicalPlan = {
           val maskedCols: Seq[NamedExpression] = rel.output.map { a =>
             p.masks.get((table, a.name)) match {
-              case Some(maskSql) =>
+              case Some(maskType) =>
+                val maskSql = maskType.toSql(s"`${a.name}`", a.dataType)
                 // cast pins the masked value to the column's type so the
                 // relation's schema is stable under any policy expression
                 val alias = Alias(org.apache.spark.sql.catalyst.expressions.Cast(

@@ -708,7 +708,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     override def GetPrimaryKeys(req: TGetPrimaryKeysReq): TGetPrimaryKeysResp = {
       val resp = new TGetPrimaryKeysResp()
       try {
-        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getPrimaryKeys))
+        def s(v: String) = Option(v).getOrElse("")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getPrimaryKeys(_, s(req.getCatalogName), s(req.getSchemaName),
+            s(req.getTableName))))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp
@@ -717,7 +720,11 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     override def GetCrossReference(req: TGetCrossReferenceReq): TGetCrossReferenceResp = {
       val resp = new TGetCrossReferenceResp()
       try {
-        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(MetadataOps.getCrossReference))
+        def s(v: String) = Option(v).getOrElse("")
+        resp.setOperationHandle(startDfOp(sessionOf(req.getSessionHandle))(
+          MetadataOps.getCrossReference(_,
+            s(req.getParentCatalogName), s(req.getParentSchemaName), s(req.getParentTableName),
+            s(req.getForeignCatalogName), s(req.getForeignSchemaName), s(req.getForeignTableName))))
         resp.setStatus(ok)
       } catch { case e: Throwable => resp.setStatus(err(e)) }
       resp

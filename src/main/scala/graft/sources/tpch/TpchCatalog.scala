@@ -61,7 +61,7 @@ class TpchCatalog extends TableCatalog with SupportsNamespaces {
     val sf = if (ident.namespace().length == 1) TpchCatalog.scaleOf(ident.namespace()(0)) else None
     sf match {
       case Some(scale) if TpchGen.schemas.contains(ident.name().toLowerCase) =>
-        new TpchTable(ident.name().toLowerCase, scale)
+        new TpchTable(ident.name().toLowerCase, scale, ident.namespace())
       case _ => throw new NoSuchTableException(ident)
     }
   }
@@ -92,13 +92,58 @@ object TpchCatalog {
   }
 }
 
-class TpchTable(table: String, sf: Double) extends Table with SupportsRead {
+class TpchTable(table: String, sf: Double, namespace: Array[String] = Array.empty)
+    extends Table with SupportsRead {
   override def name(): String = s"tpch.$table(sf=$sf)"
   override def schema(): StructType = TpchGen.schemas(table)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TpchScanBuilder(table, sf)
+
+  /** The TPC-H spec's informational key constraints (spec §1.4.2),
+    * surfaced through Spark 4's DSv2 constraint API so JDBC
+    * GetPrimaryKeys/GetCrossReference return real metadata.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    TpchTable.constraintsFor(table, namespace)
+}
+
+object TpchTable {
+  import org.apache.spark.sql.connector.catalog.constraints.Constraint
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  private def cols(names: String*): Array[NamedReference] =
+    names.map(Expressions.column).toArray
+
+  /** (pk columns, fks: (fk cols, referenced table, referenced cols)). */
+  private val keys: Map[String, (Seq[String], Seq[(Seq[String], String, Seq[String])])] = Map(
+    "region" -> (Seq("r_regionkey") -> Seq.empty),
+    "nation" -> (Seq("n_nationkey") ->
+      Seq((Seq("n_regionkey"), "region", Seq("r_regionkey")))),
+    "part" -> (Seq("p_partkey") -> Seq.empty),
+    "supplier" -> (Seq("s_suppkey") ->
+      Seq((Seq("s_nationkey"), "nation", Seq("n_nationkey")))),
+    "partsupp" -> (Seq("ps_partkey", "ps_suppkey") -> Seq(
+      (Seq("ps_partkey"), "part", Seq("p_partkey")),
+      (Seq("ps_suppkey"), "supplier", Seq("s_suppkey")))),
+    "customer" -> (Seq("c_custkey") ->
+      Seq((Seq("c_nationkey"), "nation", Seq("n_nationkey")))),
+    "orders" -> (Seq("o_orderkey") ->
+      Seq((Seq("o_custkey"), "customer", Seq("c_custkey")))),
+    "lineitem" -> (Seq("l_orderkey", "l_linenumber") -> Seq(
+      (Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      (Seq("l_partkey", "l_suppkey"), "partsupp", Seq("ps_partkey", "ps_suppkey")))))
+
+  def constraintsFor(table: String, namespace: Array[String]): Array[Constraint] =
+    keys.get(table).map { case (pk, fks) =>
+      val pkC: Constraint = Constraint.primaryKey(s"${table}_pk", cols(pk: _*)).build()
+      val fkCs: Seq[Constraint] = fks.map { case (from, refTable, to) =>
+        Constraint.foreignKey(s"${table}_${refTable}_fk", cols(from: _*),
+          Identifier.of(namespace, refTable), cols(to: _*)).build()
+      }
+      (pkC +: fkCs).toArray
+    }.getOrElse(Array.empty)
 }
 
 /** Column pruning is pushed into generation: un-projected columns are

@@ -24,7 +24,8 @@ class AuthzSpec extends AnyFunSuite {
     withTable {
       AuthzPolicies.setPolicy("restricted", AuthzPolicies.Policy(
         rowFilters = Map("graft_authz_t" -> "region = 'eu'"),
-        masks = Map(("graft_authz_t", "name") -> "concat(substring(name, 1, 1), '***')")))
+        masks = Map(("graft_authz_t", "name") ->
+          MaskType.Custom("concat(substring(name, 1, 1), '***')"))))
 
       val engine = new Engine(spark)
       val restricted = engine.openSession("restricted")
@@ -43,7 +44,7 @@ class AuthzSpec extends AnyFunSuite {
   test("masked columns stay joinable/aggregable (exprIds preserved)") {
     withTable {
       AuthzPolicies.setPolicy("masked2", AuthzPolicies.Policy(
-        masks = Map(("graft_authz_t", "name") -> "'x'")))
+        masks = Map(("graft_authz_t", "name") -> MaskType.Custom("'x'"))))
       val sess = new Engine(spark).openSession("masked2")
       val agg = sess.spark.sql(
         """SELECT name, count(*) AS n FROM graft_authz_t GROUP BY name""").collect()
@@ -55,10 +56,75 @@ class AuthzSpec extends AnyFunSuite {
     withTable {
       AuthzPolicies.setPolicy("both", AuthzPolicies.Policy(
         rowFilters = Map("graft_authz_t" -> "name = 'bob'"),
-        masks = Map(("graft_authz_t", "name") -> "'hidden'")))
+        masks = Map(("graft_authz_t", "name") -> MaskType.Custom("'hidden'"))))
       val sess = new Engine(spark).openSession("both")
       val rows = sess.spark.sql("SELECT id, name FROM graft_authz_t").collect()
       assert(rows.length == 1 && rows.head.getInt(0) == 2 && rows.head.getString(1) == "hidden")
     }
   }
+
+  test("every Ranger masking type renders its documented shape") {
+    spark.sql("DROP TABLE IF EXISTS graft_mask_t")
+    spark.sql("CREATE TABLE graft_mask_t (card STRING, note STRING, d DATE) USING parquet")
+    spark.sql("INSERT INTO graft_mask_t VALUES ('Ab12-9876', 'Secret99', DATE '2021-07-15')")
+    try {
+      def maskedRow(user: String, masks: Map[(String, String), MaskType]) = {
+        AuthzPolicies.clear()
+        AuthzPolicies.setPolicy(user, AuthzPolicies.Policy(masks = masks))
+        new Engine(spark).openSession(user)
+          .spark.sql("SELECT card, note, d FROM graft_mask_t").head()
+      }
+      val full = maskedRow("u1", Map(("graft_mask_t", "card") -> MaskType.Full))
+      assert(full.getString(0) == "Xxnn-nnnn") // upper→X lower→x digit→n, punct kept
+      val last4 = maskedRow("u2", Map(("graft_mask_t", "card") -> MaskType.ShowLast4))
+      assert(last4.getString(0) == "Xxnn-9876") // punct kept, last 4 clear
+      val first4 = maskedRow("u3", Map(("graft_mask_t", "card") -> MaskType.ShowFirst4))
+      assert(first4.getString(0) == "Ab12-nnnn")
+      val hashed = maskedRow("u4", Map(("graft_mask_t", "note") -> MaskType.Hash))
+      assert(hashed.getString(1).matches("[0-9a-f]{64}"), "sha-256 hex digest")
+      assert(hashed.getString(0) == "Ab12-9876", "unmasked columns untouched")
+      val nulled = maskedRow("u5", Map(("graft_mask_t", "note") -> MaskType.Nullify))
+      assert(nulled.isNullAt(1))
+      val year = maskedRow("u6", Map(("graft_mask_t", "d") -> MaskType.DateShowYear))
+      assert(year.getDate(2).toString == "2021-01-01")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mask_t")
+      AuthzPolicies.clear()
+    }
+  }
+
+  test("deny overrides allow; deny-exceptions escape; priority decides first") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      // one policy: alice+bob allowed, bob ALSO denied (deny wins),
+      // carol denied but excepted (escape hatch)
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("alice", "bob", "carol"),
+        denied = Set("bob", "carol"),
+        denyExceptions = Set("carol")))
+      val engine = new Engine(spark)
+      def visible(user: String): Boolean =
+        try { engine.openSession(user).spark.sql("SELECT count(*) FROM graft_authz_t").collect(); true }
+        catch { case e: Throwable =>
+          assert(exists(e, _.isInstanceOf[SecurityException]), s"wrong failure: $e")
+          false
+        }
+      assert(visible("alice"), "allowed user reads")
+      assert(!visible("bob"), "deny must override allow")
+      assert(visible("carol"), "deny-exception escapes the deny list")
+      assert(!visible("mallory"), "no matching allow item → denied once policies exist")
+
+      // a higher-priority override policy flips bob's decision
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("bob"), priority = 10))
+      assert(visible("bob"), "higher-priority allow is consulted first")
+      // ... and a top-priority wildcard deny beats everything
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        denied = Set("*"), priority = 99))
+      assert(!visible("alice") && !visible("bob"), "wildcard deny at top priority")
+    }
+  }
+
+  private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
+    if (e == null) false else p(e) || exists(e.getCause, p)
 }

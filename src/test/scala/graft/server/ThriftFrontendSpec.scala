@@ -428,4 +428,31 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
     } finally sock.close()
   }
+
+  test("GetPrimaryKeys/GetCrossReference serve DSv2 constraint metadata over the wire") {
+    // the tpch catalog's tables declare the spec's informational keys
+    val conn = DriverManager.getConnection(url +
+      s"?spark.sql.catalog.tpch=${classOf[graft.sources.tpch.TpchCatalog].getName}")
+    try {
+      val md = conn.getMetaData
+      val pks = md.getPrimaryKeys("tpch", "tiny", "lineitem")
+      val pkCols = Iterator.continually(pks)
+        .takeWhile(_.next()).map(r => (r.getString("COLUMN_NAME"), r.getInt("KEY_SEQ"))).toSeq
+      assert(pkCols == Seq(("l_orderkey", 1), ("l_linenumber", 2)),
+        s"composite PK in declaration order: $pkCols")
+
+      val fks = md.getCrossReference("tpch", "tiny", "orders", "tpch", "tiny", "lineitem")
+      assert(fks.next())
+      assert(fks.getString("PKTABLE_NAME") == "orders")
+      assert(fks.getString("PKCOLUMN_NAME") == "o_orderkey")
+      assert(fks.getString("FKTABLE_NAME") == "lineitem")
+      assert(fks.getString("FKCOLUMN_NAME") == "l_orderkey")
+      assert(fks.getString("FK_NAME") == "lineitem_orders_fk")
+      assert(!fks.next(), "only the orders FK matches the parent filter")
+
+      // V1 session-catalog tables expose no constraint metadata → empty
+      val none = md.getPrimaryKeys(null, "default", "graft_conf_db_missing")
+      assert(!none.next())
+    } finally conn.close()
+  }
 }

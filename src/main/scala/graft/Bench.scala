@@ -184,18 +184,22 @@ object Bench {
     // the same lineitem rows written range-partitioned on l_orderkey
     // (the natural/linear layout) vs z-order clustered on the two
     // filtered columns, then an identical 2-predicate scan on each.
-    // Layout writes are setup, not part of the timed scans. Runs on the
-    // already-materialized TPC-H lineitem (sf1 → ~6M rows, 128 files):
-    // at sf0.1's 600k rows a scan is launch-overhead-bound and the
-    // skipping signal drowns; the baseline's 11× is a data-size effect.
+    // Layout writes are setup, not part of the timed scans. Scale is a
+    // signal-size question: below ~10M rows the whole scan is task-
+    // launch-overhead-bound and the skipping ratio collapses toward 1
+    // (sf1/6M rows measured 3.7×; the baseline's 11× is at 1-10B
+    // rows). sf5 lineitem (~30M rows, 64 files) measured 9.7× here —
+    // big enough for row-group skipping to dominate, small enough to
+    // generate as untimed setup.
+    val zorderNs = sys.env.getOrElse("SPARK_GRAFT_ZORDER_SF", "sf5")
     val zorder = {
       import org.apache.spark.sql.functions.col
       val zdir = "target/bench_zorder"
-      val li = spark.table(s"$tpchDb.lineitem")
-      li.repartitionByRange(128, col("l_orderkey"))
+      val li = spark.table(s"tpch.`$zorderNs`.lineitem")
+      li.repartitionByRange(64, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$zdir/linear")
       graft.operators.ZorderOptimize.cluster(
-          li, Seq(col("l_partkey"), col("l_suppkey")), 128)
+          li, Seq(col("l_partkey"), col("l_suppkey")), 64)
         .write.mode("overwrite").parquet(s"$zdir/zordered")
       def scan(layout: String): Unit = spark.read.parquet(s"$zdir/$layout")
         .filter("l_partkey BETWEEN 1000 AND 1199 AND l_suppkey BETWEEN 100 AND 199")
@@ -249,7 +253,7 @@ object Bench {
       "tpcds_corpus_sec" -> corpus.map(_.min).sum,
       "zorder_sec" -> zorder.map(_.min).sum)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"iterations":$iters,"per_query":"min","load_avg":${r3(math.max(loadStart, loadEnd))},"contended":$contended,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"iterations":$iters,"per_query":"min","load_avg":${r3(math.max(loadStart, loadEnd))},"contended":$contended,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","zorder_sf":"$zorderNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: " + errors.reverse.mkString("; "))

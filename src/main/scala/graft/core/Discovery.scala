@@ -115,7 +115,7 @@ final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryC
     }.find(_.nonEmpty)
 
   /** Every live registration in the space, registration order. */
-  def getAll(space: String): Seq[String] =
+  override def getAll(space: String): Seq[String] =
     liveNodes(space).flatMap { p =>
       try Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
       catch { case _: Throwable => None }

@@ -31,6 +31,8 @@ final class EngineSession(
     val user: String,
     val spark: SparkSession) {
 
+  val createdMs: Long = System.currentTimeMillis()
+
   private val ops = new ConcurrentHashMap[String, Operation]()
 
   /** Last activity (open/statement) — drives the engine's idle reaper
@@ -71,6 +73,10 @@ trait DiscoveryClient {
   def register(space: String, address: String): Unit
   def get(space: String): Option[String]
   def unregister(space: String): Unit
+  /** Every live registration in the space (admin listing); backends
+    * with sequence nodes override with the full registration order.
+    */
+  def getAll(space: String): Seq[String] = get(space).toSeq
 }
 
 final class InMemoryDiscoveryClient extends DiscoveryClient {
@@ -131,6 +137,12 @@ final class Engine(
   }
 
   def session(id: String): Option[EngineSession] = Option(sessions.get(id))
+
+  /** All live gateway sessions (admin surface — reference
+    * SessionsResource GET /sessions walks the SessionManager the same
+    * way).
+    */
+  def openSessions: Seq[EngineSession] = sessions.values.asScala.toSeq
 
   def closeSession(id: String): Unit =
     Option(sessions.remove(id)).foreach { s =>

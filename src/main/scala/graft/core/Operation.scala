@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 abstract class Operation(val session: EngineSession) {
   val handle: String = UUID.randomUUID().toString
+  val createdMs: Long = System.currentTimeMillis()
 
   @volatile private var state: OperationState = OperationState.Initialized
   @volatile protected var operationException: Option[Throwable] = None
@@ -220,7 +221,7 @@ object ResultMode {
   */
 class ExecuteStatement(
     session: EngineSession,
-    statement: String,
+    val statement: String,
     mode: ResultMode = ResultMode.Full)
   extends Operation(session) {
 

@@ -62,7 +62,7 @@ final class ZookeeperDiscoveryClient(
   override def get(space: String): Option[String] = getAll(space).headOption
 
   /** Every live registration in the space, registration (sequence) order. */
-  def getAll(space: String): Seq[String] = {
+  override def getAll(space: String): Seq[String] = {
     val base = spacePath(space)
     try {
       client.getChildren.forPath(base).asScala.toSeq.sorted.flatMap { child =>

@@ -85,6 +85,22 @@ final class BatchMetadataStore(dir: String) extends AutoCloseable {
     } finally ps.close()
   }
 
+  /** All persisted batches, newest first (admin listing —
+    * reference BatchesResource GET /batches pagination source).
+    */
+  def list(limit: Int = 100): Seq[BatchRecord] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT * FROM batches ORDER BY created_at DESC FETCH FIRST ? ROWS ONLY")
+    try {
+      ps.setInt(1, limit)
+      val rs = ps.executeQuery()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[BatchRecord]
+      while (rs.next()) buf += record(rs)
+      rs.close()
+      buf.toSeq
+    } finally ps.close()
+  }
+
   /** Batches to recover at startup: anything not in a terminal state. */
   def unfinished(): Seq[BatchRecord] = synchronized {
     val st = conn.createStatement()

@@ -8,7 +8,7 @@ import scala.concurrent.ExecutionContext
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, OperationState, ResultMode}
+import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, Operation, OperationState, ResultMode}
 
 /** Minimal HTTP/JSON frontend over the engine — the gateway's network
   * entry point (the reference exposes REST alongside Thrift:
@@ -232,6 +232,91 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       case ("GET", "metrics" :: Nil) =>
         reply(ex, 200, metrics.asJson)
 
+      // ---- admin surface (reference kyuubi-server api/v1
+      // {Sessions,Operations,Admin,Batches}Resource listing/cancel
+      // endpoints; the web UI's data source) ----
+
+      case ("GET", "sessions" :: Nil) =>
+        val items = engine.openSessions.sortBy(_.createdMs).map(sessionJson)
+        reply(ex, 200, s"""{"sessions": [${items.mkString(",")}]}""")
+
+      case ("GET", "sessions" :: sid :: Nil) =>
+        withSession(ex, sid)(s => reply(ex, 200, sessionJson(s)))
+
+      case ("GET", "sessions" :: sid :: "operations" :: Nil) =>
+        withSession(ex, sid) { s =>
+          val items = s.openOperations.sortBy(_.createdMs).map(opJson)
+          reply(ex, 200, s"""{"operations": [${items.mkString(",")}]}""")
+        }
+
+      case ("GET", "operations" :: opId :: Nil) =>
+        findOp(opId) match {
+          case Some(op) => reply(ex, 200, opJson(op))
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+
+      // Reference OperationsResource PUT /operations/{id} with an
+      // action document: cancel interrupts the running job group,
+      // close also frees the result.
+      case ("PUT", "operations" :: opId :: Nil) =>
+        val action = field(body(ex), "action").getOrElse("")
+        findOp(opId) match {
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+          case Some(op) => action match {
+            case "cancel" =>
+              op.cancel()
+              reply(ex, 200, s"""{"state": ${q(op.currentState.toString)}}""")
+            case "close" =>
+              op.close()
+              reply(ex, 200, s"""{"state": ${q(op.currentState.toString)}}""")
+            case other =>
+              reply(ex, 400, s"""{"error": ${q(s"unsupported action: $other")}}""")
+          }
+        }
+
+      case ("GET", "batches" :: Nil) =>
+        // live batches win over their persisted record (fresher state);
+        // the store contributes batches from previous incarnations
+        val live = batches.entrySet.iterator
+        val liveJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        live.forEachRemaining { e =>
+          val (sess, op) = e.getValue
+          liveJson(e.getKey) =
+            s"""{"id": ${q(e.getKey)}, "user": ${q(sess.user)}, "state": ${q(op.currentState.toString)}}"""
+        }
+        val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveJson.contains(r.id))
+          .map(r => s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}""")
+        reply(ex, 200, s"""{"batches": [${(liveJson.values.toSeq ++ stored).mkString(",")}]}""")
+
+      // Reference BatchesResource DELETE /batches/{id}: cancel the
+      // batch's operation and record the terminal state.
+      case ("DELETE", "batches" :: id :: Nil) =>
+        Option(batches.get(id)) match {
+          case Some((_, op)) =>
+            try op.cancel() catch { case _: Throwable => }
+            store.foreach(_.updateState(id, op.currentState.toString, None))
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
+          case None => reply(ex, 404, """{"error": "no such batch"}""")
+        }
+
+      // Reference AdminResource GET/DELETE /admin/engine: inspect and
+      // evict discovery registrations for an engine space.
+      case ("GET", "admin" :: "engine" :: Nil) =>
+        queryParam(ex, "space") match {
+          case Some(space) =>
+            val nodes = engine.discovery.getAll(space).map(q)
+            reply(ex, 200, s"""{"space": ${q(space)}, "engines": [${nodes.mkString(",")}]}""")
+          case None => reply(ex, 400, """{"error": "missing space"}""")
+        }
+
+      case ("DELETE", "admin" :: "engine" :: Nil) =>
+        queryParam(ex, "space") match {
+          case Some(space) =>
+            engine.discovery.unregister(space)
+            reply(ex, 200, s"""{"space": ${q(space)}, "deleted": true}""")
+          case None => reply(ex, 400, """{"error": "missing space"}""")
+        }
+
       case _ => reply(ex, 404, """{"error": "not found"}""")
     }
   }
@@ -363,6 +448,34 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       case _ => q(String.valueOf(row.get(i)))
     }
   }
+
+  private def sessionJson(s: EngineSession): String =
+    s"""{"sessionId": ${q(s.id)}, "user": ${q(s.user)},""" +
+      s""" "createdMs": ${s.createdMs}, "lastAccessedMs": ${s.lastAccessedMs},""" +
+      s""" "openOperations": ${s.openOperations.size}}"""
+
+  private def opJson(op: Operation): String = {
+    val stmt = op match {
+      case e: ExecuteStatement => s""", "statement": ${q(e.statement)}"""
+      case _ => ""
+    }
+    val err = op.exception.map(e => s""", "error": ${q(String.valueOf(e.getMessage))}""").getOrElse("")
+    s"""{"operationId": ${q(op.handle)}, "sessionId": ${q(op.session.id)},""" +
+      s""" "state": ${q(op.currentState.toString)}, "createdMs": ${op.createdMs}$stmt$err}"""
+  }
+
+  /** Engine-wide operation lookup: REST-submitted ops resolve via the
+    * opSessions route even after their session closes; anything else
+    * (e.g. a Thrift-submitted op on the same engine) via the live
+    * session walk.
+    */
+  private def findOp(opId: String): Option[Operation] =
+    Option(opSessions.get(opId)).flatMap(_.operation(opId))
+      .orElse(engine.openSessions.iterator.map(_.operation(opId)).collectFirst { case Some(op) => op })
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .find(_.startsWith(s"$name=")).map(_.stripPrefix(s"$name="))
 
   private def withSession(ex: HttpExchange, sid: String)(f: EngineSession => Unit): Unit =
     engine.session(sid) match {

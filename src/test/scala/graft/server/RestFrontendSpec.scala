@@ -267,4 +267,102 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(state == "FINISHED")
     } finally front.stop()
   }
+
+  private def put(c: HttpClient, url: String, body: String): (Int, String) = {
+    val r = c.send(HttpRequest.newBuilder(URI.create(url))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def delete(c: HttpClient, url: String): (Int, String) = {
+    val r = c.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("admin: session and operation listings expose the live gateway state") {
+    withServer { (c, base) =>
+      val sid1 = extract(post(c, s"$base/sessions", """{"user": "alice"}""")._2, "sessionId")
+      val sid2 = extract(post(c, s"$base/sessions", """{"user": "bob"}""")._2, "sessionId")
+      val opId = extract(post(c, s"$base/sessions/$sid1/statements",
+        """{"sql": "SELECT 42 AS x"}""")._2, "operationId")
+
+      val (lc, lbody) = get(c, s"$base/sessions")
+      assert(lc == 200)
+      assert(lbody.contains("\"user\": \"alice\"") && lbody.contains("\"user\": \"bob\""), lbody)
+      assert(lbody.contains(s"\"sessionId\": \"$sid1\"") && lbody.contains(s"\"sessionId\": \"$sid2\""))
+
+      val (dc, dbody) = get(c, s"$base/sessions/$sid1")
+      assert(dc == 200 && dbody.contains("\"openOperations\": 1"), dbody)
+
+      val (oc, obody) = get(c, s"$base/sessions/$sid1/operations")
+      assert(oc == 200 && obody.contains(s"\"operationId\": \"$opId\""), obody)
+      assert(obody.contains("\"statement\": \"SELECT 42 AS x\""), obody)
+
+      // global operation lookup — no session id needed
+      val (gc, gbody) = get(c, s"$base/operations/$opId")
+      assert(gc == 200 && gbody.contains(s"\"sessionId\": \"$sid1\""), gbody)
+      assert(get(c, s"$base/operations/no-such-op")._1 == 404)
+    }
+  }
+
+  test("admin: PUT /operations/{id} cancels a running statement") {
+    withServer { (c, base) =>
+      val sid = extract(post(c, s"$base/sessions", """{"user": "admin"}""")._2, "sessionId")
+      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      val opId = extract(post(c, s"$base/sessions/$sid/statements",
+        s"""{"sql": "$slow"}""")._2, "operationId")
+      assert(put(c, s"$base/operations/$opId", """{"action": "resize"}""")._1 == 400)
+      val (cc, cbody) = put(c, s"$base/operations/$opId", """{"action": "cancel"}""")
+      assert(cc == 200, cbody)
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set("CANCELED", "ERROR")(state) && System.nanoTime() < deadline) {
+        state = extract(get(c, s"$base/operations/$opId")._2, "state")
+        if (!Set("CANCELED", "ERROR")(state)) Thread.sleep(100)
+      }
+      assert(state == "CANCELED", state)
+    }
+  }
+
+  test("admin: batch listing and DELETE-cancel") {
+    withServer { (c, base) =>
+      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      val (bc, bbody) = post(c, s"$base/batches", s"""{"sql": "$slow", "user": "batcher"}""")
+      assert(bc == 200)
+      val id = extract(bbody, "id")
+      val (lc, lbody) = get(c, s"$base/batches")
+      assert(lc == 200 && lbody.contains(s"\"id\": \"$id\""), lbody)
+      assert(lbody.contains("\"user\": \"batcher\""), lbody)
+      val (dc, dbody) = delete(c, s"$base/batches/$id")
+      assert(dc == 200, dbody)
+      var state = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set("CANCELED", "ERROR")(state) && System.nanoTime() < deadline) {
+        state = extract(get(c, s"$base/batches/$id")._2, "state")
+        if (!Set("CANCELED", "ERROR")(state)) Thread.sleep(100)
+      }
+      assert(state == "CANCELED", state)
+      assert(delete(c, s"$base/batches/no-such")._1 == 404)
+    }
+  }
+
+  test("admin: engine discovery listing and eviction") {
+    withServer { (c, base) =>
+      val eng = new Engine(spark)
+      eng.discovery.register("graft_USER/alice", "host1:1000")
+      val front2 = new RestFrontend(eng, port = 0)
+      val port2 = front2.start()
+      try {
+        val b2 = s"http://localhost:$port2/api/v1"
+        val (gc, gbody) = get(c, s"$b2/admin/engine?space=graft_USER/alice")
+        assert(gc == 200 && gbody.contains("host1:1000"), gbody)
+        assert(get(c, s"$b2/admin/engine")._1 == 400)
+        val (dc, _) = delete(c, s"$b2/admin/engine?space=graft_USER/alice")
+        assert(dc == 200)
+        val (_, after) = get(c, s"$b2/admin/engine?space=graft_USER/alice")
+        assert(!after.contains("host1:1000"), after)
+      } finally front2.stop()
+    }
+  }
 }

@@ -38,7 +38,13 @@ object EngineMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val engine = new Engine(spark)
-    val frontend = new ThriftFrontend(engine)
+    // Engine security: with a launcher-provided shared secret the
+    // frontend only accepts connections whose SASL password is a live
+    // token minted under that secret (reference SparkSQLEngine wires
+    // EngineSecureAuthenticationProviderImpl the same way).
+    val auth = sys.env.get("GRAFT_ENGINE_SECRET").map(s =>
+      new EngineTokenAuthenticationProvider(new EngineTokenManager(s)))
+    val frontend = new ThriftFrontend(engine, auth = auth)
     frontend.start()
     val address = s"localhost:${frontend.boundPort}"
     val discovery = new FileDiscoveryClient(Paths.get(discoveryDir))

@@ -32,7 +32,15 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     master: String = sys.env.getOrElse("SPARK_MASTER", "local[2]"),
     sparkConf: Map[String, String] = Map.empty,
     proxyUser: Option[String] = None,
-    engineJar: Option[String] = None) {
+    engineJar: Option[String] = None,
+    engineSecret: Option[String] = None) {
+
+  /** Token for connecting to an engine launched with [[engineSecret]]
+    * (the server side of engine security: pass as the SASL PLAIN
+    * password on the engine connection).
+    */
+  def issueToken(): Option[String] =
+    engineSecret.map(s => new EngineTokenManager(s).issueToken())
 
   private val mainClass = "graft.server.EngineMain"
 
@@ -97,7 +105,11 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
   def launch(space: String): EngineProcess = {
     val before = discovery.getAll(space).toSet
     val cmd = command(space)
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    // the secret travels process-private (child env), never on the
+    // command line where `ps` would expose it
+    engineSecret.foreach(pb.environment().put("GRAFT_ENGINE_SECRET", _))
+    val proc = pb.start()
     // drain the child's output (Spark logs would fill the pipe and
     // deadlock it); keep a tail for failure diagnostics
     val tail = new java.util.concurrent.ConcurrentLinkedDeque[String]()

@@ -75,6 +75,20 @@ object QualityFilters {
         col("n_tokens") >= minTokens && col("ttr") >= minTtr &&
           col("max_token_frac") <= maxTokenFrac)
 
+  /** The gate decision as ONE reusable predicate over the raw text —
+    * same metrics and thresholds as [[qualityGate]], for callers that
+    * need a map-side filter instead of the per-doc audit frame (the
+    * streaming pipeline: an audit-frame + semi-join shape would be a
+    * stream-stream join). Catalyst CSE collapses the repeated tokens()
+    * subtree inside the single projection.
+    */
+  def gatePredicate(text: Column, minTokens: Int, minTtr: Double, maxTokenFrac: Double): Column = {
+    val t = tokens(text)
+    size(t) >= minTokens &&
+      (size(array_distinct(t)).cast("double") / size(t)) >= minTtr &&
+      topElementFrac(t) <= maxTokenFrac
+  }
+
   // Canned PII patterns (RE2-compatible so external engines can mirror
   // them; Java regex accepts the same syntax).
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

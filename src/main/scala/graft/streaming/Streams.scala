@@ -115,6 +115,47 @@ object Streams {
     * dimension would swap the broadcast for a stream-static equi join
     * on the key with the same timeline arrays.
     */
+  /** Streaming corpus pipeline: quality gate → exact dedup → benchmark
+    * decontamination — the streaming twin of the batch
+    * d28 chain (PipelineQueries) for a continuously-ingested corpus.
+    *
+    * Stage shapes — every stage is stateless or bounded-state, so the
+    * pipeline runs forever on an unbounded feed:
+    *  - gate: [[graft.operators.QualityFilters.gatePredicate]],
+    *    map-side;
+    *  - dedup: `dropDuplicatesWithinWatermark` on the 128-bit content
+    *    fingerprint — state holds one fingerprint per distinct doc
+    *    inside the lateness horizon, evicted as the watermark passes;
+    *  - decontamination: the eval set's n-gram fingerprints are
+    *    summarized ONCE into a Bloom sketch (eval suites are MBs even
+    *    when the corpus is 100 TB) and each doc is checked map-side —
+    *    a doc with ANY bloom-positive gram is dropped. No false
+    *    negatives: a truly-contaminated doc never survives; bloom
+    *    false positives conservatively drop a few clean docs, the
+    *    safe direction for decontamination.
+    *
+    * Returns the surviving docs with their `fp` fingerprint column
+    * (the dedup key, kept for auditability/cross-checks).
+    */
+  def corpusPipeline(docs: DataFrame, evalSet: DataFrame,
+      textCol: String, tsCol: String, lateness: String,
+      minTokens: Int, minTtr: Double, maxTokenFrac: Double,
+      n: Int = 4, bloomBits: Long = 1 << 22): DataFrame = {
+    import graft.functions.TextFunctions.{contentFingerprint, shingles}
+    import graft.operators.{BloomDedup, QualityFilters}
+    val evalGrams = evalSet.select(
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val bloom = BloomDedup.buildBloom(evalGrams, col("gram"),
+      expectedItems = 1L << 18, numBits = bloomBits)
+    docs
+      .filter(QualityFilters.gatePredicate(col(textCol), minTokens, minTtr, maxTokenFrac))
+      .withColumn("fp", contentFingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(!exists(array_distinct(shingles(col(textCol), n)),
+        g => BloomDedup.mightContain(bloom, g)))
+  }
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

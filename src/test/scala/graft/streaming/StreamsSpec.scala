@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 import graft.streaming.Streams.Event
 
+final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
@@ -118,6 +120,63 @@ class StreamsSpec extends AnyFunSuite {
         s"user 1 re-emitted after restart — dedup state lost: $rows")
       assert(rows.contains((2L, 3.0)), s"new key missing after restart: $rows")
     } finally q2.stop()
+  }
+
+  test("streaming corpus pipeline matches the batch gate→dedup→decontaminate twin") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.shingles
+    import graft.operators.{BloomDedup, Dedup, QualityFilters}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // eval benchmark: one doc whose 4-grams contaminate part of the corpus
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val goodA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val goodB = "solar wind carries charged particles far beyond planetary orbits today"
+    val contaminated = "we note the quick brown fox jumps over and keeps running onward"
+    val tooShort = "tiny doc"
+    val repetitive = Seq.fill(12)("spam").mkString(" ")
+    val docs = Seq(
+      StreamDoc(1, ts(1), goodA),
+      StreamDoc(2, ts(2), goodB),
+      StreamDoc(3, ts(3), goodA), // exact dup of doc 1 → dropped
+      StreamDoc(4, ts(4), contaminated), // shares 4-grams with eval → dropped
+      StreamDoc(5, ts(5), tooShort), // fails min-token gate
+      StreamDoc(6, ts(6), repetitive)) // fails ttr/repetition gate
+
+    val ms = MemoryStream[StreamDoc]
+    val out = Streams.corpusPipeline(ms.toDF(), evalSet,
+      "text", "ts", "10 minutes", minTokens = 10, minTtr = 0.3, maxTokenFrac = 0.2)
+    val q = out.writeStream.format("memory").queryName("graft_cp")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        ms.addData(docs.take(3): _*)
+        q.processAllAvailable()
+        ms.addData(docs.drop(3): _*)
+        q.processAllAvailable()
+        spark.table("graft_cp").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+      } finally q.stop()
+
+    // batch twin: same decisions via the batch operators (bloom probe
+    // included, so bloom false positives — if any — hit both sides)
+    val batch = docs.toDF()
+    val gated = batch.filter(
+      QualityFilters.gatePredicate(col("text"), 10, 0.3, 0.2))
+    val deduped = Dedup.exactKeep(gated, "doc_id", "text")
+    val evalGrams = evalSet.select(
+      explode(array_distinct(shingles(col("text"), 4))).as("gram"))
+    val bloom = BloomDedup.buildBloom(evalGrams, col("gram"), 1L << 18, 1L << 22)
+    val batchSurvivors = deduped.filter(
+      !exists(array_distinct(shingles(col("text"), 4)),
+        g => BloomDedup.mightContain(bloom, g)))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+
+    // first-arrival (stream) vs min-id (batch) keeper coincide here
+    assert(streamed == batchSurvivors, s"stream=$streamed batch=$batchSurvivors")
+    assert(streamed.map(_._1) == Set(1L, 2L), streamed)
   }
 
   test("stateful sessionization closes sessions on gap and on silence") {

@@ -98,6 +98,21 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/api/v1/", handle _)
   server.createContext("/v1/statement", handleTrino _)
+  server.createContext("/ui", handleUi _)
+
+  /** Single-page admin UI over the /api/v1 admin endpoints — the
+    * dependency-free stand-in for the reference's Vue web UI
+    * (kyuubi-server/web-ui renders the same resources: sessions,
+    * operations, batches, metrics).
+    */
+  private def handleUi(ex: HttpExchange): Unit = {
+    try {
+      val bytes = RestFrontend.UiPage.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+  }
 
   /** Submit a batch statement. `fixedId` pins a recovered batch to its
     * original id; new submissions use the operation handle as the id.
@@ -520,4 +535,66 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
+}
+
+object RestFrontend {
+  /** The embedded admin page: plain HTML + fetch() against the JSON
+    * admin endpoints, refreshed every 5 s. No framework, no build step,
+    * nothing to vendor — the page is the API's data, rendered.
+    */
+  private[server] val UiPage: String =
+    """<!DOCTYPE html>
+      |<html lang="en"><head><meta charset="utf-8"><title>graft admin</title>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; margin: 1.5rem; color: #1a1a1a; }
+      |  h1 { font-size: 1.3rem; } h2 { font-size: 1.05rem; margin-top: 1.5rem; }
+      |  table { border-collapse: collapse; min-width: 40rem; }
+      |  th, td { border: 1px solid #ccc; padding: .3rem .6rem; font-size: .85rem; text-align: left; }
+      |  th { background: #f2f2f2; }
+      |  .state-RUNNING { color: #0a6; } .state-ERROR { color: #c22; }
+      |  #metrics { font-family: monospace; white-space: pre; font-size: .85rem; }
+      |</style></head><body>
+      |<h1>graft gateway</h1>
+      |<h2>Sessions</h2><table id="sessions"></table>
+      |<h2>Operations</h2><table id="operations"></table>
+      |<h2>Batches</h2><table id="batches"></table>
+      |<h2>Metrics</h2><div id="metrics"></div>
+      |<script>
+      |const cell = v => { const td = document.createElement('td'); td.textContent = v; return td; };
+      |function fill(id, rows, cols) {
+      |  const t = document.getElementById(id);
+      |  t.innerHTML = '';
+      |  const hr = document.createElement('tr');
+      |  cols.forEach(c => { const th = document.createElement('th'); th.textContent = c; hr.appendChild(th); });
+      |  t.appendChild(hr);
+      |  rows.forEach(r => {
+      |    const tr = document.createElement('tr');
+      |    cols.forEach(c => {
+      |      const td = cell(r[c] === undefined ? '' : r[c]);
+      |      if (c === 'state') td.className = 'state-' + r[c];
+      |      tr.appendChild(td);
+      |    });
+      |    t.appendChild(tr);
+      |  });
+      |}
+      |async function refresh() {
+      |  try {
+      |    const sess = (await (await fetch('/api/v1/sessions')).json()).sessions;
+      |    fill('sessions', sess, ['sessionId', 'user', 'createdMs', 'openOperations']);
+      |    const ops = [];
+      |    for (const s of sess) {
+      |      const os = (await (await fetch('/api/v1/sessions/' + s.sessionId + '/operations')).json()).operations;
+      |      ops.push(...os);
+      |    }
+      |    fill('operations', ops, ['operationId', 'sessionId', 'state', 'statement']);
+      |    const batches = (await (await fetch('/api/v1/batches')).json()).batches;
+      |    fill('batches', batches, ['id', 'user', 'state']);
+      |    const m = await (await fetch('/api/v1/metrics')).json();
+      |    document.getElementById('metrics').textContent = JSON.stringify(m, null, 2);
+      |  } catch (e) { console.error(e); }
+      |}
+      |refresh();
+      |setInterval(refresh, 5000);
+      |</script></body></html>
+      |""".stripMargin
 }

@@ -365,4 +365,17 @@ class RestFrontendSpec extends AnyFunSuite {
       } finally front2.stop()
     }
   }
+
+  test("the embedded admin UI page serves and points at the admin endpoints") {
+    withServer { (c, base) =>
+      val uiUrl = base.stripSuffix("/api/v1") + "/ui"
+      val (code, html) = get(c, uiUrl)
+      assert(code == 200, html)
+      assert(html.contains("<!DOCTYPE html>"))
+      // the page is driven by the admin API — each section fetches it
+      Seq("/api/v1/sessions", "/api/v1/batches", "/api/v1/metrics").foreach { ep =>
+        assert(html.contains(ep), s"UI page must fetch $ep")
+      }
+    }
+  }
 }

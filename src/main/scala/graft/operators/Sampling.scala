@@ -44,4 +44,43 @@ object Sampling {
         Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
       .filter(col("__rn") <= n)
       .drop("__h", "__rn")
+
+  /** Temperature-based source mixing: sample `totalN` docs with
+    * per-stratum targets ∝ n_s^α — the standard recipe for rebalancing
+    * dominant vs rare sources/languages when assembling a multi-domain
+    * corpus (the multinomial p_l ∝ n_l^α of the multilingual-pretraining
+    * literature). α is restricted to 1/2^k (`sqrtApplications` repeated
+    * square roots) so the power is IEEE-correctly-rounded on every
+    * engine, and the allocation is integer-exact end to end:
+    * w_s = floor(sqrt^k(n_s)·1e6) is a per-stratum SCALAR (no
+    * cross-row float sums anywhere), Σw is a bigint sum, and
+    * target_s = totalN·w_s div Σw is bigint division. Selection is the
+    * target_s lowest-md5-hash rows per stratum, same total order as
+    * [[stratifiedFixedN]].
+    *
+    * Scale shape: one count shuffle (partial-agg), a stratum-
+    * cardinality weights frame broadcast back, one per-stratum window.
+    * Floor-division under-allocates by < #strata rows — by design
+    * (deterministic beats exactly-totalN for reproducible pipelines).
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      totalN: Long, sqrtApplications: Int = 1): DataFrame = {
+    require(sqrtApplications >= 1, "alpha = 1/2^k needs k >= 1")
+    val wExpr = (1 to sqrtApplications)
+      .foldLeft(col("__n").cast("double"))((c, _) => sqrt(c))
+    val weights = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w_micro", floor(wExpr * lit(1000000.0)).cast("long"))
+    val total = weights.agg(sum(col("__w_micro")).as("__total_micro"))
+    val targets = weights.crossJoin(broadcast(total))
+      .withColumn("__target",
+        expr(s"$totalN * __w_micro div __total_micro"))
+      .select(col(stratumCol), col("__target"))
+    df.withColumn("__h", hashBucket16(col(idCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
+      .join(broadcast(targets), Seq(stratumCol))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__h", "__rn", "__target")
+  }
 }

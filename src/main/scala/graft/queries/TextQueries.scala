@@ -177,6 +177,14 @@ object TextQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // --- Temperature-based source mixing: per-source targets ∝
+    //     sqrt(n_source) (α=0.5), integer-exact allocation,
+    //     hash-ordered selection ---
+    "d33_source_mix" -> { (s, dir) =>
+      Sampling.temperatureMix(Tables(s, dir).documents, "source", "doc_id", totalN = 60)
+        .select(col("doc_id"), col("source"))
+    },
+
     // --- Vocabulary by document frequency: top 100 tokens (ties
     //     broken by token so the limit boundary is deterministic) ---
     "d20_vocab_df" -> { (s, dir) =>
@@ -516,6 +524,19 @@ object TextQueries {
       s"""SELECT doc_id, source FROM (
             SELECT doc_id, source, $duckHash16 AS hv FROM documents)
           QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 20""",
+    "d33_source_mix" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          w AS (SELECT source,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+                FROM counts),
+          t AS (SELECT source,
+                  CAST(60 * w_micro AS BIGINT) // (SELECT CAST(sum(w_micro) AS BIGINT) FROM w) AS target
+                FROM w),
+          ranked AS (
+            SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY $duckHash16, doc_id) AS rn
+            FROM documents)
+          SELECT doc_id, source FROM ranked JOIN t USING (source) WHERE rn <= target""",
     "d20_vocab_df" ->
       s"""SELECT token, count(*) AS df FROM (
             SELECT doc_id, unnest(list_distinct($duckToks)) AS token FROM documents)

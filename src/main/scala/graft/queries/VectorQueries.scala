@@ -72,6 +72,16 @@ object VectorQueries {
       SimilaritySearch.recallAtK(approx, exact, k = 5)
     },
 
+    // --- SemDeDup: k-means-cluster-scoped semantic dedup — pairs only
+    //     within a cluster, keep the lowest id of each near-dup group
+    //     (oracle recomputes assignment from the dumped centroids) ---
+    "v11_semdedup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      graft.operators.SemDedup.keep(e, "vec_id", "embedding", centroids, minCosine = 0.4)
+        .select(col("vec_id"), col("list_id"))
+    },
+
     // --- LSH bucket histogram (distribution sanity + skew check) ---
     "v04_bucket_histogram" -> { (s, dir) =>
       Tables(s, dir).embeddings
@@ -276,6 +286,24 @@ object VectorQueries {
             JOIN embeddings ec ON ec.vec_id = a.neighbor_id
             WHERE p.query_id <> a.neighbor_id)
           WHERE rnk <= 5""",
+    "v11_semdedup" ->
+      s"""WITH cents AS (SELECT list_id, centroid
+                         FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE r = 1),
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= 0.4)
+          SELECT vec_id, list_id FROM asg
+          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
     "v08_embedding_neardup" ->
       s"""WITH $bucketCte
           SELECT id_a, id_b, cos FROM (

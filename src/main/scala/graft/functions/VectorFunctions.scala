@@ -4,8 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector primitives over `array<float>` embedding columns, written as
-  * pure Catalyst higher-order functions (zip_with / aggregate) so they
-  * run inside codegen with no UDF boundary. Accumulation is in double.
+  * pure Catalyst higher-order functions (zip_with / aggregate) with no
+  * UDF boundary. Accumulation is in double.
+  *
+  * The hot one — [[cosine]] — routes through the native
+  * [[org.apache.spark.sql.graft.CosineExpr]] kernel: HOFs evaluate
+  * interpreted (outside whole-stage codegen) and dominate pair-join
+  * stages that score 100k+ candidate pairs. The kernel reproduces
+  * [[cosineHof]]'s fold order bit-for-bit (VecKernelSpec pins it), so
+  * every oracle built against the HOF form still matches exactly.
   */
 object VectorFunctions {
 
@@ -18,8 +25,15 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity; 0 for zero-norm inputs. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 for zero-norm inputs (native codegen kernel). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VecExpr.cosine(a, b)
+
+  /** The composed-HOF cosine the kernel replaced — kept as the
+    * bit-identity reference (VecKernelSpec compares the two on every
+    * path the queries use).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0, 0.0).otherwise(d / n)

@@ -24,20 +24,34 @@ import graft.functions.VectorFunctions._
   */
 object SemDedup {
 
+  /** The corpus with its cluster assignment, computed ONCE and cached
+    * (tracked via [[SketchRegistry]] like the other index-backed
+    * operators): the argmax-vs-k-centroids expression is the expensive
+    * part of every downstream plan — evaluating it on both sides of
+    * the pair join (and again for the keep projection) would triple
+    * the work AND the generated-code size.
+    */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    SketchRegistry.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        IvfIndex.nearestList(col(vecCol), centroids).as("list_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Near-duplicate pairs within each cluster: (id_a < id_b, both in
     * the same cluster, cosine ≥ `minCosine`).
     */
   def clusterPairs(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      IvfIndex.nearestList(col(vecCol), centroids).as("list_id"))
+      centroids: Array[Array[Double]], minCosine: Double): DataFrame =
+    pairsOf(assign(df, idCol, vecCol, centroids), minCosine)
+
+  private def pairsOf(assigned: DataFrame, minCosine: Double): DataFrame =
     assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.list_id").as("list_id"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= minCosine)
-  }
 
   /** Rows surviving semantic dedup, with their cluster id. Keep rule:
     * a row is dropped iff some LOWER-id row in its cluster is within
@@ -47,10 +61,10 @@ object SemDedup {
     */
   def keep(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
-    val dropped = clusterPairs(df, idCol, vecCol, centroids, minCosine)
-      .select(col("id_b").as(idCol)).distinct()
-    df.select(col(idCol),
-        IvfIndex.nearestList(col(vecCol), centroids).as("list_id"))
-      .join(dropped, Seq(idCol), "left_anti")
+    val assigned = assign(df, idCol, vecCol, centroids)
+    val dropped = pairsOf(assigned, minCosine)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("list_id"))
   }
 }

@@ -38,11 +38,6 @@ class SamplingSpec extends AnyFunSuite {
     val got = Sampling.stratifiedFixedN(tiny, "source", "doc_id", 5).count()
     assert(got == 3)
   }
-}
-
-class ConnectedComponentsSpec extends AnyFunSuite {
-  lazy val spark = SparkFixture.spark
-  import spark.implicits._
 
   test("temperature mix allocates ~sqrt-proportional targets, integer-exact and deterministic") {
     // 900 "web" vs 100 "book": plain proportional would give 90/10; at
@@ -50,17 +45,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val skewed = (1 to 1000).map(i => (f"doc_$i%04d", if (i <= 900) "web" else "book"))
       .toDF("doc_id", "source")
     val mixed = Sampling.temperatureMix(skewed, "source", "doc_id", totalN = 100)
-    val byStratum = mixed.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val byStratum = mixed.collect().groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
     assert(byStratum == Map("web" -> 75, "book" -> 25), byStratum.toString)
     // deterministic: the same call selects the same rows
     val again = Sampling.temperatureMix(skewed, "source", "doc_id", totalN = 100)
-    assert(mixed.collect().map(_.getString(0)).toSet == again.collect().map(_.getString(0)).toSet)
+    assert(mixed.collect().map(_.getAs[String]("doc_id")).toSet ==
+      again.collect().map(_.getAs[String]("doc_id")).toSet)
     // more sqrt applications flatten further: n^0.25 weights are
     // 5.477 vs 3.162 -> 63/36 of 100
     val flat = Sampling.temperatureMix(skewed, "source", "doc_id", 100, sqrtApplications = 2)
-    val flatBy = flat.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val flatBy = flat.collect().groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
     assert(flatBy("web") < 70 && flatBy("book") > 30, flatBy.toString)
   }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
 
   test("components merge transitively across a chain") {
     // 1-2, 2-3, 3-4 is one component even though 1 and 4 never pair

@@ -47,5 +47,18 @@ object Metrics {
       snapshot.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k": $v""" }
         .mkString("{", ", ", "}")
+
+    /** Prometheus text exposition format (the reference ships a
+      * PrometheusReporter in kyuubi-metrics; counters vs gauges follow
+      * the same split: lifecycle totals are counters, process state is
+      * a gauge).
+      */
+    def asPrometheus: String = {
+      val gauges = Set("uptime_ms", "heap_used_bytes", "heap_max_bytes")
+      snapshot.toSeq.sortBy(_._1).map { case (k, v) =>
+        val typ = if (gauges(k)) "gauge" else "counter"
+        s"# TYPE graft_$k $typ\ngraft_$k $v"
+      }.mkString("", "\n", "\n")
+    }
   }
 }

@@ -43,12 +43,59 @@ final class StaticAuthenticationProvider(creds: Map[String, String])
   }
 }
 
+/** JDBC-backed authentication (the reference's
+  * JdbcAuthenticationProviderImpl, kyuubi-common/.../authentication/
+  * JdbcAuthenticationProviderImpl.scala): `query` carries `${user}` /
+  * `${password}` placeholders, rewritten positionally into a
+  * PreparedStatement (never string-spliced — injection-safe);
+  * authentication succeeds iff the query returns at least one row.
+  * Works against any JDBC database reachable from the gateway.
+  */
+final class JdbcAuthenticationProvider(
+    url: String, query: String,
+    dbUser: Option[String] = None, dbPassword: Option[String] = None)
+  extends AuthenticationProvider {
+
+  private val Placeholder = """\$\{(user|password)}""".r
+  private val order = Placeholder.findAllMatchIn(query).map(_.group(1)).toSeq
+  private val prepared = Placeholder.replaceAllIn(query, "?")
+  require(order.nonEmpty,
+    "auth query must reference ${user} and/or ${password} placeholders")
+
+  override def authenticate(user: String, password: String): String = {
+    if (user == null || user.trim.isEmpty)
+      throw new SecurityException("user must not be empty")
+    val conn = dbUser match {
+      case Some(u) =>
+        java.sql.DriverManager.getConnection(url, u, dbPassword.getOrElse(""))
+      case None => java.sql.DriverManager.getConnection(url)
+    }
+    try {
+      val ps = conn.prepareStatement(prepared)
+      try {
+        order.zipWithIndex.foreach {
+          case ("user", i) => ps.setString(i + 1, user)
+          case ("password", i) => ps.setString(i + 1, password)
+          case _ => ()
+        }
+        ps.setMaxRows(1)
+        val rs = ps.executeQuery()
+        try {
+          if (!rs.next()) throw new SecurityException(s"bad credentials for '$user'")
+        } finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
+    user
+  }
+}
+
 object AuthenticationProvider {
   /** Method-name dispatch, the reference's AuthenticationProviderFactory
     * contract: NONE → anonymous, CUSTOM → reflectively-loaded user
     * class (must implement [[AuthenticationProvider]] with a no-arg
-    * constructor). LDAP/KERBEROS need live external services and are
-    * out of scope here — the seam is where they would plug in.
+    * constructor), JDBC → credential query against a JDBC database.
+    * LDAP/KERBEROS need live external services and are out of scope
+    * here — the seam is where they would plug in.
     */
   def forMethod(method: String, conf: Map[String, String] = Map.empty): AuthenticationProvider =
     method.toUpperCase match {
@@ -58,6 +105,14 @@ object AuthenticationProvider {
           throw new IllegalArgumentException("authentication.custom.class not set"))
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[AuthenticationProvider]
+      case "JDBC" =>
+        new JdbcAuthenticationProvider(
+          conf.getOrElse("authentication.jdbc.url",
+            throw new IllegalArgumentException("authentication.jdbc.url not set")),
+          conf.getOrElse("authentication.jdbc.query",
+            throw new IllegalArgumentException("authentication.jdbc.query not set")),
+          conf.get("authentication.jdbc.user"),
+          conf.get("authentication.jdbc.password"))
       case other =>
         throw new IllegalArgumentException(s"unsupported auth method: $other")
     }

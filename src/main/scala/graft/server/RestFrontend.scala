@@ -247,6 +247,14 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       case ("GET", "metrics" :: Nil) =>
         reply(ex, 200, metrics.asJson)
 
+      // Prometheus scrape target (reference kyuubi-metrics
+      // PrometheusReporter surface).
+      case ("GET", "metrics" :: "prometheus" :: Nil) =>
+        val bytes = metrics.asPrometheus.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+
       // ---- admin surface (reference kyuubi-server api/v1
       // {Sessions,Operations,Admin,Batches}Resource listing/cancel
       // endpoints; the web UI's data source) ----

@@ -65,6 +65,53 @@ class AuthenticationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JDBC provider authenticates against a credential table (embedded Derby)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-authdb").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/authdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users (name VARCHAR(64), passwd VARCHAR(64))")
+      st.execute("INSERT INTO users VALUES ('carol', 'pw1'), ('dave', 'pw2')")
+      st.close()
+    } finally conn.close()
+
+    val p = AuthenticationProvider.forMethod("jdbc", Map(
+      "authentication.jdbc.url" -> url,
+      "authentication.jdbc.query" ->
+        "SELECT 1 FROM users WHERE name = ${user} AND passwd = ${password}"))
+    assert(p.authenticate("carol", "pw1") == "carol")
+    assert(p.authenticate("dave", "pw2") == "dave")
+    intercept[SecurityException] { p.authenticate("carol", "pw2") }
+    intercept[SecurityException] { p.authenticate("mallory", "pw1") }
+    intercept[SecurityException] { p.authenticate("", "pw1") }
+    // injection attempt arrives as a bind value, not SQL
+    intercept[SecurityException] { p.authenticate("carol' OR '1'='1", "x") }
+
+    // end to end: the same provider behind the Thrift SASL frontend
+    val engine2 = new graft.core.Engine(SparkFixture.spark)
+    val front2 = new ThriftFrontend(engine2, auth = Some(p)).start()
+    try {
+      val conn2 = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:${front2.boundPort}/", "carol", "pw1")
+      try {
+        val rs = conn2.createStatement().executeQuery("SELECT session_user() AS u")
+        assert(rs.next() && rs.getString("u") == "carol")
+      } finally conn2.close()
+      intercept[java.sql.SQLException] {
+        DriverManager.getConnection(
+          s"jdbc:hive2://localhost:${front2.boundPort}/", "carol", "wrong")
+      }
+    } finally front2.stop()
+  }
+
+  test("JDBC provider rejects a query without placeholders at construction") {
+    intercept[IllegalArgumentException] {
+      new JdbcAuthenticationProvider("jdbc:derby:memory:x", "SELECT 1 FROM users")
+    }
+  }
+
   test("provider factory: NONE accepts anyone, CUSTOM loads a class, bad method throws") {
     val anon = AuthenticationProvider.forMethod("none")
     assert(anon.authenticate("", "") == "anonymous")

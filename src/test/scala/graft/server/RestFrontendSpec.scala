@@ -366,6 +366,17 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("prometheus metrics endpoint serves text exposition format") {
+    withServer { (c, base) =>
+      post(c, s"$base/sessions", """{"user": "prom"}""")
+      val (code, body) = get(c, s"$base/metrics/prometheus")
+      assert(code == 200, body)
+      assert(body.contains("# TYPE graft_sessions_opened counter"), body)
+      assert(body.contains("# TYPE graft_uptime_ms gauge"), body)
+      assert(body.linesIterator.exists(_.matches("graft_sessions_opened \\d+")), body)
+    }
+  }
+
   test("the embedded admin UI page serves and points at the admin endpoints") {
     withServer { (c, base) =>
       val uiUrl = base.stripSuffix("/api/v1") + "/ui"

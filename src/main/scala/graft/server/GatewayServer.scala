@@ -1,0 +1,283 @@
+package graft.server
+
+import java.nio.ByteBuffer
+import java.util.concurrent.ConcurrentHashMap
+import javax.security.auth.callback.{Callback, CallbackHandler, NameCallback, PasswordCallback}
+
+import org.apache.hive.service.rpc.thrift._
+import org.apache.thrift.protocol.TBinaryProtocol
+import org.apache.thrift.server.TThreadPoolServer
+import org.apache.thrift.transport.{TSaslClientTransport, TServerSocket, TSocket, TTransport}
+
+/** The gateway in its deployed shape: a TCLIService server that owns NO
+  * SparkSession — it routes every JDBC/beeline connection to the
+  * connecting user's OWN engine JVM (launched on demand through
+  * [[EnginePool]], found through discovery) and forwards the Thrift
+  * conversation to it. This is the reference's server↔engine split
+  * (KyuubiServer's TBinaryFrontendService + KyuubiSessionImpl opening a
+  * client session on the EngineRef it resolves), which is what gives
+  * one tenant's OOM/crash no blast radius into another's.
+  *
+  * Routing is handle-pass-through: the engine's own session/operation
+  * handles go back to the client verbatim, and the gateway keeps
+  * guid→connection maps to route follow-up calls (fetch, status,
+  * cancel, metadata) to the right engine. One Thrift connection per
+  * gateway session, serialized per connection (TCLIService.Client is
+  * not thread-safe).
+  *
+  * With the pool's builder configured with an engine secret, the
+  * gateway authenticates to engines with freshly-minted
+  * [[EngineTokenManager]] tokens; its own client-facing socket takes
+  * the usual [[AuthenticationProvider]] options (noSasl or SASL PLAIN).
+  */
+final class GatewayServer(
+    builder: EngineProcBuilder,
+    requestedPort: Int = 0,
+    auth: Option[AuthenticationProvider] = None) {
+
+  private val pool = new EnginePool(builder)
+
+  private final class EngineConn(val client: TCLIService.Client, val transport: TTransport)
+
+  private val sessionConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
+  private val opConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
+
+  private def key(h: THandleIdentifier): ByteBuffer =
+    ByteBuffer.wrap(h.getGuid.clone())
+
+  private def connect(address: String, user: String): EngineConn = {
+    val Array(host, port) = address.split(":")
+    val sock = new TSocket(host, port.toInt)
+    val transport: TTransport = builder.issueToken() match {
+      case Some(token) =>
+        new TSaslClientTransport(
+          "PLAIN", null, null, null, new java.util.HashMap[String, String](),
+          new CallbackHandler {
+            override def handle(callbacks: Array[Callback]): Unit = callbacks.foreach {
+              case nc: NameCallback => nc.setName(user)
+              case pc: PasswordCallback => pc.setPassword(token.toCharArray)
+              case _ =>
+            }
+          },
+          sock)
+      case None => sock
+    }
+    transport.open()
+    new EngineConn(new TCLIService.Client(new TBinaryProtocol(transport)), transport)
+  }
+
+  private def sessionConn(h: TSessionHandle): Option[EngineConn] =
+    Option(sessionConns.get(key(h.getSessionId)))
+
+  private def opConn(h: TOperationHandle): Option[EngineConn] =
+    Option(opConns.get(key(h.getOperationId)))
+
+  private def errStatus(msg: String): TStatus = {
+    val st = new TStatus(TStatusCode.ERROR_STATUS)
+    st.setErrorMessage(msg)
+    st
+  }
+
+  /** Forward an operation-producing call through its session's engine,
+    * recording the returned operation handle for follow-up routing.
+    */
+  private def viaSession[R](h: TSessionHandle, onMiss: => R)(
+      f: TCLIService.Client => R)(op: R => TOperationHandle): R =
+    sessionConn(h) match {
+      case None => onMiss
+      case Some(conn) =>
+        val resp = conn.synchronized(f(conn.client))
+        val oh = op(resp)
+        if (oh != null) opConns.put(key(oh.getOperationId), conn)
+        resp
+    }
+
+  private val iface: TCLIService.Iface = new TCLIService.Iface {
+
+    override def OpenSession(req: TOpenSessionReq): TOpenSessionResp = {
+      val user = PlainSasl.authenticatedUser
+        .orElse(Option(req.getUsername).filter(_.nonEmpty))
+        .getOrElse("anonymous")
+      try {
+        val engine = pool.getOrLaunch(s"user/$user")
+        val conn = connect(engine.address, user)
+        val resp = conn.synchronized(conn.client.OpenSession(req))
+        if (resp.getSessionHandle != null)
+          sessionConns.put(key(resp.getSessionHandle.getSessionId), conn)
+        resp
+      } catch {
+        case e: Throwable =>
+          val resp = new TOpenSessionResp()
+          resp.setStatus(errStatus(s"engine launch/connect failed for '$user': ${e.getMessage}"))
+          resp
+      }
+    }
+
+    override def CloseSession(req: TCloseSessionReq): TCloseSessionResp =
+      sessionConn(req.getSessionHandle) match {
+        case None =>
+          val r = new TCloseSessionResp(); r.setStatus(errStatus("unknown session")); r
+        case Some(conn) =>
+          val resp = conn.synchronized(conn.client.CloseSession(req))
+          sessionConns.remove(key(req.getSessionHandle.getSessionId))
+          try conn.transport.close() catch { case _: Throwable => }
+          resp
+      }
+
+    override def GetInfo(req: TGetInfoReq): TGetInfoResp =
+      sessionConn(req.getSessionHandle) match {
+        case None => val r = new TGetInfoResp(); r.setStatus(errStatus("unknown session")); r
+        case Some(conn) => conn.synchronized(conn.client.GetInfo(req))
+      }
+
+    override def ExecuteStatement(req: TExecuteStatementReq): TExecuteStatementResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TExecuteStatementResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.ExecuteStatement(req))(_.getOperationHandle)
+
+    override def GetTypeInfo(req: TGetTypeInfoReq): TGetTypeInfoResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetTypeInfoResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetTypeInfo(req))(_.getOperationHandle)
+
+    override def GetCatalogs(req: TGetCatalogsReq): TGetCatalogsResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetCatalogsResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetCatalogs(req))(_.getOperationHandle)
+
+    override def GetSchemas(req: TGetSchemasReq): TGetSchemasResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetSchemasResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetSchemas(req))(_.getOperationHandle)
+
+    override def GetTables(req: TGetTablesReq): TGetTablesResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetTablesResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetTables(req))(_.getOperationHandle)
+
+    override def GetTableTypes(req: TGetTableTypesReq): TGetTableTypesResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetTableTypesResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetTableTypes(req))(_.getOperationHandle)
+
+    override def GetColumns(req: TGetColumnsReq): TGetColumnsResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetColumnsResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetColumns(req))(_.getOperationHandle)
+
+    override def GetFunctions(req: TGetFunctionsReq): TGetFunctionsResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetFunctionsResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetFunctions(req))(_.getOperationHandle)
+
+    override def GetPrimaryKeys(req: TGetPrimaryKeysReq): TGetPrimaryKeysResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetPrimaryKeysResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetPrimaryKeys(req))(_.getOperationHandle)
+
+    override def GetCrossReference(req: TGetCrossReferenceReq): TGetCrossReferenceResp =
+      viaSession(req.getSessionHandle, {
+        val r = new TGetCrossReferenceResp(); r.setStatus(errStatus("unknown session")); r
+      })(_.GetCrossReference(req))(_.getOperationHandle)
+
+    override def GetOperationStatus(req: TGetOperationStatusReq): TGetOperationStatusResp =
+      opConn(req.getOperationHandle) match {
+        case None =>
+          val r = new TGetOperationStatusResp(); r.setStatus(errStatus("unknown operation")); r
+        case Some(conn) => conn.synchronized(conn.client.GetOperationStatus(req))
+      }
+
+    override def CancelOperation(req: TCancelOperationReq): TCancelOperationResp =
+      opConn(req.getOperationHandle) match {
+        case None =>
+          val r = new TCancelOperationResp(); r.setStatus(errStatus("unknown operation")); r
+        case Some(conn) => conn.synchronized(conn.client.CancelOperation(req))
+      }
+
+    override def CloseOperation(req: TCloseOperationReq): TCloseOperationResp =
+      opConn(req.getOperationHandle) match {
+        case None =>
+          val r = new TCloseOperationResp(); r.setStatus(errStatus("unknown operation")); r
+        case Some(conn) =>
+          val resp = conn.synchronized(conn.client.CloseOperation(req))
+          opConns.remove(key(req.getOperationHandle.getOperationId))
+          resp
+      }
+
+    override def GetResultSetMetadata(req: TGetResultSetMetadataReq): TGetResultSetMetadataResp =
+      opConn(req.getOperationHandle) match {
+        case None =>
+          val r = new TGetResultSetMetadataResp(); r.setStatus(errStatus("unknown operation")); r
+        case Some(conn) => conn.synchronized(conn.client.GetResultSetMetadata(req))
+      }
+
+    override def FetchResults(req: TFetchResultsReq): TFetchResultsResp =
+      opConn(req.getOperationHandle) match {
+        case None =>
+          val r = new TFetchResultsResp(); r.setStatus(errStatus("unknown operation")); r
+        case Some(conn) => conn.synchronized(conn.client.FetchResults(req))
+      }
+
+    override def GetQueryId(req: TGetQueryIdReq): TGetQueryIdResp =
+      opConn(req.getOperationHandle) match {
+        case None => new TGetQueryIdResp("")
+        case Some(conn) => conn.synchronized(conn.client.GetQueryId(req))
+      }
+
+    override def GetDelegationToken(req: TGetDelegationTokenReq): TGetDelegationTokenResp = {
+      val r = new TGetDelegationTokenResp()
+      r.setStatus(errStatus("delegation tokens not supported")); r
+    }
+    override def CancelDelegationToken(req: TCancelDelegationTokenReq): TCancelDelegationTokenResp = {
+      val r = new TCancelDelegationTokenResp()
+      r.setStatus(errStatus("delegation tokens not supported")); r
+    }
+    override def RenewDelegationToken(req: TRenewDelegationTokenReq): TRenewDelegationTokenResp = {
+      val r = new TRenewDelegationTokenResp()
+      r.setStatus(errStatus("delegation tokens not supported")); r
+    }
+    override def SetClientInfo(req: TSetClientInfoReq): TSetClientInfoResp =
+      sessionConn(req.getSessionHandle) match {
+        case None => val r = new TSetClientInfoResp(); r.setStatus(errStatus("unknown session")); r
+        case Some(conn) => conn.synchronized(conn.client.SetClientInfo(req))
+      }
+    override def UploadData(req: TUploadDataReq): TUploadDataResp = {
+      val r = new TUploadDataResp(); r.setStatus(errStatus("UploadData not supported")); r
+    }
+    override def DownloadData(req: TDownloadDataReq): TDownloadDataResp = {
+      val r = new TDownloadDataResp(); r.setStatus(errStatus("DownloadData not supported")); r
+    }
+  }
+
+  // --- server lifecycle -----------------------------------------------------
+  private val serverSocket = new TServerSocket(requestedPort)
+  val boundPort: Int = serverSocket.getServerSocket.getLocalPort
+
+  private val transportFactory = auth match {
+    case Some(p) => PlainSasl.serverTransportFactory(p)
+    case None => new org.apache.thrift.transport.TTransportFactory()
+  }
+
+  private val server = new TThreadPoolServer(
+    new TThreadPoolServer.Args(serverSocket)
+      .processor(new TCLIService.Processor(iface))
+      .transportFactory(transportFactory)
+      .protocolFactory(new TBinaryProtocol.Factory())
+      .minWorkerThreads(2)
+      .maxWorkerThreads(32))
+
+  private val serverThread = new Thread(() => server.serve(), s"graft-gateway-$boundPort")
+  serverThread.setDaemon(true)
+
+  def start(): GatewayServer = { serverThread.start(); this }
+
+  /** Stop the frontend and every pooled engine JVM. */
+  def stop(): Unit = {
+    server.stop()
+    serverSocket.close()
+    sessionConns.values.forEach(c => try c.transport.close() catch { case _: Throwable => })
+    sessionConns.clear()
+    opConns.clear()
+    pool.close()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.server
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.FileDiscoveryClient
+
+/** The deployed gateway shape, end to end with REAL processes: a stock
+  * Hive JDBC client connects to [[GatewayServer]] (SASL PLAIN), which
+  * launches an isolated engine JVM per user (engine-token secured) and
+  * forwards the whole TCLIService conversation to it.
+  */
+class GatewayServerSpec extends AnyFunSuite {
+
+  test("gateway routes each user to an isolated engine JVM and forwards the conversation") {
+    val dir = Files.createTempDirectory("graft-gateway")
+    val builder = new EngineProcBuilder(dir, engineSecret = Some("gw-secret"))
+    val gw = new GatewayServer(builder,
+      auth = Some(new StaticAuthenticationProvider(
+        Map("alice" -> "pwa", "bob" -> "pwb")))).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/"
+
+      val ca = DriverManager.getConnection(url, "alice", "pwa")
+      try {
+        // statement execution forwards (execute + status poll + fetch)
+        val rs = ca.createStatement().executeQuery("SELECT 40 + 2 AS v")
+        assert(rs.next() && rs.getInt("v") == 42)
+        // the engine session carries the gateway-authenticated identity
+        // through the token-secured hop
+        val ru = ca.createStatement().executeQuery("SELECT session_user() AS u")
+        assert(ru.next() && ru.getString("u") == "alice")
+        // metadata ops route through the same engine connection
+        val schemas = ca.getMetaData.getSchemas()
+        assert(schemas.next(), "engine must report at least one schema")
+        schemas.close()
+      } finally ca.close()
+
+      // bad credentials die at the gateway's SASL layer — no engine call
+      intercept[java.sql.SQLException] {
+        DriverManager.getConnection(url, "alice", "nope")
+      }
+
+      val cb = DriverManager.getConnection(url, "bob", "pwb")
+      try {
+        val rs = cb.createStatement().executeQuery("SELECT session_user() AS u")
+        assert(rs.next() && rs.getString("u") == "bob")
+      } finally cb.close()
+
+      // share-level USER isolation: two users, two live engine JVMs
+      val reg = new FileDiscoveryClient(dir)
+      val ea = reg.get("user/alice")
+      val eb = reg.get("user/bob")
+      assert(ea.nonEmpty && eb.nonEmpty, s"both engines registered: $ea / $eb")
+      assert(ea != eb, "alice and bob must not share an engine JVM")
+    } finally gw.stop()
+
+    // gateway stop tears the pooled engines down (clean unregister)
+    val reg2 = new FileDiscoveryClient(dir)
+    val deadline = System.nanoTime() + 20e9.toLong
+    while ((reg2.get("user/alice").nonEmpty || reg2.get("user/bob").nonEmpty)
+        && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(reg2.get("user/alice").isEmpty && reg2.get("user/bob").isEmpty,
+      "gateway stop must stop and unregister every pooled engine")
+  }
+}

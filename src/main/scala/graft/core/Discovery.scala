@@ -114,6 +114,19 @@ final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryC
       catch { case _: Throwable => None }
     }.find(_.nonEmpty)
 
+  /** Every space with at least one live registration node (admin
+    * enumeration — the ZK analogue walks the namespace children).
+    */
+  def spaces(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("node-"))
+      .map(p => root.relativize(p.getParent).toString)
+      .toSeq.distinct.sorted
+    finally walk.close()
+  }
+
   /** Every live registration in the space, registration order. */
   override def getAll(space: String): Seq[String] =
     liveNodes(space).flatMap { p =>

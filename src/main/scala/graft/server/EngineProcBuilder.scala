@@ -152,6 +152,12 @@ final class EnginePool(builder: EngineProcBuilder) extends AutoCloseable {
     procs.compute(space, (_, cur) =>
       if (cur != null && cur.alive) cur else builder.launch(space))
 
+  /** Stop and forget one engine (CONNECTION-level engines die with
+    * their session; reference EngineRef close for unshared engines).
+    */
+  def stop(space: String): Unit =
+    Option(procs.remove(space)).foreach(_.shutdown())
+
   override def close(): Unit = {
     procs.values.forEach(_.shutdown())
     procs.clear()

@@ -9,6 +9,8 @@ import org.apache.thrift.protocol.TBinaryProtocol
 import org.apache.thrift.server.TThreadPoolServer
 import org.apache.thrift.transport.{TSaslClientTransport, TServerSocket, TSocket, TTransport}
 
+import graft.core.ShareLevel
+
 /** The gateway in its deployed shape: a TCLIService server that owns NO
   * SparkSession — it routes every JDBC/beeline connection to the
   * connecting user's OWN engine JVM (launched on demand through
@@ -33,11 +35,25 @@ import org.apache.thrift.transport.{TSaslClientTransport, TServerSocket, TSocket
 final class GatewayServer(
     builder: EngineProcBuilder,
     requestedPort: Int = 0,
-    auth: Option[AuthenticationProvider] = None) {
+    auth: Option[AuthenticationProvider] = None,
+    shareLevel: ShareLevel = ShareLevel.User) {
 
   private val pool = new EnginePool(builder)
 
-  private final class EngineConn(val client: TCLIService.Client, val transport: TTransport)
+  /** Discovery space for a new session — the reference's
+    * engine.share.level at process granularity: USER pools one engine
+    * JVM per user, SERVER shares one engine across every connection,
+    * CONNECTION gives each connection a throwaway engine of its own.
+    */
+  private def spaceFor(user: String): String = shareLevel match {
+    case ShareLevel.User => s"user/$user"
+    case ShareLevel.Server => "server/shared"
+    case ShareLevel.Connection =>
+      s"connection/$user/${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  private final class EngineConn(val client: TCLIService.Client, val transport: TTransport,
+      val space: String)
 
   private val sessionConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
   private val opConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
@@ -45,7 +61,7 @@ final class GatewayServer(
   private def key(h: THandleIdentifier): ByteBuffer =
     ByteBuffer.wrap(h.getGuid.clone())
 
-  private def connect(address: String, user: String): EngineConn = {
+  private def connect(address: String, user: String, space: String): EngineConn = {
     val Array(host, port) = address.split(":")
     val sock = new TSocket(host, port.toInt)
     val transport: TTransport = builder.issueToken() match {
@@ -63,7 +79,7 @@ final class GatewayServer(
       case None => sock
     }
     transport.open()
-    new EngineConn(new TCLIService.Client(new TBinaryProtocol(transport)), transport)
+    new EngineConn(new TCLIService.Client(new TBinaryProtocol(transport)), transport, space)
   }
 
   private def sessionConn(h: TSessionHandle): Option[EngineConn] =
@@ -99,8 +115,9 @@ final class GatewayServer(
         .orElse(Option(req.getUsername).filter(_.nonEmpty))
         .getOrElse("anonymous")
       try {
-        val engine = pool.getOrLaunch(s"user/$user")
-        val conn = connect(engine.address, user)
+        val space = spaceFor(user)
+        val engine = pool.getOrLaunch(space)
+        val conn = connect(engine.address, user, space)
         val resp = conn.synchronized(conn.client.OpenSession(req))
         if (resp.getSessionHandle != null)
           sessionConns.put(key(resp.getSessionHandle.getSessionId), conn)
@@ -121,6 +138,8 @@ final class GatewayServer(
           val resp = conn.synchronized(conn.client.CloseSession(req))
           sessionConns.remove(key(req.getSessionHandle.getSessionId))
           try conn.transport.close() catch { case _: Throwable => }
+          // an unshared (CONNECTION-level) engine dies with its session
+          if (shareLevel == ShareLevel.Connection) pool.stop(conn.space)
           resp
       }
 

@@ -66,4 +66,48 @@ class GatewayServerSpec extends AnyFunSuite {
     assert(reg2.get("user/alice").isEmpty && reg2.get("user/bob").isEmpty,
       "gateway stop must stop and unregister every pooled engine")
   }
+
+  test("SERVER share level pools one engine JVM for every user") {
+    val dir = Files.createTempDirectory("graft-gateway-server")
+    val builder = new EngineProcBuilder(dir)
+    val gw = new GatewayServer(builder, shareLevel = graft.core.ShareLevel.Server).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl"
+      val ca = DriverManager.getConnection(url, "alice", "")
+      val cb = DriverManager.getConnection(url, "bob", "")
+      try {
+        assert(ca.createStatement().executeQuery("SELECT 1 AS a").next())
+        assert(cb.createStatement().executeQuery("SELECT 2 AS b").next())
+      } finally { ca.close(); cb.close() }
+      val reg = new FileDiscoveryClient(dir)
+      assert(reg.get("server/shared").nonEmpty, "the one shared engine registers")
+      assert(reg.getAll("server/shared").size == 1, "exactly one engine JVM")
+      assert(reg.get("user/alice").isEmpty && reg.get("user/bob").isEmpty)
+    } finally gw.stop()
+  }
+
+  test("CONNECTION share level gives a throwaway engine that dies with the session") {
+    val dir = Files.createTempDirectory("graft-gateway-conn")
+    val builder = new EngineProcBuilder(dir)
+    val gw = new GatewayServer(builder, shareLevel = graft.core.ShareLevel.Connection).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl"
+      val reg = new FileDiscoveryClient(dir)
+      val conn = DriverManager.getConnection(url, "carol", "")
+      val liveSpaces =
+        try {
+          assert(conn.createStatement().executeQuery("SELECT 42 AS v").next())
+          reg.spaces().filter(_.startsWith("connection/carol/"))
+        } finally conn.close()
+      assert(liveSpaces.size == 1, s"one engine for the connection: $liveSpaces")
+      // closing the JDBC connection closes the session → engine dies
+      val deadline = System.nanoTime() + 25e9.toLong
+      while (liveSpaces.exists(s => reg.get(s).nonEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(liveSpaces.forall(s => reg.get(s).isEmpty),
+        "a CONNECTION-level engine must be stopped when its session closes")
+    } finally gw.stop()
+  }
 }

@@ -59,6 +59,27 @@ object EngineMain {
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown()))
 
+    // Idle self-termination (reference engine.idle.timeout: an engine
+    // with no sessions for the timeout exits so the cluster doesn't
+    // carry abandoned driver JVMs; the pool relaunches on next use).
+    // The clock starts at launch, so an engine nobody ever connects to
+    // also goes away.
+    sys.env.get("GRAFT_ENGINE_IDLE_TIMEOUT_MS").map(_.toLong).filter(_ > 0).foreach { t =>
+      val watchdog = new Thread(() => {
+        var lastBusy = System.currentTimeMillis()
+        while (true) {
+          Thread.sleep(math.max(math.min(t / 4, 1000L), 50L))
+          if (engine.openSessions.nonEmpty) lastBusy = System.currentTimeMillis()
+          else if (System.currentTimeMillis() - lastBusy > t) {
+            shutdown()
+            System.exit(0)
+          }
+        }
+      }, "graft-engine-idle-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+    }
+
     // serve until the launcher drops the pipe or asks us to stop
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var line = in.readLine()

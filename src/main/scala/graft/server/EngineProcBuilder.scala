@@ -33,7 +33,8 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     sparkConf: Map[String, String] = Map.empty,
     proxyUser: Option[String] = None,
     engineJar: Option[String] = None,
-    engineSecret: Option[String] = None) {
+    engineSecret: Option[String] = None,
+    engineEnv: Map[String, String] = Map.empty) {
 
   /** Token for connecting to an engine launched with [[engineSecret]]
     * (the server side of engine security: pass as the SASL PLAIN
@@ -109,6 +110,7 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     // the secret travels process-private (child env), never on the
     // command line where `ps` would expose it
     engineSecret.foreach(pb.environment().put("GRAFT_ENGINE_SECRET", _))
+    engineEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
     // drain the child's output (Spark logs would fill the pipe and
     // deadlock it); keep a tail for failure diagnostics

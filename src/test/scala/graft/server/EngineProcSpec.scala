@@ -97,4 +97,27 @@ class EngineProcSpec extends AnyFunSuite {
         "a cleanly-stopped engine must leave the registry")
     } finally pool.close()
   }
+
+  test("an idle engine self-terminates after its idle timeout and unregisters") {
+    val dir = Files.createTempDirectory("graft-engine-idle")
+    val builder = new EngineProcBuilder(dir,
+      engineEnv = Map("GRAFT_ENGINE_IDLE_TIMEOUT_MS" -> "2000"))
+    val pool = new EnginePool(builder)
+    try {
+      val eng = pool.getOrLaunch("user/idle")
+      assert(query42(eng.address) == 42)
+      // no sessions now open; the engine should exit on its own
+      val reg = new graft.core.FileDiscoveryClient(dir)
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (eng.alive && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(!eng.alive, "idle engine must exit without the launcher asking")
+      val deadline2 = System.nanoTime() + 10e9.toLong
+      while (reg.get("user/idle").nonEmpty && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(reg.get("user/idle").isEmpty, "self-terminated engine must unregister")
+      // the pool relaunches a fresh engine on next use
+      val eng2 = pool.getOrLaunch("user/idle")
+      assert(eng2.alive && (eng2 ne eng))
+    } finally pool.close()
+  }
 }

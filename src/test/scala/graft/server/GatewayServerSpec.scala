@@ -110,4 +110,56 @@ class GatewayServerSpec extends AnyFunSuite {
         "a CONNECTION-level engine must be stopped when its session closes")
     } finally gw.stop()
   }
+
+  test("standalone GatewayMain process serves JDBC end to end (three JVMs)") {
+    val dir = Files.createTempDirectory("graft-gateway-main")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+    val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+      "-Xmx1g", "-cp", System.getProperty("java.class.path"),
+      "graft.server.GatewayMain", dir.toString)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    pb.environment().put("GRAFT_ENGINE_SECRET", "main-secret")
+    val proc = pb.start()
+    try {
+      // wait for the READY line, draining output
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var port = -1
+      val deadline = System.nanoTime() + 60e9.toLong
+      var line = reader.readLine()
+      while (line != null && port < 0 && System.nanoTime() < deadline) {
+        if (line.startsWith("GATEWAY READY localhost:"))
+          port = line.stripPrefix("GATEWAY READY localhost:").trim.toInt
+        else line = reader.readLine()
+      }
+      assert(port > 0, "gateway must print its READY line")
+      // keep draining in the background so the pipe never fills
+      val drainer = new Thread(() => {
+        try { var l = reader.readLine(); while (l != null) l = reader.readLine() }
+        catch { case _: Throwable => }
+      })
+      drainer.setDaemon(true); drainer.start()
+
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/;auth=noSasl", "erin", "")
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT 40 + 2 AS v")
+        assert(rs.next() && rs.getInt("v") == 42)
+      } finally conn.close()
+
+      // dropping the gateway's stdin shuts it AND its engines down
+      proc.getOutputStream.close()
+      assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+        "gateway process must exit when stdin drops")
+      val reg = new FileDiscoveryClient(dir)
+      val d2 = System.nanoTime() + 15e9.toLong
+      while (reg.spaces().exists(s => reg.get(s).nonEmpty) && System.nanoTime() < d2)
+        Thread.sleep(200)
+      assert(reg.spaces().forall(s => reg.get(s).isEmpty),
+        "every engine must be gone after the gateway exits")
+    } finally proc.destroyForcibly()
+  }
 }

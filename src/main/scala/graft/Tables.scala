@@ -23,10 +23,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = load("orders")
   def lineitem: DataFrame = load("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses. Read nanos as long (legacy conf) and truncate to
-    * micros — the same truncation DuckDB applies — keeping the public
-    * schema (ts: timestamp) identical for every consumer.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader surfaces as long under the legacy
+    * nanosAsLong conf — or plain TIMESTAMP(MICROS). Branch on the loaded
+    * type so the public schema (ts: timestamp, micros) is identical for
+    * both fixture layouts; nanos are truncated to micros, the same
+    * truncation DuckDB applies.
     */
   def events: DataFrame = {
     // builders (Verify/Bench/Engine fixtures) set this at session
@@ -35,9 +37,18 @@ final case class Tables(spark: SparkSession, dir: String) {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load("events")
+    val df = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] without tz reads as TIMESTAMP_NTZ; downstream
+      // queries (unix_micros, bigint casts, windows) expect TIMESTAMP.
+      // All engine sessions run UTC, so the NTZ→LTZ cast is identity on
+      // the stored micros — the same naive reading DuckDB applies.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TIMESTAMP
+    }
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")

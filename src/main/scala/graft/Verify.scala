@@ -28,11 +28,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT silently vanish from the gate (round 7
+    // shipped "95/95 green" with the 4 regressed queries simply absent,
+    // because a missing result dir is invisible to the driver's compare).
+    // On failure, write a one-row result whose schema/hash can never match
+    // the oracle — the gate then shows an explicit red entry — and exit
+    // non-zero so the driver's rc records the round as broken.
+    var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        import spark.implicits._
+        Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+          .toDF("__verify_error__").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
       // free the query's tracked sketch caches (see Bench)
       graft.operators.SketchRegistry.releaseAll()
@@ -123,5 +135,11 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries failed: " +
+          failures.reverse.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

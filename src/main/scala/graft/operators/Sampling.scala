@@ -83,4 +83,30 @@ object Sampling {
       .filter(col("__rn") <= col("__target"))
       .drop("__h", "__rn", "__target")
   }
+
+  /** Deterministic corpus shuffle + sharding: every row gets a shard
+    * in [0, numShards) and a 1-based position within its shard, both
+    * pure functions of (seed, id) — the reproducible "global shuffle
+    * then split into training shards" step that precedes tokenization.
+    * Re-running with the same seed reproduces the exact layout;
+    * changing the seed is a fresh permutation.
+    *
+    * Scale shape: shard assignment is a map-side md5; the only shuffle
+    * is the per-shard window, and shards are the parallelism unit — at
+    * 100 TB you run numShards in the thousands, so each window
+    * partition holds corpus/numShards rows and no reducer sees a
+    * global order. (A global `row_number() over (order by hash)` —
+    * the tempting one-liner — would funnel the corpus through one
+    * reducer.)
+    */
+  def shuffleShard(df: DataFrame, idCol: String, numShards: Int,
+      seed: String): DataFrame = {
+    val h = md5(concat(lit(seed + "-"), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("int") % numShards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
 }

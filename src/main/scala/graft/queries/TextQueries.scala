@@ -242,6 +242,29 @@ object TextQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+    },
+
+    // --- Token-budget selection: walk docs by (n_chars desc, doc_id)
+    //     and keep until 5000 tokens are filled. Distributed prefix
+    //     sum — range partitions + per-partition offsets, never the
+    //     single-reducer global window (see BudgetSelect). ---
+    "d34_budget_select" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.BudgetSelect.takeUntilBudget(
+          d, "n_tokens", Seq(col("n_chars").desc, col("doc_id").asc),
+          budget = 5000L, numParts = 8)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+    },
+
+    // --- Deterministic corpus shuffle + sharding: md5-seeded shard in
+    //     [0,8) and position within shard — the reproducible global
+    //     shuffle that precedes tokenization/packing ---
+    "d35_shuffle_shard" -> { (s, dir) =>
+      Sampling.shuffleShard(Tables(s, dir).documents, "doc_id",
+          numShards = 8, seed = "s42")
+        .select(col("doc_id"), col("shard"), col("pos"))
     }
   )
 
@@ -540,6 +563,35 @@ object TextQueries {
     "d20_vocab_df" ->
       s"""SELECT token, count(*) AS df FROM (
             SELECT doc_id, unnest(list_distinct($duckToks)) AS token FROM documents)
-          GROUP BY token ORDER BY df DESC, token LIMIT 100"""
+          GROUP BY token ORDER BY df DESC, token LIMIT 100""",
+    // Mirror of d34: the single-window cumulative sum IS the spec the
+    // distributed prefix sum must match bit-for-bit (integer weights,
+    // unique total order).
+    "d34_budget_select" ->
+      s"""WITH d AS (
+            SELECT doc_id, n_chars,
+              CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (
+                ORDER BY n_chars DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS cum_before
+            FROM d)
+          SELECT doc_id, n_tokens, cum_before FROM c WHERE cum_before < 5000""",
+    // Mirror of d35: seeded md5 shard + within-shard hash order.
+    "d35_shuffle_shard" -> {
+      def digit(i: Int) =
+        s"(CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN ascii(substr(h, $i, 1)) - 87 ELSE ascii(substr(h, $i, 1)) - 48 END)"
+      val h16 = s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+      s"""WITH hashed AS (
+            SELECT doc_id, md5('s42-' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+          sharded AS (
+            SELECT doc_id, h, CAST($h16 % 8 AS INT) AS shard FROM hashed)
+          SELECT doc_id, shard,
+            CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+          FROM sharded"""
+    }
   )
 }

@@ -76,11 +76,21 @@ object Verify {
         .zipWithIndex.map { case (p, i) => (i, p.toSeq) }.toSeq
         .toDF("plane_id", "plane").coalesce(1).write.mode("overwrite")
         .parquet(vecAuxDir.resolve("lsh_planes.parquet").toString)
-      graft.operators.IvfIndex.train(
+      val ivfCents = graft.operators.IvfIndex.train(
         Tables(spark, sfDir).embeddings, "vec_id", "embedding", nLists = N_LISTS)
+      ivfCents
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list_id", "centroid").coalesce(1).write.mode("overwrite")
         .parquet(vecAuxDir.resolve("ivf_centroids.parquet").toString)
+      // Residual PQ codebooks for the IVF-PQ path (v12/v13).
+      graft.operators.IvfPqIndex.trainResidual(
+        Tables(spark, sfDir).embeddings, "vec_id", "embedding", ivfCents,
+        dim = DIM, m = M_SUB, k = K_CODES)
+        .zipWithIndex.flatMap { case (cbk, j) =>
+          cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+        }.toSeq
+        .toDF("j", "code", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(vecAuxDir.resolve("pq_res_codebooks.parquet").toString)
       graft.operators.PqIndex.train(
         Tables(spark, sfDir).embeddings, "vec_id", "embedding",
         dim = DIM, m = M_SUB, k = K_CODES)

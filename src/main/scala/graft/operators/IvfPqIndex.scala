@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF-PQ: the coarse inverted-file quantizer of [[IvfIndex]] composed
+  * with product quantization of the RESIDUALS (vector minus its list
+  * centroid) — the standard billion-scale ANN layout (FAISS IVFPQ;
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011). Residuals are much smaller than raw vectors, so the
+  * same codebook budget quantizes them far more precisely than
+  * whole-vector PQ.
+  *
+  * Scoring decomposes the inner product exactly:
+  *   q·x  =  q·c(x)  +  q·(x − c(x))  ≈  q·c(x) + Σ_j lut_q[j][code_j]
+  * where `c(x)` is x's list centroid — one per-(query, list) scalar
+  * plus m table lookups per candidate.
+  *
+  * The 100 TB shape inherits the best of both parents: the corpus
+  * carries ONLY (list_id, m code ids) — 16-64× fewer bytes than raw
+  * embeddings; the probe join is equi on small-int list ids against a
+  * broadcast query side (a query scores |corpus|·nProbe/nLists
+  * candidates, not |corpus|); encode / LUT / ADC are native codegen'd
+  * kernels ([[org.apache.spark.sql.graft.PqExpr]]); ranking is the
+  * map-side [[TopKAggregator]]. Only centroids + codebooks (index
+  * artifacts) touch the driver.
+  */
+object IvfPqIndex {
+
+  /** Residual of a vector against its nearest-list centroid, computed
+    * in double (exactly what the oracle recomputes). Map-side only:
+    * centroids ride along as plan literals.
+    */
+  def residual(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val centArr = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cent = element_at(centArr, IvfIndex.nearestList(vec, centroids) + 1)
+    zip_with(vec, cent, (v, c) => v.cast("double") - c)
+  }
+
+  /** Train `m` residual codebooks of `k` centroids each — PqIndex's
+    * Lloyd loop run over the residual column (array<double>; the
+    * encode kernel accepts both layouts). Seeds are the `k` lowest-id
+    * residuals, mirroring PqIndex.train.
+    */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], dim: Int, m: Int, k: Int,
+      iterations: Int = 1): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val res = corpus.select(col(idCol).as("__id"),
+      residual(col(vecCol), centroids).as("__res"))
+    val seeds = res.orderBy(col("__id")).limit(k).select(col("__res")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    (0 until iterations).foreach { _ =>
+      val means = res
+        .select(col("__res").as("vec"),
+          posexplode(org.apache.spark.sql.graft.PqExpr.encode(col("__res"), codebooks))
+            .as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("vec"), col("j") * dsub + 1, lit(dsub))).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      codebooks = Array.tabulate(m) { j =>
+        Array.tabulate(k) { i =>
+          if (means.contains((j, i, 0))) Array.tabulate(dsub)(t => means((j, i, t)))
+          else codebooks(j)(i)
+        }
+      }
+    }
+    codebooks
+  }
+
+  /** IVF-PQ top-k by approximate dot product: corpus side carries only
+    * (list_id, codes); query side broadcasts (query_id, probed list,
+    * q·centroid scalar, residual LUT).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      IvfIndex.nearestList(col(vecCol), centroids).as("list_id"),
+      org.apache.spark.sql.graft.PqExpr.encode(
+        residual(col(vecCol), centroids), codebooks).as("codes"))
+    val qdots = array(centroids.map(cn =>
+      VectorFunctions.dot(col("qv"), array(cn.map(lit): _*))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("list_id",
+        explode(IvfIndex.probeLists(col("qv"), centroids, nProbe)))
+      .withColumn("qdotc", element_at(qdots, col("list_id") + 1))
+      .withColumn("lt",
+        org.apache.spark.sql.graft.PqExpr.lookupTable(col("qv"), codebooks))
+      .drop("qv")
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        col("qdotc") + org.apache.spark.sql.graft.PqExpr.adcDot(col("lt"), col("codes")))
+    SimilaritySearch.rankTopK(scored, k, simAlias = "score")
+  }
+}

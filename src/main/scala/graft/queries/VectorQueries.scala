@@ -124,6 +124,35 @@ object VectorQueries {
       SimilaritySearch.recallAtK(approx, exact, k = 5)
     },
 
+    // --- IVF-PQ top-5: coarse quantizer + PQ-encoded residuals with
+    //     ADC scoring (q·centroid + residual lookup) — the FAISS-style
+    //     billion-scale layout; oracle recomputes assignment, residual
+    //     codes and the decomposed score from the dumped centroids +
+    //     residual codebooks ---
+    "v12_ivfpq_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
+        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
+        cents, rcb, k = 5, nProbe = N_PROBE)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Recall@5 of the IVF-PQ path vs exact dot-product ranking ---
+    "v13_ivfpq_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
+        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      val approx = graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
+        cents, rcb, k = 5, nProbe = N_PROBE)
+      val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -193,6 +222,76 @@ object VectorQueries {
             FROM pqpairs)
           WHERE rnk <= 5)"""
 
+  // IVF-PQ recomputed from the dumped centroids + residual codebooks:
+  // cosine-argmax list assignment (tie -> larger list id), residual in
+  // double, argmin-L2 residual codes (tie -> larger code), and the
+  // decomposed score q·centroid + Σ_j lut_j[code_j] with every fold in
+  // Spark's exact order.
+  private val ivfpqCte =
+    s"""icents AS (SELECT list_id, centroid
+                   FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+        rcb AS (SELECT j, code, centroid
+                FROM '__VAUX__/pq_res_codebooks.parquet/*.parquet'),
+        rnest AS (SELECT list(cents ORDER BY j) AS m FROM (
+                    SELECT j, list(centroid ORDER BY code) AS cents
+                    FROM rcb GROUP BY j)),
+        iasg AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+            FROM embeddings e CROSS JOIN icents c)
+          WHERE r = 1),
+        rres AS (
+          SELECT a.vec_id, a.list_id,
+            list_transform(generate_series(1, $DIM),
+              i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS res
+          FROM iasg a
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN icents c ON c.list_id = a.list_id),
+        rasg AS (
+          SELECT vec_id, j, code FROM (
+            SELECT r.vec_id, cb.j, cb.code,
+              row_number() OVER (PARTITION BY r.vec_id, cb.j
+                ORDER BY list_reduce(list_transform(generate_series(1, $DSUB),
+                  i -> (r.res[cb.j*$DSUB+i] - cb.centroid[i])
+                     * (r.res[cb.j*$DSUB+i] - cb.centroid[i])),
+                  (x, y) -> x + y) ASC, cb.code DESC) AS rr
+            FROM rres r CROSS JOIN rcb cb)
+          WHERE rr = 1),
+        rcodes AS (SELECT vec_id, list(code ORDER BY j) AS codes
+                   FROM rasg GROUP BY vec_id),
+        iprobe AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+            FROM embeddings e CROSS JOIN icents c
+            WHERE e.vec_id < 10)
+          WHERE r <= $N_PROBE),
+        ipairs AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+            (${duckDot("q.embedding", "pc.centroid")})
+             + list_reduce(list_transform(generate_series(1, $M_SUB), j ->
+                 list_reduce(list_transform(generate_series(1, $DSUB), i ->
+                   CAST(q.embedding[(j-1)*$DSUB+i] AS DOUBLE) * s.m[j][nc.codes[j]+1][i]),
+                   (x, y) -> x + y)),
+                 (x, y) -> x + y) AS score
+          FROM iprobe p
+          JOIN iasg n ON n.list_id = p.list_id
+          JOIN rcodes nc ON nc.vec_id = n.vec_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          JOIN icents pc ON pc.list_id = p.list_id
+          CROSS JOIN rnest s
+          WHERE n.vec_id <> p.query_id),
+        itop AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM ipairs)
+          WHERE rnk <= 5)"""
+
   private val dotTopCte =
     s"""dexact AS (
           SELECT query_id, neighbor_id FROM (
@@ -235,6 +334,16 @@ object VectorQueries {
             WHERE rnk <= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "v12_ivfpq_topk" ->
+      s"""WITH $ivfpqCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+    "v13_ivfpq_recall" ->
+      s"""WITH $ivfpqCte, $dotTopCte
+          SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM dexact) e
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM itop JOIN dexact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
     "v09_pq_topk" ->
       s"""WITH $pqPairsCte
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM pqtop""",

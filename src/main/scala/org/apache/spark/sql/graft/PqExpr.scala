@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, TypeCollection}
 
 /** Native product-quantization kernels (encode / query LUT / ADC score).
   *
@@ -41,15 +41,17 @@ object PqExpr {
     Bridge.column(PqAdcExpr(Bridge.expression(lut), Bridge.expression(codes)))
 }
 
-/** `array<float>` vector -> `array<int>` of m PQ codes: per subspace,
-  * argmin squared-L2 against the codebook, ties to the larger code id.
+/** `array<float>` (or `array<double>`, e.g. IVF residuals) vector ->
+  * `array<int>` of m PQ codes: per subspace, argmin squared-L2 against
+  * the codebook, ties to the larger code id.
   */
 case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with ExpectsInputTypes {
 
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_pq_encode"
@@ -57,6 +59,12 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
   private val m = codebooks.length
   private val k = codebooks(0).length
   private val dsub = codebooks(0)(0).length
+  // float inputs widen per element, so both layouts do identical
+  // double arithmetic
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -72,7 +80,9 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
         var d = 0.0
         var t = 0
         while (t < dsub) {
-          val diff = arr.getFloat(j * dsub + t).toDouble - c(t)
+          val idx = j * dsub + t
+          val v = if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
+          val diff = v - c(t)
           d += diff * diff
           t += 1
         }
@@ -100,6 +110,8 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
       val diff = ctx.freshName("diff")
       val bestNd = ctx.freshName("bestNd")
       val bestIdx = ctx.freshName("bestIdx")
+      val get = if (isFloat) s"((double) $c.getFloat($j * $dsub + $t))"
+        else s"$c.getDouble($j * $dsub + $t)"
       s"""
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
@@ -110,7 +122,7 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
          |    final double[] $cent = $cb[$i];
          |    double $d = 0.0;
          |    for (int $t = 0; $t < $dsub; $t++) {
-         |      final double $diff = ((double) $c.getFloat($j * $dsub + $t)) - $cent[$t];
+         |      final double $diff = $get - $cent[$t];
          |      $d += $diff * $diff;
          |    }
          |    final double $nd = -$d;

@@ -102,4 +102,31 @@ object IvfPqIndex {
         col("qdotc") + org.apache.spark.sql.graft.PqExpr.adcDot(col("lt"), col("codes")))
     SimilaritySearch.rankTopK(scored, k, simAlias = "score")
   }
+
+  /** IVF-PQ with exact re-ranking (FAISS's refine stage): take the
+    * `k * refineFactor` best ADC candidates, rescore ONLY those with
+    * the exact dot product, return the exact-ranked top k. Recovers
+    * most of the quantization loss for the cost of |queries|·k·refine
+    * exact dots.
+    *
+    * Scale shape: the candidate set is query-side-sized, so it
+    * BROADCASTS back against the corpus (a broadcast hash join — the
+    * corpus never shuffles for the rescore) and only candidate rows
+    * pay the full-width dot.
+    */
+  def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      refineFactor: Int = 4): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, centroids, codebooks,
+      k = k * refineFactor, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val rescored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", VectorFunctions.dot(col("qv"), col("cv")))
+    SimilaritySearch.rankTopK(rescored, k)
+  }
 }

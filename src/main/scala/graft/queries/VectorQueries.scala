@@ -153,6 +153,20 @@ object VectorQueries {
       SimilaritySearch.recallAtK(approx, exact, k = 5)
     },
 
+    // --- IVF-PQ + exact re-ranking (the refine stage): top-20 ADC
+    //     candidates rescored with the exact dot product, exact-ranked
+    //     top-5; the candidate set broadcasts back against the corpus ---
+    "v14_ivfpq_refined" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
+        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      graft.operators.IvfPqIndex.ivfPqTopKRefined(e, q, "vec_id", "embedding",
+        cents, rcb, k = 5, nProbe = N_PROBE, refineFactor = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -284,13 +298,12 @@ object VectorQueries {
           JOIN icents pc ON pc.list_id = p.list_id
           CROSS JOIN rnest s
           WHERE n.vec_id <> p.query_id),
-        itop AS (
-          SELECT query_id, neighbor_id, rnk FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, neighbor_id ASC) AS rnk
-            FROM ipairs)
-          WHERE rnk <= 5)"""
+        irank AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS rnk
+          FROM ipairs),
+        itop AS (SELECT query_id, neighbor_id, rnk FROM irank WHERE rnk <= 5)"""
 
   private val dotTopCte =
     s"""dexact AS (
@@ -337,6 +350,21 @@ object VectorQueries {
     "v12_ivfpq_topk" ->
       s"""WITH $ivfpqCte
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+    "v14_ivfpq_refined" ->
+      s"""WITH $ivfpqCte,
+          cand AS (SELECT query_id, neighbor_id FROM irank WHERE rnk <= 20),
+          rescore AS (
+            SELECT c.query_id, c.neighbor_id,
+              ${duckDot("q.embedding", "n.embedding")} AS sim
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings n ON n.vec_id = c.neighbor_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM rescore)
+          WHERE rnk <= 5""",
     "v13_ivfpq_recall" ->
       s"""WITH $ivfpqCte, $dotTopCte
           SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall

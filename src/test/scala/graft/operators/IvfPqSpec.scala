@@ -91,4 +91,20 @@ class IvfPqSpec extends AnyFunSuite {
     // BOTH pq variants (~0.25); this is a sanity floor, not a quality bar
     assert(ivfpq > 0.1, s"ivfpq recall@5 too low: $ivfpq")
   }
+
+  test("exact re-ranking refine recovers recall over raw ADC ordering") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.dotTopK(emb, q, "vec_id", "embedding", k = 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+        .agg(avg("recall")).head().getDouble(0)
+    val raw = meanRecall(IvfPqIndex.ivfPqTopK(emb, q, "vec_id", "embedding",
+      cents, rcb, k = 5, nProbe = N_LISTS))
+    val refined = meanRecall(IvfPqIndex.ivfPqTopKRefined(emb, q, "vec_id", "embedding",
+      cents, rcb, k = 5, nProbe = N_LISTS, refineFactor = 8))
+    // refine re-ranks a 8x candidate pool by the EXACT dot, so it can
+    // only recover ordering the ADC approximation scrambled
+    assert(refined >= raw, s"refined $refined must not trail raw ADC $raw")
+    assert(refined >= 0.5, s"refined recall@5 with 8x pool too low: $refined")
+  }
 }

@@ -140,6 +140,14 @@ object PlainSasl {
   private val currentUser = new ThreadLocal[String]()
   def authenticatedUser: Option[String] = Option(currentUser.get())
 
+  /** Set/clear the transport-proven identity for the current thread —
+    * the HTTP transport authenticates per REQUEST (stateless wire), so
+    * its handler installs the Basic-auth identity around each
+    * processor call the way the SASL handshake does per connection.
+    */
+  private[server] def setAuthenticatedUser(user: String): Unit = currentUser.set(user)
+  private[server] def clearAuthenticatedUser(): Unit = currentUser.remove()
+
   final class PlainServerCallbackHandler(provider: AuthenticationProvider)
     extends CallbackHandler {
     override def handle(callbacks: Array[Callback]): Unit = {

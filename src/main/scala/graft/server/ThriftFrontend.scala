@@ -756,6 +756,14 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     }
   }
 
+  /** The TCLIService processor over this frontend's session state —
+    * shared with [[ThriftHttpFrontend]], which serves the same engine
+    * over the HTTP transport (processors are stateless wrappers; the
+    * iface is already called concurrently by the thread-pool server).
+    */
+  private[server] def processor: TCLIService.Processor[_] =
+    new TCLIService.Processor(iface)
+
   // --- server lifecycle -----------------------------------------------------
   private val serverSocket = new TServerSocket(requestedPort)
   val boundPort: Int = serverSocket.getServerSocket.getLocalPort

@@ -33,10 +33,20 @@ import org.apache.spark.sql.functions._
   * driver collect beyond the numParts-row offset table.
   *
   * Invariant: the offset branch and the row branch MUST observe the
-  * same range boundaries. Both are built from the one `ranked` subtree,
-  * so Spark's exchange reuse (plain and AQE stage reuse) materializes a
-  * single range shuffle both consumers read — BudgetSelectSpec executes
-  * the operator and pins exactly that in the final adaptive plan.
+  * same range boundaries. Range-boundary sampling is seeded per
+  * physical exchange (RDD id), so two independent instantiations of the same
+  * logical subtree can legally pick DIFFERENT boundaries — relying on
+  * Spark's exchange reuse to merge them is a silent-corruption hazard
+  * (reuse can be disabled by conf, or not fire after a planner
+  * change). The operator therefore pins ONE materialization itself:
+  * `ranked` is eagerly `localCheckpoint()`ed, and both consumers read
+  * that single computed RDD. The checkpoint stores exactly what the
+  * reused exchange would have stored (the range-partitioned, sorted
+  * rows — MEMORY_AND_DISK, spilled when big), blocks are freed by the
+  * ContextCleaner once the plan is unreachable, and a reuse regression
+  * is impossible by construction rather than guarded by assertion.
+  * BudgetSelectSpec pins bit-equality with the single-window oracle
+  * with `spark.sql.exchange.reuse=false` to keep this honest.
   */
 object BudgetSelect {
 
@@ -48,10 +58,13 @@ object BudgetSelect {
     */
   def takeUntilBudget(df: DataFrame, weightCol: String, order: Seq[Column],
       budget: Long, numParts: Int = 32): DataFrame = {
+    // Eager local checkpoint = the one materialization both branches
+    // read; see the exchange-reuse invariant note above.
     val ranked = df
       .repartitionByRange(numParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // numParts-row aggregate: the only thing that ever leaves the
     // executors. Range partitioning puts earlier ranks in lower pids,
     // so the exclusive prefix over pid order is each partition's

@@ -43,28 +43,42 @@ class BudgetSelectSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
-  test("offsets and rows come from ONE range exchange (reused, not resampled)") {
-    // Correctness depends on the offset table and the row branch seeing
-    // the SAME partition boundaries. Range boundary sampling is seeded
-    // per physical exchange, so at RUNTIME the two consumers must share
-    // one exchange — Spark's exchange-reuse (plain or AQE stage reuse)
-    // guarantees it for the canonically-identical subtrees this
-    // operator builds. Execute, then inspect the final adaptive plan.
+  test("both branches read ONE pinned materialization — no range resampling hazard") {
+    // Range-boundary sampling is seeded per physical exchange, so two
+    // independent instantiations of the ranked subtree could pick
+    // different boundaries and silently corrupt cum_before. The
+    // operator pins one eager localCheckpoint both branches read; the
+    // downstream plan must therefore contain NO rangepartitioning
+    // exchange at all (the range shuffle happened once, inside the
+    // checkpointed lineage).
     val sel = BudgetSelect.takeUntilBudget(docs, "w",
       Seq(col("score").desc, col("id").asc), budget = 9000L, numParts = 7)
     sel.collect()
     val plan = sel.queryExecution.executedPlan.toString
-    // Every materialized range shuffle is a "ShuffleQueryStage n" (AQE)
-    // over rangepartitioning; reuse shows as the same stage id or an
-    // explicit ReusedExchange/reuses-operator marker.
-    val stageIds = """ShuffleQueryStage (\d+)""".r
-      .findAllMatchIn(plan).map(_.group(1)).toList
-    val rangeStages = stageIds.distinct.size
-    val reused = stageIds.size > stageIds.distinct.size ||
-      plan.toLowerCase.contains("reused")
     val ranges = "rangepartitioning".r.findAllIn(plan.toLowerCase).length
-    assert(ranges <= 1 || reused,
-      s"offsets/rows must share one range exchange; stages=$stageIds ranges=$ranges:\n$plan")
+    assert(ranges == 0,
+      s"ranked must be checkpointed once, not re-ranged per branch:\n$plan")
+    assert(plan.toLowerCase.contains("existingrdd") ||
+      plan.toLowerCase.contains("scan existing"),
+      s"expected the checkpointed RDD scan in the plan:\n$plan")
+  }
+
+  test("bit-identical to the oracle even with exchange reuse disabled") {
+    // The hazard case the ADVICE flagged: with exchange reuse off, a
+    // reuse-dependent implementation would let the offsets branch and
+    // the row branch observe different sampled boundaries. The pinned
+    // checkpoint makes the result independent of the reuse conf.
+    val budget = 9000L
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = BudgetSelect.takeUntilBudget(docs, "w",
+          Seq(col("score").desc, col("id").asc), budget, numParts = 7)
+        .select("id", "w", "cum_before")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val want = naive(budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.sameElements(want))
+    } finally spark.conf.unset("spark.sql.exchange.reuse")
   }
 
   test("shuffleShard: complete, deterministic, dense positions per shard") {

@@ -29,9 +29,13 @@ import org.apache.thrift.transport.TIOStreamTransport
   * the transport, not the request body.
   */
 final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
-    httpPath: String = "cliservice", auth: Option[AuthenticationProvider] = None) {
+    httpPath: String = "cliservice", auth: Option[AuthenticationProvider] = None,
+    maxBodyBytes: Int = ThriftHttpFrontend.DefaultMaxBodyBytes) {
+
+  import ThriftHttpFrontend._
 
   private val processor = frontend.processor
+  private val mountedPath = s"/$httpPath"
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(requestedPort), 0)
   val boundPort: Int = server.getAddress.getPort
@@ -50,40 +54,73 @@ final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
         } catch { case _: IllegalArgumentException => None }
       }
 
-  server.createContext(s"/$httpPath", (ex: HttpExchange) => {
+  /** Per-request authentication, three-way: a missing/bad credential is
+    * the client's fault (401), a provider outage is the server's fault
+    * (500) — conflating them tells users "wrong password" during an
+    * infra incident. The seam's contract is `authenticate` throws
+    * SecurityException (or the SASL wrapper's SaslException) on
+    * rejection; anything else a provider throws (connection refused,
+    * SQL errors, …) is a failure of the provider itself.
+    */
+  private def authenticateRequest(ex: HttpExchange): AuthOutcome = auth match {
+    case None => Anonymous
+    case Some(p) =>
+      basicCredentials(ex) match {
+        case None => Rejected
+        case Some((u, pw)) =>
+          try {
+            Option(p.authenticate(u, pw)).fold[AuthOutcome](Rejected)(Authenticated)
+          } catch {
+            case _: SecurityException | _: javax.security.sasl.SaslException => Rejected
+            case e: Exception => ProviderFailure(e)
+          }
+      }
+  }
+
+  server.createContext(mountedPath, (ex: HttpExchange) => {
     try {
-      if (ex.getRequestMethod != "POST") {
+      // com.sun HttpServer context matching is prefix-based; serve the
+      // exact mounted path only (reject /cliserviceXYZ).
+      if (ex.getRequestURI.getPath != mountedPath) {
+        ex.sendResponseHeaders(404, -1)
+      } else if (ex.getRequestMethod != "POST") {
         ex.sendResponseHeaders(405, -1)
-      } else {
-        val authedUser = auth match {
-          case None => None
-          case Some(p) =>
-            basicCredentials(ex) match {
-              case Some((u, pw)) =>
-                try Some(p.authenticate(u, pw))
-                catch { case _: Exception => Some(null) } // marker: reject
-              case None => Some(null)
-            }
-        }
-        if (authedUser.contains(null)) {
+      } else authenticateRequest(ex) match {
+        case Rejected =>
           ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
           ex.sendResponseHeaders(401, -1)
-        } else {
-          val body = ex.getRequestBody.readAllBytes()
-          val outBytes = new java.io.ByteArrayOutputStream(4096)
-          val transport = new TIOStreamTransport(new ByteArrayInputStream(body), outBytes)
-          val proto = new TBinaryProtocol(transport)
-          authedUser.foreach(PlainSasl.setAuthenticatedUser)
-          try processor.process(proto, proto)
-          finally PlainSasl.clearAuthenticatedUser()
-          val resp = outBytes.toByteArray
-          ex.getResponseHeaders.set("Content-Type", "application/x-thrift")
-          ex.sendResponseHeaders(200, resp.length)
-          ex.getResponseBody.write(resp)
-        }
+        case ProviderFailure(_) =>
+          ex.sendResponseHeaders(500, -1)
+        case outcome =>
+          // Bound the body BEFORE buffering it: one Thrift call frame is
+          // small; an oversized (or unstated-length, over-streaming)
+          // body is rejected with 413 rather than read to exhaustion.
+          val declared = ex.getRequestHeaders.getFirst("Content-Length")
+          if (declared != null && declared.toLong > maxBodyBytes) {
+            ex.sendResponseHeaders(413, -1)
+          } else {
+            val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+            if (body.length > maxBodyBytes) {
+              ex.sendResponseHeaders(413, -1)
+            } else {
+              val outBytes = new java.io.ByteArrayOutputStream(4096)
+              val transport = new TIOStreamTransport(new ByteArrayInputStream(body), outBytes)
+              val proto = new TBinaryProtocol(transport)
+              outcome match {
+                case Authenticated(u) => PlainSasl.setAuthenticatedUser(u)
+                case _ => ()
+              }
+              try processor.process(proto, proto)
+              finally PlainSasl.clearAuthenticatedUser()
+              val resp = outBytes.toByteArray
+              ex.getResponseHeaders.set("Content-Type", "application/x-thrift")
+              ex.sendResponseHeaders(200, resp.length)
+              ex.getResponseBody.write(resp)
+            }
+          }
       }
     } catch {
-      case _: Throwable => try ex.sendResponseHeaders(500, -1) catch { case _: Throwable => }
+      case _: Exception => try ex.sendResponseHeaders(500, -1) catch { case _: Exception => }
     } finally ex.close()
   })
   server.setExecutor(Executors.newFixedThreadPool(16, r => {
@@ -95,4 +132,19 @@ final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
   def start(): ThriftHttpFrontend = { server.start(); this }
 
   def stop(): Unit = server.stop(0)
+}
+
+object ThriftHttpFrontend {
+  /** One Thrift call frame (metadata ops, statements, fetch requests)
+    * is KBs; 8 MB leaves room for outsized statements while bounding
+    * what an unauthenticated client can make the server buffer.
+    */
+  val DefaultMaxBodyBytes: Int = 8 * 1024 * 1024
+
+  /** Three-way per-request authentication outcome. */
+  private sealed trait AuthOutcome
+  private final case class Authenticated(user: String) extends AuthOutcome
+  private case object Anonymous extends AuthOutcome
+  private case object Rejected extends AuthOutcome
+  private final case class ProviderFailure(cause: Exception) extends AuthOutcome
 }

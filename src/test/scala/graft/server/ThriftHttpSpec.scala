@@ -88,4 +88,66 @@ class ThriftHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       DriverManager.getConnection(securedUrl, "mallory", "secret")
     }
   }
+
+  // ---- raw-HTTP status contract (what the JDBC driver hides) ----
+
+  private def rawPost(port: Int, path: String, body: Array[Byte],
+      headers: Map[String, String] = Map.empty,
+      declareLength: Option[Long] = None): Int = {
+    val url = new java.net.URL(s"http://localhost:$port$path")
+    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    declareLength match {
+      case Some(n) => c.setFixedLengthStreamingMode(n)
+      case None => c.setChunkedStreamingMode(64 * 1024)
+    }
+    val os = c.getOutputStream
+    try os.write(body) catch { case _: java.io.IOException => () } finally {
+      try os.close() catch { case _: java.io.IOException => () }
+    }
+    val code = c.getResponseCode
+    c.disconnect()
+    code
+  }
+
+  private def basic(u: String, p: String): Map[String, String] = Map(
+    "Authorization" -> ("Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$u:$p".getBytes("UTF-8"))))
+
+  test("provider outage is 500, not 401 — infra incidents don't read as wrong passwords") {
+    val flaky = new AuthenticationProvider {
+      override def authenticate(user: String, password: String): String =
+        throw new RuntimeException("auth backend down")
+    }
+    val fe = new ThriftFrontend(engine, auth = Some(flaky))
+    val h = new ThriftHttpFrontend(fe, auth = Some(flaky)).start()
+    try {
+      assert(rawPost(h.boundPort, "/cliservice", Array[Byte](1, 2, 3),
+        basic("alice", "secret")) == 500)
+    } finally { h.stop(); fe.stop() }
+  }
+
+  test("credential rejection stays 401 at the raw wire") {
+    assert(rawPost(secured.boundPort, "/cliservice", Array[Byte](1, 2, 3),
+      basic("alice", "wrong")) == 401)
+    assert(rawPost(secured.boundPort, "/cliservice", Array[Byte](1, 2, 3)) == 401)
+  }
+
+  test("oversized bodies are rejected with 413, declared or streamed") {
+    val small = new ThriftHttpFrontend(binary, maxBodyBytes = 1024).start()
+    try {
+      val big = Array.fill[Byte](4096)(7)
+      assert(rawPost(small.boundPort, "/cliservice", big,
+        declareLength = Some(big.length.toLong)) == 413)
+      // chunked (no Content-Length): server must stop reading at the cap
+      assert(rawPost(small.boundPort, "/cliservice", big) == 413)
+    } finally small.stop()
+  }
+
+  test("only the exact mounted path is served (prefix matches are 404)") {
+    assert(rawPost(http.boundPort, "/cliserviceXYZ", Array[Byte](1)) == 404)
+    assert(rawPost(http.boundPort, "/cliservice/extra", Array[Byte](1)) == 404)
+  }
 }

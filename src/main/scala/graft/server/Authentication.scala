@@ -93,13 +93,15 @@ object AuthenticationProvider {
   /** Method-name dispatch, the reference's AuthenticationProviderFactory
     * contract: NONE → anonymous, CUSTOM → reflectively-loaded user
     * class (must implement [[AuthenticationProvider]] with a no-arg
-    * constructor), JDBC → credential query against a JDBC database.
-    * LDAP/KERBEROS need live external services and are out of scope
-    * here — the seam is where they would plug in.
+    * constructor), JDBC → credential query against a JDBC database,
+    * LDAP → bind-as-user against a directory
+    * ([[LdapAuthenticationProvider]]). KERBEROS needs a live KDC and
+    * stays out of scope — the seam is where it would plug in.
     */
   def forMethod(method: String, conf: Map[String, String] = Map.empty): AuthenticationProvider =
     method.toUpperCase match {
       case "NONE" => AnonymousAuthenticationProvider
+      case "LDAP" => LdapAuthenticationProvider.fromConf(conf)
       case "CUSTOM" =>
         val cls = conf.getOrElse("authentication.custom.class",
           throw new IllegalArgumentException("authentication.custom.class not set"))

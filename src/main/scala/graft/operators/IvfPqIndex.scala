@@ -76,17 +76,28 @@ object IvfPqIndex {
     codebooks
   }
 
-  /** IVF-PQ top-k by approximate dot product: corpus side carries only
-    * (list_id, codes); query side broadcasts (query_id, probed list,
-    * q·centroid scalar, residual LUT).
+  /** Encode the corpus into the index's data-sized artifact: one row
+    * per vector, carrying ONLY `(id, list_id, m code ids)`.
+    * Partition-parallel, map-side (centroids/codebooks are plan
+    * literals) — this is the shape that gets persisted and probed.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+  def encodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
       IvfIndex.nearestList(col(vecCol), centroids).as("list_id"),
       org.apache.spark.sql.graft.PqExpr.encode(
         residual(col(vecCol), centroids), codebooks).as("codes"))
+
+  /** The probe kernel over an already-encoded corpus (`encoded` must
+    * have the [[encodeCorpus]] shape): query side explodes to its
+    * nProbe lists and broadcasts (query_id, list, q·centroid scalar,
+    * residual LUT); the equi join on small-int list ids touches only
+    * probed candidates.
+    */
+  def probeEncoded(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
     val qdots = array(centroids.map(cn =>
       VectorFunctions.dot(col("qv"), array(cn.map(lit): _*))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -96,12 +107,22 @@ object IvfPqIndex {
       .withColumn("lt",
         org.apache.spark.sql.graft.PqExpr.lookupTable(col("qv"), codebooks))
       .drop("qv")
-    val scored = c.join(broadcast(q), Seq("list_id"))
+    val scored = encoded.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         col("qdotc") + org.apache.spark.sql.graft.PqExpr.adcDot(col("lt"), col("codes")))
     SimilaritySearch.rankTopK(scored, k, simAlias = "score")
   }
+
+  /** IVF-PQ top-k by approximate dot product: corpus side carries only
+    * (list_id, codes); query side broadcasts (query_id, probed list,
+    * q·centroid scalar, residual LUT).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame =
+    probeEncoded(encodeCorpus(corpus, idCol, vecCol, centroids, codebooks),
+      queries, idCol, vecCol, centroids, codebooks, k, nProbe)
 
   /** IVF-PQ with exact re-ranking (FAISS's refine stage): take the
     * `k * refineFactor` best ADC candidates, rescore ONLY those with
@@ -128,5 +149,85 @@ object IvfPqIndex {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", VectorFunctions.dot(col("qv"), col("cv")))
     SimilaritySearch.rankTopK(rescored, k)
+  }
+
+  // ---- persisted lifecycle: build once, probe many ----
+  //
+  // Training + encoding is a one-time cost amortized over every probe
+  // — the production economics of an ANN index (FAISS's write_index/
+  // read_index). Artifacts are plain parquet, so the index a 1000-
+  // executor job built is openable by any other job, and the encoded
+  // corpus (the only data-sized artifact) stays distributed: opening
+  // reads centroids + codebooks (index-artifact-sized) to the driver
+  // and leaves the codes table as a lazy parquet scan.
+
+  /** Train IVF centroids + residual codebooks over `corpus`, encode
+    * it, and persist the index at `path`:
+    *   path/codes      (neighbor_id, list_id, codes)   — data-sized
+    *   path/centroids  (list_id, centroid)             — nLists rows
+    *   path/codebooks  (j, code, centroid)             — m·k rows
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, m: Int, k: Int, nLists: Int, iterations: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = IvfIndex.train(corpus, idCol, vecCol, nLists)
+    val rcb = trainResidual(corpus, idCol, vecCol, cents, dim, m, k, iterations)
+    encodeCorpus(corpus, idCol, vecCol, cents, rcb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    rcb.zipWithIndex.flatMap { case (cbk, j) =>
+      cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("j", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** A persisted index opened for probing: no training, no access to
+    * the raw corpus — [[topK]] reads nothing but the artifacts.
+    */
+  final class OpenedIndex(
+      val centroids: Array[Array[Double]],
+      val codebooks: Array[Array[Array[Double]]],
+      val codes: DataFrame) {
+
+    def topK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nProbe: Int): DataFrame =
+      probeEncoded(codes, queries, idCol, vecCol, centroids, codebooks, k, nProbe)
+
+    /** Refine stage over the persisted index: ADC candidates from the
+      * codes table, exact rescore against the caller-provided raw
+      * corpus (the index does not store raw vectors).
+      */
+    def topKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+        vecCol: String, k: Int, nProbe: Int, refineFactor: Int = 4): DataFrame = {
+      val cand = topK(queries, idCol, vecCol, k = k * refineFactor, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val rescored = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("sim", VectorFunctions.dot(col("qv"), col("cv")))
+      SimilaritySearch.rankTopK(rescored, k)
+    }
+  }
+
+  /** Open a persisted index: centroids and codebooks (artifact-sized)
+    * are collected to the driver once; the encoded corpus stays a lazy
+    * distributed parquet scan.
+    */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpenedIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    new OpenedIndex(cents, codebooks, spark.read.parquet(s"$path/codes"))
   }
 }

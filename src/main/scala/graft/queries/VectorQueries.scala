@@ -167,6 +167,25 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
+    // --- Persisted IVF-PQ: build-once/probe-many lifecycle. The index
+    //     is written as parquet artifacts (codes / centroids /
+    //     codebooks), then OPENED and probed — the probe path touches
+    //     nothing but the artifacts (no training, no raw corpus), and
+    //     the result is identical to v12's train-in-query path, which
+    //     is exactly what the shared oracle asserts. The production
+    //     economics at 100 TB: training+encoding amortized over every
+    //     probe instead of paid per statement. ---
+    "v15_ivfpq_persisted" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+      graft.operators.IvfPqIndex.buildIndex(e, "vec_id", "embedding", path,
+        dim = DIM, m = M_SUB, k = K_CODES, nLists = N_LISTS)
+      graft.operators.IvfPqIndex.openIndex(s, path)
+        .topK(q, "vec_id", "embedding", k = 5, nProbe = N_PROBE)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -348,6 +367,11 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "v12_ivfpq_topk" ->
+      s"""WITH $ivfpqCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+    // The persisted-index probe must be indistinguishable from the
+    // train-in-query path — same oracle as v12.
+    "v15_ivfpq_persisted" ->
       s"""WITH $ivfpqCte
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
     "v14_ivfpq_refined" ->

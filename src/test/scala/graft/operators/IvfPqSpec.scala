@@ -92,6 +92,53 @@ class IvfPqSpec extends AnyFunSuite {
     assert(ivfpq > 0.1, s"ivfpq recall@5 too low: $ivfpq")
   }
 
+  test("persisted index: build-once artifacts, probe-without-train matches train-in-query") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    // artifacts on disk: data-sized codes + artifact-sized centroids/codebooks
+    Seq("codes", "centroids", "codebooks").foreach { d =>
+      assert(new java.io.File(s"$path/$d").exists(), s"missing artifact $d")
+    }
+    val idx = IvfPqIndex.openIndex(spark, path)
+    assert(idx.centroids.length == N_LISTS && idx.codebooks.length == M)
+    assert(idx.codebooks.forall(_.length == K))
+    // round-trip: persisted centroids/codebooks are bit-identical
+    assert(idx.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      rcb.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 10)
+    // the probe path: NO training, NO raw corpus — only artifacts + queries
+    val persisted = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val trained = IvfPqIndex.ivfPqTopK(emb, q, "vec_id", "embedding", cents, rcb,
+      k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(persisted.sameElements(trained))
+    // refine stage over the persisted index (raw corpus only for rescore)
+    val pRefined = idx.topKRefined(emb, q, "vec_id", "embedding",
+        k = 5, nProbe = 3, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val tRefined = IvfPqIndex.ivfPqTopKRefined(emb, q, "vec_id", "embedding",
+        cents, rcb, k = 5, nProbe = 3, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(pRefined.sameElements(tRefined))
+  }
+
+  test("opened-index probe plan reads the codes artifact, not the corpus vectors") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx2").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    val idx = IvfPqIndex.openIndex(spark, path)
+    val q = emb.filter(col("vec_id") < 10)
+    val plan = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"probe must scan the codes artifact:\n$plan")
+    // the ONLY file scan over embeddings.parquet is the query side
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(embScans <= 1, s"corpus must not be re-scanned for the probe:\n$plan")
+  }
+
   test("exact re-ranking refine recovers recall over raw ADC ordering") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.dotTopK(emb, q, "vec_id", "embedding", k = 5)

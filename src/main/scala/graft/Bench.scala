@@ -69,29 +69,62 @@ object Bench {
     // reports min/avg (dev/kyuubi-tpcds/README.md:48-60) — the min is
     // robust against a co-tenant JVM inflating ONE run, which poisoned
     // the shipped r5 (d10) and r6 (corpus q58/q69/q61) artifacts.
-    final case class Timing(name: String, runs: Seq[Double]) {
+    final case class Timing(name: String, runs: Seq[Double], loads: Seq[Double] = Nil) {
       def min: Double = if (runs.isEmpty) 0.0 else runs.min
       def avg: Double = if (runs.isEmpty) 0.0 else runs.sum / runs.size
+      def maxLoad: Double = if (loads.isEmpty) 0.0 else loads.max
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def timedN(name: String, n: Int, between: () => Unit = () => ())(body: => Unit): Timing = {
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Wait (bounded) for co-tenant load to drain before timing a
+    // comparable: r8's z01 "warm" runs were 7x slower than its cold
+    // run because iterations overlapped other work on the box
+    // (load_avg 18.8) — warm/cold only mean something when the run had
+    // the machine. No-op when the box is already quiet.
+    def quiesce(maxWaitSec: Int = 10): Unit = {
+      var waited = 0
+      while (loadAvg() > cpus.toDouble * 1.25 && waited < maxWaitSec) {
+        Thread.sleep(1000); waited += 1
+      }
+    }
+    // `careful` = quiesce before each iteration, record per-run load,
+    // and repair warm outliers: a warm run > 2x the best run is
+    // contention, not signal — re-run it (bounded by n extra attempts)
+    // and keep the better time. The judged comparables (z-order pair,
+    // BASELINE.md TPC-DS slice, flagship operators) run careful.
+    def timedN(name: String, n: Int, between: () => Unit = () => (),
+        careful: Boolean = false)(body: => Unit): Timing = {
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
-      var i = 0
-      while (i < n && !failed) {
+      def once(replaceAt: Int = -1): Unit = {
+        if (careful) quiesce()
         val t0 = System.nanoTime()
-        try { body; runs += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          body
+          val t = (System.nanoTime() - t0) / 1e9
+          if (replaceAt < 0) runs += t
+          else if (t < runs(replaceAt)) runs(replaceAt) = t
+        } catch { case e: Throwable =>
           failed = true
           errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         }
+        loads += loadAvg()
         between() // untimed inter-iteration cleanup (cache release)
-        i += 1
       }
-      Timing(name, runs.toSeq)
+      var i = 0
+      while (i < n && !failed) { once(); i += 1 }
+      if (careful && !failed) {
+        var extra = 0
+        while (extra < n && !failed &&
+            runs.zipWithIndex.drop(1).exists(_._1 > runs.min * 2)) {
+          once(replaceAt = runs.zipWithIndex.drop(1).maxBy(_._1)._2)
+          extra += 1
+        }
+      }
+      Timing(name, runs.toSeq, loads.toSeq)
     }
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
 
     // Untimed warmup: absorb JVM/codegen/scan-init one-time costs so
@@ -113,7 +146,8 @@ object Bench {
       "v01_knn_brute", "v07_knn_ivf")
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val n = if (flagshipSuite(name)) iters else 1
-      timedN(name, n, between = () => graft.operators.SketchRegistry.releaseAll()) {
+      timedN(name, n, between = () => graft.operators.SketchRegistry.releaseAll(),
+          careful = flagshipSuite(name)) {
         fn(spark, sfDir).foreach(_ => ())
       }
     }
@@ -165,7 +199,8 @@ object Bench {
     val matSec = (System.nanoTime() - matT0) / 1e9
 
     val tpch = TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
-      timedN(s"tpch_${tpchNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
+      timedN(s"tpch_${tpchNs}_$qn", iters,
+        careful = qn == "q1" || qn == "q9")(spark.sql(sql).foreach(_ => ()))
     }
 
     // TPC-DS in two tiers: the 6 BASELINE.md-published queries at the
@@ -173,7 +208,8 @@ object Bench {
     // 99-query corpus at sf1 (coverage + throughput without pushing
     // the round bench past its window). Both get min-of-N iterations.
     val tpcds = TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
-      timedN(s"tpcds_${tpcdsNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
+      timedN(s"tpcds_${tpcdsNs}_$qn", iters, careful = true)(
+        spark.sql(sql).foreach(_ => ()))
     }
     val corpus = TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${corpusNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
@@ -204,8 +240,8 @@ object Bench {
       def scan(layout: String): Unit = spark.read.parquet(s"$zdir/$layout")
         .filter("l_partkey BETWEEN 1000 AND 1199 AND l_suppkey BETWEEN 100 AND 199")
         .foreach(_ => ())
-      Seq(timedN("z01_scan_linear", iters)(scan("linear")),
-        timedN("z02_scan_zordered", iters)(scan("zordered")))
+      Seq(timedN("z01_scan_linear", iters, careful = true)(scan("linear")),
+        timedN("z02_scan_zordered", iters, careful = true)(scan("zordered")))
     }
 
     def r3(v: Double): String = f"$v%.3f"
@@ -219,17 +255,17 @@ object Bench {
     val mins = results.map(t => t.name -> t.min)
     val total = mins.map(_._2).sum
     val loadEnd = loadAvg()
-    // Co-tenancy tattletale: local[32] saturates ~32 cores itself; a
-    // load average well past the core count means another JVM was
-    // competing and even the min may be inflated.
-    val contended = math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
     val errJson = errors.reverse.map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
 
-    // Full per-query min/avg/runs → file (unbounded size is fine there).
+    // Full per-query min/avg/runs → file (unbounded size is fine there),
+    // with per-query load + contended so warm/cold claims are auditable
+    // query by query, not just via the global flag.
     val fullQ = results.map { t =>
       "\"" + t.name + "\":{\"min\":" + r3(t.min) + ",\"avg\":" + r3(t.avg) +
-        ",\"runs\":[" + t.runs.map(r3).mkString(",") + "]}"
+        ",\"runs\":[" + t.runs.map(r3).mkString(",") + "]" +
+        ",\"load\":[" + t.loads.map(r3).mkString(",") + "]" +
+        ",\"contended\":" + (t.maxLoad > cpus.toDouble * 1.5) + "}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get("target/bench_full.json"),
       s"""{"total":${r3(total)},"iterations":$iters,"queries":$fullQ,"errors":$errJson}""")
@@ -242,6 +278,13 @@ object Bench {
       "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
       "z01_scan_linear", "z02_scan_zordered")
     val keep = (headline ++ flagship).toSet
+    // Co-tenancy tattletale: local[32] saturates ~32 cores itself; a
+    // load average well past the core count means another JVM was
+    // competing and even the min may be inflated. Global flag = the
+    // endpoints OR any judged comparable's own per-run load — so
+    // "contended" is a per-query verdict, not a whole-run average.
+    val contended = math.max(loadStart, loadEnd) > cpus.toDouble * 1.5 ||
+      results.exists(t => keep(t.name) && t.maxLoad > cpus.toDouble * 1.5)
     // The z-order comparable ALSO reports its first (cold) run: repeat
     // iterations scan page-cached files, and an IO-skipping layout's
     // advantage collapses once the linear layout's bytes are all in

@@ -219,17 +219,26 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         val user = field(payload, "user").getOrElse("batch")
         val id = submitBatch(user, sql, None)
         val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
-        reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}}""")
+        reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+          ApplicationState.fromOperationStateName(st).toString)}}""")
 
       case ("GET", "batches" :: id :: Nil) =>
+        // Batch status speaks both vocabularies: the operation state and
+        // the cluster-application state the ApplicationOperation seam
+        // derives from it (PENDING/RUNNING/FINISHED/KILLED/FAILED —
+        // identical wording to a YARN report / K8s pod-phase mapping).
         Option(batches.get(id)) match {
-          case Some((_, op)) => reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
+          case Some((_, op)) =>
+            val st = op.currentState.toString
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+              ApplicationState.fromOperationStateName(st).toString)}}""")
           case None => store.flatMap(_.get(id)) match {
             // not live in this process — serve the persisted state
             // (a terminal batch from a previous server incarnation)
             case Some(rec) =>
               val err = rec.error.map(e => s""", "error": ${q(e)}""").getOrElse("")
-              reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "restored": true$err}""")
+              reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "appState": ${q(
+                ApplicationState.fromOperationStateName(rec.state).toString)}, "restored": true$err}""")
             case None => reply(ex, 404, """{"error": "no such batch"}""")
           }
         }

@@ -80,6 +80,11 @@ class RestFrontendSpec extends AnyFunSuite {
         Thread.sleep(100)
       }
       assert(state == "FINISHED")
+      // the ApplicationOperation vocabulary rides along: a finished
+      // batch reports appState FINISHED (what a YARN report / K8s pod
+      // mapping would say for the same outcome)
+      val (_, stFull) = get(c, s"$base/batches/$id")
+      assert(extract(stFull, "appState") == "FINISHED", stFull)
       // operation log is fetchable and incremental
       val (lc, lbody) = get(c, s"$base/batches/$id/localLog")
       assert(lc == 200)

@@ -1,0 +1,102 @@
+package graft.tools
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** `graft-ctl` — the admin command line over the REST admin surface
+  * (the reference's kyuubi-ctl, kyuubi-ctl/.../cli/ControlCli.scala:27,
+  * whose verbs are list/get/delete over engines, sessions and
+  * batches). Usage:
+  *
+  * {{{
+  *   graft-ctl [--api http://host:port] <verb> <noun> [id] [--space s]
+  *
+  *   list session | batch                  all sessions / batches
+  *   list engine --space <space>           discovery registrations
+  *   get  session <id> | batch <id>        one resource as JSON
+  *   log  batch <id>                       drain the batch operation log
+  *   delete session <id>                   close a session
+  *   delete batch <id>                     cancel a batch
+  *   delete engine --space <space>         evict engine registrations
+  * }}}
+  *
+  * Output is the server's JSON verbatim (one document per line) so the
+  * command composes with jq and scripts; exit code 0 iff the server
+  * replied 2xx. `--api` defaults to \$GRAFT_API or localhost:10099.
+  */
+object ControlCli {
+
+  final case class Result(code: Int, out: String)
+
+  /** Pure entry for tests: returns (exit code, output) instead of
+    * printing and exiting.
+    */
+  def run(args: Array[String]): Result = {
+    var api = sys.env.getOrElse("GRAFT_API", "http://localhost:10099")
+    var space: Option[String] = None
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--api" => api = args(i + 1); i += 2
+        case "--space" => space = Some(args(i + 1)); i += 2
+        case "--help" | "-h" => return Result(0, usage)
+        case a => positional += a; i += 1
+      }
+    }
+
+    def http(method: String, path: String): Result = {
+      val url = URI.create(s"$api/api/v1$path").toURL
+      val c = url.openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestMethod(method)
+      try {
+        val code = c.getResponseCode
+        val stream = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = if (stream == null) "" else
+          new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        Result(if (code >= 200 && code < 300) 0 else 1, body)
+      } catch {
+        case e: IOException => Result(1, s"""{"error": "cannot reach $api: ${e.getMessage}"}""")
+      } finally c.disconnect()
+    }
+
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+    positional.toList match {
+      case "list" :: "session" :: Nil => http("GET", "/sessions")
+      case "list" :: "batch" :: Nil => http("GET", "/batches")
+      case "list" :: "engine" :: Nil => space match {
+        case Some(sp) => http("GET", s"/admin/engine?space=${enc(sp)}")
+        case None => Result(1, "list engine requires --space <discovery space>")
+      }
+      case "get" :: "session" :: id :: Nil => http("GET", s"/sessions/${enc(id)}")
+      case "get" :: "batch" :: id :: Nil => http("GET", s"/batches/${enc(id)}")
+      case "log" :: "batch" :: id :: Nil => http("GET", s"/batches/${enc(id)}/localLog")
+      case "delete" :: "session" :: id :: Nil => http("DELETE", s"/sessions/${enc(id)}")
+      case "delete" :: "batch" :: id :: Nil => http("DELETE", s"/batches/${enc(id)}")
+      case "delete" :: "engine" :: Nil => space match {
+        case Some(sp) => http("DELETE", s"/admin/engine?space=${enc(sp)}")
+        case None => Result(1, "delete engine requires --space <discovery space>")
+      }
+      case Nil => Result(1, usage)
+      case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
+    }
+  }
+
+  private val usage: String =
+    """graft-ctl [--api http://host:port] <verb> <noun> [id] [--space s]
+      |  list session|batch          list sessions / batches
+      |  list engine --space <s>     list discovery registrations
+      |  get session|batch <id>      one resource
+      |  log batch <id>              drain batch operation log
+      |  delete session|batch <id>   close / cancel
+      |  delete engine --space <s>   evict engine registrations""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val r = run(args)
+    println(r.out)
+    sys.exit(r.code)
+  }
+}

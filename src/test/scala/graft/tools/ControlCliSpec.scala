@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.core.Engine
+import graft.server.RestFrontend
+
+/** graft-ctl driven against a live gateway: every verb/noun the CLI
+  * offers round-trips through the REST admin surface (the reference's
+  * kyuubi-ctl contract).
+  */
+class ControlCliSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def withServer(f: (HttpClient, String, String) => Unit): Unit = {
+    val engine = new Engine(spark)
+    val front = new RestFrontend(engine, port = 0)
+    val port = front.start()
+    try f(HttpClient.newHttpClient(), s"http://localhost:$port",
+      s"http://localhost:$port/api/v1")
+    finally front.stop()
+  }
+
+  private def post(c: HttpClient, url: String, body: String): String =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def extract(json: String, key: String): String = {
+    val m = java.util.regex.Pattern.compile("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").matcher(json)
+    assert(m.find(), s"$key not in $json"); m.group(1)
+  }
+
+  private def ctl(api: String, args: String*): ControlCli.Result =
+    ControlCli.run((Seq("--api", api) ++ args).toArray)
+
+  test("list/get/delete session") {
+    withServer { (c, api, base) =>
+      val sid = extract(post(c, s"$base/sessions", """{"user": "ctl-user"}"""), "sessionId")
+      val listed = ctl(api, "list", "session")
+      assert(listed.code == 0 && listed.out.contains(sid), listed.out)
+      val got = ctl(api, "get", "session", sid)
+      assert(got.code == 0 && got.out.contains("ctl-user"), got.out)
+      val del = ctl(api, "delete", "session", sid)
+      assert(del.code == 0, del.out)
+      assert(!ctl(api, "list", "session").out.contains(sid))
+      // a closed session is gone: get exits non-zero with the 404 body
+      val gone = ctl(api, "get", "session", sid)
+      assert(gone.code == 1 && gone.out.contains("error"), gone.out)
+    }
+  }
+
+  test("list/get/log/delete batch") {
+    withServer { (c, api, base) =>
+      val id = extract(
+        post(c, s"$base/batches", """{"sql": "SELECT count(*) FROM range(100000)"}"""), "id")
+      val deadline = System.nanoTime() + 30e9.toLong
+      var got = ctl(api, "get", "batch", id)
+      while (!got.out.contains("FINISHED") && System.nanoTime() < deadline) {
+        Thread.sleep(100); got = ctl(api, "get", "batch", id)
+      }
+      assert(got.code == 0 && got.out.contains("FINISHED"), got.out)
+      assert(got.out.contains("appState"), got.out)
+      val listed = ctl(api, "list", "batch")
+      assert(listed.code == 0 && listed.out.contains(id), listed.out)
+      val log = ctl(api, "log", "batch", id)
+      assert(log.code == 0 && log.out.contains("FINISHED"), log.out)
+      val del = ctl(api, "delete", "batch", id)
+      assert(del.code == 0, del.out)
+    }
+  }
+
+  test("list/delete engine registrations by discovery space") {
+    withServer { (c, api, base) =>
+      // a session registers nothing by itself here; exercise the admin
+      // space listing against an empty space and the eviction verb
+      val listed = ctl(api, "--space", "graft/test-space", "list", "engine")
+      assert(listed.code == 0 && listed.out.contains("engines"), listed.out)
+      val del = ctl(api, "--space", "graft/test-space", "delete", "engine")
+      assert(del.code == 0 && del.out.contains("deleted"), del.out)
+      // space flag is required
+      assert(ctl(api, "list", "engine").code == 1)
+    }
+  }
+
+  test("bad commands and unreachable servers exit non-zero") {
+    assert(ControlCli.run(Array("frobnicate")).code == 1)
+    assert(ControlCli.run(Array("--help")).code == 0)
+    val dead = ControlCli.run(Array("--api", "http://localhost:1", "list", "session"))
+    assert(dead.code == 1 && dead.out.contains("cannot reach"), dead.out)
+  }
+}

@@ -2,46 +2,127 @@ package graft.server
 
 import java.sql.{Connection, DriverManager}
 
+/** SQL dialect for the batch metadata store — the reference supports
+  * pluggable backing databases for exactly this store
+  * (kyuubi-server/.../metadata/jdbc/DatabaseType.scala:23 —
+  * SQLITE/MYSQL/POSTGRESQL/custom, each with its own DDL init script).
+  * The store's SQL is dialect-neutral except for two spots: the large-
+  * text column type and the result-limiting clause; each dialect pins
+  * those.
+  */
+sealed trait MetadataStoreDialect {
+  def name: String
+  /** Column type for SQL text / error payloads. */
+  def textType: String
+  /** `SELECT … ORDER BY … <limit clause with one ? parameter>`. */
+  def limitClause: String
+  def createTableDdl: String =
+    s"""CREATE TABLE batches (
+       |  id VARCHAR(64) PRIMARY KEY,
+       |  usr VARCHAR(256),
+       |  sqltext $textType,
+       |  state VARCHAR(32),
+       |  created_at BIGINT,
+       |  ended_at BIGINT,
+       |  error $textType
+       |)""".stripMargin
+}
+
+object MetadataStoreDialect {
+  /** Embedded default (in Spark's classpath already). Derby has no
+    * unbounded TEXT; 32000 is its VARCHAR ceiling.
+    */
+  case object Derby extends MetadataStoreDialect {
+    val name = "derby"
+    val textType = "VARCHAR(32000)"
+    val limitClause = "FETCH FIRST ? ROWS ONLY"
+  }
+  case object MySQL extends MetadataStoreDialect {
+    val name = "mysql"
+    val textType = "MEDIUMTEXT"
+    val limitClause = "LIMIT ?"
+  }
+  case object PostgreSQL extends MetadataStoreDialect {
+    val name = "postgresql"
+    val textType = "TEXT"
+    val limitClause = "LIMIT ?"
+  }
+  case object SQLite extends MetadataStoreDialect {
+    val name = "sqlite"
+    val textType = "TEXT"
+    val limitClause = "LIMIT ?"
+  }
+  /** Unknown backends get ANSI-ish defaults (TEXT + LIMIT). */
+  case object Generic extends MetadataStoreDialect {
+    val name = "generic"
+    val textType = "TEXT"
+    val limitClause = "LIMIT ?"
+  }
+
+  def forUrl(url: String): MetadataStoreDialect =
+    url.split(":").toList match {
+      case "jdbc" :: sub :: _ => sub.toLowerCase match {
+        case "derby" => Derby
+        case "mysql" | "mariadb" => MySQL
+        case "postgresql" => PostgreSQL
+        case "sqlite" => SQLite
+        case _ => Generic
+      }
+      case _ => Generic
+    }
+}
+
 /** JDBC-backed batch metadata store: batch jobs survive server
   * restarts, and unfinished ones are found again at startup for
   * recovery — the reference persists batches the same way
   * (kyuubi-server/.../metadata/jdbc/JDBCMetadataStore.scala,
-  * BatchJobSubmission recovery). Embedded Derby, which Spark already
-  * ships, so there is no new dependency.
+  * BatchJobSubmission recovery).
+  *
+  * `target` is either a plain directory (embedded Derby database under
+  * it — the zero-dependency default, Derby ships with Spark) or any
+  * JDBC URL (`jdbc:mysql://…`, `jdbc:postgresql://…`), with the SQL
+  * dialect inferred from the URL — the reference's DatabaseType
+  * plug-point. Only Derby is exercisable in-sandbox (no other drivers
+  * on the classpath); the MySQL/PostgreSQL/SQLite DDL ships tested at
+  * the dialect level.
   *
   * All access goes through one connection guarded by this store's
   * monitor: batch submits/updates are rare control-plane writes, not a
-  * data path, and Derby embedded is in-process anyway.
+  * data path.
   */
-final class BatchMetadataStore(dir: String) extends AutoCloseable {
+final class BatchMetadataStore(target: String,
+    dbUser: Option[String] = None, dbPassword: Option[String] = None)
+  extends AutoCloseable {
 
   final case class BatchRecord(
       id: String, user: String, sql: String, state: String,
       createdAt: Long, endedAt: Long, error: Option[String])
 
-  // keep Derby's log out of the CWD
-  System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+  private val url: String =
+    if (target.startsWith("jdbc:")) target
+    else {
+      // keep Derby's log out of the CWD
+      System.setProperty("derby.stream.error.file", s"$target/derby.log")
+      s"jdbc:derby:$target/db;create=true"
+    }
 
-  private val conn: Connection =
-    DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+  val dialect: MetadataStoreDialect = MetadataStoreDialect.forUrl(url)
+
+  private val conn: Connection = dbUser match {
+    case Some(u) => DriverManager.getConnection(url, u, dbPassword.getOrElse(""))
+    case None => DriverManager.getConnection(url)
+  }
 
   locally {
-    val meta = conn.getMetaData.getTables(null, null, "BATCHES", null)
-    val exists = meta.next()
-    meta.close()
-    if (!exists) {
+    // identifier case folding differs per backend (Derby upper-cases,
+    // PostgreSQL lower-cases) — probe both
+    def exists(name: String): Boolean = {
+      val meta = conn.getMetaData.getTables(null, null, name, null)
+      try meta.next() finally meta.close()
+    }
+    if (!exists("BATCHES") && !exists("batches")) {
       val st = conn.createStatement()
-      try st.executeUpdate(
-        """CREATE TABLE batches (
-          |  id VARCHAR(64) PRIMARY KEY,
-          |  usr VARCHAR(256),
-          |  sqltext VARCHAR(32000),
-          |  state VARCHAR(32),
-          |  created_at BIGINT,
-          |  ended_at BIGINT,
-          |  error VARCHAR(32000)
-          |)""".stripMargin)
-      finally st.close()
+      try st.executeUpdate(dialect.createTableDdl) finally st.close()
     }
   }
 
@@ -90,7 +171,7 @@ final class BatchMetadataStore(dir: String) extends AutoCloseable {
     */
   def list(limit: Int = 100): Seq[BatchRecord] = synchronized {
     val ps = conn.prepareStatement(
-      "SELECT * FROM batches ORDER BY created_at DESC FETCH FIRST ? ROWS ONLY")
+      s"SELECT * FROM batches ORDER BY created_at DESC ${dialect.limitClause}")
     try {
       ps.setInt(1, limit)
       val rs = ps.executeQuery()
@@ -121,9 +202,13 @@ final class BatchMetadataStore(dir: String) extends AutoCloseable {
 
   override def close(): Unit = synchronized {
     try conn.close() catch { case _: Throwable => }
-    // shut down just this database so another store (a restarted
-    // frontend) can reopen it
-    try DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
-    catch { case _: java.sql.SQLException => } // XJ015/08006: normal shutdown
+    // embedded Derby: shut down just this database so another store (a
+    // restarted frontend) can reopen it; server-backed URLs need no
+    // shutdown handshake
+    if (dialect == MetadataStoreDialect.Derby) {
+      val base = url.takeWhile(_ != ';')
+      try DriverManager.getConnection(s"$base;shutdown=true")
+      catch { case _: java.sql.SQLException => } // XJ015/08006: normal shutdown
+    }
   }
 }

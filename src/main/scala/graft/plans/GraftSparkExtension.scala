@@ -26,6 +26,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     ext.injectQueryStagePrepRule(session => new DynamicShufflePartitions(session))
     ext.injectQueryStagePrepRule(session => new FinalStageConfigIsolation(session))
     ext.injectQueryStagePrepRule(session => new InsertShuffleNodeBeforeJoin(session))
+    ext.injectQueryStagePrepRule(session => new FinalStageResourceManager(session))
     ext.injectRuntimeOptimizerRule(session => RemoveRebalanceShuffle(session))
   }
 }

@@ -136,6 +136,48 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("final-stage resource manager computes the write stage's executor target") {
+    // Pure policy first: target sizing and victim ordering.
+    assert(FinalStageResourceManager.targetExecutors(
+      targetCores = 40, coresPerExecutor = 4, factor = 1.2) == 12)
+    assert(FinalStageResourceManager.targetExecutors(
+      targetCores = 1, coresPerExecutor = 8, factor = 1.2) == 1)
+    val active = Seq(("e1", 100L), ("e2", 400L), ("e3", 200L), ("e4", 300L), ("e5", 150L))
+    val bytes = Map("e1" -> 900L, "e3" -> 50L, "e5" -> 500L)
+    // kill 3 of 5: blockless first (newest registration first: e2 then
+    // e4), then the smallest shuffle payload (e3)
+    assert(FinalStageResourceManager.selectVictims(active, bytes, targetExecutors = 2)
+      == Seq("e2", "e4", "e3"))
+    assert(FinalStageResourceManager.selectVictims(active, bytes, targetExecutors = 5).isEmpty)
+
+    // End-to-end: an insert whose injected rebalance materializes as
+    // the final stage must produce exactly one kill decision through
+    // the allocator seam, shaped by the fake cluster's 10 executors.
+    val rec = new RecordingExecutorAllocator {
+      override def activeExecutors(): Seq[(String, Long)] =
+        (1 to 10).map(i => (s"exec-$i", i.toLong))
+      override def shuffleBytesByExecutor(shuffleId: Int, numReduce: Int): Map[String, Long] =
+        (1 to 6).map(i => s"exec-$i" -> (i * 1000L)).toMap
+    }
+    FinalStageResourceManager.allocatorOverride = Some(rec)
+    spark.conf.set("spark.graft.finalWriteStage.eagerlyKillExecutors", "true")
+    try {
+      val dir = Files.createTempDirectory("graft_finalstage").toString + "/t"
+      spark.range(0, 100000, 1, 8).select(col("id"), (col("id") % 7).as("k"))
+        .write.parquet(dir)
+      val req = rec.lastKillRequest
+      assert(req.isDefined, "rule must fire on a write with a materialized final rebalance")
+      val (victims, target) = req.get
+      assert(target >= 1 && target < 10, s"target $target")
+      assert(victims.nonEmpty && victims.size == 10 - target, s"victims $victims target $target")
+      // blockless executors (7..10) go first, newest registration first
+      assert(victims.take(4) == Seq("exec-10", "exec-9", "exec-8", "exec-7"), victims)
+    } finally {
+      FinalStageResourceManager.allocatorOverride = None
+      spark.conf.unset("spark.graft.finalWriteStage.eagerlyKillExecutors")
+    }
+  }
+
   test("force-shuffle-before-join inserts an exchange under shuffle-free SMJ children") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -36,6 +36,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     // sessions without re-writing shared conf on every call
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ branch below is identity ONLY in a UTC session; an
+    // ad-hoc session in another zone would silently shift every
+    // ts-derived result. Enforce here, mirroring the nanosAsLong guard.
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load("events")

@@ -51,6 +51,18 @@ abstract class Operation(val session: EngineSession) {
     out.result()
   }
 
+  /** Non-consuming view of the pending log lines (the admin UI renders
+    * these without stealing them from FetchResults(fetchType=LOG) /
+    * localLog clients — lines those clients already drained are gone).
+    */
+  def peekLog(max: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val it = opLog.iterator()
+    var n = 0
+    while (it.hasNext && n < max) { out += it.next(); n += 1 }
+    out.result()
+  }
+
   def currentState: OperationState = state
 
   protected def setState(to: OperationState): Unit = {

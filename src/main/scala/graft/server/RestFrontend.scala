@@ -100,17 +100,91 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   server.createContext("/v1/statement", handleTrino _)
   server.createContext("/ui", handleUi _)
 
-  /** Single-page admin UI over the /api/v1 admin endpoints — the
-    * dependency-free stand-in for the reference's Vue web UI
-    * (kyuubi-server/web-ui renders the same resources: sessions,
-    * operations, batches, metrics).
+  /** Admin UI over the /api/v1 admin endpoints — the dependency-free
+    * stand-in for the reference's Vue web UI (kyuubi-server/web-ui
+    * renders the same resources). `/ui` is the live overview;
+    * `/ui/session/{id}`, `/ui/operation/{id}` and `/ui/batch/{id}` are
+    * server-rendered drill-down pages (the reference web-ui's
+    * session/operation detail pages), the batch page including its
+    * pending operation log.
     */
   private def handleUi(ex: HttpExchange): Unit = {
-    try {
-      val bytes = RestFrontend.UiPage.getBytes(StandardCharsets.UTF_8)
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def page(status: Int, title: String, bodyHtml: String): Unit = {
+      val html = s"""<!DOCTYPE html><html lang="en"><head><meta charset="utf-8">
+        |<title>${esc(title)}</title><style>
+        |body { font-family: system-ui, sans-serif; margin: 1.5rem; color: #1a1a1a; }
+        |h1 { font-size: 1.2rem; } table { border-collapse: collapse; min-width: 30rem; }
+        |th, td { border: 1px solid #ccc; padding: .3rem .6rem; font-size: .85rem; text-align: left; }
+        |th { background: #f2f2f2; } pre { background: #f7f7f7; padding: .6rem; font-size: .8rem; }
+        |</style></head><body><p><a href="/ui">&larr; overview</a></p>
+        |<h1>${esc(title)}</h1>$bodyHtml</body></html>""".stripMargin
+      val bytes = html.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-      ex.sendResponseHeaders(200, bytes.length)
+      ex.sendResponseHeaders(status, bytes.length)
       ex.getResponseBody.write(bytes)
+    }
+    def stmtOf(op: Operation): String = op match {
+      case e: ExecuteStatement => e.statement
+      case other => other.getClass.getSimpleName
+    }
+    def opRowsHtml(ops: Seq[Operation]): String =
+      "<table><tr><th>operation</th><th>state</th><th>statement</th></tr>" +
+        ops.map(o =>
+          s"""<tr><td><a href="/ui/operation/${esc(o.handle)}">${esc(o.handle)}</a></td>
+             |<td>${esc(o.currentState.toString)}</td>
+             |<td>${esc(stmtOf(o).take(200))}</td></tr>""".stripMargin).mkString +
+        "</table>"
+    try {
+      val segs = ex.getRequestURI.getPath.stripPrefix("/ui").split("/")
+        .toList.filter(_.nonEmpty)
+      segs match {
+        case Nil =>
+          val bytes = RestFrontend.UiPage.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case "session" :: sid :: Nil =>
+          engine.openSessions.find(_.id == sid) match {
+            case Some(s) =>
+              page(200, s"session $sid",
+                s"<p>user: ${esc(s.user)} &middot; created: ${s.createdMs}</p>" +
+                  opRowsHtml(s.openOperations.sortBy(_.createdMs)))
+            case None => page(404, "no such session", "")
+          }
+        case "operation" :: opId :: Nil =>
+          findOp(opId) match {
+            case Some(op) =>
+              page(200, s"operation $opId",
+                s"""<p>state: ${esc(op.currentState.toString)}</p>
+                   |<h2>statement</h2><pre>${esc(stmtOf(op))}</pre>
+                   |<h2>pending log</h2><pre>${
+                  op.peekLog(200).map(esc).mkString("\n")}</pre>""".stripMargin)
+            case None => page(404, "no such operation", "")
+          }
+        case "batch" :: id :: Nil =>
+          Option(batches.get(id)) match {
+            case Some((sess, op)) =>
+              page(200, s"batch $id",
+                s"""<p>user: ${esc(sess.user)} &middot; state: ${esc(op.currentState.toString)}
+                   | &middot; appState: ${esc(
+                  ApplicationState.fromOperationStateName(op.currentState.toString).toString)}</p>
+                   |<h2>statement</h2><pre>${esc(stmtOf(op))}</pre>
+                   |<h2>pending log</h2><pre>${
+                  op.peekLog(500).map(esc).mkString("\n")}</pre>""".stripMargin)
+            case None => store.flatMap(_.get(id)) match {
+              case Some(rec) =>
+                page(200, s"batch $id (restored)",
+                  s"""<p>user: ${esc(rec.user)} &middot; state: ${esc(rec.state)}</p>
+                     |<h2>statement</h2><pre>${esc(rec.sql)}</pre>${
+                    rec.error.map(e => s"<h2>error</h2><pre>${esc(e)}</pre>").getOrElse("")
+                  }""".stripMargin)
+              case None => page(404, "no such batch", "")
+            }
+          }
+        case _ => page(404, "not found", "")
+      }
     } finally ex.close()
   }
 
@@ -578,7 +652,9 @@ object RestFrontend {
       |<h2>Metrics</h2><div id="metrics"></div>
       |<script>
       |const cell = v => { const td = document.createElement('td'); td.textContent = v; return td; };
-      |function fill(id, rows, cols) {
+      |// link[col] = detail-page prefix: the cell becomes an <a> into the
+      |// server-rendered drill-down (/ui/session/…, /ui/operation/…, /ui/batch/…)
+      |function fill(id, rows, cols, links) {
       |  const t = document.getElementById(id);
       |  t.innerHTML = '';
       |  const hr = document.createElement('tr');
@@ -587,7 +663,16 @@ object RestFrontend {
       |  rows.forEach(r => {
       |    const tr = document.createElement('tr');
       |    cols.forEach(c => {
-      |      const td = cell(r[c] === undefined ? '' : r[c]);
+      |      let td;
+      |      if (links && links[c] && r[c] !== undefined) {
+      |        td = document.createElement('td');
+      |        const a = document.createElement('a');
+      |        a.href = links[c] + encodeURIComponent(r[c]);
+      |        a.textContent = r[c];
+      |        td.appendChild(a);
+      |      } else {
+      |        td = cell(r[c] === undefined ? '' : r[c]);
+      |      }
       |      if (c === 'state') td.className = 'state-' + r[c];
       |      tr.appendChild(td);
       |    });
@@ -597,15 +682,17 @@ object RestFrontend {
       |async function refresh() {
       |  try {
       |    const sess = (await (await fetch('/api/v1/sessions')).json()).sessions;
-      |    fill('sessions', sess, ['sessionId', 'user', 'createdMs', 'openOperations']);
+      |    fill('sessions', sess, ['sessionId', 'user', 'createdMs', 'openOperations'],
+      |         {sessionId: '/ui/session/'});
       |    const ops = [];
       |    for (const s of sess) {
       |      const os = (await (await fetch('/api/v1/sessions/' + s.sessionId + '/operations')).json()).operations;
       |      ops.push(...os);
       |    }
-      |    fill('operations', ops, ['operationId', 'sessionId', 'state', 'statement']);
+      |    fill('operations', ops, ['operationId', 'sessionId', 'state', 'statement'],
+      |         {operationId: '/ui/operation/', sessionId: '/ui/session/'});
       |    const batches = (await (await fetch('/api/v1/batches')).json()).batches;
-      |    fill('batches', batches, ['id', 'user', 'state']);
+      |    fill('batches', batches, ['id', 'user', 'state'], {id: '/ui/batch/'});
       |    const m = await (await fetch('/api/v1/metrics')).json();
       |    document.getElementById('metrics').textContent = JSON.stringify(m, null, 2);
       |  } catch (e) { console.error(e); }

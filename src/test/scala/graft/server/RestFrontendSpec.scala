@@ -392,6 +392,43 @@ class RestFrontendSpec extends AnyFunSuite {
       Seq("/api/v1/sessions", "/api/v1/batches", "/api/v1/metrics").foreach { ep =>
         assert(html.contains(ep), s"UI page must fetch $ep")
       }
+      // the overview links into the server-rendered drill-down pages
+      Seq("/ui/session/", "/ui/operation/", "/ui/batch/").foreach { p =>
+        assert(html.contains(p), s"UI page must link into $p")
+      }
+    }
+  }
+
+  test("UI drill-down pages resolve: session detail links to operation detail; batch log renders") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val sid = extract(post(c, s"$base/sessions", """{"user": "ui-user"}""")._2, "sessionId")
+      val opId = extract(post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT 1 AS one"}""")._2, "operationId")
+      val bid = extract(post(c, s"$base/batches",
+        """{"sql": "SELECT count(*) FROM range(1000)"}""")._2, "id")
+      var bstate = ""
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (bstate != "FINISHED" && System.nanoTime() < deadline) {
+        bstate = extract(get(c, s"$base/batches/$bid")._2, "state"); Thread.sleep(100)
+      }
+
+      val (sc, sessHtml) = get(c, s"$root/ui/session/$sid")
+      assert(sc == 200 && sessHtml.contains("ui-user"), sessHtml)
+      // the session page links each operation's detail page — follow it
+      assert(sessHtml.contains(s"/ui/operation/$opId"), sessHtml)
+      val (oc, opHtml) = get(c, s"$root/ui/operation/$opId")
+      assert(oc == 200 && opHtml.contains("SELECT 1 AS one"), opHtml)
+
+      val (bc, batchHtml) = get(c, s"$root/ui/batch/$bid")
+      assert(bc == 200, batchHtml)
+      assert(batchHtml.contains("FINISHED") && batchHtml.contains("appState"), batchHtml)
+      // the batch page renders the pending operation log
+      assert(batchHtml.contains("pending log"), batchHtml)
+
+      // unknowns 404 as pages, not stack traces
+      assert(get(c, s"$root/ui/session/nope")._1 == 404)
+      assert(get(c, s"$root/ui/batch/nope")._1 == 404)
     }
   }
 }

@@ -10,7 +10,7 @@ import graft.core.ShareLevel
   * Usage: GatewayMain <discoveryDir> [port]
   *
   * Environment:
-  *   GRAFT_AUTH_METHOD      NONE (default) | CUSTOM | JDBC — SASL PLAIN
+  *   GRAFT_AUTH_METHOD      NONE (default) | CUSTOM | JDBC | LDAP — SASL PLAIN
   *                          provider selection (AuthenticationProvider.forMethod);
   *                          method-specific keys come from GRAFT_AUTH_* vars
   *                          lower-cased into the provider conf

@@ -112,17 +112,22 @@ final class LdapAuthenticationProvider(
 object LdapAuthenticationProvider {
   /** Build from the flat conf map `AuthenticationProvider.forMethod`
     * receives (keys mirror the reference's
-    * `kyuubi.authentication.ldap.*` family).
+    * `kyuubi.authentication.ldap.*` family). Lookup is
+    * case-insensitive: GatewayMain derives these keys from environment
+    * variables, which arrive lower-cased (`...ldap.basedn`).
     */
-  def fromConf(conf: Map[String, String]): LdapAuthenticationProvider =
+  def fromConf(conf: Map[String, String]): LdapAuthenticationProvider = {
+    val lower = conf.map { case (k, v) => k.toLowerCase -> v }
+    def get(key: String): Option[String] = lower.get(key.toLowerCase)
     new LdapAuthenticationProvider(
-      url = conf.getOrElse("authentication.ldap.url",
+      url = get("authentication.ldap.url").getOrElse(
         throw new IllegalArgumentException("authentication.ldap.url not set")),
-      baseDn = conf.get("authentication.ldap.baseDn"),
-      guidKey = conf.getOrElse("authentication.ldap.guidKey", "uid"),
-      domain = conf.get("authentication.ldap.domain"),
-      userDnPatterns = conf.get("authentication.ldap.userDnPatterns")
+      baseDn = get("authentication.ldap.baseDn"),
+      guidKey = get("authentication.ldap.guidKey").getOrElse("uid"),
+      domain = get("authentication.ldap.domain"),
+      userDnPatterns = get("authentication.ldap.userDnPatterns")
         .map(_.split(":").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-      allowedUsers = conf.get("authentication.ldap.userFilter")
+      allowedUsers = get("authentication.ldap.userFilter")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+  }
 }

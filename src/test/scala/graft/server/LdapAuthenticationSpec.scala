@@ -67,6 +67,13 @@ class LdapAuthenticationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.authenticate("carol", "pw3") == "carol")
   }
 
+  test("conf keys are case-insensitive (env-derived keys arrive lower-cased)") {
+    val p = AuthenticationProvider.forMethod("LDAP", Map(
+      "AUTHENTICATION.LDAP.URL" -> ldap.url,
+      "authentication.ldap.basedn" -> "ou=people,dc=graft,dc=test"))
+    assert(p.authenticate("alice", "secret") == "alice")
+  }
+
   test("userDnPatterns are tried in order") {
     val p = AuthenticationProvider.forMethod("LDAP", Map(
       "authentication.ldap.url" -> ldap.url,

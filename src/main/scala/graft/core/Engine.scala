@@ -103,7 +103,9 @@ final class Engine(
     val rootSpark: SparkSession,
     val shareLevel: ShareLevel = ShareLevel.User,
     val singleSession: Boolean = false,
-    val discovery: DiscoveryClient = new InMemoryDiscoveryClient) {
+    val discovery: DiscoveryClient = new InMemoryDiscoveryClient,
+    val groupProvider: GroupProvider = new UserPrefixGroupProvider,
+    val confAdvisors: Seq[SessionConfAdvisor] = Nil) {
 
   val engineId: String = s"graft-${UUID.randomUUID().toString.take(8)}"
   Kdf.registerAll(rootSpark, engineId)
@@ -112,16 +114,26 @@ final class Engine(
   // share-level cache: key → that scope's engine SparkSession
   private val sparkByKey = new ConcurrentHashMap[String, SparkSession]()
 
-  private def shareKey(user: String, sessionId: String): String = shareLevel match {
+  private def shareKey(user: String, sessionId: String,
+      conf: Map[String, String]): String = shareLevel match {
     case ShareLevel.Connection => s"connection/$sessionId"
     case ShareLevel.User => s"user/$user"
-    case ShareLevel.Group => s"group/${user.takeWhile(_ != '@')}"
+    // the GROUP namespace comes from the pluggable provider (reference
+    // GroupProvider.primaryGroup via kyuubi.session.group.provider)
+    case ShareLevel.Group => s"group/${groupProvider.primaryGroup(user, conf)}"
     case ShareLevel.Server => "server"
   }
 
-  def openSession(user: String): EngineSession = {
+  /** Client conf merged with each advisor's overlay, in advisor order
+    * (overlay entries OVERWRITE — reference SessionConfAdvisor
+    * contract; later advisors see and may override earlier results).
+    */
+  def advisedConf(user: String, clientConf: Map[String, String]): Map[String, String] =
+    confAdvisors.foldLeft(clientConf)((acc, a) => acc ++ a.confOverlay(user, acc))
+
+  def openSession(user: String, conf: Map[String, String] = Map.empty): EngineSession = {
     val id = UUID.randomUUID().toString
-    val key = shareKey(user, id)
+    val key = shareKey(user, id, conf)
     val base = sparkByKey.computeIfAbsent(key, _ => {
       discovery.register(key, engineId)
       rootSpark.newSession()

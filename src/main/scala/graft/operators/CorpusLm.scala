@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level language-model statistics for training-data selection:
+  *
+  *   - [[importanceWeights]] — DSIR (Data Selection via Importance
+  *     Resampling, Xie et al., NeurIPS 2023): score every document by
+  *     how much more likely its hashed-n-gram features are under a
+  *     TARGET distribution (e.g. a trusted high-quality slice) than
+  *     under the RAW corpus distribution; select the top-weighted docs.
+  *   - [[unigramLogProb]] — CCNet-style LM quality gating with the
+  *     corpus' own unigram model standing in for the external LM:
+  *     documents whose mean token log-probability is far below typical
+  *     are boilerplate/garbage candidates.
+  *
+  * Determinism across engines (the DuckDB oracle recomputes both ends
+  * to the bit): every per-bucket/per-token log is quantized ONCE to
+  * integer micro-units — floor(ln(p) * 1e6) of an identical IEEE
+  * double — and all downstream arithmetic (doc weights, gates, ranks)
+  * is exact 64-bit integer math, so no float summation-order drift can
+  * flip a rank or a gate.
+  *
+  * 100 TB shape: features are generated map-side (explode of unigrams
+  * + adjacent bigrams); bucket/vocab statistics aggregate into
+  * `nBuckets` (or vocab-sized) rows with map-side partial aggregation
+  * and broadcast back; the only data-sized shuffle is the per-doc
+  * feature-count aggregation, keyed by (doc, bucket). Selection is
+  * top-k (TakeOrdered), never a global sort.
+  */
+object CorpusLm {
+
+  /** Whitespace tokens — the corpus tokenizer used across TextFunctions. */
+  private def toks(text: Column): Column = split(trim(text), " +")
+
+  /** floor(ln(num/den) * 1e6) as a long, num/den taken to double first —
+    * the one float op, quantized immediately.
+    */
+  private def lnMicro(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * lit(1000000.0)).cast("long")
+
+  /** DSIR importance weights from hashed n-gram (unigram + adjacent
+    * bigram) features bucketed by md5 into `nBuckets` buckets.
+    *
+    * weight(doc) = Σ_b c_b(doc) · [ln p̂_target(b) − ln p̂_raw(b)]
+    * with add-one smoothing on both bucket distributions, in integer
+    * micro-units. `isTarget` marks the rows of the target slice; the
+    * raw distribution is the whole input.
+    *
+    * Returns (idCol, weight_micro) for the `n` highest-weight docs
+    * (weight desc, id asc — the paper's top-k selection heuristic;
+    * its Gumbel-noise resampling variant is this plus a seeded
+    * perturbation of weight_micro).
+    */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      nBuckets: Int = 64,
+      n: Int = 50): DataFrame = {
+    val base = df.select(col(idCol), isTarget.as("__is_t"), toks(col(textCol)).as("__t"))
+    val bigrams = when(
+      size(col("__t")) >= 2,
+      expr("transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1]))"))
+      .otherwise(array().cast("array<string>"))
+    val feats = base
+      .select(col(idCol), col("__is_t"), explode(concat(col("__t"), bigrams)).as("__f"))
+      .withColumn(
+        "__b",
+        (conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("int") % nBuckets))
+      .drop("__f")
+
+    // bucket stats: nBuckets rows after map-side partial agg
+    val stats = feats.groupBy(col("__b")).agg(
+      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("n_t"),
+      count(lit(1)).as("n_r"))
+    val totals = stats.agg(sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
+    val scores = stats.crossJoin(broadcast(totals))
+      .select(
+        col("__b"),
+        (lnMicro(col("n_t") + 1, col("tot_t") + nBuckets) -
+          lnMicro(col("n_r") + 1, col("tot_r") + nBuckets)).as("__s"))
+
+    // the one data-sized shuffle: per-(doc, bucket) counts
+    val perDoc = feats.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(scores), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__s")).as("weight_micro"))
+
+    perDoc.orderBy(col("weight_micro").desc, col(idCol).asc).limit(n)
+  }
+
+  /** Per-document unigram log-probability under the corpus' own MLE
+    * unigram model, plus the quality gate `keep` — mean token
+    * log-prob above `meanLpMicroFloor` micro-nats (compared in exact
+    * integer math: Σlp > floor · n_tokens).
+    *
+    * Returns (idCol, n_tokens, sum_lp_micro, keep) for every doc.
+    */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      meanLpMicroFloor: Long = -3450000L): DataFrame = {
+    val tok = df.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+    val freq = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val total = freq.agg(sum(col("__cnt")).as("__tot"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select(col("__tok"), lnMicro(col("__cnt"), col("__tot")).as("__lp"))
+
+    tok.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(lp), "__tok")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).cast("long").as("n_tokens"),
+        sum(col("__c") * col("__lp")).as("sum_lp_micro"))
+      .withColumn("keep", col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
+  }
+}

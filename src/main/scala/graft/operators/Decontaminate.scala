@@ -51,4 +51,33 @@ object Decontaminate {
       .select(idCol).distinct()
     corpus.join(hit, Seq(idCol), "left_anti")
   }
+
+  /** Cross-source n-gram contamination matrix: for every pair of
+    * sources, how many DISTINCT n-grams they share, with each side's
+    * distinct-gram total for normalization (shared/min(n_a,n_b) is the
+    * usual containment score) — the corpus-curation audit that answers
+    * "how much of source B is already in source A" before mixing.
+    *
+    * Scale shape: the (source, gram) projection dedups map-side-first
+    * into one shuffle; the pair join is keyed by gram and each gram
+    * contributes at most |sources|² rows regardless of its document
+    * frequency, so a hot gram cannot explode the join; per-source
+    * totals are a |sources|-row broadcast. All counts are exact
+    * integers.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df
+      .select(col(srcCol).as("src"), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .select(col("src"), md5(col("gram")).as("g"))
+      .distinct()
+    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    grams.toDF("src_a", "g")
+      .join(grams.toDF("src_b", "g"), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(totals.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(totals.toDF("src_b", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"))
+  }
 }

@@ -27,9 +27,99 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, iterations: Int = 1): Array[Array[Double]] = {
-    var centroids = corpus.orderBy(col(idCol)).limit(nLists)
+    val seeds = corpus.orderBy(col(idCol)).limit(nLists)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    lloydSteps(corpus, vecCol, seeds, iterations)
+  }
+
+  /** k-means|| seeding (Bahmani et al., "Scalable K-Means++", VLDB
+    * 2012) + Lloyd refinement — the production initializer for large
+    * corpora, where [[train]]'s lowest-id seeding can start arbitrarily
+    * badly. Spherical variant: cost(x) = 1 − max cosine(x, C).
+    *
+    * Per round: one scalar action for the total cost φ, then an
+    * independent coin per point keeping it with probability
+    * min(1, ℓ·cost/φ) — so each round collects only O(ℓ) candidate
+    * vectors, never data. The coin is a seeded md5 uniform, making the
+    * whole seeding deterministic and re-runnable (no Math.random —
+    * same seed, same index). Candidates are then weighted by their
+    * attraction counts (one count-by-nearest action) and reduced to
+    * `nLists` centers driver-side by weighted k-means++ over the
+    * ≤ rounds·ℓ+1 candidates — index-artifact-sized work. Distributed
+    * Lloyd steps finish the job, same loop as [[train]].
+    */
+  def trainScalable(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, rounds: Int = 3, oversample: Int = 0,
+      seed: String = "kmpp", iterations: Int = 1): Array[Array[Double]] = {
+    val l = if (oversample > 0) oversample else 2 * nLists
+    var cands: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to rounds).foreach { r =>
+      val cost = lit(1.0) - bestSim(col(vecCol), cands)
+      val withCost = corpus.select(col(idCol), col(vecCol), cost.as("__cost"))
+      val phi = withCost.agg(sum(col("__cost"))).head.getDouble(0)
+      if (phi > 0) {
+        // uniform [0,1) from the first 8 hex digits of a seeded md5
+        val u = conv(substring(md5(concat(lit(s"$seed-$r-"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+        val sampled = withCost
+          .filter(u < lit(l.toDouble) * col("__cost") / lit(phi))
+          .select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        cands ++= sampled
+      }
+    }
+    // attraction weights: how much data each candidate pulls
+    val weights = corpus
+      .select(nearestList(col(vecCol), cands).as("__c"))
+      .groupBy(col("__c")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centers = weightedKmeansPlusPlus(cands,
+      cands.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray, nLists, seed)
+    lloydSteps(corpus, vecCol, centers, iterations)
+  }
+
+  /** Driver-side weighted k-means++ over the candidate set (tiny:
+    * rounds·ℓ+1 rows). Deterministic via a seeded PRNG.
+    */
+  private def weightedKmeansPlusPlus(cands: Array[Array[Double]],
+      weights: Array[Double], k: Int, seed: String): Array[Array[Double]] = {
+    require(cands.nonEmpty, "no candidates")
+    if (cands.length <= k) return cands
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rng = new scala.util.Random(seed.hashCode.toLong)
+    val first = weights.indexOf(weights.max) // heaviest candidate starts
+    val centers = scala.collection.mutable.ArrayBuffer(cands(first))
+    while (centers.length < k) {
+      val costs = cands.indices.map { i =>
+        weights(i) * (1.0 - centers.iterator.map(c => cos(cands(i), c)).max)
+      }
+      val tot = costs.sum
+      val next =
+        if (tot <= 0) cands.indices.find(i => !centers.exists(_ sameElements cands(i))).getOrElse(0)
+        else {
+          var r = rng.nextDouble() * tot
+          var i = 0
+          while (i < costs.length - 1 && r >= costs(i)) { r -= costs(i); i += 1 }
+          i
+        }
+      centers += cands(next)
+    }
+    centers.toArray
+  }
+
+  /** Distributed Lloyd steps (assign → per-list mean), shared by both
+    * trainers; only the nLists×dim matrix lands on the driver.
+    */
+  private def lloydSteps(corpus: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iterations: Int): Array[Array[Double]] = {
+    var centroids = init
     (0 until iterations).foreach { _ =>
       val assigned = corpus.withColumn("list_id", nearestList(col(vecCol), centroids))
       val means = assigned
@@ -45,6 +135,10 @@ object IvfIndex {
     }
     centroids
   }
+
+  /** Max cosine similarity against the candidate set (map-side). */
+  private def bestSim(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*))
 
   /** Map-side nearest-centroid id: argmax cosine against literal
     * centroids (broadcast with the plan, never shuffled).

@@ -265,6 +265,34 @@ object TextQueries {
       Sampling.shuffleShard(Tables(s, dir).documents, "doc_id",
           numShards = 8, seed = "s42")
         .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // --- DSIR importance-weighted selection (Xie et al. 2023): rank
+    //     docs by hashed-n-gram likelihood ratio of the en slice
+    //     (target) vs the whole corpus (raw), keep the top 50.
+    //     Micro-unit log quantization makes the ranking integer-exact
+    //     across engines. ---
+    "d36_dsir_select" -> { (s, dir) =>
+      graft.operators.CorpusLm.importanceWeights(
+        Tables(s, dir).documents, "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 64, n = 50)
+    },
+
+    // --- Corpus-unigram LM scoring + quality gate (CCNet-style
+    //     perplexity filtering with the corpus' own unigram model):
+    //     keep docs whose mean token log-prob clears the floor. ---
+    "d37_unigram_lm" -> { (s, dir) =>
+      graft.operators.CorpusLm.unigramLogProb(
+          Tables(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("sum_lp_micro"), col("keep"))
+    },
+
+    // --- Cross-source 5-gram contamination matrix: distinct shared
+    //     grams per source pair + per-source totals — "how much of
+    //     source B is already in source A" before mixing. ---
+    "d38_source_overlap" -> { (s, dir) =>
+      graft.operators.Decontaminate.sourceOverlap(
+        Tables(s, dir).documents, "source", "text", n = 5)
     }
   )
 
@@ -592,6 +620,80 @@ object TextQueries {
           SELECT doc_id, shard,
             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
           FROM sharded"""
-    }
+    },
+    // Mirror of d36: hashed uni+bigram buckets, add-one-smoothed
+    // micro-nat log ratio, integer doc weights, top-50.
+    "d36_dsir_select" -> {
+      def digit(i: Int) =
+        s"(CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN ascii(substr(h, $i, 1)) - 87 ELSE ascii(substr(h, $i, 1)) - 48 END)"
+      val h16 = s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+      s"""WITH t AS (
+            SELECT doc_id, lang, $duckToks AS toks FROM documents),
+          feats AS (
+            SELECT doc_id, lang, unnest(toks) AS f FROM t
+            UNION ALL
+            SELECT doc_id, lang,
+              unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS f
+            FROM t),
+          hashed AS (SELECT doc_id, lang, md5(f) AS h FROM feats),
+          bb AS (SELECT doc_id, lang, ($h16 % 64) AS b FROM hashed),
+          stats AS (
+            SELECT b,
+              count(*) FILTER (WHERE lang = 'en') AS n_t,
+              count(*) AS n_r
+            FROM bb GROUP BY b),
+          tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM stats),
+          sc AS (
+            SELECT b,
+              CAST(floor(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + 64 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                - CAST(floor(ln(CAST(n_r + 1 AS DOUBLE) / CAST(tot_r + 64 AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+            FROM stats, tot),
+          pd AS (SELECT doc_id, b, count(*) AS c FROM bb GROUP BY 1, 2),
+          w AS (
+            SELECT doc_id, CAST(sum(c * s) AS BIGINT) AS weight_micro
+            FROM pd JOIN sc USING (b) GROUP BY 1)
+          SELECT doc_id, weight_micro FROM w
+          ORDER BY weight_micro DESC, doc_id LIMIT 50"""
+    },
+    // Mirror of d37: corpus-unigram micro-nat log-probs, exact-integer
+    // mean-log-prob gate.
+    "d37_unigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+          freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+          tot AS (SELECT sum(cnt) AS n FROM freq),
+          lp AS (
+            SELECT token,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_micro
+            FROM freq, tot),
+          pd AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+          agg AS (
+            SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(sum(c * lp_micro) AS BIGINT) AS sum_lp_micro
+            FROM pd JOIN lp USING (token) GROUP BY 1)
+          SELECT doc_id, n_tokens, sum_lp_micro,
+            (sum_lp_micro > -3450000 * n_tokens) AS keep
+          FROM agg""",
+    // Mirror of d38: distinct (source, md5(5-gram)) sets, pair join,
+    // per-source totals. Short docs (<5 tokens) shingle to the whole
+    // token-joined text, exactly like TextFunctions.shingles.
+    "d38_source_overlap" ->
+      s"""WITH sh AS (
+            SELECT source, list_distinct(
+              CASE WHEN len($duckToks) < 5 THEN [array_to_string($duckToks, ' ')]
+                   ELSE list_transform(generate_series(1, len($duckToks) - 4),
+                     i -> array_to_string($duckToks[i:i+4], ' ')) END) AS s
+            FROM documents),
+          g AS (SELECT DISTINCT source AS src, md5(g) AS g
+                FROM (SELECT source, unnest(s) AS g FROM sh)),
+          t AS (SELECT src, count(*) AS n FROM g GROUP BY 1),
+          p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+                FROM g a JOIN g b USING (g) WHERE a.src < b.src GROUP BY 1, 2)
+          SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b
+          FROM p
+          JOIN t ta ON ta.src = p.src_a
+          JOIN t tb ON tb.src = p.src_b"""
   )
 }

@@ -193,6 +193,19 @@ object VectorQueries {
         dim = DIM, minCosine = 0.4, nPlanes = N_PLANES)
     },
 
+    // --- SQ8 scalar-quantized approximate top-5: corpus compressed
+    //     to one byte-range code per dimension against per-dim
+    //     (min, max) stats — 4× fewer corpus bytes, no codebook
+    //     training (oracle recomputes stats, codes and the
+    //     reconstructed dot from the raw table) ---
+    "v16_sq8_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val (mins, maxs) = graft.operators.SqIndex.trainStats(e, "embedding", DIM)
+      graft.operators.SqIndex.sqTopK(e, q, "vec_id", "embedding", mins, maxs, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
     // --- Dimension / count facts (oracle-checked) ---
     "v05_embedding_stats" -> { (s, dir) =>
       Tables(s, dir).embeddings
@@ -498,6 +511,39 @@ object VectorQueries {
       """SELECT label, count(*) AS n_vectors,
          count(DISTINCT len(embedding)) AS n_dims_distinct,
          min(vec_id) AS min_id, max(vec_id) AS max_id
-         FROM embeddings GROUP BY label"""
+         FROM embeddings GROUP BY label""",
+    // Mirror of v16: per-dim (min, max) stats, floor-quantized SQ8
+    // codes, reconstructed-dot scoring — every double op in the same
+    // association/fold order as SqIndex, so codes and ranks are exact.
+    "v16_sq8_topk" ->
+      s"""WITH stats AS (
+            SELECT i AS pos,
+              min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+              max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+            FROM embeddings e CROSS JOIN generate_series(1, $DIM) AS t(i)
+            GROUP BY i),
+          mnl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+                  FROM stats),
+          codes AS (
+            SELECT e.vec_id, list_transform(generate_series(1, $DIM), i ->
+              CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+                   ELSE least(255, greatest(0, CAST(floor(
+                     ((CAST(e.embedding[i] AS DOUBLE) - s.mns[i]) * 255.0)
+                       / (s.mxs[i] - s.mns[i])) AS BIGINT))) END) AS codes
+            FROM embeddings e, mnl s),
+          pairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              list_reduce(list_transform(generate_series(1, $DIM), i ->
+                CAST(q.embedding[i] AS DOUBLE)
+                  * (s.mns[i] + (CAST(n.codes[i] AS DOUBLE) * (s.mxs[i] - s.mns[i])) / 255.0)),
+                (x, y) -> x + y) AS sim
+            FROM embeddings q, codes n, mnl s
+            WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM pairs)
+          WHERE rnk <= 5"""
   )
 }

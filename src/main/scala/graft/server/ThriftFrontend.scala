@@ -344,13 +344,22 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         val user = PlainSasl.authenticatedUser
           .orElse(Option(req.getUsername).filter(_.nonEmpty))
           .getOrElse("anonymous")
-        val sess = engine.openSession(user)
+        // Client conf in arrival order, then SessionConfAdvisor
+        // overlays (overwrite-in-place, new keys append — reference
+        // KyuubiSession applies kyuubi.session.conf.advisor overlays
+        // over the client conf before any of it takes effect).
+        val clientConf = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        Option(req.getConfiguration).foreach(_.forEach { (k, v) => clientConf.put(k, v) })
+        engine.advisedConf(user, clientConf.toMap).foreach { case (k, v) =>
+          if (!clientConf.get(k).contains(v)) clientConf.put(k, v)
+        }
+        val sess = engine.openSession(user, clientConf.toMap)
         sessions.put(sess.id, sess)
-        // Apply the client's session configuration (the Hive JDBC URL's
+        // Apply the session configuration (the Hive JDBC URL's
         // /db, ?conf and #var segments arrive here as use:database,
         // set:hiveconf:* and set:hivevar:* — reference
         // SparkSQLSessionManager.openSession conf processing).
-        Option(req.getConfiguration).foreach(_.forEach { (k, v) =>
+        clientConf.foreach { case (k, v) =>
           val key = k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
           if (k == "use:database") {
             // A bad database name must FAIL the connection (stock
@@ -381,7 +390,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
               }
             } catch { case _: Throwable => } // bad conf must not kill the session
           }
-        })
+        }
         val negotiated =
           if (req.getClient_protocol == null) TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10
           else if (req.getClient_protocol.getValue <= TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V10.getValue)

@@ -1,0 +1,82 @@
+package graft.core
+
+import java.sql.DriverManager
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.server.ThriftFrontend
+
+/** The server plugin seams (reference kyuubi-server-plugin:
+  * SessionConfAdvisor, GroupProvider): conf overlays applied at
+  * OpenSession, group resolution driving the GROUP share level, and
+  * both exercised end-to-end over a real hive-jdbc connection.
+  */
+
+// zero-arg classes for the reflective loaders
+class PinningAdvisor extends SessionConfAdvisor {
+  override def confOverlay(user: String, conf: Map[String, String]): Map[String, String] =
+    Map("set:hiveconf:spark.graft.test.pinned" -> "policy",
+      "set:hiveconf:spark.graft.test.who" -> user)
+}
+class SecondAdvisor extends SessionConfAdvisor {
+  override def confOverlay(user: String, conf: Map[String, String]): Map[String, String] =
+    Map("set:hiveconf:spark.graft.test.who" -> s"second:${conf("set:hiveconf:spark.graft.test.who")}")
+}
+
+class PluginSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkFixture.spark
+
+  test("advisedConf: overlays overwrite the client conf, later advisors see earlier results") {
+    val engine = new Engine(spark,
+      confAdvisors = SessionConfAdvisor.load(
+        Seq(classOf[PinningAdvisor].getName, classOf[SecondAdvisor].getName)))
+    val out = engine.advisedConf("alice",
+      Map("set:hiveconf:spark.graft.test.pinned" -> "client-says",
+        "set:hiveconf:spark.other" -> "kept"))
+    assert(out("set:hiveconf:spark.graft.test.pinned") == "policy") // client overridden
+    assert(out("set:hiveconf:spark.graft.test.who") == "second:alice") // chained
+    assert(out("set:hiveconf:spark.other") == "kept")
+  }
+
+  test("GroupProvider drives the GROUP share level namespace") {
+    val engine = new Engine(spark, shareLevel = ShareLevel.Group,
+      singleSession = true, groupProvider = GroupProvider.load(classOf[ConfGroupProvider].getName))
+    val team = Map("graft.session.group" -> "data-eng")
+    val a = engine.openSession("alice@corp", team)
+    val b = engine.openSession("bob@corp", team)
+    val c = engine.openSession("eve@corp", Map("graft.session.group" -> "other-team"))
+    try {
+      // same declared group + singleSession → the SAME SparkSession:
+      // a temp view created by alice is visible to bob, not to eve
+      a.spark.sql("CREATE OR REPLACE TEMP VIEW plugin_spec_tv AS SELECT 7 AS x")
+      assert(b.spark.sql("SELECT x FROM plugin_spec_tv").collect().head.getInt(0) == 7)
+      assert(c.spark.catalog.tableExists("plugin_spec_tv") == false)
+      // and the discovery registration is keyed by the group namespace
+      assert(engine.discovery.get("group/data-eng").nonEmpty)
+      assert(engine.discovery.get("group/other-team").nonEmpty)
+    } finally Seq(a, b, c).foreach(s => engine.closeSession(s.id))
+  }
+
+  test("advisor overlay reaches a real JDBC session's Spark conf") {
+    val engine = new Engine(spark,
+      confAdvisors = Seq(new PinningAdvisor))
+    val frontend = new ThriftFrontend(engine).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:${frontend.boundPort}/;auth=noSasl" +
+          "?spark.graft.test.pinned=client-says",
+        "alice", "")
+      try {
+        val rs = conn.createStatement().executeQuery("SET spark.graft.test.pinned")
+        rs.next()
+        // SET returns (key, value); the advisor's value must beat the
+        // client's URL conf
+        assert(rs.getString(2) == "policy")
+      } finally conn.close()
+    } finally frontend.stop()
+  }
+}

@@ -39,4 +39,25 @@ class IvfSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be ordered (no duplicates)")
     assert(pairs.forall(_.getDouble(2) >= 0.0))
   }
+
+  /** Mean quantization cost (1 − cosine to the nearest center). */
+  private def cost(centroids: Array[Array[Double]]): Double = {
+    import graft.functions.VectorFunctions.cosine
+    val best = array_max(array(centroids.map(c =>
+      cosine(col("embedding"), array(c.map(lit): _*))): _*))
+    emb.select(avg(lit(1.0) - best)).head().getDouble(0)
+  }
+
+  test("k-means|| seeding is deterministic and no worse than lowest-id seeding") {
+    val scalable = IvfIndex.trainScalable(emb, "vec_id", "embedding",
+      nLists = 8, rounds = 3, seed = "s1")
+    val again = IvfIndex.trainScalable(emb, "vec_id", "embedding",
+      nLists = 8, rounds = 3, seed = "s1")
+    assert(scalable.length == 8 && scalable.forall(_.length == 64))
+    // fully deterministic: seeded md5 coins + seeded driver PRNG
+    assert(scalable.zip(again).forall { case (a, b) => a.sameElements(b) })
+    val seeded = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val (cS, cL) = (cost(scalable), cost(seeded))
+    assert(cS <= cL * 1.05, s"k-means|| cost $cS should not lose to naive seeding $cL")
+  }
 }

@@ -94,10 +94,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // packages (Verify/Bench/server materialize on purpose)
     val roots = Seq("src/main/scala/graft/queries", "src/main/scala/graft/operators",
       "src/main/scala/graft/functions")
-    // IvfIndex.train / PqIndex.train / IvfPqIndex.trainResidual collect
-    // the centroid/codebook MATRICES (index artifacts like the LSH
-    // hyperplanes), never result rows
-    val exempt = Set("IvfIndex.scala", "PqIndex.scala", "IvfPqIndex.scala")
+    // IvfIndex.train / PqIndex.train / IvfPqIndex.trainResidual /
+    // SqIndex.trainStats collect the centroid/codebook/min-max
+    // MATRICES (index artifacts like the LSH hyperplanes), never
+    // result rows
+    val exempt = Set("IvfIndex.scala", "PqIndex.scala", "IvfPqIndex.scala", "SqIndex.scala")
     val offenders = roots.flatMap { root =>
       val dirF = new java.io.File(root)
       if (!dirF.exists()) Nil

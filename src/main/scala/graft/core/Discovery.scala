@@ -155,6 +155,37 @@ object FileDiscoveryClient {
   private[core] val seqMonitors = new ConcurrentHashMap[String, Object]()
 }
 
+/** Backend selection by URL — the deployable entry points
+  * (EngineMain, EngineProcBuilder) accept one discovery string and
+  * this factory picks the client, the way the reference selects its
+  * HA client class from configuration
+  * (kyuubi-ha/.../DiscoveryClientProvider.scala):
+  *
+  *   - `zk://host:port[,host2:port2][/namespace]` → ZooKeeper
+  *   - `etcd://host:port[/namespace]` (or `etcds://` for TLS) → etcd's
+  *     gRPC-gateway JSON endpoint
+  *   - anything else → a filesystem path for the file-backed registry
+  *
+  * The string travels verbatim to spawned engine JVMs, so launcher and
+  * engine always land on the same backend.
+  */
+object DiscoveryClients {
+  def fromUrl(url: String): DiscoveryClient = {
+    def splitNs(rest: String): (String, String) = rest.indexOf('/') match {
+      case -1 => (rest, "graft")
+      case i => (rest.take(i), Option(rest.drop(i + 1)).filter(_.nonEmpty).getOrElse("graft"))
+    }
+    if (url.startsWith("zk://")) {
+      val (conn, ns) = splitNs(url.stripPrefix("zk://"))
+      new ZookeeperDiscoveryClient(conn, ns)
+    } else if (url.startsWith("etcd://") || url.startsWith("etcds://")) {
+      val secure = url.startsWith("etcds://")
+      val (ep, ns) = splitNs(url.stripPrefix(if (secure) "etcds://" else "etcd://"))
+      new EtcdDiscoveryClient((if (secure) "https://" else "http://") + ep, ns)
+    } else new FileDiscoveryClient(java.nio.file.Paths.get(url))
+  }
+}
+
 /** Register one address and exit — a minimal second *process* for
   * cross-JVM discovery tests (and a building block for wrapper
   * scripts). Usage: DiscoveryRegisterMain <rootDir> <space> <address>.

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * flip a rank or a gate.
   *
   * 100 TB shape: features are generated map-side (explode of unigrams
-  * + adjacent bigrams); bucket/vocab statistics aggregate into
-  * `nBuckets` (or vocab-sized) rows with map-side partial aggregation
-  * and broadcast back; the only data-sized shuffle is the per-doc
-  * feature-count aggregation, keyed by (doc, bucket). Selection is
-  * top-k (TakeOrdered), never a global sort.
+  * + adjacent bigrams) and the corpus is scanned ONCE — the per-(doc,
+  * feature) count table is the only data-sized shuffle and is
+  * persisted (SketchRegistry-tracked) so the bucket/vocab statistics
+  * fold IT, not the raw corpus; the nBuckets- or vocab-sized score
+  * tables broadcast back. Selection is top-k (TakeOrdered), never a
+  * global sort.
   */
 object CorpusLm {
 
@@ -72,10 +73,20 @@ object CorpusLm {
         (conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("int") % nBuckets))
       .drop("__f")
 
-    // bucket stats: nBuckets rows after map-side partial agg
-    val stats = feats.groupBy(col("__b")).agg(
-      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("n_t"),
-      count(lit(1)).as("n_r"))
+    // ONE corpus pass + ONE data-sized shuffle: per-(doc, bucket)
+    // counts, persisted (SketchRegistry-tracked) because both the
+    // bucket-stats branch and the weights branch read it — without the
+    // pin each branch would re-scan and re-explode the corpus
+    val perDoc = SketchRegistry.track(
+      feats.groupBy(col(idCol), col("__is_t"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .persist())
+
+    // bucket stats fold the (doc, bucket) table, not raw features;
+    // nBuckets rows, totals derived from them — no further corpus scans
+    val stats = perDoc.groupBy(col("__b")).agg(
+      sum(when(col("__is_t"), col("__c")).otherwise(lit(0L))).as("n_t"),
+      sum(col("__c")).as("n_r"))
     val totals = stats.agg(sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
     val scores = stats.crossJoin(broadcast(totals))
       .select(
@@ -83,13 +94,12 @@ object CorpusLm {
         (lnMicro(col("n_t") + 1, col("tot_t") + nBuckets) -
           lnMicro(col("n_r") + 1, col("tot_r") + nBuckets)).as("__s"))
 
-    // the one data-sized shuffle: per-(doc, bucket) counts
-    val perDoc = feats.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val weights = perDoc
       .join(broadcast(scores), "__b")
       .groupBy(col(idCol))
       .agg(sum(col("__c") * col("__s")).as("weight_micro"))
 
-    perDoc.orderBy(col("weight_micro").desc, col(idCol).asc).limit(n)
+    weights.orderBy(col("weight_micro").desc, col(idCol).asc).limit(n)
   }
 
   /** Per-document unigram log-probability under the corpus' own MLE
@@ -105,17 +115,49 @@ object CorpusLm {
       textCol: String,
       meanLpMicroFloor: Long = -3450000L): DataFrame = {
     val tok = df.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
-    val freq = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    // ONE corpus pass: per-(doc, token) counts, persisted because both
+    // the vocab-frequency branch and the per-doc scoring branch read it
+    val perDoc = SketchRegistry.track(
+      tok.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c")).persist())
+    val freq = perDoc.groupBy(col("__tok")).agg(sum(col("__c")).as("__cnt"))
     val total = freq.agg(sum(col("__cnt")).as("__tot"))
     val lp = freq.crossJoin(broadcast(total))
       .select(col("__tok"), lnMicro(col("__cnt"), col("__tot")).as("__lp"))
 
-    tok.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    perDoc
       .join(broadcast(lp), "__tok")
       .groupBy(col(idCol))
       .agg(
         sum(col("__c")).cast("long").as("n_tokens"),
         sum(col("__c") * col("__lp")).as("sum_lp_micro"))
       .withColumn("keep", col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
+  }
+
+  /** The unigram model as a bounded driver-side artifact: micro-nat
+    * log-probs for the `maxVocab` most frequent tokens (ties to the
+    * lexicographically smaller token), plus the out-of-vocabulary
+    * log-prob (one unseen pseudo-count). LM vocabularies are bounded
+    * by construction (tokenizers ship 32k-256k entries), so unlike
+    * result data this collect is index-artifact-sized — the
+    * train-offline half of the streaming quality gate
+    * ([[graft.streaming.Streams.lmGateStream]] is the score-online
+    * half).
+    */
+  def unigramModel(df: DataFrame, textCol: String,
+      maxVocab: Int = 65536): (Map[String, Long], Long) = {
+    val freq = df.select(explode(toks(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val total = freq.agg(sum(col("__cnt"))).head.getLong(0)
+    val top = freq
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+      .limit(maxVocab)
+      .collect()
+      .map { r =>
+        r.getString(0) ->
+          math.floor(math.log(r.getLong(1).toDouble / total.toDouble) * 1000000.0).toLong
+      }
+      .toMap
+    val oov = math.floor(math.log(1.0 / (total.toDouble + 1.0)) * 1000000.0).toLong
+    (top, oov)
   }
 }

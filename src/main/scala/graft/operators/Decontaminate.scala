@@ -66,10 +66,14 @@ object Decontaminate {
     * integers.
     */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = df
+    // persisted (SketchRegistry-tracked): the totals branch and both
+    // sides of the pair join read this — without the pin each of the
+    // three consumers would re-scan and re-shingle the corpus
+    val grams = SketchRegistry.track(df
       .select(col(srcCol).as("src"), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
       .select(col("src"), md5(col("gram")).as("g"))
       .distinct()
+      .persist())
     val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
     grams.toDF("src_a", "g")
       .join(grams.toDF("src_b", "g"), "g")

@@ -1,10 +1,8 @@
 package graft.server
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Engine, FileDiscoveryClient}
+import graft.core.{DiscoveryClients, Engine}
 
 /** Standalone engine process: own JVM, own SparkSession, own Thrift
   * port — the child side of [[EngineProcBuilder]] (the reference
@@ -13,7 +11,9 @@ import graft.core.{Engine, FileDiscoveryClient}
   * the discovery namespace for the server to find,
   * kyuubi-spark-sql-engine/.../SparkSQLEngine.scala).
   *
-  * Usage: EngineMain <discoveryDir> <space>
+  * Usage: EngineMain <discoveryUrl> <space>
+  * (discoveryUrl: a registry directory path, zk://host:port/ns, or
+  * etcd://host:port/ns — see DiscoveryClients.fromUrl)
   *
   * Registers `host:port` under `space` once the frontend is bound,
   * then serves until stdin reaches EOF (the launcher holds the pipe,
@@ -47,7 +47,10 @@ object EngineMain {
     val frontend = new ThriftFrontend(engine, auth = auth)
     frontend.start()
     val address = s"localhost:${frontend.boundPort}"
-    val discovery = new FileDiscoveryClient(Paths.get(discoveryDir))
+    // the arg is a discovery URL: file path, zk://…, or etcd://…
+    // (DiscoveryClients.fromUrl) — launcher and engine pass the same
+    // string, so both always land on the same backend
+    val discovery = DiscoveryClients.fromUrl(discoveryDir)
     discovery.register(space, address)
     // stdout contract with the launcher: one READY line
     println(s"ENGINE READY $address")

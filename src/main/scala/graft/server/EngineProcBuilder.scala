@@ -34,7 +34,13 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     proxyUser: Option[String] = None,
     engineJar: Option[String] = None,
     engineSecret: Option[String] = None,
-    engineEnv: Map[String, String] = Map.empty) {
+    engineEnv: Map[String, String] = Map.empty,
+    discoveryUrl: Option[String] = None) {
+
+  // When set, a zk://…/etcd://… URL overrides the file registry for
+  // BOTH the launcher's watch and the spawned engine's registration
+  // (the same string travels on the child command line).
+  private val discoveryRef: String = discoveryUrl.getOrElse(discoveryDir.toString)
 
   /** Token for connecting to an engine launched with [[engineSecret]]
     * (the server side of engine security: pass as the SASL PLAIN
@@ -67,7 +73,7 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     Seq(s"$home/bin/spark-submit", "--class", mainClass) ++
       conf.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") } ++
       proxyUser.toSeq.flatMap(u => Seq("--proxy-user", u)) ++
-      Seq(jar, discoveryDir.toString, space)
+      Seq(jar, discoveryRef, space)
   }
 
   /** Bare-java fallback: Spark's module-opens spelled out, classpath
@@ -80,7 +86,7 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     Seq(javaBin) ++ moduleOpts ++ Seq(
       "-Xmx1g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
-      mainClass, discoveryDir.toString, space)
+      mainClass, discoveryRef, space)
   }
 
   /** The exact command line `launch(space)` will run. */
@@ -100,7 +106,8 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     }
   }
 
-  private val discovery = new FileDiscoveryClient(discoveryDir)
+  private val discovery = discoveryUrl.map(graft.core.DiscoveryClients.fromUrl)
+    .getOrElse(new FileDiscoveryClient(discoveryDir))
 
   /** Spawn an engine JVM for `space` and wait until it registers. */
   def launch(space: String): EngineProcess = {

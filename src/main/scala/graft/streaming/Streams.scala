@@ -156,6 +156,29 @@ object Streams {
         g => BloomDedup.mightContain(bloom, g)))
   }
 
+  /** Streaming unigram-LM quality gate — the score-online half of the
+    * train-offline/score-online split a production ingest runs: the
+    * model (bounded-vocab micro-nat log-probs + OOV penalty, from
+    * [[graft.operators.CorpusLm.unigramModel]]) rides into the plan as
+    * a literal map, so scoring is a PURE MAP-SIDE fold per document —
+    * no state, no watermark, no shuffle; the stream stays
+    * partition-parallel at any rate. Emits passing docs with their
+    * score columns (same integer-exact gate as the batch twin
+    * d37: Σlp > floor · n_tokens).
+    */
+  def lmGateStream(docs: DataFrame, textCol: String,
+      model: Map[String, Long], oovLpMicro: Long,
+      meanLpMicroFloor: Long): DataFrame = {
+    val lpMap = typedLit(model)
+    val t = split(trim(col(textCol)), " +")
+    val sumLp = aggregate(t, lit(0L),
+      (acc, tok) => acc + coalesce(element_at(lpMap, tok), lit(oovLpMicro)))
+    docs
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("sum_lp_micro", sumLp)
+      .filter(col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
+  }
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

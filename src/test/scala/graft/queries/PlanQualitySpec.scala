@@ -88,6 +88,30 @@ class PlanQualitySpec extends AnyFunSuite {
       "PQ path must use the native kernels, not composed lambda folds")
   }
 
+  test("d36: DSIR reads the persisted count table, selects via top-k, never a global sort") {
+    val plan = planOf(TextQueries.queries("d36_dsir_select")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), "selection must be top-k")
+    assert(plan.contains("InMemoryTableScan"),
+      "both stat branches must fold the pinned (doc, bucket) counts, not re-scan the corpus")
+    assert(plan.contains("BroadcastHashJoin"), "bucket scores must broadcast")
+  }
+
+  test("d38: source-overlap pair join is equi on the gram key, no nested-loop join") {
+    val plan = planOf(TextQueries.queries("d38_source_overlap")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "all three consumers must read the pinned distinct (source, gram) set")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the pair join must stay equi-keyed on the gram hash")
+  }
+
+  test("v16: SQ8 ranking is a partial aggregation over broadcast queries") {
+    val plan = planOf(VectorQueries.queries("v16_sq8_topk")(spark, dir))
+    assert(!plan.contains("Window"), "window ranking shuffles the full scored set")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "expected aggregate-based top-k")
+    assert(plan.contains("BroadcastExchange"), "query side must broadcast")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator
@@ -95,10 +119,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val roots = Seq("src/main/scala/graft/queries", "src/main/scala/graft/operators",
       "src/main/scala/graft/functions")
     // IvfIndex.train / PqIndex.train / IvfPqIndex.trainResidual /
-    // SqIndex.trainStats collect the centroid/codebook/min-max
-    // MATRICES (index artifacts like the LSH hyperplanes), never
-    // result rows
-    val exempt = Set("IvfIndex.scala", "PqIndex.scala", "IvfPqIndex.scala", "SqIndex.scala")
+    // SqIndex.trainStats / CorpusLm.unigramModel collect the
+    // centroid/codebook/min-max/bounded-vocab MODEL artifacts (like
+    // the LSH hyperplanes), never result rows
+    val exempt = Set("IvfIndex.scala", "PqIndex.scala", "IvfPqIndex.scala",
+      "SqIndex.scala", "CorpusLm.scala")
     val offenders = roots.flatMap { root =>
       val dirF = new java.io.File(root)
       if (!dirF.exists()) Nil

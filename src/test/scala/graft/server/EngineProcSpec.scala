@@ -98,6 +98,25 @@ class EngineProcSpec extends AnyFunSuite {
     } finally pool.close()
   }
 
+  test("an engine JVM launched with an etcd:// discovery URL registers through the gateway") {
+    val gw = new graft.core.FakeEtcdGateway
+    val dir = Files.createTempDirectory("graft-engine-etcd") // unused fallback
+    val builder = new EngineProcBuilder(dir,
+      discoveryUrl = Some(s"etcd://${gw.hostPort}/proc"))
+    val pool = new EnginePool(builder)
+    try {
+      val e = pool.getOrLaunch("user/etta")
+      assert(e.alive)
+      // the SECOND process registered over HTTP into the etcd namespace
+      // the launcher watches — same string, same backend
+      val reg = graft.core.DiscoveryClients.fromUrl(s"etcd://${gw.hostPort}/proc")
+      assert(reg.get("user/etta").contains(e.address))
+      assert(query42(e.address) == 42)
+      // nothing fell back to the file registry
+      assert(new graft.core.FileDiscoveryClient(dir).get("user/etta").isEmpty)
+    } finally { pool.close(); gw.close() }
+  }
+
   test("an idle engine self-terminates after its idle timeout and unregisters") {
     val dir = Files.createTempDirectory("graft-engine-idle")
     val builder = new EngineProcBuilder(dir,

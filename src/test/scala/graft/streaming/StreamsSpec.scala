@@ -201,4 +201,42 @@ class StreamsSpec extends AnyFunSuite {
         s"timeout-closed session missing: ${u1.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("streaming LM gate matches the batch unigram gate under the same model") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusLm
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val corpus = Seq(
+      StreamDoc(1, ts(1), "the cat sat on the mat"),
+      StreamDoc(2, ts(2), "the dog sat on the rug"),
+      StreamDoc(3, ts(3), "cat dog mat rug the the"),
+      StreamDoc(4, ts(4), "emu ibex yak kiwi lynx oryx")) // singletons → low mean lp
+    val corpusDf = corpus.toDF()
+    val floor = -2400000L // between common-token and rare-token means
+
+    // model trained offline on the batch corpus
+    val (model, oov) = CorpusLm.unigramModel(corpusDf, "text")
+
+    // batch twin decides keep with the same floor
+    val batchKeep = CorpusLm.unigramLogProb(corpusDf, "doc_id", "text", floor)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+
+    // stream the corpus plus one all-OOV doc through the map-side gate
+    val ms = MemoryStream[StreamDoc]
+    val out = Streams.lmGateStream(ms.toDF(), "text", model, oov, floor)
+    val q = out.writeStream.format("memory").queryName("graft_lm")
+      .outputMode("append").start()
+    val streamedKeep =
+      try {
+        ms.addData(corpus :+ StreamDoc(9, ts(9), "qqq zzz yyy"): _*)
+        q.processAllAvailable()
+        spark.table("graft_lm").collect().map(_.getAs[Long]("doc_id")).toSet
+      } finally q.stop()
+
+    assert(streamedKeep == batchKeep, s"stream $streamedKeep vs batch $batchKeep")
+    assert(batchKeep.nonEmpty && !batchKeep.contains(4L), "floor should split the corpus")
+    assert(!streamedKeep.contains(9L), "all-OOV doc must fail the gate")
+  }
 }

@@ -105,7 +105,9 @@ final class Engine(
     val singleSession: Boolean = false,
     val discovery: DiscoveryClient = new InMemoryDiscoveryClient,
     val groupProvider: GroupProvider = new UserPrefixGroupProvider,
-    val confAdvisors: Seq[SessionConfAdvisor] = Nil) {
+    val confAdvisors: Seq[SessionConfAdvisor] = Nil,
+    val engineInitSql: Seq[String] = Nil,
+    val sessionInitSql: Seq[String] = Nil) {
 
   val engineId: String = s"graft-${UUID.randomUUID().toString.take(8)}"
   Kdf.registerAll(rootSpark, engineId)
@@ -136,13 +138,27 @@ final class Engine(
     val key = shareKey(user, id, conf)
     val base = sparkByKey.computeIfAbsent(key, _ => {
       discovery.register(key, engineId)
-      rootSpark.newSession()
+      val s = rootSpark.newSession()
+      // run once per share-scope engine session (reference
+      // kyuubi.engine.initialize.sql — global temp views, warmups)
+      engineInitSql.foreach(s.sql(_).collect())
+      s
     })
     val sessionSpark = if (singleSession) base else base.newSession()
+    // per-connection statements (reference
+    // kyuubi.engine.session.initialize.sql), server-configured first,
+    // then any the client carried in its session conf
+    val connInit = conf.get("graft.session.initialize.sql")
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (sessionInitSql ++ connInit).foreach(sessionSpark.sql(_).collect())
     val sess = new EngineSession(id, user, sessionSpark)
     Kdf.registerAll(sess.spark, engineId, sessionUser = Some(user))
-    // identity for the authz rules (graft.plans.ApplyAuthzPolicies)
+    // identity for the authz rules (graft.plans.ApplyAuthzPolicies):
+    // user plus GroupProvider-resolved membership, so group-subject
+    // policy items (Ranger's users/groups lists) can match
     sess.spark.conf.set("spark.graft.authz.user", user)
+    sess.spark.conf.set("spark.graft.authz.groups",
+      groupProvider.groups(user, conf).mkString(","))
     sessions.put(id, sess)
     Events.post(Events.SessionEvent(id, user, "OPENED", System.currentTimeMillis()))
     sess

@@ -94,48 +94,84 @@ object AuthzPolicies {
       masks: Map[(String, String), MaskType] = Map.empty)
 
   /** Table access policy, Ranger's resource-policy item model: allow
-    * users, deny users, deny-exceptions (excludes from the deny list),
-    * and an override priority. Evaluation in [[decideAccess]]:
-    * policies for the table are consulted in priority order (highest
-    * first); within a policy DENY overrides ALLOW, and a user in
-    * `denyExceptions` escapes that policy's deny list. `"*"` matches
-    * any user. Once ANY access policy exists for a table, the default
-    * flips to deny — Ranger's no-matching-allow-item semantics.
+    * users/groups, deny users/groups, deny-exceptions (excludes from
+    * the deny list), and an override priority. Evaluation in
+    * [[decideAccess]]: policies for the table are consulted in
+    * priority order (highest first); within a policy DENY overrides
+    * ALLOW, and a user (or one of their groups) in the deny-exception
+    * sets escapes that policy's deny list. `"*"` matches any user.
+    * Group membership comes from the session's GroupProvider
+    * resolution (Engine.openSession publishes it as
+    * `spark.graft.authz.groups`) — the Ranger policy-item model where
+    * users and groups are separate subject lists.
+    * Once ANY access policy exists for a table, the default flips to
+    * deny — Ranger's no-matching-allow-item semantics.
     */
   final case class AccessPolicy(
       table: String,
       allowed: Set[String] = Set.empty,
       denied: Set[String] = Set.empty,
       denyExceptions: Set[String] = Set.empty,
-      priority: Int = 0)
+      priority: Int = 0,
+      allowedGroups: Set[String] = Set.empty,
+      deniedGroups: Set[String] = Set.empty,
+      denyExceptionGroups: Set[String] = Set.empty)
 
   @volatile private var byUser: Map[String, Policy] = Map.empty
+  @volatile private var byGroup: Map[String, Policy] = Map.empty
   @volatile private var accessPolicies: List[AccessPolicy] = Nil
 
   def setPolicy(user: String, policy: Policy): Unit = synchronized {
     byUser = byUser + (user -> policy)
   }
+  /** Row-filter/mask policy for every member of `group` (Ranger
+    * mask/row-filter policy items carry group subjects too).
+    */
+  def setGroupPolicy(group: String, policy: Policy): Unit = synchronized {
+    byGroup = byGroup + (group -> policy)
+  }
   def addAccessPolicy(p: AccessPolicy): Unit = synchronized {
     accessPolicies = p :: accessPolicies
   }
-  def clear(): Unit = synchronized { byUser = Map.empty; accessPolicies = Nil }
-  def policyFor(user: String): Option[Policy] = byUser.get(user)
+  def clear(): Unit = synchronized {
+    byUser = Map.empty; byGroup = Map.empty; accessPolicies = Nil
+  }
+  def policyFor(user: String): Option[Policy] = policyFor(user, Set.empty)
 
-  /** True when `user` may read `table` under the registered access
-    * policies; tables with no policy stay open (the programmatic store
-    * is opt-in; a Ranger deployment would sync a full policy set).
+  /** Effective policy: group policies merged in group-name order, the
+    * user's own policy layered last (user-specific wins conflicts on
+    * the same table/column key).
     */
-  def decideAccess(user: String, table: String): Boolean = {
+  def policyFor(user: String, groups: Set[String]): Option[Policy] = {
+    val layers = groups.toSeq.sorted.flatMap(byGroup.get) ++ byUser.get(user).toSeq
+    if (layers.isEmpty) None
+    else Some(layers.reduce { (a, b) =>
+      Policy(a.rowFilters ++ b.rowFilters, a.masks ++ b.masks)
+    })
+  }
+
+  def decideAccess(user: String, table: String): Boolean =
+    decideAccess(user, Set.empty, table)
+
+  /** True when `user` (with `groups`) may read `table` under the
+    * registered access policies; tables with no policy stay open (the
+    * programmatic store is opt-in; a Ranger deployment would sync a
+    * full policy set).
+    */
+  def decideAccess(user: String, groups: Set[String], table: String): Boolean = {
     val ps = accessPolicies.filter(_.table == table)
     if (ps.isEmpty) return true
     def in(s: Set[String]): Boolean = s.contains(user) || s.contains("*")
+    def inG(s: Set[String]): Boolean = s.contains("*") || groups.exists(s.contains)
     // highest priority first (Ranger override policies), deny first
     // within each policy (deny-overrides-allow)
     ps.sortBy(-_.priority).foreach { p =>
-      if (in(p.denied) && !p.denyExceptions.contains(user)) return false
-      if (in(p.allowed)) return true
+      val denied = in(p.denied) || inG(p.deniedGroups)
+      val excepted = p.denyExceptions.contains(user) || groups.exists(p.denyExceptionGroups.contains)
+      if (denied && !excepted) return false
+      if (in(p.allowed) || inG(p.allowedGroups)) return true
     }
-    false // policies exist, none allowed this user
+    false // policies exist, none allowed this user/group set
   }
 }
 
@@ -146,20 +182,25 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val user = session.conf.getOption("spark.graft.authz.user")
+    // group membership resolved at session open (GroupProvider) and
+    // published alongside the user identity
+    val groups = session.conf.getOption("spark.graft.authz.groups")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // Object-level check first (reference RuleAuthorization): a denied
     // relation fails the query before any rewrite happens.
     user.foreach { u =>
       plan.foreach {
         case rel: LogicalRelation =>
           tableName(rel).foreach { t =>
-            if (!AuthzPolicies.decideAccess(u, t))
+            if (!AuthzPolicies.decideAccess(u, groups, t))
               throw new SecurityException(
                 s"Permission denied: user [$u] does not have [select] privilege on [$t]")
           }
         case _ => ()
       }
     }
-    val policy = user.flatMap(AuthzPolicies.policyFor)
+    val policy = user.flatMap(AuthzPolicies.policyFor(_, groups))
     if (policy.isEmpty) return plan
     val p = policy.get
 

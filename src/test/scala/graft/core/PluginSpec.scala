@@ -60,6 +60,34 @@ class PluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Seq(a, b, c).foreach(s => engine.closeSession(s.id))
   }
 
+  test("initialize SQL runs once per engine scope and per session") {
+    val engine = new Engine(spark,
+      engineInitSql = Seq(
+        // GLOBAL temp: session clones have isolated temp catalogs, so
+        // engine-scope init shares through global_temp (the reference's
+        // kyuubi.engine.initialize.sql pattern)
+        "CREATE OR REPLACE GLOBAL TEMPORARY VIEW plugin_init_engine AS SELECT 1 AS one"),
+      sessionInitSql = Seq("SET graft.init.session=ran"))
+    val a = engine.openSession("alice")
+    val b = engine.openSession("alice",
+      Map("graft.session.initialize.sql" ->
+        "SET graft.init.conn=also-ran; SET graft.init.conn2=twice"))
+    try {
+      // engine-scope statement ran once, visible to every session of the scope
+      assert(a.spark.sql("SELECT one FROM global_temp.plugin_init_engine").head.getInt(0) == 1)
+      assert(b.spark.sql("SELECT one FROM global_temp.plugin_init_engine").head.getInt(0) == 1)
+      // per-session statements ran on each open; client-carried ones split on ';'
+      assert(a.spark.conf.get("graft.init.session") == "ran")
+      assert(b.spark.conf.get("graft.init.conn") == "also-ran")
+      assert(b.spark.conf.get("graft.init.conn2") == "twice")
+      assert(a.spark.conf.getOption("graft.init.conn").isEmpty,
+        "connection-carried init must not leak into other sessions")
+    } finally {
+      Seq(a, b).foreach(s => engine.closeSession(s.id))
+      spark.sql("DROP VIEW IF EXISTS global_temp.plugin_init_engine")
+    }
+  }
+
   test("advisor overlay reaches a real JDBC session's Spark conf") {
     val engine = new Engine(spark,
       confAdvisors = Seq(new PinningAdvisor))

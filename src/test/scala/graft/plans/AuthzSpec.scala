@@ -125,6 +125,52 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("group subjects: access, masks and row filters follow GroupProvider membership") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      import graft.core.ConfGroupProvider
+      // access by group: analysts allowed, interns denied even if allowed
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowedGroups = Set("analysts", "interns"),
+        deniedGroups = Set("interns")))
+      // group-level mask; the user-specific policy must win on conflict
+      AuthzPolicies.setGroupPolicy("analysts", AuthzPolicies.Policy(
+        rowFilters = Map("graft_authz_t" -> "region = 'eu'"),
+        masks = Map(("graft_authz_t", "name") -> MaskType.Nullify)))
+      AuthzPolicies.setPolicy("lead", AuthzPolicies.Policy(
+        masks = Map(("graft_authz_t", "name") ->
+          MaskType.Custom("concat(substring(name, 1, 1), '***')"))))
+
+      val engine = new Engine(spark, groupProvider = new ConfGroupProvider)
+      def open(user: String, group: String) =
+        engine.openSession(user, Map("graft.session.group" -> group))
+
+      // analyst: group row filter + group mask
+      val analystRows = open("ann", "analysts").spark
+        .sql("SELECT id, name FROM graft_authz_t ORDER BY id").collect()
+      assert(analystRows.map(_.getInt(0)).toSeq == Seq(1, 3), "group row filter applies")
+      assert(analystRows.forall(_.isNullAt(1)), "group mask applies")
+
+      // lead in analysts: user mask overrides the group mask, group row filter still applies
+      val leadRows = open("lead", "analysts").spark
+        .sql("SELECT id, name FROM graft_authz_t ORDER BY id").collect()
+      assert(leadRows.map(_.getInt(0)).toSeq == Seq(1, 3))
+      assert(leadRows.map(_.getString(1)).toSeq == Seq("a***", "c***"),
+        "user-specific mask wins over the group mask")
+
+      // intern group is denied despite the allow item (deny-overrides-allow)
+      val denied =
+        try { open("ivy", "interns").spark.sql("SELECT 1 FROM graft_authz_t").collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+      assert(denied, "denied group must fail the read")
+      // and a user with no policy-relevant group has no matching allow item
+      val unknown =
+        try { open("zed", "strangers").spark.sql("SELECT 1 FROM graft_authz_t").collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+      assert(unknown, "no matching allow item once policies exist")
+    }
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

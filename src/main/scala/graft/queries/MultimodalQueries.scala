@@ -63,6 +63,20 @@ object MultimodalQueries {
           aggregate(zip_with(col("features"),
               sequence(lit(1), lit(16)).cast("array<double>"), (f, w) => f * w),
             lit(0.0), (a, x) => a + x).cast("bigint").as("win_checksum"))
+    },
+
+    // --- REAL image decode: text bytes → 24-bpp BMP container
+    //     (synthBmp: bottom-up rows, 4-byte stride padding) →
+    //     header-walking decode → exact-integer features, each
+    //     certifying one decode property (fidelity / row un-flip /
+    //     stride walk). Oracle recomputes from the payload bytes. ---
+    "m04_bmp_features" -> { (s, dir) =>
+      val bmp = udf((b: Array[Byte]) => Multimodal.synthBmp(b))
+      val withBmp = Tables(s, dir).documents
+        .select(col("doc_id"), bmp(col("text").cast("binary")).as("content"))
+      Multimodal.decodeBmpToFeatures(withBmp, "doc_id", "content")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("pix_sum"), col("top_row_sum"), col("even_col_sum"))
     }
   )
 
@@ -107,6 +121,28 @@ object MultimodalQueries {
            CAST(COALESCE(SUM(v.amp*v.amp), 0) AS BIGINT) AS energy,
            CAST(COALESCE(SUM(((v.i*16)//v.n + 1) * v.amp*v.amp), 0) AS BIGINT) AS win_checksum
          FROM b LEFT JOIN v USING (doc_id)
-         GROUP BY b.doc_id"""
+         GROUP BY b.doc_id""",
+    // Recomputes the BMP pipeline's features from the payload bytes:
+    // pixel k (row-major top-down) is payload byte k on a width-7
+    // canvas, height ceil(n/7); pix_sum = Σ bytes (stride pads are
+    // zero), top_row_sum = bytes 0..6 (a bottom-up un-flip bug breaks
+    // this), even_col_sum = bytes at k%7 even (a stride-walk bug
+    // breaks this).
+    "m04_bmp_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS k FROM b),
+         v AS (SELECT doc_id, n, k,
+                 16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1))-1)
+                   + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1))-1 AS byte
+               FROM s)
+         SELECT b.doc_id,
+           CAST(7 AS INT) AS width,
+           CAST(greatest((b.n + 6) // 7, 1) AS INT) AS height,
+           CAST(COALESCE(SUM(v.byte), 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(SUM(CASE WHEN v.k < 7 THEN v.byte ELSE 0 END), 0) AS BIGINT) AS top_row_sum,
+           CAST(COALESCE(SUM(CASE WHEN (v.k % 7) % 2 = 0 THEN v.byte ELSE 0 END), 0) AS BIGINT) AS even_col_sum
+         FROM b LEFT JOIN v USING (doc_id)
+         GROUP BY b.doc_id, b.n"""
   )
 }

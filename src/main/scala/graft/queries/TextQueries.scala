@@ -293,6 +293,14 @@ object TextQueries {
     "d38_source_overlap" -> { (s, dir) =>
       graft.operators.Decontaminate.sourceOverlap(
         Tables(s, dir).documents, "source", "text", n = 5)
+    },
+
+    // --- BM25 ranked retrieval: top-20 docs for a 3-term query,
+    //     integer-exact scoring (micro-nat idf, floor-quantized
+    //     per-term scores). ---
+    "d39_bm25_topk" -> { (s, dir) =>
+      graft.operators.Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "join"), n = 20)
     }
   )
 
@@ -694,6 +702,32 @@ object TextQueries {
           SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b
           FROM p
           JOIN t ta ON ta.src = p.src_a
-          JOIN t tb ON tb.src = p.src_b"""
+          JOIN t tb ON tb.src = p.src_b""",
+    // Mirror of d39: BM25 with micro-nat idf and floor-quantized
+    // per-term scores, every double in the same association order.
+    "d39_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
+          tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+            WHERE token IN ('spark', 'merge', 'join')
+            GROUP BY 1, 2),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id,
+              CAST(floor(
+                CAST(CAST(floor(ln((CAST(g.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE)
+                        / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS ts
+            FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id), g)
+          SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_micro
+          FROM sc GROUP BY 1
+          ORDER BY score_micro DESC, doc_id LIMIT 20"""
   )
 }

@@ -123,4 +123,50 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.decodeToFeatures(df, "id", "content").collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("synthBmp round-trips through the real BMP decoder") {
+    val payload = (0 until 20).map(i => (i * 11 + 3).toByte).toArray // 20 bytes → 7×3 canvas
+    val Some((w, h, gray)) = Multimodal.decodeBmp(Multimodal.synthBmp(payload))
+    assert(w == 7 && h == 3)
+    // pixel k (row-major TOP-DOWN) must equal payload byte k — a
+    // decoder that forgets the bottom-up storage reverses the rows
+    assert(gray.take(20).toSeq == payload.map(_ & 0xFF).toSeq)
+    assert(gray.drop(20).forall(_ == 0), "past-the-end pixels are zero padding")
+  }
+
+  test("decodeBmp handles top-down (negative height) and rejects non-BMP") {
+    // hand-build a 2×2 top-down BMP: negative height means rows are
+    // stored in display order, no flip
+    val w = 2; val h = 2
+    val stride = ((w * 3 + 3) / 4) * 4 // 8
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(-h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // row 0 (display top): pixels 10, 20; row 1: 30, 40
+    buf.put(10.toByte).put(10.toByte).put(10.toByte)
+      .put(20.toByte).put(20.toByte).put(20.toByte).put(0.toByte).put(0.toByte)
+    buf.put(30.toByte).put(30.toByte).put(30.toByte)
+      .put(40.toByte).put(40.toByte).put(40.toByte).put(0.toByte).put(0.toByte)
+    val Some((dw, dh, gray)) = Multimodal.decodeBmp(buf.array())
+    assert(dw == 2 && dh == 2 && gray.toSeq == Seq(10, 20, 30, 40))
+    // rejects: wrong magic, 8-bpp, truncated pixel array
+    assert(Multimodal.decodeBmp("not a bmp".getBytes).isEmpty)
+    val bad = Multimodal.synthBmp(Array[Byte](1, 2, 3)).clone()
+    bad(28) = 8 // bpp field
+    assert(Multimodal.decodeBmp(bad).isEmpty)
+    assert(Multimodal.decodeBmp(Multimodal.synthBmp(Array.fill(30)(7.toByte)).take(60)).isEmpty)
+  }
+
+  test("bmp features certify fidelity, un-flip and stride walk") {
+    val payload = Array.tabulate(10)(i => (i + 1).toByte) // 1..10 on a 7×2 canvas
+    val Some((w, h, gray)) = Multimodal.decodeBmp(Multimodal.synthBmp(payload))
+    val (total, topRow, evenCol) = Multimodal.bmpFeatures(w, h, gray)
+    assert(total == (1 to 10).sum)
+    assert(topRow == (1 to 7).sum, "top row must be payload bytes 0..6 after the un-flip")
+    // columns 0,2,4,6 → k in {0,2,4,6,7,9} (second row k=7..9 → cols 0..2)
+    assert(evenCol == 1 + 3 + 5 + 7 + 8 + 10)
+  }
 }

@@ -61,4 +61,40 @@ object Metrics {
       }.mkString("", "\n", "\n")
     }
   }
+
+  /** Periodic JSON file reporter (reference kyuubi-metrics
+    * JsonReporter: `kyuubi.metrics.reporters=JSON` dumps
+    * `metrics.json` into `kyuubi.metrics.json.location` every
+    * interval). Writes are atomic — temp file + move — so a scraper
+    * tailing the path never reads a torn snapshot. Daemon-scheduled;
+    * `close()` stops it, `reportNow()` is the deterministic test hook.
+    */
+  final class JsonFileReporter(
+      collector: Collector,
+      path: java.nio.file.Path,
+      intervalMs: Long = 5000L) extends AutoCloseable {
+
+    private val scheduler = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-metrics-json")
+        t.setDaemon(true)
+        t
+      }
+    scheduler.scheduleWithFixedDelay(
+      () => try reportNow() catch { case _: Exception => () },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+    def reportNow(): Unit = {
+      val parent = path.toAbsolutePath.getParent
+      java.nio.file.Files.createDirectories(parent)
+      val tmp = java.nio.file.Files.createTempFile(parent, ".metrics-", ".tmp")
+      java.nio.file.Files.write(tmp,
+        collector.asJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    override def close(): Unit = scheduler.shutdownNow()
+  }
 }

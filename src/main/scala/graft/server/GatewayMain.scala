@@ -18,6 +18,10 @@ import graft.core.ShareLevel
   *                          launched engine
   *   GRAFT_SHARE_LEVEL      USER (default) | SERVER | CONNECTION
   *   GRAFT_ENGINE_IDLE_TIMEOUT_MS  forwarded to launched engines
+  *   GRAFT_METRICS_JSON     path for the periodic atomic metrics.json
+  *                          dump (reference kyuubi.metrics JSON
+  *                          reporter); interval via
+  *                          GRAFT_METRICS_JSON_INTERVAL_MS (5000)
   */
 object GatewayMain {
   def main(args: Array[String]): Unit = {
@@ -45,6 +49,17 @@ object GatewayMain {
     val builder = new EngineProcBuilder(Paths.get(discoveryDir),
       engineSecret = sys.env.get("GRAFT_ENGINE_SECRET"),
       engineEnv = engineEnv)
+
+    // optional metrics-to-file reporter (reference
+    // kyuubi.metrics.reporters=JSON + json.location): counters from
+    // the lifecycle event bus, dumped atomically on an interval
+    sys.env.get("GRAFT_METRICS_JSON").foreach { p =>
+      val collector = new graft.core.Metrics.Collector
+      graft.core.Events.register(collector)
+      val interval = sys.env.get("GRAFT_METRICS_JSON_INTERVAL_MS")
+        .map(_.toLong).getOrElse(5000L)
+      new graft.core.Metrics.JsonFileReporter(collector, Paths.get(p), interval)
+    }
 
     val gw = new GatewayServer(builder, port, auth, shareLevel).start()
     println(s"GATEWAY READY localhost:${gw.boundPort}")

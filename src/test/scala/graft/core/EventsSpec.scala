@@ -69,4 +69,26 @@ class EventsSpec extends AnyFunSuite {
       Events.unregister(good)
     }
   }
+
+  test("JSON file reporter dumps atomic counter snapshots") {
+    val collector = new Metrics.Collector
+    collector.onEvent(Events.SessionEvent("s1", "alice", "OPENED", 0L))
+    collector.onEvent(Events.OperationEvent("o1", "s1", "RUNNING", None, 0L))
+    collector.onEvent(Events.OperationEvent("o1", "s1", "FINISHED", None, 0L))
+    val path = java.nio.file.Files.createTempDirectory("graft-metrics")
+      .resolve("metrics.json")
+    val reporter = new Metrics.JsonFileReporter(collector, path, intervalMs = 60000L)
+    try {
+      reporter.reportNow()
+      val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      assert(json.contains("\"sessions_opened\": 1"), json)
+      assert(json.contains("\"operations_finished\": 1"), json)
+      // a later snapshot REPLACES the file (move, not append)
+      collector.onEvent(Events.SessionEvent("s2", "bob", "OPENED", 0L))
+      reporter.reportNow()
+      val json2 = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      assert(json2.contains("\"sessions_opened\": 2"), json2)
+      assert(json2.trim.startsWith("{") && json2.trim.endsWith("}"), "one JSON object per file")
+    } finally reporter.close()
+  }
 }

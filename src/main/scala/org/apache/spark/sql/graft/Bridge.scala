@@ -16,6 +16,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → catalyst Expression via the classic converter: unlike
+    * [[expression]] (which can leave an opaque, Unevaluable
+    * ColumnNodeExpression wrapper when the Column was built from
+    * `functions._` nodes), this converts the whole node tree to plain
+    * catalyst expressions — any UnresolvedFunction/lambda inside
+    * becomes a standard unresolved expression the SQL analyzer then
+    * resolves. Needed for SparkSessionExtensions.injectFunction
+    * builders that compose `functions._` helpers.
+    */
+  def analyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** InternalRow RDD → DataFrame without a Row round-trip (the
     * executor-side path custom operators need).
     */

@@ -179,6 +179,29 @@ object Streams {
       .filter(col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
   }
 
+  /** Online ANN serving: a stream of query vectors probed against a
+    * PERSISTED IVF-PQ index (graft.operators.IvfPqIndex.openIndex) —
+    * the retrieval-serving shape where the index is built offline and
+    * every arriving query pays only the probe. Per micro-batch the
+    * probe is the normal batch plan (broadcast query side, equi join
+    * on list ids, map-side top-k), run through `foreachBatch` — the
+    * Structured Streaming idiom for per-batch top-k joins, which keeps
+    * zero stream-side state and needs no watermark. `sink` receives
+    * each batch's (query_id, neighbor_id, rnk) result.
+    */
+  def annProbeStream(
+      queries: DataFrame,
+      index: graft.operators.IvfPqIndex.OpenedIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(index.topK(batch, idCol, vecCol, k, nProbe), batchId)
+      }
+      .start()
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

@@ -239,4 +239,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchKeep.nonEmpty && !batchKeep.contains(4L), "floor should split the corpus")
     assert(!streamedKeep.contains(9L), "all-OOV doc must fail the gate")
   }
+
+  test("streaming ANN probe against a persisted index matches the batch probe") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfPqIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val emb = Tables(spark, F.sfDir).embeddings
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = 64, m = 8, k = 16, nLists = 8)
+    val index = IvfPqIndex.openIndex(spark, path)
+
+    val queryRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val batchExpected = index.topK(
+        emb.filter(col("vec_id") < 6), "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(_.toString).sorted.toSeq
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annProbeStream(
+        ms.toDF().toDF("vec_id", "embedding"), index,
+        "vec_id", "embedding", k = 3, nProbe = 3) { (res, _) =>
+      got.synchronized {
+        got ++= res.select("query_id", "neighbor_id", "rnk").collect().map(_.toString)
+      }
+    }
+    try {
+      // two arrivals: the probe serves each micro-batch independently
+      ms.addData(queryRows.take(3).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(queryRows.drop(3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.sorted.toSeq == batchExpected,
+      s"stream ${got.size} rows vs batch ${batchExpected.size}")
+  }
 }

@@ -20,6 +20,12 @@ object TextFunctions {
   def normalizeWs(text: Column): Column =
     regexp_replace(trim(text), "\\s+", " ")
 
+  /** Unicode NFC canonical composition (native kernel — composed and
+    * decomposed codepoint sequences hash identically after this).
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.NfcNormalizeExpr(text)
+
   /** Token n-gram shingles: `n` consecutive tokens joined by a space.
     * Documents with fewer than `n` tokens yield a single shingle of the
     * whole text, so every doc lands in at least one dedup bucket.

@@ -104,5 +104,8 @@ object GraftSparkExtension {
     },
     fn("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays") {
       args => cosine(c(args.head), c(args(1)))
+    },
+    fn("graft_nfc", "graft_nfc(text) - Unicode NFC canonical composition") {
+      args => nfcNormalize(c(args.head))
     })
 }

@@ -301,6 +301,24 @@ object TextQueries {
     "d39_bm25_topk" -> { (s, dir) =>
       graft.operators.Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
         queryTerms = Seq("spark", "merge", "join"), n = 20)
+    },
+
+    // --- Unicode NFC normalization (native kernel): composed (é) and
+    //     decomposed (e + U+0301) spellings of the same text must
+    //     yield identical dedup keys after normalization. The fixture
+    //     text is ASCII, so both variants are synthesized per doc;
+    //     lengths, equality bits and the post-NFC md5 are all
+    //     recomputed by DuckDB's nfc_normalize. ---
+    "d40_nfc_normalize" -> { (s, dir) =>
+      val composed = concat(col("text"), lit(" caf\u00e9"))
+      val decomposed = concat(col("text"), lit(" caf\u0065\u0301"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(decomposed).as("len_raw"),
+        length(nfcNormalize(decomposed)).as("len_nfc"),
+        (composed === decomposed).as("raw_eq"),
+        (nfcNormalize(composed) === nfcNormalize(decomposed)).as("canonical_eq"),
+        md5(nfcNormalize(decomposed).cast("binary")).as("fp_nfc"))
     }
   )
 
@@ -728,6 +746,22 @@ object TextQueries {
             FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id), g)
           SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_micro
           FROM sc GROUP BY 1
-          ORDER BY score_micro DESC, doc_id LIMIT 20"""
+          ORDER BY score_micro DESC, doc_id LIMIT 20""",
+    // Mirror of d40: DuckDB's nfc_normalize implements the same
+    // Unicode canonical composition; literals carry the composed
+    // (U+00E9) and decomposed (U+0065 U+0301) spellings byte-exactly.
+    "d40_nfc_normalize" ->
+      s"""WITH v AS (
+            SELECT doc_id,
+              text || ' caf\u00e9' AS composed,
+              text || ' caf\u0065\u0301' AS decomposed
+            FROM documents)
+          SELECT doc_id,
+            CAST(length(decomposed) AS INT) AS len_raw,
+            CAST(length(nfc_normalize(decomposed)) AS INT) AS len_nfc,
+            (composed = decomposed) AS raw_eq,
+            (nfc_normalize(composed) = nfc_normalize(decomposed)) AS canonical_eq,
+            md5(nfc_normalize(decomposed)) AS fp_nfc
+          FROM v"""
   )
 }

@@ -68,6 +68,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(cos1 == 1.0)
   }
 
+  test("NFC normalization composes decomposed sequences, eval == codegen") {
+    import spark.implicits._
+    val composed = "caf\u00e9"
+    val decomposed = "caf\u0065\u0301"
+    // over SQL (codegen path through a real plan)
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("sqlfn_nfc")
+    val rows = spark.sql(
+      "SELECT id, graft_nfc(text) AS n, length(graft_nfc(text)) AS l FROM sqlfn_nfc")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(rows(1L)._1 == composed && rows(1L)._2 == 4, "decomposed must compose")
+    assert(rows(2L) == ((composed, 4)))
+    assert(rows(3L)._1 == "plain ascii")
+    // interpreted eval agrees
+    import org.apache.spark.sql.graft.NfcNormalizeExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val evaled = NfcNormalizeExpr(Literal(decomposed)).eval(null).toString
+    assert(evaled == composed)
+  }
+
   test("structure arguments must be literal integers") {
     import spark.implicits._
     Seq((1, "a b c")).toDF("n", "text").createOrReplaceTempView("sqlfn_bad")

@@ -41,4 +41,30 @@ object Packing {
   def packStats(packed: DataFrame, shardCol: String): DataFrame =
     packed.groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Sliding-window document chunking — the RAG/embedding ingestion
+    * shape: fixed `chunkTokens`-token windows advancing by `stride`
+    * (< chunkTokens ⇒ overlap), the final window shortened to the doc
+    * end. Pure map-side: chunk starts come from a `sequence`, the
+    * chunk text from an array `slice` — one explode, no shuffle, no
+    * state; at 100 TB chunking rides the scan.
+    *
+    * Returns (idCol, chunk_idx, chunk_start, n_chunk_tokens, chunk)
+    * with `chunk` the space-rejoined token window.
+    */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val toks = split(trim(col(textCol)), " +")
+    docs
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        slice(col("__t"), col("chunk_start") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        size(col("__c")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk"))
+  }
 }

@@ -319,6 +319,17 @@ object TextQueries {
         (composed === decomposed).as("raw_eq"),
         (nfcNormalize(composed) === nfcNormalize(decomposed)).as("canonical_eq"),
         md5(nfcNormalize(decomposed).cast("binary")).as("fp_nfc"))
+    },
+
+    // --- Sliding-window chunking (RAG/embedding ingestion): 32-token
+    //     windows advancing by 24 (8-token overlap), final window
+    //     shortened — pure map-side, one explode, no shuffle. ---
+    "d41_chunk_overlap" -> { (s, dir) =>
+      graft.operators.Packing.chunkWithOverlap(
+          Tables(s, dir).documents, "doc_id", "text",
+          chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("md5_chunk"))
     }
   )
 
@@ -762,6 +773,17 @@ object TextQueries {
             (composed = decomposed) AS raw_eq,
             (nfc_normalize(composed) = nfc_normalize(decomposed)) AS canonical_eq,
             md5(nfc_normalize(decomposed)) AS fp_nfc
-          FROM v"""
+          FROM v""",
+    // Mirror of d41: 1-based list slices clamp at the doc end exactly
+    // like Spark's slice.
+    "d41_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
+          SELECT doc_id,
+            CAST(st // 24 AS INT) AS chunk_idx,
+            CAST(st AS INT) AS chunk_start,
+            CAST(len(toks[st+1:st+32]) AS INT) AS n_chunk_tokens,
+            md5(array_to_string(toks[st+1:st+32], ' ')) AS md5_chunk
+          FROM c"""
   )
 }

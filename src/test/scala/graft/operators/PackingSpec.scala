@@ -41,4 +41,29 @@ class PackingSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("sliding-window chunks cover every token with the declared overlap") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val text = (1 to 50).map(i => s"t$i").mkString(" ") // 50 tokens
+    val one = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = Packing.chunkWithOverlap(one, "doc_id", "text",
+        chunkTokens = 16, stride = 12)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4).split(" ").toSeq))
+    // starts advance by the stride until the doc end
+    assert(chunks.map(_._2).toSeq == Seq(0, 12, 24, 36, 48))
+    // windows are full width until the doc end clamps them
+    assert(chunks.map(_._3).toSeq == Seq(16, 16, 16, 14, 2))
+    // consecutive chunks share their overlapping tokens exactly
+    chunks.sliding(2).foreach { case Array((_, s1, n1, t1), (_, s2, _, t2)) =>
+      val overlap = (s1 + n1) - s2
+      assert(overlap > 0, "windows must overlap")
+      assert(t1.takeRight(overlap) == t2.take(overlap), "shared tokens must match")
+    }
+    // every token appears in at least one chunk, in order
+    assert(chunks.flatMap { case (_, s, _, t) => t.zipWithIndex.map { case (tok, i) => (s + i, tok) } }
+      .distinct.sortBy(_._1).map(_._2).toSeq == (1 to 50).map(i => s"t$i"))
+  }
 }

@@ -19,6 +19,7 @@ import java.nio.charset.StandardCharsets
   *   delete session <id>                   close a session
   *   delete batch <id>                     cancel a batch
   *   delete engine --space <space>         evict engine registrations
+  *   metrics [--prometheus]                gateway counters
   * }}}
   *
   * Output is the server's JSON verbatim (one document per line) so the
@@ -80,6 +81,8 @@ object ControlCli {
         case Some(sp) => http("DELETE", s"/admin/engine?space=${enc(sp)}")
         case None => Result(1, "delete engine requires --space <discovery space>")
       }
+      case "metrics" :: Nil => http("GET", "/metrics")
+      case "metrics" :: "--prometheus" :: Nil => http("GET", "/metrics/prometheus")
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -92,7 +95,8 @@ object ControlCli {
       |  get session|batch <id>      one resource
       |  log batch <id>              drain batch operation log
       |  delete session|batch <id>   close / cancel
-      |  delete engine --space <s>   evict engine registrations""".stripMargin
+      |  delete engine --space <s>   evict engine registrations
+      |  metrics [--prometheus]      gateway counters (JSON / exposition)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

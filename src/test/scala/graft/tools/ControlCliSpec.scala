@@ -87,6 +87,17 @@ class ControlCliSpec extends AnyFunSuite {
     }
   }
 
+  test("metrics verb returns counters as JSON and Prometheus exposition") {
+    withServer { (c, api, base) =>
+      val json = ctl(api, "metrics")
+      // counters appear lazily on first event; the process gauges are
+      // always present
+      assert(json.code == 0 && json.out.contains("uptime_ms"), json.out)
+      val prom = ctl(api, "metrics", "--prometheus")
+      assert(prom.code == 0 && prom.out.contains("# TYPE graft_"), prom.out)
+    }
+  }
+
   test("bad commands and unreachable servers exit non-zero") {
     assert(ControlCli.run(Array("frobnicate")).code == 1)
     assert(ControlCli.run(Array("--help")).code == 0)

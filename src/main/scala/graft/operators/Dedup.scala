@@ -387,4 +387,41 @@ object Dedup {
         col("n_chunks").as("n_spans"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_dropped"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): slide a `window`-wide window over the document's
+    * k-gram hash sequence and keep each window's MINIMUM hash —
+    * rightmost occurrence on ties, the paper's density-reducing rule —
+    * recording its global position. The guarantee: any shared
+    * substring of at least window+k-1 tokens yields at least one
+    * shared (position-independent) fingerprint, at ~2/(window+1) the
+    * density of keeping every gram.
+    *
+    * Hashes are the oracle-portable 16-bit md5 prefix of each k-gram
+    * (the selection algorithm is hash-agnostic; both engines compute
+    * the identical sequence). Pure map-side: one expression computes
+    * every window's pick, array_distinct collapses the duplicate
+    * picks adjacent windows share, one explode emits (doc, pos, fp) —
+    * no shuffle until the caller joins fingerprints. At 100 TB the
+    * downstream dedup join carries ~2/(w+1) of the gram volume.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    val h = transform(
+      shingles(col(textCol), k),
+      g => conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
+    val picks = df
+      .select(col(idCol), h.as("__h"))
+      .withColumn("__picks", expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(__h) - $window, 0)),
+           |  i -> named_struct(
+           |    'pos', CAST(i + size(slice(__h, i + 1, $window))
+           |      - array_position(reverse(slice(__h, i + 1, $window)),
+           |                       array_min(slice(__h, i + 1, $window))) AS INT),
+           |    'fp', array_min(slice(__h, i + 1, $window)))))""".stripMargin))
+      .select(col(idCol), explode(col("__picks")).as("__p"))
+    picks.select(col(idCol), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
+  }
 }

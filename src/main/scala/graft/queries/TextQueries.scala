@@ -330,6 +330,15 @@ object TextQueries {
           chunkTokens = 32, stride = 24)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
           col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("md5_chunk"))
+    },
+
+    // --- Winnowing fingerprint selection (Schleimer et al. 2003):
+    //     window-min k-gram fingerprints, rightmost-on-ties — the
+    //     guaranteed-detection local fingerprinting that carries
+    //     ~2/(w+1) of the gram volume into dedup joins. ---
+    "d42_winnow_fp" -> { (s, dir) =>
+      graft.operators.Dedup.winnowFingerprints(
+        Tables(s, dir).documents, "doc_id", "text", k = 3, window = 4)
     }
   )
 
@@ -784,6 +793,30 @@ object TextQueries {
             CAST(st AS INT) AS chunk_start,
             CAST(len(toks[st+1:st+32]) AS INT) AS n_chunk_tokens,
             md5(array_to_string(toks[st+1:st+32], ' ')) AS md5_chunk
-          FROM c"""
+          FROM c""",
+    // Mirror of d42: identical 16-bit md5-prefix gram hashes, window
+    // minima with the rightmost-on-ties position rule.
+    "d42_winnow_fp" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END AS sh
+            FROM documents),
+          h AS (SELECT doc_id,
+                  list_transform(list_transform(sh, g -> md5(g)),
+                    m -> CAST(((CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87 ELSE ascii(substr(m, 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87 ELSE ascii(substr(m, 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(m, 3, 1)) >= 97 THEN ascii(substr(m, 3, 1)) - 87 ELSE ascii(substr(m, 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(m, 4, 1)) >= 97 THEN ascii(substr(m, 4, 1)) - 87 ELSE ascii(substr(m, 4, 1)) - 48 END)) AS BIGINT)) AS hs
+                FROM t),
+          w AS (SELECT doc_id, hs,
+                  unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS i
+                FROM h),
+          p AS (SELECT DISTINCT doc_id,
+                  CAST(i + len(hs[i+1:i+4])
+                    - list_position(list_reverse(hs[i+1:i+4]),
+                                    list_min(hs[i+1:i+4])) AS INT) AS pos,
+                  CAST(list_min(hs[i+1:i+4]) AS BIGINT) AS fp
+                FROM w)
+          SELECT doc_id, pos, fp FROM p"""
   )
 }

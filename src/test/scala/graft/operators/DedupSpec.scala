@@ -243,4 +243,32 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(got(1) == Seq(2.0, 4.0))
     assert(got(2) == Seq(10.0, 10.0))
   }
+
+  test("winnowing: shared runs guarantee a shared fingerprint at reduced density") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    // docs A and B share an 8-token run (>= window+k-1 = 6), doc C shares nothing
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine ten eleven $shared twelve"),
+      (3L, "completely different words with no common run at all")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the paper's guarantee: a shared >= w+k-1 token run yields a shared fp
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs should not collide (16-bit: overwhelmingly)")
+    // density: far fewer fingerprints than grams
+    val grams1 = docs.filter($"doc_id" === 1L)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.shingles($"text", 3))).head.getInt(0)
+    assert(byDoc(1L).size < grams1, s"winnowed ${byDoc(1L).size} vs $grams1 grams")
+    // positions are valid gram indices and the rightmost-min rule is deterministic
+    assert(fps.forall { case (_, pos, _) => pos >= 0 })
+    val again = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fps.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }

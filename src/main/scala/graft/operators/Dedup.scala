@@ -411,17 +411,15 @@ object Dedup {
     val h = transform(
       shingles(col(textCol), k),
       g => conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
-    val picks = df
-      .select(col(idCol), h.as("__h"))
-      .withColumn("__picks", expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(__h) - $window, 0)),
-           |  i -> named_struct(
-           |    'pos', CAST(i + size(slice(__h, i + 1, $window))
-           |      - array_position(reverse(slice(__h, i + 1, $window)),
-           |                       array_min(slice(__h, i + 1, $window))) AS INT),
-           |    'fp', array_min(slice(__h, i + 1, $window)))))""".stripMargin))
-      .select(col(idCol), explode(col("__picks")).as("__p"))
-    picks.select(col(idCol), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
+    // Native kernel (WinnowExpr): one tight O(n·w) codegen'd loop per
+    // doc emitting pos·2^16+fp packed longs. The composed HOF form
+    // cost 703 s at sf0.1 — the optimizer inlined the hash-array
+    // column into every window reference, re-hashing all grams per
+    // window (O(n²·md5) per doc); the kernel is sub-second.
+    df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowExpr.of(h, window)).as("__e"))
+      .select(col(idCol),
+        shiftright(col("__e"), 16).cast("int").as("pos"),
+        col("__e").bitwiseAND(lit(65535L)).as("fp"))
   }
 }

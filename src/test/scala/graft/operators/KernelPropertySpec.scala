@@ -88,6 +88,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }, cases = 100)
   }
 
+  test("winnow kernel equals the naive all-windows reference, rightmost on ties") {
+    import org.apache.spark.sql.graft.WinnowExpr
+    val hashes = Gen.nonEmptyListOf(Gen.choose(0L, 65535L))
+    val windows = Gen.choose(1, 8)
+    def naive(hs: Seq[Long], w: Int): Seq[Long] = {
+      val n = hs.length
+      (0 to math.max(n - w, 0)).map { i =>
+        val win = hs.slice(i, math.min(i + w, n))
+        val m = win.min
+        val pos = i + win.lastIndexOf(m)
+        pos.toLong * 65536L + m
+      }.distinct
+    }
+    check(Prop.forAll(hashes, windows) { (hs, w) =>
+      val viaEval = WinnowExpr(longArrRef, w)
+        .eval(InternalRow(ArrayData.toArrayData(hs.toArray)))
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      viaEval == naive(hs, w)
+    })
+  }
+
   test("span dedup invariants on a generated corpus") {
     val spark = graft.SparkFixture.spark
     import spark.implicits._

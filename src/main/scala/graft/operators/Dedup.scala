@@ -422,4 +422,27 @@ object Dedup {
         shiftright(col("__e"), 16).cast("int").as("pos"),
         col("__e").bitwiseAND(lit(65535L)).as("fp"))
   }
+
+  /** Winnowing-based near-dup candidates: docs sharing at least
+    * `minShared` DISTINCT winnowed fingerprints (position-independent
+    * — the same content at different offsets still matches). The
+    * 100 TB point of winnowing: this join carries ~2/(w+1) of the gram
+    * volume an all-grams join would shuffle, with the shared-run
+    * detection guarantee intact; a 16-bit fp is deliberately
+    * collision-happy, so `minShared` is the precision knob and
+    * [[ngramJaccardPairs]]-style exact verification follows on the
+    * candidates only.
+    */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4, minShared: Int = 3): DataFrame = {
+    val fps = SketchRegistry.track(
+      winnowFingerprints(df, idCol, textCol, k, window)
+        .select(col(idCol), col("fp")).distinct().persist())
+    fps.toDF("id_a", "fp")
+      .join(fps.toDF("id_b", "fp"), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -339,6 +339,15 @@ object TextQueries {
     "d42_winnow_fp" -> { (s, dir) =>
       graft.operators.Dedup.winnowFingerprints(
         Tables(s, dir).documents, "doc_id", "text", k = 3, window = 4)
+    },
+
+    // --- Winnowing-based near-dup candidates: pairs sharing >= 3
+    //     distinct winnowed fingerprints — the join carries ~2/(w+1)
+    //     of the gram volume, position-independent. ---
+    "d43_winnow_pairs" -> { (s, dir) =>
+      graft.operators.Dedup.winnowCandidatePairs(
+        Tables(s, dir).documents, "doc_id", "text",
+        k = 3, window = 4, minShared = 3)
     }
   )
 
@@ -817,6 +826,31 @@ object TextQueries {
                                     list_min(hs[i+1:i+4])) AS INT) AS pos,
                   CAST(list_min(hs[i+1:i+4]) AS BIGINT) AS fp
                 FROM w)
-          SELECT doc_id, pos, fp FROM p"""
+          SELECT doc_id, pos, fp FROM p""",
+    // Mirror of d43: distinct winnowed fps per doc, fp-keyed pair join.
+    "d43_winnow_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END AS sh
+            FROM documents),
+          h AS (SELECT doc_id,
+                  list_transform(list_transform(sh, g -> md5(g)),
+                    m -> CAST((CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87 ELSE ascii(substr(m, 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87 ELSE ascii(substr(m, 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(m, 3, 1)) >= 97 THEN ascii(substr(m, 3, 1)) - 87 ELSE ascii(substr(m, 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(m, 4, 1)) >= 97 THEN ascii(substr(m, 4, 1)) - 87 ELSE ascii(substr(m, 4, 1)) - 48 END) AS BIGINT)) AS hs
+                FROM t),
+          w AS (SELECT doc_id, hs,
+                  unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS i
+                FROM h),
+          fps AS (SELECT DISTINCT doc_id,
+                    CAST(list_min(hs[i+1:i+4]) AS BIGINT) AS fp
+                  FROM w),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM fps a JOIN fps b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3"""
   )
 }

@@ -30,6 +30,10 @@ object Streams {
   final case class SessionAgg(start: Timestamp, end: Timestamp, n: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(stage: Int, ts: Timestamp)
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+      stage_name: String, ts: Timestamp)
 
   /** Tumbling event-time windows per key with a lateness watermark.
     * Append mode: a window row is emitted once, when the watermark
@@ -97,6 +101,42 @@ object Streams {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming ordered funnel — the online twin of the batch q32
+    * funnel: a per-user state machine advancing through `stages`
+    * strictly in event-time order (stage i+1 counts only after stage
+    * i's first qualifying event), emitting one row per ADVANCE as it
+    * happens. State is one (stage index, timestamp) pair per user —
+    * bounded by the user population, not the event volume; terminal
+    * states are kept so later events cannot restart a completed
+    * funnel.
+    */
+  def funnelStream(events: Dataset[TypedEvent],
+      stages: Seq[String]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val out = ListBuffer.empty[FunnelAdvance]
+          var cur = state.getOption.getOrElse(FunnelState(-1, new Timestamp(Long.MinValue)))
+          sorted.foreach { e =>
+            val next = cur.stage + 1
+            if (next < stages.length && stageIdx.get(e.event_type).contains(next) &&
+                e.ts.getTime > cur.ts.getTime) {
+              cur = FunnelState(next, e.ts)
+              out += FunnelAdvance(user, next, stages(next), e.ts)
+            }
+          }
+          // keep the terminal state too — dropping it would let later
+          // micro-batches restart a completed user's funnel from scratch
+          if (cur.stage >= 0) state.update(cur)
+          out.iterator
       }
   }
 

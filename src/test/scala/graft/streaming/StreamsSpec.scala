@@ -240,6 +240,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(!streamedKeep.contains(9L), "all-OOV doc must fail the gate")
   }
 
+  test("streaming funnel state machine matches the batch q32 funnel counts") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.{FunnelAdvance, TypedEvent}
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val batch = graft.queries.RelationalQueries.queries("q32_funnel")(spark, F.sfDir)
+      .head()
+    val expected = Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2))
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[TypedEvent].collect().sortBy(_.ts.getTime)
+
+    val ms = MemoryStream[TypedEvent]
+    val out = Streams.funnelStream(ms.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("graft_funnel")
+      .outputMode("append").start()
+    val advances =
+      try {
+        val (first, second) = evs.splitAt(evs.length / 2)
+        ms.addData(first.toSeq: _*)
+        q.processAllAvailable()
+        ms.addData(second.toSeq: _*)
+        q.processAllAvailable()
+        spark.table("graft_funnel").as[FunnelAdvance].collect()
+      } finally q.stop()
+
+    // one advance per user per stage, users counted per reached stage
+    val byStage = (0 to 2).map(st => advances.count(_.stage == st).toLong)
+    assert(byStage == expected, s"stream $byStage vs batch $expected")
+    assert(advances.groupBy(a => (a.user_id, a.stage)).forall(_._2.length == 1),
+      "a user advances each stage at most once")
+  }
+
   test("streaming ANN probe against a persisted index matches the batch probe") {
     import org.apache.spark.sql.functions._
     import graft.operators.IvfPqIndex

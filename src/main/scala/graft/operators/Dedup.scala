@@ -122,11 +122,15 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      bandBits: Int = 16,
+      maxBandDf: Int = 1000): DataFrame = {
+    require(nBands * bandBits <= 64, "bands must fit the 64-bit fingerprint")
     val fp = df
       .withColumn("th", transform(tokens(col(textCol)), t => xxhash64(t)))
       .select(col(idCol).as("id"), simhash64OfHashes(col("th")).as("sim"))
-    bandedHammingPairs(fp, nBands = 4, bandBits = 16, maxHamming)
+    bandedHammingPairs(fp, nBands, bandBits, maxHamming, maxBandDf)
   }
 
   /** Oracle-portable SimHash pairs: 60-bit md5-derived fingerprints,
@@ -138,12 +142,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBandDf: Int = 1000): DataFrame = {
     val fp = df
       .select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => md5Digits15(t)).as("td"))
       .select(col("id"), simhashMd5OfDigits(col("td")).as("sim"))
-    bandedHammingPairs(fp, nBands = 4, bandBits = 15, maxHamming)
+    bandedHammingPairs(fp, nBands = 4, bandBits = 15, maxHamming, maxBandDf)
   }
 
   /** Shared band-join + Hamming-verify stage over a (id, sim) frame.
@@ -152,17 +157,35 @@ object Dedup {
     * an aggregation keyed on the pair (map-side partial) computed AFTER
     * the hamming distance so the shuffle carries one int, not two
     * fingerprints.
+    *
+    * `maxBandDf` is the bucket-capacity guard: a 15/16-bit band key
+    * space is only 32-65k distinct values, so at corpus scale a
+    * popular band value's posting list grows linearly with N and the
+    * bucket self-join quadratically (the same asymptotics as the
+    * winnowing fp join — inherent to simhash banding). Buckets larger
+    * than the cap are dropped BEFORE the join via a fixed-width count
+    * aggregation + semi join; a pair living only in an overfull bucket
+    * is missed — at that bucket size the docs are near-identical
+    * boilerplate that exact dedup already catches, and recall within
+    * capped buckets is unaffected. df ≥ 2 also drops singleton
+    * buckets before the join.
     */
   private def bandedHammingPairs(
-      fp: DataFrame, nBands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+      fp: DataFrame, nBands: Int, bandBits: Int, maxHamming: Int,
+      maxBandDf: Int = 1000): DataFrame = {
     val mask = (1L << bandBits) - 1
     val cached = SketchRegistry.track(fp.persist(StorageLevel.MEMORY_AND_DISK))
-    val banded = cached.select(col("id"), col("sim"),
+    val allBanded = cached.select(col("id"), col("sim"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sim"), b * bandBits).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keepBuckets = allBanded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxBandDf)
+      .select(col("band"), col("key"))
+    val banded = allBanded.join(keepBuckets, Seq("band", "key"), "left_semi")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -398,29 +421,34 @@ object Dedup {
     * shared (position-independent) fingerprint, at ~2/(window+1) the
     * density of keeping every gram.
     *
-    * Hashes are the oracle-portable 16-bit md5 prefix of each k-gram
+    * Hashes are the oracle-portable 32-bit md5 prefix of each k-gram
     * (the selection algorithm is hash-agnostic; both engines compute
-    * the identical sequence). Pure map-side: one expression computes
-    * every window's pick, array_distinct collapses the duplicate
-    * picks adjacent windows share, one explode emits (doc, pos, fp) —
-    * no shuffle until the caller joins fingerprints. At 100 TB the
-    * downstream dedup join carries ~2/(w+1) of the gram volume.
+    * the identical sequence — winnowing's guarantee is independent of
+    * fp width, but the downstream pair join is not: a 16-bit fp space
+    * caps the join at 65,536 distinct keys, so posting lists grow
+    * linearly with the corpus and candidate pairs quadratically; 32
+    * bits keep random fp collisions negligible until ~2^16 docs share
+    * a gram). Pure map-side: one expression computes every window's
+    * pick, duplicates adjacent windows share are collapsed inline,
+    * one explode emits (doc, pos, fp) — no shuffle until the caller
+    * joins fingerprints. At 100 TB the downstream dedup join carries
+    * ~2/(w+1) of the gram volume.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
     val h = transform(
       shingles(col(textCol), k),
-      g => conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
     // Native kernel (WinnowExpr): one tight O(n·w) codegen'd loop per
-    // doc emitting pos·2^16+fp packed longs. The composed HOF form
+    // doc emitting pos·2^32+fp packed longs. The composed HOF form
     // cost 703 s at sf0.1 — the optimizer inlined the hash-array
     // column into every window reference, re-hashing all grams per
     // window (O(n²·md5) per doc); the kernel is sub-second.
     df.select(col(idCol),
         explode(org.apache.spark.sql.graft.WinnowExpr.of(h, window)).as("__e"))
       .select(col(idCol),
-        shiftright(col("__e"), 16).cast("int").as("pos"),
-        col("__e").bitwiseAND(lit(65535L)).as("fp"))
+        shiftright(col("__e"), 32).cast("int").as("pos"),
+        col("__e").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
   }
 
   /** Winnowing-based near-dup candidates: docs sharing at least
@@ -428,18 +456,38 @@ object Dedup {
     * — the same content at different offsets still matches). The
     * 100 TB point of winnowing: this join carries ~2/(w+1) of the gram
     * volume an all-grams join would shuffle, with the shared-run
-    * detection guarantee intact; a 16-bit fp is deliberately
-    * collision-happy, so `minShared` is the precision knob and
+    * detection guarantee intact; `minShared` is the precision knob and
     * [[ngramJaccardPairs]]-style exact verification follows on the
     * candidates only.
+    *
+    * `maxFpDf` is the hot-key guard (same shape as
+    * [[ngramJaccardPairs]]'s shingle-df cap): a fingerprint appearing
+    * in d docs produces O(d²) join rows, so one corpus-wide
+    * boilerplate gram would turn the join quadratic. Fingerprints with
+    * document frequency above the cap are dropped BEFORE the self-join
+    * — a fixed-width count aggregation plus a semi join that reuses
+    * the fp partitioning — so every surviving posting list is ≤
+    * `maxFpDf` ids and the pair space is bounded by
+    * |fps|·maxFpDf²/2 regardless of corpus size. The df ≥ 2 bound also
+    * drops singleton fingerprints (the bulk of a real corpus) before
+    * they reach the join. Capped fps are excluded from `n_shared`, so
+    * heavily-boilerplate pairs may undercount — exactly the pairs the
+    * exact-verify stage re-scores anyway.
     */
   def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, window: Int = 4, minShared: Int = 3): DataFrame = {
+      k: Int = 3, window: Int = 4, minShared: Int = 3,
+      maxFpDf: Int = 100): DataFrame = {
     val fps = SketchRegistry.track(
       winnowFingerprints(df, idCol, textCol, k, window)
         .select(col(idCol), col("fp")).distinct().persist())
-    fps.toDF("id_a", "fp")
-      .join(fps.toDF("id_b", "fp"), "fp")
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxFpDf)
+      .select(col("fp"))
+    val pruned = fps.join(keep, Seq("fp"), "left_semi")
+      .select(col(idCol), col("fp"))
+    pruned.toDF("id_a", "fp")
+      .join(pruned.toDF("id_b", "fp"), "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))

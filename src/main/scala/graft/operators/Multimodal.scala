@@ -252,10 +252,11 @@ object Multimodal {
       StructField("top_row_sum", LongType),
       StructField("even_col_sum", LongType)))
     val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.get(idIdx, LongType)
+        val id = r.get(idIdx, idType)
         val vals: Seq[Any] = decodeBmp(r.getBinary(binIdx)) match {
           case Some((w, h, gray)) =>
             val (total, topRow, evenCol) = bmpFeatures(w, h, gray)
@@ -282,12 +283,13 @@ object Multimodal {
       StructField("id", df.schema(idCol).dataType),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
     val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
       // real pipeline: decoder = Codec.open(); model = Session.load()
       // — once per partition, reused for every row below
       rows.map { r =>
-        val id = r.get(idIdx, LongType)
+        val id = r.get(idIdx, idType)
         val bytes = r.getBinary(binIdx)
         val feats = decodeWav(bytes) match {
           case Some((_, _, samples)) => wavEnergyFeatures(samples)

@@ -354,6 +354,15 @@ object TextQueries {
   // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
   private val duckToks = "regexp_split_to_array(trim(text), ' +')"
 
+  // DuckDB expression parsing the first `nChars` hex chars of md5
+  // string `m` into a BIGINT (mirrors Spark's conv(substring(md5,1,n),
+  // 16, 10)). Generated char-by-char: DuckDB has no conv().
+  private def duckHexPrefix(m: String, nChars: Int): String =
+    (0 until nChars).map { i =>
+      val c = s"ascii(substr($m, ${i + 1}, 1))"
+      s"CAST(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END AS BIGINT) * ${1L << ((nChars - 1 - i) * 4)}"
+    }.mkString("(", " + ", ")")
+
   // Shared CTE chain mirroring Dedup.ngramJaccardPairs (df-capped
   // 3-gram shingle join, threshold 0.5) ending in `pairs(id_a, id_b)`.
   private val jaccardPairsCtes =
@@ -803,7 +812,7 @@ object TextQueries {
             CAST(len(toks[st+1:st+32]) AS INT) AS n_chunk_tokens,
             md5(array_to_string(toks[st+1:st+32], ' ')) AS md5_chunk
           FROM c""",
-    // Mirror of d42: identical 16-bit md5-prefix gram hashes, window
+    // Mirror of d42: identical 32-bit md5-prefix gram hashes, window
     // minima with the rightmost-on-ties position rule.
     "d42_winnow_fp" ->
       s"""WITH t AS (
@@ -815,7 +824,7 @@ object TextQueries {
             FROM documents),
           h AS (SELECT doc_id,
                   list_transform(list_transform(sh, g -> md5(g)),
-                    m -> CAST(((CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87 ELSE ascii(substr(m, 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87 ELSE ascii(substr(m, 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(m, 3, 1)) >= 97 THEN ascii(substr(m, 3, 1)) - 87 ELSE ascii(substr(m, 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(m, 4, 1)) >= 97 THEN ascii(substr(m, 4, 1)) - 87 ELSE ascii(substr(m, 4, 1)) - 48 END)) AS BIGINT)) AS hs
+                    m -> ${duckHexPrefix("m", 8)}) AS hs
                 FROM t),
           w AS (SELECT doc_id, hs,
                   unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS i
@@ -827,7 +836,8 @@ object TextQueries {
                   CAST(list_min(hs[i+1:i+4]) AS BIGINT) AS fp
                 FROM w)
           SELECT doc_id, pos, fp FROM p""",
-    // Mirror of d43: distinct winnowed fps per doc, fp-keyed pair join.
+    // Mirror of d43: distinct winnowed fps per doc, df-capped
+    // (2 <= df <= 100) fp-keyed pair join.
     "d43_winnow_pairs" ->
       s"""WITH t AS (
             SELECT doc_id,
@@ -838,7 +848,7 @@ object TextQueries {
             FROM documents),
           h AS (SELECT doc_id,
                   list_transform(list_transform(sh, g -> md5(g)),
-                    m -> CAST((CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87 ELSE ascii(substr(m, 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87 ELSE ascii(substr(m, 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(m, 3, 1)) >= 97 THEN ascii(substr(m, 3, 1)) - 87 ELSE ascii(substr(m, 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(m, 4, 1)) >= 97 THEN ascii(substr(m, 4, 1)) - 87 ELSE ascii(substr(m, 4, 1)) - 48 END) AS BIGINT)) AS hs
+                    m -> ${duckHexPrefix("m", 8)}) AS hs
                 FROM t),
           w AS (SELECT doc_id, hs,
                   unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS i
@@ -846,9 +856,12 @@ object TextQueries {
           fps AS (SELECT DISTINCT doc_id,
                     CAST(list_min(hs[i+1:i+4]) AS BIGINT) AS fp
                   FROM w),
+          keep AS (SELECT fp FROM fps GROUP BY fp
+                   HAVING count(*) BETWEEN 2 AND 100),
+          fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
           pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-            FROM fps a JOIN fps b USING (fp)
+            FROM fk a JOIN fk b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3"""

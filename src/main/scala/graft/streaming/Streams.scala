@@ -32,6 +32,9 @@ object Streams {
       session_end: Timestamp, n_events: Long)
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelState(stage: Int, ts: Timestamp)
+  final case class FunnelPending(stage: Int, ts: Timestamp)
+  final case class FunnelBufState(stage: Int, ts: Timestamp,
+      pending: Seq[FunnelPending])
   final case class FunnelAdvance(user_id: Long, stage: Int,
       stage_name: String, ts: Timestamp)
 
@@ -108,34 +111,65 @@ object Streams {
     * funnel: a per-user state machine advancing through `stages`
     * strictly in event-time order (stage i+1 counts only after stage
     * i's first qualifying event), emitting one row per ADVANCE as it
-    * happens. State is one (stage index, timestamp) pair per user —
-    * bounded by the user population, not the event volume; terminal
-    * states are kept so later events cannot restart a completed
-    * funnel.
+    * happens.
+    *
+    * Cross-batch disorder is handled by a bounded replay buffer: a
+    * future-stage event that cannot advance yet (its predecessor
+    * stage hasn't been reached, e.g. the click arrived a micro-batch
+    * before its view) is kept in state — the earliest
+    * `maxPendingPerStage` candidates per not-yet-reached stage — and
+    * replayed in event-time order once the late predecessor lands, so
+    * the advance is recovered instead of permanently lost. Entries
+    * that can no longer qualify (stage already passed, or event time
+    * at or before the current stage's time — every later advance must
+    * strictly increase in event time) are pruned each batch, so state
+    * per user stays ≤ one (stage, ts) pair + stages·maxPendingPerStage
+    * buffered pairs — bounded by the user population, not the event
+    * volume. Terminal states are kept so later events cannot restart
+    * a completed funnel.
+    *
+    * Residual append-mode assumption: advances are committed greedily
+    * and never retracted, so a LATE event of an already-reached stage
+    * with an earlier event time does not rewrite history (the batch
+    * twin, seeing all data at once, would pick the earlier chain) —
+    * inherent to any no-retraction online funnel; the buffer makes
+    * forward-stage disorder lossless, which is the direction that
+    * changes counts.
     */
-  def funnelStream(events: Dataset[TypedEvent],
-      stages: Seq[String]): Dataset[FunnelAdvance] = {
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+      maxPendingPerStage: Int = 8): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     val stageIdx = stages.zipWithIndex.toMap
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+      .flatMapGroupsWithState[FunnelBufState, FunnelAdvance](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        (user: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelBufState]) =>
+          // sentinel must survive catalyst timestamp serialization
+          // (millis*1000 must not overflow a long), so not Long.MinValue
+          val st0 = state.getOption.getOrElse(
+            FunnelBufState(-1, new Timestamp(-(1L << 50)), Seq.empty))
+          val incoming = evs.flatMap(e =>
+            stageIdx.get(e.event_type).map(i => FunnelPending(i, e.ts))).toSeq
+          // one ascending event-time pass over buffered + new events:
+          // an entry skipped now can only qualify after a LATER batch
+          // delivers an earlier-time predecessor (qualifying times are
+          // strictly increasing), so a single pass per batch is exact
+          val pool = (st0.pending ++ incoming).sortBy(_.ts.getTime)
+          var cur = FunnelState(st0.stage, st0.ts)
           val out = ListBuffer.empty[FunnelAdvance]
-          var cur = state.getOption.getOrElse(FunnelState(-1, new Timestamp(Long.MinValue)))
-          sorted.foreach { e =>
-            val next = cur.stage + 1
-            if (next < stages.length && stageIdx.get(e.event_type).contains(next) &&
-                e.ts.getTime > cur.ts.getTime) {
-              cur = FunnelState(next, e.ts)
-              out += FunnelAdvance(user, next, stages(next), e.ts)
+          pool.foreach { p =>
+            if (p.stage == cur.stage + 1 && p.ts.getTime > cur.ts.getTime) {
+              cur = FunnelState(p.stage, p.ts)
+              out += FunnelAdvance(user, p.stage, stages(p.stage), p.ts)
             }
           }
-          // keep the terminal state too — dropping it would let later
-          // micro-batches restart a completed user's funnel from scratch
-          if (cur.stage >= 0) state.update(cur)
+          val pending = pool
+            .filter(p => p.stage > cur.stage && p.ts.getTime > cur.ts.getTime)
+            .groupBy(_.stage).values
+            .flatMap(_.sortBy(_.ts.getTime).take(maxPendingPerStage))
+            .toSeq
+          state.update(FunnelBufState(cur.stage, cur.ts, pending))
           out.iterator
       }
   }

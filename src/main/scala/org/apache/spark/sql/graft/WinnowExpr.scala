@@ -8,9 +8,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
 
 /** Winnowing selection kernel (Schleimer et al., SIGMOD 2003): over an
   * array of k-gram hashes, emit each `window`-wide window's minimum —
-  * rightmost occurrence on ties — encoded as `pos · 2^16 + fp`
-  * (fingerprints are 16-bit md5 prefixes, so the pack is lossless;
-  * callers unpack with shiftright/mask). Consecutive windows usually
+  * rightmost occurrence on ties — encoded as `pos · 2^32 + fp`
+  * (fingerprints are 32-bit hash prefixes, so the pack is lossless for
+  * any document under 2^31 grams; callers unpack with
+  * shiftright/mask). 32 fingerprint bits matter downstream: a 16-bit
+  * fp space (65,536 keys) makes the candidate-pair join's posting
+  * lists grow linearly with corpus size — quadratic pair blowup at
+  * corpus scale — while 32 bits keep random collisions negligible
+  * until ~2^16 docs share a gram hash. Consecutive windows usually
   * re-pick the same (pos, fp); those duplicates are dropped inline — a
   * given position appears only in `window` contiguous windows, so
   * adjacent-dedup equals global distinct.
@@ -60,7 +65,7 @@ case class WinnowExpr(child: Expression, window: Int)
 
 object WinnowExpr {
   /** Shared by eval and codegen: window minima, rightmost on ties,
-    * adjacent-deduped, encoded pos·2^16 + fp.
+    * adjacent-deduped, encoded pos·2^32 + fp (fp must be < 2^32).
     */
   def winnow(hs: Array[Long], window: Int): Array[Long] = {
     val n = hs.length
@@ -79,7 +84,7 @@ object WinnowExpr {
         if (hs(j) <= best) { best = hs(j); bestPos = j } // <= → rightmost
         j += 1
       }
-      val enc = bestPos.toLong * 65536L + best
+      val enc = (bestPos.toLong << 32) | best
       if (enc != lastEnc) { out(m) = enc; m += 1; lastEnc = enc }
       i += 1
     }

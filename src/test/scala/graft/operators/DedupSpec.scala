@@ -259,7 +259,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     // the paper's guarantee: a shared >= w+k-1 token run yields a shared fp
     assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
-    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs should not collide (16-bit: overwhelmingly)")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs should not collide (32-bit: overwhelmingly)")
     // density: far fewer fingerprints than grams
     val grams1 = docs.filter($"doc_id" === 1L)
       .select(org.apache.spark.sql.functions.size(
@@ -270,5 +270,61 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val again = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(fps.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("winnow pair join: hot fingerprints are df-capped out before the self-join") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    // 10 docs all share one boilerplate run (its fps have df=10);
+    // docs 1 and 2 additionally share a rare run (df=2).
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val rare = "quantum entangled weasels juggle prime factored turnips nightly"
+    // unique token at the HEAD only: interior winnow selections are
+    // then identical across docs, so every boilerplate fp has df=10
+    // (a mid-text unique token would perturb which shared gram wins
+    // nearby windows, legitimately creating small-df shared fps)
+    val docs = ((1L to 10L).map { i =>
+      val extra = if (i <= 2) s" $rare" else ""
+      (i, s"doc$i $boiler$extra")
+    }).toDF("doc_id", "text")
+    // cap below the boilerplate df: only the rare run may produce pairs
+    val capped = Dedup.winnowCandidatePairs(
+        docs, "doc_id", "text", k = 3, window = 4, minShared = 1, maxFpDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"hot-fp pairs must be pruned, rare-run pair kept; got $capped")
+    // uncapped: the boilerplate fps pair everything with everything
+    val uncapped = Dedup.winnowCandidatePairs(
+        docs, "doc_id", "text", k = 3, window = 4, minShared = 1, maxFpDf = 1000)
+      .count()
+    assert(uncapped == 45L, s"uncapped should emit all 45 pairs, got $uncapped")
+  }
+
+  test("simhash band buckets: overfull buckets df-capped, recall at default intact") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    // 8 identical docs land in the same bucket in every band; one
+    // near-dup pair (9, 10) differs by a single token.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely separate subject matter about volcanic geology and mineral strata"
+    val docs = ((1L to 8L).map(i => (i, base)) ++ Seq(
+      (9L, other + " extra"),
+      (10L, other + " bonus")
+    )).toDF("doc_id", "text")
+    // cap below the clone-bucket size: clone pairs are pruned, the
+    // near-dup pair survives in its own small bucket
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 10, maxBandDf = 5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 2L)), "overfull clone bucket must be pruned")
+    assert(capped.contains((9L, 10L)), s"near-dup pair must survive the cap; got $capped")
+    // default cap (1000) does not bind on a small corpus: full recall
+    // (28 clone pairs + the (9,10) near-dup pair)
+    val dflt = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.size == 29 && dflt.contains((9L, 10L)),
+      s"default cap must keep all clone pairs + near-dup pair, got ${dflt.size}")
   }
 }

@@ -90,7 +90,7 @@ class KernelPropertySpec extends AnyFunSuite {
 
   test("winnow kernel equals the naive all-windows reference, rightmost on ties") {
     import org.apache.spark.sql.graft.WinnowExpr
-    val hashes = Gen.nonEmptyListOf(Gen.choose(0L, 65535L))
+    val hashes = Gen.nonEmptyListOf(Gen.choose(0L, 0xFFFFFFFFL))
     val windows = Gen.choose(1, 8)
     def naive(hs: Seq[Long], w: Int): Seq[Long] = {
       val n = hs.length
@@ -98,7 +98,7 @@ class KernelPropertySpec extends AnyFunSuite {
         val win = hs.slice(i, math.min(i + w, n))
         val m = win.min
         val pos = i + win.lastIndexOf(m)
-        pos.toLong * 65536L + m
+        (pos.toLong << 32) | m
       }.distinct
     }
     check(Prop.forAll(hashes, windows) { (hs, w) =>

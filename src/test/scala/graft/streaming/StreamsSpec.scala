@@ -276,6 +276,35 @@ class StreamsSpec extends AnyFunSuite {
       "a user advances each stage at most once")
   }
 
+  test("funnel recovers a cross-batch out-of-order advance via the pending buffer") {
+    import graft.streaming.Streams.{FunnelAdvance, TypedEvent}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(u: Long, t: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(t), et)
+
+    val ms = MemoryStream[TypedEvent]
+    val out = Streams.funnelStream(ms.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("graft_funnel_ooo")
+      .outputMode("append").start()
+    val advances =
+      try {
+        // batch 1 delivers the click and purchase BEFORE the view that
+        // (in event time) precedes them arrives in batch 2
+        ms.addData(ev(1L, 2000, "click"), ev(1L, 3000, "purchase"))
+        q.processAllAvailable()
+        ms.addData(ev(1L, 1000, "view"))
+        q.processAllAvailable()
+        spark.table("graft_funnel_ooo").as[FunnelAdvance].collect()
+      } finally q.stop()
+
+    // all three advances recovered, in stage order with increasing ts
+    assert(advances.map(_.stage).sorted.toSeq == Seq(0, 1, 2),
+      s"expected full recovery, got ${advances.toSeq}")
+    val byStage = advances.sortBy(_.stage).map(_.ts.getTime).toSeq
+    assert(byStage == Seq(1000L, 2000L, 3000L))
+  }
+
   test("streaming ANN probe against a persisted index matches the batch probe") {
     import org.apache.spark.sql.functions._
     import graft.operators.IvfPqIndex

@@ -129,9 +129,21 @@ final class Engine(
   /** Client conf merged with each advisor's overlay, in advisor order
     * (overlay entries OVERWRITE — reference SessionConfAdvisor
     * contract; later advisors see and may override earlier results).
+    *
+    * Client-supplied `graft.server.*` keys (bare or under the
+    * `set:hiveconf:`/`set:hivevar:` URL-conf prefixes) are stripped
+    * BEFORE advisors run: that namespace is reserved for
+    * advisor-pinned, server-trusted values (e.g. ConfGroupProvider's
+    * group membership), so a client asserting them must not survive
+    * the merge.
     */
-  def advisedConf(user: String, clientConf: Map[String, String]): Map[String, String] =
-    confAdvisors.foldLeft(clientConf)((acc, a) => acc ++ a.confOverlay(user, acc))
+  def advisedConf(user: String, clientConf: Map[String, String]): Map[String, String] = {
+    val sanitized = clientConf.filterNot { case (k, _) =>
+      k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
+        .startsWith("graft.server.")
+    }
+    confAdvisors.foldLeft(sanitized)((acc, a) => acc ++ a.confOverlay(user, acc))
+  }
 
   def openSession(user: String, conf: Map[String, String] = Map.empty): EngineSession = {
     val id = UUID.randomUUID().toString
@@ -139,12 +151,32 @@ final class Engine(
     val base = sparkByKey.computeIfAbsent(key, _ => {
       discovery.register(key, engineId)
       val s = rootSpark.newSession()
+      // per-query column-lineage dispatch to the Events bus (reference
+      // SparkOperationLineageQueryExecutionListener); no-op per query
+      // until a handler registers
+      s.listenerManager.register(new graft.plans.LineageQueryExecutionListener)
       // run once per share-scope engine session (reference
       // kyuubi.engine.initialize.sql — global temp views, warmups)
       engineInitSql.foreach(s.sql(_).collect())
       s
     })
-    val sessionSpark = if (singleSession) base else base.newSession()
+    val sessionSpark = if (singleSession) base else {
+      val s = base.newSession()
+      // newSession() starts with fresh listener state
+      s.listenerManager.register(new graft.plans.LineageQueryExecutionListener)
+      s
+    }
+    // identity for the authz rules (graft.plans.ApplyAuthzPolicies):
+    // user plus GroupProvider-resolved membership, so group-subject
+    // policy items (Ranger's users/groups lists) can match. MUST be
+    // published before any initialize SQL runs — init statements can
+    // be client-carried (graft.session.initialize.sql), and
+    // ApplyAuthzPolicies no-ops when the user conf is absent, so
+    // setting identity afterwards would let a client smuggle
+    // policy-bypassing statements into session conf.
+    sessionSpark.conf.set("spark.graft.authz.user", user)
+    sessionSpark.conf.set("spark.graft.authz.groups",
+      groupProvider.groups(user, conf).mkString(","))
     // per-connection statements (reference
     // kyuubi.engine.session.initialize.sql), server-configured first,
     // then any the client carried in its session conf
@@ -153,12 +185,6 @@ final class Engine(
     (sessionInitSql ++ connInit).foreach(sessionSpark.sql(_).collect())
     val sess = new EngineSession(id, user, sessionSpark)
     Kdf.registerAll(sess.spark, engineId, sessionUser = Some(user))
-    // identity for the authz rules (graft.plans.ApplyAuthzPolicies):
-    // user plus GroupProvider-resolved membership, so group-subject
-    // policy items (Ranger's users/groups lists) can match
-    sess.spark.conf.set("spark.graft.authz.user", user)
-    sess.spark.conf.set("spark.graft.authz.groups",
-      groupProvider.groups(user, conf).mkString(","))
     sessions.put(id, sess)
     Events.post(Events.SessionEvent(id, user, "OPENED", System.currentTimeMillis()))
     sess
@@ -219,6 +245,11 @@ final class Engine(
     }
     sparkByKey.clear()
   }
+
+  /** Every share-scope engine space this gateway has materialized
+    * (admin/UI listing — each has a live discovery registration).
+    */
+  def engineSpaces: Seq[String] = sparkByKey.keySet().asScala.toSeq.sorted
 
   /** Arm a periodic idle reaper on the shared scheduler. */
   def startIdleReaper(idleTimeoutMs: Long, periodMs: Long = 60000): Unit =

@@ -48,6 +48,26 @@ object Events {
         s""","ts":$ts}"""
   }
 
+  /** Column lineage of a completed statement (reference
+    * kyuubi-spark-lineage's OperationLineageEvent: the listener parses
+    * the analyzed plan and posts output→source column mappings to the
+    * event bus per query).
+    */
+  final case class LineageEvent(
+      execId: Long,
+      columns: Map[String, Set[String]],
+      error: Option[String],
+      ts: Long) extends Event {
+    override def asJson: String = {
+      val cols = columns.toSeq.sortBy(_._1).map { case (out, srcs) =>
+        s""""${esc(out)}":[${srcs.toSeq.sorted.map(s => s""""${esc(s)}"""").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      s"""{"event":"lineage","execId":$execId,"columns":$cols""" +
+        error.map(e => s""","error":"${esc(e)}"""").getOrElse("") +
+        s""","ts":$ts}"""
+    }
+  }
+
   trait Handler {
     def onEvent(e: Event): Unit
   }
@@ -56,6 +76,11 @@ object Events {
 
   def register(h: Handler): Unit = handlers.add(h)
   def unregister(h: Handler): Unit = handlers.remove(h)
+
+  /** Producers with non-trivial event construction cost (e.g. the
+    * lineage plan walk) check this before building the event.
+    */
+  def hasHandlers: Boolean = !handlers.isEmpty
 
   def post(e: Event): Unit = {
     if (!handlers.isEmpty) {

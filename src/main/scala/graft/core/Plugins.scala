@@ -60,20 +60,42 @@ final class UserPrefixGroupProvider extends GroupProvider {
     user.takeWhile(_ != '@')
 }
 
-/** Conf-driven provider: the client (or a SessionConfAdvisor) declares
-  * membership via `graft.session.group` / `graft.session.groups`
-  * (comma-separated, first = primary) — the in-sandbox stand-in for a
-  * directory-backed provider.
+/** Conf-driven provider — the in-sandbox stand-in for a
+  * directory-backed provider. Membership is read from the
+  * server-reserved `graft.server.session.group` /
+  * `graft.server.session.groups` keys (comma-separated, first =
+  * primary): `Engine.advisedConf` strips any client-supplied
+  * `graft.server.*` entry BEFORE advisor overlays run, so only a
+  * SessionConfAdvisor (server code) can populate them — group
+  * membership is never self-asserted by the client.
+  *
+  * The legacy client-settable `graft.session.group(s)` keys are
+  * honored only when the server opts in by pinning
+  * `graft.server.trust.client.groups=true` (an advisor-set conf,
+  * itself unspoofable for the same reason). Deployments with
+  * group-subject authz policies should use a server-resolved
+  * provider (this one fed by an advisor, or a directory-backed
+  * [[GroupProvider]]).
   */
 final class ConfGroupProvider extends GroupProvider {
   override def primaryGroup(user: String, sessionConf: Map[String, String]): String =
     groups(user, sessionConf).head
 
   override def groups(user: String, sessionConf: Map[String, String]): Seq[String] = {
-    val declared = sessionConf.get("graft.session.group")
-      .orElse(sessionConf.get("graft.session.groups"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    def parse(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val pinned = sessionConf.get("graft.server.session.group")
+      .orElse(sessionConf.get("graft.server.session.groups"))
+      .map(parse).getOrElse(Seq.empty)
+    val trustClient =
+      sessionConf.get("graft.server.trust.client.groups").contains("true")
+    val client =
+      if (trustClient)
+        sessionConf.get("graft.session.group")
+          .orElse(sessionConf.get("graft.session.groups"))
+          .map(parse).getOrElse(Seq.empty)
+      else Seq.empty
+    val declared = if (pinned.nonEmpty) pinned else client
     if (declared.nonEmpty) declared else Seq(user.takeWhile(_ != '@'))
   }
 }

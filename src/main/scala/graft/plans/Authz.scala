@@ -107,6 +107,13 @@ object AuthzPolicies {
     * Once ANY access policy exists for a table, the default flips to
     * deny — Ranger's no-matching-allow-item semantics.
     */
+  /** `columns` scopes the policy: empty = the whole table (every
+    * column); non-empty = only those columns, the Ranger column-
+    * resource model (`"*"` = any column). A column-scoped ALLOW also
+    * grants table-level entry — the per-column check then decides
+    * which referenced columns are actually readable; a column-scoped
+    * DENY never blocks queries that do not touch its columns.
+    */
   final case class AccessPolicy(
       table: String,
       allowed: Set[String] = Set.empty,
@@ -115,7 +122,8 @@ object AuthzPolicies {
       priority: Int = 0,
       allowedGroups: Set[String] = Set.empty,
       deniedGroups: Set[String] = Set.empty,
-      denyExceptionGroups: Set[String] = Set.empty)
+      denyExceptionGroups: Set[String] = Set.empty,
+      columns: Set[String] = Set.empty)
 
   @volatile private var byUser: Map[String, Policy] = Map.empty
   @volatile private var byGroup: Map[String, Policy] = Map.empty
@@ -158,15 +166,47 @@ object AuthzPolicies {
     * programmatic store is opt-in; a Ranger deployment would sync a
     * full policy set).
     */
-  def decideAccess(user: String, groups: Set[String], table: String): Boolean = {
-    val ps = accessPolicies.filter(_.table == table)
-    if (ps.isEmpty) return true
+  /** Fast guard for the per-query plan walks: true when any access
+    * policy is registered at all.
+    */
+  def hasAccessPolicies: Boolean = accessPolicies.nonEmpty
+
+  def decideAccess(user: String, groups: Set[String], table: String): Boolean =
+    decide(user, groups, table, None)
+
+  /** True when `user` may read `table`.`column` — the reference's
+    * per-referenced-column SELECT privilege granularity
+    * (kyuubi-spark-authz/.../PrivilegesBuilder.scala builds one
+    * PrivilegeObject per referenced column; Ranger evaluates each).
+    * Only policies covering the column participate; once any policy
+    * exists for the table, an uncovered/unallowed column defaults to
+    * deny (no-matching-allow-item semantics).
+    */
+  def decideColumnAccess(user: String, groups: Set[String],
+      table: String, column: String): Boolean =
+    decide(user, groups, table, Some(column))
+
+  private def decide(user: String, groups: Set[String], table: String,
+      column: Option[String]): Boolean = {
+    val all = accessPolicies.filter(_.table == table)
+    if (all.isEmpty) return true
+    // Column question: only policies whose resource covers the column.
+    // Table question: any allow grants entry (a column-scoped allow
+    // means the user may touch the table — the per-column checks then
+    // police which referenced columns are readable), but only a
+    // TABLE-scoped deny blocks the table outright.
+    val ps = column match {
+      case Some(c) => all.filter(p =>
+        p.columns.isEmpty || p.columns.contains(c) || p.columns.contains("*"))
+      case None => all
+    }
     def in(s: Set[String]): Boolean = s.contains(user) || s.contains("*")
     def inG(s: Set[String]): Boolean = s.contains("*") || groups.exists(s.contains)
     // highest priority first (Ranger override policies), deny first
     // within each policy (deny-overrides-allow)
     ps.sortBy(-_.priority).foreach { p =>
-      val denied = in(p.denied) || inG(p.deniedGroups)
+      val denyApplies = column.isDefined || p.columns.isEmpty
+      val denied = denyApplies && (in(p.denied) || inG(p.deniedGroups))
       val excepted = p.denyExceptions.contains(user) || groups.exists(p.denyExceptionGroups.contains)
       if (denied && !excepted) return false
       if (in(p.allowed) || inG(p.allowedGroups)) return true
@@ -179,9 +219,26 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
   private val APPLIED = TreeNodeTag[Boolean]("graft.authz.applied")
   private val MASK_PROJECT = TreeNodeTag[Boolean]("graft.authz.maskProject")
+  // policy-injected nodes (row-filter Filters): their expressions are
+  // system usage, exempt from the per-column privilege walk
+  private val INJECTED = TreeNodeTag[Boolean]("graft.authz.injected")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val user = session.conf.getOption("spark.graft.authz.user")
+    // The identity namespace is server-only: once an authz user is
+    // bound, an in-session `SET spark.graft.authz.*` is a privilege-
+    // escalation attempt (self-asserted identity/groups), not a conf
+    // tweak. Engine/tests set identity via the conf API directly,
+    // which does not produce a SetCommand, so this only fires on SQL.
+    if (user.isDefined) plan.foreach {
+      case sc: org.apache.spark.sql.execution.command.SetCommand =>
+        sc.kv.foreach { case (k, _) =>
+          if (k.startsWith("spark.graft.authz."))
+            throw new SecurityException(
+              s"Permission denied: [$k] is a server-managed identity conf")
+        }
+      case _ => ()
+    }
     // group membership resolved at session open (GroupProvider) and
     // published alongside the user identity
     val groups = session.conf.getOption("spark.graft.authz.groups")
@@ -199,6 +256,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => ()
       }
+      checkColumnPrivileges(u, groups, plan)
     }
     val policy = user.flatMap(AuthzPolicies.policyFor(_, groups))
     if (policy.isEmpty) return plan
@@ -247,10 +305,15 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
           // ordering: row policy sees true values, output sees masks)
           case Some(pred) => masked match {
             case proj @ Project(cols, child) =>
-              val wrapped = Project(cols, Filter(parser.parseExpression(pred), child))
+              val f = Filter(parser.parseExpression(pred), child)
+              f.setTagValue(INJECTED, true)
+              val wrapped = Project(cols, f)
               wrapped.setTagValue(MASK_PROJECT, true)
               wrapped
-            case other => Filter(parser.parseExpression(pred), other)
+            case other =>
+              val f = Filter(parser.parseExpression(pred), other)
+              f.setTagValue(INJECTED, true)
+              f
           }
           case None => masked
         }
@@ -278,4 +341,54 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def tableName(rel: LogicalRelation): Option[String] =
     rel.catalogTable.map(_.identifier.table)
+
+  /** Column-granular SELECT privilege: every column of every relation
+    * that the query actually REFERENCES (the reference's
+    * PrivilegesBuilder plan walk — one privilege object per referenced
+    * column) must pass [[AuthzPolicies.decideColumnAccess]]. Star
+    * expansion is covered for free: by the time this rule sees the
+    * plan the analyzer has expanded `*` into explicit attribute
+    * references. Expressions the AUTHZ rewrite itself injected (mask
+    * expressions, row-filter predicates — tagged nodes) are exempt:
+    * a row filter may legitimately consult a column the user cannot
+    * select, Ranger's filter-evaluates-on-true-values semantics.
+    */
+  private def checkColumnPrivileges(user: String, groups: Set[String],
+      plan: LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId}
+    if (!AuthzPolicies.hasAccessPolicies) return // no policies: nothing can deny
+    val tables = scala.collection.mutable.Map.empty[ExprId, (String, String)]
+    plan.foreach {
+      case rel: LogicalRelation =>
+        tableName(rel).foreach { t =>
+          rel.output.foreach(a => tables(a.exprId) = (t, a.name))
+        }
+      case _ => ()
+    }
+    if (tables.isEmpty) return
+    val used = scala.collection.mutable.Set.empty[ExprId]
+    plan.foreach { node =>
+      // leaf scans carry their own output attribute list as
+      // `expressions` — producing a column is not referencing it
+      val injected = node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
+        node.getTagValue(MASK_PROJECT).isDefined ||
+        node.getTagValue(INJECTED).isDefined
+      if (!injected) node.expressions.foreach(_.foreach {
+        case a: AttributeReference => used += a.exprId
+        case _ => ()
+      })
+    }
+    // a bare `SELECT * FROM t`-shaped plan may surface columns only
+    // through its output (no referencing expression above the scan);
+    // output is only well-defined once resolved — the analyzer's final
+    // fixpoint pass re-runs this rule on the fully-resolved plan
+    if (plan.resolved) plan.output.foreach(a => used += a.exprId)
+    used.foreach { id =>
+      tables.get(id).foreach { case (t, c) =>
+        if (!AuthzPolicies.decideColumnAccess(user, groups, t, c))
+          throw new SecurityException(
+            s"Permission denied: user [$user] does not have [select] privilege on [$t.$c]")
+      }
+    }
+  }
 }

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.{ConcurrentHashMap, Executors}
 
 import scala.concurrent.ExecutionContext
+import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -145,6 +146,30 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)
+        case "engines" :: Nil =>
+          // space names contain '/' (user/alice, group/data-eng) —
+          // they pass through as extra path segments, rejoined below
+          val rows = engine.engineSpaces.map { space =>
+            val nodes = engine.discovery.getAll(space)
+            s"""<tr><td><a href="/ui/engines/${esc(space)}">${esc(space)}</a></td>
+               |<td>${nodes.size}</td></tr>""".stripMargin
+          }.mkString
+          page(200, "engines",
+            "<table><tr><th>space</th><th>registrations</th></tr>" + rows + "</table>")
+        case "engines" :: rest =>
+          val space = rest.mkString("/")
+          val nodes = engine.discovery.getAll(space)
+          if (nodes.isEmpty) page(404, "no such engine space", "")
+          else {
+            val sessRows = engine.openSessions.sortBy(_.createdMs)
+              .map(s => s"""<tr><td><a href="/ui/session/${esc(s.id)}">${esc(s.id)}</a></td>
+                 |<td>${esc(s.user)}</td></tr>""".stripMargin).mkString
+            page(200, s"engine space $space",
+              "<h2>registrations</h2><table><tr><th>address</th></tr>" +
+                nodes.map(n => s"<tr><td>${esc(n)}</td></tr>").mkString + "</table>" +
+                "<h2>open sessions</h2><table><tr><th>session</th><th>user</th></tr>" +
+                sessRows + "</table>")
+          }
         case "session" :: sid :: Nil =>
           engine.openSessions.find(_.id == sid) match {
             case Some(s) =>
@@ -405,6 +430,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
 
+      // All materialized engine spaces with their registrations —
+      // feeds the /ui overview + /ui/engines drill-down (reference
+      // web-ui Engine page over AdminResource listings).
+      case ("GET", "admin" :: "engines" :: Nil) =>
+        val rows = engine.engineSpaces.map { space =>
+          val nodes = engine.discovery.getAll(space).map(q)
+          s"""{"space": ${q(space)}, "engines": [${nodes.mkString(",")}]}"""
+        }
+        reply(ex, 200, s"""{"spaces": [${rows.mkString(",")}]}""")
+
       // Reference AdminResource GET/DELETE /admin/engine: inspect and
       // evict discovery registrations for an engine space.
       case ("GET", "admin" :: "engine" :: Nil) =>
@@ -445,10 +480,46 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           val sql = body(ex).trim
           if (sql.isEmpty) { reply(ex, 400, """{"error": "empty statement"}"""); return }
           val user = Option(ex.getRequestHeaders.getFirst("X-Trino-User")).getOrElse("trino")
-          val sess = engine.openSession(user)
-          val op = sess.executeStatement(sql, ResultMode.Full)
-          opSessions.put(op.handle, sess)
-          reply(ex, 200, trinoDoc(op, firstPoll = true))
+          sql match {
+            // PREPARE name FROM sql — bookkeeping lives on the CLIENT
+            // in the Trino protocol: the server echoes the prepared
+            // statement back via X-Trino-Added-Prepare and the client
+            // carries it on every later request as
+            // X-Trino-Prepared-Statement (reference StatementResource
+            // Prepare branch + TrinoContext.buildTrinoResponse).
+            case TrinoPrepareRe(name, prepSql) =>
+              ex.getResponseHeaders.add("X-Trino-Added-Prepare",
+                s"$name=${java.net.URLEncoder.encode(prepSql.trim, "UTF-8")}")
+              reply(ex, 200, trinoControlDoc("PREPARE"))
+            case TrinoDeallocRe(name) =>
+              ex.getResponseHeaders.add("X-Trino-Deallocated-Prepare",
+                java.net.URLEncoder.encode(name, "UTF-8"))
+              reply(ex, 200, trinoControlDoc("DEALLOCATE"))
+            // EXECUTE name [USING p1, p2, ...] — bind positional `?`
+            // placeholders in the client-carried prepared SQL with the
+            // literal parameter texts, then run it as a plain query.
+            case TrinoExecuteRe(name, params) =>
+              val prepared = trinoPreparedStatements(ex)
+              prepared.get(name) match {
+                case None =>
+                  reply(ex, 400, s"""{"error": "prepared statement $name not found"}""")
+                case Some(origin) =>
+                  val args = Option(params).map(splitTopLevelCommas).getOrElse(Nil)
+                  bindTrinoParams(origin, args) match {
+                    case Left(err) => reply(ex, 400, s"""{"error": ${q(err)}}""")
+                    case Right(bound) =>
+                      val sess = engine.openSession(user)
+                      val op = sess.executeStatement(bound, ResultMode.Full)
+                      opSessions.put(op.handle, sess)
+                      reply(ex, 200, trinoDoc(op, firstPoll = true))
+                  }
+              }
+            case _ =>
+              val sess = engine.openSession(user)
+              val op = sess.executeStatement(sql, ResultMode.Full)
+              opSessions.put(op.handle, sess)
+              reply(ex, 200, trinoDoc(op, firstPoll = true))
+          }
         case ("GET", opId :: _ :: Nil) =>
           Option(opSessions.get(opId)).flatMap(_.operation(opId)) match {
             case Some(op: ExecuteStatement) => reply(ex, 200, trinoDoc(op, firstPoll = false))
@@ -469,6 +540,102 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       case e: Throwable =>
         reply(ex, 500, s"""{"error": ${q(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+  }
+
+  // ---- Trino prepared statements (EXECUTE/DEALLOCATE + binding) ----
+
+  private val TrinoPrepareRe = "(?is)^PREPARE\\s+(\\w+)\\s+FROM\\s+(.+)$".r
+  private val TrinoExecuteRe = "(?is)^EXECUTE\\s+(\\w+)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$".r
+  private val TrinoDeallocRe = "(?is)^DEALLOCATE\\s+PREPARE\\s+(\\w+)\\s*;?\\s*$".r
+
+  /** The client-carried prepared-statement map: every
+    * `X-Trino-Prepared-Statement: name=urlencoded(sql)` header value
+    * (the values the server previously emitted as Added-Prepare).
+    */
+  private def trinoPreparedStatements(ex: HttpExchange): Map[String, String] = {
+    val vs = Option(ex.getRequestHeaders.get("X-Trino-Prepared-Statement"))
+      .map(_.asScala.toSeq).getOrElse(Nil)
+    vs.flatMap(_.split(",")).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k.trim -> java.net.URLDecoder.decode(v.trim, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Split `USING` parameter text on top-level commas (quotes and
+    * parens respected), preserving each parameter's literal SQL text.
+    */
+  private def splitTopLevelCommas(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'') {
+          // '' is an escaped quote inside the literal
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toList
+  }
+
+  /** Substitute the Nth top-level `?` placeholder with the Nth
+    * parameter's literal text (Trino's prepared-statement execution:
+    * parameters are SQL literals spliced positionally; `?` inside
+    * string literals is data, not a placeholder).
+    */
+  private def bindTrinoParams(sql: String, params: List[String]): Either[String, String] = {
+    val out = new StringBuilder
+    var inStr = false
+    var n = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; out += c
+        case '?' =>
+          if (n >= params.length)
+            return Left(s"too few parameters: statement has more than ${params.length} placeholders")
+          out ++= params(n); n += 1
+        case _ => out += c
+      }
+      i += 1
+    }
+    if (n < params.length)
+      Left(s"too many parameters: statement has $n placeholders, got ${params.length}")
+    else Right(out.result())
+  }
+
+  /** Minimal FINISHED document for protocol-control verbs (PREPARE /
+    * DEALLOCATE): no nextUri, an updateType the Trino client surfaces.
+    */
+  private def trinoControlDoc(updateType: String): String = {
+    val id = java.util.UUID.randomUUID().toString
+    s"""{"id": "$id", "updateType": "$updateType", """ +
+      s""""stats": {"state": "FINISHED", "queued": false, "scheduled": false}, "warnings": []}"""
   }
 
   // Spark type → Trino wire type (the public Trino protocol's
@@ -646,6 +813,7 @@ object RestFrontend {
       |  #metrics { font-family: monospace; white-space: pre; font-size: .85rem; }
       |</style></head><body>
       |<h1>graft gateway</h1>
+      |<h2>Engines</h2><table id="engines"></table>
       |<h2>Sessions</h2><table id="sessions"></table>
       |<h2>Operations</h2><table id="operations"></table>
       |<h2>Batches</h2><table id="batches"></table>
@@ -693,6 +861,17 @@ object RestFrontend {
       |         {operationId: '/ui/operation/', sessionId: '/ui/session/'});
       |    const batches = (await (await fetch('/api/v1/batches')).json()).batches;
       |    fill('batches', batches, ['id', 'user', 'state'], {id: '/ui/batch/'});
+      |    const spaces = (await (await fetch('/api/v1/admin/engines')).json()).spaces
+      |      .map(s => ({space: s.space, registrations: s.engines.length}));
+      |    fill('engines', spaces, ['space', 'registrations'], {});
+      |    // space names contain '/' — link to the rejoin-style page, not encodeURIComponent
+      |    Array.from(document.getElementById('engines').querySelectorAll('tr')).slice(1).forEach(tr => {
+      |      const td = tr.children[0];
+      |      const a = document.createElement('a');
+      |      a.href = '/ui/engines/' + td.textContent;
+      |      a.textContent = td.textContent;
+      |      td.textContent = ''; td.appendChild(a);
+      |    });
       |    const m = await (await fetch('/api/v1/metrics')).json();
       |    document.getElementById('metrics').textContent = JSON.stringify(m, null, 2);
       |  } catch (e) { console.error(e); }

@@ -1,0 +1,326 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+
+/** SPNEGO (HTTP Negotiate) authentication plumbing — the reference's
+  * KerberosAuthenticationHandler
+  * (kyuubi-server/.../http/authentication/KerberosAuthenticationHandler.scala:39-160)
+  * re-expressed behind a validator seam:
+  *
+  *  - [[SpnegoTokens]] is a real DER walk of the client token: GSS-API
+  *    initial-context framing → SPNEGO NegTokenInit → Kerberos mech
+  *    token → AP-REQ → Ticket → sname. The server principal check the
+  *    reference performs via Hadoop's `getTokenServerName` (a token for
+  *    someone else's service must be rejected BEFORE any GSS
+  *    acceptance) is implemented here from the wire bytes.
+  *  - [[GssTokenValidator]] is the acceptance seam: the production
+  *    [[JgssTokenValidator]] drives the JDK's JGSS accept-context under
+  *    a keytab Subject (unexercisable in this sandbox — no KDC — but
+  *    compiled and wired); tests use a canned-token validator that
+  *    exercises the full DER + HTTP handshake.
+  *
+  * RFC 4178 (SPNEGO), RFC 4121 (krb5 GSS mech), RFC 4120 (AP-REQ DER).
+  */
+object SpnegoTokens {
+
+  val SpnegoOid: Array[Byte] =
+    Array(0x2b, 0x06, 0x01, 0x05, 0x05, 0x02).map(_.toByte)
+  val Krb5Oid: Array[Byte] =
+    Array(0x2a, 0x86, 0x48, 0x86, 0xf7, 0x12, 0x01, 0x02, 0x02).map(_.toByte)
+
+  // ---------------- DER primitives ----------------
+
+  private[server] final class DerReader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    def remaining: Int = end - pos
+    def peekTag: Int = buf(pos) & 0xff
+    /** Read one TLV; returns (tag, reader over the value). */
+    def readTlv(): (Int, DerReader) = {
+      require(remaining >= 2, "truncated DER")
+      val tag = buf(pos) & 0xff
+      pos += 1
+      var len = buf(pos) & 0xff
+      pos += 1
+      if ((len & 0x80) != 0) {
+        val n = len & 0x7f
+        require(n >= 1 && n <= 4 && remaining >= n, s"bad DER length (n=$n)")
+        len = 0
+        var i = 0
+        while (i < n) { len = (len << 8) | (buf(pos) & 0xff); pos += 1; i += 1 }
+      }
+      require(len >= 0 && len <= remaining, "DER length overruns buffer")
+      val r = new DerReader(buf, pos, pos + len)
+      pos += len
+      (tag, r)
+    }
+    def bytes(): Array[Byte] = java.util.Arrays.copyOfRange(buf, pos, end)
+    def readInt(): Int = {
+      var v = 0
+      while (pos < end) { v = (v << 8) | (buf(pos) & 0xff); pos += 1 }
+      v
+    }
+    def string(): String = new String(bytes(), StandardCharsets.US_ASCII)
+  }
+
+  private[server] def tlv(tag: Int, value: Array[Byte]): Array[Byte] = {
+    val len = value.length
+    val header =
+      if (len < 0x80) Array(tag.toByte, len.toByte)
+      else if (len < 0x100) Array(tag.toByte, 0x81.toByte, len.toByte)
+      else Array(tag.toByte, 0x82.toByte, (len >> 8).toByte, (len & 0xff).toByte)
+    header ++ value
+  }
+
+  private def ctx(n: Int, value: Array[Byte]): Array[Byte] = tlv(0xa0 + n, value)
+  private def derInt(v: Int): Array[Byte] = tlv(0x02, Array(v.toByte))
+  private def generalString(s: String): Array[Byte] =
+    tlv(0x1b, s.getBytes(StandardCharsets.US_ASCII))
+
+  // ---------------- token synthesis (tests / fixtures) ----------------
+
+  /** Build a syntactically-valid SPNEGO NegTokenInit wrapping a krb5
+    * AP-REQ for `servicePrincipal` (e.g. "HTTP/gateway.example.com")
+    * in `realm`. The encrypted parts (ticket enc-part, authenticator)
+    * are opaque placeholder octets — everything a server can check
+    * WITHOUT the service key (framing, OIDs, token ids, sname) is
+    * bit-faithful to RFC 4120/4178, which is exactly the surface
+    * [[serverPrincipalOf]] validates. `opaque` rides in the ticket's
+    * enc-part (tests use it to carry a client identity to the stub
+    * validator, standing in for what real GSS acceptance decrypts).
+    */
+  def cannedToken(servicePrincipal: String, realm: String,
+      opaque: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val nameParts = servicePrincipal.split("/").toSeq
+    val principalName = tlv(0x30,
+      ctx(0, derInt(2)) ++ // name-type: NT-SRV-HST
+        ctx(1, tlv(0x30, nameParts.map(generalString).reduce(_ ++ _))))
+    val encPart = tlv(0x30, // EncryptedData { etype, cipher }
+      ctx(0, derInt(18)) ++ ctx(2, tlv(0x04, if (opaque.isEmpty) Array[Byte](0) else opaque)))
+    val ticket = tlv(0x61, tlv(0x30, // APPLICATION 1 { SEQUENCE }
+      ctx(0, derInt(5)) ++ // tkt-vno
+        ctx(1, generalString(realm)) ++
+        ctx(2, principalName) ++
+        ctx(3, encPart)))
+    val authenticator = tlv(0x30,
+      ctx(0, derInt(18)) ++ ctx(2, tlv(0x04, Array[Byte](0))))
+    val apReq = tlv(0x6e, tlv(0x30, // APPLICATION 14 { SEQUENCE }
+      ctx(0, derInt(5)) ++ // pvno
+        ctx(1, derInt(14)) ++ // msg-type: KRB_AP_REQ
+        ctx(2, tlv(0x03, Array[Byte](0, 0, 0, 0, 0))) ++ // ap-options
+        ctx(3, ticket) ++
+        ctx(4, authenticator)))
+    // krb5 GSS mech token: 0x60 | OID | TOK_ID 0x01 0x00 | AP-REQ
+    val krbTok = tlv(0x60,
+      tlv(0x06, Krb5Oid) ++ Array[Byte](0x01, 0x00) ++ apReq)
+    // SPNEGO NegTokenInit: mechTypes = [krb5], mechToken = krbTok
+    val negTokenInit = ctx(0, tlv(0x30,
+      ctx(0, tlv(0x30, tlv(0x06, Krb5Oid))) ++
+        ctx(2, tlv(0x04, krbTok))))
+    tlv(0x60, tlv(0x06, SpnegoOid) ++ negTokenInit)
+  }
+
+  // ---------------- token parsing ----------------
+
+  /** Mechanism token inside the SPNEGO NegTokenInit (or the raw token
+    * itself when the client sent bare krb5 instead of SPNEGO — both
+    * appear in the wild and the reference's GSS acceptor takes both).
+    */
+  private def mechToken(token: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val (t0, r0) = new DerReader(token).readTlv()
+      if (t0 != 0x60) return None
+      val (tOid, oid) = r0.readTlv()
+      if (tOid != 0x06) return None
+      if (java.util.Arrays.equals(oid.bytes(), Krb5Oid)) return Some(token)
+      if (!java.util.Arrays.equals(oid.bytes(), SpnegoOid)) return None
+      val (tInit, init) = r0.readTlv() // [0] NegTokenInit
+      if (tInit != 0xa0) return None
+      val (tSeq, seq) = init.readTlv()
+      if (tSeq != 0x30) return None
+      while (seq.remaining > 0) {
+        val (tag, field) = seq.readTlv()
+        if (tag == 0xa2) { // [2] mechToken OCTET STRING
+          val (tOct, oct) = field.readTlv()
+          if (tOct == 0x04) return Some(oct.bytes())
+        }
+      }
+      None
+    } catch { case _: Throwable => None }
+  }
+
+  /** The service principal the client's ticket is FOR — "primary/rest"
+    * joined from the AP-REQ ticket's cleartext sname (RFC 4120 5.3:
+    * realm and sname ride outside the encrypted part). The reference
+    * rejects tokens whose principal does not start with "HTTP/" before
+    * attempting acceptance; callers here do the same.
+    */
+  def serverPrincipalOf(token: Array[Byte]): Option[String] = {
+    try {
+      val krb = mechToken(token).getOrElse(return None)
+      val (t0, r0) = new DerReader(krb).readTlv()
+      if (t0 != 0x60) return None
+      val (tOid, oid) = r0.readTlv()
+      if (tOid != 0x06 || !java.util.Arrays.equals(oid.bytes(), Krb5Oid)) return None
+      // TOK_ID: 0x01 0x00 = KRB_AP_REQ
+      if (r0.remaining < 2) return None
+      val id0 = r0.peekTag; r0.pos += 1
+      val id1 = r0.peekTag; r0.pos += 1
+      if (id0 != 0x01 || id1 != 0x00) return None
+      val (tApp, app) = r0.readTlv() // APPLICATION 14
+      if (tApp != 0x6e) return None
+      val (tSeq, seq) = app.readTlv()
+      if (tSeq != 0x30) return None
+      var ticketBytes: Option[DerReader] = None
+      while (seq.remaining > 0) {
+        val (tag, field) = seq.readTlv()
+        if (tag == 0xa3) ticketBytes = Some(field) // [3] ticket
+      }
+      val (tTkt, tkt) = ticketBytes.getOrElse(return None).readTlv()
+      if (tTkt != 0x61) return None // APPLICATION 1
+      val (tTseq, tseq) = tkt.readTlv()
+      if (tTseq != 0x30) return None
+      var sname: Option[DerReader] = None
+      while (tseq.remaining > 0) {
+        val (tag, field) = tseq.readTlv()
+        if (tag == 0xa2) sname = Some(field) // [2] sname
+      }
+      val (tPn, pn) = sname.getOrElse(return None).readTlv()
+      if (tPn != 0x30) return None
+      var parts = List.empty[String]
+      while (pn.remaining > 0) {
+        val (tag, field) = pn.readTlv()
+        if (tag == 0xa1) { // [1] name-string SEQUENCE OF GeneralString
+          val (tNs, ns) = field.readTlv()
+          if (tNs == 0x30) {
+            while (ns.remaining > 0) {
+              val (tGs, gs) = ns.readTlv()
+              if (tGs == 0x1b) parts = parts :+ gs.string()
+            }
+          }
+        }
+      }
+      if (parts.isEmpty) None else Some(parts.mkString("/"))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The opaque octets [[cannedToken]] stashed in the ticket enc-part
+    * cipher field (test validators read the stand-in client identity
+    * from here — the slot real GSS acceptance decrypts).
+    */
+  def opaqueOf(token: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val krb = mechToken(token).getOrElse(return None)
+      val (_, r0) = new DerReader(krb).readTlv()
+      r0.readTlv() // oid
+      r0.pos += 2 // token id
+      val (_, app) = r0.readTlv()
+      val (_, seq) = app.readTlv()
+      var out: Option[Array[Byte]] = None
+      while (seq.remaining > 0) {
+        val (tag, field) = seq.readTlv()
+        if (tag == 0xa3) {
+          val (_, tkt) = field.readTlv()
+          val (_, tseq) = tkt.readTlv()
+          while (tseq.remaining > 0) {
+            val (t2, f2) = tseq.readTlv()
+            if (t2 == 0xa3) { // ticket's [3] enc-part
+              val (_, enc) = f2.readTlv()
+              while (enc.remaining > 0) {
+                val (t3, f3) = enc.readTlv()
+                if (t3 == 0xa2) { // EncryptedData [2] cipher
+                  val (tOct, oct) = f3.readTlv()
+                  if (tOct == 0x04) out = Some(oct.bytes())
+                }
+              }
+            }
+          }
+        }
+      }
+      out
+    } catch { case _: Throwable => None }
+  }
+}
+
+/** GSS token acceptance seam: token in → authenticated short name (+
+  * optional mutual-auth response token) or rejection.
+  */
+trait GssTokenValidator {
+  def validate(token: Array[Byte]): Either[String, (String, Option[Array[Byte]])]
+}
+
+/** Production JGSS acceptance under a keytab Subject — the reference
+  * handler's Subject.doAs + GSSManager.createContext acceptance loop
+  * (KerberosAuthenticationHandler.scala:97-160). Requires a reachable
+  * KDC/keytab; in this sandbox it is wired but unexercised (no KDC) —
+  * the DER-level checks and the HTTP handshake around it are covered
+  * by canned-token tests instead.
+  */
+final class JgssTokenValidator(keytabPath: String, principal: String)
+    extends GssTokenValidator {
+  import java.security.PrivilegedExceptionAction
+  import javax.security.auth.Subject
+  import javax.security.auth.kerberos.{KerberosPrincipal, KeyTab}
+  import org.ietf.jgss.{GSSContext, GSSCredential, GSSManager}
+
+  require(principal.startsWith("HTTP/"),
+    s"SPNEGO principal [$principal] must start with HTTP/")
+
+  private val subject = {
+    val s = new Subject()
+    s.getPrivateCredentials.add(KeyTab.getInstance(new java.io.File(keytabPath)))
+    s.getPrincipals.add(new KerberosPrincipal(principal))
+    s
+  }
+
+  override def validate(token: Array[Byte]): Either[String, (String, Option[Array[Byte]])] = {
+    try {
+      Subject.doAs(
+        subject,
+        new PrivilegedExceptionAction[Either[String, (String, Option[Array[Byte]])]] {
+          override def run(): Either[String, (String, Option[Array[Byte]])] = {
+            val manager = GSSManager.getInstance()
+            val context: GSSContext =
+              manager.createContext(null.asInstanceOf[GSSCredential])
+            try {
+              val resp = Option(context.acceptSecContext(token, 0, token.length))
+              if (context.isEstablished) {
+                val full = context.getSrcName.toString
+                Right((full.takeWhile(c => c != '@' && c != '/'), resp))
+              } else Left("GSS context not established after one round")
+            } finally context.dispose()
+          }
+        })
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+  }
+}
+
+/** HTTP Negotiate handshake driver for [[ThriftHttpFrontend]]:
+  * challenge (401 + `WWW-Authenticate: Negotiate`), token decode,
+  * server-principal precheck from the wire bytes, then seam
+  * acceptance.
+  */
+final class SpnegoAuthenticator(
+    validator: GssTokenValidator,
+    expectedService: String = "HTTP") {
+
+  /** `authorizationHeader` is the raw request header value (or null).
+    * Left(401) wants a challenge; Right((user, responseToken)).
+    */
+  def authenticate(
+      authorizationHeader: String): Either[String, (String, Option[Array[Byte]])] = {
+    val h = Option(authorizationHeader).getOrElse(return Left("missing Negotiate token"))
+    if (!h.regionMatches(true, 0, "Negotiate ", 0, 10))
+      return Left("not a Negotiate authorization")
+    val token =
+      try java.util.Base64.getDecoder.decode(h.substring(10).trim)
+      catch { case _: IllegalArgumentException => return Left("bad base64 token") }
+    SpnegoTokens.serverPrincipalOf(token) match {
+      case None => Left("malformed SPNEGO token")
+      case Some(sp) if !sp.startsWith(expectedService + "/") =>
+        // reference: tokens for another service principal are rejected
+        // before acceptance is even attempted
+        Left(s"token for foreign service principal [$sp]")
+      case Some(_) => validator.validate(token)
+    }
+  }
+}

@@ -385,6 +385,11 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
                 // bounded collect (ref kyuubi.operation.result.max.rows)
                 val n = v.toInt
                 if (n > 0) maxRowsBySession.put(sess.id, n)
+              } else if (key.startsWith("spark.graft.authz.")) {
+                // server-only identity namespace: Engine.openSession
+                // publishes user/groups there for ApplyAuthzPolicies,
+                // so a client write would be self-asserted identity
+                () // dropped (in-session SET is blocked by the rule too)
               } else if (key.startsWith("spark.")) {
                 sess.spark.conf.set(key, v)
               }

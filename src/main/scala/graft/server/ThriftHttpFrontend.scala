@@ -30,7 +30,8 @@ import org.apache.thrift.transport.TIOStreamTransport
   */
 final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
     httpPath: String = "cliservice", auth: Option[AuthenticationProvider] = None,
-    maxBodyBytes: Int = ThriftHttpFrontend.DefaultMaxBodyBytes) {
+    maxBodyBytes: Int = ThriftHttpFrontend.DefaultMaxBodyBytes,
+    negotiate: Option[SpnegoAuthenticator] = None) {
 
   import ThriftHttpFrontend._
 
@@ -62,9 +63,27 @@ final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
     * rejection; anything else a provider throws (connection refused,
     * SQL errors, …) is a failure of the provider itself.
     */
-  private def authenticateRequest(ex: HttpExchange): AuthOutcome = auth match {
-    case None => Anonymous
-    case Some(p) =>
+  private def authenticateRequest(ex: HttpExchange): AuthOutcome = (negotiate, auth) match {
+    case (Some(spnego), _) =>
+      // SPNEGO/Kerberos (HTTP Negotiate): stateless per-request
+      // handshake — reject → 401 challenge with `WWW-Authenticate:
+      // Negotiate`; accept → identity (+ mutual-auth token on the
+      // response). The validator seam throws nothing: malformed
+      // tokens, foreign service principals and acceptance failures
+      // all come back Left (the client's fault, 401) — GSS
+      // infrastructure failures would surface from the seam as
+      // exceptions and map to 500 like a PLAIN provider outage.
+      try {
+        spnego.authenticate(ex.getRequestHeaders.getFirst("Authorization")) match {
+          case Right((user, respToken)) =>
+            respToken.foreach(t => ex.getResponseHeaders.set("WWW-Authenticate",
+              "Negotiate " + Base64.getEncoder.encodeToString(t)))
+            Authenticated(user)
+          case Left(_) => Rejected
+        }
+      } catch { case e: Exception => ProviderFailure(e) }
+    case (None, None) => Anonymous
+    case (None, Some(p)) =>
       basicCredentials(ex) match {
         case None => Rejected
         case Some((u, pw)) =>
@@ -87,7 +106,8 @@ final class ThriftHttpFrontend(frontend: ThriftFrontend, requestedPort: Int = 0,
         ex.sendResponseHeaders(405, -1)
       } else authenticateRequest(ex) match {
         case Rejected =>
-          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+          ex.getResponseHeaders.set("WWW-Authenticate",
+            if (negotiate.isDefined) "Negotiate" else "Basic realm=\"graft\"")
           ex.sendResponseHeaders(401, -1)
         case ProviderFailure(_) =>
           ex.sendResponseHeaders(500, -1)

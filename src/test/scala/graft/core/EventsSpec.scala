@@ -70,6 +70,46 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("a completed statement posts a lineage event with column mappings") {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.LineageEvent]()
+    val collector = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = e match {
+        case le: Events.LineageEvent => seen.add(le)
+        case _ => ()
+      }
+    }
+    val spark = SparkFixture.spark
+    spark.sql("DROP TABLE IF EXISTS graft_lineage_t")
+    spark.sql("CREATE TABLE graft_lineage_t (a INT, b INT) USING parquet")
+    Events.register(collector)
+    try {
+      val sess = engine.openSession("lin_user")
+      val op = sess.executeStatement(
+        "SELECT a AS x, a + b AS y FROM graft_lineage_t")
+      op.awaitTermination()
+      // QueryExecutionListener callbacks ride the async listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      def found: Option[Events.LineageEvent] =
+        seen.asScala.find(_.columns.contains("x"))
+      while (found.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val le = found.getOrElse(fail(s"no lineage event; got ${seen.asScala.toList}"))
+      // table names carry the catalog/database qualifier — match suffix
+      assert(le.columns("x").size == 1 &&
+        le.columns("x").forall(_.endsWith("graft_lineage_t.a")), le.columns)
+      assert(le.columns("y").size == 2 &&
+        le.columns("y").exists(_.endsWith("graft_lineage_t.a")) &&
+        le.columns("y").exists(_.endsWith("graft_lineage_t.b")), le.columns)
+      // JSON rendering carries the mapping
+      assert(le.asJson.contains(""""event":"lineage""""))
+      assert(le.asJson.contains("graft_lineage_t.b"), le.asJson)
+      engine.closeSession(sess.id)
+    } finally {
+      Events.unregister(collector)
+      spark.sql("DROP TABLE IF EXISTS graft_lineage_t")
+    }
+  }
+
   test("JSON file reporter dumps atomic counter snapshots") {
     val collector = new Metrics.Collector
     collector.onEvent(Events.SessionEvent("s1", "alice", "OPENED", 0L))

@@ -44,10 +44,11 @@ class PluginSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("GroupProvider drives the GROUP share level namespace") {
     val engine = new Engine(spark, shareLevel = ShareLevel.Group,
       singleSession = true, groupProvider = GroupProvider.load(classOf[ConfGroupProvider].getName))
-    val team = Map("graft.session.group" -> "data-eng")
+    // graft.server.* = the advisor-pinned (server-trusted) namespace
+    val team = Map("graft.server.session.group" -> "data-eng")
     val a = engine.openSession("alice@corp", team)
     val b = engine.openSession("bob@corp", team)
-    val c = engine.openSession("eve@corp", Map("graft.session.group" -> "other-team"))
+    val c = engine.openSession("eve@corp", Map("graft.server.session.group" -> "other-team"))
     try {
       // same declared group + singleSession → the SAME SparkSession:
       // a temp view created by alice is visible to bob, not to eve
@@ -58,6 +59,43 @@ class PluginSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(engine.discovery.get("group/data-eng").nonEmpty)
       assert(engine.discovery.get("group/other-team").nonEmpty)
     } finally Seq(a, b, c).foreach(s => engine.closeSession(s.id))
+  }
+
+  test("client-asserted groups are ignored unless the server opts in") {
+    val p = new ConfGroupProvider
+    // bare client keys: no trust flag → fall back to the user prefix
+    assert(p.groups("eve@corp", Map("graft.session.group" -> "admins")) == Seq("eve"))
+    // advisor-pinned membership always wins
+    assert(p.groups("eve@corp", Map(
+      "graft.server.session.groups" -> "data-eng,oncall",
+      "graft.session.group" -> "admins")) == Seq("data-eng", "oncall"))
+    // explicit server opt-in honors the client declaration
+    assert(p.groups("eve@corp", Map(
+      "graft.server.trust.client.groups" -> "true",
+      "graft.session.group" -> "admins")) == Seq("admins"))
+    // and a client cannot smuggle graft.server.* past advisedConf
+    val engine = new Engine(spark)
+    val out = engine.advisedConf("eve",
+      Map("graft.server.session.group" -> "admins",
+        "set:hiveconf:graft.server.trust.client.groups" -> "true",
+        "spark.other" -> "kept"))
+    assert(!out.contains("graft.server.session.group"))
+    assert(!out.contains("set:hiveconf:graft.server.trust.client.groups"))
+    assert(out("spark.other") == "kept")
+  }
+
+  test("in-session SET of the authz identity namespace is denied") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.authz.user", "mallory")
+    val e = intercept[Exception] {
+      s.sql("SET spark.graft.authz.groups=admins").collect()
+    }
+    def rootChain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: rootChain(t.getCause)
+    assert(rootChain(e).exists(_.isInstanceOf[SecurityException]),
+      s"expected SecurityException, got $e")
+    // plain confs still settable
+    s.sql("SET spark.graft.other=ok").collect()
   }
 
   test("initialize SQL runs once per engine scope and per session") {

@@ -142,8 +142,10 @@ class AuthzSpec extends AnyFunSuite {
           MaskType.Custom("concat(substring(name, 1, 1), '***')"))))
 
       val engine = new Engine(spark, groupProvider = new ConfGroupProvider)
+      // graft.server.* = advisor-pinned (client-supplied copies are
+      // stripped by Engine.advisedConf; see PluginSpec)
       def open(user: String, group: String) =
-        engine.openSession(user, Map("graft.session.group" -> group))
+        engine.openSession(user, Map("graft.server.session.group" -> group))
 
       // analyst: group row filter + group mask
       val analystRows = open("ann", "analysts").spark
@@ -168,6 +170,61 @@ class AuthzSpec extends AnyFunSuite {
         try { open("zed", "strangers").spark.sql("SELECT 1 FROM graft_authz_t").collect(); false }
         catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
       assert(unknown, "no matching allow item once policies exist")
+    }
+  }
+
+  test("column-level privileges: only referenced denied columns fail; star covered") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      // table-wide allow, plus a column-scoped deny on `name`
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("*")))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        denied = Set("curious"), columns = Set("name"), priority = 1))
+      val engine = new Engine(spark)
+      val sess = engine.openSession("curious")
+
+      // columns outside the deny scope stay readable
+      assert(sess.spark.sql("SELECT id, region FROM graft_authz_t ORDER BY id")
+        .collect().length == 4)
+      // selecting the denied column fails at analysis
+      def denied(sql: String): Boolean =
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+      assert(denied("SELECT name FROM graft_authz_t"), "direct select must fail")
+      assert(denied("SELECT * FROM graft_authz_t"), "star expansion must cover the denied column")
+      assert(denied("SELECT count(*) FROM graft_authz_t WHERE name = 'bob'"),
+        "a predicate reference is a reference")
+      assert(denied("SELECT upper(name) AS n FROM graft_authz_t"),
+        "derived expressions count as references")
+
+      // another user without the deny reads everything
+      val open = engine.openSession("observer")
+      assert(open.spark.sql("SELECT name FROM graft_authz_t").collect().length == 4)
+    }
+  }
+
+  test("column-scoped allow grants only its columns; masked-but-allowed stays readable") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      // alice's only allow item is column-scoped: id+name only
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("alice"), columns = Set("id", "name")))
+      AuthzPolicies.setPolicy("alice", AuthzPolicies.Policy(
+        masks = Map(("graft_authz_t", "name") -> MaskType.Custom("'x'"))))
+      val engine = new Engine(spark)
+      val sess = engine.openSession("alice")
+
+      // in-scope columns readable; the masked one comes back masked
+      val rows = sess.spark.sql("SELECT id, name FROM graft_authz_t ORDER BY id").collect()
+      assert(rows.length == 4 && rows.forall(_.getString(1) == "x"),
+        "masked-but-allowed column must stay readable (masked)")
+      // out-of-scope column: no allow item covers it → deny
+      val out =
+        try { sess.spark.sql("SELECT region FROM graft_authz_t").collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+      assert(out, "column outside the allow scope must fail")
+      // and the table itself stays enterable (the column allow grants entry)
+      assert(sess.spark.sql("SELECT count(id) AS n FROM graft_authz_t").head().getLong(0) == 4)
     }
   }
 

@@ -173,6 +173,107 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("engines page lists discovery registrations; links resolve to the drill-down") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      // opening a session materializes a share-scope engine space
+      val (sc, _) = post(c, s"$base/sessions", """{"user": "enguser"}""")
+      assert(sc == 200)
+      // admin JSON surface
+      val (ac, abody) = get(c, s"$base/admin/engines")
+      assert(ac == 200 && abody.contains("user/enguser"), abody)
+      // UI list page renders the space as a link
+      val (lc, lbody) = get(c, s"$root/ui/engines")
+      assert(lc == 200, lbody)
+      assert(lbody.contains("user/enguser"), lbody)
+      val href = {
+        val m = java.util.regex.Pattern
+          .compile("href=\"(/ui/engines/[^\"]+)\"").matcher(lbody)
+        assert(m.find(), s"no engine link in $lbody"); m.group(1)
+      }
+      // the link resolves to a drill-down listing the registration
+      val (dc, dbody) = get(c, root + href)
+      assert(dc == 200, dbody)
+      assert(dbody.contains("registrations") && dbody.contains("enguser"), dbody)
+      // unknown space → 404
+      assert(get(c, s"$root/ui/engines/none/such")._1 == 404)
+    }
+  }
+
+  test("Trino prepared statements: PREPARE/EXECUTE USING/DEALLOCATE round-trip") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val prepSql = "SELECT id * ? AS scaled FROM range(?) WHERE id >= ?"
+
+      // PREPARE → FINISHED control doc + X-Trino-Added-Prepare header
+      val pReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"PREPARE stmt1 FROM $prepSql")).build()
+      val pResp = c.send(pReq, HttpResponse.BodyHandlers.ofString())
+      assert(pResp.statusCode() == 200, pResp.body())
+      assert(pResp.body().contains(""""updateType": "PREPARE""""), pResp.body())
+      val added = pResp.headers().firstValue("X-Trino-Added-Prepare")
+      assert(added.isPresent, "Added-Prepare header missing")
+      val Array(name, enc) = added.get.split("=", 2)
+      assert(name == "stmt1")
+      assert(java.net.URLDecoder.decode(enc, "UTF-8") == prepSql)
+
+      // EXECUTE ... USING binds positionally; the client carries the
+      // prepared statement back in X-Trino-Prepared-Statement
+      val eReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .header("X-Trino-Prepared-Statement", added.get)
+        .POST(HttpRequest.BodyPublishers.ofString("EXECUTE stmt1 USING 10, 5, 3")).build()
+      val eResp = c.send(eReq, HttpResponse.BodyHandlers.ofString())
+      assert(eResp.statusCode() == 200, eResp.body())
+      var doc = eResp.body()
+      var hops = 0
+      while (doc.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(doc)
+        assert(m.find()); Thread.sleep(100)
+        doc = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(doc.contains("\"state\": \"FINISHED\""), doc)
+      assert(doc.contains("\"name\": \"scaled\""), doc)
+      // ids 3,4 scaled by 10
+      assert(doc.contains("[30]") && doc.contains("[40]"), s"bound rows missing: $doc")
+
+      // parameter-count mismatches are client errors
+      val badReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .header("X-Trino-Prepared-Statement", added.get)
+        .POST(HttpRequest.BodyPublishers.ofString("EXECUTE stmt1 USING 1")).build()
+      assert(c.send(badReq, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+      // a string parameter with a quoted '?' is data, not a placeholder
+      val pr2 = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "PREPARE stmt2 FROM SELECT concat(?, '?') AS s")).build()
+      val added2 = c.send(pr2, HttpResponse.BodyHandlers.ofString())
+        .headers().firstValue("X-Trino-Added-Prepare").get
+      val e2 = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .header("X-Trino-Prepared-Statement", added2)
+        .POST(HttpRequest.BodyPublishers.ofString("EXECUTE stmt2 USING 'a,b'")).build()
+      var d2 = c.send(e2, HttpResponse.BodyHandlers.ofString()).body()
+      hops = 0
+      while (d2.contains("nextUri") && hops < 100) {
+        val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(d2)
+        assert(m.find()); Thread.sleep(100)
+        d2 = get(c, root + m.group(1))._2
+        hops += 1
+      }
+      assert(d2.contains("a,b?"), s"quoted placeholder mishandled: $d2")
+
+      // unknown name → 400; DEALLOCATE → Deallocated-Prepare header
+      val uReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString("EXECUTE ghost USING 1")).build()
+      assert(c.send(uReq, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+      val dReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString("DEALLOCATE PREPARE stmt1")).build()
+      val dResp = c.send(dReq, HttpResponse.BodyHandlers.ofString())
+      assert(dResp.statusCode() == 200)
+      assert(dResp.headers().firstValue("X-Trino-Deallocated-Prepare").orElse("") == "stmt1")
+      assert(dResp.body().contains(""""updateType": "DEALLOCATE""""), dResp.body())
+    }
+  }
+
   test("Trino DELETE cancels a running query") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")

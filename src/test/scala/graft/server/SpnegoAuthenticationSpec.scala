@@ -1,0 +1,77 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpnegoAuthenticationSpec extends AnyFunSuite {
+
+  test("canned SPNEGO token round-trips: sname parses back out of the DER") {
+    val tok = SpnegoTokens.cannedToken("HTTP/gateway.example.com", "EXAMPLE.COM")
+    assert(SpnegoTokens.serverPrincipalOf(tok).contains("HTTP/gateway.example.com"))
+    // multi-part principals join on '/'
+    val tok2 = SpnegoTokens.cannedToken("ldap/dir.example.com", "EXAMPLE.COM")
+    assert(SpnegoTokens.serverPrincipalOf(tok2).contains("ldap/dir.example.com"))
+  }
+
+  test("opaque payload rides the ticket enc-part slot") {
+    val payload = "alice@EXAMPLE.COM".getBytes(StandardCharsets.UTF_8)
+    val tok = SpnegoTokens.cannedToken("HTTP/gw", "EXAMPLE.COM", payload)
+    assert(SpnegoTokens.opaqueOf(tok).map(new String(_, StandardCharsets.UTF_8))
+      .contains("alice@EXAMPLE.COM"))
+  }
+
+  test("malformed and foreign tokens are rejected before acceptance") {
+    assert(SpnegoTokens.serverPrincipalOf(Array[Byte](1, 2, 3)).isEmpty)
+    assert(SpnegoTokens.serverPrincipalOf(Array.emptyByteArray).isEmpty)
+    // valid DER, but truncated mid-structure
+    val tok = SpnegoTokens.cannedToken("HTTP/gw", "EXAMPLE.COM")
+    assert(SpnegoTokens.serverPrincipalOf(tok.dropRight(10)).isEmpty)
+
+    val auth = new SpnegoAuthenticator(
+      validator = _ => Right(("anyone", None)), expectedService = "HTTP")
+    // a ticket for someone else's service never reaches the validator
+    val foreign = SpnegoTokens.cannedToken("ldap/dir", "EXAMPLE.COM")
+    val res = auth.authenticate("Negotiate " + Base64.getEncoder.encodeToString(foreign))
+    assert(res.left.exists(_.contains("foreign service principal")), res)
+    // missing / non-Negotiate / bad-base64 headers are challenges, not errors
+    assert(auth.authenticate(null).isLeft)
+    assert(auth.authenticate("Basic dXNlcjpwdw==").isLeft)
+    assert(auth.authenticate("Negotiate !!!not-base64!!!").isLeft)
+  }
+
+  test("SpnegoAuthenticator accepts a valid token through the validator seam") {
+    // stand-in for GSS acceptance: read the client identity from the
+    // slot real acceptance decrypts
+    val validator: GssTokenValidator = tok =>
+      SpnegoTokens.opaqueOf(tok)
+        .map(b => new String(b, StandardCharsets.UTF_8).takeWhile(_ != '@'))
+        .toRight("no identity").map(u => (u, Some("server-resp".getBytes)))
+    val auth = new SpnegoAuthenticator(validator)
+    val tok = SpnegoTokens.cannedToken("HTTP/gateway", "EXAMPLE.COM",
+      "bob@EXAMPLE.COM".getBytes(StandardCharsets.UTF_8))
+    val res = auth.authenticate("Negotiate " + Base64.getEncoder.encodeToString(tok))
+    assert(res.exists { case (u, r) =>
+      u == "bob" && r.exists(_.sameElements("server-resp".getBytes))
+    }, res)
+  }
+
+  test("JGSS validator constructs (keytab plumbing) — acceptance needs a KDC, documented skip") {
+    // No KDC in this sandbox: construction validates the principal
+    // shape and keytab wiring; acceptSecContext cannot be driven.
+    val kt = java.nio.file.Files.createTempFile("spnego", ".keytab")
+    try {
+      intercept[IllegalArgumentException] {
+        new JgssTokenValidator(kt.toString, "notHttp/gw") // must start with HTTP/
+      }
+      // realm-qualified principal: without a krb5.conf there is no
+      // default realm for KerberosPrincipal to infer
+      val v = new JgssTokenValidator(kt.toString, "HTTP/gateway.example.com@EXAMPLE.COM")
+      // an empty keytab + no KDC: acceptance must fail CLEANLY (Left),
+      // never throw through the seam
+      val tok = SpnegoTokens.cannedToken("HTTP/gateway.example.com", "EXAMPLE.COM")
+      assert(v.validate(tok).isLeft)
+    } finally java.nio.file.Files.deleteIfExists(kt)
+  }
+}

@@ -116,6 +116,72 @@ class ThriftHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     "Authorization" -> ("Basic " + java.util.Base64.getEncoder
       .encodeToString(s"$u:$p".getBytes("UTF-8"))))
 
+  test("SPNEGO Negotiate handshake: challenge, canned-token accept, identity installed") {
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TIOStreamTransport
+
+    // stand-in for GSS acceptance: identity rides the canned token's
+    // enc-part slot (what real acceptance decrypts); DER framing,
+    // service-principal precheck and the HTTP handshake are all real
+    val validator: GssTokenValidator = tok =>
+      SpnegoTokens.opaqueOf(tok)
+        .map(b => new String(b, "UTF-8").takeWhile(_ != '@'))
+        .toRight("no identity").map(u => (u, Some("mutual-resp".getBytes("UTF-8"))))
+    val h = new ThriftHttpFrontend(binary,
+      negotiate = Some(new SpnegoAuthenticator(validator))).start()
+    try {
+      // a real OpenSession call frame, serialized with the thrift client
+      val frame = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val client = new TCLIService.Client(
+          new TBinaryProtocol(new TIOStreamTransport(buf)))
+        client.send_OpenSession(new TOpenSessionReq())
+        buf.toByteArray
+      }
+      def exchange(headers: Map[String, String]): (Int, Option[String], Array[Byte]) = {
+        val c = new java.net.URL(s"http://localhost:${h.boundPort}/cliservice")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+        val os = c.getOutputStream; os.write(frame); os.close()
+        val code = c.getResponseCode
+        val www = Option(c.getHeaderField("WWW-Authenticate"))
+        val body =
+          if (code == 200) c.getInputStream.readAllBytes() else Array.emptyByteArray
+        c.disconnect()
+        (code, www, body)
+      }
+      // no token → 401 with a Negotiate challenge (not Basic)
+      val (c1, www1, _) = exchange(Map.empty)
+      assert(c1 == 401 && www1.contains("Negotiate"), s"$c1 $www1")
+      // foreign-service token → still 401
+      val foreign = SpnegoTokens.cannedToken("ldap/dir", "EXAMPLE.COM",
+        "eve@EXAMPLE.COM".getBytes("UTF-8"))
+      val (c2, _, _) = exchange(Map("Authorization" ->
+        ("Negotiate " + java.util.Base64.getEncoder.encodeToString(foreign))))
+      assert(c2 == 401)
+      // valid token → 200, mutual-auth token on the response, and the
+      // OpenSession reply carries a live session owned by the SPNEGO identity
+      val tok = SpnegoTokens.cannedToken("HTTP/gateway", "EXAMPLE.COM",
+        "spnego_bob@EXAMPLE.COM".getBytes("UTF-8"))
+      val (c3, www3, body3) = exchange(Map("Authorization" ->
+        ("Negotiate " + java.util.Base64.getEncoder.encodeToString(tok))))
+      assert(c3 == 200, s"expected 200, got $c3")
+      assert(www3.exists(_.startsWith("Negotiate ")), s"mutual token missing: $www3")
+      val respClient = new TCLIService.Client(new TBinaryProtocol(
+        new TIOStreamTransport(new java.io.ByteArrayInputStream(body3),
+          new java.io.ByteArrayOutputStream())))
+      // advance the client's seqid to match the request that produced
+      // this response (thrift clients pair send/recv on one instance)
+      respClient.send_OpenSession(new TOpenSessionReq())
+      val resp = respClient.recv_OpenSession()
+      assert(resp.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS, resp)
+      assert(engine.openSessions.exists(_.user == "spnego_bob"),
+        s"users: ${engine.openSessions.map(_.user)}")
+    } finally h.stop()
+  }
+
   test("provider outage is 500, not 401 — infra incidents don't read as wrong passwords") {
     val flaky = new AuthenticationProvider {
       override def authenticate(user: String, password: String): String =

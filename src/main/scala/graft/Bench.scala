@@ -289,11 +289,45 @@ object Bench {
         timedN("z02_scan_zordered", iters, careful = true)(scan("zordered")))
     }
 
+    // Winnow pair-join cap comparable: an adversarial corpus where
+    // every doc shares a boilerplate run (so its winnowed fps have
+    // df = N) plus a unique tail. The df-capped join prunes the
+    // boilerplate posting lists BEFORE the self-join; the uncapped
+    // join pays the O(N²) pair blowup those lists imply — the
+    // before/after pair for the r9 16-bit-key scale defect, same
+    // role as the z-order skipping comparable. Corpus generation is
+    // untimed setup.
+    val winnowCap = {
+      import org.apache.spark.sql.functions._
+      val boiler = "the quick brown fox jumps over the lazy dog again and again today"
+      val wdir = "target/bench_winnow"
+      // 8000 docs sharing the run: the uncapped join's pair space is
+      // ~N²/2 per shared fp (32M pairs × ~6 boilerplate fps), the
+      // capped join's is zero for those fps — N chosen so the gap is
+      // unambiguous (≥5×) at local[32] without dominating the bench
+      spark.range(8000).select(col("id").as("doc_id"),
+          concat(lit("d"), col("id").cast("string"), lit(" " + boiler + " "),
+            concat_ws(" ",
+              substring(md5(concat(lit("a"), col("id").cast("string"))), 1, 8),
+              substring(md5(concat(lit("b"), col("id").cast("string"))), 1, 8),
+              substring(md5(concat(lit("c"), col("id").cast("string"))), 1, 8),
+              substring(md5(concat(lit("d"), col("id").cast("string"))), 1, 8))).as("text"))
+        .write.mode("overwrite").parquet(wdir)
+      val adv = spark.read.parquet(wdir)
+      def run(cap: Int): Unit = {
+        graft.operators.Dedup.winnowCandidatePairs(
+          adv, "doc_id", "text", minShared = 1, maxFpDf = cap).foreach(_ => ())
+        graft.operators.SketchRegistry.releaseAll()
+      }
+      Seq(timedN("w01_winnow_pairs_capped", iters, careful = true)(run(100)),
+        timedN("w02_winnow_pairs_uncapped", iters, careful = true)(run(Int.MaxValue)))
+    }
+
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
-    val results = suite ++ tpch ++ tpcds ++ corpus ++ zorder
+    val results = suite ++ tpch ++ tpcds ++ corpus ++ zorder ++ winnowCap
     // Group totals and per-query numbers are MIN over iterations — one
     // contended run can no longer poison the artifact; avg + raw runs
     // are preserved in bench_full.json for honesty about spread.
@@ -324,7 +358,8 @@ object Bench {
       .map(q => s"tpcds_${tpcdsNs}_$q")
     val flagship = Seq("d08_minhash_pairs", "d10_jaccard_pairs",
       "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
-      "z01_scan_linear", "z02_scan_zordered")
+      "z01_scan_linear", "z02_scan_zordered",
+      "w01_winnow_pairs_capped", "w02_winnow_pairs_uncapped")
     val keep = (headline ++ flagship).toSet
     // Co-tenancy tattletale: local[32] saturates ~32 cores itself; a
     // load average well past the core count means another JVM was
@@ -349,7 +384,8 @@ object Bench {
       "tpch_sec" -> tpch.map(_.min).sum,
       "tpcds_sec" -> tpcds.map(_.min).sum,
       "tpcds_corpus_sec" -> corpus.map(_.min).sum,
-      "zorder_sec" -> zorder.map(_.min).sum)
+      "zorder_sec" -> zorder.map(_.min).sum,
+      "winnow_cap_sec" -> winnowCap.map(_.min).sum)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$groups,"iterations":$iters,"per_query":"min","load_avg":${r3(math.max(loadStart, loadEnd))},"contended":$contended,"n_queries":${results.size},"n_errors":${errors.size},"queries":$compact,"errors":$errJson,"sf":"$sfDir","tpch_sf":"$tpchNs","zorder_sf":"$zorderNs","tpcds_sf":"$tpcdsNs","tpcds_corpus_sf":"$corpusNs","tpcds_corpus_n":${corpus.size},"full":"target/bench_full.json"}""")
     spark.stop()

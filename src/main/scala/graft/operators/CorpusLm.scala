@@ -133,6 +133,67 @@ object CorpusLm {
       .withColumn("keep", col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
   }
 
+  /** Per-document BIGRAM log-probability under the corpus' own MLE
+    * bigram model — the next modeling step up from [[unigramLogProb]]
+    * (a unigram model cannot see scrambled word order; a bigram model
+    * scores "the quick brown fox" above "fox the brown quick" even
+    * when both draw from the same vocabulary).
+    *
+    * The whole model derives from ONE corpus pass: adjacent token
+    * pairs are generated map-side (slice + zip, no positions
+    * shuffled), the per-(doc, w1, w2) count table is the only
+    * data-sized shuffle (persisted; both the model branch and the
+    * scoring branch fold it), and the bigram/context statistics are
+    * self-consistent aggregates of that table — context count
+    * C(w1) = Σ_w2 C(w1,w2), so no second tokenization pass. The lp
+    * join keys on (w1, w2), the same partitioning the count table
+    * already has.
+    *
+    * lp(w2|w1) = floor(ln(C(w1,w2)/C(w1)) · 1e6) — quantized once,
+    * integer math after (the determinism contract in the object doc).
+    * Gate: mean pair log-prob above `meanLpMicroFloor` micro-nats,
+    * compared exactly (Σlp > floor · n_pairs); docs with < 2 tokens
+    * have no pairs and pass vacuously.
+    *
+    * Returns (idCol, n_pairs, sum_lp_micro, keep) for every doc.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      meanLpMicroFloor: Long = -3450000L): DataFrame = {
+    val t = df.select(col(idCol), toks(col(textCol)).as("__t"))
+    val pairs = t
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__p"))
+      .select(col(idCol), col("__p.0").as("__w1"), col("__p.1").as("__w2"))
+    val perDocPair = SketchRegistry.track(
+      pairs.groupBy(col(idCol), col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__c")).persist())
+    val bigram = perDocPair.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__c")).as("__c12"))
+    val context = bigram.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val lp = bigram.join(context, "__w1")
+      .select(col("__w1"), col("__w2"), lnMicro(col("__c12"), col("__c1")).as("__lp"))
+    val scored = perDocPair
+      .join(lp, Seq("__w1", "__w2"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).cast("long").as("n_pairs"),
+        sum(col("__c") * col("__lp")).cast("long").as("sum_lp_micro"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+      .withColumn("keep",
+        col("n_pairs") === 0L ||
+          col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_pairs"))
+  }
+
   /** The unigram model as a bounded driver-side artifact: micro-nat
     * log-probs for the `maxVocab` most frequent tokens (ties to the
     * lexicographically smaller token), plus the out-of-vocabulary

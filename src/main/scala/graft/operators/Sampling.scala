@@ -45,6 +45,30 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__h", "__rn")
 
+  /** The same selection as [[stratifiedFixedN]] — n lowest-hashed rows
+    * per stratum, ties by id — via MAP-SIDE partial top-k aggregation
+    * ([[TopKAggregator]]) instead of a per-stratum window.
+    *
+    * Why it exists: `row_number() over (partition by stratum)`
+    * shuffles EVERY row of a stratum to one reducer, so one dominant
+    * source (half a 100 TB corpus behind one stratum key) serializes
+    * through a single task. The aggregator keeps ≤2n candidates per
+    * map partition, so the stratum reducer sees O(partitions·n) rows
+    * regardless of stratum size — the skew-safe twin, bit-identical
+    * output (both rank by (hash asc, id asc)).
+    */
+  def stratifiedFixedNAgg(df: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame = {
+    val top = TopKAggregator.udaf(n)
+    df.select(col(stratumCol), col(idCol).cast("long").as("__id"),
+        hashBucket16(col(idCol)).as("__h"))
+      // sim = -hash: the aggregator keeps highest-sim first, ties by
+      // id ascending — exactly (hash asc, id asc)
+      .groupBy(col(stratumCol))
+      .agg(top(col("__id"), -col("__h").cast("double")).as("__top"))
+      .select(col(stratumCol), explode(col("__top")).as("__s"))
+      .select(col("__s.neighbor_id").as(idCol), col(stratumCol))
+  }
+
   /** Temperature-based source mixing: sample `totalN` docs with
     * per-stratum targets ∝ n_s^α — the standard recipe for rebalancing
     * dominant vs rare sources/languages when assembling a multi-domain

@@ -332,6 +332,22 @@ object TextQueries {
           col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("md5_chunk"))
     },
 
+    // --- Bigram LM quality gate: per-doc mean adjacent-pair log-prob
+    //     under the corpus' own MLE bigram model (order-sensitive,
+    //     unlike d37's unigram gate), integer micro-nat exact. ---
+    "d44_bigram_lm_gate" -> { (s, dir) =>
+      graft.operators.CorpusLm.bigramLogProb(
+        Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // --- Stratified sample via map-side top-k aggregation: the
+    //     skew-safe twin of d19 (same (hash, id) selection order, no
+    //     per-stratum window shuffle). ---
+    "d45_stratified_topk_agg" -> { (s, dir) =>
+      Sampling.stratifiedFixedNAgg(Tables(s, dir).documents, "source", "doc_id", 20)
+        .select(col("doc_id"), col("source"))
+    },
+
     // --- Winnowing fingerprint selection (Schleimer et al. 2003):
     //     window-min k-gram fingerprints, rightmost-on-ties — the
     //     guaranteed-detection local fingerprinting that carries
@@ -812,6 +828,36 @@ object TextQueries {
             CAST(len(toks[st+1:st+32]) AS INT) AS n_chunk_tokens,
             md5(array_to_string(toks[st+1:st+32], ' ')) AS md5_chunk
           FROM c""",
+    // Mirror of d44: MLE bigram model from adjacent whitespace-token
+    // pairs; context count C(w1) = sum over w2 of C(w1,w2); micro-nat
+    // floor quantization then exact integer gate.
+    "d44_bigram_lm_gate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks))) AS i
+                      FROM t WHERE len(toks) >= 2)),
+          pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM p GROUP BY 1, 2, 3),
+          bg AS (SELECT w1, w2, sum(c) AS c12 FROM pd GROUP BY 1, 2),
+          ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1),
+          lp AS (SELECT bg.w1, bg.w2,
+                   CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+                 FROM bg JOIN ctx USING (w1)),
+          sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pairs,
+                   CAST(sum(c * lp) AS BIGINT) AS sum_lp_micro
+                 FROM pd JOIN lp USING (w1, w2) GROUP BY 1)
+          SELECT d.doc_id,
+            coalesce(n_pairs, 0) AS n_pairs,
+            coalesce(sum_lp_micro, 0) AS sum_lp_micro,
+            (coalesce(n_pairs, 0) = 0 OR sum_lp_micro > -3450000 * n_pairs) AS keep
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN sc USING (doc_id)""",
+    // Mirror of d45 == d19's selection (the Spark plans differ — agg
+    // top-k vs window — the selected set must not).
+    "d45_stratified_topk_agg" ->
+      s"""SELECT doc_id, source FROM (
+            SELECT doc_id, source, $duckHash16 AS hv FROM documents)
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 20""",
     // Mirror of d42: identical 32-bit md5-prefix gram hashes, window
     // minima with the rightmost-on-ties position rule.
     "d42_winnow_fp" ->

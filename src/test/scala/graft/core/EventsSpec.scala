@@ -87,10 +87,14 @@ class EventsSpec extends AnyFunSuite {
       val op = sess.executeStatement(
         "SELECT a AS x, a + b AS y FROM graft_lineage_t")
       op.awaitTermination()
-      // QueryExecutionListener callbacks ride the async listener bus
+      // QueryExecutionListener callbacks ride the async listener bus;
+      // other suites' queries post lineage too — match OUR statement's
+      // shape (an "x" column sourced from graft_lineage_t), not just
+      // any event with an "x"
       val deadline = System.currentTimeMillis() + 10000
       def found: Option[Events.LineageEvent] =
-        seen.asScala.find(_.columns.contains("x"))
+        seen.asScala.find(le => le.columns.get("x")
+          .exists(_.exists(_.contains("graft_lineage_t"))))
       while (found.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       val le = found.getOrElse(fail(s"no lineage event; got ${seen.asScala.toList}"))

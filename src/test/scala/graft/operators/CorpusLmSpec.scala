@@ -80,4 +80,37 @@ class CorpusLmSpec extends AnyFunSuite {
     assert(nTok == 2L && sum4 == 2 * lp(1) && !keep4)
     assert(out(0L)._3, "common-token doc should clear the gate")
   }
+
+  test("bigram log-prob: MLE from adjacent pairs, order-sensitive, exact gate") {
+    val corpus = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "sat the the"),
+      (3L, "solo")) // single token: no pairs, vacuous keep
+      .toDF("doc_id", "text")
+    def f(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1000000.0).toLong
+    // bigrams: (the,cat):2 (cat,sat):1 (cat,ran):1 (sat,the):1 (the,the):1
+    // contexts: the:3  cat:2  sat:1
+    val out = CorpusLm.bigramLogProb(corpus, "doc_id", "text",
+        meanLpMicroFloor = -600000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val a = f(2, 3) + f(1, 2) // doc 0: lp(cat|the)+lp(sat|cat)
+    val b = f(2, 3) + f(1, 2) // doc 1: lp(cat|the)+lp(ran|cat)
+    val c = f(1, 1) + f(1, 3) // doc 2: lp(the|sat)+lp(the|the)
+    assert(out(0L) == ((2L, a, a > -600000L * 2)), out(0L))
+    assert(out(1L) == ((2L, b, b > -600000L * 2)), out(1L))
+    assert(out(2L) == ((2L, c, c > -600000L * 2)), out(2L))
+    assert(out(3L) == ((0L, 0L, true)), "pairless doc passes vacuously")
+    // order sensitivity: same tokens, scrambled order → unseen-context
+    // pairs get different (here: lower) probability than the fluent doc
+    val scrambled = Seq((0L, "the cat sat"), (1L, "the cat sat"),
+      (2L, "sat cat the")).toDF("doc_id", "text")
+    val so = CorpusLm.bigramLogProb(scrambled, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(so(2L) < so(0L),
+      s"scrambled word order must score below the fluent majority: $so")
+  }
 }

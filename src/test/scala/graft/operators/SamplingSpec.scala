@@ -39,6 +39,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == 3)
   }
 
+  test("agg-based stratified sample is bit-identical to the window variant, window-free plan") {
+    val longIds = (1L to 2000L).map(i => (i, if (i % 4 == 0) "book" else "web"))
+      .toDF("doc_id", "source")
+    val viaWindow = Sampling.stratifiedFixedN(longIds, "source", "doc_id", 25)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaAgg = Sampling.stratifiedFixedNAgg(longIds, "source", "doc_id", 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaAgg == viaWindow, "both variants must select the same (hash, id) order")
+    assert(viaAgg.count(_._2 == "web") == 25 && viaAgg.count(_._2 == "book") == 25)
+    // the point of the variant: no per-stratum window in the plan —
+    // partial aggregation bounds what one dominant stratum can shuffle
+    val plan = Sampling.stratifiedFixedNAgg(longIds, "source", "doc_id", 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg variant must not plan a window:\n${plan.take(600)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "expected aggregate-based top-k")
+  }
+
   test("temperature mix allocates ~sqrt-proportional targets, integer-exact and deterministic") {
     // 900 "web" vs 100 "book": plain proportional would give 90/10; at
     // alpha=0.5 the weights are sqrt(900)=30 vs sqrt(100)=10 -> 75/25.

@@ -96,6 +96,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "bucket scores must broadcast")
   }
 
+  test("d39: BM25 top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(TextQueries.queries("d39_bm25_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BM25 ranking must be top-k (per-partition heads + driver merge), not a full Sort:\n${plan.take(800)}")
+    // a global Sort of the scored corpus is the single-reducer shape
+    // top-k exists to avoid; Sorts inside joins/aggregates are fine,
+    // but the ranking itself must not be Sort+(Global)Limit
+    assert(!plan.contains("GlobalLimit"),
+      s"ranking must not be Sort+GlobalLimit:\n${plan.take(800)}")
+  }
+
   test("d38: source-overlap pair join is equi on the gram key, no nested-loop join") {
     val plan = planOf(TextQueries.queries("d38_source_overlap")(spark, dir))
     assert(plan.contains("InMemoryTableScan"),

@@ -194,6 +194,46 @@ object CorpusLm {
           col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_pairs"))
   }
 
+  /** The bigram model as a bounded driver-side artifact: micro-nat
+    * log-probs for the `maxVocab` most frequent adjacent-pair bigrams
+    * (ties to the lexicographically smaller pair), keyed "w1 w2",
+    * plus the out-of-vocabulary pair log-prob (one unseen pseudo-count
+    * over the corpus pair total). Same contract as [[unigramModel]]:
+    * the collect is index-artifact-sized — real LM vocabularies are
+    * bounded — and the artifact is the train-offline half of
+    * [[graft.streaming.Streams.bigramGateStream]].
+    */
+  def bigramModel(df: DataFrame, textCol: String,
+      maxVocab: Int = 65536): (Map[String, Long], Long) = {
+    val t = df.select(toks(col(textCol)).as("__t"))
+    val pairs = t
+      .filter(size(col("__t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__p"))
+      .select(col("__p.0").as("__w1"), col("__p.1").as("__w2"))
+    val bigram = pairs.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val cached = bigram.persist()
+    try {
+      val totalPairs = cached.agg(sum(col("__c12"))).head.getLong(0)
+      val context = cached.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+      val top = cached.join(context, "__w1")
+        .orderBy(col("__c12").desc, col("__w1").asc, col("__w2").asc)
+        .limit(maxVocab)
+        .collect()
+        .map { r =>
+          s"${r.getString(0)} ${r.getString(1)}" ->
+            math.floor(math.log(
+              r.getLong(2).toDouble / r.getLong(3).toDouble) * 1000000.0).toLong
+        }
+        .toMap
+      val oov = math.floor(
+        math.log(1.0 / (totalPairs.toDouble + 1.0)) * 1000000.0).toLong
+      (top, oov)
+    } finally cached.unpersist()
+  }
+
   /** The unigram model as a bounded driver-side artifact: micro-nat
     * log-probs for the `maxVocab` most frequent tokens (ties to the
     * lexicographically smaller token), plus the out-of-vocabulary

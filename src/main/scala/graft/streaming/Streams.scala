@@ -253,6 +253,38 @@ object Streams {
       .filter(col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
   }
 
+  /** Streaming BIGRAM quality gate — the online twin of the batch d44
+    * bigram gate, same train-offline/score-online split as
+    * [[lmGateStream]]: the bounded bigram model
+    * (graft.operators.CorpusLm.bigramModel, keys "w1 w2") rides the
+    * plan as a literal map; scoring folds each doc's adjacent pairs
+    * map-side — no state, no watermark, no shuffle. Docs with fewer
+    * than two tokens have no pairs and pass vacuously, mirroring the
+    * batch gate exactly; pairs outside the model's vocabulary score
+    * `oovLpMicro` (on a corpus whose bigrams all fit the vocab, the
+    * streamed decisions equal the batch twin bit-for-bit — pinned in
+    * StreamsSpec).
+    */
+  def bigramGateStream(docs: DataFrame, textCol: String,
+      model: Map[String, Long], oovLpMicro: Long,
+      meanLpMicroFloor: Long): DataFrame = {
+    val lpMap = typedLit(model)
+    val t = split(trim(col(textCol)), " +")
+    val pairs = arrays_zip(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1))
+    val sumLp = when(size(t) < 2, lit(0L)).otherwise(
+      aggregate(pairs, lit(0L), (acc, p) =>
+        acc + coalesce(
+          element_at(lpMap, concat_ws(" ", p.getField("0"), p.getField("1"))),
+          lit(oovLpMicro))))
+    docs
+      .withColumn("n_pairs", greatest(size(t) - 1, lit(0)).cast("long"))
+      .withColumn("sum_lp_micro", sumLp)
+      .filter(col("n_pairs") === 0L ||
+        col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_pairs"))
+  }
+
   /** Online ANN serving: a stream of query vectors probed against a
     * PERSISTED IVF-PQ index (graft.operators.IvfPqIndex.openIndex) —
     * the retrieval-serving shape where the index is built offline and

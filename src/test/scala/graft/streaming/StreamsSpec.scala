@@ -240,6 +240,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(!streamedKeep.contains(9L), "all-OOV doc must fail the gate")
   }
 
+  test("streaming bigram gate matches the batch d44 gate under the same model") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusLm
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val corpus = Seq(
+      StreamDoc(1, ts(1), "the cat sat on the mat"),
+      StreamDoc(2, ts(2), "the cat sat on the rug"),
+      StreamDoc(3, ts(3), "rug the on sat cat the"), // scrambled → rare pairs
+      StreamDoc(4, ts(4), "solo")) // no pairs → vacuous keep
+    val corpusDf = corpus.toDF()
+    val floor = -1200000L
+
+    // model trained offline on the batch corpus; small vocab → every
+    // corpus bigram is in-model, so streaming == batch exactly
+    val (model, oov) = CorpusLm.bigramModel(corpusDf, "text")
+
+    val batch = CorpusLm.bigramLogProb(corpusDf, "doc_id", "text", floor)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val batchKeep = batch.filter(_._2._2).keySet
+
+    val ms = MemoryStream[StreamDoc]
+    val out = Streams.bigramGateStream(ms.toDF(), "text", model, oov, floor)
+    val q = out.writeStream.format("memory").queryName("graft_bigram")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        // plus one doc whose pairs are all OOV — must gate on oov lp
+        ms.addData(corpus :+ StreamDoc(9, ts(9), "qqq zzz yyy"): _*)
+        q.processAllAvailable()
+        spark.table("graft_bigram")
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            r.getAs[Long]("sum_lp_micro")).toMap
+      } finally q.stop()
+
+    assert(streamed.keySet.intersect(corpus.map(_.doc_id.toLong).toSet) == batchKeep,
+      s"streamed ${streamed.keySet} vs batch $batchKeep")
+    // scores, not just decisions, match the batch twin
+    batchKeep.foreach(id =>
+      assert(streamed(id) == batch(id)._1, s"doc $id score mismatch"))
+    assert(!streamed.contains(9L), "all-OOV doc must fail the gate")
+  }
+
   test("streaming funnel state machine matches the batch q32 funnel counts") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams.{FunnelAdvance, TypedEvent}

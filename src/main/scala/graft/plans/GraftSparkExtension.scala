@@ -107,5 +107,10 @@ object GraftSparkExtension {
     },
     fn("graft_nfc", "graft_nfc(text) - Unicode NFC canonical composition") {
       args => nfcNormalize(c(args.head))
+    },
+    fn("graft_winnow",
+      "graft_winnow(hashes, window) - winnowing selection: each window's min hash (rightmost on ties), packed pos*2^32+fp") {
+      args => org.apache.spark.sql.graft.WinnowExpr.of(
+        c(args.head), litInt(args(1), "graft_winnow", "window"))
     })
 }

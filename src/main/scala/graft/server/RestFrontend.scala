@@ -146,6 +146,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)
+        case "sql" :: Nil =>
+          val bytes = RestFrontend.SqlLabPage.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
         case "engines" :: Nil =>
           // space names contain '/' (user/alice, group/data-eng) —
           // they pass through as extra path segments, rejoined below
@@ -800,6 +805,81 @@ object RestFrontend {
     * admin endpoints, refreshed every 5 s. No framework, no build step,
     * nothing to vendor — the page is the API's data, rendered.
     */
+  /** SQL lab — the reference web-ui's editor page (kyuubi-server/
+    * web-ui "Editor"): a statement box driving the REST statement
+    * lifecycle from the browser (open session once, submit, poll,
+    * page results). Pure fetch() against /api/v1, zero dependencies.
+    */
+  private[server] val SqlLabPage: String =
+    """<!DOCTYPE html>
+      |<html lang="en"><head><meta charset="utf-8"><title>graft sql lab</title>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; margin: 1.5rem; color: #1a1a1a; }
+      |  h1 { font-size: 1.2rem; }
+      |  textarea { width: 100%; height: 7rem; font-family: monospace; font-size: .9rem; }
+      |  button { margin: .5rem 0; padding: .35rem 1.2rem; }
+      |  table { border-collapse: collapse; margin-top: 1rem; }
+      |  th, td { border: 1px solid #ccc; padding: .3rem .6rem; font-size: .85rem; text-align: left; }
+      |  th { background: #f2f2f2; }
+      |  #status { font-family: monospace; font-size: .85rem; margin-left: 1rem; }
+      |  #status.err { color: #c22; }
+      |</style></head><body><p><a href="/ui">&larr; overview</a></p>
+      |<h1>SQL lab</h1>
+      |<textarea id="sql">SELECT id, id * id AS sq FROM range(10)</textarea><br>
+      |<button id="run">Run</button><span id="status"></span>
+      |<table id="result"></table>
+      |<script>
+      |let sid = null;
+      |async function session() {
+      |  if (sid) return sid;
+      |  const r = await (await fetch('/api/v1/sessions', {method: 'POST',
+      |    body: JSON.stringify({user: 'sql-lab'})})).json();
+      |  sid = r.sessionId;
+      |  return sid;
+      |}
+      |function setStatus(msg, err) {
+      |  const el = document.getElementById('status');
+      |  el.textContent = msg; el.className = err ? 'err' : '';
+      |}
+      |async function run() {
+      |  const sql = document.getElementById('sql').value;
+      |  const t = document.getElementById('result');
+      |  t.innerHTML = '';
+      |  try {
+      |    const s = await session();
+      |    const sub = await (await fetch('/api/v1/sessions/' + s + '/statements',
+      |      {method: 'POST', body: JSON.stringify({sql: sql})})).json();
+      |    const op = sub.operationId;
+      |    let state = sub.state;
+      |    while (!['FINISHED', 'ERROR', 'CANCELED', 'TIMEOUT', 'CLOSED'].includes(state)) {
+      |      setStatus(state);
+      |      await new Promise(res => setTimeout(res, 250));
+      |      const st = await (await fetch('/api/v1/sessions/' + s + '/statements/' + op)).json();
+      |      state = st.state;
+      |      if (state === 'ERROR') { setStatus('ERROR: ' + (st.error || ''), true); return; }
+      |    }
+      |    if (state !== 'FINISHED') { setStatus(state, true); return; }
+      |    const res = await (await fetch('/api/v1/sessions/' + s + '/statements/' + op
+      |      + '/result?maxRows=200')).json();
+      |    const rows = res.rows || [];
+      |    setStatus('FINISHED - ' + rows.length + ' rows');
+      |    if (!rows.length) return;
+      |    const cols = Object.keys(rows[0]);
+      |    const hr = document.createElement('tr');
+      |    cols.forEach(c => { const th = document.createElement('th'); th.textContent = c; hr.appendChild(th); });
+      |    t.appendChild(hr);
+      |    rows.forEach(r => {
+      |      const tr = document.createElement('tr');
+      |      cols.forEach(c => { const td = document.createElement('td');
+      |        td.textContent = r[c] === undefined ? '' : JSON.stringify(r[c]).replace(/^"|"$/g, ''); tr.appendChild(td); });
+      |      t.appendChild(tr);
+      |    });
+      |  } catch (e) { setStatus(String(e), true); }
+      |}
+      |document.getElementById('run').addEventListener('click', run);
+      |</script></body></html>
+      |""".stripMargin
+
   private[server] val UiPage: String =
     """<!DOCTYPE html>
       |<html lang="en"><head><meta charset="utf-8"><title>graft admin</title>
@@ -813,6 +893,7 @@ object RestFrontend {
       |  #metrics { font-family: monospace; white-space: pre; font-size: .85rem; }
       |</style></head><body>
       |<h1>graft gateway</h1>
+      |<p><a href="/ui/sql">SQL lab</a> &middot; <a href="/ui/engines">engines</a></p>
       |<h2>Engines</h2><table id="engines"></table>
       |<h2>Sessions</h2><table id="sessions"></table>
       |<h2>Operations</h2><table id="operations"></table>

@@ -89,6 +89,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(evaled == composed)
   }
 
+  test("winnow kernel answers over SQL, matches the Scala kernel") {
+    import spark.implicits._
+    Seq((1L, Seq(7L, 3L, 9L, 3L, 5L))).toDF("id", "hs")
+      .createOrReplaceTempView("sqlfn_winnow")
+    val got = spark.sql("SELECT graft_winnow(hs, 3) AS w FROM sqlfn_winnow")
+      .collect().head.getSeq[Long](0)
+    val expected = org.apache.spark.sql.graft.WinnowExpr
+      .winnow(Array(7L, 3L, 9L, 3L, 5L), 3).toSeq
+    assert(got == expected, s"$got vs $expected")
+    // unpack contract: pos*2^32 + fp
+    assert(got.forall(e => (e >>> 32) < 5 && (e & 0xFFFFFFFFL) <= 9L))
+  }
+
   test("structure arguments must be literal integers") {
     import spark.implicits._
     Seq((1, "a b c")).toDF("n", "text").createOrReplaceTempView("sqlfn_bad")

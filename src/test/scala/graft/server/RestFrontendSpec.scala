@@ -173,6 +173,35 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL lab page serves and drives the same statement lifecycle it scripts") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val (pc, page) = get(c, s"$root/ui/sql")
+      assert(pc == 200)
+      // the page scripts exactly the REST statement lifecycle — walk
+      // the same calls it makes and prove they compose
+      for (path <- Seq("/api/v1/sessions", "/statements", "/result?maxRows="))
+        assert(page.contains(path), s"page must call $path")
+      assert(get(c, s"$root/ui")._2.contains("/ui/sql"), "overview must link the lab")
+      val (sc, sbody) = post(c, s"$base/sessions", """{"user": "sql-lab"}""")
+      assert(sc == 200)
+      val sid = extract(sbody, "sessionId")
+      val (qc, qbody) = post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT id, id * id AS sq FROM range(3)"}""")
+      assert(qc == 200)
+      val opId = extract(qbody, "operationId")
+      var state = ""
+      var tries = 0
+      while (state != "FINISHED" && tries < 100) {
+        Thread.sleep(100)
+        state = extract(get(c, s"$base/sessions/$sid/statements/$opId")._2, "state")
+        tries += 1
+      }
+      val (rc, rbody) = get(c, s"$base/sessions/$sid/statements/$opId/result?maxRows=200")
+      assert(rc == 200 && rbody.contains("\"sq\":4"), rbody)
+    }
+  }
+
   test("engines page lists discovery registrations; links resolve to the drill-down") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")

@@ -76,7 +76,7 @@ object MetadataOps {
         spark.catalog.listTables(spark.catalog.currentDatabase, "__graft_no_match__").toDF()
       case head +: tail => tail.foldLeft(head)(_ unionAll _)
     }
-    all.select(
+    val layout = all.select(
       col("catalog").as("TABLE_CAT"),
       // JDBC layout wants the plain dotted schema name, not the
       // array-cast rendering "[db]"
@@ -84,6 +84,22 @@ object MetadataOps {
       col("name").as("TABLE_NAME"),
       col("tableType").as("TABLE_TYPE"),
       col("description").as("REMARKS"))
+    // JDBC metadata must not reveal tables the session's user cannot
+    // select (the reference filters SHOW/metadata listings through the
+    // same privilege checks as queries — RuleReplaceShowObjectCommands
+    // for SQL, this for the GetTables op). The denied set is finite
+    // (policies are opt-in per table), one IN-list filter.
+    spark.conf.getOption("spark.graft.authz.user")
+      .filter(_ => graft.plans.AuthzPolicies.hasAccessPolicies) match {
+      case Some(u) =>
+        val groups = spark.conf.getOption("spark.graft.authz.groups")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val denied = graft.plans.AuthzPolicies.deniedTablesFor(u, groups)
+        if (denied.isEmpty) layout
+        else layout.filter(!col("TABLE_NAME").isin(denied.toSeq.sorted: _*))
+      case None => layout
+    }
   }
 
   def getColumns(spark: SparkSession, table: String): DataFrame = {

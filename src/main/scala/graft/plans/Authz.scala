@@ -114,6 +114,12 @@ object AuthzPolicies {
     * which referenced columns are actually readable; a column-scoped
     * DENY never blocks queries that do not touch its columns.
     */
+  /** `privilege` scopes the policy to one access verb — Ranger's
+    * accessType vocabulary ("select", "insert", "drop", ...); a policy
+    * grants/denies only its own verb, and once ANY policy names a
+    * table, a verb with no matching allow item is denied
+    * (no-matching-allow-item semantics per privilege).
+    */
   final case class AccessPolicy(
       table: String,
       allowed: Set[String] = Set.empty,
@@ -123,7 +129,8 @@ object AuthzPolicies {
       allowedGroups: Set[String] = Set.empty,
       deniedGroups: Set[String] = Set.empty,
       denyExceptionGroups: Set[String] = Set.empty,
-      columns: Set[String] = Set.empty)
+      columns: Set[String] = Set.empty,
+      privilege: String = "select")
 
   @volatile private var byUser: Map[String, Policy] = Map.empty
   @volatile private var byGroup: Map[String, Policy] = Map.empty
@@ -161,6 +168,15 @@ object AuthzPolicies {
   def decideAccess(user: String, table: String): Boolean =
     decideAccess(user, Set.empty, table)
 
+  /** Table names the user may NOT select among the policied set —
+    * finite by construction (policies are opt-in per table), so
+    * catalog listings can be filtered with one IN-list instead of a
+    * per-row policy evaluation at execution time.
+    */
+  def deniedTablesFor(user: String, groups: Set[String]): Set[String] =
+    accessPolicies.map(_.table).toSet
+      .filterNot(t => decideAccess(user, groups, t))
+
   /** True when `user` (with `groups`) may read `table` under the
     * registered access policies; tables with no policy stay open (the
     * programmatic store is opt-in; a Ranger deployment would sync a
@@ -186,10 +202,22 @@ object AuthzPolicies {
       table: String, column: String): Boolean =
     decide(user, groups, table, Some(column))
 
+  /** True when `user` may exercise `privilege` ("insert", "drop", …)
+    * on `table` — the write-side verbs of the reference's
+    * PrivilegesBuilder (output privilege objects for
+    * InsertIntoStatement / DropTable / CTAS).
+    */
+  def decidePrivilege(user: String, groups: Set[String],
+      table: String, privilege: String): Boolean =
+    decide(user, groups, table, None, privilege)
+
   private def decide(user: String, groups: Set[String], table: String,
-      column: Option[String]): Boolean = {
-    val all = accessPolicies.filter(_.table == table)
-    if (all.isEmpty) return true
+      column: Option[String], privilege: String = "select"): Boolean = {
+    val all0 = accessPolicies.filter(_.table == table)
+    if (all0.isEmpty) return true
+    // per-verb policy scope: only this privilege's items participate;
+    // a table under any policy default-denies verbs nobody allowed
+    val all = all0.filter(_.privilege == privilege)
     // Column question: only policies whose resource covers the column.
     // Table question: any allow grants entry (a column-scoped allow
     // means the user may touch the table — the per-column checks then
@@ -257,7 +285,21 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => ()
       }
       checkColumnPrivileges(u, groups, plan)
+      checkWritePrivileges(u, groups, plan)
     }
+    // Catalog-listing filtering (reference RuleReplaceShowObjectCommands):
+    // SHOW TABLES must not reveal tables the user cannot select. The
+    // denied set is finite (policies are opt-in per table), so the v2
+    // ShowTables node gets a plain Filter on tableName and the v1
+    // command a filtering wrapper — both cheaper than per-row policy
+    // evaluation at execution time.
+    val planShowFiltered = user match {
+      case Some(u) if AuthzPolicies.hasAccessPolicies =>
+        filterShowObjects(u, groups, plan)
+      case _ => plan
+    }
+    if (!(planShowFiltered eq plan)) return planShowFiltered
+
     val policy = user.flatMap(AuthzPolicies.policyFor(_, groups))
     if (policy.isEmpty) return plan
     val p = policy.get
@@ -342,6 +384,87 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
   private def tableName(rel: LogicalRelation): Option[String] =
     rel.catalogTable.map(_.identifier.table)
 
+  /** SHOW TABLES filtering: v2 `ShowTables` nodes get a
+    * `Filter(tableName NOT IN denied)` wrap (tagged to stay
+    * idempotent across analyzer iterations); the v1
+    * `ShowTablesCommand` (RunnableCommand, executes eagerly — a plan
+    * Filter above it would not apply) is replaced by
+    * [[FilteredShowTablesCommand]]. Temporary views are never
+    * filtered (no table policies can name them meaningfully).
+    */
+  private def filterShowObjects(user: String, groups: Set[String],
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal, Not}
+    lazy val denied = AuthzPolicies.deniedTablesFor(user, groups)
+    plan match {
+      case st if st.nodeName == "ShowTables" && st.resolved &&
+          st.getTagValue(APPLIED).isEmpty =>
+        st.setTagValue(APPLIED, true)
+        if (denied.isEmpty) plan
+        else st.output.find(_.name == "tableName") match {
+          case Some(attr) =>
+            Filter(Not(In(attr,
+              denied.toSeq.sorted.map(Literal(_)))), st)
+          case None => plan
+        }
+      case cmd: org.apache.spark.sql.execution.command.ShowTablesCommand =>
+        if (denied.isEmpty) plan
+        else FilteredShowTablesCommand(cmd, user, groups)
+      case _ => plan
+    }
+  }
+
+  /** Write-side privileges — the reference PrivilegesBuilder's OUTPUT
+    * privilege objects: INSERT INTO / INSERT OVERWRITE (v1 statement
+    * and v2 AppendData/Overwrite nodes) require "insert" on the target
+    * table; DROP TABLE requires "drop". Once any policy names a table,
+    * a verb nobody allowed is denied — so a read-only grant does not
+    * imply write access.
+    */
+  private def checkWritePrivileges(user: String, groups: Set[String],
+      plan: LogicalPlan): Unit = {
+    if (!AuthzPolicies.hasAccessPolicies) return
+    import org.apache.spark.sql.catalyst.plans.logical.{AppendData, DropTable, InsertIntoStatement, OverwriteByExpression, OverwritePartitionsDynamic}
+    def targetName(p: LogicalPlan): Option[String] = p match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(u.multipartIdentifier.last)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        targetName(s.child)
+      case rel: LogicalRelation => tableName(rel)
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+        Some(r.identifier.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(u.multipartIdentifier.last)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        Some(u.nameParts.last)
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+        Some(r.identifier.name)
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        Some(d.table.name().split('.').last)
+      case _ => None
+    }
+    def deny(t: String, verb: String): Unit =
+      throw new SecurityException(
+        s"Permission denied: user [$user] does not have [$verb] privilege on [$t]")
+    def check(target: LogicalPlan, verb: String): Unit =
+      targetName(target).foreach { t =>
+        if (!AuthzPolicies.decidePrivilege(user, groups, t, verb)) deny(t, verb)
+      }
+    plan.foreach {
+      case ins: InsertIntoStatement => check(ins.table, "insert")
+      case a: AppendData => check(a.table, "insert")
+      case o: OverwriteByExpression => check(o.table, "insert")
+      case o: OverwritePartitionsDynamic => check(o.table, "insert")
+      case d: DropTable => check(d.child, "drop")
+      // ResolveSessionCatalog rewrites session-catalog drops to the
+      // v1 command before extension rules run — match both forms
+      case d: org.apache.spark.sql.execution.command.DropTableCommand =>
+        if (!AuthzPolicies.decidePrivilege(user, groups, d.tableName.table, "drop"))
+          deny(d.tableName.table, "drop")
+      case _ => ()
+    }
+  }
+
   /** Column-granular SELECT privilege: every column of every relation
     * that the query actually REFERENCES (the reference's
     * PrivilegesBuilder plan walk — one privilege object per referenced
@@ -391,4 +514,27 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+/** The v1 SHOW TABLES command with denied tables filtered out of its
+  * result rows (reference FilteredShowTablesCommand,
+  * kyuubi-spark-authz/.../rule/rowfilter/RuleReplaceShowObjectCommands.scala:48-64
+  * — same outcome, our policy store instead of the Ranger plugin).
+  * Row layout: (namespace, tableName, isTemporary[, information]).
+  */
+final case class FilteredShowTablesCommand(
+    delegated: org.apache.spark.sql.execution.command.RunnableCommand,
+    user: String,
+    groups: Set[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    delegated.output
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    delegated.run(spark).filter { r =>
+      val table = r.getString(1)
+      val isTemp = r.getBoolean(2)
+      isTemp || AuthzPolicies.decideAccess(user, groups, table)
+    }
 }

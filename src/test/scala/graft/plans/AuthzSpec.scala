@@ -228,6 +228,70 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("write privileges: read grants do not imply insert; drop is its own verb") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("*")))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("writer"), privilege = "insert"))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("owner"), privilege = "drop"))
+      val engine = new Engine(spark)
+
+      def denied(user: String, sql: String): Boolean = {
+        val sess = engine.openSession(user)
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        finally engine.closeSession(sess.id)
+      }
+      // reader: select fine, insert denied (no insert allow item)
+      assert(!denied("reader", "SELECT count(*) FROM graft_authz_t"))
+      assert(denied("reader", "INSERT INTO graft_authz_t VALUES (9, 'x', 'eu')"),
+        "a select grant must not imply insert")
+      // writer: insert passes, lands a row
+      assert(!denied("writer", "INSERT INTO graft_authz_t VALUES (9, 'x', 'eu')"))
+      assert(spark.sql("SELECT count(*) FROM graft_authz_t").head().getLong(0) == 5)
+      // drop is a separate verb: writer denied, owner allowed
+      assert(denied("writer", "DROP TABLE graft_authz_t"))
+      assert(!denied("owner", "DROP TABLE graft_authz_t"))
+      assert(!spark.catalog.tableExists("graft_authz_t"))
+    }
+  }
+
+  test("SHOW TABLES and GetTables hide tables the user cannot select") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      spark.sql("DROP TABLE IF EXISTS graft_open_t")
+      spark.sql("CREATE TABLE graft_open_t (x INT) USING parquet")
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("insider")))
+      val engine = new Engine(spark)
+      try {
+        def shown(user: String): Set[String] = {
+          val sess = engine.openSession(user)
+          try sess.spark.sql("SHOW TABLES").collect()
+            .map(_.getString(1)).toSet
+          finally engine.closeSession(sess.id)
+        }
+        val outsider = shown("outsider")
+        assert(!outsider.contains("graft_authz_t"),
+          s"denied table leaked into SHOW TABLES: $outsider")
+        assert(outsider.contains("graft_open_t"), "unpolicied tables stay visible")
+        val insider = shown("insider")
+        assert(insider.contains("graft_authz_t") && insider.contains("graft_open_t"))
+
+        // JDBC metadata path filters the same way
+        def jdbcTables(user: String): Set[String] = {
+          val sess = engine.openSession(user)
+          try graft.core.MetadataOps.getTables(sess.spark)
+            .collect().map(_.getString(2)).toSet
+          finally engine.closeSession(sess.id)
+        }
+        assert(!jdbcTables("outsider").contains("graft_authz_t"))
+        assert(jdbcTables("insider").contains("graft_authz_t"))
+      } finally spark.sql("DROP TABLE IF EXISTS graft_open_t")
+    }
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

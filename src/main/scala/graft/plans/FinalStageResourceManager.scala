@@ -87,6 +87,37 @@ object FinalStageResourceManager {
     */
   def targetExecutors(targetCores: Int, coresPerExecutor: Int, factor: Double): Int =
     math.max(1, (math.ceil(targetCores.toDouble / math.max(1, coresPerExecutor)) * factor).toInt)
+
+  /** True when the plan's root is a write (v1 command, v2 write, or
+    * the WriteFiles node file writes plan through).
+    */
+  private[plans] def isWrite(plan: SparkPlan): Boolean = plan match {
+    case _: DataWritingCommandExec | _: V2TableWriteExec | _: WriteFilesExec => true
+    case _ => false
+  }
+
+  /** The terminal rebalance stage feeding the write, if it has
+    * materialized (reference FinalRebalanceStageHelper): walk through
+    * the write node and partition-local operators to a materialized
+    * user/rebalance shuffle (ENSURE_REQUIREMENTS exchanges are
+    * planner-internal, not the write's rebalance).
+    */
+  @tailrec
+  private[plans] def findFinalRebalanceStage(plan: SparkPlan): Option[ShuffleQueryStageExec] =
+    plan match {
+      case w: DataWritingCommandExec => findFinalRebalanceStage(w.child)
+      case w: V2TableWriteExec => findFinalRebalanceStage(w.child)
+      case w: WriteFilesExec => findFinalRebalanceStage(w.child)
+      case p: ProjectExec => findFinalRebalanceStage(p.child)
+      case f: FilterExec => findFinalRebalanceStage(f.child)
+      case s: SortExec if !s.global => findFinalRebalanceStage(s.child)
+      case stage: ShuffleQueryStageExec
+          if stage.isMaterialized && stage.mapStats.isDefined &&
+            stage.plan.isInstanceOf[ShuffleExchangeExec] &&
+            stage.plan.asInstanceOf[ShuffleExchangeExec].shuffleOrigin != ENSURE_REQUIREMENTS =>
+        Some(stage)
+      case _ => None
+    }
 }
 
 class FinalStageResourceManager(session: SparkSession,
@@ -136,31 +167,4 @@ class FinalStageResourceManager(session: SparkSession,
     }
   }
 
-  private def isWrite(plan: SparkPlan): Boolean = plan match {
-    case _: DataWritingCommandExec | _: V2TableWriteExec | _: WriteFilesExec => true
-    case _ => false
-  }
-
-  /** The terminal rebalance stage feeding the write, if it has
-    * materialized (reference FinalRebalanceStageHelper): walk through
-    * the write node and partition-local operators to a materialized
-    * user/rebalance shuffle (ENSURE_REQUIREMENTS exchanges are
-    * planner-internal, not the write's rebalance).
-    */
-  @tailrec
-  private def findFinalRebalanceStage(plan: SparkPlan): Option[ShuffleQueryStageExec] =
-    plan match {
-      case w: DataWritingCommandExec => findFinalRebalanceStage(w.child)
-      case w: V2TableWriteExec => findFinalRebalanceStage(w.child)
-      case w: WriteFilesExec => findFinalRebalanceStage(w.child)
-      case p: ProjectExec => findFinalRebalanceStage(p.child)
-      case f: FilterExec => findFinalRebalanceStage(f.child)
-      case s: SortExec if !s.global => findFinalRebalanceStage(s.child)
-      case stage: ShuffleQueryStageExec
-          if stage.isMaterialized && stage.mapStats.isDefined &&
-            stage.plan.isInstanceOf[ShuffleExchangeExec] &&
-            stage.plan.asInstanceOf[ShuffleExchangeExec].shuffleOrigin != ENSURE_REQUIREMENTS =>
-        Some(stage)
-      case _ => None
-    }
 }

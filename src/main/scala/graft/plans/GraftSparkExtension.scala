@@ -37,6 +37,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     ext.injectQueryStagePrepRule(session => new FinalStageConfigIsolation(session))
     ext.injectQueryStagePrepRule(session => new InsertShuffleNodeBeforeJoin(session))
     ext.injectQueryStagePrepRule(session => new FinalStageResourceManager(session))
+    ext.injectQueryStagePrepRule(session => new InjectCustomResourceProfile(session))
     ext.injectRuntimeOptimizerRule(session => RemoveRebalanceShuffle(session))
     sqlFunctions.foreach(ext.injectFunction)
   }

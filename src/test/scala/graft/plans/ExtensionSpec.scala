@@ -178,6 +178,42 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("custom resource profile wraps the final write stage; profile arithmetic checked") {
+    // exec-node resource arithmetic, cluster-free
+    val exec = CustomResourceProfileExec(
+      null, executorCores = 4, executorMemoryMiB = 8192, executorMemoryOverheadMiB = 1024)
+    val prof = exec.buildProfile()
+    val execReqs = prof.executorResources
+    assert(execReqs("cores").amount == 4)
+    assert(execReqs("memory").amount == 8192)
+    assert(execReqs("memoryOverhead").amount == 1024)
+
+    // end-to-end: the wrapper lands above the final rebalance stage of
+    // a write (observed through the injection seam — the wrap happens
+    // inside AQE stage prep), pass-through in local mode (the write
+    // itself must still succeed)
+    spark.conf.set("spark.graft.finalWriteStage.resourceIsolation.enabled", "true")
+    spark.conf.set("spark.graft.finalWriteStage.executorCores", "4")
+    spark.conf.set("spark.graft.finalWriteStage.executorMemory", "8g")
+    InjectCustomResourceProfile.lastInjected = None
+    try {
+      val dir = Files.createTempDirectory("graft_resprof").toString + "/t"
+      spark.range(0, 100000, 1, 8)
+        .select(col("id"), (col("id") % 7).as("k"))
+        .write.parquet(dir)
+      assert(spark.read.parquet(dir).count() == 100000, "write must succeed locally")
+      val injected = InjectCustomResourceProfile.lastInjected
+      assert(injected.isDefined, "rule must wrap the write's final rebalance stage")
+      val (_, cores, memMiB, _) = injected.get
+      assert(cores == 4 && memMiB == 8192, s"conf must shape the profile: $injected")
+    } finally {
+      InjectCustomResourceProfile.lastInjected = None
+      spark.conf.unset("spark.graft.finalWriteStage.resourceIsolation.enabled")
+      spark.conf.unset("spark.graft.finalWriteStage.executorCores")
+      spark.conf.unset("spark.graft.finalWriteStage.executorMemory")
+    }
+  }
+
   test("force-shuffle-before-join inserts an exchange under shuffle-free SMJ children") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -39,6 +39,37 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Fraction-threshold contamination report: a doc counts as
+    * contaminated only when MORE THAN `minOverlapPermille`/1000 of its
+    * distinct n-grams appear in the eval set — the
+    * overlap-percentage recipe (vs [[contaminated]]'s any-hit rule,
+    * which a single boilerplate gram can trip). The gate compares in
+    * exact integer math (n_hits·1000 > permille·n_grams — no float
+    * ratio), same broadcast-gram shape: the eval gram set is
+    * artifact-sized even at 100 TB corpus scale, the per-doc gram
+    * frame is persisted because both the totals branch and the hits
+    * branch fold it.
+    *
+    * Returns (idCol, n_grams, n_hits, contaminated) for every corpus
+    * doc with at least one n-gram.
+    */
+  def contaminationFraction(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minOverlapPermille: Int = 500): DataFrame = {
+    val evalGrams = gramSet(evalSet, idCol, textCol, n).select("g").distinct()
+    val grams = SketchRegistry.track(
+      gramSet(corpus, idCol, textCol, n).persist())
+    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated",
+        col("n_hits") * 1000L > lit(minOverlapPermille.toLong) * col("n_grams"))
+  }
+
   /** The corpus with contaminated docs removed (broadcast anti join —
     * the shape a 100 TB decontamination pass actually runs).
     */

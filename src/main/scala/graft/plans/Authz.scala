@@ -410,6 +410,10 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       case cmd: org.apache.spark.sql.execution.command.ShowTablesCommand =>
         if (denied.isEmpty) plan
         else FilteredShowTablesCommand(cmd, user, groups)
+      // SHOW COLUMNS hides columns the user cannot select (reference
+      // FilteredShowColumnsCommand — column-privilege granularity)
+      case cmd: org.apache.spark.sql.execution.command.ShowColumnsCommand =>
+        FilteredShowColumnsCommand(cmd, user, groups)
       case _ => plan
     }
   }
@@ -522,6 +526,26 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
   * — same outcome, our policy store instead of the Ranger plugin).
   * Row layout: (namespace, tableName, isTemporary[, information]).
   */
+/** SHOW COLUMNS with per-column SELECT privilege filtering (reference
+  * FilteredShowColumnsCommand — a denied column must not appear in
+  * the listing any more than in a star expansion).
+  */
+final case class FilteredShowColumnsCommand(
+    delegated: org.apache.spark.sql.execution.command.ShowColumnsCommand,
+    user: String,
+    groups: Set[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    delegated.output
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val table = delegated.tableName.table
+    delegated.run(spark).filter(r =>
+      AuthzPolicies.decideColumnAccess(user, groups, table, r.getString(0)))
+  }
+}
+
 final case class FilteredShowTablesCommand(
     delegated: org.apache.spark.sql.execution.command.RunnableCommand,
     user: String,

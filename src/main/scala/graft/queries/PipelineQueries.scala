@@ -36,6 +36,17 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     },
 
+    // --- Fraction-threshold contamination: contaminated only when
+    //     > 25% of a doc's distinct 4-grams hit the eval set (the
+    //     overlap-percentage recipe; any-hit is d22) ---
+    "d46_contamination_frac" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Decontaminate.contaminationFraction(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4, minOverlapPermille = 250)
+    },
+
     // --- Combined quality gate with audit flags ---
     "d23_quality_gate" -> { (s, dir) =>
       QualityFilters.qualityGate(Tables(s, dir).documents, "doc_id", "text",
@@ -140,6 +151,19 @@ object PipelineQueries {
           corp AS (SELECT doc_id, g FROM ex WHERE doc_id % 20 <> 0)
           SELECT doc_id, count(*) AS n_hits
           FROM corp JOIN ev USING (g) GROUP BY doc_id""",
+    "d46_contamination_frac" ->
+      s"""WITH b AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(${duckGrams(4)}) AS s FROM b),
+          ex AS (SELECT doc_id, md5(unnest(s)) AS g FROM sh),
+          ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 20 = 0),
+          corp AS (SELECT doc_id, g FROM ex WHERE doc_id % 20 <> 0),
+          tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corp GROUP BY 1),
+          hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM corp JOIN ev USING (g) GROUP BY 1)
+          SELECT tot.doc_id, n_grams,
+            CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+            (coalesce(n_hits, 0) * 1000 > 250 * n_grams) AS contaminated
+          FROM tot LEFT JOIN hit USING (doc_id)""",
     "d23_quality_gate" ->
       s"""WITH b AS (SELECT doc_id, $duckToks AS t FROM documents),
           m AS (SELECT doc_id,

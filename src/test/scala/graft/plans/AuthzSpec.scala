@@ -288,6 +288,18 @@ class AuthzSpec extends AnyFunSuite {
         }
         assert(!jdbcTables("outsider").contains("graft_authz_t"))
         assert(jdbcTables("insider").contains("graft_authz_t"))
+
+        // SHOW COLUMNS honors column-scoped privileges: a column-deny
+        // hides that column from the listing, the rest stay visible
+        AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+          denied = Set("insider"), columns = Set("name"), priority = 1))
+        val cols = {
+          val sess = engine.openSession("insider")
+          try sess.spark.sql("SHOW COLUMNS IN graft_authz_t").collect()
+            .map(_.getString(0)).toSet
+          finally engine.closeSession(sess.id)
+        }
+        assert(cols == Set("id", "region"), s"denied column leaked: $cols")
       } finally spark.sql("DROP TABLE IF EXISTS graft_open_t")
     }
   }

@@ -68,6 +68,18 @@ object Events {
     }
   }
 
+  /** An authorization DENY decision (the audit half of the reference's
+    * Ranger plugin — every denied access lands on the audit trail;
+    * allows are not audited here, the hot-path cut a Ranger deployment
+    * makes with audit filters).
+    */
+  final case class AuthzAuditEvent(
+      user: String, verb: String, resource: String, ts: Long) extends Event {
+    override def asJson: String =
+      s"""{"event":"authz","user":"${esc(user)}","verb":"${esc(verb)}",""" +
+        s""""resource":"${esc(resource)}","allowed":false,"ts":$ts}"""
+  }
+
   trait Handler {
     def onEvent(e: Event): Unit
   }

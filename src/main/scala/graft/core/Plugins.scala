@@ -31,6 +31,61 @@ object SessionConfAdvisor {
     }
 }
 
+/** Profile-file advisor — the reference's FileSessionConfAdvisor
+  * (kyuubi-server/.../session/FileSessionConfAdvisor.scala:32-47): the
+  * client names one or more profiles via `graft.session.conf.profile`
+  * (comma-separated, later profiles win) and each profile is a Java
+  * properties file `<profile>.conf` under the directory named by the
+  * `GRAFT_SESSION_CONF_DIR` env or the `graft.session.conf.dir` system
+  * property. Files are re-read when older than `reloadIntervalMs`
+  * (reference SESSION_CONF_FILE_RELOAD_INTERVAL via a Guava loading
+  * cache; a timestamped map here — same contract, no dependency).
+  * Missing profiles contribute nothing — a typo must not fail the
+  * session, matching the reference's empty-on-miss cache loader.
+  */
+final class FileSessionConfAdvisor(
+    confDirOverride: Option[String] = None,
+    reloadIntervalMs: Long = 600000L) extends SessionConfAdvisor {
+
+  def this() = this(None, 600000L) // reflective-load constructor
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
+
+  private def confDir: Option[String] =
+    confDirOverride
+      .orElse(sys.env.get("GRAFT_SESSION_CONF_DIR"))
+      .orElse(sys.props.get("graft.session.conf.dir"))
+
+  private def loadProfile(profile: String): Map[String, String] = {
+    val now = System.currentTimeMillis()
+    val cached = cache.get(profile)
+    if (cached != null && now - cached._1 < reloadIntervalMs) return cached._2
+    val loaded = confDir.map { dir =>
+      val f = java.nio.file.Paths.get(dir, s"$profile.conf")
+      if (!java.nio.file.Files.isReadable(f)) Map.empty[String, String]
+      else {
+        val props = new java.util.Properties()
+        val in = java.nio.file.Files.newInputStream(f)
+        try props.load(in) finally in.close()
+        import scala.jdk.CollectionConverters._
+        props.asScala.toMap
+      }
+    }.getOrElse(Map.empty)
+    cache.put(profile, (now, loaded))
+    loaded
+  }
+
+  override def confOverlay(user: String,
+      sessionConf: Map[String, String]): Map[String, String] =
+    sessionConf.get("graft.session.conf.profile") match {
+      case None => Map.empty
+      case Some(profiles) =>
+        profiles.split(",").map(_.trim).filter(_.nonEmpty)
+          .foldLeft(Map.empty[String, String])((acc, p) => acc ++ loadProfile(p))
+    }
+}
+
 /** Resolves a session user to groups — drives the GROUP share level's
   * engine namespace (reference GroupProvider.primaryGroup; default
   * provider there is Hadoop UGI groups, inapplicable without a Hadoop

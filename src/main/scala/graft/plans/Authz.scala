@@ -245,6 +245,18 @@ object AuthzPolicies {
 
 class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Every DENY decision lands on the Events bus before it throws —
+    * the audit half of the reference's Ranger plugin (denied requests
+    * are always audited; allows are not audited here, the standard
+    * audit-filter cut for the hot path).
+    */
+  private def denyAudited(user: String, verb: String, resource: String): Nothing = {
+    graft.core.Events.post(graft.core.Events.AuthzAuditEvent(
+      user, verb, resource, System.currentTimeMillis()))
+    throw new SecurityException(
+      s"Permission denied: user [$user] does not have [$verb] privilege on [$resource]")
+  }
+
   private val APPLIED = TreeNodeTag[Boolean]("graft.authz.applied")
   private val MASK_PROJECT = TreeNodeTag[Boolean]("graft.authz.maskProject")
   // policy-injected nodes (row-filter Filters): their expressions are
@@ -261,9 +273,12 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
     if (user.isDefined) plan.foreach {
       case sc: org.apache.spark.sql.execution.command.SetCommand =>
         sc.kv.foreach { case (k, _) =>
-          if (k.startsWith("spark.graft.authz."))
+          if (k.startsWith("spark.graft.authz.")) {
+            graft.core.Events.post(graft.core.Events.AuthzAuditEvent(
+              user.get, "set", k, System.currentTimeMillis()))
             throw new SecurityException(
               s"Permission denied: [$k] is a server-managed identity conf")
+          }
         }
       case _ => ()
     }
@@ -279,8 +294,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         case rel: LogicalRelation =>
           tableName(rel).foreach { t =>
             if (!AuthzPolicies.decideAccess(u, groups, t))
-              throw new SecurityException(
-                s"Permission denied: user [$u] does not have [select] privilege on [$t]")
+              denyAudited(u, "select", t)
           }
         case _ => ()
       }
@@ -447,9 +461,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         Some(d.table.name().split('.').last)
       case _ => None
     }
-    def deny(t: String, verb: String): Unit =
-      throw new SecurityException(
-        s"Permission denied: user [$user] does not have [$verb] privilege on [$t]")
+    def deny(t: String, verb: String): Unit = denyAudited(user, verb, t)
     def check(target: LogicalPlan, verb: String): Unit =
       targetName(target).foreach { t =>
         if (!AuthzPolicies.decidePrivilege(user, groups, t, verb)) deny(t, verb)
@@ -513,8 +525,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
     used.foreach { id =>
       tables.get(id).foreach { case (t, c) =>
         if (!AuthzPolicies.decideColumnAccess(user, groups, t, c))
-          throw new SecurityException(
-            s"Permission denied: user [$user] does not have [select] privilege on [$t.$c]")
+          denyAudited(user, "select", s"$t.$c")
       }
     }
   }

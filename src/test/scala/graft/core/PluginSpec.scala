@@ -61,6 +61,34 @@ class PluginSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Seq(a, b, c).foreach(s => engine.closeSession(s.id))
   }
 
+  test("file advisor overlays named profiles, later profiles win, typos contribute nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_profiles")
+    java.nio.file.Files.writeString(dir.resolve("etl.conf"),
+      "spark.sql.shuffle.partitions=64\nspark.graft.test.tier=etl\n")
+    java.nio.file.Files.writeString(dir.resolve("adhoc.conf"),
+      "spark.graft.test.tier=adhoc\n")
+    val advisor = new FileSessionConfAdvisor(Some(dir.toString), reloadIntervalMs = 50)
+    // one profile
+    val one = advisor.confOverlay("u", Map("graft.session.conf.profile" -> "etl"))
+    assert(one == Map("spark.sql.shuffle.partitions" -> "64", "spark.graft.test.tier" -> "etl"))
+    // two profiles: later wins conflicts, union otherwise
+    val two = advisor.confOverlay("u", Map("graft.session.conf.profile" -> "etl, adhoc"))
+    assert(two("spark.graft.test.tier") == "adhoc" && two("spark.sql.shuffle.partitions") == "64")
+    // missing profile / no profile conf → empty (a typo must not fail the session)
+    assert(advisor.confOverlay("u", Map("graft.session.conf.profile" -> "ghost")).isEmpty)
+    assert(advisor.confOverlay("u", Map.empty).isEmpty)
+    // reload: an edited profile is visible after the interval passes
+    java.nio.file.Files.writeString(dir.resolve("etl.conf"),
+      "spark.graft.test.tier=etl2\n")
+    Thread.sleep(80)
+    assert(advisor.confOverlay("u",
+      Map("graft.session.conf.profile" -> "etl"))("spark.graft.test.tier") == "etl2")
+    // and it rides the normal advisor chain at OpenSession
+    val engine = new Engine(spark, confAdvisors = Seq(advisor))
+    val out = engine.advisedConf("alice", Map("graft.session.conf.profile" -> "adhoc"))
+    assert(out("spark.graft.test.tier") == "adhoc")
+  }
+
   test("client-asserted groups are ignored unless the server opts in") {
     val p = new ConfGroupProvider
     // bare client keys: no trust flag → fall back to the user prefix

@@ -304,6 +304,41 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("every deny decision lands on the audit event bus") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      import graft.core.Events
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("someone")))
+      val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.AuthzAuditEvent]()
+      val collector = new Events.Handler {
+        override def onEvent(e: Events.Event): Unit = e match {
+          case a: Events.AuthzAuditEvent => seen.add(a)
+          case _ => ()
+        }
+      }
+      Events.register(collector)
+      val engine = new Engine(spark)
+      try {
+        val sess = engine.openSession("snoop")
+        def attempt(sql: String): Unit =
+          try { sess.spark.sql(sql).collect(); () } catch { case _: Throwable => () }
+        attempt("SELECT * FROM graft_authz_t") // object/select deny
+        attempt("INSERT INTO graft_authz_t VALUES (9, 'x', 'eu')") // insert deny
+        attempt("SET spark.graft.authz.user=admin") // identity-conf deny
+        engine.closeSession(sess.id)
+        import scala.jdk.CollectionConverters._
+        val verbs = seen.asScala.map(a => (a.user, a.verb)).toSet
+        assert(verbs.contains(("snoop", "select")), s"select deny unaudited: $verbs")
+        assert(verbs.contains(("snoop", "insert")), s"insert deny unaudited: $verbs")
+        assert(verbs.contains(("snoop", "set")), s"identity SET deny unaudited: $verbs")
+        val sel = seen.asScala.find(_.verb == "select").get
+        assert(sel.resource == "graft_authz_t")
+        assert(sel.asJson.contains(""""event":"authz"""") &&
+          sel.asJson.contains(""""allowed":false"""), sel.asJson)
+      } finally Events.unregister(collector)
+    }
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

@@ -104,8 +104,37 @@ object MetadataOps {
 
   def getColumns(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val df = spark.table(table)
-    val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+    // schema from catalog METADATA, not from analyzing `SELECT *`
+    // (resolving a full-width frame would itself trip the per-column
+    // privilege check for a user allowed only a subset — metadata
+    // listing must filter, not fail)
+    val schema =
+      try {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.getTempViewOrPermanentTableMetadata(ident).schema
+      } catch {
+        // 3-part V2 identifiers (catalog.ns.table) live outside the
+        // session catalog — resolve through the analyzer (no policies
+        // can name V2 tables in our table-keyed store, so the
+        // privilege rule stays inert on this path)
+        case _: Exception => spark.table(table).schema
+      }
+    // like SHOW COLUMNS / GetTables: JDBC metadata must not reveal
+    // columns the session's user cannot select
+    val colAllowed: String => Boolean =
+      spark.conf.getOption("spark.graft.authz.user")
+        .filter(_ => graft.plans.AuthzPolicies.hasAccessPolicies) match {
+        case Some(u) =>
+          val groups = spark.conf.getOption("spark.graft.authz.groups")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty[String])
+          val bare = table.split('.').last
+          c => graft.plans.AuthzPolicies.decideColumnAccess(u, groups, bare, c)
+        case None => _ => true
+      }
+    val rows = schema.fields.zipWithIndex
+      .filter { case (f, _) => colAllowed(f.name) }
+      .map { case (f, i) =>
       (table, f.name, SchemaMapper.toWireType(f.dataType),
         SchemaMapper.toJavaSQLType(f.dataType),
         SchemaMapper.getColumnSize(f.dataType).getOrElse(0),

@@ -300,6 +300,14 @@ class AuthzSpec extends AnyFunSuite {
           finally engine.closeSession(sess.id)
         }
         assert(cols == Set("id", "region"), s"denied column leaked: $cols")
+        // JDBC GetColumns filters identically
+        val jdbcCols = {
+          val sess = engine.openSession("insider")
+          try graft.core.MetadataOps.getColumns(sess.spark, "graft_authz_t")
+            .collect().map(_.getString(1)).toSet
+          finally engine.closeSession(sess.id)
+        }
+        assert(jdbcCols == Set("id", "region"), s"GetColumns leaked: $jdbcCols")
       } finally spark.sql("DROP TABLE IF EXISTS graft_open_t")
     }
   }

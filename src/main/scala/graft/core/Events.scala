@@ -102,6 +102,25 @@ object Events {
     }
   }
 
+  /** Bounded in-memory history of the most recent events (as their
+    * JSON rendering) — the backing store for the admin UI's event
+    * feed (the reference web-ui reads the server's event log the same
+    * way). Fixed capacity: the bus may outlive millions of operations,
+    * the feed only ever shows the tail.
+    */
+  final class RingBuffer(capacity: Int = 512) extends Handler {
+    private val buf = new java.util.ArrayDeque[String](capacity)
+    override def onEvent(e: Event): Unit = synchronized {
+      if (buf.size >= capacity) buf.removeFirst()
+      buf.addLast(e.asJson)
+    }
+    /** Most recent first. */
+    def recent(limit: Int): Seq[String] = synchronized {
+      import scala.jdk.CollectionConverters._
+      buf.descendingIterator().asScala.take(math.max(0, limit)).toSeq
+    }
+  }
+
   /** One JSON object per line, append-only (the reference's
     * JsonLoggingEventHandler shape).
     */

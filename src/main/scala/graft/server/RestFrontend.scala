@@ -74,6 +74,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private val metrics = new Metrics.Collector
   Events.register(metrics)
 
+  // Bounded event history feeding GET /api/v1/events and the UI's
+  // event feed (sessions/operations/lineage/authz-audit, newest first)
+  private val eventLog = new Events.RingBuffer(512)
+  Events.register(eventLog)
+
   // Engine-side session closes (idle reaper included) purge this
   // frontend's per-session state, so abandoned batches don't pin
   // their sessions and result arrays forever.
@@ -251,6 +256,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   def stop(): Unit = {
     server.stop(0)
     Events.unregister(metrics)
+    Events.unregister(eventLog)
     Events.unregister(sessionCloseListener)
     Events.unregister(batchStateListener)
     store.foreach(_.close())
@@ -434,6 +440,13 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
+
+      // Recent event history (newest first) — the reference web-ui's
+      // server-event feed over our bus
+      case ("GET", "events" :: Nil) =>
+        val limit = queryParam(ex, "limit").map(_.toInt).getOrElse(100)
+        reply(ex, 200,
+          "{\"events\": [" + eventLog.recent(limit).mkString(",") + "]}")
 
       // All materialized engine spaces with their registrations —
       // feeds the /ui overview + /ui/engines drill-down (reference
@@ -899,6 +912,7 @@ object RestFrontend {
       |<h2>Operations</h2><table id="operations"></table>
       |<h2>Batches</h2><table id="batches"></table>
       |<h2>Metrics</h2><div id="metrics"></div>
+      |<h2>Recent events</h2><div id="events"></div>
       |<script>
       |const cell = v => { const td = document.createElement('td'); td.textContent = v; return td; };
       |// link[col] = detail-page prefix: the cell becomes an <a> into the
@@ -955,6 +969,10 @@ object RestFrontend {
       |    });
       |    const m = await (await fetch('/api/v1/metrics')).json();
       |    document.getElementById('metrics').textContent = JSON.stringify(m, null, 2);
+      |    const ev = (await (await fetch('/api/v1/events?limit=25')).json()).events;
+      |    const evEl = document.getElementById('events');
+      |    evEl.textContent = ev.map(e => JSON.stringify(e)).join('\n');
+      |    evEl.style.cssText = 'font-family: monospace; white-space: pre; font-size: .8rem;';
       |  } catch (e) { console.error(e); }
       |}
       |refresh();

@@ -202,6 +202,33 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("event history endpoint serves the newest events, bounded and well-formed") {
+    withServer { (c, base) =>
+      // drive a full lifecycle so several event types exist
+      val (_, sbody) = post(c, s"$base/sessions", """{"user": "evty"}""")
+      val sid = extract(sbody, "sessionId")
+      val (_, qbody) = post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT 1 AS one"}""")
+      val opId = extract(qbody, "operationId")
+      var tries = 0
+      var state = ""
+      while (state != "FINISHED" && tries < 100) {
+        Thread.sleep(100)
+        state = extract(get(c, s"$base/sessions/$sid/statements/$opId")._2, "state")
+        tries += 1
+      }
+      val (ec, ebody) = get(c, s"$base/events?limit=50")
+      assert(ec == 200)
+      assert(ebody.contains(""""event":"session"""") &&
+        ebody.contains(""""event":"operation""""), ebody.take(400))
+      assert(ebody.contains(""""action":"OPENED"""") && ebody.contains(sid))
+      // limit respected: exactly one event object in the array
+      val (_, one) = get(c, s"$base/events?limit=1")
+      assert("\"event\":".r.findAllIn(one).size == 1,
+        s"limit=1 must return one event: $one")
+    }
+  }
+
   test("engines page lists discovery registrations; links resolve to the drill-down") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")

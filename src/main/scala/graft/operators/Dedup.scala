@@ -353,6 +353,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** n-gram CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard misses: a short document quoted wholesale inside a long
+    * one has tiny Jaccard (the union is dominated by the long doc)
+    * but containment(short) = |A∩B|/|A| ≈ 1. The standard relation for
+    * quote/subset/expansion detection when curating corpora (Broder's
+    * containment from the original resemblance paper).
+    *
+    * Same 100 TB shape as [[ngramJaccardPairs]] — df-capped posting
+    * lists before the pair explode — and the gate compares in exact
+    * integer math: max-side containment = shared/min(n_a,n_b), so
+    * `shared·1000 ≥ permille·least(n_a,n_b)` decides without a float
+    * ratio. Returns (id_a, id_b, n_shared, n_a, n_b) for qualifying
+    * pairs; callers derive either direction's containment from the
+    * integers.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minContainmentPermille: Int = 800,
+      maxShingleDf: Int = 100): DataFrame = {
+    val sh = SketchRegistry.track(
+      df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+    val keep = exploded.groupBy(col("sh_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDf)
+      .select(col("sh_hash"))
+    val shared = exploded.join(keep, Seq("sh_hash"), "left_semi")
+      .groupBy(col("sh_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.as("ca"), col("id_a") === col("ca.id"))
+      .join(sizes.as("cb"), col("id_b") === col("cb.id"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+      .filter(col("n_shared") * 1000L >=
+        lit(minContainmentPermille.toLong) * least(col("n_a"), col("n_b")))
+  }
+
   /** Exact-substring span dedup (the suffix-array dedup of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better",
     * re-shaped for Spark): each document is chunked into non-overlapping

@@ -332,6 +332,16 @@ object TextQueries {
           col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("md5_chunk"))
     },
 
+    // --- n-gram containment pairs: quote/subset detection — pairs
+    //     whose max-side containment (shared / min set size) is
+    //     >= 0.8, the asymmetric relation Jaccard misses when a short
+    //     doc rides inside a long one. Integer-exact gate. ---
+    "d47_containment_pairs" -> { (s, dir) =>
+      graft.operators.Dedup.ngramContainmentPairs(
+        Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, minContainmentPermille = 800)
+    },
+
     // --- Bigram LM quality gate: per-doc mean adjacent-pair log-prob
     //     under the corpus' own MLE bigram model (order-sensitive,
     //     unlike d37's unigram gate), integer micro-nat exact. ---
@@ -828,6 +838,30 @@ object TextQueries {
             CAST(len(toks[st+1:st+32]) AS INT) AS n_chunk_tokens,
             md5(array_to_string(toks[st+1:st+32], ' ')) AS md5_chunk
           FROM c""",
+    // Mirror of d47: df-capped shared-shingle counts, max-side
+    // containment gated in integer math (shared*1000 >= 800*min(n)).
+    "d47_containment_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+          exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b
+          FROM shared
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE n_shared * 1000 >= 800 * least(sa.n, sb.n)""",
     // Mirror of d44: MLE bigram model from adjacent whitespace-token
     // pairs; context count C(w1) = sum over w2 of C(w1,w2); micro-nat
     // floor quantization then exact integer gate.

@@ -300,6 +300,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(uncapped == 45L, s"uncapped should emit all 45 pairs, got $uncapped")
   }
 
+  test("containment pairs catch a quoted subset that Jaccard misses") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val quote = "the five boxing wizards jump quickly over ten lazy hounds"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote), // the short original
+      (2L, s"$filler $quote"), // quotes doc 1 wholesale inside much more text
+      (3L, "entirely unrelated content with no shared shingles at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, minContainmentPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"quoted-subset pair must qualify, unrelated must not: ${pairs.toSeq}")
+    val (_, _, shared, nA, nB) = pairs.head
+    // containment(short) near 1; Jaccard well under the usual 0.5 bar
+    assert(shared == nA, "every shingle of the quoted doc is contained")
+    assert(shared.toDouble / (nA + nB - shared) < 0.5,
+      "this is exactly the pair a Jaccard threshold misses")
+  }
+
   test("simhash band buckets: overfull buckets df-capped, recall at default intact") {
     val spark = graft.SparkFixture.spark
     import spark.implicits._

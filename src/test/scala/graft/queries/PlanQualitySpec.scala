@@ -96,6 +96,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "bucket scores must broadcast")
   }
 
+  test("d44: bigram gate plans aggregations only — no window, no product join") {
+    val plan = planOf(TextQueries.queries("d44_bigram_lm_gate")(spark, dir))
+    assert(!plan.contains("Window"),
+      "the bigram model must come from aggregations, not per-doc windows")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "lp join must stay equi-keyed on (w1, w2)")
+    assert(plan.contains("InMemoryTableScan"),
+      "model and scoring branches must fold the pinned pair-count table, not re-tokenize")
+  }
+
+  test("d46: fraction decontamination broadcasts the eval grams, no product join") {
+    val plan = planOf(PipelineQueries.queries("d46_contamination_frac")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval gram set must broadcast (it is artifact-sized at any corpus scale)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("InMemoryTableScan"),
+      "totals and hits branches must fold the pinned per-doc gram frame")
+  }
+
+  test("d47: containment pair join is df-capped before the pair explode") {
+    val plan = planOf(TextQueries.queries("d47_containment_pairs")(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      "posting lists must be pruned by the df-cap semi join BEFORE collect_list")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pairs come from capped posting-list explodes, never a product join")
+  }
+
   test("d39: BM25 top-k is TakeOrderedAndProject, never a global sort") {
     val plan = planOf(TextQueries.queries("d39_bm25_topk")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),

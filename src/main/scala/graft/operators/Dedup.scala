@@ -88,6 +88,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The corpus' MinHash band index as a DataFrame artifact:
+    * (band, key, corpus id), distinct — the build-once half of online
+    * near-dup gating (persist it to parquet like the IVF-PQ index;
+    * the index stays data-sized and DISTRIBUTED, nothing collects).
+    * A new document collides with the corpus iff one of its band keys
+    * appears here — the same banding probability contract as
+    * [[minhashCandidates]], served as a join instead of a self-join.
+    */
+  def bandIndexOf(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    corpus
+      .select(col(idCol).as("corpus_id"),
+        minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
+      .select(col("corpus_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("corpus_id"))
+      .distinct()
+  }
+
+  /** Band-collision candidates of `docs` against a prebuilt
+    * [[bandIndexOf]] index: every (doc, corpus doc) pair sharing at
+    * least one band, with the number of distinct colliding bands as
+    * the match strength. Map-side signature compute, one equi join on
+    * (band, key) — the batch twin of
+    * [[graft.streaming.Streams.nearDupGateStream]].
+    */
+  def bandCollisions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandIndex: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    docs
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(bandIndex, Seq("band", "key"))
+      .groupBy(col("id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Full near-dup pipeline: MinHash-LSH candidate generation verified
     * by exact n-gram Jaccard on the candidate pairs only — the 100 TB
     * shape (LSH prunes the O(n²) space; exact verification touches only

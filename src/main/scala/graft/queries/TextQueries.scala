@@ -332,6 +332,18 @@ object TextQueries {
           col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("md5_chunk"))
     },
 
+    // --- Online near-dup gate, batch twin: band collisions of probe
+    //     docs (doc_id % 10 == 0) against the rest of the corpus'
+    //     prebuilt MinHash band index — the build-once/probe-many
+    //     text-dedup analog of the persisted ANN index. ---
+    "d48_neardup_gate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val idx = graft.operators.Dedup.bandIndexOf(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      graft.operators.Dedup.bandCollisions(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx)
+    },
+
     // --- n-gram containment pairs: quote/subset detection — pairs
     //     whose max-side containment (shared / min set size) is
     //     >= 0.8, the asymmetric relation Jaccard misses when a short
@@ -507,6 +519,22 @@ object TextQueries {
     "d08_minhash_pairs" ->
       s"""WITH $minhashCandSql
           SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+    // Mirror of d48: band collisions of probe docs against the rest of
+    // the corpus' distinct band index, from the same dumped signatures
+    // (band equivalence by raw slice — the Spark key is its xxhash64
+    // compaction, same equivalence classes).
+    "d48_neardup_gate" ->
+      """WITH sig AS (SELECT doc_id, sig FROM '__TAUX__/minhash_sigs.parquet/*.parquet'),
+         banded AS (
+           SELECT doc_id, bs.b AS band,
+                  array_to_string(sig[bs.b*4+1 : bs.b*4+4], ',') AS key
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
+         idx AS (SELECT band, key, doc_id AS corpus_id
+                 FROM banded WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+         pr AS (SELECT doc_id AS id, band, key
+                FROM banded WHERE doc_id % 10 = 0)
+         SELECT id, corpus_id, CAST(count(*) AS BIGINT) AS n_bands
+         FROM pr JOIN idx USING (band, key) GROUP BY 1, 2""",
     "d13_neardup_verified" ->
       s"""WITH $minhashCandSql,
           sh AS (

@@ -285,6 +285,33 @@ object Streams {
         col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_pairs"))
   }
 
+  /** Online NEAR-dup gating: each arriving document is checked for
+    * MinHash band collisions against a PREBUILT corpus band index
+    * (graft.operators.Dedup.bandIndexOf — build offline, persist to
+    * parquet, probe forever: the same build-once/probe-many economics
+    * as the persisted IVF-PQ index, for text near-dup instead of ANN).
+    * Per micro-batch the probe is the normal batch plan — map-side
+    * signatures, one equi join on (band, key) — via foreachBatch:
+    * zero stream-side state, nothing to watermark, and the index
+    * stays a distributed scan. `sink` receives each batch's
+    * (id, corpus_id, n_bands) collision rows; decisions are pinned
+    * equal to the batch twin (Dedup.bandCollisions) in StreamsSpec.
+    */
+  def nearDupGateStream(
+      docs: DataFrame,
+      idCol: String, textCol: String,
+      bandIndex: DataFrame,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Dedup.bandCollisions(
+            batch, idCol, textCol, bandIndex, shingleSize, bands, rowsPerBand), batchId)
+      }
+      .start()
+
   /** Online ANN serving: a stream of query vectors probed against a
     * PERSISTED IVF-PQ index (graft.operators.IvfPqIndex.openIndex) —
     * the retrieval-serving shape where the index is built offline and

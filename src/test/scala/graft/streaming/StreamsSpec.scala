@@ -284,6 +284,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(!streamed.contains(9L), "all-OOV doc must fail the gate")
   }
 
+  test("streaming near-dup gate matches the batch band-collision twin") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val d = Tables(spark, F.sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val probes = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // the build-once index (a production run persists this to parquet)
+    val index = Dedup.bandIndexOf(corpus, "doc_id", "text").cache()
+
+    val batchTwin = Dedup.bandCollisions(
+        probes.toSeq.toDF("doc_id", "text"), "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, Long)]()
+    val q = Streams.nearDupGateStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", index) { (out, _) =>
+      out.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    try {
+      val (first, second) = probes.splitAt(probes.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == batchTwin,
+      s"stream ${got.size()} rows vs batch ${batchTwin.size}")
+    assert(batchTwin.nonEmpty, "fixture must produce at least one collision")
+    index.unpersist()
+  }
+
   test("streaming funnel state machine matches the batch q32 funnel counts") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams.{FunnelAdvance, TypedEvent}

@@ -138,10 +138,7 @@ final class Engine(
     * the merge.
     */
   def advisedConf(user: String, clientConf: Map[String, String]): Map[String, String] = {
-    val sanitized = clientConf.filterNot { case (k, _) =>
-      k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
-        .startsWith("graft.server.")
-    }
+    val sanitized = clientConf.filterNot { case (k, _) => Engine.isReservedClientKey(k) }
     confAdvisors.foldLeft(sanitized)((acc, a) => acc ++ a.confOverlay(user, acc))
   }
 
@@ -256,6 +253,22 @@ final class Engine(
     Operation.timeoutScheduler.scheduleAtFixedRate(
       () => try reapIdleSessions(idleTimeoutMs) catch { case _: Throwable => },
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+}
+
+object Engine {
+  /** True for client conf keys in the server-reserved `graft.server.*`
+    * namespace (bare, or under the `set:hiveconf:`/`set:hivevar:`
+    * Hive-JDBC-URL conf prefixes). Those keys carry server-trusted
+    * values (e.g. ConfGroupProvider's pinned group membership), so
+    * every frontend must drop them from the CLIENT-supplied conf
+    * before advisor overlays merge — both in the map handed to
+    * advisors AND in any map the frontend later passes to
+    * [[Engine.openSession]]; a put-only merge over the raw client map
+    * would resurrect a self-asserted key that `advisedConf` stripped.
+    */
+  def isReservedClientKey(key: String): Boolean =
+    key.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
+      .startsWith("graft.server.")
 }
 
 /** Engine-info UDFs, the reference's "KDF" registry

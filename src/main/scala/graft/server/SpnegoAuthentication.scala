@@ -260,7 +260,7 @@ final class JgssTokenValidator(keytabPath: String, principal: String)
   import java.security.PrivilegedExceptionAction
   import javax.security.auth.Subject
   import javax.security.auth.kerberos.{KerberosPrincipal, KeyTab}
-  import org.ietf.jgss.{GSSContext, GSSCredential, GSSManager}
+  import org.ietf.jgss.{GSSContext, GSSCredential, GSSException, GSSManager}
 
   require(principal.startsWith("HTTP/"),
     s"SPNEGO principal [$principal] must start with HTTP/")
@@ -290,7 +290,19 @@ final class JgssTokenValidator(keytabPath: String, principal: String)
             } finally context.dispose()
           }
         })
-    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+    } catch {
+      // Only token-acceptance failures are the CLIENT's fault (→ 401
+      // path). GSS *infrastructure* failures — unreadable keytab, IO
+      // to the KDC, login errors — must propagate so the frontend maps
+      // them to 500 (the same incident-vs-credentials split the PLAIN
+      // providers enforce; r10 ADVICE).
+      case e: java.security.PrivilegedActionException => e.getCause match {
+        case g: GSSException => Left(String.valueOf(g.getMessage))
+        case other: Exception => throw other
+        case _ => throw e
+      }
+      case g: GSSException => Left(String.valueOf(g.getMessage))
+    }
   }
 }
 

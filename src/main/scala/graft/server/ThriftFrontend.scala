@@ -350,6 +350,12 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         // over the client conf before any of it takes effect).
         val clientConf = scala.collection.mutable.LinkedHashMap.empty[String, String]
         Option(req.getConfiguration).foreach(_.forEach { (k, v) => clientConf.put(k, v) })
+        // Drop client-asserted graft.server.* BEFORE the advisor
+        // overlay merges back in: advisedConf strips them from the map
+        // it returns, but a put-only merge into the raw client map
+        // would resurrect a self-asserted graft.server.session.group
+        // and ConfGroupProvider would treat it as server-pinned.
+        clientConf.filterInPlace { case (k, _) => !Engine.isReservedClientKey(k) }
         engine.advisedConf(user, clientConf.toMap).foreach { case (k, v) =>
           if (!clientConf.get(k).contains(v)) clientConf.put(k, v)
         }

@@ -455,4 +455,45 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!none.next())
     } finally conn.close()
   }
+
+  test("client-asserted graft.server.* conf never reaches the group provider") {
+    // End-to-end over the wire: advisedConf strips graft.server.* from
+    // the map it returns, but the frontend used to merge the overlay
+    // back into the RAW client conf — resurrecting a self-asserted
+    // graft.server.session.group and letting the client spoof its way
+    // into another group's shared engine (r10 ADVICE, high).
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    import graft.core.{ConfGroupProvider, GroupProvider, ShareLevel}
+    val groupEngine = new Engine(SparkFixture.spark, shareLevel = ShareLevel.Group,
+      singleSession = true,
+      groupProvider = GroupProvider.load(classOf[ConfGroupProvider].getName))
+    val fe = new ThriftFrontend(groupEngine).start()
+    try {
+      val sock = new TSocket("localhost", fe.boundPort)
+      sock.open()
+      try {
+        val client = new TCLIService.Client(new TBinaryProtocol(sock))
+        val open = new TOpenSessionReq()
+        open.setUsername("eve@corp")
+        // bare key AND the hiveconf-prefixed variant the JDBC URL ?conf
+        // segment produces — both must be dropped before the provider
+        open.setConfiguration(Map(
+          "graft.server.session.group" -> "data-eng",
+          "set:hiveconf:graft.server.session.groups" -> "data-eng,oncall").asJava)
+        val sess = client.OpenSession(open)
+        assert(sess.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+        // the engine space is keyed by the provider's fallback
+        // (user-prefix), never the client-asserted group
+        assert(groupEngine.engineSpaces == Seq("group/eve"),
+          s"spoofed group reached shareKey: ${groupEngine.engineSpaces}")
+        // and the authz identity published to the session shows no
+        // spoofed membership either
+        val es = groupEngine.openSessions.head
+        assert(es.spark.conf.get("spark.graft.authz.groups") == "eve")
+        client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+      } finally sock.close()
+    } finally { fe.stop(); groupEngine.close() }
+  }
 }

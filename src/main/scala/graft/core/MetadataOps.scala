@@ -95,7 +95,10 @@ object MetadataOps {
         val groups = spark.conf.getOption("spark.graft.authz.groups")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty[String])
+        // db-qualified denied policies fold to bare names here: the
+        // wire column carries bare names, conservative hiding
         val denied = graft.plans.AuthzPolicies.deniedTablesFor(u, groups)
+          .map(_.split('.').last)
         if (denied.isEmpty) layout
         else layout.filter(!col("TABLE_NAME").isin(denied.toSeq.sorted: _*))
       case None => layout
@@ -128,8 +131,13 @@ object MetadataOps {
           val groups = spark.conf.getOption("spark.graft.authz.groups")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
             .getOrElse(Set.empty[String])
-          val bare = table.split('.').last
-          c => graft.plans.AuthzPolicies.decideColumnAccess(u, groups, bare, c)
+          // db.table resource (bare-policy fallback handled inside);
+          // a 3-part V2 name folds to its trailing db.table pair
+          val resource = {
+            val parts = table.split('.')
+            if (parts.length >= 2) parts.takeRight(2).mkString(".") else table
+          }
+          c => graft.plans.AuthzPolicies.decideColumnAccess(u, groups, resource, c)
         case None => _ => true
       }
     val rows = schema.fields.zipWithIndex

@@ -91,7 +91,22 @@ object AuthzPolicies {
     */
   final case class Policy(
       rowFilters: Map[String, String] = Map.empty,
-      masks: Map[(String, String), MaskType] = Map.empty)
+      masks: Map[(String, String), MaskType] = Map.empty) {
+    // Db-qualified lookups with bare-name back-compat: an exact
+    // (possibly `db.table`-keyed) entry wins; a legacy bare-keyed
+    // entry applies to that table name in ANY database. Two tables
+    // with the same name in different databases can therefore carry
+    // different masks/filters (Ranger db/table/column resources).
+    private def bare(resource: String): String =
+      resource.substring(resource.lastIndexOf('.') + 1)
+    def rowFilterFor(resource: String): Option[String] =
+      rowFilters.get(resource).orElse(rowFilters.get(bare(resource)))
+    def maskFor(resource: String, column: String): Option[MaskType] =
+      masks.get((resource, column)).orElse(masks.get((bare(resource), column)))
+    def touches(resource: String): Boolean =
+      rowFilterFor(resource).isDefined ||
+        masks.keys.exists(k => k._1 == resource || k._1 == bare(resource))
+  }
 
   /** Table access policy, Ranger's resource-policy item model: allow
     * users/groups, deny users/groups, deny-exceptions (excludes from
@@ -135,6 +150,10 @@ object AuthzPolicies {
   @volatile private var byUser: Map[String, Policy] = Map.empty
   @volatile private var byGroup: Map[String, Policy] = Map.empty
   @volatile private var accessPolicies: List[AccessPolicy] = Nil
+  // function-resource policies (reference function_command_spec.json:
+  // Ranger gates udf/function usage like table access); reuses the
+  // AccessPolicy item model with `table` holding the FUNCTION name
+  @volatile private var functionPolicies: List[AccessPolicy] = Nil
 
   def setPolicy(user: String, policy: Policy): Unit = synchronized {
     byUser = byUser + (user -> policy)
@@ -148,8 +167,12 @@ object AuthzPolicies {
   def addAccessPolicy(p: AccessPolicy): Unit = synchronized {
     accessPolicies = p :: accessPolicies
   }
+  def addFunctionPolicy(p: AccessPolicy): Unit = synchronized {
+    functionPolicies = p :: functionPolicies
+  }
   def clear(): Unit = synchronized {
-    byUser = Map.empty; byGroup = Map.empty; accessPolicies = Nil
+    byUser = Map.empty; byGroup = Map.empty
+    accessPolicies = Nil; functionPolicies = Nil
   }
   def policyFor(user: String): Option[Policy] = policyFor(user, Set.empty)
 
@@ -187,6 +210,18 @@ object AuthzPolicies {
     */
   def hasAccessPolicies: Boolean = accessPolicies.nonEmpty
 
+  def hasFunctionPolicies: Boolean = functionPolicies.nonEmpty
+
+  /** True when `user` may invoke function `fn` (the "select" verb on a
+    * function resource — reference function_command_spec.json's
+    * QUERY/function privilege objects). Functions with no policy stay
+    * open; once any policy names a function, no-matching-allow-item
+    * denies.
+    */
+  def decideFunctionAccess(user: String, groups: Set[String], fn: String): Boolean =
+    decideOver(functionPolicies, user, groups, fn.toLowerCase(java.util.Locale.ROOT),
+      None, "select")
+
   def decideAccess(user: String, groups: Set[String], table: String): Boolean =
     decide(user, groups, table, None)
 
@@ -211,9 +246,25 @@ object AuthzPolicies {
       table: String, privilege: String): Boolean =
     decide(user, groups, table, None, privilege)
 
+  /** A policy resource matches a (possibly `db.table`-qualified)
+    * plan resource on exact equality, or — back-compat — a legacy
+    * BARE policy name matches that table name in any database. A
+    * db-qualified policy never matches a bare resource or another
+    * database's same-named table.
+    */
+  def tableMatches(policyTable: String, resource: String): Boolean =
+    policyTable == resource ||
+      (!policyTable.contains('.') &&
+        policyTable == resource.substring(resource.lastIndexOf('.') + 1))
+
   private def decide(user: String, groups: Set[String], table: String,
-      column: Option[String], privilege: String = "select"): Boolean = {
-    val all0 = accessPolicies.filter(_.table == table)
+      column: Option[String], privilege: String = "select"): Boolean =
+    decideOver(accessPolicies, user, groups, table, column, privilege)
+
+  private def decideOver(policies: List[AccessPolicy], user: String,
+      groups: Set[String], table: String,
+      column: Option[String], privilege: String): Boolean = {
+    val all0 = policies.filter(p => tableMatches(p.table, table))
     if (all0.isEmpty) return true
     // per-verb policy scope: only this privilege's items participate;
     // a table under any policy default-denies verbs nobody allowed
@@ -300,6 +351,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       }
       checkColumnPrivileges(u, groups, plan)
       checkWritePrivileges(u, groups, plan)
+      checkFunctionPrivileges(u, groups, plan)
     }
     // Catalog-listing filtering (reference RuleReplaceShowObjectCommands):
     // SHOW TABLES must not reveal tables the user cannot select. The
@@ -308,7 +360,8 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
     // command a filtering wrapper — both cheaper than per-row policy
     // evaluation at execution time.
     val planShowFiltered = user match {
-      case Some(u) if AuthzPolicies.hasAccessPolicies =>
+      case Some(u) if AuthzPolicies.hasAccessPolicies ||
+          AuthzPolicies.hasFunctionPolicies =>
         filterShowObjects(u, groups, plan)
       case _ => plan
     }
@@ -327,15 +380,14 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
 
     val withPolicies = plan.transformUp {
       case rel: LogicalRelation if rel.getTagValue(APPLIED).isEmpty &&
-          tableName(rel).exists(t => p.rowFilters.contains(t) ||
-            p.masks.keys.exists(_._1 == t)) =>
+          tableName(rel).exists(p.touches) =>
         rel.setTagValue(APPLIED, true)
         val table = tableName(rel).get
         val parser = session.sessionState.sqlParser
 
         val masked: LogicalPlan = {
           val maskedCols: Seq[NamedExpression] = rel.output.map { a =>
-            p.masks.get((table, a.name)) match {
+            p.maskFor(table, a.name) match {
               case Some(maskType) =>
                 val maskSql = maskType.toSql(s"`${a.name}`", a.dataType)
                 // cast pins the masked value to the column's type so the
@@ -356,7 +408,7 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
           } else rel
         }
 
-        p.rowFilters.get(table) match {
+        p.rowFilterFor(table) match {
           // filter evaluates on the UNMASKED relation (reference stage-0
           // ordering: row policy sees true values, output sees masks)
           case Some(pred) => masked match {
@@ -395,8 +447,18 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Db-qualified resource name (`db.table`) when the catalog knows
+    * the database; bare otherwise. Policy lookups fall back to bare
+    * policy keys via [[AuthzPolicies.tableMatches]] /
+    * [[AuthzPolicies.Policy.rowFilterFor]].
+    */
   private def tableName(rel: LogicalRelation): Option[String] =
-    rel.catalogTable.map(_.identifier.table)
+    rel.catalogTable.map { ct =>
+      ct.identifier.database match {
+        case Some(db) => s"$db.${ct.identifier.table}"
+        case None => ct.identifier.table
+      }
+    }
 
   /** SHOW TABLES filtering: v2 `ShowTables` nodes get a
     * `Filter(tableName NOT IN denied)` wrap (tagged to stay
@@ -417,8 +479,11 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         if (denied.isEmpty) plan
         else st.output.find(_.name == "tableName") match {
           case Some(attr) =>
+            // the v2 listing column carries BARE names; a db-qualified
+            // denied policy hides that bare name conservatively (the
+            // v1 command path below matches the namespace exactly)
             Filter(Not(In(attr,
-              denied.toSeq.sorted.map(Literal(_)))), st)
+              denied.map(_.split('.').last).toSeq.sorted.map(Literal(_)))), st)
           case None => plan
         }
       case cmd: org.apache.spark.sql.execution.command.ShowTablesCommand =>
@@ -428,56 +493,137 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       // FilteredShowColumnsCommand — column-privilege granularity)
       case cmd: org.apache.spark.sql.execution.command.ShowColumnsCommand =>
         FilteredShowColumnsCommand(cmd, user, groups)
+      // SHOW FUNCTIONS must not reveal functions the user cannot
+      // invoke (reference FilteredShowFunctionsCommand)
+      case cmd: org.apache.spark.sql.execution.command.ShowFunctionsCommand
+          if AuthzPolicies.hasFunctionPolicies =>
+        FilteredShowFunctionsCommand(cmd, user, groups)
       case _ => plan
     }
   }
 
   /** Write-side privileges — the reference PrivilegesBuilder's OUTPUT
-    * privilege objects: INSERT INTO / INSERT OVERWRITE (v1 statement
-    * and v2 AppendData/Overwrite nodes) require "insert" on the target
-    * table; DROP TABLE requires "drop". Once any policy names a table,
-    * a verb nobody allowed is denied — so a read-only grant does not
-    * imply write access.
+    * privilege objects (table_command_spec.json:81,168,223,801):
+    * INSERT INTO / INSERT OVERWRITE (v1 statement and v2
+    * AppendData/Overwrite nodes) require "insert" on the target;
+    * DROP TABLE "drop"; CREATE TABLE and CTAS "create" on the TARGET
+    * (the CTAS read side is checked separately by the select rules —
+    * without the create verb an allow-select user could exfiltrate
+    * into a fresh, policy-less table); the ALTER TABLE family "alter";
+    * TRUNCATE TABLE "update". Once any policy names a table, a verb
+    * nobody allowed is denied — a read-only grant does not imply
+    * write access.
     */
   private def checkWritePrivileges(user: String, groups: Set[String],
       plan: LogicalPlan): Unit = {
     if (!AuthzPolicies.hasAccessPolicies) return
     import org.apache.spark.sql.catalyst.plans.logical.{AppendData, DropTable, InsertIntoStatement, OverwriteByExpression, OverwritePartitionsDynamic}
+    def qualify(parts: Seq[String]): String =
+      if (parts.length >= 2) parts.takeRight(2).mkString(".") else parts.last
     def targetName(p: LogicalPlan): Option[String] = p match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        Some(u.multipartIdentifier.last)
+        Some(qualify(u.multipartIdentifier))
       case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         targetName(s.child)
       case rel: LogicalRelation => tableName(rel)
       case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
         Some(r.identifier.name)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
-        Some(u.multipartIdentifier.last)
+        Some(qualify(u.multipartIdentifier))
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-        Some(u.nameParts.last)
+        Some(qualify(u.nameParts))
       case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
         Some(r.identifier.name)
       case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-        Some(d.table.name().split('.').last)
+        Some(qualify(d.table.name().split('.').toSeq))
       case _ => None
     }
+    def qualifyId(id: org.apache.spark.sql.catalyst.TableIdentifier): String =
+      id.database.map(d => s"$d.${id.table}").getOrElse(id.table)
     def deny(t: String, verb: String): Unit = denyAudited(user, verb, t)
+    def checkName(t: String, verb: String): Unit =
+      if (!AuthzPolicies.decidePrivilege(user, groups, t, verb)) deny(t, verb)
     def check(target: LogicalPlan, verb: String): Unit =
-      targetName(target).foreach { t =>
-        if (!AuthzPolicies.decidePrivilege(user, groups, t, verb)) deny(t, verb)
-      }
+      targetName(target).foreach(checkName(_, verb))
     plan.foreach {
       case ins: InsertIntoStatement => check(ins.table, "insert")
       case a: AppendData => check(a.table, "insert")
       case o: OverwriteByExpression => check(o.table, "insert")
       case o: OverwritePartitionsDynamic => check(o.table, "insert")
       case d: DropTable => check(d.child, "drop")
-      // ResolveSessionCatalog rewrites session-catalog drops to the
-      // v1 command before extension rules run — match both forms
+      // ResolveSessionCatalog rewrites session-catalog DDL to v1
+      // commands before extension rules run — match both forms
       case d: org.apache.spark.sql.execution.command.DropTableCommand =>
-        if (!AuthzPolicies.decidePrivilege(user, groups, d.tableName.table, "drop"))
-          deny(d.tableName.table, "drop")
+        checkName(qualifyId(d.tableName), "drop")
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
+        check(c.name, "create")
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect =>
+        check(c.name, "create")
+      // ResolveSessionCatalog rewrites session-catalog CREATE/CTAS to
+      // the LEGACY v1 node (execution.datasources.CreateTable) inside
+      // the resolution batch; its conversion to the v1 command happens
+      // post-hoc where resolution rules never look — so this node IS
+      // the session-catalog create's visible form
+      case c: org.apache.spark.sql.execution.datasources.CreateTable =>
+        checkName(qualifyId(c.tableDesc.identifier), "create")
+      case c: org.apache.spark.sql.execution.command.CreateTableCommand =>
+        checkName(qualifyId(c.table.identifier), "create")
+      case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand =>
+        checkName(qualifyId(c.table.identifier), "create")
+      case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand =>
+        checkName(qualifyId(c.table.identifier), "create")
+      // v2 column/property DDL shares one parent trait with a `table`
+      // child — AddColumns, DropColumns, RenameColumn, AlterColumns,
+      // SetTableProperties, UnsetTableProperties, ...
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterTableCommand =>
+        check(a.table, "alter")
+      case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand =>
+        checkName(qualifyId(a.table), "alter")
+      case a: org.apache.spark.sql.execution.command.AlterTableSetPropertiesCommand =>
+        checkName(qualifyId(a.tableName), "alter")
+      case a: org.apache.spark.sql.execution.command.AlterTableUnsetPropertiesCommand =>
+        checkName(qualifyId(a.tableName), "alter")
+      case a: org.apache.spark.sql.execution.command.AlterTableRenameCommand =>
+        checkName(qualifyId(a.oldName), "alter")
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        check(t.table, "update")
+      case t: org.apache.spark.sql.execution.command.TruncateTableCommand =>
+        checkName(qualifyId(t.tableName), "update")
       case _ => ()
+    }
+  }
+
+  /** Function-level privilege (reference function_command_spec.json —
+    * Ranger gates udf invocation like table access): every function
+    * the query references must pass
+    * [[AuthzPolicies.decideFunctionAccess]]. Functions are checked in
+    * BOTH lifecycle states — by name while still
+    * `UnresolvedFunction` (early analyzer fixpoint iterations) and by
+    * `prettyName` once resolved to a concrete expression — because an
+    * extension rule can meet either form depending on iteration
+    * order. Policy-injected nodes (masks, row filters) are exempt: a
+    * mask may legitimately call a function the user cannot.
+    */
+  private def checkFunctionPrivileges(user: String, groups: Set[String],
+      plan: LogicalPlan): Unit = {
+    if (!AuthzPolicies.hasFunctionPolicies) return
+    def checkFn(name: String): Unit =
+      if (!AuthzPolicies.decideFunctionAccess(user, groups, name))
+        denyAudited(user, "select", s"function/$name")
+    plan.foreach { node =>
+      val exempt = node.getTagValue(MASK_PROJECT).isDefined ||
+        node.getTagValue(INJECTED).isDefined
+      if (!exempt) node.expressions.foreach(_.foreach {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          checkFn(f.nameParts.last)
+        case f: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+          f.udfName.foreach(checkFn)
+        case e: org.apache.spark.sql.catalyst.expressions.Expression
+            if e.resolved && !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
+              !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] =>
+          checkFn(e.prettyName)
+        case _ => ()
+      })
     }
   }
 
@@ -551,10 +697,31 @@ final case class FilteredShowColumnsCommand(
     delegated.output
 
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val table = delegated.tableName.table
+    val id = delegated.tableName
+    val table = id.database.map(d => s"$d.${id.table}").getOrElse(id.table)
     delegated.run(spark).filter(r =>
       AuthzPolicies.decideColumnAccess(user, groups, table, r.getString(0)))
   }
+}
+
+/** SHOW FUNCTIONS with function-privilege filtering (reference
+  * FilteredShowFunctionsCommand): a function the user cannot invoke
+  * does not appear in the listing. Row layout: (function).
+  */
+final case class FilteredShowFunctionsCommand(
+    delegated: org.apache.spark.sql.execution.command.RunnableCommand,
+    user: String,
+    groups: Set[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    delegated.output
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    delegated.run(spark).filter { r =>
+      val fn = r.getString(0).split('.').last
+      AuthzPolicies.decideFunctionAccess(user, groups, fn)
+    }
 }
 
 final case class FilteredShowTablesCommand(
@@ -568,8 +735,12 @@ final case class FilteredShowTablesCommand(
 
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
     delegated.run(spark).filter { r =>
+      val ns = r.getString(0)
       val table = r.getString(1)
       val isTemp = r.getBoolean(2)
-      isTemp || AuthzPolicies.decideAccess(user, groups, table)
+      // db-qualified resource when the listing knows the namespace, so
+      // a `db1.t` policy hides db1's t but not db2's
+      val resource = if (ns != null && ns.nonEmpty) s"$ns.$table" else table
+      isTemp || AuthzPolicies.decideAccess(user, groups, resource)
     }
 }

@@ -340,10 +340,138 @@ class AuthzSpec extends AnyFunSuite {
         assert(verbs.contains(("snoop", "insert")), s"insert deny unaudited: $verbs")
         assert(verbs.contains(("snoop", "set")), s"identity SET deny unaudited: $verbs")
         val sel = seen.asScala.find(_.verb == "select").get
-        assert(sel.resource == "graft_authz_t")
+        // resources are audited db-qualified since r11
+        assert(sel.resource == "default.graft_authz_t", sel.resource)
         assert(sel.asJson.contains(""""event":"authz"""") &&
           sel.asJson.contains(""""allowed":false"""), sel.asJson)
       } finally Events.unregister(collector)
+    }
+  }
+
+  test("create/alter/truncate are their own verbs; CTAS cannot launder an allowed select") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      // select open to all; create/alter/update each granted to one user
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("*")))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_ctas_out",
+        allowed = Set("builder"), privilege = "create"))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("dba"), privilege = "alter"))
+      AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t",
+        allowed = Set("gc"), privilege = "update"))
+      val engine = new Engine(spark)
+      def denied(user: String, sql: String): Boolean = {
+        val sess = engine.openSession(user)
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        finally engine.closeSession(sess.id)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_ctas_out")
+      try {
+        // the CTAS bypass: select on the source is allowed, but the
+        // create verb on the (new, policy-less) target is not
+        assert(denied("reader",
+          "CREATE TABLE graft_ctas_out USING parquet AS SELECT * FROM graft_authz_t"),
+          "allowed SELECT must not launder into an unprivileged CTAS target")
+        assert(!spark.catalog.tableExists("graft_ctas_out"),
+          "denied CTAS must not materialize the target")
+        // plain CREATE TABLE under the same verb (policied target;
+        // policy-less tables stay open — the store is opt-in)
+        assert(denied("reader", "CREATE TABLE graft_ctas_out (x INT) USING parquet"))
+        assert(!denied("builder",
+          "CREATE TABLE graft_ctas_out USING parquet AS SELECT * FROM graft_authz_t"))
+        assert(spark.sql("SELECT count(*) FROM graft_ctas_out").head().getLong(0) == 4)
+        // ALTER family: add columns / set properties gated by "alter"
+        assert(denied("reader",
+          "ALTER TABLE graft_authz_t ADD COLUMNS (extra STRING)"))
+        assert(denied("reader",
+          "ALTER TABLE graft_authz_t SET TBLPROPERTIES ('k'='v')"))
+        assert(!denied("dba",
+          "ALTER TABLE graft_authz_t SET TBLPROPERTIES ('k'='v')"))
+        // TRUNCATE is the "update" verb
+        assert(denied("reader", "TRUNCATE TABLE graft_authz_t"))
+        assert(!denied("gc", "TRUNCATE TABLE graft_authz_t"))
+        assert(spark.sql("SELECT count(*) FROM graft_authz_t").head().getLong(0) == 0)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_ctas_out")
+      }
+    }
+  }
+
+  test("db-qualified policies: same-named tables in two databases decide independently") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS authz_db1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS authz_db2")
+    spark.sql("DROP TABLE IF EXISTS authz_db1.twin")
+    spark.sql("DROP TABLE IF EXISTS authz_db2.twin")
+    spark.sql("CREATE TABLE authz_db1.twin (id INT, secret STRING) USING parquet")
+    spark.sql("CREATE TABLE authz_db2.twin (id INT, secret STRING) USING parquet")
+    spark.sql("INSERT INTO authz_db1.twin VALUES (1, 'alpha')")
+    spark.sql("INSERT INTO authz_db2.twin VALUES (2, 'beta')")
+    try {
+      import AuthzPolicies.AccessPolicy
+      // access: db1's twin is restricted, db2's stays open (no policy
+      // names it — db-qualified policies never leak across databases)
+      AuthzPolicies.addAccessPolicy(AccessPolicy("authz_db1.twin",
+        allowed = Set("insider", "eve")))
+      // masks: each database's twin gets a DIFFERENT mask for `eve`
+      AuthzPolicies.setPolicy("eve", AuthzPolicies.Policy(
+        masks = Map(
+          ("authz_db1.twin", "secret") -> MaskType.Custom("'ONE'"),
+          ("authz_db2.twin", "secret") -> MaskType.Custom("'TWO'"))))
+      val engine = new Engine(spark)
+      val eve = engine.openSession("eve")
+      def denied(user: String, sql: String): Boolean = {
+        val sess = engine.openSession(user)
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        finally engine.closeSession(sess.id)
+      }
+      assert(denied("outsider", "SELECT * FROM authz_db1.twin"),
+        "db1.twin policy must deny non-members")
+      assert(!denied("outsider", "SELECT * FROM authz_db2.twin"),
+        "a db1-qualified policy must not shadow db2's same-named table")
+      assert(!denied("insider", "SELECT * FROM authz_db1.twin"))
+      // per-database masks: the same bare table name, different rewrite
+      assert(eve.spark.sql("SELECT secret FROM authz_db1.twin").head().getString(0) == "ONE")
+      assert(eve.spark.sql("SELECT secret FROM authz_db2.twin").head().getString(0) == "TWO")
+      // decide API agrees
+      assert(!AuthzPolicies.decideAccess("outsider", Set.empty, "authz_db1.twin"))
+      assert(AuthzPolicies.decideAccess("outsider", Set.empty, "authz_db2.twin"))
+    } finally {
+      AuthzPolicies.clear()
+      spark.sql("DROP TABLE IF EXISTS authz_db1.twin")
+      spark.sql("DROP TABLE IF EXISTS authz_db2.twin")
+      spark.sql("DROP DATABASE IF EXISTS authz_db1")
+      spark.sql("DROP DATABASE IF EXISTS authz_db2")
+    }
+  }
+
+  test("function policies: denied function fails the query and hides from SHOW FUNCTIONS") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      AuthzPolicies.addFunctionPolicy(AccessPolicy("upper", allowed = Set("shouter")))
+      val engine = new Engine(spark)
+      def denied(user: String, sql: String): Boolean = {
+        val sess = engine.openSession(user)
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        finally engine.closeSession(sess.id)
+      }
+      assert(denied("mute", "SELECT upper(name) FROM graft_authz_t"),
+        "function policy must deny invocation")
+      assert(!denied("shouter", "SELECT upper(name) FROM graft_authz_t"))
+      // unpolicied functions stay open to everyone
+      assert(!denied("mute", "SELECT lower(name) FROM graft_authz_t"))
+      // SHOW FUNCTIONS hides what the user cannot invoke
+      val mute = engine.openSession("mute")
+      val fns = mute.spark.sql("SHOW FUNCTIONS LIKE '*er'").collect()
+        .map(_.getString(0).split('.').last).toSet
+      assert(!fns.contains("upper"), s"denied function leaked into listing: $fns")
+      assert(fns.contains("lower"), s"allowed function missing from listing: $fns")
+      val shouter = engine.openSession("shouter")
+      val fns2 = shouter.spark.sql("SHOW FUNCTIONS LIKE 'upper'").collect()
+        .map(_.getString(0).split('.').last).toSet
+      assert(fns2.contains("upper"))
     }
   }
 

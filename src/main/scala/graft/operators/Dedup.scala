@@ -46,6 +46,18 @@ object Dedup {
     * k minhashes that agree — an unbiased Jaccard estimate.
     *
     * numHashes = bands * rowsPerBand.
+    *
+    * `maxBandDf` is the band-bucket capacity guard (the shape
+    * [[bandedHammingPairs]] and winnowing already use): the band key
+    * is a 64-bit hash of a rowsPerBand-minhash slice, so *random*
+    * collisions are negligible — but a cluster of d near-identical
+    * template documents (one token apart, surviving exact dedup)
+    * shares ALL its band keys and would self-join O(d²) per band ×
+    * `bands`. Buckets above the cap are pruned BEFORE the self-join
+    * by a count aggregation + semi join; pairs living only in an
+    * overfull bucket are boilerplate clusters better handled by exact
+    * dedup, and recall inside capped buckets is unchanged. df ≥ 2
+    * additionally drops the (common, hash-keyed) singleton buckets.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -54,7 +66,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBandDf: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     // Persist the signatures: both sides of the self-join (and the band
     // explode) would otherwise re-execute the full shingle+hash lineage.
@@ -68,9 +81,14 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val banded = sigs
+    val allBanded = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keepBuckets = allBanded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxBandDf)
+      .select(col("band"), col("key"))
+    val banded = allBanded.join(keepBuckets, Seq("band", "key"), "left_semi")
     // Score BEFORE deduplicating pairs so the pair-dedup shuffle carries
     // one double per row instead of two k-long signature arrays; the
     // dedup itself is an aggregation (map-side partial) rather than a
@@ -95,6 +113,14 @@ object Dedup {
     * A new document collides with the corpus iff one of its band keys
     * appears here — the same banding probability contract as
     * [[minhashCandidates]], served as a join instead of a self-join.
+    *
+    * The cap is applied AT BUILD TIME so the persisted artifact is
+    * bounded: any (band, key) bucket holding more than `maxBandDf`
+    * corpus ids is dropped wholesale (a probe that would only hit an
+    * overfull boilerplate bucket reports no collision — run exact
+    * dedup on the corpus first). Unlike [[minhashCandidates]],
+    * singleton buckets are KEPT: a probe doc legitimately collides
+    * with a single corpus doc.
     */
   def bandIndexOf(
       corpus: DataFrame,
@@ -102,14 +128,20 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBandDf: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    corpus
+    val idx = corpus
       .select(col(idCol).as("corpus_id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
       .select(col("corpus_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("corpus_id"))
       .distinct()
+    val keepBuckets = idx.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBandDf)
+      .select(col("band"), col("key"))
+    idx.join(keepBuckets, Seq("band", "key"), "left_semi")
   }
 
   /** Band-collision candidates of `docs` against a prebuilt
@@ -118,6 +150,10 @@ object Dedup {
     * the match strength. Map-side signature compute, one equi join on
     * (band, key) — the batch twin of
     * [[graft.streaming.Streams.nearDupGateStream]].
+    *
+    * The bucket-capacity guard lives in [[bandIndexOf]] (build time),
+    * which bounds this join's fanout to `bands × maxBandDf` rows per
+    * probe document — no probe-side cap is needed.
     */
   def bandCollisions(
       docs: DataFrame,
@@ -138,6 +174,75 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  // ---- persisted band-index lifecycle: build once, probe many ----
+  //
+  // The text-near-dup twin of IvfPqIndex's artifact contract
+  // (IvfPqIndex.buildIndex/openIndex): the corpus' band index is a
+  // plain parquet artifact any later job can open, the banding
+  // parameters ride along so a probe session cannot silently probe
+  // with mismatched banding, and the index stays a lazy DISTRIBUTED
+  // parquet scan — opening reads only the one-row meta to the driver.
+
+  /** Build the [[bandIndexOf]] index of `corpus` and persist it at
+    * `path`:
+    *   path/bands  (band, key, corpus_id)  — data-sized, distributed
+    *   path/meta   (shingle_size, bands, rows_per_band, max_band_df)
+    * The build-time `maxBandDf` cap bounds the artifact (overfull
+    * boilerplate buckets are dropped wholesale).
+    */
+  def buildBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBandDf: Int = 1000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bandIndexOf(corpus, idCol, textCol, shingleSize, bands, rowsPerBand, maxBandDf)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq((shingleSize, bands, rowsPerBand, maxBandDf))
+      .toDF("shingle_size", "bands", "rows_per_band", "max_band_df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** A persisted band index opened for probing: [[collisions]] and
+    * the streaming twin read nothing but the artifact — the raw
+    * corpus is not needed (nor available) at probe time.
+    */
+  final class OpenedBandIndex(
+      val shingleSize: Int,
+      val bands: Int,
+      val rowsPerBand: Int,
+      val maxBandDf: Int,
+      val index: DataFrame) {
+
+    /** Batch probe — [[bandCollisions]] with the index's own banding
+      * parameters (mismatched probe banding is impossible by
+      * construction).
+      */
+    def collisions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      bandCollisions(docs, idCol, textCol, index, shingleSize, bands, rowsPerBand)
+  }
+
+  /** Open a persisted band index: the one-row meta is read to the
+    * driver; the bands table stays a lazy distributed parquet scan.
+    */
+  def openBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpenedBandIndex = {
+    // head() of the ONE-row meta artifact — a bounded scalar read like
+    // the IVF-PQ centroid loads, never result rows (PlanQualitySpec's
+    // collect sweep stays in force for everything else in this file)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    new OpenedBandIndex(
+      meta.getAs[Int]("shingle_size"),
+      meta.getAs[Int]("bands"),
+      meta.getAs[Int]("rows_per_band"),
+      meta.getAs[Int]("max_band_df"),
+      spark.read.parquet(s"$path/bands"))
+  }
+
   /** Full near-dup pipeline: MinHash-LSH candidate generation verified
     * by exact n-gram Jaccard on the candidate pairs only — the 100 TB
     * shape (LSH prunes the O(n²) space; exact verification touches only
@@ -151,8 +256,10 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       estThreshold: Double = 0.5,
-      jaccardThreshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand, estThreshold)
+      jaccardThreshold: Double = 0.7,
+      maxBandDf: Int = 1000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand,
+      estThreshold, maxBandDf)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     cands

@@ -109,4 +109,38 @@ object QualityFilters {
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("n_hits"),
       redact(col(textCol), pattern, mask).as("redacted"))
+
+  /** EXACT rank-based length-quantile gate: keep documents whose text
+    * length is >= the corpus' `permille`-quantile length, where the
+    * quantile is the rank-⌈permille·n/1000⌉ value in ascending length
+    * order (no approx_percentile — its sketch error is
+    * engine-specific, so the result would not be oracle-checkable and
+    * two runs of a production pipeline could keep different sets).
+    *
+    * 100 TB shape: lengths are bounded small integers, so the
+    * distribution is compressed into a length HISTOGRAM first (one
+    * partial-aggregated shuffle, |distinct lengths| rows). The
+    * cumulative rank walk is a window over that histogram — bounded
+    * by max document length, never by corpus size — and the threshold
+    * goes back as a broadcast scalar for a map-side filter. The rank
+    * arithmetic is pure integer ((permille·n + 999) div 1000), exact
+    * in any engine.
+    */
+  def lengthQuantileKeep(
+      docs: DataFrame, idCol: String, textCol: String,
+      permille: Int = 900): DataFrame = {
+    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
+    val lens = docs.select(col(idCol), length(col(textCol)).cast("long").as("len"))
+    val hist = lens.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len")).rowsBetween(Long.MinValue, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = lens.agg(count(lit(1)).as("n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr(s"($permille * n + 999) div 1000"))
+      .agg(min(col("len")).as("thr"))
+    lens.crossJoin(broadcast(thr))
+      .filter(col("len") >= col("thr"))
+      .select(col(idCol), col("len"))
+  }
 }

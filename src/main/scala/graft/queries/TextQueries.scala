@@ -344,6 +344,39 @@ object TextQueries {
         d.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx)
     },
 
+    // --- Hybrid retrieval: BM25 lexical top-20 fused with the exact
+    //     embedding-cosine top-20 of query vector 0 via reciprocal-
+    //     rank fusion — integer micro-point contributions
+    //     (1000000 div (60+rnk)), so fused scores, tie-breaks and the
+    //     final cut reproduce bit-for-bit in DuckDB. The rank windows
+    //     run over ALREADY-bounded top-k lists (20 rows), never the
+    //     corpus. ---
+    "d49_hybrid_rrf" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+      val lexical = graft.operators.Bm25.topK(t.documents, "doc_id", "text",
+          queryTerms = Seq("spark", "merge", "join"), n = 20)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("rnk"))
+      val knn = graft.operators.SimilaritySearch.bruteForceTopK(
+          t.embeddings, t.embeddings.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.operators.HybridRetrieval.rrf(Seq(lexical, knn), "doc_id", "rnk",
+        k0 = 60, n = 10)
+    },
+
+    // --- EXACT rank-based length-quantile gate: keep docs at or above
+    //     the corpus p90 length, threshold from a length HISTOGRAM
+    //     (bounded by max doc length, not corpus size) with pure
+    //     integer rank arithmetic — no approx_percentile, so the kept
+    //     set is oracle-checkable and run-to-run stable. ---
+    "d50_quantile_gate" -> { (s, dir) =>
+      graft.operators.QualityFilters.lengthQuantileKeep(
+        Tables(s, dir).documents, "doc_id", "text", permille = 900)
+    },
+
     // --- n-gram containment pairs: quote/subset detection — pairs
     //     whose max-side containment (shared / min set size) is
     //     >= 0.8, the asymmetric relation Jaccard misses when a short
@@ -448,12 +481,43 @@ object TextQueries {
   // Band collision is raw slice equality — the SAME equivalence the
   // Spark side keys by (its xxhash64 band key is just a compaction of
   // the slice). 16 bands × 4 rows, est = agreeing positions / 64.
+  // BM25 per-(doc, term) micro-nat partial scores (`sc`) for the
+  // 3-term query — shared by d39 (ranked list) and d49 (RRF fusion);
+  // every double op in the same association order as Bm25.topK.
+  private val bm25SqlCte =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+          WHERE token IN ('spark', 'merge', 'join')
+          GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT tf.doc_id,
+            CAST(floor(
+              CAST(CAST(floor(ln((CAST(g.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+              * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE)
+                      / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS ts
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id), g)"""
+
+  // Band-bucket cap mirrored from Dedup.minhashCandidates (maxBandDf
+  // default 1000; df >= 2 only drops pairless singleton buckets).
   private val minhashCandSql =
     """sig AS (SELECT doc_id, sig FROM '__TAUX__/minhash_sigs.parquet/*.parquet'),
-       banded AS (
+       banded0 AS (
          SELECT doc_id, sig, bs.b AS band,
                 array_to_string(sig[bs.b*4+1 : bs.b*4+4], ',') AS key
          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
+       keepb AS (
+         SELECT band, key FROM banded0 GROUP BY 1, 2
+         HAVING count(*) >= 2 AND count(*) <= 1000),
+       banded AS (SELECT banded0.* FROM banded0 JOIN keepb USING (band, key)),
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
          FROM banded a JOIN banded b
@@ -529,8 +593,11 @@ object TextQueries {
            SELECT doc_id, bs.b AS band,
                   array_to_string(sig[bs.b*4+1 : bs.b*4+4], ',') AS key
            FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
-         idx AS (SELECT band, key, doc_id AS corpus_id
-                 FROM banded WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+         idx0 AS (SELECT band, key, doc_id AS corpus_id
+                  FROM banded WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+         keepi AS (SELECT band, key FROM idx0 GROUP BY 1, 2
+                   HAVING count(*) <= 1000),
+         idx AS (SELECT idx0.* FROM idx0 JOIN keepi USING (band, key)),
          pr AS (SELECT doc_id AS id, band, key
                 FROM banded WHERE doc_id % 10 = 0)
          SELECT id, corpus_id, CAST(count(*) AS BIGINT) AS n_bands
@@ -813,29 +880,55 @@ object TextQueries {
           FROM p
           JOIN t ta ON ta.src = p.src_a
           JOIN t tb ON tb.src = p.src_b""",
+    // Mirror of d49: the d39 BM25 top-20 (bm25SqlCte) ranked, fused
+    // with the exact cosine top-20 of query vector 0 (v01's scoring
+    // shape) by integer RRF — 1000000 // (60+rnk) micro-points, sum,
+    // (score desc, doc_id asc) cut at 10.
+    "d49_hybrid_rrf" ->
+      s"""WITH $bm25SqlCte,
+          bmtop AS (
+            SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_micro
+            FROM sc GROUP BY 1
+            ORDER BY score_micro DESC, doc_id LIMIT 20),
+          bmrank AS (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+            FROM bmtop),
+          qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+          cand AS (
+            SELECT vec_id AS doc_id,
+              list_reduce(list_transform(generate_series(1, len(embedding)),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(qv.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS sim
+            FROM embeddings, qv WHERE vec_id <> 0),
+          knn AS (
+            SELECT doc_id, rnk FROM (
+              SELECT doc_id,
+                row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rnk
+              FROM cand)
+            WHERE rnk <= 20),
+          u AS (SELECT doc_id, rnk FROM bmrank
+                UNION ALL SELECT doc_id, rnk FROM knn),
+          f AS (
+            SELECT doc_id,
+              CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS score_micro,
+              count(*) AS n_lists
+            FROM u GROUP BY 1)
+          SELECT doc_id, score_micro, n_lists FROM f
+          ORDER BY score_micro DESC, doc_id ASC LIMIT 10""",
+    // Mirror of d50: rank-⌈900n/1000⌉ length in ascending order is
+    // the exact p90 threshold; integer rank arithmetic, keep >=.
+    "d50_quantile_gate" ->
+      """WITH lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+         rk AS (SELECT (900 * count(*) + 999) // 1000 AS r FROM lens),
+         srt AS (SELECT len, row_number() OVER (ORDER BY len) AS rn FROM lens),
+         thr AS (SELECT len AS t FROM srt, rk WHERE rn = rk.r)
+         SELECT doc_id, len FROM lens, thr WHERE len >= t""",
     // Mirror of d39: BM25 with micro-nat idf and floor-quantized
     // per-term scores, every double in the same association order.
     "d39_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
-          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
-          tf AS (
-            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(toks) AS token FROM t)
-            WHERE token IN ('spark', 'merge', 'join')
-            GROUP BY 1, 2),
-          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          sc AS (
-            SELECT tf.doc_id,
-              CAST(floor(
-                CAST(CAST(floor(ln((CAST(g.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                    / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
-                * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
-                   / (CAST(tf AS DOUBLE)
-                      + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE)
-                        / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS ts
-            FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id), g)
+      s"""WITH $bm25SqlCte
           SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_micro
           FROM sc GROUP BY 1
           ORDER BY score_micro DESC, doc_id LIMIT 20""",

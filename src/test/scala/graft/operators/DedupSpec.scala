@@ -349,4 +349,102 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(dflt.size == 29 && dflt.contains((9L, 10L)),
       s"default cap must keep all clone pairs + near-dup pair, got ${dflt.size}")
   }
+
+  test("minhash band buckets: template-clone bucket df-capped, recall at default intact") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    // 8 template clones (identical text → identical signature → the
+    // same bucket in EVERY band) + one near-dup pair on a different
+    // subject. This is the O(d²)-per-band blowup the cap bounds.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely separate subject matter about volcanic geology and mineral strata"
+    val docs = ((1L to 8L).map(i => (i, base)) ++ Seq(
+      (9L, other + " more words to compare closely"),
+      (10L, other + " more words to compare closely now")
+    )).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text",
+        threshold = 0.5, maxBandDf = 5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 2L)), "overfull clone bucket must be pruned")
+    assert(capped.contains((9L, 10L)), s"near-dup pair must survive the cap; got $capped")
+    // default cap does not bind on a small corpus: full recall
+    val dflt = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.size == 29 && dflt.contains((9L, 10L)),
+      s"default cap must keep all clone pairs + near-dup pair, got ${dflt.size}")
+  }
+
+  test("band index build-time cap: bounded artifact, singleton buckets kept") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely separate subject matter about volcanic geology and mineral strata"
+    val corpus = ((1L to 8L).map(i => (i, base)) ++ Seq((9L, other)))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, base), (101L, other + " almost")).toDF("doc_id", "text")
+    val idx = Dedup.bandIndexOf(corpus, "doc_id", "text", maxBandDf = 5)
+    // the clone bucket (8 ids in every band) is dropped at build, so
+    // the artifact is bounded by bands × cap
+    val perBucket = idx.groupBy("band", "key").count().collect().map(_.getLong(2))
+    assert(perBucket.forall(_ <= 5), s"capped index may not hold overfull buckets")
+    val hits = Dedup.bandCollisions(probes, "doc_id", "text", idx)
+      .select("id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!hits.exists(_._1 == 100L), "probe against the pruned clone bucket reports nothing")
+    assert(hits.contains((101L, 9L)),
+      s"singleton corpus bucket must stay probeable; got $hits")
+    // default cap: the clone bucket is retained and the probe collides
+    val dfltIdx = Dedup.bandIndexOf(corpus, "doc_id", "text")
+    val dfltHits = Dedup.bandCollisions(probes, "doc_id", "text", dfltIdx)
+      .select("id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L to 8L).forall(c => dfltHits.contains((100L, c))))
+  }
+
+  test("band index round-trips through parquet; a fresh session probes the artifact only") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "totally different content about glacier melt rates")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandidx").toString
+    try {
+      Dedup.buildBandIndex(corpus, "doc_id", "text", path,
+        shingleSize = 3, bands = 16, rowsPerBand = 4, maxBandDf = 50)
+      val probes = Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "nothing like anything in the corpus at all whatsoever")
+      ).toDF("doc_id", "text")
+      val inMem = Dedup.bandCollisions(probes, "doc_id", "text",
+          Dedup.bandIndexOf(corpus, "doc_id", "text", maxBandDf = 50))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      // a FRESH session (no registered corpus, no cached frames) opens
+      // the artifact and must reproduce the in-memory collisions
+      val s2 = spark.newSession()
+      val opened = Dedup.openBandIndex(s2, path)
+      assert(opened.shingleSize == 3 && opened.bands == 16 &&
+        opened.rowsPerBand == 4 && opened.maxBandDf == 50,
+        "banding parameters must ride the artifact")
+      import s2.implicits._
+      val probes2 = Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "nothing like anything in the corpus at all whatsoever")
+      ).toDF("doc_id", "text")
+      val viaArtifact = opened.collisions(probes2, "doc_id", "text")
+      val got = viaArtifact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == inMem, s"artifact probe must equal in-memory probe: $got vs $inMem")
+      assert(got.exists(_._1 == 100L) && !got.exists(_._1 == 101L))
+      // the probe plan reads the persisted index, never the corpus
+      val plan = viaArtifact.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(path).getName),
+        s"probe must scan the index artifact:\n${plan.take(800)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

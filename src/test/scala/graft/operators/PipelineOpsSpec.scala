@@ -96,4 +96,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("lengthQuantileKeep: exact rank threshold, ties kept, histogram-not-corpus window") {
+    // 10 docs, lengths 1..10 → p90 rank = ceil(0.9·10) = 9 → threshold
+    // is the 9th ascending length (9); docs of length 9 and 10 survive
+    val docs = (1 to 10).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val kept = QualityFilters.lengthQuantileKeep(docs, "doc_id", "text", permille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((9L, 9L), (10L, 10L)), s"got $kept")
+    // ties at the threshold all survive (>= semantics)
+    val tied = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc"), (4L, "d")).toDF("doc_id", "text")
+    val keptTied = QualityFilters.lengthQuantileKeep(tied, "doc_id", "text", permille = 900)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 2L, 3L), s"all max-length ties kept: $keptTied")
+    // p50 on a known set
+    val p50 = QualityFilters.lengthQuantileKeep(docs, "doc_id", "text", permille = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(p50 == (5L to 10L).toSet, s"p50 keeps the upper half: $p50")
+  }
+
+  test("rrf fusion: integer micro-points, cross-list consensus wins, deterministic cut") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rnk")
+    val b = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rnk")
+    val fused = HybridRetrieval.rrf(Seq(a, b), "id", "rnk", k0 = 60, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hand-computed: 1000000 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    val scores = fused.map(t => t._1 -> t._2).toMap
+    assert(scores(10L) == 16393 + 15873)
+    assert(scores(20L) == 16129 + 16393)
+    assert(scores(30L) == 15873 && scores(40L) == 16129)
+    // consensus docs (in both lists) outrank single-list docs
+    assert(fused.take(2).map(_._1).toSet == Set(10L, 20L))
+    assert(fused.map(_._3).toSeq.sorted == Seq(1L, 1L, 2L, 2L))
+    // n bounds the fused list with a deterministic (score, id) cut
+    val top1 = HybridRetrieval.rrf(Seq(a, b), "id", "rnk", k0 = 60, n = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(20L), "20 has the higher fused score")
+  }
 }

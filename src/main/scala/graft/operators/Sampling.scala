@@ -58,15 +58,33 @@ object Sampling {
     * output (both rank by (hash asc, id asc)).
     */
   def stratifiedFixedNAgg(df: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame = {
-    val top = TopKAggregator.udaf(n)
-    df.select(col(stratumCol), col(idCol).cast("long").as("__id"),
-        hashBucket16(col(idCol)).as("__h"))
-      // sim = -hash: the aggregator keeps highest-sim first, ties by
-      // id ascending — exactly (hash asc, id asc)
-      .groupBy(col(stratumCol))
-      .agg(top(col("__id"), -col("__h").cast("double")).as("__top"))
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    // sim = -hash: the aggregator keeps highest-sim first, ties by
+    // id ascending — exactly (hash asc, id asc). Integral ids rank
+    // numerically, string ids by binary order — both matching the
+    // window twin's orderBy(__h, idCol). Other id types are rejected
+    // loudly (a silent cast-to-null selected nothing; r10 ADVICE).
+    val selected = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val top = TopKAggregator.udaf(n)
+        df.select(col(stratumCol), col(idCol).cast("long").as("__id"),
+            hashBucket16(col(idCol)).as("__h"))
+          .groupBy(col(stratumCol))
+          .agg(top(col("__id"), -col("__h").cast("double")).as("__top"))
+      case StringType =>
+        val top = TopKStringAggregator.udaf(n)
+        df.select(col(stratumCol), col(idCol).cast("string").as("__id"),
+            hashBucket16(col(idCol)).as("__h"))
+          .groupBy(col(stratumCol))
+          .agg(top(col("__id"), -col("__h").cast("double")).as("__top"))
+      case other => throw new IllegalArgumentException(
+        s"stratifiedFixedNAgg needs an integral or string id column; " +
+          s"'$idCol' is $other — use stratifiedFixedN for exotic id types")
+    }
+    selected
       .select(col(stratumCol), explode(col("__top")).as("__s"))
-      .select(col("__s.neighbor_id").as(idCol), col(stratumCol))
+      .select(col("__s.neighbor_id").cast(idType).as(idCol), col(stratumCol))
   }
 
   /** Temperature-based source mixing: sample `totalN` docs with

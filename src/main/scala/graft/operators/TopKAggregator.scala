@@ -52,3 +52,43 @@ object TopKAggregator {
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKAggregator(k), Encoders.product[Scored])
 }
+
+/** String-keyed candidate — the any-orderable-id twin of [[Scored]]
+  * (UUID/string document ids; ties break on the string's binary
+  * order, matching Spark's own string sort order).
+  */
+case class ScoredStr(neighbor_id: String, sim: Double)
+
+/** [[TopKAggregator]] over string ids — same ≤2k partial-buffer
+  * contract, same (sim desc, id asc) ordering, so samplers over
+  * non-numeric ids get the identical skew-safe shape.
+  */
+class TopKStringAggregator(k: Int)
+  extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+
+  private def better(a: ScoredStr, b: ScoredStr): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.neighbor_id < b.neighbor_id)
+
+  private def prune(b: Seq[ScoredStr]): Seq[ScoredStr] =
+    b.sortWith(better).take(k)
+
+  override def zero: Seq[ScoredStr] = Vector.empty
+
+  override def reduce(b: Seq[ScoredStr], a: ScoredStr): Seq[ScoredStr] = {
+    val appended = b :+ a
+    if (appended.length >= 2 * k) prune(appended) else appended
+  }
+
+  override def merge(x: Seq[ScoredStr], y: Seq[ScoredStr]): Seq[ScoredStr] =
+    prune(x ++ y)
+
+  override def finish(b: Seq[ScoredStr]): Seq[ScoredStr] = prune(b)
+
+  override def bufferEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder[Seq[ScoredStr]]()
+  override def outputEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder[Seq[ScoredStr]]()
+}
+
+object TopKStringAggregator {
+  def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKStringAggregator(k), Encoders.product[ScoredStr])
+}

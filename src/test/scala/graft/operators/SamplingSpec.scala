@@ -58,6 +58,25 @@ class SamplingSpec extends AnyFunSuite {
       "expected aggregate-based top-k")
   }
 
+  test("agg-based stratified sample handles string ids; exotic id types rejected loudly") {
+    // the fixture's ids are strings ("doc_0001") — r10's long-cast
+    // nulled every one of them; now the string aggregator path must
+    // match the window variant exactly
+    val viaWindow = Sampling.stratifiedFixedN(df, "source", "doc_id", 25)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaAgg = Sampling.stratifiedFixedNAgg(df, "source", "doc_id", 25)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaAgg == viaWindow, "string-id agg variant must match the window spec")
+    assert(viaAgg.count(_._2 == "web") == 25 && viaAgg.count(_._2 == "book") == 25)
+    // unsupported id types fail at plan time, not with null ids
+    val exotic = Seq((Array(1.toByte), "x")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedFixedNAgg(exotic, "source", "doc_id", 5)
+    }
+    assert(e.getMessage.contains("integral or string"))
+  }
+
   test("temperature mix allocates ~sqrt-proportional targets, integer-exact and deterministic") {
     // 900 "web" vs 100 "book": plain proportional would give 90/10; at
     // alpha=0.5 the weights are sqrt(900)=30 vs sqrt(100)=10 -> 75/25.

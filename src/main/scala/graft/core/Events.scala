@@ -108,10 +108,11 @@ object Events {
     * way). Fixed capacity: the bus may outlive millions of operations,
     * the feed only ever shows the tail.
     */
-  final class RingBuffer(capacity: Int = 512) extends Handler {
+  final class RingBuffer(val capacity: Int = 512) extends Handler {
     private val buf = new java.util.ArrayDeque[String](capacity)
+    private var dropped = 0L
     override def onEvent(e: Event): Unit = synchronized {
-      if (buf.size >= capacity) buf.removeFirst()
+      if (buf.size >= capacity) { buf.removeFirst(); dropped += 1 }
       buf.addLast(e.asJson)
     }
     /** Most recent first. */
@@ -119,6 +120,10 @@ object Events {
       import scala.jdk.CollectionConverters._
       buf.descendingIterator().asScala.take(math.max(0, limit)).toSeq
     }
+    /** Oldest-evicted count since start — exported as a metric so
+      * operators can SEE feed truncation instead of guessing.
+      */
+    def droppedCount: Long = synchronized { dropped }
   }
 
   /** One JSON object per line, append-only (the reference's

@@ -20,6 +20,11 @@ object Metrics {
     private def inc(name: String): Unit =
       counters.computeIfAbsent(name, _ => new LongAdder).increment()
 
+    // pull-style gauges sampled at snapshot time (ring-buffer drop
+    // counts, queue depths — state owned elsewhere)
+    private val gaugeFns = new ConcurrentHashMap[String, () => Long]()
+    def registerGauge(name: String, f: () => Long): Unit = gaugeFns.put(name, f)
+
     override def onEvent(e: Events.Event): Unit = e match {
       case Events.SessionEvent(_, _, "OPENED", _) => inc("sessions_opened")
       case Events.SessionEvent(_, _, "CLOSED", _) => inc("sessions_closed")
@@ -37,7 +42,8 @@ object Metrics {
 
     def snapshot: Map[String, Long] = {
       val rt = Runtime.getRuntime
-      counters.asScala.map { case (k, v) => k -> v.sum() }.toMap ++ Map(
+      counters.asScala.map { case (k, v) => k -> v.sum() }.toMap ++
+        gaugeFns.asScala.map { case (k, f) => k -> f() }.toMap ++ Map(
         "uptime_ms" -> (System.currentTimeMillis() - startedAtMs),
         "heap_used_bytes" -> (rt.totalMemory() - rt.freeMemory()),
         "heap_max_bytes" -> rt.maxMemory())
@@ -54,7 +60,8 @@ object Metrics {
       * a gauge).
       */
     def asPrometheus: String = {
-      val gauges = Set("uptime_ms", "heap_used_bytes", "heap_max_bytes")
+      val gauges = Set("uptime_ms", "heap_used_bytes", "heap_max_bytes") ++
+        gaugeFns.keySet.asScala
       snapshot.toSeq.sortBy(_._1).map { case (k, v) =>
         val typ = if (gauges(k)) "gauge" else "counter"
         s"# TYPE graft_$k $typ\ngraft_$k $v"

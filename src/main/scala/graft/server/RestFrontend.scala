@@ -75,9 +75,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   Events.register(metrics)
 
   // Bounded event history feeding GET /api/v1/events and the UI's
-  // event feed (sessions/operations/lineage/authz-audit, newest first)
-  private val eventLog = new Events.RingBuffer(512)
+  // event feed (sessions/operations/lineage/authz-audit, newest
+  // first). Capacity is a server conf (graft.server.events.ring
+  // .capacity, default 512); evictions surface in /api/v1/metrics as
+  // events_ring_dropped so operators can see feed truncation.
+  private val eventLog = new Events.RingBuffer(
+    engine.rootSpark.conf.getOption("graft.server.events.ring.capacity")
+      .map(_.toInt).getOrElse(512))
   Events.register(eventLog)
+  metrics.registerGauge("events_ring_dropped", () => eventLog.droppedCount)
+  metrics.registerGauge("events_ring_capacity", () => eventLog.capacity.toLong)
 
   // Engine-side session closes (idle reaper included) purge this
   // frontend's per-session state, so abandoned batches don't pin
@@ -444,9 +451,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       // Recent event history (newest first) — the reference web-ui's
       // server-event feed over our bus
       case ("GET", "events" :: Nil) =>
-        val limit = queryParam(ex, "limit").map(_.toInt).getOrElse(100)
-        reply(ex, 200,
-          "{\"events\": [" + eventLog.recent(limit).mkString(",") + "]}")
+        // a malformed or negative limit is the CLIENT's error → 400,
+        // not a NumberFormatException-turned-500 (r10 ADVICE)
+        queryParam(ex, "limit") match {
+          case Some(raw) if scala.util.Try(raw.toInt).toOption.forall(_ < 0) =>
+            reply(ex, 400, s"""{"error": "bad limit", "limit": ${q(raw)}}""")
+          case other =>
+            val limit = other.map(_.toInt).getOrElse(100)
+            reply(ex, 200,
+              "{\"events\": [" + eventLog.recent(limit).mkString(",") + "]}")
+        }
 
       // All materialized engine spaces with their registrations —
       // feeds the /ui overview + /ui/engines drill-down (reference
@@ -513,6 +527,26 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               ex.getResponseHeaders.add("X-Trino-Deallocated-Prepare",
                 java.net.URLEncoder.encode(name, "UTF-8"))
               reply(ex, 200, trinoControlDoc("DEALLOCATE"))
+            // SET SESSION / RESET SESSION — like prepares, session
+            // properties live on the CLIENT in the Trino protocol: the
+            // server acknowledges via X-Trino-Set-Session /
+            // X-Trino-Reset-Session and the client carries the active
+            // set on every later request as X-Trino-Session, which
+            // [[trinoSessionProps]] applies to the engine session conf
+            // before the statement runs (reference TrinoContext
+            // session-property handling).
+            case TrinoSetSessionRe(key, rawValue) =>
+              val value = rawValue.trim match {
+                case s if s.length >= 2 && s.startsWith("'") && s.endsWith("'") =>
+                  s.substring(1, s.length - 1).replace("''", "'")
+                case s => s
+              }
+              ex.getResponseHeaders.add("X-Trino-Set-Session",
+                s"$key=${java.net.URLEncoder.encode(value, "UTF-8")}")
+              reply(ex, 200, trinoControlDoc("SET SESSION"))
+            case TrinoResetSessionRe(key) =>
+              ex.getResponseHeaders.add("X-Trino-Reset-Session", key)
+              reply(ex, 200, trinoControlDoc("RESET SESSION"))
             // EXECUTE name [USING p1, p2, ...] — bind positional `?`
             // placeholders in the client-carried prepared SQL with the
             // literal parameter texts, then run it as a plain query.
@@ -527,6 +561,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
                     case Left(err) => reply(ex, 400, s"""{"error": ${q(err)}}""")
                     case Right(bound) =>
                       val sess = engine.openSession(user)
+                      applyTrinoSession(ex, sess)
                       val op = sess.executeStatement(bound, ResultMode.Full)
                       opSessions.put(op.handle, sess)
                       reply(ex, 200, trinoDoc(op, firstPoll = true))
@@ -534,6 +569,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               }
             case _ =>
               val sess = engine.openSession(user)
+              applyTrinoSession(ex, sess)
               val op = sess.executeStatement(sql, ResultMode.Full)
               opSessions.put(op.handle, sess)
               reply(ex, 200, trinoDoc(op, firstPoll = true))
@@ -561,6 +597,27 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   }
 
   // ---- Trino prepared statements (EXECUTE/DEALLOCATE + binding) ----
+
+  private val TrinoSetSessionRe = "(?is)^SET\\s+SESSION\\s+([\\w.]+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
+  private val TrinoResetSessionRe = "(?is)^RESET\\s+SESSION\\s+([\\w.]+)\\s*;?\\s*$".r
+
+  /** Client-carried session properties
+    * (`X-Trino-Session: key=urlencoded(value)`, repeatable +
+    * comma-separable), applied to the engine session's Spark conf
+    * before the statement runs. The server-reserved identity
+    * namespace stays unsettable from the wire (same rule the Thrift
+    * frontend enforces).
+    */
+  private def applyTrinoSession(ex: HttpExchange, sess: graft.core.EngineSession): Unit = {
+    val vs = Option(ex.getRequestHeaders.get("X-Trino-Session"))
+      .map(_.asScala.toList).getOrElse(Nil)
+    vs.flatMap(_.split(",")).map(_.trim).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      val key = k.trim
+      if (!key.startsWith("spark.graft.authz.") && !Engine.isReservedClientKey(key))
+        sess.spark.conf.set(key, java.net.URLDecoder.decode(v, "UTF-8"))
+    }
+  }
 
   private val TrinoPrepareRe = "(?is)^PREPARE\\s+(\\w+)\\s+FROM\\s+(.+)$".r
   private val TrinoExecuteRe = "(?is)^EXECUTE\\s+(\\w+)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$".r

@@ -226,6 +226,49 @@ class RestFrontendSpec extends AnyFunSuite {
       val (_, one) = get(c, s"$base/events?limit=1")
       assert("\"event\":".r.findAllIn(one).size == 1,
         s"limit=1 must return one event: $one")
+      // a malformed or negative limit is the client's error: 400, not
+      // a NumberFormatException-turned-500 (r10 ADVICE)
+      assert(get(c, s"$base/events?limit=abc")._1 == 400)
+      assert(get(c, s"$base/events?limit=-5")._1 == 400)
+    }
+  }
+
+  test("events ring capacity is a conf; evictions show up as a metric") {
+    // tiny capacity: the ring holds 3 events, everything older is
+    // evicted and COUNTED (graft.server.events.ring.capacity conf +
+    // events_ring_dropped gauge — r10 VERDICT #9)
+    spark.conf.set("graft.server.events.ring.capacity", "3")
+    val front = new RestFrontend(new Engine(spark), port = 0)
+    val port = front.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$port/api/v1"
+      val (_, sbody) = post(c, s"$base/sessions", """{"user": "ringy"}""")
+      val sid = extract(sbody, "sessionId")
+      // each statement produces several operation events; run enough
+      // to overflow a 3-slot ring
+      (1 to 3).foreach { i =>
+        val (_, qb) = post(c, s"$base/sessions/$sid/statements",
+          s"""{"sql": "SELECT $i AS n"}""")
+        val opId = extract(qb, "operationId")
+        var tries = 0
+        while (extract(get(c, s"$base/sessions/$sid/statements/$opId")._2,
+            "state") != "FINISHED" && tries < 100) { Thread.sleep(50); tries += 1 }
+      }
+      val (ec, ebody) = get(c, s"$base/events?limit=100")
+      assert(ec == 200)
+      assert("\"event\":".r.findAllIn(ebody).size == 3,
+        s"ring must hold exactly its capacity: $ebody")
+      // the OLDEST event (the session OPENED) must be evicted
+      assert(!ebody.contains(""""action":"OPENED""""), s"oldest must evict: $ebody")
+      val (_, mbody) = get(c, s"$base/metrics")
+      val dropped = """"events_ring_dropped": (\d+)""".r
+        .findFirstMatchIn(mbody).map(_.group(1).toLong)
+      assert(dropped.exists(_ >= 1), s"evictions must be counted: $mbody")
+      assert(mbody.contains(""""events_ring_capacity": 3"""), mbody)
+    } finally {
+      front.stop()
+      spark.conf.unset("graft.server.events.ring.capacity")
     }
   }
 
@@ -327,6 +370,58 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(dResp.statusCode() == 200)
       assert(dResp.headers().firstValue("X-Trino-Deallocated-Prepare").orElse("") == "stmt1")
       assert(dResp.body().contains(""""updateType": "DEALLOCATE""""), dResp.body())
+    }
+  }
+
+  test("Trino session properties: SET SESSION echoes the header and affects later statements") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      // SET SESSION → control doc + X-Trino-Set-Session echo
+      val sReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SET SESSION spark.sql.shuffle.partitions = '7'")).build()
+      val sResp = c.send(sReq, HttpResponse.BodyHandlers.ofString())
+      assert(sResp.statusCode() == 200, sResp.body())
+      assert(sResp.body().contains(""""updateType": "SET SESSION""""), sResp.body())
+      val setHdr = sResp.headers().firstValue("X-Trino-Set-Session")
+      assert(setHdr.isPresent && setHdr.get == "spark.sql.shuffle.partitions=7", setHdr)
+
+      // the client carries the property on the next request; the
+      // engine session conf must reflect it when the statement runs
+      def runWithSession(hdr: Option[String], sql: String): String = {
+        val b = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+          .POST(HttpRequest.BodyPublishers.ofString(sql))
+        hdr.foreach(b.header("X-Trino-Session", _))
+        var doc = c.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+        var hops = 0
+        while (doc.contains("nextUri") && hops < 100) {
+          val m = java.util.regex.Pattern.compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(doc)
+          assert(m.find()); Thread.sleep(100)
+          doc = get(c, root + m.group(1))._2
+          hops += 1
+        }
+        doc
+      }
+      val withProp = runWithSession(Some(setHdr.get), "SET spark.sql.shuffle.partitions")
+      assert(withProp.contains("\"7\"") || withProp.contains("[\"spark.sql.shuffle.partitions\",\"7\"]"),
+        s"session property must reach the engine conf: $withProp")
+      // without the header, a fresh statement sees the default (32)
+      val withoutProp = runWithSession(None, "SET spark.sql.shuffle.partitions")
+      assert(!withoutProp.contains("\"7\""), s"property must not leak without the header: $withoutProp")
+
+      // RESET SESSION echoes its header
+      val rReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "RESET SESSION spark.sql.shuffle.partitions")).build()
+      val rResp = c.send(rReq, HttpResponse.BodyHandlers.ofString())
+      assert(rResp.statusCode() == 200)
+      assert(rResp.headers().firstValue("X-Trino-Reset-Session").orElse("")
+        == "spark.sql.shuffle.partitions")
+      // the reserved identity namespace is not settable from the wire
+      val evil = runWithSession(Some("spark.graft.authz.user=admin"), "SELECT 1 AS one")
+      assert(evil.contains("FINISHED"), evil)
+      val evil2 = runWithSession(Some("graft.server.session.group=admins"), "SELECT 1 AS one")
+      assert(evil2.contains("FINISHED"), evil2)
     }
   }
 

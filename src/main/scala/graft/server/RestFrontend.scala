@@ -163,6 +163,44 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)
+        // All live sessions across every share scope (reference
+        // web-ui Session Management page)
+        case "sessions" :: Nil =>
+          val rows = engine.openSessions.sortBy(_.createdMs).map { s =>
+            s"""<tr><td><a href="/ui/session/${esc(s.id)}">${esc(s.id)}</a></td>
+               |<td>${esc(s.user)}</td><td>${s.createdMs}</td>
+               |<td>${s.openOperations.size}</td></tr>""".stripMargin
+          }.mkString
+          page(200, "sessions",
+            "<table><tr><th>session</th><th>user</th><th>created</th>" +
+              "<th>open operations</th></tr>" + rows + "</table>")
+        // All operations across every live session (reference web-ui
+        // Operation Management page)
+        case "operations" :: Nil =>
+          val now = System.currentTimeMillis()
+          val rows = engine.openSessions.flatMap(s => s.openOperations.map((s, _)))
+            .sortBy(_._2.createdMs).map { case (s, o) =>
+              s"""<tr><td><a href="/ui/operation/${esc(o.handle)}">${esc(o.handle)}</a></td>
+                 |<td><a href="/ui/session/${esc(s.id)}">${esc(s.id.take(8))}&hellip;</a></td>
+                 |<td>${esc(s.user)}</td><td>${esc(o.currentState.toString)}</td>
+                 |<td>${now - o.createdMs} ms</td>
+                 |<td>${esc(stmtOf(o).take(120))}</td></tr>""".stripMargin
+            }.mkString
+          page(200, "operations",
+            "<table><tr><th>operation</th><th>session</th><th>user</th>" +
+              "<th>state</th><th>age</th><th>statement</th></tr>" + rows + "</table>")
+        // Server info: identity, uptime, share level, live counts and
+        // the metrics snapshot (reference web-ui Server page)
+        case "server" :: Nil =>
+          val snap = metrics.snapshot.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"<tr><td>${esc(k)}</td><td>$v</td></tr>" }.mkString
+          page(200, "server",
+            s"""<p>engine id: ${esc(engine.engineId)} &middot;
+               |version: ${esc(graft.core.Kdf.version)} &middot;
+               |share level: ${esc(engine.shareLevel.toString)} &middot;
+               |open sessions: ${engine.openSessionCount}</p>
+               |<h2>metrics</h2><table><tr><th>metric</th><th>value</th></tr>$snap</table>"""
+              .stripMargin)
         case "engines" :: Nil =>
           // space names contain '/' (user/alice, group/data-eng) —
           // they pass through as extra path segments, rejoined below
@@ -198,9 +236,19 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         case "operation" :: opId :: Nil =>
           findOp(opId) match {
             case Some(op) =>
+              // state-transition timeline recovered from the bounded
+              // event ring (newest first — same source as the /events
+              // feed); an old op may have aged out, that's the ring's
+              // documented truncation
+              val timeline = eventLog.recent(eventLog.capacity)
+                .filter(_.contains(opId)).map(esc).mkString("\n")
               page(200, s"operation $opId",
-                s"""<p>state: ${esc(op.currentState.toString)}</p>
+                s"""<p>state: ${esc(op.currentState.toString)} &middot;
+                   |session: <a href="/ui/session/${esc(op.session.id)}">${
+                  esc(op.session.id.take(8))}&hellip;</a> &middot;
+                   |created: ${op.createdMs}</p>
                    |<h2>statement</h2><pre>${esc(stmtOf(op))}</pre>
+                   |<h2>event timeline</h2><pre>$timeline</pre>
                    |<h2>pending log</h2><pre>${
                   op.peekLog(200).map(esc).mkString("\n")}</pre>""".stripMargin)
             case None => page(404, "no such operation", "")
@@ -963,7 +1011,10 @@ object RestFrontend {
       |  #metrics { font-family: monospace; white-space: pre; font-size: .85rem; }
       |</style></head><body>
       |<h1>graft gateway</h1>
-      |<p><a href="/ui/sql">SQL lab</a> &middot; <a href="/ui/engines">engines</a></p>
+      |<p><a href="/ui/sql">SQL lab</a> &middot; <a href="/ui/engines">engines</a>
+      | &middot; <a href="/ui/sessions">sessions</a>
+      | &middot; <a href="/ui/operations">operations</a>
+      | &middot; <a href="/ui/server">server</a></p>
       |<h2>Engines</h2><table id="engines"></table>
       |<h2>Sessions</h2><table id="sessions"></table>
       |<h2>Operations</h2><table id="operations"></table>

@@ -299,6 +299,43 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("UI sessions/operations/server pages render live state; operation page shows timeline") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      val (_, sbody) = post(c, s"$base/sessions", """{"user": "uiuser"}""")
+      val sid = extract(sbody, "sessionId")
+      val (_, qbody) = post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT 41 AS answer"}""")
+      val opId = extract(qbody, "operationId")
+      var tries = 0
+      while (extract(get(c, s"$base/sessions/$sid/statements/$opId")._2,
+          "state") != "FINISHED" && tries < 100) { Thread.sleep(50); tries += 1 }
+
+      // sessions management page: the session, its user, its op count
+      val (slc, slbody) = get(c, s"$root/ui/sessions")
+      assert(slc == 200 && slbody.contains(sid) && slbody.contains("uiuser"), slbody)
+      // operations management page: handle, state, statement, session link
+      val (olc, olbody) = get(c, s"$root/ui/operations")
+      assert(olc == 200 && olbody.contains(opId), olbody)
+      assert(olbody.contains("SELECT 41 AS answer") && olbody.contains("FINISHED"), olbody)
+      assert(olbody.contains(s"/ui/session/$sid"), olbody)
+      // operation drill-down: session link + event timeline from the ring
+      val (oc, obody) = get(c, s"$root/ui/operation/$opId")
+      assert(oc == 200, obody)
+      assert(obody.contains("event timeline") && obody.contains("FINISHED"), obody)
+      assert(obody.contains(s"/ui/session/$sid"), obody)
+      // server page: engine identity + live metrics snapshot
+      val (vc, vbody) = get(c, s"$root/ui/server")
+      assert(vc == 200, vbody)
+      assert(vbody.contains("engine id") && vbody.contains("share level"), vbody)
+      assert(vbody.contains("operations_finished") && vbody.contains("uptime_ms"), vbody)
+      // overview links the three new pages
+      val (_, over) = get(c, s"$root/ui")
+      assert(over.contains("/ui/sessions") && over.contains("/ui/operations")
+        && over.contains("/ui/server"), over.take(400))
+    }
+  }
+
   test("Trino prepared statements: PREPARE/EXECUTE USING/DEALLOCATE round-trip") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")

@@ -174,6 +174,126 @@ object AuthzPolicies {
     byUser = Map.empty; byGroup = Map.empty
     accessPolicies = Nil; functionPolicies = Nil
   }
+
+  // ---- file-backed policy sync -------------------------------------
+  //
+  // The reference's Ranger plugin polls the Ranger admin for the full
+  // policy set and swaps it in atomically; ours polls a JSON file —
+  // same operational contract (policies change without a server
+  // restart, a sync REPLACES the whole store so deletes propagate).
+  //
+  // Document shape (all sections optional):
+  //   {"accessPolicies":   [{"table": "db.t", "privilege": "select",
+  //                          "allowed": ["u"], "denied": [], "denyExceptions": [],
+  //                          "allowedGroups": [], "deniedGroups": [],
+  //                          "denyExceptionGroups": [], "columns": [], "priority": 0}],
+  //    "functionPolicies": [{"table": "fn", "allowed": ["u"]}],
+  //    "rowFilters":       [{"subject": "user:u" | "group:g", "table": "t",
+  //                          "filter": "region = 'eu'"}],
+  //    "masks":            [{"subject": "user:u", "table": "t", "column": "c",
+  //                          "mask": "MASK|SHOW_LAST_4|SHOW_FIRST_4|HASH|NULLIFY|
+  //                                   DATE_SHOW_YEAR|CUSTOM:<sql>"}]}
+
+  private def parseMask(s: String): MaskType = s match {
+    case "MASK" => MaskType.Full
+    case "SHOW_LAST_4" | "MASK_SHOW_LAST_4" => MaskType.ShowLast4
+    case "SHOW_FIRST_4" | "MASK_SHOW_FIRST_4" => MaskType.ShowFirst4
+    case "HASH" | "MASK_HASH" => MaskType.Hash
+    case "NULLIFY" | "MASK_NULL" => MaskType.Nullify
+    case "DATE_SHOW_YEAR" | "MASK_DATE_SHOW_YEAR" => MaskType.DateShowYear
+    case c if c.startsWith("CUSTOM:") => MaskType.Custom(c.stripPrefix("CUSTOM:"))
+    case other => throw new IllegalArgumentException(s"unknown mask type [$other]")
+  }
+
+  /** Parse a policy document and atomically REPLACE the store with it
+    * (full-set sync — absent policies are thereby revoked).
+    */
+  def loadJson(json: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    def strs(n: com.fasterxml.jackson.databind.JsonNode, f: String): Set[String] =
+      Option(n.get(f)).map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+    def items(section: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(root.get(section)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    def accessOf(n: com.fasterxml.jackson.databind.JsonNode): AccessPolicy =
+      AccessPolicy(
+        table = n.get("table").asText(),
+        allowed = strs(n, "allowed"),
+        denied = strs(n, "denied"),
+        denyExceptions = strs(n, "denyExceptions"),
+        priority = Option(n.get("priority")).map(_.asInt()).getOrElse(0),
+        allowedGroups = strs(n, "allowedGroups"),
+        deniedGroups = strs(n, "deniedGroups"),
+        denyExceptionGroups = strs(n, "denyExceptionGroups"),
+        columns = strs(n, "columns"),
+        privilege = Option(n.get("privilege")).map(_.asText()).getOrElse("select"))
+    val access = items("accessPolicies").map(accessOf).toList
+    val fns = items("functionPolicies").map(accessOf).toList
+    // row filters / masks fold into per-subject Policy layers
+    var users = Map.empty[String, Policy]
+    var groups = Map.empty[String, Policy]
+    def merge(subject: String, add: Policy): Unit = {
+      val (isGroup, name) = subject.split(":", 2) match {
+        case Array("group", g) => (true, g)
+        case Array("user", u) => (false, u)
+        case _ => throw new IllegalArgumentException(
+          s"subject must be user:<name> or group:<name>, got [$subject]")
+      }
+      if (isGroup) {
+        val prev = groups.getOrElse(name, Policy())
+        groups += name -> Policy(prev.rowFilters ++ add.rowFilters, prev.masks ++ add.masks)
+      } else {
+        val prev = users.getOrElse(name, Policy())
+        users += name -> Policy(prev.rowFilters ++ add.rowFilters, prev.masks ++ add.masks)
+      }
+    }
+    items("rowFilters").foreach { n =>
+      merge(n.get("subject").asText(),
+        Policy(rowFilters = Map(n.get("table").asText() -> n.get("filter").asText())))
+    }
+    items("masks").foreach { n =>
+      merge(n.get("subject").asText(),
+        Policy(masks = Map((n.get("table").asText(), n.get("column").asText()) ->
+          parseMask(n.get("mask").asText()))))
+    }
+    synchronized {
+      byUser = users
+      byGroup = groups
+      accessPolicies = access
+      functionPolicies = fns
+    }
+  }
+
+  @volatile private var syncedMtime = -1L
+
+  /** Reload `path` if its mtime changed since the last sync; returns
+    * true when a reload happened. A malformed document leaves the
+    * PREVIOUS policy set in force (fail-closed to the last good set —
+    * the Ranger plugin's stale-policies-on-admin-outage behavior).
+    */
+  def syncFile(path: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.isReadable(path)) return false
+    val mtime = java.nio.file.Files.getLastModifiedTime(path).toMillis
+    if (mtime == syncedMtime) return false
+    try {
+      loadJson(new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8))
+      syncedMtime = mtime
+      true
+    } catch { case _: Exception => false }
+  }
+
+  /** Arm a periodic file sync on the shared scheduler (an initial sync
+    * runs inline so policies are in force before any session opens).
+    */
+  def startFileSync(path: java.nio.file.Path, intervalMs: Long = 30000L): Unit = {
+    syncedMtime = -1L
+    syncFile(path)
+    graft.core.Operation.timeoutScheduler.scheduleAtFixedRate(
+      () => try syncFile(path) catch { case _: Throwable => },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
   def policyFor(user: String): Option[Policy] = policyFor(user, Set.empty)
 
   /** Effective policy: group policies merged in group-name order, the

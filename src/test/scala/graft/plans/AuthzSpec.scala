@@ -475,6 +475,57 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("file-backed policy sync: full-set replace, mtime reload, malformed keeps last good") {
+    withTable {
+      import java.nio.file.{Files, Paths}
+      val f = Files.createTempFile("authz_policies", ".json")
+      try {
+        Files.write(f, """
+          {"accessPolicies": [
+             {"table": "graft_authz_t", "allowed": ["alice"]}],
+           "functionPolicies": [
+             {"table": "upper", "allowed": ["alice"]}],
+           "rowFilters": [
+             {"subject": "user:alice", "table": "graft_authz_t", "filter": "region = 'eu'"}],
+           "masks": [
+             {"subject": "user:alice", "table": "graft_authz_t", "column": "name",
+              "mask": "CUSTOM:'[hidden]'"}]}
+          """.getBytes("UTF-8"))
+        assert(AuthzPolicies.syncFile(f), "first sync must load")
+        assert(AuthzPolicies.decideAccess("alice", Set.empty, "graft_authz_t"))
+        assert(!AuthzPolicies.decideAccess("mallory", Set.empty, "graft_authz_t"),
+          "no-matching-allow once the file names the table")
+        assert(!AuthzPolicies.decideFunctionAccess("mallory", Set.empty, "upper"))
+        // masks and row filters from the file are live in a session
+        val sess = new Engine(spark).openSession("alice")
+        val rows = sess.spark.sql("SELECT id, name FROM graft_authz_t ORDER BY id").collect()
+        assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3), "file row filter applies")
+        assert(rows.forall(_.getString(1) == "[hidden]"), "file mask applies")
+        // unchanged mtime → no reload
+        assert(!AuthzPolicies.syncFile(f))
+        // full-set REPLACE: the next version drops alice, adds bob
+        Files.write(f, """
+          {"accessPolicies": [{"table": "graft_authz_t", "allowed": ["bob"]}]}
+          """.getBytes("UTF-8"))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+        assert(AuthzPolicies.syncFile(f), "mtime change must reload")
+        assert(AuthzPolicies.decideAccess("bob", Set.empty, "graft_authz_t"))
+        assert(!AuthzPolicies.decideAccess("alice", Set.empty, "graft_authz_t"),
+          "replaced set must revoke the old allow")
+        assert(AuthzPolicies.decideFunctionAccess("mallory", Set.empty, "upper"),
+          "dropped function policy must be revoked by the full-set sync")
+        // malformed update: previous (bob) set stays in force
+        Files.write(f, "{not json".getBytes("UTF-8"))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 4000))
+        assert(!AuthzPolicies.syncFile(f), "malformed must not report a reload")
+        assert(AuthzPolicies.decideAccess("bob", Set.empty, "graft_authz_t"),
+          "last good policy set stays in force")
+      } finally Files.deleteIfExists(f)
+    }
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

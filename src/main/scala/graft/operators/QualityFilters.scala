@@ -129,18 +129,34 @@ object QualityFilters {
   def lengthQuantileKeep(
       docs: DataFrame, idCol: String, textCol: String,
       permille: Int = 900): DataFrame = {
-    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
     val lens = docs.select(col(idCol), length(col(textCol)).cast("long").as("len"))
+    lens.crossJoin(broadcast(lengthThresholdFrame(lens, permille)))
+      .filter(col("len") >= col("thr"))
+      .select(col(idCol), col("len"))
+  }
+
+  private def lengthThresholdFrame(lens: DataFrame, permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000, "permille in [1, 1000]")
     val hist = lens.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("len")).rowsBetween(Long.MinValue, 0)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
     val tot = lens.agg(count(lit(1)).as("n"))
-    val thr = cum.crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(tot))
       .filter(col("cum") >= expr(s"($permille * n + 999) div 1000"))
       .agg(min(col("len")).as("thr"))
-    lens.crossJoin(broadcast(thr))
-      .filter(col("len") >= col("thr"))
-      .select(col(idCol), col("len"))
+  }
+
+  /** The gate's threshold as a SCALAR artifact — compute offline on
+    * the corpus, then gate a stream map-side with it
+    * (graft.streaming.Streams.lengthGateStream), the same
+    * train-offline/score-online split as the LM gates. head() of a
+    * one-row aggregate — a bounded artifact read, never result rows.
+    */
+  def lengthQuantileThreshold(
+      docs: DataFrame, idCol: String, textCol: String,
+      permille: Int = 900): Long = {
+    val lens = docs.select(col(idCol), length(col(textCol)).cast("long").as("len"))
+    lengthThresholdFrame(lens, permille).head().getLong(0)
   }
 }

@@ -56,6 +56,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
     },
 
+    // --- Tokenizer fertility by language: chars per BPE-ish token per
+    //     language bucket — the curation metric that flags languages a
+    //     tokenizer serves badly (high chars/token → over-fragmented).
+    //     Integer-exact: long char/token sums, ratio in permille by
+    //     integral division. Pure two-level aggregation, map-side
+    //     partials — one language-sized shuffle at any corpus scale. ---
+    "d51_token_fertility" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          langGuess(tokens(col("text"))).as("guess"),
+          length(col("text")).cast("long").as("chars"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe"))
+        .groupBy(col("guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("sum_chars"),
+          sum(col("bpe")).as("sum_bpe_tokens"))
+        .withColumn("chars_per_token_permille",
+          expr("(1000 * sum_chars) div sum_bpe_tokens"))
+    },
+
     // --- Content fingerprint (md5 of normalized text) ---
     "d06_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -676,6 +697,32 @@ object TextQueries {
     "d06_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents""",
+    "d51_token_fertility" -> {
+      // same language pick as d05, BPE-ish token count as d14, ratio
+      // by integer division in permille
+      val scoreExprs = graft.functions.TextFunctions.langMarkers.map { case (lang, markers) =>
+        val score = markers
+          .map(m => s"len(list_filter($duckToks, t -> t = '$m'))")
+          .mkString(" + ")
+        (lang, score)
+      }
+      val bestExpr = scoreExprs.map(_._2).map(s => s"($s)").mkString("greatest(", ", ", ")")
+      val pick = scoreExprs.foldRight("'und'") { case ((lang, score), acc) =>
+        s"CASE WHEN ($score) = best AND best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""SELECT guess, count(*) AS n_docs,
+            CAST(sum(chars) AS BIGINT) AS sum_chars,
+            CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+            (1000 * CAST(sum(chars) AS BIGINT)) // CAST(sum(bpe) AS BIGINT)
+              AS chars_per_token_permille
+          FROM (
+            SELECT ($pick) AS guess,
+              CAST(length(text) AS BIGINT) AS chars,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+            FROM (
+              SELECT text, ($bestExpr) AS best FROM documents))
+          GROUP BY 1"""
+    },
     "d07_shingle_count" ->
       s"""SELECT doc_id,
           CAST(CASE WHEN len($duckToks) < 3 THEN 1

@@ -285,6 +285,18 @@ object Streams {
         col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_pairs"))
   }
 
+  /** Streaming length-quantile gate — online twin of the batch d50
+    * gate, same train-offline/score-online split as the LM gates: the
+    * exact rank-based threshold is computed on the corpus
+    * (graft.operators.QualityFilters.lengthQuantileThreshold — a
+    * one-long artifact) and the stream filter is a stateless map-side
+    * predicate; kept rows equal the batch twin bit-for-bit on the
+    * same corpus (pinned in StreamsSpec).
+    */
+  def lengthGateStream(docs: DataFrame, textCol: String,
+      thresholdLen: Long): DataFrame =
+    docs.filter(length(col(textCol)).cast("long") >= lit(thresholdLen))
+
   /** Online NEAR-dup gating: each arriving document is checked for
     * MinHash band collisions against a PREBUILT corpus band index
     * (graft.operators.Dedup.bandIndexOf — build offline, persist to

@@ -150,6 +150,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "query side must broadcast")
   }
 
+  test("d49: RRF fusion top-k is TakeOrdered over bounded lists, no cartesian join") {
+    val plan = planOf(TextQueries.queries("d49_hybrid_rrf")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fused cut must be TakeOrdered, not a global sort:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in the fusion")
+  }
+
+  test("d50: quantile threshold windows the HISTOGRAM, never the raw corpus") {
+    val df = TextQueries.queries("d50_quantile_gate")(spark, dir)
+    // the cumulative-rank Window must sit above the length-histogram
+    // Aggregate — a window over raw rows would serialize the corpus
+    // through one reducer, the exact shape this operator exists to avoid
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the cumulative histogram window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window input must be the histogram aggregate:\n${w.treeString.take(600)}")
+    }
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "threshold must broadcast back for the map-side gate")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

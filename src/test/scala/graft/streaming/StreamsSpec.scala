@@ -240,6 +240,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(!streamedKeep.contains(9L), "all-OOV doc must fail the gate")
   }
 
+  test("streaming length gate matches the batch d50 quantile gate on the same corpus") {
+    import graft.operators.QualityFilters
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val corpus = (1 to 10).map(i => StreamDoc(i.toLong, ts(i), "x" * i))
+    val corpusDf = corpus.toDF()
+    // threshold computed OFFLINE (exact p70 rank), then the stream is
+    // gated map-side — no state, no shuffle, batch-equal decisions
+    val thr = QualityFilters.lengthQuantileThreshold(corpusDf, "doc_id", "text", permille = 700)
+    val batchKeep = QualityFilters.lengthQuantileKeep(corpusDf, "doc_id", "text", permille = 700)
+      .collect().map(_.getLong(0)).toSet
+
+    val ms = MemoryStream[StreamDoc]
+    val out = Streams.lengthGateStream(ms.toDF(), "text", thr)
+    val q = out.writeStream.format("memory").queryName("graft_lengate")
+      .outputMode("append").start()
+    val streamedKeep =
+      try {
+        ms.addData(corpus.take(5): _*)
+        q.processAllAvailable()
+        ms.addData(corpus.drop(5): _*) // second batch: same artifact, no recompute
+        q.processAllAvailable()
+        spark.table("graft_lengate").collect().map(_.getAs[Long]("doc_id")).toSet
+      } finally q.stop()
+    assert(streamedKeep == batchKeep, s"stream $streamedKeep vs batch $batchKeep")
+    assert(batchKeep == (7L to 10L).toSet, s"p70 of 1..10 keeps lengths 7..10: $batchKeep")
+  }
+
   test("streaming bigram gate matches the batch d44 gate under the same model") {
     import org.apache.spark.sql.functions._
     import graft.operators.CorpusLm

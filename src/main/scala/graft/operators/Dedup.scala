@@ -230,6 +230,24 @@ object Dedup {
   /** Open a persisted band index: the one-row meta is read to the
     * driver; the bands table stays a lazy distributed parquet scan.
     */
+  /** Incremental band-index maintenance: band NEW documents with the
+    * persisted index's own banding parameters and append — no rebuild,
+    * no touch of existing rows (the text twin of
+    * [[IvfPqIndex.appendToIndex]]). The df cap applies per append
+    * batch, so a band key's bucket is bounded by cap × appends in the
+    * worst case — run a periodic rebuild (compaction) to re-apply the
+    * cap globally when append batches are many. Caller appends each
+    * doc id at most once; banding is deterministic, so re-appending
+    * would only duplicate rows, never corrupt them.
+    */
+  def appendToBandIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val opened = openBandIndex(newDocs.sparkSession, path)
+    bandIndexOf(newDocs, idCol, textCol, opened.shingleSize, opened.bands,
+        opened.rowsPerBand, opened.maxBandDf)
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
   def openBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpenedBandIndex = {
     // head() of the ONE-row meta artifact — a bounded scalar read like
     // the IVF-PQ centroid loads, never result rows (PlanQualitySpec's

@@ -230,4 +230,22 @@ object IvfPqIndex {
     }
     new OpenedIndex(cents, codebooks, spark.read.parquet(s"$path/codes"))
   }
+
+  /** Incremental index maintenance: encode NEW vectors with the
+    * persisted index's existing centroids and codebooks and append
+    * their codes to the artifact — no retraining, no rebuild, no
+    * touch of the already-encoded corpus. This is how a 100 TB index
+    * absorbs a daily ingest: encoding is one map-side pass over the
+    * new rows only, and because the quantizers are unchanged, the
+    * appended index is BIT-IDENTICAL to re-encoding the full corpus
+    * under the same quantizers (pinned in IvfPqSpec). Quantizer drift
+    * is a retrain decision, not an append concern — FAISS's add()
+    * semantics on a trained index.
+    */
+  def appendToIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val opened = openIndex(newRows.sparkSession, path)
+    encodeCorpus(newRows, idCol, vecCol, opened.centroids, opened.codebooks)
+      .write.mode("append").parquet(s"$path/codes")
+  }
 }

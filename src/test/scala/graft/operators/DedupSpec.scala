@@ -447,4 +447,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("appendToBandIndex: incremental ingest equals one-shot build when the cap is slack") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "totally different content about glacier melt rates"),
+      (4L, "yet another unrelated musing on deep sea vents")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandidx2").toString
+    try {
+      Dedup.buildBandIndex(docs.filter($"doc_id" <= 2), "doc_id", "text", path)
+      Dedup.appendToBandIndex(docs.filter($"doc_id" > 2), "doc_id", "text", path)
+      val opened = Dedup.openBandIndex(spark.newSession(), path)
+      val got = opened.index.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val oneShot = Dedup.bandIndexOf(docs, "doc_id", "text").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == oneShot, "append must equal the one-shot build on a cap-slack corpus")
+      // probes see the appended docs
+      val probes = Seq((100L, "yet another unrelated musing on deep sea vents"))
+        .toDF("doc_id", "text")
+      val hits = opened.collisions(probes, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((100L, 4L)), s"appended doc must be probeable: $hits")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

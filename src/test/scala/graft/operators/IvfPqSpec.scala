@@ -139,6 +139,33 @@ class IvfPqSpec extends AnyFunSuite {
     assert(embScans <= 1, s"corpus must not be re-scanned for the probe:\n$plan")
   }
 
+  test("appendToIndex: incremental ingest equals full re-encode under the same quantizers") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx3").toString
+    // build (train + encode) on the FIRST half only
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    IvfPqIndex.buildIndex(first, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    // ingest the second half: encode-only append, no retraining
+    IvfPqIndex.appendToIndex(second, "vec_id", "embedding", path)
+    val idx = IvfPqIndex.openIndex(spark, path)
+    // the appended codes table is bit-identical to encoding the FULL
+    // corpus under the index's (first-half-trained) quantizers
+    val appended = idx.codes
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    val full = IvfPqIndex.encodeCorpus(emb, "vec_id", "embedding",
+        idx.centroids, idx.codebooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(appended.length == full.length)
+    assert(appended.sameElements(full), "append must equal full re-encode bit-for-bit")
+    // probes see the ingested rows: a second-half query can return
+    // second-half neighbors
+    val q = second.filter(col("vec_id") < 20)
+    val hits = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.exists(_ % 2 == 1), s"appended vectors must be probeable: $hits")
+  }
+
   test("exact re-ranking refine recovers recall over raw ADC ordering") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.dotTopK(emb, q, "vec_id", "embedding", k = 5)

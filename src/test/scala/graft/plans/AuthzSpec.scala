@@ -526,6 +526,32 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("policies reach through views: masks, row filters and denies follow the base table") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      spark.sql("CREATE OR REPLACE VIEW graft_authz_v AS SELECT id, name FROM graft_authz_t")
+      try {
+        AuthzPolicies.setPolicy("viewer", AuthzPolicies.Policy(
+          rowFilters = Map("graft_authz_t" -> "region = 'eu'"),
+          masks = Map(("graft_authz_t", "name") -> MaskType.Custom("'[m]'"))))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("viewer")))
+        val engine = new Engine(spark)
+        // a view is just a named subquery: by analysis time the scan is
+        // the BASE relation, so base-table policies apply unchanged
+        val rows = engine.openSession("viewer").spark
+          .sql("SELECT id, name FROM graft_authz_v ORDER BY id").collect()
+        assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3), "row filter through the view")
+        assert(rows.forall(_.getString(1) == "[m]"), "mask through the view")
+        // and a denied user cannot launder access through the view
+        val sess = engine.openSession("outsider")
+        val denied =
+          try { sess.spark.sql("SELECT * FROM graft_authz_v").collect(); false }
+          catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        assert(denied, "base-table deny must hold through the view")
+      } finally spark.sql("DROP VIEW IF EXISTS graft_authz_v")
+    }
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

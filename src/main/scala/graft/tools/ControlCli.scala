@@ -83,6 +83,12 @@ object ControlCli {
       }
       case "metrics" :: Nil => http("GET", "/metrics")
       case "metrics" :: "--prometheus" :: Nil => http("GET", "/metrics/prometheus")
+      // every materialized share space with its registrations (the
+      // /ui/engines data, machine-readable)
+      case "list" :: "engines" :: Nil => http("GET", "/admin/engines")
+      // recent lifecycle/audit events, newest first
+      case "events" :: Nil => http("GET", "/events")
+      case "events" :: limit :: Nil => http("GET", s"/events?limit=${enc(limit)}")
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -96,7 +102,9 @@ object ControlCli {
       |  log batch <id>              drain batch operation log
       |  delete session|batch <id>   close / cancel
       |  delete engine --space <s>   evict engine registrations
-      |  metrics [--prometheus]      gateway counters (JSON / exposition)""".stripMargin
+      |  metrics [--prometheus]      gateway counters (JSON / exposition)
+      |  list engines                every share space + registrations
+      |  events [limit]              recent lifecycle/audit events""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

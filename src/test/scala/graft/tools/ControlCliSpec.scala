@@ -98,6 +98,21 @@ class ControlCliSpec extends AnyFunSuite {
     }
   }
 
+  test("engines listing and events feed verbs") {
+    withServer { (c, api, base) =>
+      // a session materializes a share space and posts events
+      val sbody = post(c, s"$base/sessions", """{"user": "cliuser"}""")
+      assert(sbody.contains("sessionId"), sbody)
+      val engines = ctl(api, "list", "engines")
+      assert(engines.code == 0 && engines.out.contains("user/cliuser"), engines.out)
+      val events = ctl(api, "events")
+      assert(events.code == 0 && events.out.contains(""""event":"session""""), events.out)
+      val one = ctl(api, "events", "1")
+      assert(one.code == 0 &&
+        "\"event\":".r.findAllIn(one.out).size == 1, one.out)
+    }
+  }
+
   test("bad commands and unreachable servers exit non-zero") {
     assert(ControlCli.run(Array("frobnicate")).code == 1)
     assert(ControlCli.run(Array("--help")).code == 0)

@@ -203,8 +203,19 @@ object Dedup {
     import spark.implicits._
     bandIndexOf(corpus, idCol, textCol, shingleSize, bands, rowsPerBand, maxBandDf)
       .write.mode("overwrite").parquet(s"$path/bands")
-    Seq((shingleSize, bands, rowsPerBand, maxBandDf))
-      .toDF("shingle_size", "bands", "rows_per_band", "max_band_df")
+    writeBandMeta(spark, path, shingleSize, bands, rowsPerBand, maxBandDf, appends = 0)
+  }
+
+  /** The one-row meta artifact; `appends` counts append batches since
+    * the last build/compaction — the staleness signal for the
+    * per-batch df cap.
+    */
+  private def writeBandMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int, maxBandDf: Int,
+      appends: Int): Unit = {
+    import spark.implicits._
+    Seq((shingleSize, bands, rowsPerBand, maxBandDf, appends))
+      .toDF("shingle_size", "bands", "rows_per_band", "max_band_df", "appends")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -217,6 +228,7 @@ object Dedup {
       val bands: Int,
       val rowsPerBand: Int,
       val maxBandDf: Int,
+      val appends: Int,
       val index: DataFrame) {
 
     /** Batch probe — [[bandCollisions]] with the index's own banding
@@ -227,37 +239,76 @@ object Dedup {
       bandCollisions(docs, idCol, textCol, index, shingleSize, bands, rowsPerBand)
   }
 
-  /** Open a persisted band index: the one-row meta is read to the
-    * driver; the bands table stays a lazy distributed parquet scan.
-    */
   /** Incremental band-index maintenance: band NEW documents with the
     * persisted index's own banding parameters and append — no rebuild,
     * no touch of existing rows (the text twin of
     * [[IvfPqIndex.appendToIndex]]). The df cap applies per append
-    * batch, so a band key's bucket is bounded by cap × appends in the
-    * worst case — run a periodic rebuild (compaction) to re-apply the
-    * cap globally when append batches are many. Caller appends each
-    * doc id at most once; banding is deterministic, so re-appending
-    * would only duplicate rows, never corrupt them.
+    * batch, so a band key's bucket is bounded by cap × (appends+1) in
+    * the worst case — [[compactBandIndex]] re-applies the cap globally
+    * and resets the meta's `appends` staleness counter. Caller appends
+    * each doc id at most once; banding is deterministic, so
+    * re-appending would only duplicate rows (compaction also drops
+    * those), never corrupt them.
     */
   def appendToBandIndex(newDocs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    val opened = openBandIndex(newDocs.sparkSession, path)
+    val spark = newDocs.sparkSession
+    val opened = openBandIndex(spark, path)
     bandIndexOf(newDocs, idCol, textCol, opened.shingleSize, opened.bands,
         opened.rowsPerBand, opened.maxBandDf)
       .write.mode("append").parquet(s"$path/bands")
+    writeBandMeta(spark, path, opened.shingleSize, opened.bands,
+      opened.rowsPerBand, opened.maxBandDf, opened.appends + 1)
   }
 
+  /** Re-apply the df cap GLOBALLY over the accumulated bands artifact
+    * and reset the staleness counter: append-only maintenance bounds a
+    * bucket only per batch (worst case cap × (appends+1) rows), so an
+    * operator watching [[OpenedBandIndex.appends]] runs this
+    * periodically to restore the build-time bound. Also deduplicates
+    * rows a replayed append may have double-written. The rewrite lands
+    * in a sibling directory first and swaps in via rename, so a
+    * concurrent open never reads a half-written bands dir.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val opened = openBandIndex(spark, path)
+    val idx = opened.index.distinct()
+    val keep = idx.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= opened.maxBandDf)
+      .select(col("band"), col("key"))
+    val tmp = s"$path/bands_compacting"
+    idx.join(keep, Seq("band", "key"), "left_semi")
+      .write.mode("overwrite").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = bandsPath.getFileSystem(hconf)
+    fs.delete(bandsPath, true)
+    if (!fs.rename(tmpPath, bandsPath))
+      throw new java.io.IOException(s"compaction rename failed for $path/bands")
+    writeBandMeta(spark, path, opened.shingleSize, opened.bands,
+      opened.rowsPerBand, opened.maxBandDf, appends = 0)
+  }
+
+  /** Open a persisted band index: the one-row meta is read to the
+    * driver; the bands table stays a lazy distributed parquet scan.
+    * [[OpenedBandIndex.appends]] reports batches appended since the
+    * last build/compaction — the per-batch-cap staleness signal.
+    */
   def openBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpenedBandIndex = {
     // head() of the ONE-row meta artifact — a bounded scalar read like
     // the IVF-PQ centroid loads, never result rows (PlanQualitySpec's
     // collect sweep stays in force for everything else in this file)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = metaDf.head()
     new OpenedBandIndex(
       meta.getAs[Int]("shingle_size"),
       meta.getAs[Int]("bands"),
       meta.getAs[Int]("rows_per_band"),
       meta.getAs[Int]("max_band_df"),
+      // pre-r12 artifacts carry no appends column — read as fresh
+      if (metaDf.schema.fieldNames.contains("appends")) meta.getAs[Int]("appends") else 0,
       spark.read.parquet(s"$path/bands"))
   }
 

@@ -66,8 +66,18 @@ case class ScoredStr(neighbor_id: String, sim: Double)
 class TopKStringAggregator(k: Int)
   extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
 
+  // Spark orders strings by UTF8String BINARY (UTF-8 byte) order, not
+  // Java's UTF-16 code-unit '<': for ids containing supplementary
+  // characters (surrogate pairs sort ABOVE U+E000..U+FFFF in UTF-16 but
+  // their UTF-8 bytes 0xF0.. sort above everything 3-byte), the two
+  // orders disagree — and this aggregator's tie-break must match the
+  // window-twin's orderBy exactly. Compare UTF-8 bytes.
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   private def better(a: ScoredStr, b: ScoredStr): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.neighbor_id < b.neighbor_id)
+    a.sim > b.sim || (a.sim == b.sim && utf8Lt(a.neighbor_id, b.neighbor_id))
 
   private def prune(b: Seq[ScoredStr]): Seq[ScoredStr] =
     b.sortWith(better).take(k)

@@ -167,8 +167,16 @@ object AuthzPolicies {
   def addAccessPolicy(p: AccessPolicy): Unit = synchronized {
     accessPolicies = p :: accessPolicies
   }
+  /** Function names are case-insensitive in SQL; the probe side
+    * ([[decideFunctionAccess]]) lowercases, so the policy side must be
+    * normalized too or a policy named `MySecretUdf` silently never
+    * enforces.
+    */
+  private def normalizeFn(p: AccessPolicy): AccessPolicy =
+    p.copy(table = p.table.toLowerCase(java.util.Locale.ROOT))
+
   def addFunctionPolicy(p: AccessPolicy): Unit = synchronized {
-    functionPolicies = p :: functionPolicies
+    functionPolicies = normalizeFn(p) :: functionPolicies
   }
   def clear(): Unit = synchronized {
     byUser = Map.empty; byGroup = Map.empty
@@ -229,7 +237,7 @@ object AuthzPolicies {
         columns = strs(n, "columns"),
         privilege = Option(n.get("privilege")).map(_.asText()).getOrElse("select"))
     val access = items("accessPolicies").map(accessOf).toList
-    val fns = items("functionPolicies").map(accessOf).toList
+    val fns = items("functionPolicies").map(accessOf).map(normalizeFn).toList
     // row filters / masks fold into per-subject Policy layers
     var users = Map.empty[String, Policy]
     var groups = Map.empty[String, Policy]
@@ -281,15 +289,35 @@ object AuthzPolicies {
         java.nio.charset.StandardCharsets.UTF_8))
       syncedMtime = mtime
       true
-    } catch { case _: Exception => false }
+    } catch {
+      case e: Exception =>
+        // a failed reload is never silent: operators must see that the
+        // store is running on the LAST GOOD set, not the file's content
+        graft.core.Events.post(graft.core.Events.AuthzAuditEvent(
+          "system", "policy-sync-failed", s"$path: ${e.getMessage}",
+          System.currentTimeMillis()))
+        System.err.println(s"[graft] authz policy sync of $path failed, " +
+          s"keeping last good set: ${e.getMessage}")
+        false
+    }
   }
 
-  /** Arm a periodic file sync on the shared scheduler (an initial sync
-    * runs inline so policies are in force before any session opens).
+  /** Arm a periodic file sync on the shared scheduler. The initial sync
+    * runs inline so policies are in force before any session opens — and
+    * it THROWS on a malformed document: starting with an empty store is
+    * fail-OPEN (no policies = everything allowed), so a server told to
+    * enforce a policy file it cannot parse must refuse to start rather
+    * than silently enforce nothing. Only once a good set has loaded do
+    * later failed reloads degrade to fail-closed-to-last-good (audited
+    * in [[syncFile]]).
     */
   def startFileSync(path: java.nio.file.Path, intervalMs: Long = 30000L): Unit = {
     syncedMtime = -1L
-    syncFile(path)
+    if (java.nio.file.Files.isReadable(path)) {
+      loadJson(new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)) // throws on malformed
+      syncedMtime = java.nio.file.Files.getLastModifiedTime(path).toMillis
+    }
     graft.core.Operation.timeoutScheduler.scheduleAtFixedRate(
       () => try syncFile(path) catch { case _: Throwable => },
       intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -638,28 +666,47 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       plan: LogicalPlan): Unit = {
     if (!AuthzPolicies.hasAccessPolicies) return
     import org.apache.spark.sql.catalyst.plans.logical.{AppendData, DropTable, InsertIntoStatement, OverwriteByExpression, OverwritePartitionsDynamic}
+    // An unqualified statement identifier carries NO database until
+    // execution (CreateTableCommand/CreateDataSourceTable* tableDesc
+    // identifiers, UnresolvedIdentifier nameParts) — it resolves
+    // against the session's CURRENT database, so the checked resource
+    // must be qualified with it or `USE db1; CREATE TABLE t ...`
+    // bypasses a db-qualified `db1.t` create policy. Bare-named
+    // legacy policies still match via tableMatches back-compat.
+    lazy val currentDb = session.sessionState.catalog.getCurrentDatabase
     def qualify(parts: Seq[String]): String =
-      if (parts.length >= 2) parts.takeRight(2).mkString(".") else parts.last
+      if (parts.length >= 2) parts.takeRight(2).mkString(".")
+      else s"$currentDb.${parts.last}"
     def targetName(p: LogicalPlan): Option[String] = p match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         Some(qualify(u.multipartIdentifier))
       case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         targetName(s.child)
       case rel: LogicalRelation => tableName(rel)
+      // v2 Identifier.name drops the namespace — rebuild the
+      // db-qualified resource from namespace ++ name
       case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
-        Some(r.identifier.name)
+        Some(qualify(r.identifier.namespace.toSeq :+ r.identifier.name))
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
         Some(qualify(u.multipartIdentifier))
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
         Some(qualify(u.nameParts))
       case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
-        Some(r.identifier.name)
+        Some(qualify(r.identifier.namespace.toSeq :+ r.identifier.name))
       case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         Some(qualify(d.table.name().split('.').toSeq))
       case _ => None
     }
     def qualifyId(id: org.apache.spark.sql.catalyst.TableIdentifier): String =
-      id.database.map(d => s"$d.${id.table}").getOrElse(id.table)
+      s"${id.database.getOrElse(currentDb)}.${id.table}"
+    // a namespace resource is the database name itself (unqualified)
+    def nsName(p: LogicalPlan): Option[String] = p match {
+      case n: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+        n.multipartIdentifier.lastOption
+      case n: org.apache.spark.sql.catalyst.analysis.ResolvedNamespace =>
+        n.namespace.lastOption
+      case _ => None
+    }
     def deny(t: String, verb: String): Unit = denyAudited(user, verb, t)
     def checkName(t: String, verb: String): Unit =
       if (!AuthzPolicies.decidePrivilege(user, groups, t, verb)) deny(t, verb)
@@ -692,6 +739,33 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
         checkName(qualifyId(c.table.identifier), "create")
       case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand =>
         checkName(qualifyId(c.table.identifier), "create")
+      // namespace DDL (reference database_command_spec.json:13,56 —
+      // CreateNamespace/DropNamespace privilege objects): the resource
+      // is the DATABASE name itself, "create"/"drop" verbs. Matched in
+      // both lifecycle forms: the catalyst v2 node while resolving and
+      // the v1 command ResolveSessionCatalog rewrites it to.
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateNamespace =>
+        nsName(c.name).foreach(checkName(_, "create"))
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropNamespace =>
+        nsName(d.namespace).foreach(checkName(_, "drop"))
+      case c: org.apache.spark.sql.execution.command.CreateDatabaseCommand =>
+        checkName(c.databaseName, "create")
+      case d: org.apache.spark.sql.execution.command.DropDatabaseCommand =>
+        checkName(d.databaseName, "drop")
+      // view DDL (reference table_command_spec.json:1334
+      // CreateViewCommand): persisted CREATE VIEW needs "create" on the
+      // db-qualified view identifier — an allowed SELECT on the base
+      // tables must not launder into catalog-visible DDL. TEMP views
+      // are session-local, not catalog resources, and stay open (their
+      // reads still expand to base-table checks). DROP VIEW is "drop"
+      // (the v1 rewrite lands on DropTableCommand, covered above).
+      case v: org.apache.spark.sql.execution.command.CreateViewCommand
+          if v.viewType == org.apache.spark.sql.catalyst.analysis.PersistedView =>
+        checkName(qualifyId(v.name), "create")
+      case v: org.apache.spark.sql.catalyst.plans.logical.CreateView =>
+        check(v.child, "create")
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropView =>
+        check(d.child, "drop")
       // v2 column/property DDL shares one parent trait with a `table`
       // child — AddColumns, DropColumns, RenameColumn, AlterColumns,
       // SetTableProperties, UnsetTableProperties, ...

@@ -477,4 +477,44 @@ class SimilaritySearchSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("compactBandIndex re-applies the cap globally and resets the staleness counter") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val clone = "the same boilerplate text repeated verbatim in every shard"
+    val base = Seq((1L, clone), (2L, clone),
+      (10L, "totally different content about glacier melt rates")).toDF("doc_id", "text")
+    val more = Seq((3L, clone), (4L, clone)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandidx3").toString
+    try {
+      Dedup.buildBandIndex(base, "doc_id", "text", path, maxBandDf = 2)
+      Dedup.appendToBandIndex(more, "doc_id", "text", path)
+      val stale = Dedup.openBandIndex(spark.newSession(), path)
+      assert(stale.appends == 1, "append must bump the meta staleness counter")
+      // the per-batch cap let the clone buckets grow past the global cap
+      assert(stale.index.groupBy("band", "key").count().filter($"count" > 2).count() > 0,
+        "setup must actually push a bucket past the cap")
+      Dedup.compactBandIndex(spark, path)
+      val compacted = Dedup.openBandIndex(spark.newSession(), path)
+      assert(compacted.appends == 0, "compaction must reset the staleness counter")
+      assert(compacted.index.groupBy("band", "key").count().filter($"count" > 2).count() == 0,
+        "no bucket may exceed the cap after compaction")
+      // the compacted artifact equals a fresh one-shot build at the same cap
+      val got = compacted.index.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Dedup.bandIndexOf(base.union(more), "doc_id", "text", maxBandDf = 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "compacted artifact must equal a fresh build")
+      // probe behavior: the over-cap clone bucket is pruned wholesale,
+      // under-cap buckets stay probeable
+      val probes = Seq((100L, clone),
+        (101L, "totally different content about glacier melt rates")).toDF("doc_id", "text")
+      val hits = compacted.collisions(probes, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!hits.exists(_._1 == 100L), s"over-cap bucket must be pruned: $hits")
+      assert(hits.exists(_._1 == 101L), s"under-cap buckets stay probeable: $hits")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

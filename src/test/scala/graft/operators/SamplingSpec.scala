@@ -77,6 +77,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral or string"))
   }
 
+  test("string top-k tie-break follows Spark's UTF-8 binary order, not UTF-16") {
+    // U+1F600 (surrogate pair, UTF-8 f0 9f 98 80) vs U+FFFD (UTF-8 ef
+    // bf bd): Java's String '<' ranks the surrogate pair FIRST
+    // (0xD83D < 0xFFFD code units) while Spark's UTF8String binary
+    // order ranks it LAST (0xf0 > 0xef lead byte). The aggregator's
+    // tie-break must agree with the window twin's orderBy — i.e. with
+    // Spark — for the two paths to stay bit-identical.
+    val supp = "😀"
+    val bmp = "�"
+    assert(supp.compareTo(bmp) < 0, "precondition: the two orders must disagree")
+    val agg = new TopKStringAggregator(1)
+    val kept = agg.finish(agg.merge(
+      agg.reduce(agg.zero, ScoredStr(supp, 1.0)),
+      agg.reduce(agg.zero, ScoredStr(bmp, 1.0))))
+    val sparkFirst = Seq(supp, bmp).toDF("id").orderBy($"id").head().getString(0)
+    assert(sparkFirst == bmp, "Spark must sort the BMP char first by UTF-8 bytes")
+    assert(kept.map(_.neighbor_id) == Seq(sparkFirst),
+      s"tie-break kept ${kept.map(_.neighbor_id)}, Spark order starts with $sparkFirst")
+  }
+
   test("temperature mix allocates ~sqrt-proportional targets, integer-exact and deterministic") {
     // 900 "web" vs 100 "book": plain proportional would give 90/10; at
     // alpha=0.5 the weights are sqrt(900)=30 vs sqrt(100)=10 -> 75/25.

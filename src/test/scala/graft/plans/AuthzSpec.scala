@@ -552,6 +552,154 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("USE cannot strip the database off a db-qualified create/drop policy") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      spark.sql("CREATE DATABASE IF NOT EXISTS authz_dbq")
+      spark.sql("DROP TABLE IF EXISTS authz_dbq.t")
+      try {
+        // create/drop on authz_dbq.t granted only to builder
+        AuthzPolicies.addAccessPolicy(AccessPolicy("authz_dbq.t",
+          allowed = Set("builder"), privilege = "create"))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("authz_dbq.t",
+          allowed = Set("builder"), privilege = "drop"))
+        val engine = new Engine(spark)
+        def denied(user: String, sqls: String*): Boolean = {
+          val sess = engine.openSession(user)
+          try { sqls.foreach(sess.spark.sql(_).collect()); false }
+          catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+          finally engine.closeSession(sess.id)
+        }
+        // the bypass the policy must close: an UNQUALIFIED identifier
+        // after USE resolves in that database — the check must see
+        // `authz_dbq.t`, not a bare `t` that no qualified policy matches
+        assert(denied("sneak", "USE authz_dbq",
+          "CREATE TABLE t USING parquet AS SELECT * FROM default.graft_authz_t"),
+          "USE db + unqualified CTAS must not bypass the db-qualified create policy")
+        assert(!spark.catalog.tableExists("authz_dbq.t"))
+        assert(denied("sneak", "USE authz_dbq", "CREATE TABLE t (x INT) USING parquet"),
+          "plain unqualified CREATE must qualify with the current database too")
+        assert(!denied("builder", "USE authz_dbq",
+          "CREATE TABLE t USING parquet AS SELECT * FROM default.graft_authz_t"))
+        assert(spark.catalog.tableExists("authz_dbq.t"))
+        assert(denied("sneak", "USE authz_dbq", "DROP TABLE t"),
+          "unqualified DROP must qualify with the current database")
+        assert(!denied("builder", "USE authz_dbq", "DROP TABLE t"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS authz_dbq.t")
+        spark.sql("DROP DATABASE IF EXISTS authz_dbq")
+      }
+    }
+  }
+
+  test("namespace and persisted-view DDL are gated; temp views stay session-local") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      spark.sql("DROP VIEW IF EXISTS graft_authz_v2")
+      spark.sql("DROP DATABASE IF EXISTS authz_ns_new")
+      try {
+        // select on the base table open to all — the laundering setup
+        AuthzPolicies.addAccessPolicy(AccessPolicy("graft_authz_t", allowed = Set("*")))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("authz_ns_new",
+          allowed = Set("dba"), privilege = "create"))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("authz_ns_new",
+          allowed = Set("dba"), privilege = "drop"))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("default.graft_authz_v2",
+          allowed = Set("builder"), privilege = "create"))
+        AuthzPolicies.addAccessPolicy(AccessPolicy("default.graft_authz_v2",
+          allowed = Set("builder"), privilege = "drop"))
+        val engine = new Engine(spark)
+        def denied(user: String, sql: String): Boolean = {
+          val sess = engine.openSession(user)
+          try { sess.spark.sql(sql).collect(); false }
+          catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+          finally engine.closeSession(sess.id)
+        }
+        // namespace DDL (reference database_command_spec.json:13,56)
+        assert(denied("reader", "CREATE DATABASE authz_ns_new"),
+          "CREATE DATABASE must be gated by the database create policy")
+        assert(!spark.catalog.databaseExists("authz_ns_new"))
+        assert(!denied("dba", "CREATE DATABASE authz_ns_new"))
+        assert(denied("reader", "DROP DATABASE authz_ns_new"))
+        assert(!denied("dba", "DROP DATABASE authz_ns_new"))
+        // persisted CREATE VIEW: allowed SELECT must not launder into
+        // catalog-visible DDL (reference table_command_spec.json:1334)
+        assert(denied("reader",
+          "CREATE VIEW graft_authz_v2 AS SELECT id FROM graft_authz_t"),
+          "an allowed SELECT must not launder into CREATE VIEW")
+        assert(!spark.catalog.tableExists("graft_authz_v2"))
+        assert(!denied("builder",
+          "CREATE VIEW graft_authz_v2 AS SELECT id FROM graft_authz_t"))
+        assert(denied("reader", "DROP VIEW graft_authz_v2"),
+          "DROP VIEW is the drop verb on the view resource")
+        assert(!denied("builder", "DROP VIEW graft_authz_v2"))
+        // temp views are session-local, not catalog resources — open
+        assert(!denied("reader",
+          "CREATE TEMPORARY VIEW authz_tmpv AS SELECT id FROM graft_authz_t"))
+      } finally {
+        spark.sql("DROP VIEW IF EXISTS graft_authz_v2")
+        spark.sql("DROP DATABASE IF EXISTS authz_ns_new")
+      }
+    }
+  }
+
+  test("function policy names match case-insensitively") {
+    withTable {
+      import AuthzPolicies.AccessPolicy
+      // a policy registered with uppercase letters must still enforce:
+      // SQL function names are case-insensitive and the probe side is
+      // lowercased, so the store normalizes the policy side too
+      AuthzPolicies.addFunctionPolicy(AccessPolicy("UPPER", allowed = Set("shouter")))
+      val engine = new Engine(spark)
+      def denied(user: String, sql: String): Boolean = {
+        val sess = engine.openSession(user)
+        try { sess.spark.sql(sql).collect(); false }
+        catch { case e: Throwable => exists(e, _.isInstanceOf[SecurityException]) }
+        finally engine.closeSession(sess.id)
+      }
+      assert(denied("mute", "SELECT upper(name) FROM graft_authz_t"),
+        "an uppercase-registered function policy must still enforce")
+      assert(!denied("shouter", "SELECT UPPER(name) FROM graft_authz_t"))
+    }
+  }
+
+  test("startFileSync refuses to start on a malformed initial policy file") {
+    import java.nio.file.Files
+    val f = Files.createTempFile("authz_bad", ".json")
+    try {
+      Files.write(f, "{not json".getBytes("UTF-8"))
+      // fail-OPEN guard: an empty store means everything is allowed, so
+      // a server told to enforce an unparsable file must refuse to start
+      intercept[Exception] { AuthzPolicies.startFileSync(f) }
+      // ...while a failed RELOAD (good set already in force) is audited
+      Files.write(f, """{"accessPolicies":[{"table":"sync_t","allowed":["a"]}]}"""
+        .getBytes("UTF-8"))
+      assert(AuthzPolicies.syncFile(f))
+      val seen = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val h = new graft.core.Events.Handler {
+        override def onEvent(e: graft.core.Events.Event): Unit = e match {
+          case a: graft.core.Events.AuthzAuditEvent if a.verb == "policy-sync-failed" =>
+            seen.set(a.resource)
+          case _ => ()
+        }
+      }
+      graft.core.Events.register(h)
+      try {
+        Files.write(f, "{still not json".getBytes("UTF-8"))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+        assert(!AuthzPolicies.syncFile(f))
+        assert(seen.get != null && seen.get.contains(f.toString),
+          "a failed reload must land on the audit bus, not vanish")
+        assert(AuthzPolicies.decideAccess("a", Set.empty, "sync_t"),
+          "last good set stays in force after the audited failure")
+      } finally {
+        graft.core.Events.unregister(h)
+        AuthzPolicies.clear()
+      }
+    } finally Files.deleteIfExists(f)
+  }
+
   private def exists(e: Throwable, p: Throwable => Boolean): Boolean =
     if (e == null) false else p(e) || exists(e.getCause, p)
 }

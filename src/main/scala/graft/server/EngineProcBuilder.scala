@@ -109,6 +109,12 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
   private val discovery = discoveryUrl.map(graft.core.DiscoveryClients.fromUrl)
     .getOrElse(new FileDiscoveryClient(discoveryDir))
 
+  /** The builder's discovery backend — shared with [[GatewayServer]]
+    * so gateway self-registration lands in the SAME registry the
+    * engines use (one `--discovery` setting configures both).
+    */
+  private[server] def discoveryClient: graft.core.DiscoveryClient = discovery
+
   /** Spawn an engine JVM for `space` and wait until it registers. */
   def launch(space: String): EngineProcess = {
     val before = discovery.getAll(space).toSet

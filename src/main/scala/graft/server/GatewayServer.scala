@@ -36,17 +36,27 @@ final class GatewayServer(
     builder: EngineProcBuilder,
     requestedPort: Int = 0,
     auth: Option[AuthenticationProvider] = None,
-    shareLevel: ShareLevel = ShareLevel.User) {
+    shareLevel: ShareLevel = ShareLevel.User,
+    groupProvider: graft.core.GroupProvider = new graft.core.UserPrefixGroupProvider,
+    confAdvisors: Seq[graft.core.SessionConfAdvisor] = Nil,
+    selfRegister: Boolean = false,
+    advertisedHost: String = "127.0.0.1") {
 
   private val pool = new EnginePool(builder)
+  private val discovery = builder.discoveryClient
 
   /** Discovery space for a new session — the reference's
     * engine.share.level at process granularity: USER pools one engine
-    * JVM per user, SERVER shares one engine across every connection,
-    * CONNECTION gives each connection a throwaway engine of its own.
+    * JVM per user, GROUP one per provider-resolved primary group
+    * (reference ShareLevel.scala:23-46 GROUP + GroupProvider), SERVER
+    * shares one engine across every connection, CONNECTION gives each
+    * connection a throwaway engine of its own. `conf` is the
+    * advisor-merged session conf — group membership rides the
+    * server-reserved `graft.server.*` channel, never client-asserted.
     */
-  private def spaceFor(user: String): String = shareLevel match {
+  private def spaceFor(user: String, conf: Map[String, String]): String = shareLevel match {
     case ShareLevel.User => s"user/$user"
+    case ShareLevel.Group => s"group/${groupProvider.primaryGroup(user, conf)}"
     case ShareLevel.Server => "server/shared"
     case ShareLevel.Connection =>
       s"connection/$user/${java.util.UUID.randomUUID().toString.take(8)}"
@@ -115,7 +125,19 @@ final class GatewayServer(
         .orElse(Option(req.getUsername).filter(_.nonEmpty))
         .getOrElse("anonymous")
       try {
-        val space = spaceFor(user)
+        // engine placement uses the SANITIZED + advisor-merged conf:
+        // client graft.server.* keys are dropped first (same channel
+        // discipline as Engine.advisedConf), so a client asserting its
+        // own group membership cannot steer itself into another
+        // group's engine JVM
+        import scala.jdk.CollectionConverters._
+        val clientConf = Option(req.getConfiguration)
+          .map(_.asScala.toMap).getOrElse(Map.empty[String, String])
+        val sanitized = clientConf.filterNot { case (k, _) =>
+          graft.core.Engine.isReservedClientKey(k) }
+        val advised = confAdvisors.foldLeft(sanitized)((acc, a) =>
+          acc ++ a.confOverlay(user, acc))
+        val space = spaceFor(user, advised)
         val engine = pool.getOrLaunch(space)
         val conn = connect(engine.address, user, space)
         val resp = conn.synchronized(conn.client.OpenSession(req))
@@ -288,10 +310,24 @@ final class GatewayServer(
   private val serverThread = new Thread(() => server.serve(), s"graft-gateway-$boundPort")
   serverThread.setDaemon(true)
 
-  def start(): GatewayServer = { serverThread.start(); this }
+  def start(): GatewayServer = {
+    serverThread.start()
+    // Gateway HA: the server registers ITSELF in the same discovery
+    // backend its engines use (reference
+    // KyuubiTBinaryFrontendService.scala:47-48 creating a
+    // KyuubiServiceDiscovery under the server namespace), so clients
+    // resolve one of N gateways instead of hard-wiring a host:port.
+    if (selfRegister)
+      discovery.register(GatewayServer.Namespace, s"$advertisedHost:$boundPort")
+    this
+  }
 
-  /** Stop the frontend and every pooled engine JVM. */
+  /** Stop the frontend and every pooled engine JVM (unregistering this
+    * gateway from discovery first, so clients stop resolving it).
+    */
   def stop(): Unit = {
+    if (selfRegister)
+      try discovery.unregister(GatewayServer.Namespace) catch { case _: Throwable => }
     server.stop()
     serverSocket.close()
     sessionConns.values.forEach(c => try c.transport.close() catch { case _: Throwable => })
@@ -299,4 +335,35 @@ final class GatewayServer(
     opConns.clear()
     pool.close()
   }
+}
+
+object GatewayServer {
+
+  /** Discovery namespace gateway servers register themselves under —
+    * sibling of the engines' `user/`/`group/`/`server/` spaces (the
+    * reference's server namespace in kyuubi-ha's KyuubiServiceDiscovery).
+    */
+  val Namespace = "gateways"
+
+  /** Client-side HA resolution: the address of the first registered
+    * gateway that ACCEPTS a TCP connection. Backends without ephemeral
+    * nodes (the file registry without TTL) can hold a crashed
+    * gateway's stale node — the health probe skips it, the way the
+    * reference client walks the ZK server list until a connect
+    * succeeds. Returns None when no live gateway exists.
+    */
+  def resolveGateway(discovery: graft.core.DiscoveryClient,
+      connectTimeoutMs: Int = 2000): Option[String] =
+    discovery.getAll(Namespace).find { addr =>
+      addr.split(":") match {
+        case Array(host, port) =>
+          val s = new java.net.Socket()
+          try {
+            s.connect(new java.net.InetSocketAddress(host, port.toInt), connectTimeoutMs)
+            true
+          } catch { case _: Throwable => false }
+          finally { try s.close() catch { case _: Throwable => } }
+        case _ => false
+      }
+    }
 }

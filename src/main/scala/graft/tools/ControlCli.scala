@@ -36,12 +36,14 @@ object ControlCli {
   def run(args: Array[String]): Result = {
     var api = sys.env.getOrElse("GRAFT_API", "http://localhost:10099")
     var space: Option[String] = None
+    var discoveryUrl: Option[String] = sys.env.get("GRAFT_DISCOVERY")
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--api" => api = args(i + 1); i += 2
         case "--space" => space = Some(args(i + 1)); i += 2
+        case "--discovery" => discoveryUrl = Some(args(i + 1)); i += 2
         case "--help" | "-h" => return Result(0, usage)
         case a => positional += a; i += 1
       }
@@ -89,6 +91,19 @@ object ControlCli {
       // recent lifecycle/audit events, newest first
       case "events" :: Nil => http("GET", "/events")
       case "events" :: limit :: Nil => http("GET", s"/events?limit=${enc(limit)}")
+      // gateway HA resolution straight from the discovery registry —
+      // no REST endpoint needed (there may be no live gateway to ask);
+      // this IS how a client finds one of N gateways
+      case "resolve" :: "gateway" :: Nil => discoveryUrl match {
+        case Some(u) =>
+          graft.server.GatewayServer.resolveGateway(
+              graft.core.DiscoveryClients.fromUrl(u)) match {
+            case Some(addr) => Result(0, addr)
+            case None => Result(1, """{"error": "no live gateway registered"}""")
+          }
+        case None =>
+          Result(1, "resolve gateway requires --discovery <url|dir> (or $GRAFT_DISCOVERY)")
+      }
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -104,7 +119,8 @@ object ControlCli {
       |  delete engine --space <s>   evict engine registrations
       |  metrics [--prometheus]      gateway counters (JSON / exposition)
       |  list engines                every share space + registrations
-      |  events [limit]              recent lifecycle/audit events""".stripMargin
+      |  events [limit]              recent lifecycle/audit events
+      |  resolve gateway --discovery <url|dir>   pick a live HA gateway""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

@@ -111,6 +111,87 @@ class GatewayServerSpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("gateway HA: self-registration, discovery-based resolve, failover, unregister on stop") {
+    val dir = Files.createTempDirectory("graft-gateway-ha")
+    val reg = new FileDiscoveryClient(dir)
+    // a crashed gateway's stale node (the file backend has no ephemeral
+    // cleanup): registered FIRST so a naive oldest-first pick would
+    // return it — the resolver's health probe must walk past it
+    reg.register(GatewayServer.Namespace, "127.0.0.1:1")
+    val g1 = new GatewayServer(new EngineProcBuilder(dir), selfRegister = true).start()
+    val g2 = new GatewayServer(new EngineProcBuilder(dir), selfRegister = true).start()
+    var g1Stopped = false
+    try {
+      val all = new FileDiscoveryClient(dir).getAll(GatewayServer.Namespace)
+      assert(all.size == 3 &&
+        all.contains(s"127.0.0.1:${g1.boundPort}") &&
+        all.contains(s"127.0.0.1:${g2.boundPort}"),
+        s"both gateways must self-register: $all")
+      // a CLIENT-side discovery handle resolves the oldest LIVE gateway
+      val resolved = GatewayServer.resolveGateway(new FileDiscoveryClient(dir))
+      assert(resolved.contains(s"127.0.0.1:${g1.boundPort}"),
+        s"resolver must skip the dead node and pick g1: $resolved")
+      // and the resolved address serves a real JDBC conversation
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = DriverManager.getConnection(
+        s"jdbc:hive2://${resolved.get}/;auth=noSasl", "ha-user", "")
+      try assert(conn.createStatement().executeQuery("SELECT 7 AS v").next())
+      finally conn.close()
+      // graft-ctl resolves through the same registry
+      val ctl = graft.tools.ControlCli.run(
+        Array("resolve", "gateway", "--discovery", dir.toString))
+      assert(ctl.code == 0 && ctl.out == s"127.0.0.1:${g1.boundPort}", ctl.toString)
+      // stopping g1 unregisters it → clients fail over to g2
+      g1.stop(); g1Stopped = true
+      val after = new FileDiscoveryClient(dir).getAll(GatewayServer.Namespace)
+      assert(!after.contains(s"127.0.0.1:${g1.boundPort}"), "stop must unregister")
+      val r2 = GatewayServer.resolveGateway(new FileDiscoveryClient(dir))
+      assert(r2.contains(s"127.0.0.1:${g2.boundPort}"), s"failover resolve: $r2")
+    } finally {
+      if (!g1Stopped) g1.stop()
+      g2.stop()
+    }
+  }
+
+  test("GROUP share level: one engine JVM per resolved group; clients cannot steer placement") {
+    val dir = Files.createTempDirectory("graft-gateway-group")
+    // server-side membership: an advisor pins the group over the
+    // reserved graft.server.* channel (the client cannot set it)
+    val advisor = new graft.core.SessionConfAdvisor {
+      override def confOverlay(user: String, c: Map[String, String]): Map[String, String] =
+        Map("graft.server.session.group" -> (if (user == "carol") "analytics" else "eng"))
+    }
+    val gw = new GatewayServer(new EngineProcBuilder(dir),
+      shareLevel = graft.core.ShareLevel.Group,
+      groupProvider = new graft.core.ConfGroupProvider,
+      confAdvisors = Seq(advisor)).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      def query(user: String, urlConf: String = ""): Unit = {
+        val c = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl$urlConf", user, "")
+        try assert(c.createStatement().executeQuery("SELECT 1 AS a").next())
+        finally c.close()
+      }
+      query("alice")
+      query("bob")
+      query("carol")
+      val reg = new FileDiscoveryClient(dir)
+      assert(reg.getAll("group/eng").size == 1,
+        "alice and bob (one group) must share ONE engine JVM")
+      assert(reg.getAll("group/analytics").size == 1,
+        "carol's group gets its own engine JVM")
+      assert(reg.get("user/alice").isEmpty, "no per-user engines at GROUP level")
+      // a client asserting membership via the reserved channel is
+      // stripped before the advisor overlay — mallory still lands on
+      // the advisor-resolved 'eng' engine, not in 'analytics'
+      query("mallory", "?graft.server.session.group=analytics")
+      assert(reg.getAll("group/analytics").size == 1,
+        "client-asserted group must not steer placement into another group's JVM")
+      assert(reg.getAll("group/eng").size == 1, "mallory joined the advisor-resolved group")
+    } finally gw.stop()
+  }
+
   test("standalone GatewayMain process serves JDBC end to end (three JVMs)") {
     val dir = Files.createTempDirectory("graft-gateway-main")
     val javaBin = s"${System.getProperty("java.home")}/bin/java"

@@ -248,4 +248,34 @@ object IvfPqIndex {
     encodeCorpus(newRows, idCol, vecCol, opened.centroids, opened.codebooks)
       .write.mode("append").parquet(s"$path/codes")
   }
+
+  /** Recall audit — the DETECTION half of [[appendToIndex]]'s drift
+    * contract. Appends freeze the quantizers (FAISS add() semantics),
+    * so vectors from a drifted distribution get stale centroids and
+    * codebooks and probe recall silently decays; this measures it.
+    * For a BOUNDED sample of query vectors, the index's ADC top-k is
+    * compared with the exact dot-product top-k over the raw corpus,
+    * reporting integer-exact per-query `(query_id, n_hits, k)` —
+    * recall@k is `n_hits / k`. Run after each append wave; a drop
+    * below the build-time baseline is the retrain signal.
+    *
+    * Scale shape: the sample broadcasts on both paths (the exact side
+    * is one map-side corpus pass with partial top-k aggregation, the
+    * probe side is the standard capped-fanout index join); the corpus
+    * never shuffles and the audit output is |sample| rows.
+    */
+  def recallAudit(opened: OpenedIndex, corpus: DataFrame, sampleQueries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val approx = opened.topK(sampleQueries, idCol, vecCol, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = SimilaritySearch.dotTopK(corpus, sampleQueries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    sampleQueries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k.toLong).as("k"))
+  }
 }

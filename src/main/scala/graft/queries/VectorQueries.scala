@@ -210,6 +210,23 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
+    // --- Recall AUDIT of an opened IVF-PQ index: integer-exact
+    //     per-query (n_hits, k) against the exact dot top-k — the
+    //     detection half of the append-without-retrain drift contract
+    //     (appendToIndex freezes quantizers; this is how an operator
+    //     SEES the decay). Oracle recomputes both rankings and the
+    //     intersection counts. ---
+    "v17_ivfpq_recall_audit" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cents = ivfCentroids(e, dir)
+      val rcb = residualCodebooks(e, dir)
+      val opened = new graft.operators.IvfPqIndex.OpenedIndex(cents, rcb,
+        graft.operators.IvfPqIndex.encodeCorpus(e, "vec_id", "embedding", cents, rcb))
+      graft.operators.IvfPqIndex.recallAudit(opened, e, q, "vec_id", "embedding",
+        k = 5, nProbe = N_PROBE)
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -430,6 +447,14 @@ object VectorQueries {
       s"""WITH $ivfpqCte, $dotTopCte
           SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
           FROM (SELECT DISTINCT query_id FROM dexact) e
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM itop JOIN dexact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
+    "v17_ivfpq_recall_audit" ->
+      s"""WITH $ivfpqCte, $dotTopCte
+          SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(5 AS BIGINT) AS k
+          FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) e
           LEFT JOIN (SELECT query_id, count(*) AS n_hits
                      FROM itop JOIN dexact USING (query_id, neighbor_id)
                      GROUP BY query_id) h USING (query_id)""",

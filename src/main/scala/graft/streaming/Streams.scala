@@ -347,6 +347,99 @@ object Streams {
       }
       .start()
 
+  // ---- streaming index maintenance: idempotent appends ------------
+  //
+  // foreachBatch is at-least-once: after a crash between the sink
+  // commit and the checkpoint advance, the restart REPLAYS the last
+  // micro-batch with the SAME batchId. An append sink without a guard
+  // would double-append that batch. The guard is a marker file per
+  // applied batch id (created atomically, overwrite=false) under the
+  // index artifact itself — `<path>/_applied/<streamId>/batch-<id>` —
+  // so the replay is detected and skipped no matter which JVM
+  // restarts the query. The residual window (crash between the append
+  // and its marker) is the standard foreachBatch at-least-once
+  // residue; for the band index a compactBandIndex pass drops the
+  // exactly-duplicated rows it could leave.
+
+  /** True (and records the marker) when `batchId` has NOT been applied
+    * for this index+stream — the caller performs the append first and
+    * then calls [[recordApplied]]; a replayed id returns false.
+    */
+  private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
+      markerDir: String, batchId: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d"))
+  }
+
+  private def recordApplied(spark: org.apache.spark.sql.SparkSession,
+      markerDir: String, batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d"), false).close()
+  }
+
+  /** One micro-batch of the band-index maintenance stream — public so
+    * a replayed delivery (what a restart does) is directly testable:
+    * calling it twice with the same `batchId` appends once.
+    */
+  def appendBandBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String, streamId: String = "default"): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol, path)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+    }
+  }
+
+  /** Streaming band-index maintenance: each arriving micro-batch of
+    * documents is appended to the persisted MinHash band index
+    * (Dedup.appendToBandIndex — encode with the artifact's own banding
+    * parameters, one map-side pass over the new rows) with the
+    * batch-id idempotency guard, so a restart replaying the last
+    * micro-batch cannot double-append. The ingest side of the online
+    * near-dup gate: [[nearDupGateStream]] probes what this maintains.
+    */
+  def bandIndexAppendStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBandBatch(batch, batchId, path, idCol, textCol, streamId)
+      }
+      .start()
+
+  /** One micro-batch of the IVF-PQ maintenance stream — same
+    * replay-idempotence contract as [[appendBandBatch]].
+    */
+  def appendIvfPqBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, vecCol: String, streamId: String = "default"): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      graft.operators.IvfPqIndex.appendToIndex(batch, idCol, vecCol, path)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+    }
+  }
+
+  /** Streaming IVF-PQ index maintenance: arriving vectors are encoded
+    * with the persisted index's frozen quantizers and appended
+    * (IvfPqIndex.appendToIndex — FAISS add() semantics), guarded
+    * against restart replays. Pair with IvfPqIndex.recallAudit on a
+    * schedule: continuous ingest is exactly where quantizer drift
+    * accumulates.
+    */
+  def ivfPqAppendStream(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIvfPqBatch(batch, batchId, path, idCol, vecCol, streamId)
+      }
+      .start()
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

@@ -114,6 +114,50 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("lineage dispatcher seam: conf-selected custom class and SPARK_EVENT bus receive lineage") {
+    val spark = SparkFixture.spark
+    spark.sql("DROP TABLE IF EXISTS graft_lineage_d")
+    spark.sql("CREATE TABLE graft_lineage_d (a INT, b INT) USING parquet")
+    RecordingLineageDispatcher.seen.clear()
+    val sparkSeen = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.graft.GraftLineageSparkEvent]()
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.graft.GraftLineageSparkEvent => sparkSeen.add(e)
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(sl)
+    val sess = engine.openSession("disp_user")
+    try {
+      // the dispatcher list is a SESSION conf: this session fans out to
+      // a reflectively-loaded custom class AND the Spark listener bus
+      sess.spark.conf.set(graft.plans.LineageDispatcher.ConfKey,
+        "graft.core.RecordingLineageDispatcher,SPARK_EVENT")
+      val op = sess.executeStatement("SELECT a AS out_c FROM graft_lineage_d")
+      op.awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      def customHit = RecordingLineageDispatcher.seen.asScala.find(
+        _._2.get("out_c").exists(_.exists(_.contains("graft_lineage_d"))))
+      def sparkHit = sparkSeen.asScala.find(
+        _.columns.get("out_c").exists(_.exists(_.contains("graft_lineage_d"))))
+      while ((customHit.isEmpty || sparkHit.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val c = customHit.getOrElse(fail(
+        s"custom dispatcher saw nothing: ${RecordingLineageDispatcher.seen.asScala.toList}"))
+      assert(c._2("out_c").forall(_.endsWith("graft_lineage_d.a")), c._2)
+      val se = sparkHit.getOrElse(fail(s"no Spark-bus lineage event: ${sparkSeen.asScala.toList}"))
+      assert(se.columns("out_c") == Seq(se.columns("out_c").head) &&
+        se.columns("out_c").head.endsWith("graft_lineage_d.a"), se.columns)
+    } finally {
+      sess.spark.conf.unset(graft.plans.LineageDispatcher.ConfKey)
+      engine.closeSession(sess.id)
+      spark.sparkContext.removeSparkListener(sl)
+      spark.sql("DROP TABLE IF EXISTS graft_lineage_d")
+    }
+  }
+
   test("JSON file reporter dumps atomic counter snapshots") {
     val collector = new Metrics.Collector
     collector.onEvent(Events.SessionEvent("s1", "alice", "OPENED", 0L))
@@ -135,4 +179,17 @@ class EventsSpec extends AnyFunSuite {
       assert(json2.trim.startsWith("{") && json2.trim.endsWith("}"), "one JSON object per file")
     } finally reporter.close()
   }
+}
+
+/** Reflectively-loaded test dispatcher — exercises the zero-arg-ctor
+  * contract of the `graft.lineage.dispatchers` class-name route.
+  */
+class RecordingLineageDispatcher extends graft.plans.LineageDispatcher {
+  override def send(qe: org.apache.spark.sql.execution.QueryExecution,
+      columns: Map[String, Set[String]]): Unit =
+    RecordingLineageDispatcher.seen.add((qe.id, columns))
+}
+
+object RecordingLineageDispatcher {
+  val seen = new java.util.concurrent.CopyOnWriteArrayList[(Long, Map[String, Set[String]])]()
 }

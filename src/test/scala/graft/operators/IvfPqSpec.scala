@@ -166,6 +166,49 @@ class IvfPqSpec extends AnyFunSuite {
     assert(hits.exists(_ % 2 == 1), s"appended vectors must be probeable: $hits")
   }
 
+  test("recallAudit detects the recall decay of a distribution-shifted append") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-audit").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    val idx = IvfPqIndex.openIndex(spark, path)
+    def meanRecall(audit: org.apache.spark.sql.DataFrame): Double = {
+      val rows = audit.collect()
+      assert(rows.nonEmpty)
+      rows.map(r => r.getLong(1).toDouble / r.getLong(2)).sum / rows.length
+    }
+    // baseline: sample queries FROM the trained distribution
+    val inDist = emb.filter(col("vec_id") < 10)
+    val baseline = meanRecall(IvfPqIndex.recallAudit(idx, emb, inDist,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    // append a SHIFTED distribution: a huge constant offset in dim 0
+    // dominates every vector (they all crowd into one list) while the
+    // informative signal is compressed 20× — residuals land far outside
+    // the trained codebook cloud, so the frozen quantizers snap them to
+    // near-identical codes and ADC can no longer rank them. Exact
+    // ranking is PRESERVED (dot = offset² + 0.0025·orig), so the decay
+    // is purely quantizer drift — silent without the audit.
+    val shifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(50.0f)).otherwise(x * lit(0.05f)).cast("float"))
+        .as("embedding"))
+    IvfPqIndex.appendToIndex(shifted, "vec_id", "embedding", path)
+    val idx2 = IvfPqIndex.openIndex(spark, path)
+    val fullCorpus = emb.select(col("vec_id"), col("embedding")).union(shifted)
+    // audit with queries drawn from the SHIFTED set against the grown
+    // corpus: the audit must REPORT the drop a probe user would feel
+    val outDist = shifted.filter(col("vec_id") < 100010L)
+    val drifted = meanRecall(IvfPqIndex.recallAudit(idx2, fullCorpus, outDist,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    assert(baseline > drifted,
+      s"audit must report the drift: baseline $baseline vs drifted $drifted")
+    assert(baseline - drifted > 0.1,
+      s"decay should be MEASURABLE, not noise: $baseline vs $drifted")
+    // and in-distribution probes against the grown index stay healthy
+    val still = meanRecall(IvfPqIndex.recallAudit(idx2, fullCorpus, inDist,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    assert(still > drifted, s"in-dist recall $still must beat drifted $drifted")
+  }
+
   test("exact re-ranking refine recovers recall over raw ADC ordering") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.dotTopK(emb, q, "vec_id", "embedding", k = 5)

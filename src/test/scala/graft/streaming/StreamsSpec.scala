@@ -457,4 +457,74 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == batchExpected,
       s"stream ${got.size} rows vs batch ${batchExpected.size}")
   }
+
+  test("streaming band-index maintenance appends once even when a restart replays the batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val ingestRows = Seq((3L, "totally different content about glacier melt rates"),
+      (4L, "yet another unrelated musing on deep sea vents"))
+    val ingest = ingestRows.toDF("doc_id", "text")
+    val pathS = java.nio.file.Files.createTempDirectory("bandidx-stream").toString
+    val pathB = java.nio.file.Files.createTempDirectory("bandidx-batch").toString
+    try {
+      graft.operators.Dedup.buildBandIndex(base, "doc_id", "text", pathS)
+      graft.operators.Dedup.buildBandIndex(base, "doc_id", "text", pathB)
+      // the batch twin: one plain append
+      graft.operators.Dedup.appendToBandIndex(ingest, "doc_id", "text", pathB)
+      // the stream ingests the same docs as micro-batch 0...
+      val ms = MemoryStream[(Long, String)]
+      val q = Streams.bandIndexAppendStream(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", pathS)
+      try {
+        ms.addData(ingestRows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // ...and a RESTART replays micro-batch 0 (foreachBatch delivers
+      // the same batchId again): the guard must skip the re-delivery
+      Streams.appendBandBatch(ingest, 0L, pathS, "doc_id", "text")
+      val s2 = spark.newSession()
+      def rows(p: String) = graft.operators.Dedup.openBandIndex(s2, p).index
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // multiplicity-sensitive compare: a double-append would DUPLICATE
+      // rows, not just change the set
+      assert(rows(pathS) == rows(pathB),
+        "stream-appended index must equal the batch-appended index after a replayed batch")
+      // a genuinely NEW batch id still appends
+      Streams.appendBandBatch(
+        Seq((5L, "fresh fifth document about orbital mechanics")).toDF("doc_id", "text"),
+        1L, pathS, "doc_id", "text")
+      assert(rows(pathS).size > rows(pathB).size, "new batch ids must still append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathS))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathB))
+    }
+  }
+
+  test("streaming IVF-PQ maintenance is replay-idempotent (same batch id appends once)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val ingest = emb.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-stream").toString
+    try {
+      graft.operators.IvfPqIndex.buildIndex(first, "vec_id", "embedding", path,
+        dim = 64, m = 8, k = 16, nLists = 8)
+      // deliver micro-batch 0 twice — the restart-replay shape
+      Streams.appendIvfPqBatch(ingest, 0L, path, "vec_id", "embedding")
+      Streams.appendIvfPqBatch(ingest, 0L, path, "vec_id", "embedding")
+      val idx = graft.operators.IvfPqIndex.openIndex(spark, path)
+      val got = idx.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+      // expected: ONE append — the full corpus encoded under the
+      // index's quantizers, each id exactly once
+      val want = graft.operators.IvfPqIndex.encodeCorpus(emb, "vec_id", "embedding",
+          idx.centroids, idx.codebooks)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+      assert(got == want, s"replayed batch must append once: ${got.size} vs ${want.size} rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

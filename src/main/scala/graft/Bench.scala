@@ -190,11 +190,24 @@ object Bench {
         Timing(name, first.runs ++ second.runs, first.loads ++ second.loads)
       }
     }
+    // Multi-run tier for the expensive tail: under single-run + outlier
+    // repair, a quiet 2× regression of a multi-second query ships
+    // unnoticed (the repair only fires at 3× baseline). Every suite
+    // query whose committed-baseline min exceeds 3 s gets the full
+    // min-of-N iterations (~15 queries × 2 extra runs ≈ +90-150 s);
+    // the cheap tail keeps single-run + repair.
+    def expensiveTail(name: String): Boolean =
+      suiteBaseline.get(name).exists(_ > 3.0)
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
       if (flagshipSuite(name))
         timedN(name, iters,
             between = () => graft.operators.SketchRegistry.releaseAll(),
             careful = true) {
+          fn(spark, sfDir).foreach(_ => ())
+        }
+      else if (expensiveTail(name))
+        timedN(name, iters,
+            between = () => graft.operators.SketchRegistry.releaseAll()) {
           fn(spark, sfDir).foreach(_ => ())
         }
       else repairedOnce(name, fn)
@@ -233,10 +246,13 @@ object Bench {
     val tpchTables = Seq("region", "nation", "customer", "supplier",
       "part", "partsupp", "orders", "lineitem")
     // Tables referenced by the 6 BASELINE.md-published TPC-DS queries.
+    // (customer_demographics rides along for the sf10 spot set's q10 —
+    // its size is sf-independent, so the extra materialization is flat)
     val tpcdsBaselineTables = Seq("date_dim", "store_sales", "store_returns",
       "catalog_sales", "catalog_returns", "web_sales", "web_returns",
       "store", "customer", "customer_address", "item", "catalog_page",
-      "web_site", "warehouse", "ship_mode", "call_center")
+      "web_site", "warehouse", "ship_mode", "call_center",
+      "customer_demographics")
     val matT0 = System.nanoTime()
     val tpchDb = materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.`$tpchNs`.$t")
     val tpcdsDb = materialize(s"tpcds_$tpcdsNs", tpcdsBaselineTables,
@@ -262,6 +278,22 @@ object Bench {
     val corpus = TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${corpusNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
     }
+
+    // sf10 SPOT set: the 10 longest sf1 corpus queries re-run at the
+    // baseline's native sf10 scale — strengthening the BASELINE
+    // comparison beyond its 6 published queries and recording a scale
+    // trend for the corpus' heaviest plans. BASELINE.md publishes no
+    // numbers for these, so they are trend entries: ONE careful
+    // (GC-quiesced) run each — the set already costs ~4 min at sf10
+    // (q23/q23b ≈ 45-50 s apiece) and extra iterations of 20-50 s
+    // queries buy little against that magnitude.
+    val spotNames = Seq("q14", "q14b", "q23", "q23b", "q4", "q75", "q74",
+      "q24b", "q11", "q10")
+    val spotSqls = TpcdsCorpusSql.queries(tpcdsDb).toMap
+    val tpcdsSpot = spotNames.flatMap(qn => spotSqls.get(qn).map { sql =>
+      timedN(s"tpcds_${tpcdsNs}_$qn", 1, careful = true)(
+        spark.sql(sql).foreach(_ => ()))
+    })
 
     // Z-order skipping comparable (BASELINE z-order.md:313-331 reports
     // a 2-predicate scan going 27.6s → 2.5s after OPTIMIZE ZORDER BY):
@@ -337,7 +369,7 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
-    val results = suite ++ tpch ++ tpcds ++ corpus ++ zorder ++ winnowCap
+    val results = suite ++ tpch ++ tpcds ++ tpcdsSpot ++ corpus ++ zorder ++ winnowCap
     // Group totals and per-query numbers are MIN over iterations — one
     // contended run can no longer poison the artifact; avg + raw runs
     // are preserved in bench_full.json for honesty about spread.
@@ -364,7 +396,7 @@ object Bench {
 
     // Compact stdout line: group totals + the BASELINE.md-published
     // TPC-DS sf10 queries + the heaviest pipeline operators.
-    val headline = Seq("q1", "q2", "q3", "q5", "q6", "q99")
+    val headline = (Seq("q1", "q2", "q3", "q5", "q6", "q99") ++ spotNames)
       .map(q => s"tpcds_${tpcdsNs}_$q")
     val flagship = Seq("d08_minhash_pairs", "d10_jaccard_pairs",
       "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
@@ -393,6 +425,7 @@ object Bench {
       "mat_sec" -> matSec,
       "tpch_sec" -> tpch.map(_.min).sum,
       "tpcds_sec" -> tpcds.map(_.min).sum,
+      "tpcds_spot_sec" -> tpcdsSpot.map(_.min).sum,
       "tpcds_corpus_sec" -> corpus.map(_.min).sum,
       "zorder_sec" -> zorder.map(_.min).sum,
       "winnow_cap_sec" -> winnowCap.map(_.min).sum)

@@ -261,4 +261,49 @@ object CorpusLm {
     val oov = math.floor(math.log(1.0 / (total.toDouble + 1.0)) * 1000000.0).toLong
     (top, oov)
   }
+
+  /** CCNet-style perplexity BUCKETS (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC
+    * 2020): stratify documents into head / middle / tail thirds by
+    * mean log-probability under the corpus' own unigram model — the
+    * standard coarse quality split before sampling/mixing (CCNet
+    * scores with an external KenLM; the stratification rule is the
+    * same with [[unigramLogProb]]'s self-contained scoring).
+    *
+    * Exactness + scale shape (the d50 length-quantile pattern): the
+    * ranking key is the mean log-prob floored to MILLI-nats —
+    * floordiv(sum_lp_micro, n_tokens·1000), pure integer via the pmod
+    * identity — whose value RANGE is bounded by the model itself
+    * (≥ ln(1/Σtokens) ≈ -30e3 milli-nats at a trillion tokens), so the
+    * score histogram is bounded regardless of corpus size. The two
+    * bucket thresholds come from one cumulative window over HISTOGRAM
+    * rows only and broadcast back for a map-side CASE. Assignment is
+    * VALUE-based (ties share a score, hence a bucket): head = score ≥
+    * t_head, the highest score whose descending cumulative count
+    * reaches ⌈n/3⌉; tail = score < t_tail (⌈2n/3⌉ rule); middle
+    * between — no per-doc global rank, no single-reducer window.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val denom = col("n_tokens") * lit(1000L)
+    val scored = unigramLogProb(df, idCol, textCol)
+      .select(col(idCol),
+        ((col("sum_lp_micro").cast("long") - pmod(col("sum_lp_micro").cast("long"), denom))
+          / denom).cast("long").as("score_milli"))
+    val hist = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("score_milli").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).cast("long").as("n"))))
+      .agg(
+        max(when(col("cum") >= ((col("n") + 2) / lit(3)).cast("long"),
+          col("score_milli"))).as("t_head"),
+        max(when(col("cum") >= ((col("n") * 2 + 2) / lit(3)).cast("long"),
+          col("score_milli"))).as("t_tail"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("score_milli"),
+        when(col("score_milli") >= col("t_head"), lit("head"))
+          .when(col("score_milli") >= col("t_tail"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -249,6 +249,32 @@ object IvfPqIndex {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Compact the codes artifact — the maintenance companion of
+    * [[appendToIndex]]: append-only ingest accumulates one small file
+    * set per batch (and a replay that slipped past a sink guard can
+    * double-write rows). Compaction rewrites `path/codes` as
+    * `targetFiles` files with exact-duplicate rows dropped, through a
+    * sibling directory + rename so a concurrent open never reads a
+    * half-written artifact. Quantizers are untouched and the codes SET
+    * is unchanged, so probe results are identical — this is a
+    * file-layout operation, the FAISS-side analogue of parquet small-
+    * file compaction.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 32): Unit = {
+    val tmp = s"$path/codes_compacting"
+    spark.read.parquet(s"$path/codes").distinct()
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = codesPath.getFileSystem(hconf)
+    fs.delete(codesPath, true)
+    if (!fs.rename(tmpPath, codesPath))
+      throw new java.io.IOException(s"compaction rename failed for $path/codes")
+  }
+
   /** Recall audit — the DETECTION half of [[appendToIndex]]'s drift
     * contract. Appends freeze the quantizers (FAISS add() semantics),
     * so vectors from a drifted distribution get stale centroids and

@@ -68,6 +68,26 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Metadata-FILTERED exact top-k — the vector-store "filtered
+    * search" operation: top-k cosine among only the corpus rows
+    * satisfying `predicate` (per-tenant slices, language filters,
+    * date ranges over an embedding store). The predicate composes
+    * BELOW the scoring join, so Catalyst pushes it into the parquet
+    * scan (`PushedFilters` — pinned in PlanQualitySpec): non-matching
+    * rows are never read, scored, or shuffled, and at 100 TB the
+    * filter's selectivity is the speedup. Exact by construction —
+    * pre-filtering loses no recall, unlike post-filtering an ANN
+    * candidate list, which silently under-fills k.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      predicate: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
+
   /** LSH-bucketed approximate top-k: only candidates in the same
     * hyperplane-sign bucket are scored.
     */

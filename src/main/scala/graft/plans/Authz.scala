@@ -348,6 +348,18 @@ object AuthzPolicies {
     accessPolicies.map(_.table).toSet
       .filterNot(t => decideAccess(user, groups, t))
 
+  /** Databases the user may NOT "use" among the use-policied set —
+    * finite by construction, so SHOW DATABASES filters with one
+    * IN-list (reference FilteredShowNamespaceExec's per-row USE check,
+    * pre-evaluated). Only policies carrying the explicit "use" verb
+    * participate: a table policy must not hide a same-named database,
+    * and a database gated only for create/drop DDL stays listed.
+    */
+  def deniedNamespacesFor(user: String, groups: Set[String]): Set[String] =
+    accessPolicies.filter(_.privilege == "use")
+      .map(_.table).filterNot(_.contains('.')).toSet
+      .filterNot(db => decidePrivilege(user, groups, db, "use"))
+
   /** True when `user` (with `groups`) may read `table` under the
     * registered access policies; tables with no policy stay open (the
     * programmatic store is opt-in; a Ranger deployment would sync a
@@ -646,6 +658,23 @@ class ApplyAuthzPolicies(session: SparkSession) extends Rule[LogicalPlan] {
       case cmd: org.apache.spark.sql.execution.command.ShowFunctionsCommand
           if AuthzPolicies.hasFunctionPolicies =>
         FilteredShowFunctionsCommand(cmd, user, groups)
+      // SHOW DATABASES must not reveal databases the user cannot USE
+      // (reference FilteredShowNamespaceExec — the USE accessType per
+      // DATABASE resource, rule/rowfilter/FilteredShowObjectsExec.scala:43-57).
+      // Spark 4 runs SHOW DATABASES as the v1 ShowNamespacesCommand;
+      // it cannot be REPLACED (Catalog.listDatabases collects the node
+      // from the analyzed plan, and a command child would be eagerly
+      // executed), so the rows are filtered by a plain Filter above it
+      // with the pre-evaluated denied IN-list — finite because only
+      // explicit "use" policies participate (a table policy must not
+      // hide a same-named database).
+      case cmd: org.apache.spark.sql.execution.command.ShowNamespacesCommand
+          if cmd.resolved && cmd.getTagValue(APPLIED).isEmpty =>
+        cmd.setTagValue(APPLIED, true)
+        val deniedNs = AuthzPolicies.deniedNamespacesFor(user, groups)
+        if (deniedNs.isEmpty) plan
+        else Filter(Not(In(cmd.output.head,
+          deniedNs.toSeq.sorted.map(Literal(_)))), cmd)
       case _ => plan
     }
   }

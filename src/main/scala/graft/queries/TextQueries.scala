@@ -308,6 +308,16 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("sum_lp_micro"), col("keep"))
     },
 
+    // --- CCNet perplexity BUCKETS: head/middle/tail thirds by mean
+    //     unigram log-prob — the coarse quality stratification before
+    //     sampling/mixing. Integer milli-nat ranking key with a
+    //     bounded-histogram threshold walk (the d50 pattern; no
+    //     per-doc global rank window). ---
+    "d52_ppl_buckets" -> { (s, dir) =>
+      graft.operators.CorpusLm.perplexityBuckets(
+        Tables(s, dir).documents, "doc_id", "text")
+    },
+
     // --- Cross-source 5-gram contamination matrix: distinct shared
     //     grams per source pair + per-source totals — "how much of
     //     source B is already in source A" before mixing. ---
@@ -445,6 +455,25 @@ object TextQueries {
 
   // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
   private val duckToks = "regexp_split_to_array(trim(text), ' +')"
+
+  // Shared CTE chain: the corpus-unigram model and per-doc aggregate
+  // (token counts → micro-nat log-probs → per-doc n_tokens +
+  // sum_lp_micro) — the scoring half of d37's gate and d52's buckets.
+  private lazy val unigramAggCte =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+          freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+          tot AS (SELECT sum(cnt) AS n FROM freq),
+          lp AS (
+            SELECT token,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_micro
+            FROM freq, tot),
+          pd AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+          agg AS (
+            SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(sum(c * lp_micro) AS BIGINT) AS sum_lp_micro
+            FROM pd JOIN lp USING (token) GROUP BY 1)"""
 
   // DuckDB expression parsing the first `nChars` hex chars of md5
   // string `m` into a BIGINT (mirrors Spark's conv(substring(md5,1,n),
@@ -891,23 +920,38 @@ object TextQueries {
     // Mirror of d37: corpus-unigram micro-nat log-probs, exact-integer
     // mean-log-prob gate.
     "d37_unigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-          tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
-          freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-          tot AS (SELECT sum(cnt) AS n FROM freq),
-          lp AS (
-            SELECT token,
-              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_micro
-            FROM freq, tot),
-          pd AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
-          agg AS (
-            SELECT doc_id,
-              CAST(sum(c) AS BIGINT) AS n_tokens,
-              CAST(sum(c * lp_micro) AS BIGINT) AS sum_lp_micro
-            FROM pd JOIN lp USING (token) GROUP BY 1)
+      s"""WITH $unigramAggCte
           SELECT doc_id, n_tokens, sum_lp_micro,
             (sum_lp_micro > -3450000 * n_tokens) AS keep
           FROM agg""",
+    // Mirror of d52: the same per-doc unigram aggregate floored to
+    // MILLI-nats (exact floor division via the nonnegative-remainder
+    // identity — DuckDB's // truncates toward zero on negatives),
+    // histogram + descending cumulative window, value-based thirds.
+    "d52_ppl_buckets" ->
+      s"""WITH $unigramAggCte,
+          sm AS (
+            SELECT doc_id,
+              (sum_lp_micro - ((sum_lp_micro % (n_tokens * 1000) + (n_tokens * 1000))
+                % (n_tokens * 1000))) // (n_tokens * 1000) AS score_milli
+            FROM agg),
+          h AS (SELECT score_milli, count(*) AS cnt FROM sm GROUP BY 1),
+          cw AS (
+            SELECT score_milli,
+              sum(cnt) OVER (ORDER BY score_milli DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM h),
+          nn AS (SELECT count(*) AS n FROM sm),
+          cuts AS (
+            SELECT
+              max(CASE WHEN cum >= (n + 2) // 3 THEN score_milli END) AS t_head,
+              max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_milli END) AS t_tail
+            FROM cw, nn)
+          SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+            CASE WHEN score_milli >= t_head THEN 'head'
+                 WHEN score_milli >= t_tail THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM sm, cuts""",
     // Mirror of d38: distinct (source, md5(5-gram)) sets, pair join,
     // per-source totals. Short docs (<5 tokens) shingle to the whole
     // token-joined text, exactly like TextFunctions.shingles.

@@ -227,6 +227,22 @@ object VectorQueries {
         k = 5, nProbe = N_PROBE)
     },
 
+    // --- FILTERED exact top-5 — the vector-store "filtered search"
+    //     operation: neighbors restricted to corpus rows with
+    //     label = 3 (a tenant/language/date slice of the embedding
+    //     store). The predicate composes BELOW the scoring join so it
+    //     pushes into the parquet scan — non-matching rows are never
+    //     read, scored, or shuffled (PlanQualitySpec pins
+    //     PushedFilters) — and pre-filtering keeps the exact-k
+    //     guarantee post-filtering an ANN list would lose. ---
+    "v18_filtered_knn" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      graft.operators.SimilaritySearch.filteredTopK(e, q, "vec_id", "embedding",
+        col("label") === 3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
     // --- Embedding-cosine near-dup pairs over LSH buckets ---
     "v08_embedding_neardup" -> { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -539,6 +555,17 @@ object VectorQueries {
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+            FROM c, q WHERE query_id <> neighbor_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM scored)
+          WHERE rnk <= 5""",
+    "v18_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = 3),
           scored AS (
             SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
             FROM c, q WHERE query_id <> neighbor_id)

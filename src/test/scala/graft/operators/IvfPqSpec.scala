@@ -166,6 +166,36 @@ class IvfPqSpec extends AnyFunSuite {
     assert(hits.exists(_ % 2 == 1), s"appended vectors must be probeable: $hits")
   }
 
+  test("compactIndex drops replay duplicates and bounds the file count; probes unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    IvfPqIndex.buildIndex(first, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    // an append plus an UNGUARDED replay of the same append — the
+    // worst-case at-least-once residue compaction exists to clean
+    IvfPqIndex.appendToIndex(second, "vec_id", "embedding", path)
+    IvfPqIndex.appendToIndex(second, "vec_id", "embedding", path)
+    val before = IvfPqIndex.openIndex(spark, path)
+    assert(before.codes.count() > emb.count(), "setup must actually hold duplicates")
+    IvfPqIndex.compactIndex(spark, path, targetFiles = 4)
+    val after = IvfPqIndex.openIndex(spark, path)
+    val got = after.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    val want = IvfPqIndex.encodeCorpus(emb, "vec_id", "embedding",
+        after.centroids, after.codebooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    assert(got == want, "compaction must keep each encoded row exactly once")
+    val files = new java.io.File(s"$path/codes").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files <= 4, s"compaction must bound the file count, got $files")
+    // probes against the compacted artifact still see both halves
+    val q = emb.filter(col("vec_id") < 4)
+    val hits = after.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.exists(_ % 2 == 0) && hits.exists(_ % 2 == 1), s"both halves probeable: $hits")
+  }
+
   test("recallAudit detects the recall decay of a distribution-shifted append") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq-audit").toString
     IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,

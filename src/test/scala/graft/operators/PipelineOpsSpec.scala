@@ -133,4 +133,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(top1 == Seq(20L), "20 has the higher fused score")
   }
+
+  test("perplexityBuckets: hand-computed thirds, value-based ties, integer milli-nats") {
+    // token frequencies: aaa 12/21, bbb 6/21, ccc 3/21 → per-doc mean
+    // log-probs are three distinct values; with 9 docs the ⌈n/3⌉=3 and
+    // ⌈2n/3⌉=6 cuts land exactly on the group boundaries (cum 3/6/9)
+    val df = Seq(
+      (1L, "aaa aaa aaa aaa"), (2L, "aaa aaa aaa aaa"), (3L, "aaa aaa aaa aaa"),
+      (4L, "bbb bbb"), (5L, "bbb bbb"), (6L, "bbb bbb"),
+      (7L, "ccc"), (8L, "ccc"), (9L, "ccc")).toDF("doc_id", "text")
+    val rows = CorpusLm.perplexityBuckets(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") == Set(1L, 2L, 3L), byBucket.toString)
+    assert(byBucket("middle") == Set(4L, 5L, 6L), byBucket.toString)
+    assert(byBucket("tail") == Set(7L, 8L, 9L), byBucket.toString)
+    // milli-nat scores: floor(ln(p)·1e6) / 1000 with floor semantics
+    def milli(p: Double): Long = {
+      val micro = math.floor(math.log(p) * 1e6).toLong
+      val d = 1000L // n_tokens cancels: every token of a doc has the same lp
+      (micro - (((micro % d) + d) % d)) / d
+    }
+    val scores = rows.map(r => r._1 -> r._2).toMap
+    assert(scores(1L) == milli(12.0 / 21), s"head score ${scores(1L)}")
+    assert(scores(4L) == milli(6.0 / 21), s"middle score ${scores(4L)}")
+    assert(scores(7L) == milli(3.0 / 21), s"tail score ${scores(7L)}")
+  }
 }

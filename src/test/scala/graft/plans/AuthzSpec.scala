@@ -643,6 +643,29 @@ class AuthzSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW DATABASES hides databases the user cannot use") {
+    import AuthzPolicies.AccessPolicy
+    spark.sql("CREATE DATABASE IF NOT EXISTS authz_hidden_db")
+    try {
+      // the reference's USE accessType on the DATABASE resource
+      AuthzPolicies.addAccessPolicy(AccessPolicy("authz_hidden_db",
+        allowed = Set("dbuser"), privilege = "use"))
+      val engine = new Engine(spark)
+      def listed(user: String): Set[String] = {
+        val sess = engine.openSession(user)
+        try sess.spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSet
+        finally engine.closeSession(sess.id)
+      }
+      assert(!listed("outsider").contains("authz_hidden_db"),
+        "a db the user cannot use must not appear in SHOW DATABASES")
+      assert(listed("dbuser").contains("authz_hidden_db"))
+      assert(listed("outsider").contains("default"), "unpolicied dbs stay visible")
+    } finally {
+      AuthzPolicies.clear()
+      spark.sql("DROP DATABASE IF EXISTS authz_hidden_db")
+    }
+  }
+
   test("function policy names match case-insensitively") {
     withTable {
       import AuthzPolicies.AccessPolicy

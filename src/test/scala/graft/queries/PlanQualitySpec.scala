@@ -174,6 +174,30 @@ class PlanQualitySpec extends AnyFunSuite {
       "threshold must broadcast back for the map-side gate")
   }
 
+  test("d52: perplexity-bucket thresholds window the score HISTOGRAM, never raw docs") {
+    val df = TextQueries.queries("d52_ppl_buckets")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the cumulative histogram window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window input must be the milli-nat histogram aggregate:\n${w.treeString.take(600)}")
+    }
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "bucket thresholds must broadcast back for the map-side CASE")
+  }
+
+  test("v18: filtered search pushes the metadata predicate into the parquet scan") {
+    val plan = planOf(VectorQueries.queries("v18_filtered_knn")(spark, dir))
+    // the corpus-side scan must carry the label filter as a pushed
+    // parquet filter — post-filtering scored rows would read and score
+    // the whole store
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,3)"),
+      s"label predicate must reach the scan:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), "ranking stays aggregate-based under the filter")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

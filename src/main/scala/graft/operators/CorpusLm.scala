@@ -133,6 +133,65 @@ object CorpusLm {
       .withColumn("keep", col("sum_lp_micro") > lit(meanLpMicroFloor) * col("n_tokens"))
   }
 
+  /** Per-source token-distribution DRIFT against the whole corpus:
+    * KL(source ‖ corpus) over unigram distributions, the standard
+    * mixture-monitoring statistic for multi-source training pipelines
+    * (which source's text is most unlike the blend — a feed gone wrong,
+    * a scrape that switched language, a template flood — shows up as a
+    * KL spike long before any downstream metric moves).
+    *
+    * KL(s‖corpus) · n_s = Σ_w c_sw · ln( (c_sw · N) / (n_s · c_w) )
+    * with c_sw the token count in source s, n_s its total, c_w the
+    * corpus-wide token count, N the corpus total. Every log-ratio is
+    * quantized ONCE to integer micro-nats (the object's determinism
+    * contract) and the per-source reduction is an exact integer sum —
+    * reported UN-normalized as kl_sum_micro beside n_tokens, so the
+    * oracle needs no division rule and the caller can normalize any
+    * way it likes.
+    *
+    * 100 TB shape: the (source, token) count table is the only
+    * data-sized shuffle (one corpus pass, partial-agg map-side;
+    * persisted — three statistics branches fold IT); the per-source
+    * totals broadcast (|sources| rows), the per-token join is
+    * vocab-sized, the corpus total is a broadcast scalar. The integer
+    * products c_sw·N and n_s·c_w stay below 2^53 for exact
+    * double conversion up to ~10^15-token corpora per the usual
+    * micro-nat bound; beyond that both engines round identically
+    * (IEEE nearest), so cross-engine agreement holds regardless.
+    *
+    * Returns one row per source: (source, n_tokens, kl_sum_micro).
+    */
+  def sourceDriftKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val st = SketchRegistry.track(
+      df.select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
+        .groupBy(col("source"), col("__tok")).agg(count(lit(1)).as("__c"))
+        .persist())
+    sourceDriftKlFromCounts(st)
+  }
+
+  /** The KL fold over a PREBUILT `(source, __tok, __c)` token-count
+    * table — the piece the streaming twin reuses per trigger: a
+    * Structured Streaming stateful count aggregation maintains exactly
+    * this table (state is vocab × sources, not data-sized), and folding
+    * it here yields the same integer micro-nat statistic the batch path
+    * computes ([[graft.streaming.Streams.sourceDriftStream]]).
+    */
+  def sourceDriftKlFromCounts(st: DataFrame): DataFrame = {
+    val perSource = st.groupBy(col("source")).agg(sum(col("__c")).as("__ns"))
+    val perToken = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__cw"))
+    val total = perSource.agg(sum(col("__ns")).as("__n"))
+    st
+      .join(perToken, "__tok")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("__c"),
+        lnMicro(col("__c") * col("__n"), col("__ns") * col("__cw")).as("__lr"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__c")).cast("long").as("n_tokens"),
+        sum(col("__c") * col("__lr")).cast("long").as("kl_sum_micro"))
+  }
+
   /** Per-document BIGRAM log-probability under the corpus' own MLE
     * bigram model — the next modeling step up from [[unigramLogProb]]
     * (a unigram model cannot see scrambled word order; a bigram model

@@ -35,6 +35,45 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(hashBucket16(col(idCol)) < lit(math.round(rate * 65536).toInt))
 
+  /** Leakage-safe train/test split: every row of a GROUP (exact-dup
+    * fingerprint group, near-dup cluster id, URL domain, …) lands on
+    * the same side, so duplicated or near-duplicated content can never
+    * straddle the split — the contamination mode a per-ROW random
+    * split reintroduces no matter how well the corpus was deduped
+    * (any surviving duplicate pair has a 2·p·(1−p) chance of leaking
+    * test text into training).
+    *
+    * Assignment is a pure function of the group key: seeded md5 →
+    * 16-bit uniform, test iff u16 < floor(testPermille·65536/1000)
+    * (integer cut, exact in any engine). 100 TB shape: MAP-SIDE ONLY —
+    * no join, no shuffle, no collected group table; each row computes
+    * its side from the key it already carries, and reruns and other
+    * engines reproduce the split bit-for-bit.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, testPermille: Int,
+      seed: String): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0, 1000], got $testPermille")
+    val cut = testPermille * 65536 / 1000
+    df.withColumn("split",
+      when(hashBucket16(concat(lit(seed + "-"), col(groupCol).cast("string"))) < lit(cut),
+        lit("test")).otherwise(lit("train")))
+  }
+
+  /** [[groupSplit]] keyed on the exact-dup content fingerprint
+    * ([[graft.functions.TextFunctions.contentFingerprint]]): documents
+    * equal after whitespace/case normalization always land on the same
+    * side. For NEAR-dup-safe splits, feed the cluster ids from
+    * [[Dedup.connectedComponents]] into [[groupSplit]] directly — the
+    * assignment rule is identical, only the group key widens.
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String, testPermille: Int,
+      seed: String): DataFrame =
+    groupSplit(
+      df.withColumn("fp",
+        graft.functions.TextFunctions.contentFingerprint(col(textCol))),
+      "fp", testPermille, seed)
+
   /** Deterministic stratified sample: the n lowest-hashed rows of each
     * stratum (ties broken by id, so the selection is a total order).
     */

@@ -326,6 +326,25 @@ object TextQueries {
         Tables(s, dir).documents, "source", "text", n = 5)
     },
 
+    // --- Per-source token-distribution DRIFT: KL(source ‖ corpus)
+    //     over unigram distributions in integer micro-nats — the
+    //     mixture-monitoring statistic (a feed gone wrong shows as a
+    //     KL spike). One (source, token) shuffle; totals broadcast. ---
+    "d53_source_drift" -> { (s, dir) =>
+      graft.operators.CorpusLm.sourceDriftKl(
+        Tables(s, dir).documents, "source", "text")
+    },
+
+    // --- Leakage-safe train/test split: every exact-dup group lands
+    //     on ONE side (a per-row split leaks duplicated test text into
+    //     training); assignment is a seeded 16-bit hash of the content
+    //     fingerprint — map-side only, no join, no shuffle. ---
+    "d54_leakage_split" -> { (s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(
+        Tables(s, dir).documents, "text", testPermille = 100, seed = "r12")
+        .select(col("doc_id"), col("fp"), col("split"))
+    },
+
     // --- BM25 ranked retrieval: top-20 docs for a 3-term query,
     //     integer-exact scoring (micro-nat idf, floor-quantized
     //     per-term scores). ---
@@ -952,6 +971,41 @@ object TextQueries {
                  WHEN score_milli >= t_tail THEN 'middle'
                  ELSE 'tail' END AS bucket
           FROM sm, cuts""",
+    // Mirror of d53: (source, token) counts, per-source/per-token/
+    // corpus totals, micro-nat log-ratio quantized once, exact
+    // integer per-source sum — KL(source ‖ corpus) · n_s unnormalized.
+    "d53_source_drift" ->
+      s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+          tok AS (SELECT source, unnest(toks) AS token FROM t),
+          st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+          ns AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1),
+          gw AS (SELECT token, sum(c) AS c_w FROM st GROUP BY 1),
+          nn AS (SELECT sum(c) AS n FROM st),
+          lr AS (
+            SELECT st.source, st.c,
+              CAST(floor(ln(CAST(st.c * nn.n AS DOUBLE)
+                / CAST(ns.n_s * gw.c_w AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr_micro
+            FROM st
+            JOIN ns USING (source)
+            JOIN gw USING (token), nn)
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(c * lr_micro) AS BIGINT) AS kl_sum_micro
+          FROM lr GROUP BY source""",
+    // Mirror of d54: exact-dup fingerprint (the d01 normalization),
+    // seeded md5 → 16-bit uniform, test iff u16 < 100·65536/1000 = 6553.
+    "d54_leakage_split" -> {
+      def digit(i: Int) =
+        s"(CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN ascii(substr(h, $i, 1)) - 87 ELSE ascii(substr(h, $i, 1)) - 48 END)"
+      val h16 = s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+      s"""WITH f AS (
+            SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents),
+          hh AS (SELECT doc_id, fp, md5('r12-' || fp) AS h FROM f)
+          SELECT doc_id, fp,
+            CASE WHEN $h16 < 6553 THEN 'test' ELSE 'train' END AS split
+          FROM hh"""
+    },
     // Mirror of d38: distinct (source, md5(5-gram)) sets, pair join,
     // per-source totals. Short docs (<5 tokens) shingle to the whole
     // token-joined text, exactly like TextFunctions.shingles.

@@ -59,6 +59,11 @@ object VectorQueries {
         ivfCentroids(e, dir), dim = DIM, m = M_SUB, k = K_CODES)
     }
 
+  private def sqStats(e: DataFrame, dir: String): (Array[Double], Array[Double]) =
+    memo(s"sqstats:$dir") {
+      graft.operators.SqIndex.trainStats(e, "embedding", DIM)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Exact brute-force cosine top-5 for 10 query vectors ---
     "v01_knn_brute" -> { (s, dir) =>
@@ -263,6 +268,56 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
+    // --- Binary (1-bit) quantized top-5 by Hamming distance: each
+    //     vector packs to 2 sign-bit BIGINT words (16 bytes vs 256 —
+    //     the corpus scan/shuffle reduction at 100 TB), scoring is
+    //     XOR+popcount, and codes/distances/ranks are INTEGER-exact —
+    //     the oracle recomputes thresholds, packing and Hamming ranks
+    //     bit-for-bit with no float-ordering caveats. ---
+    "v19_hamming_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val (mins, maxs) = sqStats(e, dir)
+      graft.operators.BinaryQuant.hammingTopK(e, q, "vec_id", "embedding",
+        mins, maxs, dim = DIM, k = 5)
+    },
+
+    // --- Recall@5 of the Hamming path vs exact cosine — the quality
+    //     knob an operator watches when turning on binary codes ---
+    "v20_hamming_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val (mins, maxs) = sqStats(e, dir)
+      val approx = graft.operators.BinaryQuant.hammingTopK(e, q, "vec_id", "embedding",
+        mins, maxs, dim = DIM, k = 5)
+      val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
+    // --- Matryoshka (MRL) funnel: shortlist 20 by cosine over the
+    //     first 16 dims (1/4 of the flops and bytes), rerank the
+    //     shortlist full-dim, cut to top-5. The candidate set
+    //     broadcasts back for the rescore — the corpus never
+    //     shuffles. ---
+    "v21_mrl_funnel" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      graft.operators.BinaryQuant.mrlFunnelTopK(e, q, "vec_id", "embedding",
+        prefixDim = 16, shortlist = 20, k = 5)
+    },
+
+    // --- MMR diversity rerank (Carbonell & Goldstein, SIGIR 1998):
+    //     greedy λ-tradeoff between relevance and redundancy over a
+    //     bounded top-20 shortlist; integer micro-sim objective
+    //     7·rel − 3·maxSimToSelected, ties by id — the DuckDB oracle
+    //     replays the whole greedy selection bit-for-bit. ---
+    "v22_mmr_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      graft.operators.Mmr.mmrTopK(e, q, "vec_id", "embedding",
+        shortlist = 20, k = 5)
+    },
+
     // --- Dimension / count facts (oracle-checked) ---
     "v05_embedding_stats" -> { (s, dir) =>
       Tables(s, dir).embeddings
@@ -435,7 +490,132 @@ object VectorQueries {
               WHERE q.query_id <> c.neighbor_id)
             WHERE rnk <= 5)"""
 
+  // Binary-quantization CTE chain shared by v19/v20: exact per-dim
+  // (min, max) stats, (mn+mx)/2 thresholds, 32-bit sign-bit words
+  // (bit b of word w = dim w*32+b, word = Σ bit_b·2^b — the exact
+  // layout BinaryQuant.packExpr builds), XOR+popcount Hamming, rank
+  // (hamming asc, neighbor_id asc). Integer-exact end to end.
+  private val N_WORDS = DIM / 32
+  private val binCte =
+    s"""bstats AS (
+          SELECT i AS pos,
+            min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+            max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+          FROM embeddings e CROSS JOIN generate_series(1, $DIM) AS t(i)
+          GROUP BY i),
+        bthr AS (SELECT list((mn + mx) / 2.0 ORDER BY pos) AS thr FROM bstats),
+        bw AS (
+          SELECT e.vec_id, list_transform(generate_series(0, ${N_WORDS - 1}), w ->
+            list_reduce(list_transform(generate_series(0, 31), b ->
+              CASE WHEN CAST(e.embedding[w * 32 + b + 1] AS DOUBLE) >= t.thr[w * 32 + b + 1]
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x, y) -> x + y)) AS words
+          FROM embeddings e, bthr t),
+        bham AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_reduce(list_transform(generate_series(1, $N_WORDS), j ->
+              bit_count(xor(q.words[j], c.words[j]))::BIGINT), (x, y) -> x + y) AS hamming
+          FROM bw q, bw c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        btop AS (
+          SELECT query_id, neighbor_id, hamming, rnk FROM (
+            SELECT query_id, neighbor_id, hamming,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+            FROM bham)
+          WHERE rnk <= 5)"""
+
   val oracles: Map[String, String] = Map(
+    "v19_hamming_topk" ->
+      s"""WITH $binCte
+          SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+                 CAST(rnk AS INT) AS rnk
+          FROM btop""",
+    "v20_hamming_recall" ->
+      s"""WITH $binCte, $exactTopCte
+          SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM btop JOIN exact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
+    // Mirror of v21: prefix-16 cosine shortlist of 20, full-dim
+    // rerank, top-5 — every cosine in the shared fold order.
+    "v21_mrl_funnel" ->
+      s"""WITH pq AS (SELECT vec_id AS query_id, embedding[1:16] AS qp, embedding AS qv
+                      FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS cp, embedding AS cv
+                 FROM embeddings),
+          pshort AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, c.neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${duckCosine("q.qp", "c.cp")} DESC, c.neighbor_id ASC) AS rnk
+              FROM pc c, pq q WHERE q.query_id <> c.neighbor_id)
+            WHERE rnk <= 20),
+          prescore AS (
+            SELECT s.query_id, s.neighbor_id, ${duckCosine("q.qv", "c.cv")} AS sim
+            FROM pshort s
+            JOIN pq q ON q.query_id = s.query_id
+            JOIN pc c ON c.neighbor_id = s.neighbor_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM prescore)
+          WHERE rnk <= 5""",
+    // Mirror of v22: top-20 relevance shortlist, micro-quantized
+    // cosines, then the greedy MMR selection UNROLLED — step n picks
+    // argmax(7·rel − 3·max sim to the already-selected), ties by id.
+    "v22_mmr_rerank" -> {
+      val steps = (2 to 5).map { n =>
+        val prev = s"sel${n - 1}"
+        s"""s$n AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                  row_number() OVER (PARTITION BY c.query_id
+                    ORDER BY 7 * c.rel_micro - 3 * m.msim DESC,
+                             c.neighbor_id ASC) AS r
+                FROM mcand c
+                JOIN (SELECT p.query_id, p.i AS neighbor_id,
+                             max(p.sim_micro) AS msim
+                      FROM mpairs p JOIN $prev s
+                        ON p.query_id = s.query_id AND p.j = s.neighbor_id
+                      GROUP BY 1, 2) m
+                  USING (query_id, neighbor_id)
+                WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+                  WHERE s2.query_id = c.query_id
+                    AND s2.neighbor_id = c.neighbor_id))
+              WHERE r = 1),
+            sel$n AS (SELECT * FROM $prev UNION ALL
+              SELECT query_id, neighbor_id, $n AS rnk FROM s$n)"""
+      }.mkString(",\n")
+      s"""WITH mq AS (SELECT vec_id AS query_id, embedding AS qv
+                      FROM embeddings WHERE vec_id < 10),
+          mc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          mcand AS (
+            SELECT query_id, neighbor_id,
+              CAST(floor(sim * 1000000.0) AS BIGINT) AS rel_micro, cv FROM (
+              SELECT q.query_id, c.neighbor_id,
+                ${duckCosine("q.qv", "c.cv")} AS sim, c.cv,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${duckCosine("q.qv", "c.cv")} DESC,
+                           c.neighbor_id ASC) AS rnk
+              FROM mc c, mq q WHERE q.query_id <> c.neighbor_id)
+            WHERE rnk <= 20),
+          mpairs AS (
+            SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+              CAST(floor(${duckCosine("a.cv", "b.cv")} * 1000000.0) AS BIGINT)
+                AS sim_micro
+            FROM mcand a JOIN mcand b
+              ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+          s1 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel_micro DESC, neighbor_id ASC) AS r
+              FROM mcand) WHERE r = 1),
+          sel1 AS (SELECT query_id, neighbor_id, 1 AS rnk FROM s1),
+          $steps
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM sel5"""
+    },
     "v12_ivfpq_topk" ->
       s"""WITH $ivfpqCte
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",

@@ -297,6 +297,34 @@ object Streams {
       thresholdLen: Long): DataFrame =
     docs.filter(length(col(textCol)).cast("long") >= lit(thresholdLen))
 
+  /** Streaming per-source distribution drift — online twin of the
+    * batch d53 statistic (graft.operators.CorpusLm.sourceDriftKl).
+    * The stream maintains the (source, token) count table as a
+    * STATEFUL aggregation — state is vocab × sources, bounded by the
+    * vocabulary, never data-sized — in Complete output mode, and each
+    * trigger folds the full table to KL(source ‖ corpus) in the same
+    * integer micro-nat arithmetic (CorpusLm.sourceDriftKlFromCounts).
+    * So after ANY prefix of the stream, the drift report equals the
+    * batch statistic over exactly the documents seen so far (pinned
+    * across a two-batch split in StreamsSpec) — the monitoring shape:
+    * a feed gone wrong spikes its source's KL on the very trigger the
+    * bad batch lands.
+    */
+  def sourceDriftStream(docs: DataFrame, sourceCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), " +")).as("__tok"))
+      .groupBy(col("source"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (counts: DataFrame, batchId: Long) =>
+        if (!counts.isEmpty)
+          sink(graft.operators.CorpusLm.sourceDriftKlFromCounts(counts), batchId)
+      }
+      .start()
+
   /** Online NEAR-dup gating: each arriving document is checked for
     * MinHash band collisions against a PREBUILT corpus band index
     * (graft.operators.Dedup.bandIndexOf — build offline, persist to

@@ -113,4 +113,34 @@ class CorpusLmSpec extends AnyFunSuite {
     assert(so(2L) < so(0L),
       s"scrambled word order must score below the fluent majority: $so")
   }
+
+  test("sourceDriftKl is zero for a source matching the corpus distribution") {
+    // both sources carry the exact same unigram distribution → every
+    // log-ratio is ln(1) = 0 and the integer KL sum is exactly 0
+    val corpus = Seq(
+      (0L, "a", "x x y"), (1L, "a", "x"),
+      (2L, "b", "x x y x")).toDF("doc_id", "source", "text")
+    val out = CorpusLm.sourceDriftKl(corpus, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((4L, 0L)), out("a"))
+    assert(out("b") == ((4L, 0L)), out("b"))
+  }
+
+  test("sourceDriftKl matches a first-principles recomputation and flags the drifted source") {
+    val corpus = Seq(
+      (0L, "a", "w w x x"), // 4 tokens, vocab shared with corpus blend
+      (1L, "b", "z z z"))   // 3 tokens, disjoint vocab → drifted
+      .toDF("doc_id", "source", "text")
+    def f(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1000000.0).toLong
+    // N = 7; counts: w:2 x:2 (source a), z:3 (source b)
+    val expA = 2 * f(2 * 7, 4 * 2) + 2 * f(2 * 7, 4 * 2)
+    val expB = 3 * f(3 * 7, 3 * 3)
+    val out = CorpusLm.sourceDriftKl(corpus, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((4L, expA)), s"${out("a")} vs ($expA)")
+    assert(out("b") == ((3L, expB)), s"${out("b")} vs ($expB)")
+    // normalized KL (kl_sum/n) ranks the disjoint-vocab source as more drifted
+    assert(expB.toDouble / 3 > expA.toDouble / 4)
+  }
 }

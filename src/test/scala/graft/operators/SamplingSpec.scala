@@ -146,4 +146,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "a", "b" -> "a"))
   }
+
+  test("leakageSafeSplit keeps every exact-dup group on one side, near the rate") {
+    // 500 distinct texts, each duplicated once with whitespace/case noise
+    // the fingerprint normalizes away — dup pairs must never straddle
+    val docs = (1 to 500).flatMap { i =>
+      Seq((i.toLong * 2, s"alpha beta doc $i"), (i.toLong * 2 + 1, s"  Alpha  BETA   doc $i "))
+    }.toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, "text", testPermille = 200, seed = "s")
+      .select("fp", "split").collect().map(r => (r.getString(0), r.getString(1)))
+    val sidesPerGroup = out.groupBy(_._1).values.map(_.map(_._2).distinct.length)
+    assert(sidesPerGroup.forall(_ == 1), "a fingerprint group straddled the split")
+    val testFrac = out.count(_._2 == "test").toDouble / out.length
+    assert(testFrac > 0.12 && testFrac < 0.28, s"20% target, got $testFrac")
+    // deterministic across reruns
+    val again = Sampling.leakageSafeSplit(docs, "text", testPermille = 200, seed = "s")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length == 1000 && again.size == 1000)
+  }
+
+  test("groupSplit over near-dup cluster ids keeps whole clusters together") {
+    // cluster ids as produced by Dedup.connectedComponents: the group
+    // key IS the cluster label, so near-dups co-locate by construction
+    val labeled = Seq(
+      (1L, "c1"), (2L, "c1"), (3L, "c1"),
+      (4L, "c4"), (5L, "c5"), (6L, "c5")).toDF("doc_id", "cluster")
+    val got = Sampling.groupSplit(labeled, "cluster", testPermille = 500, seed = "s")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"cluster $c straddled the split")
+    }
+  }
 }

@@ -198,6 +198,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "ranking stays aggregate-based under the filter")
   }
 
+  test("d54: the leakage-safe split is map-side only — zero exchanges") {
+    // the operator's whole scale claim: split assignment is a pure
+    // function of the group key each row carries, so the plan must be
+    // scan → project, with no shuffle, no join, no aggregation
+    val plan = planOf(TextQueries.queries("d54_leakage_split")(spark, dir))
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), s"split must not join:\n${plan.take(600)}")
+  }
+
+  test("v22: MMR output is a shuffle-free union of checkpointed greedy picks") {
+    // each greedy step ran over persisted |q|·shortlist frames and was
+    // localCheckpoint'ed (bounded data, lineage severed) — so the
+    // RETURNED plan must be a bare in-memory scan of the final
+    // checkpointed selection: no exchange, no cartesian remnant, no
+    // corpus source (a corpus-shaped plan here would mean a greedy
+    // step recomputed the scan)
+    val plan = planOf(VectorQueries.queries("v22_mmr_rerank")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("Exchange"), s"greedy result must be shuffle-free:\n${plan.take(600)}")
+    assert(plan.contains("Scan ExistingRDD") && !plan.contains("parquet"), plan.take(300))
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -313,6 +313,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(!streamed.contains(9L), "all-OOV doc must fail the gate")
   }
 
+  test("streaming source-drift KL matches the batch d53 statistic after each prefix") {
+    import graft.operators.CorpusLm
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val batch1 = Seq(("a", "x x y"), ("b", "x z"))
+    val batch2 = Seq(("a", "y y"), ("b", "z z z x")) // b's mix shifts → KL moves
+    def batchKl(rows: Seq[(String, String)]) =
+      CorpusLm.sourceDriftKl(rows.toDF("source", "text"), "source", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ms = MemoryStream[(String, String)]
+    @volatile var latest: Set[(String, Long, Long)] = Set.empty
+    val q = Streams.sourceDriftStream(
+      ms.toDF().toDF("source", "text"), "source", "text") { (out, _) =>
+      latest = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest == batchKl(batch1),
+        s"prefix-1 drift must equal the batch statistic: $latest")
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest == batchKl(batch1 ++ batch2),
+        s"full-stream drift must equal the batch statistic: $latest")
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate matches the batch band-collision twin") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

@@ -118,7 +118,19 @@ abstract class Operation(val session: EngineSession) {
   protected def withJobGroup[A](f: => A): A = {
     val sc = session.spark.sparkContext
     sc.setJobGroup(jobGroup, s"graft operation $handle", interruptOnCancel = true)
-    try f finally sc.clearJobGroup()
+    // Per-operation FAIR scheduler pool (reference SparkOperation.scala:172
+    // reads kyuubi.operation.scheduler.pool and sets the
+    // spark.scheduler.pool local property): a session pinned to a named
+    // pool gets the pool's FAIR share, so one tenant's heavy statements
+    // cannot starve the engine's other sessions. Local properties are
+    // per-thread, so the finally-clear keeps pool assignments from
+    // leaking across operations sharing the executor pool.
+    val pool = session.spark.conf.getOption("spark.graft.operation.scheduler.pool")
+    pool.foreach(p => sc.setLocalProperty("spark.scheduler.pool", p))
+    try f finally {
+      if (pool.isDefined) sc.setLocalProperty("spark.scheduler.pool", null)
+      sc.clearJobGroup()
+    }
   }
 
   protected def runInternal(): Unit

@@ -29,7 +29,7 @@ object OperationState {
 
   /** Legal transitions; anything → Closed is allowed. */
   private val legal: Map[OperationState, Set[OperationState]] = Map(
-    Initialized -> Set(Pending, Running, Canceled, Error),
+    Initialized -> Set(Pending, Running, Canceled, Timeout, Error),
     Pending -> Set(Running, Canceled, Timeout, Error, Finished),
     Running -> Set(Compiled, Finished, Canceled, Timeout, Error),
     Compiled -> Set(Finished, Canceled, Timeout, Error),

@@ -36,7 +36,15 @@ import graft.core._
   * [[FetchIterator]] (NEXT/PRIOR/FIRST orientations).
   */
 final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
-    auth: Option[AuthenticationProvider] = None) {
+    auth: Option[AuthenticationProvider] = None,
+    // Users allowed to impersonate others via hive.server2.proxy.user
+    // (reference KyuubiSessionManager proxy-privilege validation over
+    // hadoop proxyuser rules; here an explicit allow-list — empty means
+    // impersonation is off).
+    proxyPrivileged: Set[String] = Set.empty,
+    // Per-user live-connection cap (reference
+    // kyuubi.server.limit.connections.per.user); 0 = unlimited.
+    maxConnectionsPerUser: Int = 0) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -63,6 +71,24 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
   private val arrowSessions = ConcurrentHashMap.newKeySet[String]()
   // Per-session bounded-collect cap (operation.result.max.rows).
   private val maxRowsBySession = new ConcurrentHashMap[String, Integer]()
+  // Per-session server-side query-timeout cap in ms (reference
+  // kyuubi.operation.query.timeout): when set, the client's
+  // Statement.setQueryTimeout is capped at this value; when the client
+  // sends none, the cap alone arms the timeout.
+  private val timeoutCapBySession = new ConcurrentHashMap[String, java.lang.Long]()
+  // Authenticated (pre-impersonation) identity per session, feeding the
+  // per-user connection limiter's decrement on close/reap. The limiter
+  // counts the identity the transport PROVED, not the impersonated
+  // session user — otherwise a proxy-privileged account could dodge its
+  // own quota by spreading sessions across impersonation targets.
+  private val realUserBySession = new ConcurrentHashMap[String, String]()
+  private val connCountByUser =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private def releaseConnection(sid: String): Unit =
+    Option(realUserBySession.remove(sid)).foreach { u =>
+      connCountByUser.computeIfPresent(u, (_, c) => { c.decrementAndGet(); c })
+    }
   // Negotiated protocol per session: clients below V6 (old Hive JDBC
   // drivers) must get row-based TRowSets, not TColumn pages
   // (reference TRowSetGenerator.toRowBasedSet).
@@ -79,6 +105,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         sessions.remove(sid)
         arrowSessions.remove(sid)
         maxRowsBySession.remove(sid)
+        timeoutCapBySession.remove(sid)
+        releaseConnection(sid)
         protoBySession.remove(sid)
         ops.forEach { (opId, box) =>
           if (box.session.id == sid) {
@@ -337,13 +365,30 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
 
     override def OpenSession(req: TOpenSessionReq): TOpenSessionResp = {
       val resp = new TOpenSessionResp()
+      // set once the limiter slot is taken but no session owns it yet —
+      // a failure in between must give the slot back
+      var unownedSlot: Option[String] = None
       try {
         // With SASL, the identity the transport PROVED wins over the
         // request body's username (reference KyuubiTBinaryFrontendService
         // getUserName: SASL authorization id first).
-        val user = PlainSasl.authenticatedUser
+        val realUser = PlainSasl.authenticatedUser
           .orElse(Option(req.getUsername).filter(_.nonEmpty))
           .getOrElse("anonymous")
+        // Per-user connection limit on the PROVED identity (reference
+        // kyuubi.server.limit.connections.per.user, SessionLimiter):
+        // the (N+1)th concurrent open is rejected before any engine work.
+        if (maxConnectionsPerUser > 0) {
+          val c = connCountByUser.computeIfAbsent(
+            realUser, _ => new java.util.concurrent.atomic.AtomicInteger)
+          if (c.incrementAndGet() > maxConnectionsPerUser) {
+            c.decrementAndGet()
+            throw new IllegalStateException(
+              s"Connection limit per user reached (user: $realUser, " +
+                s"limit: $maxConnectionsPerUser)")
+          }
+          unownedSlot = Some(realUser)
+        }
         // Client conf in arrival order, then SessionConfAdvisor
         // overlays (overwrite-in-place, new keys append — reference
         // KyuubiSession applies kyuubi.session.conf.advisor overlays
@@ -356,11 +401,34 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         // would resurrect a self-asserted graft.server.session.group
         // and ConfGroupProvider would treat it as server-pinned.
         clientConf.filterInPlace { case (k, _) => !Engine.isReservedClientKey(k) }
+        // Impersonation (Hive JDBC forwards the ;hive.server2.proxy.user
+        // session var into the open-request conf verbatim — reference
+        // KyuubiSessionManager getProxyUser): the SESSION user becomes the
+        // proxy target, so authz policies, session_user() and events all
+        // see the impersonated identity — but only accounts on the
+        // explicit proxy-privilege allow-list may switch.
+        val proxyTarget = clientConf.collectFirst {
+          case (k, v)
+            if k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:") ==
+              "hive.server2.proxy.user" && v != null && v.nonEmpty => v
+        }
+        val user = proxyTarget match {
+          case Some(p) if p != realUser && !proxyPrivileged.contains(realUser) =>
+            throw new SecurityException(
+              s"user [$realUser] is not allowed to impersonate [$p]")
+          case Some(p) => p
+          case None => realUser
+        }
+        // The advisor runs for the EFFECTIVE (session) user — its
+        // overlays are per-tenant policy, and the tenant here is the
+        // impersonated identity (reference: advisor sees session user).
         engine.advisedConf(user, clientConf.toMap).foreach { case (k, v) =>
           if (!clientConf.get(k).contains(v)) clientConf.put(k, v)
         }
         val sess = engine.openSession(user, clientConf.toMap)
         sessions.put(sess.id, sess)
+        realUserBySession.put(sess.id, realUser)
+        unownedSlot = None // the close/reap paths release it from here on
         // Apply the session configuration (the Hive JDBC URL's
         // /db, ?conf and #var segments arrive here as use:database,
         // set:hiveconf:* and set:hivevar:* — reference
@@ -391,6 +459,19 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
                 // bounded collect (ref kyuubi.operation.result.max.rows)
                 val n = v.toInt
                 if (n > 0) maxRowsBySession.put(sess.id, n)
+              } else if (key.endsWith("operation.query.timeout")) {
+                // server-side query timeout cap in ms (reference
+                // kyuubi.operation.query.timeout, checkValue >= 1s):
+                // caps the client's Statement.setQueryTimeout, or arms
+                // the timeout alone when the client sends none
+                val ms = v.toLong
+                if (ms >= 1000L) timeoutCapBySession.put(sess.id, ms)
+              } else if (key.endsWith("operation.scheduler.pool")) {
+                // per-operation FAIR scheduler pool (reference
+                // kyuubi.operation.scheduler.pool): stored in session
+                // conf; Operation.withJobGroup applies it as the
+                // spark.scheduler.pool local property per statement
+                sess.spark.conf.set("spark.graft.operation.scheduler.pool", v)
               } else if (key.startsWith("spark.graft.authz.")) {
                 // server-only identity namespace: Engine.openSession
                 // publishes user/groups there for ApplyAuthzPolicies,
@@ -412,7 +493,14 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         resp.setSessionHandle(new TSessionHandle(handleId(sess.id)))
         resp.setConfiguration(Map.empty[String, String].asJava)
         resp.setStatus(ok)
-      } catch { case e: Throwable => resp.setStatus(err(e)) }
+      } catch { case e: Throwable =>
+        // give back a limiter slot no session came to own (failures
+        // after openSession release through the close/reap paths)
+        unownedSlot.foreach { u =>
+          connCountByUser.computeIfPresent(u, (_, c) => { c.decrementAndGet(); c })
+        }
+        resp.setStatus(err(e))
+      }
       resp
     }
 
@@ -422,6 +510,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         sessions.remove(id)
         arrowSessions.remove(id)
         maxRowsBySession.remove(id)
+        timeoutCapBySession.remove(id)
+        releaseConnection(id)
         protoBySession.remove(id)
         // Reap this session's operations: clients that drop without
         // CloseOperation would otherwise leak collected result arrays
@@ -457,12 +547,23 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       try {
         val sess = sessions.get(idOf(req.getSessionHandle.getSessionId))
         require(sess != null, "no such session")
+        // Query timeout (HIVE-4924 Statement.setQueryTimeout, seconds on
+        // the wire) combined with the server-side cap the reference way
+        // (KyuubiOperationManager.getQueryTimeout): min of the two when
+        // both are set, the cap alone when the client sends none, and a
+        // timed-out op lands in TIMEOUT (cancelled job group).
+        val clientTimeoutMs = math.max(0L, req.getQueryTimeout) * 1000L
+        val timeoutMs = Option(timeoutCapBySession.get(sess.id)) match {
+          case Some(cap) if clientTimeoutMs > 0 => math.min(cap.longValue, clientTimeoutMs)
+          case Some(cap) => cap.longValue
+          case None => clientTimeoutMs
+        }
         val op =
           if (arrowSessions.contains(sess.id)) {
-            sess.executeStatement(req.getStatement, ResultMode.Arrow())
+            sess.executeStatement(req.getStatement, ResultMode.Arrow(), timeoutMs)
           } else Option(maxRowsBySession.get(sess.id)) match {
-            case Some(n) => sess.executeStatement(req.getStatement, ResultMode.Bounded(n))
-            case None => sess.executeStatement(req.getStatement)
+            case Some(n) => sess.executeStatement(req.getStatement, ResultMode.Bounded(n), timeoutMs)
+            case None => sess.executeStatement(req.getStatement, timeoutMs = timeoutMs)
           }
         ops.put(op.handle, OpBox(sess, () => op.result.schema, () => op.fetchIterator, op))
         // Async clients get the handle immediately and discover
@@ -500,7 +601,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         case OperationState.Canceled => TOperationState.CANCELED_STATE
         case OperationState.Closed => TOperationState.CLOSED_STATE
         case OperationState.Error => TOperationState.ERROR_STATE
-        case OperationState.Timeout => TOperationState.TIMEDOUT_STATE
+        case OperationState.Timeout =>
+          // Clients below HIVE-4924 (protocol <= V8, Hive < 2.1) have no
+          // TIMEDOUT status and would poll forever — report CANCELED to
+          // them (reference AbstractOperation.addTimeoutMonitor).
+          val proto = protoBySession.get(box.session.id)
+          if (proto != null &&
+            proto.getValue <= TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V8.getValue)
+            TOperationState.CANCELED_STATE
+          else TOperationState.TIMEDOUT_STATE
       }
       resp.setOperationState(st)
       box.op.exception.foreach { e =>

@@ -496,4 +496,161 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally sock.close()
     } finally { fe.stop(); groupEngine.close() }
   }
+
+  // A statement that cannot finish inside the test's timeout budget:
+  // a 10^12-product cross range whose job group the timeout monitor
+  // cancels (interruptOnCancel kills running tasks mid-stage).
+  private val runawaySql =
+    "SELECT max(a.id * b.id) FROM range(1000000) a CROSS JOIN range(1000000) b"
+
+  test("client Statement.setQueryTimeout cancels a runaway statement (HIVE-4924)") {
+    val conn = DriverManager.getConnection(url, "alice", "")
+    try {
+      val stmt = conn.createStatement()
+      stmt.setQueryTimeout(1)
+      val t0 = System.nanoTime()
+      val e = intercept[java.sql.SQLException] { stmt.executeQuery(runawaySql) }
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      // Hive JDBC maps TIMEDOUT_STATE to SQLTimeoutException("Query
+      // timed out after N seconds"); either way the statement must die
+      // near the 1s mark, not run the full cross join.
+      assert(e.getMessage.toLowerCase.contains("timed out"), e.getMessage)
+      assert(elapsedS < 30, s"timeout took ${elapsedS}s")
+      // the session survives a timed-out operation
+      val rs = conn.createStatement().executeQuery("SELECT 11 AS ok")
+      assert(rs.next() && rs.getInt("ok") == 11)
+    } finally conn.close()
+  }
+
+  test("server-side operation.query.timeout cap arms without a client timeout") {
+    // reference kyuubi.operation.query.timeout: a session-conf cap that
+    // times out runaway statements even when the client sets none.
+    val conn = DriverManager.getConnection(
+      s"jdbc:hive2://localhost:${frontend.boundPort}/;auth=noSasl" +
+        "?graft.operation.query.timeout=1500")
+    try {
+      // fast statements are untouched by the cap
+      val rs = conn.createStatement().executeQuery("SELECT 5 AS ok")
+      assert(rs.next() && rs.getInt("ok") == 5)
+      val e = intercept[java.sql.SQLException] {
+        conn.createStatement().executeQuery(runawaySql)
+      }
+      assert(e.getMessage.toLowerCase.contains("timed out"), e.getMessage)
+    } finally conn.close()
+  }
+
+  test("a timed-out op reports CANCELED to pre-HIVE-4924 clients (protocol <= V8)") {
+    // Clients below Hive 2.1 have no TIMEDOUT status and would hang on
+    // an unknown state — the server must downgrade to CANCELED for them
+    // (reference AbstractOperation.addTimeoutMonitor).
+    import org.apache.hive.service.rpc.thrift._
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TSocket
+    val sock = new TSocket("localhost", frontend.boundPort)
+    sock.open()
+    try {
+      val client = new TCLIService.Client(new TBinaryProtocol(sock))
+      val open = new TOpenSessionReq()
+      open.setClient_protocol(TProtocolVersion.HIVE_CLI_SERVICE_PROTOCOL_V8)
+      open.setConfiguration(Map("graft.operation.query.timeout" -> "1000").asJava)
+      val sess = client.OpenSession(open)
+      assert(sess.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      val req = new TExecuteStatementReq(sess.getSessionHandle, runawaySql)
+      req.setRunAsync(true)
+      val exec = client.ExecuteStatement(req)
+      assert(exec.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS)
+      var state = TOperationState.INITIALIZED_STATE
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (state != TOperationState.CANCELED_STATE && System.nanoTime() < deadline) {
+        val st = client.GetOperationStatus(
+          new TGetOperationStatusReq(exec.getOperationHandle))
+        state = st.getOperationState
+        assert(state != TOperationState.TIMEDOUT_STATE,
+          "V8 client must never see TIMEDOUT_STATE")
+        assert(state != TOperationState.ERROR_STATE, String.valueOf(st.getErrorMessage))
+        if (state != TOperationState.CANCELED_STATE) Thread.sleep(50)
+      }
+      assert(state == TOperationState.CANCELED_STATE)
+      client.CloseSession(new TCloseSessionReq(sess.getSessionHandle))
+    } finally sock.close()
+  }
+
+  test("operation.scheduler.pool lands statements in the named FAIR pool") {
+    // reference kyuubi.operation.scheduler.pool → spark.scheduler.pool
+    // local property per statement (SparkOperation.scala:172); observe
+    // the pool on the submitted Spark jobs via a listener.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val pools = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null) pools.add(p)
+      }
+    }
+    graft.SparkFixture.spark.sparkContext.addSparkListener(listener)
+    try {
+      val conn = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:${frontend.boundPort}/;auth=noSasl" +
+          "?graft.operation.scheduler.pool=tenant_a")
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT sum(id) AS s FROM range(100000)")
+        assert(rs.next() && rs.getLong("s") > 0)
+      } finally conn.close()
+      // listener events are async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!pools.asScala.contains("tenant_a") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(pools.asScala.contains("tenant_a"),
+        s"no job ran in pool tenant_a: ${pools.asScala.toList}")
+    } finally graft.SparkFixture.spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("hive.server2.proxy.user impersonation is gated on proxy privilege") {
+    val fe = new ThriftFrontend(engine, proxyPrivileged = Set("svc")).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/" +
+        ";auth=noSasl;hive.server2.proxy.user=bob"
+      // a proxy-privileged account impersonates: the SESSION user — what
+      // session_user() and the authz identity see — is the target
+      val conn = DriverManager.getConnection(u, "svc", "")
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT session_user() AS u")
+        assert(rs.next() && rs.getString("u") == "bob")
+      } finally conn.close()
+      // an unprivileged account is rejected at OpenSession
+      val e = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "mallory", "")
+      }
+      assert(e.getMessage.contains("impersonate"), e.getMessage)
+      // proxying to yourself needs no privilege (reference behavior)
+      val self = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:${fe.boundPort}/" +
+          ";auth=noSasl;hive.server2.proxy.user=mallory", "mallory", "")
+      try {
+        val rs = self.createStatement().executeQuery("SELECT session_user() AS u")
+        assert(rs.next() && rs.getString("u") == "mallory")
+      } finally self.close()
+    } finally fe.stop()
+  }
+
+  test("per-user connection limit rejects the (N+1)th session and frees on close") {
+    val fe = new ThriftFrontend(engine, maxConnectionsPerUser = 2).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/;auth=noSasl"
+      val c1 = DriverManager.getConnection(u, "carol", "")
+      val c2 = DriverManager.getConnection(u, "carol", "")
+      try {
+        val e = intercept[java.sql.SQLException] {
+          DriverManager.getConnection(u, "carol", "")
+        }
+        assert(e.getMessage.toLowerCase.contains("connection limit"), e.getMessage)
+        // another user is unaffected by carol's quota
+        DriverManager.getConnection(u, "dave", "").close()
+      } finally c1.close()
+      // closing a session frees the slot
+      DriverManager.getConnection(u, "carol", "").close()
+      c2.close()
+    } finally fe.stop()
+  }
 }

@@ -769,4 +769,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-document duplicate-gram statistics — the corpus-level
+    * duplication DIAGNOSTIC a dedup pass is judged by (the "fraction
+    * of n-grams duplicated across documents" measure web-corpus
+    * pipelines report before/after dedup): for each document, how many
+    * of its DISTINCT `shingleSize`-token shingles appear in at least
+    * one OTHER document. Returned as exact counts
+    * (id, n_grams, n_dup_grams) — callers normalize however they
+    * like, so no division rule enters the determinism contract.
+    *
+    * 100 TB shape: one corpus pass explodes distinct shingles; the
+    * gram doc-frequency table is the only data-sized shuffle (the same
+    * posting-list shape d10/d47 scale by); the `df >= 2` flag joins
+    * back on the partitioning the count aggregation already produced;
+    * the final per-doc aggregation shuffles fixed-width count rows.
+    * A gram shared only WITHIN one document never counts as duplicated
+    * (the explode is over distinct shingles, so df counts documents).
+    */
+  def dupGramStats(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val grams = SketchRegistry.track(
+      df.select(col(idCol).as("__gid"),
+        explode(array_distinct(shingles(col(textCol), shingleSize))).as("__g"))
+        .persist())
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "__g")
+      .groupBy(col("__gid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_grams"))
+      .withColumnRenamed("__gid", idCol)
+  }
 }

@@ -345,6 +345,14 @@ object TextQueries {
         .select(col("doc_id"), col("fp"), col("split"))
     },
 
+    // --- Cross-document duplicate-gram diagnostic: how much of each
+    //     doc's distinct 3-gram set appears in OTHER docs — the
+    //     corpus-duplication measure a dedup pass is judged by.
+    //     Exact counts; one gram-df shuffle. ---
+    "d55_dup_gram_stats" -> { (s, dir) =>
+      graft.operators.Dedup.dupGramStats(Tables(s, dir).documents, "doc_id", "text")
+    },
+
     // --- BM25 ranked retrieval: top-20 docs for a 3-term query,
     //     integer-exact scoring (micro-nat idf, floor-quantized
     //     per-term scores). ---
@@ -1006,6 +1014,22 @@ object TextQueries {
             CASE WHEN $h16 < 6553 THEN 'test' ELSE 'train' END AS split
           FROM hh"""
     },
+    // Mirror of d55: distinct 3-token shingles (short docs shingle to
+    // the whole text, exactly like TextFunctions.shingles), gram
+    // doc-frequency, per-doc counts of grams with df >= 2.
+    "d55_dup_gram_stats" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          dfq AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+          FROM ex JOIN dfq USING (g) GROUP BY doc_id""",
     // Mirror of d38: distinct (source, md5(5-gram)) sets, pair join,
     // per-source totals. Short docs (<5 tokens) shingle to the whole
     // token-joined text, exactly like TextFunctions.shingles.

@@ -192,6 +192,23 @@ class DedupSpec extends AnyFunSuite {
     assert(SketchRegistry.size == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("dupGramStats counts distinct grams shared with OTHER documents only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),     // grams: "a b c", "b c d"
+      (2L, "a b c x"),     // shares "a b c" with doc 1
+      (3L, "q r s q r s"), // grams repeat WITHIN the doc only
+      (4L, "hi"))          // short doc: one whole-text shingle
+      .toDF("doc_id", "text")
+    val got = Dedup.dupGramStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)), got(1L))
+    assert(got(2L) == ((2L, 1L)), got(2L))
+    assert(got(3L) == ((3L, 0L)),
+      s"within-doc repeats are not cross-doc duplication: ${got(3L)}")
+    assert(got(4L) == ((1L, 0L)), got(4L))
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

@@ -135,17 +135,43 @@ abstract class Operation(val session: EngineSession) {
 
   protected def runInternal(): Unit
 
+  // The thread executing runInternal, captured for the life of the run:
+  // cancel() interrupts it, closing the race where a cancel lands after
+  // cancelJobGroup ran but BEFORE the statement submitted its first job
+  // (job-group cancellation only kills jobs already submitted — a job
+  // launched afterwards under the cancelled group would run to
+  // completion, burning the cluster for a statement nobody wants).
+  @volatile private var execThread: Thread = _
+
   def run()(implicit ec: ExecutionContext): Future[Unit] = {
     setState(OperationState.Pending)
     Future {
+      execThread = Thread.currentThread()
       setState(OperationState.Running)
-      Try(withJobGroup(runInternal())) match {
+      val outcome = Try(withJobGroup(runInternal()))
+      // release the thread ref and clear any interrupt leftover from a
+      // racing cancel BEFORE the pooled thread returns to the executor —
+      // a poisoned interrupt flag would abort the pool's next task
+      execThread = null
+      Thread.interrupted()
+      outcome match {
         case Success(_) =>
           markTerminal(OperationState.Finished)
         case Failure(e) =>
           operationException = Some(e)
           logLine(s"operation $handle failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
           markTerminal(OperationState.Error)
+      }
+      // Backstop for the submission race: a cancel/timeout/close fires
+      // cancelJobGroupAndFutureJobs, but the future-jobs tracking set is
+      // bounded — re-cancel once more here, after this op's direct
+      // submissions have provably stopped, to reap anything that slipped
+      // through (AQE stage pools submit on this group from other threads).
+      state match {
+        case OperationState.Canceled | OperationState.Timeout | OperationState.Closed =>
+          try session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+          catch { case _: Throwable => }
+        case _ => ()
       }
     }
   }
@@ -156,14 +182,26 @@ abstract class Operation(val session: EngineSession) {
     // the operation monitor, and a lost race (op just finished) means
     // there is nothing to kill.
     if (markTerminal(OperationState.Canceled)) {
-      session.spark.sparkContext.cancelJobGroup(jobGroup)
+      // AndFutureJobs: under AQE, stage-materialization jobs are
+      // submitted by a SEPARATE daemon pool carrying this group's
+      // captured properties — a plain cancelJobGroup reaps only jobs
+      // already submitted and an AQE stage landing a beat later would
+      // burn to completion as an orphan (observed: a cancelled 10^12-row
+      // count kept a core-saturating job alive for minutes).
+      session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+      // also interrupt the execution thread: releases a waiter blocked
+      // on a job the group-cancel raced past (see execThread)
+      Option(execThread).foreach(_.interrupt())
     }
   }
 
   def close(): Unit = {
     val transitioned = synchronized {
       if (state != OperationState.Closed) {
-        if (!state.terminal) session.spark.sparkContext.cancelJobGroup(jobGroup)
+        if (!state.terminal) {
+          session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+          Option(execThread).foreach(_.interrupt()) // same race as cancel()
+        }
         logLine(s"operation $handle: $state -> CLOSED")
         state = OperationState.Closed // closed is legal from anywhere
         // close() bypasses setState (anywhere→Closed), so release waiters
@@ -190,7 +228,8 @@ abstract class Operation(val session: EngineSession) {
     scheduler.schedule(new Runnable {
       override def run(): Unit = {
         if (markTerminal(OperationState.Timeout)) {
-          session.spark.sparkContext.cancelJobGroup(jobGroup)
+          session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+          Option(execThread).foreach(_.interrupt()) // same race as cancel()
         }
       }
     }, ms, TimeUnit.MILLISECONDS)

@@ -35,7 +35,10 @@ import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, Ope
   * resubmitted under their original ids (the reference's
   * JDBCMetadataStore + BatchJobSubmission recovery).
   */
-class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] = None) {
+class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] = None,
+    // Per-user cap on LIVE (non-terminal) batches (reference
+    // kyuubi.server.limit.batch.connections.per.user); 0 = unlimited.
+    maxBatchesPerUser: Int = 0) {
 
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(8))
@@ -382,10 +385,26 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         val payload = body(ex)
         val sql = field(payload, "sql").getOrElse(throw new IllegalArgumentException("missing sql"))
         val user = field(payload, "user").getOrElse("batch")
-        val id = submitBatch(user, sql, None)
-        val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
-        reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
-          ApplicationState.fromOperationStateName(st).toString)}}""")
+        // Per-user live-batch limit (reference
+        // kyuubi.server.limit.batch.connections.per.user via the batch
+        // SessionLimiter): terminal batches stay queryable but release
+        // their slot, so the count below is of RUNNING work only.
+        val overLimit = maxBatchesPerUser > 0 && {
+          var live = 0
+          batches.forEach { (_, v) =>
+            if (v._1.user == user && !v._2.currentState.terminal) live += 1
+          }
+          live >= maxBatchesPerUser
+        }
+        if (overLimit)
+          reply(ex, 429,
+            s"""{"error": "Batch limit per user reached (user: $user, limit: $maxBatchesPerUser)"}""")
+        else {
+          val id = submitBatch(user, sql, None)
+          val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
+          reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+            ApplicationState.fromOperationStateName(st).toString)}}""")
+        }
 
       case ("GET", "batches" :: id :: Nil) =>
         // Batch status speaks both vocabularies: the operation state and

@@ -429,6 +429,12 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         sessions.put(sess.id, sess)
         realUserBySession.put(sess.id, realUser)
         unownedSlot = None // the close/reap paths release it from here on
+        // Impersonation leaves an audit trail: the session's OPENED
+        // event carries the proxy TARGET, this one records WHO invoked
+        // the privilege (reference audit logging of real vs session user).
+        if (user != realUser)
+          Events.post(Events.SessionEvent(
+            sess.id, realUser, "IMPERSONATED", System.currentTimeMillis()))
         // Apply the session configuration (the Hive JDBC URL's
         // /db, ?conf and #var segments arrive here as use:database,
         // set:hiveconf:* and set:hivevar:* — reference

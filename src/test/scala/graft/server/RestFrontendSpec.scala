@@ -67,6 +67,65 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("per-user batch limit rejects live overflow and frees when a batch finishes") {
+    // reference kyuubi.server.limit.batch.connections.per.user: cap on
+    // LIVE batches per user; terminal batches release their slot
+    val front = new RestFrontend(new Engine(spark), port = 0, maxBatchesPerUser = 1)
+    val port = front.start()
+    val groups = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val dbg = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        groups.put(js.jobId, String.valueOf(js.properties.getProperty("spark.jobGroup.id")))
+    }
+    spark.sparkContext.addSparkListener(dbg)
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$port/api/v1"
+      // one sleeping task: stays live for minutes but dies INSTANTLY on
+      // cancel (task kill interrupts the thread; sleep is interruptible).
+      // Deliberately NOT a big count/cross-join — codegen'd agg-over-range
+      // loops never poll the kill flag, so a cancelled heavy scan leaves
+      // unkillable zombie tasks squatting on the shared test cluster's
+      // cores and starves every test that follows.
+      val slow = """{"sql": "SELECT reflect('java.lang.Thread','sleep',300000) FROM range(1)", "user": "bob"}"""
+      val (c1, b1) = post(c, s"$base/batches", slow)
+      assert(c1 == 200, b1)
+      val id1 = extract(b1, "id")
+      // second live batch for the same user → 429
+      val (c2, b2) = post(c, s"$base/batches", slow)
+      assert(c2 == 429 && b2.contains("Batch limit per user"), s"$c2 $b2")
+      // a different user is unaffected
+      val (c3, _) = post(c, s"$base/batches",
+        """{"sql": "SELECT 1", "user": "carol"}""")
+      assert(c3 == 200)
+      // cancel the live batch → the slot frees
+      val (dc, _) = delete(c, s"$base/batches/$id1")
+      assert(dc == 200)
+      val deadline = System.nanoTime() + 30e9.toLong
+      var freed = false
+      while (!freed && System.nanoTime() < deadline) {
+        val (cc, bb) = post(c, s"$base/batches", """{"sql": "SELECT 2", "user": "bob"}""")
+        if (cc == 200) freed = true
+        else { assert(cc == 429, bb); Thread.sleep(100) }
+      }
+      assert(freed, "slot never freed after cancel")
+      // hand the shared local[32] cluster back QUIET: wait until the
+      // cancelled batch's tasks have actually exited, or the burn
+      // starves the polling deadlines of whatever test runs next
+      val tracker = spark.sparkContext.statusTracker
+      val drain = System.nanoTime() + 60e9.toLong
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < drain)
+        Thread.sleep(100)
+      val leftover = tracker.getActiveJobIds()
+      assert(leftover.isEmpty,
+        "cancelled batch still running: " +
+          leftover.map(j => s"$j(group=${groups.get(j)})").mkString(","))
+    } finally {
+      front.stop()
+      spark.sparkContext.removeSparkListener(dbg)
+    }
+  }
+
   test("batch submission is fire-and-forget with state polling") {
     withServer { (c, base) =>
       val (bc, bbody) = post(c, s"$base/batches", """{"sql": "SELECT count(*) FROM range(100000)"}""")

@@ -607,6 +607,13 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("hive.server2.proxy.user impersonation is gated on proxy privilege") {
+    import graft.core.Events
+    val audits = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val auditTap: Events.Handler = {
+      case Events.SessionEvent(sid, who, "IMPERSONATED", _) => audits.add(sid -> who)
+      case _ => ()
+    }
+    Events.register(auditTap)
     val fe = new ThriftFrontend(engine, proxyPrivileged = Set("svc")).start()
     try {
       val u = s"jdbc:hive2://localhost:${fe.boundPort}/" +
@@ -618,6 +625,9 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
         val rs = conn.createStatement().executeQuery("SELECT session_user() AS u")
         assert(rs.next() && rs.getString("u") == "bob")
       } finally conn.close()
+      // the privilege use left an audit event naming the REAL user
+      assert(audits.asScala.exists(_._2 == "svc"),
+        s"impersonation must audit the invoking identity: ${audits.asScala.toList}")
       // an unprivileged account is rejected at OpenSession
       val e = intercept[java.sql.SQLException] {
         DriverManager.getConnection(u, "mallory", "")
@@ -631,7 +641,9 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
         val rs = self.createStatement().executeQuery("SELECT session_user() AS u")
         assert(rs.next() && rs.getString("u") == "mallory")
       } finally self.close()
-    } finally fe.stop()
+      // self-proxy is not an impersonation — no audit event for mallory
+      assert(!audits.asScala.exists(_._2 == "mallory"), audits.asScala.toList)
+    } finally { fe.stop(); graft.core.Events.unregister(auditTap) }
   }
 
   test("per-user connection limit rejects the (N+1)th session and frees on close") {

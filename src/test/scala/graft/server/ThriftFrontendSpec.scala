@@ -519,6 +519,14 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the session survives a timed-out operation
       val rs = conn.createStatement().executeQuery("SELECT 11 AS ok")
       assert(rs.next() && rs.getInt("ok") == 11)
+      // and the timeout monitor leaves no orphan jobs burning (the
+      // cancel-vs-submission race: cancelJobGroupAndFutureJobs + the
+      // post-submitter backstop in Operation.run)
+      val tracker = graft.SparkFixture.spark.sparkContext.statusTracker
+      val drain = System.nanoTime() + 60e9.toLong
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < drain)
+        Thread.sleep(100)
+      assert(tracker.getActiveJobIds().isEmpty, "timed-out statement left orphan jobs")
     } finally conn.close()
   }
 

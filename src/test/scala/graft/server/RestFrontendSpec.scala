@@ -505,6 +505,28 @@ class RestFrontendSpec extends AnyFunSuite {
       val withoutProp = runWithSession(None, "SET spark.sql.shuffle.partitions")
       assert(!withoutProp.contains("\"7\""), s"property must not leak without the header: $withoutProp")
 
+      // the scheduler-pool knob composes with the Trino wire: a client
+      // carrying the pool property lands its statements' jobs in the
+      // named FAIR pool (Operation.withJobGroup applies it per statement)
+      val pools = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val poolTap = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val p = js.properties.getProperty("spark.scheduler.pool")
+          if (p != null) pools.add(p)
+        }
+      }
+      spark.sparkContext.addSparkListener(poolTap)
+      try {
+        val poolHdr = "spark.graft.operation.scheduler.pool=" +
+          java.net.URLEncoder.encode("trino_tenant", "UTF-8")
+        runWithSession(Some(poolHdr), "SELECT sum(id) FROM range(100000)")
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (!pools.contains("trino_tenant") && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(pools.contains("trino_tenant"),
+          s"Trino statement must run in the carried pool: $pools")
+      } finally spark.sparkContext.removeSparkListener(poolTap)
+
       // RESET SESSION echoes its header
       val rReq = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
         .POST(HttpRequest.BodyPublishers.ofString(

@@ -143,6 +143,18 @@ abstract class Operation(val session: EngineSession) {
   // completion, burning the cluster for a statement nobody wants).
   @volatile private var execThread: Thread = _
 
+  // Guards interrupt delivery against the run() epilogue: without it a
+  // canceller that read a non-null execThread could deliver the
+  // interrupt AFTER the runner nulled the ref and cleared the flag,
+  // handing a poisoned interrupt back to the shared executor pool (the
+  // exact condition the clear exists to prevent). Holding one lock
+  // around both the interrupt() call and the null+clear pair makes the
+  // clear the provably-last touch of the flag.
+  private val interruptLock = new Object
+  private def interruptExecThread(): Unit = interruptLock.synchronized {
+    Option(execThread).foreach(_.interrupt())
+  }
+
   def run()(implicit ec: ExecutionContext): Future[Unit] = {
     setState(OperationState.Pending)
     Future {
@@ -151,9 +163,13 @@ abstract class Operation(val session: EngineSession) {
       val outcome = Try(withJobGroup(runInternal()))
       // release the thread ref and clear any interrupt leftover from a
       // racing cancel BEFORE the pooled thread returns to the executor —
-      // a poisoned interrupt flag would abort the pool's next task
-      execThread = null
-      Thread.interrupted()
+      // a poisoned interrupt flag would abort the pool's next task.
+      // Under interruptLock so a racing cancel either interrupts before
+      // the clear or sees execThread == null and delivers nothing.
+      interruptLock.synchronized {
+        execThread = null
+        Thread.interrupted()
+      }
       outcome match {
         case Success(_) =>
           markTerminal(OperationState.Finished)
@@ -191,7 +207,7 @@ abstract class Operation(val session: EngineSession) {
       session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
       // also interrupt the execution thread: releases a waiter blocked
       // on a job the group-cancel raced past (see execThread)
-      Option(execThread).foreach(_.interrupt())
+      interruptExecThread()
     }
   }
 
@@ -200,7 +216,7 @@ abstract class Operation(val session: EngineSession) {
       if (state != OperationState.Closed) {
         if (!state.terminal) {
           session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
-          Option(execThread).foreach(_.interrupt()) // same race as cancel()
+          interruptExecThread() // same race as cancel()
         }
         logLine(s"operation $handle: $state -> CLOSED")
         state = OperationState.Closed // closed is legal from anywhere
@@ -229,7 +245,7 @@ abstract class Operation(val session: EngineSession) {
       override def run(): Unit = {
         if (markTerminal(OperationState.Timeout)) {
           session.spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
-          Option(execThread).foreach(_.interrupt()) // same race as cancel()
+          interruptExecThread() // same race as cancel()
         }
       }
     }, ms, TimeUnit.MILLISECONDS)

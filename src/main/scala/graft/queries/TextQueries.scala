@@ -516,7 +516,7 @@ object TextQueries {
   private val jaccardPairsCtes =
     s"""sh AS (
           SELECT doc_id, list_distinct(
-            CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+            CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                  ELSE list_transform(
                    generate_series(1, len($duckToks) - 2),
                    i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
@@ -683,7 +683,7 @@ object TextQueries {
       s"""WITH $minhashCandSql,
           sh AS (
             SELECT doc_id, list_distinct(
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
@@ -813,7 +813,7 @@ object TextQueries {
     "d10_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, list_distinct(
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
@@ -1020,7 +1020,7 @@ object TextQueries {
     "d55_dup_gram_stats" ->
       s"""WITH sh AS (
             SELECT doc_id, list_distinct(
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
@@ -1133,7 +1133,7 @@ object TextQueries {
     "d47_containment_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, list_distinct(
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
@@ -1187,7 +1187,7 @@ object TextQueries {
     "d42_winnow_fp" ->
       s"""WITH t AS (
             SELECT doc_id,
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END AS sh
@@ -1211,7 +1211,7 @@ object TextQueries {
     "d43_winnow_pairs" ->
       s"""WITH t AS (
             SELECT doc_id,
-              CASE WHEN len($duckToks) < 3 THEN [trim(text)]
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
                    ELSE list_transform(
                      generate_series(1, len($duckToks) - 2),
                      i -> array_to_string($duckToks[i:i+2], ' ')) END AS sh

@@ -495,7 +495,7 @@ object VectorQueries {
   // (bit b of word w = dim w*32+b, word = Σ bit_b·2^b — the exact
   // layout BinaryQuant.packExpr builds), XOR+popcount Hamming, rank
   // (hamming asc, neighbor_id asc). Integer-exact end to end.
-  private val N_WORDS = DIM / 32
+  private val N_WORDS = (DIM + 31) / 32 // ceil, matching BinaryQuant.packExpr
   private val binCte =
     s"""bstats AS (
           SELECT i AS pos,
@@ -507,7 +507,8 @@ object VectorQueries {
         bw AS (
           SELECT e.vec_id, list_transform(generate_series(0, ${N_WORDS - 1}), w ->
             list_reduce(list_transform(generate_series(0, 31), b ->
-              CASE WHEN CAST(e.embedding[w * 32 + b + 1] AS DOUBLE) >= t.thr[w * 32 + b + 1]
+              CASE WHEN w * 32 + b + 1 <= $DIM
+                        AND CAST(e.embedding[w * 32 + b + 1] AS DOUBLE) >= t.thr[w * 32 + b + 1]
                    THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x, y) -> x + y)) AS words
           FROM embeddings e, bthr t),
         bham AS (

@@ -57,6 +57,36 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   // Terminal states also retire the op→batch route: without this the
   // map grows for the life of the server (the batch itself stays
   // servable from `batches` / the store).
+  // Per-user live-batch accounting (reference SessionLimiter pattern:
+  // atomic increment-then-check, never scan-then-act — two concurrent
+  // POSTs at limit−1 must not both pass). batchSlotUsers maps a COUNTED
+  // batch id to its user so release is idempotent: whoever removes the
+  // entry (terminal event, session-close purge, failed submit) performs
+  // the single decrement.
+  private val liveBatchCounts = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val batchSlotUsers = new ConcurrentHashMap[String, String]()
+
+  /** Claim a slot for `user`: increment first, then compare — the only
+    * order that is atomic under concurrent submits. Returns false (and
+    * undoes the increment) when the cap is exceeded. `enforce = false`
+    * counts without rejecting (store-recovery resubmits must run, but
+    * they still occupy slots).
+    */
+  private def claimBatchSlot(user: String, enforce: Boolean = true): Boolean = {
+    val ctr = liveBatchCounts.computeIfAbsent(user,
+      _ => new java.util.concurrent.atomic.AtomicInteger)
+    val n = ctr.incrementAndGet()
+    if (enforce && maxBatchesPerUser > 0 && n > maxBatchesPerUser) {
+      ctr.decrementAndGet(); false
+    } else true
+  }
+
+  /** Release the slot held by `batchId`, exactly once. */
+  private def releaseBatchSlot(batchId: String): Unit = {
+    val user = batchSlotUsers.remove(batchId)
+    if (user != null) Option(liveBatchCounts.get(user)).foreach(_.decrementAndGet())
+  }
+
   private val batchStateListener: Events.Handler = new Events.Handler {
     override def onEvent(e: Events.Event): Unit = e match {
       case Events.OperationEvent(opId, _, state, error, _) =>
@@ -64,7 +94,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         if (batchId != null) {
           store.foreach(_.updateState(batchId, state, error))
           val terminal = OperationState.all.exists(s => s.name == state && s.terminal)
-          if (terminal) opToBatch.remove(opId)
+          if (terminal) {
+            opToBatch.remove(opId)
+            releaseBatchSlot(batchId) // terminal batches free their slot
+          }
         }
       case _ => ()
     }
@@ -293,10 +326,19 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     // executeStatement and here would otherwise be lost)
     opToBatch.put(op.handle, id)
     batches.put(id, (sess, op))
-    store.foreach { s =>
+    batchSlotUsers.put(id, user)
+    try store.foreach { s =>
       if (fixedId.isEmpty) s.insert(id, user, sql, op.currentState.toString)
       else s.updateState(id, op.currentState.toString, None)
+    } catch { case e: Throwable =>
+      // store failure after registration: disown the slot entry so the
+      // caller's catch-side decrement is the single release
+      batchSlotUsers.remove(id)
+      throw e
     }
+    // the op can reach terminal BEFORE opToBatch.put routed its events —
+    // release here too; both paths are idempotent via the map remove
+    if (op.currentState.terminal) releaseBatchSlot(id)
     id
   }
 
@@ -304,8 +346,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   // unfinished, under their original ids (reference
   // BatchJobSubmission recovery path).
   store.foreach(_.unfinished().foreach { rec =>
+    claimBatchSlot(rec.user, enforce = false) // recovered batches occupy slots
     try submitBatch(rec.user, rec.sql, Some(rec.id))
     catch { case e: Throwable =>
+      Option(liveBatchCounts.get(rec.user)).foreach(_.decrementAndGet())
       store.foreach(_.updateState(rec.id, "ERROR", Some(String.valueOf(e.getMessage))))
     }
   })
@@ -387,20 +431,20 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         val user = field(payload, "user").getOrElse("batch")
         // Per-user live-batch limit (reference
         // kyuubi.server.limit.batch.connections.per.user via the batch
-        // SessionLimiter): terminal batches stay queryable but release
-        // their slot, so the count below is of RUNNING work only.
-        val overLimit = maxBatchesPerUser > 0 && {
-          var live = 0
-          batches.forEach { (_, v) =>
-            if (v._1.user == user && !v._2.currentState.terminal) live += 1
-          }
-          live >= maxBatchesPerUser
-        }
-        if (overLimit)
-          reply(ex, 429,
-            s"""{"error": "Batch limit per user reached (user: $user, limit: $maxBatchesPerUser)"}""")
+        // SessionLimiter): atomic increment-then-check — terminal
+        // batches stay queryable but release their slot, so only
+        // RUNNING work counts.
+        if (!claimBatchSlot(user))
+          reply(ex, 429, s"""{"error": ${q(
+            s"Batch limit per user reached (user: $user, limit: $maxBatchesPerUser)")}}""")
         else {
-          val id = submitBatch(user, sql, None)
+          val id = try submitBatch(user, sql, None) catch {
+            case e: Throwable =>
+              // submit failed before registration (or disowned its slot
+              // entry): this decrement is the single release
+              Option(liveBatchCounts.get(user)).foreach(_.decrementAndGet())
+              throw e
+          }
           val st = Option(batches.get(id)).map(_._2.currentState.toString).getOrElse("PENDING")
           reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
             ApplicationState.fromOperationStateName(st).toString)}}""")

@@ -64,4 +64,37 @@ class ConcurrencySpec extends AnyFunSuite {
     val state = op.awaitTermination(60000)
     assert(state == OperationState.Canceled, s"got $state")
   }
+
+  test("cancel racing completion never poisons the pooled thread's interrupt flag") {
+    // Regression for the run()-epilogue race: a canceller that read a
+    // non-null execThread must not deliver its interrupt AFTER the
+    // runner nulled the ref and cleared the flag — that would hand a
+    // poisoned interrupt to the executor's next task. Operation guards
+    // the interrupt and the null+clear pair with one lock; this stress
+    // loop races cancel() against fast completions on a SINGLE-thread
+    // pool and probes the flag after every round (FIFO guarantees the
+    // probe runs after the op future's body has fully exited).
+    val engine = new Engine(spark)
+    val sess = engine.openSession("racer")
+    val opPool = Executors.newSingleThreadExecutor()
+    val opEc: ExecutionContext = ExecutionContext.fromExecutor(opPool)
+    try {
+      for (i <- 1 to 200) {
+        val op = sess.executeStatement(s"SELECT $i AS v")(opEc)
+        // jitter the cancel point across the op lifecycle so some land
+        // mid-run, some in the epilogue, some after terminal
+        if (i % 3 == 1) Thread.sleep(0, (i % 7) * 100000)
+        else if (i % 3 == 2) Thread.sleep(i % 5)
+        op.cancel()
+        op.awaitTermination(60000)
+        assert(op.currentState.terminal, s"iteration $i: ${op.currentState}")
+        val probe = Future(Thread.interrupted())(opEc)
+        assert(!Await.result(probe, 10.seconds),
+          s"iteration $i left a poisoned interrupt flag on the pooled thread")
+      }
+    } finally {
+      engine.closeSession(sess.id)
+      opPool.shutdown()
+    }
+  }
 }

@@ -87,7 +87,7 @@ class RestFrontendSpec extends AnyFunSuite {
       // loops never poll the kill flag, so a cancelled heavy scan leaves
       // unkillable zombie tasks squatting on the shared test cluster's
       // cores and starves every test that follows.
-      val slow = """{"sql": "SELECT reflect('java.lang.Thread','sleep',300000) FROM range(1)", "user": "bob"}"""
+      val slow = """{"sql": "SELECT reflect('java.lang.Thread','sleep',CAST(300000 AS BIGINT)) FROM range(1)", "user": "bob"}"""
       val (c1, b1) = post(c, s"$base/batches", slow)
       assert(c1 == 200, b1)
       val id1 = extract(b1, "id")
@@ -124,6 +124,55 @@ class RestFrontendSpec extends AnyFunSuite {
       front.stop()
       spark.sparkContext.removeSparkListener(dbg)
     }
+  }
+
+  test("concurrent batch submits at limit-1 never overshoot the per-user cap") {
+    // Regression for the scan-then-act TOCTOU: with one slot left, N
+    // simultaneous POSTs (released together by a barrier) must admit
+    // EXACTLY one — the server counts with an atomic
+    // increment-then-check, so no interleaving admits two.
+    val front = new RestFrontend(new Engine(spark), port = 0, maxBatchesPerUser = 2)
+    val port = front.start()
+    try {
+      val base = s"http://localhost:$port/api/v1"
+      val slow = """{"sql": "SELECT reflect('java.lang.Thread','sleep',CAST(300000 AS BIGINT)) FROM range(1)", "user": "dave"}"""
+      val c0 = HttpClient.newHttpClient()
+      val (s1, b1) = post(c0, s"$base/batches", slow)
+      assert(s1 == 200, b1)
+      val id1 = extract(b1, "id")
+      val (_, st1) = get(c0, s"$base/batches/$id1")
+      assert(!Set("FINISHED", "ERROR", "CANCELED", "TIMEOUT", "CLOSED")
+        .contains(extract(st1, "state")), s"first batch went terminal: $st1")
+      val n = 8
+      val gate = new java.util.concurrent.CyclicBarrier(n)
+      val replies = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+      val threads = (1 to n).map { _ =>
+        new Thread(() => {
+          val c = HttpClient.newHttpClient()
+          gate.await()
+          replies.add(post(c, s"$base/batches", slow))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val admitted = replies.asScala.filter(_._1 == 200).toSeq
+      val rejected = replies.asScala.filter(_._1 == 429).toSeq
+      val states = admitted.map(r => extract(get(c0, s"$base/batches/${extract(r._2, "id")}")._2, "state"))
+      assert(admitted.size == 1 && rejected.size == n - 1,
+        s"codes: ${replies.asScala.map(_._1).mkString(",")} admittedStates: ${states.mkString(",")}")
+      // the 429 body is well-formed JSON even though it interpolates
+      // the user string (q()-quoted server-side)
+      assert(rejected.head._2.contains("Batch limit per user"), rejected.head._2)
+      // cleanup: cancel both live batches and hand the cluster back quiet
+      val id2 = extract(admitted.head._2, "id")
+      delete(c0, s"$base/batches/$id1")
+      delete(c0, s"$base/batches/$id2")
+      val tracker = spark.sparkContext.statusTracker
+      val drain = System.nanoTime() + 60e9.toLong
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < drain)
+        Thread.sleep(100)
+      assert(tracker.getActiveJobIds().isEmpty, "cancelled batches still running")
+    } finally front.stop()
   }
 
   test("batch submission is fire-and-forget with state polling") {

@@ -140,6 +140,19 @@ final class FileDiscoveryClient(root: Path, ttlMs: Long = 0L) extends DiscoveryC
     })
   }
 
+  /** Delete any node in `space` carrying `address` — even one another
+    * process registered (the killed engine can't unregister itself).
+    */
+  override def evict(space: String, address: String): Unit =
+    liveNodes(space).foreach { p =>
+      val content =
+        try Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+        catch { case _: Throwable => None }
+      if (content.contains(address)) {
+        try Files.deleteIfExists(p) catch { case _: Throwable => }
+      }
+    }
+
   /** Refresh the TTL on every node this client registered. */
   def heartbeat(): Unit = {
     val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())

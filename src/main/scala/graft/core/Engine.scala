@@ -77,6 +77,15 @@ trait DiscoveryClient {
     * with sequence nodes override with the full registration order.
     */
   def getAll(space: String): Seq[String] = get(space).toSeq
+
+  /** Remove a SPECIFIC registration some other process created —
+    * the prober's stale-corpse reaper: a SIGKILLed engine never runs
+    * its own unregister, and backends without ephemeral nodes (the
+    * file registry without TTL) would serve the dead address forever.
+    * Backends whose nodes die with the owner's session (ZK ephemeral)
+    * can keep the default no-op.
+    */
+  def evict(space: String, address: String): Unit = ()
 }
 
 final class InMemoryDiscoveryClient extends DiscoveryClient {

@@ -98,12 +98,21 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
   final class EngineProcess private[EngineProcBuilder] (
       val space: String, val address: String, proc: Process) {
     def alive: Boolean = proc.isAlive
+    /** OS pid — lets tests wedge the engine (SIGSTOP) and the prober
+      * report which process it evicted.
+      */
+    def pid: Long = proc.pid()
     /** Clean stop: EOF on the child's stdin, then force if ignored. */
     def shutdown(): Unit = {
       try proc.getOutputStream.close() catch { case _: Throwable => }
       if (!proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)) proc.destroy()
       if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) proc.destroyForcibly()
     }
+    /** Immediate SIGKILL — the only stop that works on a WEDGED engine:
+      * a SIGSTOP'd process never reads the stdin EOF and queues SIGTERM
+      * until resumed, so the graceful ladder would hang the evictor.
+      */
+    def kill(): Unit = proc.destroyForcibly()
   }
 
   private val discovery = discoveryUrl.map(graft.core.DiscoveryClients.fromUrl)
@@ -156,22 +165,80 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
   }
 }
 
-/** Share-level engine-process pool: one live engine JVM per share key,
-  * relaunched on demand if its process died (the reference's
-  * EngineRef.getOrCreate semantics over the discovery namespace).
+/** Share-level engine-process pool: up to `poolSize` live engine JVMs
+  * per share key, relaunched on demand if a process died (the
+  * reference's EngineRef.getOrCreate semantics over the discovery
+  * namespace, plus kyuubi.engine.pool.size + pool.select.policy —
+  * KyuubiConf.scala:2639-2653, EngineRef.scala:88: N engines per share
+  * space spread one heavy tenant's concurrent statements over N driver
+  * JVMs instead of serializing on one).
+  *
+  * With poolSize > 1 each slot is its own discovery sub-space
+  * (`<space>/pool-<i>`, the reference's `-<index>` subdomain), so
+  * slots launch, register, and die independently. POLLING rotates a
+  * per-space counter (round-robin); RANDOM picks uniformly.
   */
-final class EnginePool(builder: EngineProcBuilder) extends AutoCloseable {
+final class EnginePool(builder: EngineProcBuilder, poolSize: Int = 1,
+    selectPolicy: String = "POLLING") extends AutoCloseable {
+  require(poolSize >= 1, s"poolSize must be >= 1, got $poolSize")
   private val procs = new ConcurrentHashMap[String, EngineProcBuilder#EngineProcess]()
+  private val pollCounters =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val rnd = new java.util.Random()
 
-  def getOrLaunch(space: String): EngineProcBuilder#EngineProcess =
-    procs.compute(space, (_, cur) =>
-      if (cur != null && cur.alive) cur else builder.launch(space))
+  private def slotSpace(space: String, idx: Int): String =
+    if (poolSize <= 1) space else s"$space/pool-$idx"
+
+  def getOrLaunch(space: String): EngineProcBuilder#EngineProcess = {
+    val idx =
+      if (poolSize <= 1) 0
+      else selectPolicy.toUpperCase match {
+        case "RANDOM" => rnd.nextInt(poolSize)
+        case _ => math.floorMod(pollCounters
+          .computeIfAbsent(space, _ => new java.util.concurrent.atomic.AtomicInteger())
+          .getAndIncrement(), poolSize)
+      }
+    getOrLaunchSlot(slotSpace(space, idx))
+  }
+
+  /** Launch (or reuse) the engine of one concrete slot space. */
+  def getOrLaunchSlot(slot: String): EngineProcBuilder#EngineProcess =
+    procs.compute(slot, (_, cur) =>
+      if (cur != null && cur.alive) cur else builder.launch(slot))
+
+  /** Live slot → process view (the prober's worklist). */
+  def snapshot: Map[String, EngineProcBuilder#EngineProcess] = {
+    import scala.jdk.CollectionConverters._
+    procs.asScala.toMap
+  }
+
+  /** Evict one WEDGED engine: SIGKILL (a stopped process ignores the
+    * graceful ladder), forget the slot, and reap its now-stale
+    * discovery node so resolvers stop finding a corpse. CAS-guarded on
+    * the exact process so a racing relaunch's replacement survives.
+    */
+  def evict(slot: String, expected: EngineProcBuilder#EngineProcess): Boolean = {
+    val removed = procs.remove(slot, expected)
+    if (removed) {
+      expected.kill()
+      try builder.discoveryClient.evict(slot, expected.address)
+      catch { case _: Throwable => }
+    }
+    removed
+  }
 
   /** Stop and forget one engine (CONNECTION-level engines die with
     * their session; reference EngineRef close for unshared engines).
     */
-  def stop(space: String): Unit =
+  def stop(space: String): Unit = {
+    // poolSize > 1: a CONNECTION-level space owns every slot under it
     Option(procs.remove(space)).foreach(_.shutdown())
+    if (poolSize > 1) {
+      import scala.jdk.CollectionConverters._
+      procs.keySet.asScala.filter(_.startsWith(s"$space/pool-")).toSeq
+        .foreach(s => Option(procs.remove(s)).foreach(_.shutdown()))
+    }
+  }
 
   override def close(): Unit = {
     procs.values.forEach(_.shutdown())

@@ -40,10 +40,36 @@ final class GatewayServer(
     groupProvider: graft.core.GroupProvider = new graft.core.UserPrefixGroupProvider,
     confAdvisors: Seq[graft.core.SessionConfAdvisor] = Nil,
     selfRegister: Boolean = false,
-    advertisedHost: String = "127.0.0.1") {
+    advertisedHost: String = "127.0.0.1",
+    // reference kyuubi.engine.pool.size + pool.select.policy: N engine
+    // JVMs per share space, POLLING (round-robin) or RANDOM selection
+    poolSize: Int = 1,
+    selectPolicy: String = "POLLING",
+    // hard read timeout on every gateway→engine socket: a WEDGED engine
+    // turns an indefinite hang into a clean forward error (0 = none)
+    engineSocketTimeoutMs: Int = 0,
+    // engine alive probe (reference KyuubiSyncThriftClient
+    // engine-alive-probe session): interval 0 disables
+    aliveProbeIntervalMs: Long = 0,
+    aliveProbeTimeoutMs: Int = 5000,
+    aliveProbeMaxFailures: Int = 3) {
 
-  private val pool = new EnginePool(builder)
+  private val pool = new EnginePool(builder, poolSize, selectPolicy)
   private val discovery = builder.discoveryClient
+
+  /** Pooled engine processes by slot (tests wedge/inspect them). */
+  private[server] def poolSnapshot: Map[String, EngineProcBuilder#EngineProcess] =
+    pool.snapshot
+
+  /** The pool's alive prober — exposed so tests can drive
+    * `probeOnce()` deterministically instead of racing the scheduler.
+    */
+  val prober: EngineAliveProber = new EngineAliveProber(
+    pool, builder, intervalMs = aliveProbeIntervalMs,
+    probeTimeoutMs = aliveProbeTimeoutMs, maxFailures = aliveProbeMaxFailures,
+    onEvict = msg => graft.core.Events.post(graft.core.Events.SessionEvent(
+      "engine-probe", "graft-probe", s"ENGINE_EVICTED: $msg",
+      System.currentTimeMillis())))
 
   /** Discovery space for a new session — the reference's
     * engine.share.level at process granularity: USER pools one engine
@@ -73,7 +99,10 @@ final class GatewayServer(
 
   private def connect(address: String, user: String, space: String): EngineConn = {
     val Array(host, port) = address.split(":")
-    val sock = new TSocket(host, port.toInt)
+    // a positive read timeout keeps a wedged engine from hanging the
+    // gateway worker thread (and the client) forever — the forward
+    // surfaces a clean ERROR_STATUS instead
+    val sock = new TSocket(host, port.toInt, engineSocketTimeoutMs)
     val transport: TTransport = builder.issueToken() match {
       case Some(token) =>
         new TSaslClientTransport(
@@ -104,15 +133,28 @@ final class GatewayServer(
     st
   }
 
+  /** Forward one call through an engine connection, converting any
+    * transport failure (dead engine, wedged engine hitting the socket
+    * read timeout) into a clean ERROR_STATUS reply instead of letting
+    * the exception tear down the client's gateway connection.
+    */
+  private def forward[R](conn: EngineConn, mkErr: TStatus => R)(
+      f: TCLIService.Client => R): R =
+    try conn.synchronized(f(conn.client))
+    catch {
+      case e: Throwable =>
+        mkErr(errStatus(s"engine forward failed (${conn.space}): ${e.getMessage}"))
+    }
+
   /** Forward an operation-producing call through its session's engine,
     * recording the returned operation handle for follow-up routing.
     */
-  private def viaSession[R](h: TSessionHandle, onMiss: => R)(
+  private def viaSession[R](h: TSessionHandle, mkErr: TStatus => R)(
       f: TCLIService.Client => R)(op: R => TOperationHandle): R =
     sessionConn(h) match {
-      case None => onMiss
+      case None => mkErr(errStatus("unknown session"))
       case Some(conn) =>
-        val resp = conn.synchronized(f(conn.client))
+        val resp = forward(conn, mkErr)(f)
         val oh = op(resp)
         if (oh != null) opConns.put(key(oh.getOperationId), conn)
         resp
@@ -157,7 +199,9 @@ final class GatewayServer(
         case None =>
           val r = new TCloseSessionResp(); r.setStatus(errStatus("unknown session")); r
         case Some(conn) =>
-          val resp = conn.synchronized(conn.client.CloseSession(req))
+          val resp = forward(conn, (st: TStatus) => {
+            val r = new TCloseSessionResp(); r.setStatus(st); r
+          })(_.CloseSession(req))
           sessionConns.remove(key(req.getSessionHandle.getSessionId))
           try conn.transport.close() catch { case _: Throwable => }
           // an unshared (CONNECTION-level) engine dies with its session
@@ -168,71 +212,77 @@ final class GatewayServer(
     override def GetInfo(req: TGetInfoReq): TGetInfoResp =
       sessionConn(req.getSessionHandle) match {
         case None => val r = new TGetInfoResp(); r.setStatus(errStatus("unknown session")); r
-        case Some(conn) => conn.synchronized(conn.client.GetInfo(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TGetInfoResp(); r.setStatus(st); r
+        })(_.GetInfo(req))
       }
 
     override def ExecuteStatement(req: TExecuteStatementReq): TExecuteStatementResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TExecuteStatementResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TExecuteStatementResp(); r.setStatus(st); r
       })(_.ExecuteStatement(req))(_.getOperationHandle)
 
     override def GetTypeInfo(req: TGetTypeInfoReq): TGetTypeInfoResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetTypeInfoResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetTypeInfoResp(); r.setStatus(st); r
       })(_.GetTypeInfo(req))(_.getOperationHandle)
 
     override def GetCatalogs(req: TGetCatalogsReq): TGetCatalogsResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetCatalogsResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetCatalogsResp(); r.setStatus(st); r
       })(_.GetCatalogs(req))(_.getOperationHandle)
 
     override def GetSchemas(req: TGetSchemasReq): TGetSchemasResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetSchemasResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetSchemasResp(); r.setStatus(st); r
       })(_.GetSchemas(req))(_.getOperationHandle)
 
     override def GetTables(req: TGetTablesReq): TGetTablesResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetTablesResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetTablesResp(); r.setStatus(st); r
       })(_.GetTables(req))(_.getOperationHandle)
 
     override def GetTableTypes(req: TGetTableTypesReq): TGetTableTypesResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetTableTypesResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetTableTypesResp(); r.setStatus(st); r
       })(_.GetTableTypes(req))(_.getOperationHandle)
 
     override def GetColumns(req: TGetColumnsReq): TGetColumnsResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetColumnsResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetColumnsResp(); r.setStatus(st); r
       })(_.GetColumns(req))(_.getOperationHandle)
 
     override def GetFunctions(req: TGetFunctionsReq): TGetFunctionsResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetFunctionsResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetFunctionsResp(); r.setStatus(st); r
       })(_.GetFunctions(req))(_.getOperationHandle)
 
     override def GetPrimaryKeys(req: TGetPrimaryKeysReq): TGetPrimaryKeysResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetPrimaryKeysResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetPrimaryKeysResp(); r.setStatus(st); r
       })(_.GetPrimaryKeys(req))(_.getOperationHandle)
 
     override def GetCrossReference(req: TGetCrossReferenceReq): TGetCrossReferenceResp =
-      viaSession(req.getSessionHandle, {
-        val r = new TGetCrossReferenceResp(); r.setStatus(errStatus("unknown session")); r
+      viaSession(req.getSessionHandle, (st: TStatus) => {
+        val r = new TGetCrossReferenceResp(); r.setStatus(st); r
       })(_.GetCrossReference(req))(_.getOperationHandle)
 
     override def GetOperationStatus(req: TGetOperationStatusReq): TGetOperationStatusResp =
       opConn(req.getOperationHandle) match {
         case None =>
           val r = new TGetOperationStatusResp(); r.setStatus(errStatus("unknown operation")); r
-        case Some(conn) => conn.synchronized(conn.client.GetOperationStatus(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TGetOperationStatusResp(); r.setStatus(st); r
+        })(_.GetOperationStatus(req))
       }
 
     override def CancelOperation(req: TCancelOperationReq): TCancelOperationResp =
       opConn(req.getOperationHandle) match {
         case None =>
           val r = new TCancelOperationResp(); r.setStatus(errStatus("unknown operation")); r
-        case Some(conn) => conn.synchronized(conn.client.CancelOperation(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TCancelOperationResp(); r.setStatus(st); r
+        })(_.CancelOperation(req))
       }
 
     override def CloseOperation(req: TCloseOperationReq): TCloseOperationResp =
@@ -240,7 +290,9 @@ final class GatewayServer(
         case None =>
           val r = new TCloseOperationResp(); r.setStatus(errStatus("unknown operation")); r
         case Some(conn) =>
-          val resp = conn.synchronized(conn.client.CloseOperation(req))
+          val resp = forward(conn, (st: TStatus) => {
+            val r = new TCloseOperationResp(); r.setStatus(st); r
+          })(_.CloseOperation(req))
           opConns.remove(key(req.getOperationHandle.getOperationId))
           resp
       }
@@ -249,20 +301,24 @@ final class GatewayServer(
       opConn(req.getOperationHandle) match {
         case None =>
           val r = new TGetResultSetMetadataResp(); r.setStatus(errStatus("unknown operation")); r
-        case Some(conn) => conn.synchronized(conn.client.GetResultSetMetadata(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TGetResultSetMetadataResp(); r.setStatus(st); r
+        })(_.GetResultSetMetadata(req))
       }
 
     override def FetchResults(req: TFetchResultsReq): TFetchResultsResp =
       opConn(req.getOperationHandle) match {
         case None =>
           val r = new TFetchResultsResp(); r.setStatus(errStatus("unknown operation")); r
-        case Some(conn) => conn.synchronized(conn.client.FetchResults(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TFetchResultsResp(); r.setStatus(st); r
+        })(_.FetchResults(req))
       }
 
     override def GetQueryId(req: TGetQueryIdReq): TGetQueryIdResp =
       opConn(req.getOperationHandle) match {
         case None => new TGetQueryIdResp("")
-        case Some(conn) => conn.synchronized(conn.client.GetQueryId(req))
+        case Some(conn) => forward(conn, (_: TStatus) => new TGetQueryIdResp(""))(_.GetQueryId(req))
       }
 
     override def GetDelegationToken(req: TGetDelegationTokenReq): TGetDelegationTokenResp = {
@@ -280,7 +336,9 @@ final class GatewayServer(
     override def SetClientInfo(req: TSetClientInfoReq): TSetClientInfoResp =
       sessionConn(req.getSessionHandle) match {
         case None => val r = new TSetClientInfoResp(); r.setStatus(errStatus("unknown session")); r
-        case Some(conn) => conn.synchronized(conn.client.SetClientInfo(req))
+        case Some(conn) => forward(conn, (st: TStatus) => {
+          val r = new TSetClientInfoResp(); r.setStatus(st); r
+        })(_.SetClientInfo(req))
       }
     override def UploadData(req: TUploadDataReq): TUploadDataResp = {
       val r = new TUploadDataResp(); r.setStatus(errStatus("UploadData not supported")); r
@@ -319,6 +377,7 @@ final class GatewayServer(
     // resolve one of N gateways instead of hard-wiring a host:port.
     if (selfRegister)
       discovery.register(GatewayServer.Namespace, s"$advertisedHost:$boundPort")
+    if (aliveProbeIntervalMs > 0) prober.start()
     this
   }
 
@@ -326,6 +385,7 @@ final class GatewayServer(
     * gateway from discovery first, so clients stop resolving it).
     */
   def stop(): Unit = {
+    prober.stop()
     if (selfRegister)
       try discovery.unregister(GatewayServer.Namespace) catch { case _: Throwable => }
     server.stop()

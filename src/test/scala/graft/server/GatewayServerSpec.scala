@@ -192,6 +192,95 @@ class GatewayServerSpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("alive probe detects a wedged engine, evicts and relaunches it, and new sessions work") {
+    // Hung-engine failover (reference KyuubiSyncThriftClient's
+    // engine-alive-probe session): a SIGSTOP'd engine still ACCEPTS TCP
+    // (the kernel serves the listen backlog for a stopped process) but
+    // never answers a Thrift call — exactly the failure the
+    // process-death relaunch path cannot see.
+    val dir = Files.createTempDirectory("graft-gateway-probe")
+    val builder = new EngineProcBuilder(dir)
+    val gw = new GatewayServer(builder,
+      engineSocketTimeoutMs = 3000,
+      aliveProbeTimeoutMs = 1000, aliveProbeMaxFailures = 2).start()
+    // probe interval left at 0: the test drives probeOnce() itself so
+    // detection timing is deterministic
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl"
+      val reg = new FileDiscoveryClient(dir)
+      val c1 = DriverManager.getConnection(url, "eve", "")
+      assert(c1.createStatement().executeQuery("SELECT 1 AS v").next())
+      val addr1 = reg.get("user/eve")
+      assert(addr1.nonEmpty)
+      // a healthy probe neither evicts nor relaunches
+      gw.prober.probeOnce()
+      assert(reg.get("user/eve") == addr1)
+      val proc1 = gw.poolSnapshot("user/eve")
+      // wedge the engine JVM
+      Runtime.getRuntime.exec(Array("kill", "-STOP", proc1.pid.toString)).waitFor()
+      try {
+        // in-flight forward: clean SQLException within the socket
+        // timeout, never an indefinite hang
+        val hung = intercept[java.sql.SQLException] {
+          c1.createStatement().executeQuery("SELECT 2 AS v")
+        }
+        assert(String.valueOf(hung.getMessage).contains("engine forward failed"),
+          s"got: ${hung.getMessage}")
+        // two consecutive probe failures → evict + SIGKILL + relaunch
+        gw.prober.probeOnce()
+        gw.prober.probeOnce()
+        val deadline = System.nanoTime() + 20e9.toLong
+        while (proc1.alive && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(!proc1.alive, "the wedged engine process must be killed")
+        // the stale discovery node is reaped; the relaunched engine
+        // registered a fresh address
+        val addr2 = reg.get("user/eve")
+        assert(addr2.nonEmpty && addr2 != addr1,
+          s"replacement engine must register a new address: $addr1 -> $addr2")
+        // a NEW session lands on the replacement and works
+        val c2 = DriverManager.getConnection(url, "eve", "")
+        try assert(c2.createStatement().executeQuery("SELECT 3 AS v").next())
+        finally c2.close()
+      } finally {
+        // resume-if-still-stopped so nothing leaks if an assert fired
+        Runtime.getRuntime.exec(Array("kill", "-CONT", proc1.pid.toString)).waitFor()
+        try c1.close() catch { case _: Throwable => }
+      }
+    } finally gw.stop()
+  }
+
+  test("engine pool size 2: POLLING spreads one user's connections over two engine JVMs") {
+    // reference kyuubi.engine.pool.size + pool.select.policy
+    // (KyuubiConf.scala:2639-2653, EngineRef.scala:88): a single heavy
+    // tenant must not serialize on one driver JVM.
+    val dir = Files.createTempDirectory("graft-gateway-pool")
+    val builder = new EngineProcBuilder(dir)
+    val gw = new GatewayServer(builder, poolSize = 2).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl"
+      val reg = new FileDiscoveryClient(dir)
+      val c1 = DriverManager.getConnection(url, "frank", "")
+      val c2 = DriverManager.getConnection(url, "frank", "")
+      try {
+        assert(c1.createStatement().executeQuery("SELECT 1 AS v").next())
+        assert(c2.createStatement().executeQuery("SELECT 2 AS v").next())
+        val s0 = reg.get("user/frank/pool-0")
+        val s1 = reg.get("user/frank/pool-1")
+        assert(s0.nonEmpty && s1.nonEmpty, s"both slots must launch: $s0 / $s1")
+        assert(s0 != s1, "two connections must land on two distinct engine JVMs")
+      } finally { c1.close(); c2.close() }
+    } finally gw.stop()
+    // teardown stops BOTH slot engines
+    val reg2 = new FileDiscoveryClient(dir)
+    val deadline = System.nanoTime() + 20e9.toLong
+    while ((reg2.get("user/frank/pool-0").nonEmpty || reg2.get("user/frank/pool-1").nonEmpty)
+        && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(reg2.get("user/frank/pool-0").isEmpty && reg2.get("user/frank/pool-1").isEmpty,
+      "gateway stop must stop both pool slots")
+  }
+
   test("standalone GatewayMain process serves JDBC end to end (three JVMs)") {
     val dir = Files.createTempDirectory("graft-gateway-main")
     val javaBin = s"${System.getProperty("java.home")}/bin/java"

@@ -203,7 +203,11 @@ object Dedup {
     import spark.implicits._
     bandIndexOf(corpus, idCol, textCol, shingleSize, bands, rowsPerBand, maxBandDf)
       .write.mode("overwrite").parquet(s"$path/bands")
-    writeBandMeta(spark, path, shingleSize, bands, rowsPerBand, maxBandDf, appends = 0)
+    writeBandMeta(spark, path, shingleSize, bands, rowsPerBand, maxBandDf,
+      appends = 0, bandsDir = "bands")
+    // a rebuild over a previously-compacted artifact resets the
+    // pointer — drop the now-orphaned version dirs
+    pruneVersionedDirs(spark, path, "bands", keep = Set("bands"))
   }
 
   /** The one-row meta artifact; `appends` counts append batches since
@@ -212,10 +216,11 @@ object Dedup {
     */
   private def writeBandMeta(spark: org.apache.spark.sql.SparkSession, path: String,
       shingleSize: Int, bands: Int, rowsPerBand: Int, maxBandDf: Int,
-      appends: Int): Unit = {
+      appends: Int, bandsDir: String): Unit = {
     import spark.implicits._
-    Seq((shingleSize, bands, rowsPerBand, maxBandDf, appends))
-      .toDF("shingle_size", "bands", "rows_per_band", "max_band_df", "appends")
+    Seq((shingleSize, bands, rowsPerBand, maxBandDf, appends, bandsDir))
+      .toDF("shingle_size", "bands", "rows_per_band", "max_band_df", "appends",
+        "bands_dir")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -229,6 +234,7 @@ object Dedup {
       val rowsPerBand: Int,
       val maxBandDf: Int,
       val appends: Int,
+      val bandsDir: String,
       val index: DataFrame) {
 
     /** Batch probe — [[bandCollisions]] with the index's own banding
@@ -256,9 +262,9 @@ object Dedup {
     val opened = openBandIndex(spark, path)
     bandIndexOf(newDocs, idCol, textCol, opened.shingleSize, opened.bands,
         opened.rowsPerBand, opened.maxBandDf)
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("append").parquet(s"$path/${opened.bandsDir}")
     writeBandMeta(spark, path, opened.shingleSize, opened.bands,
-      opened.rowsPerBand, opened.maxBandDf, opened.appends + 1)
+      opened.rowsPerBand, opened.maxBandDf, opened.appends + 1, opened.bandsDir)
   }
 
   /** Re-apply the df cap GLOBALLY over the accumulated bands artifact
@@ -266,9 +272,15 @@ object Dedup {
     * bucket only per batch (worst case cap × (appends+1) rows), so an
     * operator watching [[OpenedBandIndex.appends]] runs this
     * periodically to restore the build-time bound. Also deduplicates
-    * rows a replayed append may have double-written. The rewrite lands
-    * in a sibling directory first and swaps in via rename, so a
-    * concurrent open never reads a half-written bands dir.
+    * rows a replayed append may have double-written.
+    *
+    * The swap is VERSIONED, never in-place: the compacted artifact
+    * lands in a fresh `bands_vN` sibling, the meta's `bands_dir`
+    * pointer flips to it, and only versions OLDER than the previous
+    * one are pruned — so an open racing the compaction resolves the
+    * pointer to either the old or the new artifact, both of which
+    * exist (a delete-then-rename swap had an ENOENT window between
+    * the delete and the rename).
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val opened = openBandIndex(spark, path)
@@ -277,18 +289,43 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= opened.maxBandDf)
       .select(col("band"), col("key"))
-    val tmp = s"$path/bands_compacting"
+    val curDir = opened.bandsDir
+    val nextDir = nextVersionedDir("bands", curDir)
     idx.join(keep, Seq("band", "key"), "left_semi")
-      .write.mode("overwrite").parquet(tmp)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = bandsPath.getFileSystem(hconf)
-    fs.delete(bandsPath, true)
-    if (!fs.rename(tmpPath, bandsPath))
-      throw new java.io.IOException(s"compaction rename failed for $path/bands")
+      .write.mode("overwrite").parquet(s"$path/$nextDir")
+    // flip the pointer; readers that already resolved curDir keep a
+    // live directory until the compaction AFTER this one
     writeBandMeta(spark, path, opened.shingleSize, opened.bands,
-      opened.rowsPerBand, opened.maxBandDf, appends = 0)
+      opened.rowsPerBand, opened.maxBandDf, appends = 0, bandsDir = nextDir)
+    pruneVersionedDirs(spark, path, "bands", keep = Set(curDir, nextDir))
+  }
+
+  /** bands → bands_v1 → bands_v2 → … (shared by the codes artifacts). */
+  private[operators] def nextVersionedDir(base: String, current: String): String = {
+    val n =
+      if (current == base) 0
+      else current.stripPrefix(s"${base}_v").toInt
+    s"${base}_v${n + 1}"
+  }
+
+  /** Delete every `base`/`base_vN` sibling not in `keep` — the
+    * previous version survives one compaction cycle for readers that
+    * resolved the pointer just before the flip.
+    */
+  private[operators] def pruneVersionedDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, base: String, keep: Set[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val versioned = name == base || (name.startsWith(s"${base}_v") &&
+        name.stripPrefix(s"${base}_v").forall(_.isDigit))
+      if (st.isDirectory && versioned && !keep.contains(name)) {
+        try fs.delete(st.getPath, true) catch { case _: Throwable => }
+      }
+    }
   }
 
   /** Open a persisted band index: the one-row meta is read to the
@@ -302,6 +339,21 @@ object Dedup {
     // collect sweep stays in force for everything else in this file)
     val metaDf = spark.read.parquet(s"$path/meta")
     val meta = metaDf.head()
+    // follow the bands_dir pointer (pre-r13 artifacts carry none: the
+    // unversioned "bands" dir). If the pointed dir vanished under us —
+    // a compaction pruned it between our meta read and this open —
+    // one meta re-read lands on the current version.
+    def dirOf(m: org.apache.spark.sql.Row, df: DataFrame): String =
+      if (df.schema.fieldNames.contains("bands_dir")) m.getAs[String]("bands_dir")
+      else "bands"
+    val bandsDir = dirOf(meta, metaDf)
+    val bandsDf =
+      try spark.read.parquet(s"$path/$bandsDir")
+      catch {
+        case _: Throwable =>
+          val refreshed = spark.read.parquet(s"$path/meta")
+          spark.read.parquet(s"$path/${dirOf(refreshed.head(), refreshed)}")
+      }
     new OpenedBandIndex(
       meta.getAs[Int]("shingle_size"),
       meta.getAs[Int]("bands"),
@@ -309,7 +361,8 @@ object Dedup {
       meta.getAs[Int]("max_band_df"),
       // pre-r12 artifacts carry no appends column — read as fresh
       if (metaDf.schema.fieldNames.contains("appends")) meta.getAs[Int]("appends") else 0,
-      spark.read.parquet(s"$path/bands"))
+      bandsDir,
+      bandsDf)
   }
 
   /** Full near-dup pipeline: MinHash-LSH candidate generation verified

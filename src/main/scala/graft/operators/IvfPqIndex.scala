@@ -182,7 +182,29 @@ object IvfPqIndex {
       cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
     }.toSeq.toDF("j", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCodesMeta(spark, path, "codes")
+    // a rebuild over a previously-compacted artifact resets the
+    // pointer — drop the now-orphaned version dirs
+    Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set("codes"))
   }
+
+  /** One-row pointer artifact naming the live codes directory — the
+    * versioned-compaction swap target (see [[compactIndex]]).
+    */
+  private def writeCodesMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, codesDir: String): Unit = {
+    import spark.implicits._
+    Seq(codesDir).toDF("codes_dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Resolve the live codes dir: follow the meta pointer when present
+    * (pre-r13 artifacts have none — the unversioned "codes" dir).
+    */
+  private def currentCodesDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    try spark.read.parquet(s"$path/meta").head().getAs[String]("codes_dir")
+    catch { case _: Throwable => "codes" }
 
   /** A persisted index opened for probing: no training, no access to
     * the raw corpus — [[topK]] reads nothing but the artifacts.
@@ -190,6 +212,7 @@ object IvfPqIndex {
   final class OpenedIndex(
       val centroids: Array[Array[Double]],
       val codebooks: Array[Array[Array[Double]]],
+      val codesDir: String,
       val codes: DataFrame) {
 
     def topK(queries: DataFrame, idCol: String, vecCol: String,
@@ -228,7 +251,17 @@ object IvfPqIndex {
     val codebooks = Array.tabulate(m) { j =>
       cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
     }
-    new OpenedIndex(cents, codebooks, spark.read.parquet(s"$path/codes"))
+    val codesDir = currentCodesDir(spark, path)
+    val codesDf =
+      try spark.read.parquet(s"$path/$codesDir")
+      catch {
+        // the pointed dir was pruned between our meta read and this
+        // open (a racing compaction) — one re-read lands on the
+        // current version
+        case _: Throwable =>
+          spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
+      }
+    new OpenedIndex(cents, codebooks, codesDir, codesDf)
   }
 
   /** Incremental index maintenance: encode NEW vectors with the
@@ -246,7 +279,7 @@ object IvfPqIndex {
       path: String): Unit = {
     val opened = openIndex(newRows.sparkSession, path)
     encodeCorpus(newRows, idCol, vecCol, opened.centroids, opened.codebooks)
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(s"$path/${opened.codesDir}")
   }
 
   /** Compact the codes artifact — the maintenance companion of
@@ -254,25 +287,24 @@ object IvfPqIndex {
     * set per batch (and a replay that slipped past a sink guard can
     * double-write rows). Compaction rewrites `path/codes` as
     * `targetFiles` files with exact-duplicate rows dropped, through a
-    * sibling directory + rename so a concurrent open never reads a
-    * half-written artifact. Quantizers are untouched and the codes SET
+    * versioned sibling directory + meta-pointer flip so a concurrent
+    * open sees either the old or the new artifact, never ENOENT. Quantizers are untouched and the codes SET
     * is unchanged, so probe results are identical — this is a
     * file-layout operation, the FAISS-side analogue of parquet small-
     * file compaction.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 32): Unit = {
-    val tmp = s"$path/codes_compacting"
-    spark.read.parquet(s"$path/codes").distinct()
+    val curDir = currentCodesDir(spark, path)
+    val nextDir = Dedup.nextVersionedDir("codes", curDir)
+    spark.read.parquet(s"$path/$curDir").distinct()
       .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = codesPath.getFileSystem(hconf)
-    fs.delete(codesPath, true)
-    if (!fs.rename(tmpPath, codesPath))
-      throw new java.io.IOException(s"compaction rename failed for $path/codes")
+      .write.mode("overwrite").parquet(s"$path/$nextDir")
+    // flip the pointer, then prune versions older than the previous
+    // one — an open racing the compaction resolves to either artifact,
+    // both of which exist (no delete-then-rename ENOENT window)
+    writeCodesMeta(spark, path, nextDir)
+    Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set(curDir, nextDir))
   }
 
   /** Recall audit — the DETECTION half of [[appendToIndex]]'s drift

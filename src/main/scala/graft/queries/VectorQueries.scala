@@ -226,7 +226,7 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = ivfCentroids(e, dir)
       val rcb = residualCodebooks(e, dir)
-      val opened = new graft.operators.IvfPqIndex.OpenedIndex(cents, rcb,
+      val opened = new graft.operators.IvfPqIndex.OpenedIndex(cents, rcb, "codes",
         graft.operators.IvfPqIndex.encodeCorpus(e, "vec_id", "embedding", cents, rcb))
       graft.operators.IvfPqIndex.recallAudit(opened, e, q, "vec_id", "embedding",
         k = 5, nProbe = N_PROBE)

@@ -534,4 +534,48 @@ class SimilaritySearchSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("compaction swap is visible-atomic: versioned dirs + meta pointer, no ENOENT window") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandidx-swap").toString
+    try {
+      Dedup.buildBandIndex(docs, "doc_id", "text", path, maxBandDf = 2)
+      // a reader that resolved the pointer BEFORE the compaction…
+      val before = Dedup.openBandIndex(spark, path)
+      assert(before.bandsDir == "bands")
+      Dedup.compactBandIndex(spark, path)
+      // …keeps a live directory: the previous version survives one cycle
+      assert(before.index.count() > 0,
+        "pre-compaction reader must stay readable after the swap")
+      assert(new java.io.File(s"$path/bands").isDirectory)
+      val after = Dedup.openBandIndex(spark, path)
+      assert(after.bandsDir == "bands_v1", after.bandsDir)
+      // an open issued between flip and prune (emulated: both dirs on
+      // disk right now) succeeds and probes identically
+      assert(after.index.collect().toSet == before.index.collect().toSet)
+      // second cycle prunes only the OLDEST version
+      Dedup.compactBandIndex(spark, path)
+      val after2 = Dedup.openBandIndex(spark, path)
+      assert(after2.bandsDir == "bands_v2", after2.bandsDir)
+      assert(!new java.io.File(s"$path/bands").exists(),
+        "versions older than the previous one are pruned")
+      assert(new java.io.File(s"$path/bands_v1").isDirectory,
+        "the previous version must be retained")
+      // appends land in the POINTED dir and stay probeable
+      Dedup.appendToBandIndex(
+        Seq((7L, "iota kappa lambda mu")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+      val withAppend = Dedup.openBandIndex(spark.newSession(), path)
+      assert(withAppend.appends == 1 && withAppend.bandsDir == "bands_v2")
+      val hits = withAppend.collisions(
+          Seq((100L, "iota kappa lambda mu")).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((100L, 7L)), s"append into the pointed dir must be probeable: $hits")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

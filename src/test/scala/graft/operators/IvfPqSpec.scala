@@ -186,9 +186,24 @@ class IvfPqSpec extends AnyFunSuite {
         after.centroids, after.codebooks)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
     assert(got == want, "compaction must keep each encoded row exactly once")
-    val files = new java.io.File(s"$path/codes").listFiles()
+    val files = new java.io.File(s"$path/${after.codesDir}").listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(files <= 4, s"compaction must bound the file count, got $files")
+    // versioned swap: the pointer moved off the original dir, and the
+    // PREVIOUS version is retained for readers that resolved the old
+    // pointer just before the flip
+    assert(after.codesDir == "codes_v1", after.codesDir)
+    assert(new java.io.File(s"$path/codes").isDirectory,
+      "previous version must survive one compaction cycle")
+    assert(before.codes.count() > 0,
+      "an index opened BEFORE the compaction must stay readable")
+    // a second compaction prunes the oldest version only
+    IvfPqIndex.compactIndex(spark, path, targetFiles = 4)
+    val after2 = IvfPqIndex.openIndex(spark, path)
+    assert(after2.codesDir == "codes_v2", after2.codesDir)
+    assert(!new java.io.File(s"$path/codes").exists(),
+      "versions older than the previous one are pruned")
+    assert(new java.io.File(s"$path/codes_v1").isDirectory)
     // probes against the compacted artifact still see both halves
     val q = emb.filter(col("vec_id") < 4)
     val hits = after.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)

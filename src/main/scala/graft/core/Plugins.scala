@@ -76,6 +76,12 @@ final class FileSessionConfAdvisor(
     loaded
   }
 
+  /** Drop every cached profile so the next session re-reads the files
+    * (the admin refresh endpoint's lever — without it an operator's
+    * profile edit waits out `reloadIntervalMs`).
+    */
+  def invalidateCache(): Unit = cache.clear()
+
   override def confOverlay(user: String,
       sessionConf: Map[String, String]): Map[String, String] =
     sessionConf.get("graft.session.conf.profile") match {

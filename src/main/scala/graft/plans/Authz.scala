@@ -302,6 +302,17 @@ object AuthzPolicies {
     }
   }
 
+  /** Operator-triggered reload regardless of mtime (the admin refresh
+    * endpoint): an edit landing within the mtime granularity — or an
+    * operator who cannot wait out the sync interval — still gets a
+    * definite reload. Same fail-closed-to-last-good contract as
+    * [[syncFile]].
+    */
+  def forceSyncFile(path: java.nio.file.Path): Boolean = {
+    syncedMtime = -1L
+    syncFile(path)
+  }
+
   /** Arm a periodic file sync on the shared scheduler. The initial sync
     * runs inline so policies are in force before any session opens — and
     * it THROWS on a malformed document: starting with an empty store is

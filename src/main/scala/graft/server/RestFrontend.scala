@@ -38,7 +38,21 @@ import graft.core.{Engine, EngineSession, Events, ExecuteStatement, Metrics, Ope
 class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] = None,
     // Per-user cap on LIVE (non-terminal) batches (reference
     // kyuubi.server.limit.batch.connections.per.user); 0 = unlimited.
-    maxBatchesPerUser: Int = 0) {
+    maxBatchesPerUser: Int = 0,
+    // Admin hot-refresh surface (reference AdminResource.scala:55-75:
+    // POST /admin/refresh/{hadoop_conf, user_defaults_conf, …} gated on
+    // kyuubi.server.administrators). Identities come from HTTP Basic
+    // auth — validated against `restAuth` when configured, asserted
+    // otherwise (matching the rest of this dev surface).
+    adminUsers: Set[String] = Set.empty,
+    restAuth: Option[AuthenticationProvider] = None,
+    // Refresh targets: the authz policy file (forced re-sync), the
+    // session-conf profile advisors (cache invalidation), and the
+    // Thrift limiter's deny list re-read from a file.
+    authzPolicyFile: Option[java.nio.file.Path] = None,
+    confAdvisors: Seq[graft.core.SessionConfAdvisor] = Nil,
+    thriftLimiter: Option[SessionLimiter] = None,
+    denyUsersFile: Option[java.nio.file.Path] = None) {
 
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(8))
@@ -601,6 +615,52 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           case None => reply(ex, 400, """{"error": "missing space"}""")
         }
 
+      // Operator-triggered hot refresh (reference AdminResource
+      // .scala:55-75): the interval reloads keep running, but an
+      // operator who just edited a policy/profile/deny file gets the
+      // change enforced NOW instead of at the next tick. Gated on the
+      // admin identity; non-admin gets 403, missing identity 401.
+      case ("POST", "admin" :: "refresh" :: what :: Nil) =>
+        adminIdentity(ex) match {
+          case None =>
+            reply(ex, 401, """{"error": "admin refresh requires an authenticated identity"}""")
+          case Some(u) if !adminUsers.contains(u) =>
+            reply(ex, 403, s"""{"error": ${q(s"user $u is not an administrator")}}""")
+          case Some(_) => what match {
+            case "authz_policies" => authzPolicyFile match {
+              case None => reply(ex, 400, """{"error": "no authz policy file configured"}""")
+              case Some(p) =>
+                if (graft.plans.AuthzPolicies.forceSyncFile(p))
+                  reply(ex, 200, """{"refreshed": "authz_policies"}""")
+                else
+                  reply(ex, 500,
+                    """{"error": "policy reload failed; last good set stays in force"}""")
+            }
+            case "session_conf_profiles" =>
+              val n = confAdvisors.count {
+                case f: graft.core.FileSessionConfAdvisor => f.invalidateCache(); true
+                case _ => false
+              }
+              reply(ex, 200, s"""{"refreshed": "session_conf_profiles", "advisors": $n}""")
+            case "deny_users" => (thriftLimiter, denyUsersFile) match {
+              case (Some(l), Some(f)) =>
+                val users =
+                  if (!java.nio.file.Files.isReadable(f)) Set.empty[String]
+                  else {
+                    import scala.jdk.CollectionConverters._
+                    java.nio.file.Files.readAllLines(f).asScala
+                      .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#")).toSet
+                  }
+                l.setDenyUsers(users)
+                reply(ex, 200, s"""{"refreshed": "deny_users", "count": ${users.size}}""")
+              case _ =>
+                reply(ex, 400, """{"error": "no limiter/deny file configured"}""")
+            }
+            case other =>
+              reply(ex, 404, s"""{"error": ${q(s"unknown refresh target: $other")}}""")
+          }
+        }
+
       case _ => reply(ex, 404, """{"error": "not found"}""")
     }
   }
@@ -935,6 +995,29 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
       .find(_.startsWith(s"$name=")).map(_.stripPrefix(s"$name="))
+
+  /** Identity for the admin verbs: HTTP Basic credentials, validated
+    * against `restAuth` when one is configured, asserted otherwise.
+    */
+  private def adminIdentity(ex: HttpExchange): Option[String] = {
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!h.startsWith("Basic ")) None
+    else try {
+      val decoded = new String(
+        java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
+        StandardCharsets.UTF_8)
+      val i = decoded.indexOf(':')
+      if (i < 0) None
+      else {
+        val user = decoded.take(i)
+        val pass = decoded.drop(i + 1)
+        restAuth match {
+          case Some(a) => Some(a.authenticate(user, pass))
+          case None => Some(user)
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
 
   private def withSession(ex: HttpExchange, sid: String)(f: EngineSession => Unit): Unit =
     engine.session(sid) match {

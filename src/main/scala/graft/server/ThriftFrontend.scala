@@ -44,7 +44,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     proxyPrivileged: Set[String] = Set.empty,
     // Per-user live-connection cap (reference
     // kyuubi.server.limit.connections.per.user); 0 = unlimited.
-    maxConnectionsPerUser: Int = 0) {
+    maxConnectionsPerUser: Int = 0,
+    // The rest of the reference limiter family
+    // (KyuubiConf.scala:3487-3529): per client IP, per user:IP pair,
+    // plus the unlimited (bypass caps) and deny (reject always, beats
+    // unlimited) user lists. Deny/unlimited hot-swap via `limiter`.
+    maxConnectionsPerIp: Int = 0,
+    maxConnectionsPerUserIp: Int = 0,
+    unlimitedUsers: Set[String] = Set.empty,
+    denyUsers: Set[String] = Set.empty) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -82,12 +90,22 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
   // session user — otherwise a proxy-privileged account could dodge its
   // own quota by spreading sessions across impersonation targets.
   private val realUserBySession = new ConcurrentHashMap[String, String]()
-  private val connCountByUser =
-    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  // Client IP the session's open arrived from (the limiter's second
+  // dimension); decrement needs the exact admission key pair.
+  private val connIpBySession = new ConcurrentHashMap[String, String]()
+
+  /** The connection limiter — exposed so the admin surface can
+    * hot-refresh its deny/unlimited lists without a restart.
+    */
+  val limiter: SessionLimiter = new SessionLimiter(
+    userLimit = maxConnectionsPerUser, ipLimit = maxConnectionsPerIp,
+    userIpLimit = maxConnectionsPerUserIp,
+    initialUnlimitedUsers = unlimitedUsers, initialDenyUsers = denyUsers)
 
   private def releaseConnection(sid: String): Unit =
     Option(realUserBySession.remove(sid)).foreach { u =>
-      connCountByUser.computeIfPresent(u, (_, c) => { c.decrementAndGet(); c })
+      val ip = Option(connIpBySession.remove(sid)).getOrElse("")
+      limiter.decrement(u, ip)
     }
   // Negotiated protocol per session: clients below V6 (old Hive JDBC
   // drivers) must get row-based TRowSets, not TColumn pages
@@ -367,7 +385,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       val resp = new TOpenSessionResp()
       // set once the limiter slot is taken but no session owns it yet —
       // a failure in between must give the slot back
-      var unownedSlot: Option[String] = None
+      var unownedSlot: Option[(String, String)] = None
       try {
         // With SASL, the identity the transport PROVED wins over the
         // request body's username (reference KyuubiTBinaryFrontendService
@@ -375,20 +393,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         val realUser = PlainSasl.authenticatedUser
           .orElse(Option(req.getUsername).filter(_.nonEmpty))
           .getOrElse("anonymous")
-        // Per-user connection limit on the PROVED identity (reference
-        // kyuubi.server.limit.connections.per.user, SessionLimiter):
-        // the (N+1)th concurrent open is rejected before any engine work.
-        if (maxConnectionsPerUser > 0) {
-          val c = connCountByUser.computeIfAbsent(
-            realUser, _ => new java.util.concurrent.atomic.AtomicInteger)
-          if (c.incrementAndGet() > maxConnectionsPerUser) {
-            c.decrementAndGet()
-            throw new IllegalStateException(
-              s"Connection limit per user reached (user: $realUser, " +
-                s"limit: $maxConnectionsPerUser)")
-          }
-          unownedSlot = Some(realUser)
-        }
+        // Connection limits on the PROVED identity + the socket's
+        // remote address (reference SessionLimiter over
+        // kyuubi.server.limit.connections.{per.user, per.ipaddress,
+        // per.user.ipaddress} + unlimited/deny lists): the (N+1)th
+        // concurrent open — or any open by a denied user — is rejected
+        // before any engine work, atomically (increment-then-check).
+        val clientIp = ClientIp.current.getOrElse("")
+        limiter.increment(realUser, clientIp)
+        unownedSlot = Some((realUser, clientIp))
         // Client conf in arrival order, then SessionConfAdvisor
         // overlays (overwrite-in-place, new keys append — reference
         // KyuubiSession applies kyuubi.session.conf.advisor overlays
@@ -428,6 +441,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         val sess = engine.openSession(user, clientConf.toMap)
         sessions.put(sess.id, sess)
         realUserBySession.put(sess.id, realUser)
+        connIpBySession.put(sess.id, clientIp)
         unownedSlot = None // the close/reap paths release it from here on
         // Impersonation leaves an audit trail: the session's OPENED
         // event carries the proxy TARGET, this one records WHO invoked
@@ -502,9 +516,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       } catch { case e: Throwable =>
         // give back a limiter slot no session came to own (failures
         // after openSession release through the close/reap paths)
-        unownedSlot.foreach { u =>
-          connCountByUser.computeIfPresent(u, (_, c) => { c.decrementAndGet(); c })
-        }
+        unownedSlot.foreach { case (u, ip) => limiter.decrement(u, ip) }
         resp.setStatus(err(e))
       }
       resp
@@ -918,6 +930,22 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       .protocolFactory(new TBinaryProtocol.Factory())
       .minWorkerThreads(2)
       .maxWorkerThreads(32))
+
+  // Capture each connection's remote address on its worker thread
+  // before requests are processed (Hive's TSetIpAddressProcessor
+  // pattern) — feeds the per-IP / per-user:IP connection limits.
+  server.setServerEventHandler(new org.apache.thrift.server.TServerEventHandler {
+    override def preServe(): Unit = ()
+    override def createContext(input: org.apache.thrift.protocol.TProtocol,
+        output: org.apache.thrift.protocol.TProtocol): org.apache.thrift.server.ServerContext = null
+    override def deleteContext(ctx: org.apache.thrift.server.ServerContext,
+        input: org.apache.thrift.protocol.TProtocol,
+        output: org.apache.thrift.protocol.TProtocol): Unit = ClientIp.clear()
+    override def processContext(ctx: org.apache.thrift.server.ServerContext,
+        in: org.apache.thrift.transport.TTransport,
+        out: org.apache.thrift.transport.TTransport): Unit =
+      ClientIp.set(ClientIp.remoteIp(in))
+  })
 
   private val serverThread = new Thread(() => server.serve(), s"graft-thrift-$boundPort")
   serverThread.setDaemon(true)

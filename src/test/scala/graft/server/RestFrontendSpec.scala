@@ -175,6 +175,66 @@ class RestFrontendSpec extends AnyFunSuite {
     } finally front.stop()
   }
 
+  test("admin refresh: policy edit enforced immediately; non-admin 403; deny users + profiles") {
+    import java.nio.file.Files
+    import graft.plans.AuthzPolicies
+    val policyFile = Files.createTempFile("admin_refresh_authz", ".json")
+    val denyFile = Files.createTempFile("admin_refresh_deny", ".txt")
+    Files.write(policyFile,
+      """{"accessPolicies": [{"table": "admin_refresh_t", "allowed": ["alice"]}]}""".getBytes("UTF-8"))
+    val limiter = new SessionLimiter()
+    val advisor = new graft.core.FileSessionConfAdvisor(Some("/nonexistent-conf-dir"))
+    val front = new RestFrontend(new Engine(spark), port = 0,
+      adminUsers = Set("root"),
+      authzPolicyFile = Some(policyFile),
+      confAdvisors = Seq(advisor),
+      thriftLimiter = Some(limiter),
+      denyUsersFile = Some(denyFile))
+    val port = front.start()
+    try {
+      val base = s"http://localhost:$port/api/v1"
+      val c = HttpClient.newHttpClient()
+      def postAuth(url: String, user: String): (Int, String) = {
+        val cred = java.util.Base64.getEncoder.encodeToString(s"$user:x".getBytes("UTF-8"))
+        val r = c.send(HttpRequest.newBuilder(URI.create(url))
+          .header("Authorization", s"Basic $cred")
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // no identity → 401; non-admin → 403
+      assert(post(c, s"$base/admin/refresh/authz_policies", "")._1 == 401)
+      assert(postAuth(s"$base/admin/refresh/authz_policies", "mallory")._1 == 403)
+      // admin refresh loads the file NOW
+      assert(postAuth(s"$base/admin/refresh/authz_policies", "root")._1 == 200)
+      assert(AuthzPolicies.decideAccess("alice", Set.empty, "admin_refresh_t"))
+      assert(!AuthzPolicies.decideAccess("bob", Set.empty, "admin_refresh_t"))
+      // edit + refresh → enforced immediately, no interval wait, even
+      // when the rewrite lands inside the mtime granularity
+      Files.write(policyFile,
+        """{"accessPolicies": [{"table": "admin_refresh_t", "allowed": ["bob"]}]}""".getBytes("UTF-8"))
+      assert(postAuth(s"$base/admin/refresh/authz_policies", "root")._1 == 200)
+      assert(AuthzPolicies.decideAccess("bob", Set.empty, "admin_refresh_t"),
+        "edited policy must be in force right after the refresh call")
+      assert(!AuthzPolicies.decideAccess("alice", Set.empty, "admin_refresh_t"))
+      // deny-list re-read lands in the live limiter
+      Files.write(denyFile, "badguy\n# a comment\n\n".getBytes("UTF-8"))
+      val (dc, dbody) = postAuth(s"$base/admin/refresh/deny_users", "root")
+      assert(dc == 200 && dbody.contains("\"count\": 1"), s"$dc $dbody")
+      assert(limiter.getDenyUsers == Set("badguy"))
+      // profile-cache invalidation reports the file advisors it cleared
+      val (pc, pbody) = postAuth(s"$base/admin/refresh/session_conf_profiles", "root")
+      assert(pc == 200 && pbody.contains("\"advisors\": 1"), s"$pc $pbody")
+      // unknown refresh target
+      assert(postAuth(s"$base/admin/refresh/nonsense", "root")._1 == 404)
+    } finally {
+      front.stop()
+      AuthzPolicies.loadJson("{}") // restore the empty global store
+      Files.deleteIfExists(policyFile)
+      Files.deleteIfExists(denyFile)
+    }
+  }
+
   test("batch submission is fire-and-forget with state polling") {
     withServer { (c, base) =>
       val (bc, bbody) = post(c, s"$base/batches", """{"sql": "SELECT count(*) FROM range(100000)"}""")

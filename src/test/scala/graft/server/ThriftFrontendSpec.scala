@@ -673,4 +673,70 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       c2.close()
     } finally fe.stop()
   }
+
+  test("connection-limit family: deny list, unlimited list, per-IP cap") {
+    // reference KyuubiConf.scala:3487-3529 +
+    // SessionLimiterWithAccessControlListImpl: deny rejects always,
+    // unlimited bypasses every cap, the per-IP cap counts across users.
+    val fe = new ThriftFrontend(engine,
+      maxConnectionsPerUser = 1,
+      maxConnectionsPerIp = 3,
+      unlimitedUsers = Set("svc"),
+      denyUsers = Set("badguy")).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/;auth=noSasl"
+      // denied user rejected at open, reference error shape
+      val e = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "badguy", "")
+      }
+      assert(e.getMessage.contains("deny user list"), e.getMessage)
+      // unlimited user bypasses the per-user cap (4 concurrent vs 1)
+      // and does not eat per-IP headroom
+      val svc = (1 to 4).map(_ => DriverManager.getConnection(u, "svc", ""))
+      // per-IP cap: three distinct users from 127.0.0.1 fill it…
+      val a = DriverManager.getConnection(u, "ip1", "")
+      val b = DriverManager.getConnection(u, "ip2", "")
+      val c = DriverManager.getConnection(u, "ip3", "")
+      val e2 = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "ip4", "")
+      }
+      assert(e2.getMessage.contains("per ipaddress"), e2.getMessage)
+      // …and a close frees one IP slot for the next user
+      a.close()
+      DriverManager.getConnection(u, "ip4", "").close()
+      b.close(); c.close(); svc.foreach(_.close())
+    } finally fe.stop()
+  }
+
+  test("per-user:IP cap is keyed on the pair, not either dimension alone") {
+    val fe = new ThriftFrontend(engine, maxConnectionsPerUserIp = 1).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/;auth=noSasl"
+      val c1 = DriverManager.getConnection(u, "erin", "")
+      val e = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "erin", "")
+      }
+      assert(e.getMessage.contains("user:ipaddress"), e.getMessage)
+      // a different user from the SAME address is unaffected
+      DriverManager.getConnection(u, "fred", "").close()
+      c1.close()
+      // erin's pair freed → admitted again
+      DriverManager.getConnection(u, "erin", "").close()
+    } finally fe.stop()
+  }
+
+  test("deny list hot-swap takes effect without a restart") {
+    val fe = new ThriftFrontend(engine).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/;auth=noSasl"
+      DriverManager.getConnection(u, "gwen", "").close()
+      fe.limiter.setDenyUsers(Set("gwen"))
+      val e = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "gwen", "")
+      }
+      assert(e.getMessage.contains("deny user list"), e.getMessage)
+      fe.limiter.setDenyUsers(Set.empty)
+      DriverManager.getConnection(u, "gwen", "").close()
+    } finally fe.stop()
+  }
 }

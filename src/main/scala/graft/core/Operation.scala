@@ -4,7 +4,7 @@ import java.util.UUID
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
 
 import scala.concurrent.{ExecutionContext, Future, Promise}
-import scala.util.{Failure, Success, Try}
+import scala.util.{Failure, Success}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -160,7 +160,19 @@ abstract class Operation(val session: EngineSession) {
     Future {
       execThread = Thread.currentThread()
       setState(OperationState.Running)
-      val outcome = Try(withJobGroup(runInternal()))
+      // NOT scala.util.Try: Try catches only NonFatal, and an
+      // InterruptedException — exactly what the cancel/timeout paths
+      // deliver to this thread — would blow straight through it,
+      // skipping both the interrupt-flag clear below and the terminal
+      // transition. The operation would then sit in RUNNING forever
+      // with no thread executing it (clients poll an op that cannot
+      // finish), and the pooled thread's poisoned flag would wedge the
+      // NEXT operation the same way (observed: a cancelled statement's
+      // interrupt left the following query-timeout test polling
+      // GetOperationStatus in a busy loop for 10+ minutes).
+      val outcome =
+        try { withJobGroup(runInternal()); Success(()) }
+        catch { case t: Throwable => Failure(t) }
       // release the thread ref and clear any interrupt leftover from a
       // racing cancel BEFORE the pooled thread returns to the executor —
       // a poisoned interrupt flag would abort the pool's next task.

@@ -97,4 +97,39 @@ class ConcurrencySpec extends AnyFunSuite {
       opPool.shutdown()
     }
   }
+
+  test("a mid-run interrupt cannot leave the op RUNNING or wedge the next op") {
+    // Regression: scala.util.Try catches only NonFatal, so a cancel's
+    // InterruptedException escaping runInternal used to blow through
+    // the run() epilogue — skipping the interrupt-flag clear AND the
+    // execThread release. The op could sit non-terminal forever
+    // (clients polling an op no thread executes) and the pooled
+    // thread, still referenced by the dead op's execThread, could be
+    // interrupted AGAIN while running the NEXT operation. run() now
+    // catches Throwable, so the epilogue is unconditional.
+    val engine = new Engine(spark)
+    val sess = engine.openSession("interrupter")
+    val opPool = Executors.newSingleThreadExecutor()
+    val opEc: ExecutionContext = ExecutionContext.fromExecutor(opPool)
+    try {
+      val op = sess.executeStatement(
+        "SELECT count(*) FROM range(1000000000) a CROSS JOIN range(1000) b")(opEc)
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!Set[OperationState](OperationState.Running, OperationState.Compiled)
+          .contains(op.currentState) && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      op.cancel() // cancels the job group AND interrupts the exec thread
+      val st = op.awaitTermination(60000)
+      assert(st.terminal, s"interrupted op must reach a terminal state, got $st")
+      // the same pooled thread must run the next operation cleanly —
+      // before the fix it could be wedged by the leftover interrupt
+      val op2 = sess.executeStatement("SELECT 7 AS v")(opEc)
+      assert(op2.awaitTermination(60000) == OperationState.Finished,
+        s"next op on the pool must finish: ${op2.currentState} ${op2.exception}")
+      assert(op2.fetchIterator.next().getInt(0) == 7)
+    } finally {
+      engine.closeSession(sess.id)
+      opPool.shutdown()
+    }
+  }
 }

@@ -468,6 +468,98 @@ object Streams {
       }
       .start()
 
+  /** Mean recall@k of the persisted index at `path` against the raw
+    * vectors at `corpusPath` for a bounded query sample — the number
+    * the audit loop alarms on. One row crosses the driver (the
+    * summed hit/k counters), everything else is the recallAudit plan:
+    * sample broadcasts both ways, the corpus never shuffles.
+    */
+  def auditMeanRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusPath: String, sampleQueries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): Double = {
+    val opened = graft.operators.IvfPqIndex.openIndex(spark, path)
+    val corpus = spark.read.parquet(corpusPath)
+    val agg = graft.operators.IvfPqIndex
+      .recallAudit(opened, corpus, sampleQueries, idCol, vecCol, k, nProbe)
+      .agg(sum(col("n_hits")).as("hits"), sum(col("k")).as("ks"))
+      .head()
+    val ks = agg.getLong(1)
+    if (ks == 0L) 1.0 else agg.getLong(0).toDouble / ks
+  }
+
+  /** One micro-batch of the AUDITED maintenance loop — public so the
+    * replay shape is directly testable: a replayed batch id neither
+    * double-appends nor re-posts its audit event.
+    *
+    * Order of operations inside the idempotency guard: (1) append the
+    * new vectors' PQ codes to the index, (2) append the raw vectors to
+    * `corpusPath` (the audit's exact-side ground truth must grow with
+    * the index, or decayed entries would be invisible to it), (3) mark
+    * the batch applied, (4) measure recall@k with a bounded sample OF
+    * THE WAVE ITSELF as the query set — the freshest ingest is exactly
+    * where quantizer drift lives; a fixed in-distribution probe set
+    * would stay healthy while drifted entries decay (proven in
+    * IvfPqSpec) — and post an [[graft.core.Events.IndexAuditEvent]]
+    * with `alarm` set when recall fell below `alarmBelow`. A crash
+    * between (1) and (3) is the documented foreachBatch at-least-once
+    * residue; compactIndex drops the duplicates a replay could leave.
+    */
+  def auditedIvfPqBatch(batch: DataFrame, batchId: Long, path: String,
+      corpusPath: String, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, alarmBelow: Double, baseline: Double,
+      auditSample: Int = 64, streamId: String = "default"): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      graft.operators.IvfPqIndex.appendToIndex(batch, idCol, vecCol, path)
+      batch.select(col(idCol), col(vecCol))
+        .write.mode("append").parquet(corpusPath)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+      val recall = auditMeanRecall(batch.sparkSession, path, corpusPath,
+        batch.select(col(idCol), col(vecCol)).limit(auditSample),
+        idCol, vecCol, k, nProbe)
+      graft.core.Events.post(graft.core.Events.IndexAuditEvent(
+        path, streamId, batchId, recall, baseline, k, nProbe,
+        alarm = recall < alarmBelow, ts = System.currentTimeMillis()))
+    }
+  }
+
+  /** The streaming recall-audit loop — [[ivfPqAppendStream]] composed
+    * with a per-wave [[graft.operators.IvfPqIndex.recallAudit]] whose
+    * report lands on the Events bus: appends freeze the quantizers
+    * (FAISS add() semantics), so continuous ingest is exactly where
+    * drift accumulates, and this loop DETECTS the drift it ingested
+    * instead of letting search quality decay silently. Each wave is
+    * audited with a bounded sample of its own vectors as queries; the
+    * build-time baseline (the same audit over a sample of the
+    * pre-ingest corpus) is measured once before the stream starts and
+    * rides along in every event, so an operator's alert rule can be
+    * absolute (`alarm`, recall < `alarmBelow`) or relative (recall vs
+    * `baseline`).
+    *
+    * Scale shape: the audit costs one map-side corpus pass per wave
+    * with the bounded (≤ `auditSample`) query set broadcast both ways
+    * — for small frequent micro-batches, widen the trigger interval
+    * rather than auditing per-record.
+    */
+  def auditedIvfPqAppendStream(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, corpusPath: String,
+      k: Int, nProbe: Int, alarmBelow: Double, auditSample: Int = 64,
+      streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val baseline = auditMeanRecall(spark, path, corpusPath,
+      spark.read.parquet(corpusPath)
+        .select(col(idCol), col(vecCol)).limit(auditSample),
+      idCol, vecCol, k, nProbe)
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        auditedIvfPqBatch(batch, batchId, path, corpusPath, idCol, vecCol,
+          k, nProbe, alarmBelow, baseline, auditSample, streamId)
+      }
+      .start()
+  }
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

@@ -557,4 +557,91 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("streaming recall-audit loop: a drifted append wave raises an alarm event") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Events
+    import graft.operators.IvfPqIndex
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val build = emb.filter(col("vec_id") % 2 === 0)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq-audit-loop")
+    val path = s"$root/index"
+    val corpusPath = s"$root/corpus"
+    val events = scala.collection.mutable.ArrayBuffer.empty[Events.IndexAuditEvent]
+    val handler = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = e match {
+        case a: Events.IndexAuditEvent => events.synchronized { events += a }
+        case _ =>
+      }
+    }
+    Events.register(handler)
+    try {
+      IvfPqIndex.buildIndex(build, "vec_id", "embedding", path,
+        dim = 64, m = 8, k = 16, nLists = 8)
+      build.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(corpusPath)
+      val baseline = Streams.auditMeanRecall(spark, path, corpusPath,
+        spark.read.parquet(corpusPath).limit(64), "vec_id", "embedding",
+        k = 5, nProbe = 3)
+
+      // wave 1: IN-distribution vectors (the held-out half) — healthy;
+      // wave 2: the IvfPqSpec drift shape (a huge dim-0 offset crowds
+      // every vector into one list while the signal is compressed 20×,
+      // so the frozen quantizers can no longer rank them)
+      val wave1 = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val wave2 = emb.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(50.0f)).otherwise(x * lit(0.05f)).cast("float"))
+            .as("embedding"))
+        .as[(Long, Array[Float])].collect()
+
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = Streams.auditedIvfPqAppendStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        path, corpusPath, k = 5, nProbe = 3,
+        alarmBelow = baseline - 0.1, streamId = "audit-loop")
+      try {
+        ms.addData(wave1.toSeq: _*)
+        q.processAllAvailable()
+        ms.addData(wave2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = events.synchronized { events.toList }.sortBy(_.batchId)
+      assert(got.size == 2, s"one audit event per applied wave: $got")
+      assert(got.forall(e => e.baseline == baseline && e.k == 5 &&
+        e.streamId == "audit-loop"))
+      val (healthy, drifted) = (got.head, got.last)
+      assert(!healthy.alarm,
+        s"in-distribution wave must not alarm: $healthy (baseline $baseline)")
+      assert(drifted.alarm,
+        s"drifted wave must alarm: $drifted (baseline $baseline)")
+      assert(baseline - drifted.recall > 0.1,
+        s"decay must be measurable: baseline $baseline vs ${drifted.recall}")
+      assert(healthy.recall > drifted.recall, s"$healthy vs $drifted")
+
+      // replay shape: re-delivering an applied batch id neither
+      // double-appends nor re-posts its audit event
+      val before = IvfPqIndex.openIndex(spark, path).codes.count()
+      Streams.auditedIvfPqBatch(
+        emb.filter(col("vec_id") % 2 === 1).select(
+          (col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+        batchId = 1L, path, corpusPath, "vec_id", "embedding",
+        k = 5, nProbe = 3, alarmBelow = baseline - 0.1,
+        baseline = baseline, streamId = "audit-loop")
+      assert(IvfPqIndex.openIndex(spark, path).codes.count() == before,
+        "replayed batch id must not double-append")
+      assert(events.synchronized { events.size } == 2,
+        "replayed batch id must not re-post an audit event")
+    } finally {
+      Events.unregister(handler)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
 }

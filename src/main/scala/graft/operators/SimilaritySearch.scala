@@ -88,6 +88,31 @@ object SimilaritySearch {
       k: Int): DataFrame =
     bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
 
+  /** Range search — every corpus vector within a cosine radius of each
+    * query (FAISS `range_search` semantics): the companion of top-k
+    * when the caller wants "all near things", not "the k nearest" —
+    * semantic dedup sweeps, near-duplicate audits, recall-set
+    * construction. Exact and fully map-side: the bounded query set
+    * broadcasts, each corpus partition emits only its in-radius pairs,
+    * and no ranking shuffle exists at all (unlike top-k there is no
+    * global order to maintain), so the output cost is exactly the
+    * result size. At 100 TB the threshold is the knob: the corpus is
+    * scanned once regardless, and only matches move.
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k: only candidates in the same
     * hyperplane-sign bucket are scored.
     */

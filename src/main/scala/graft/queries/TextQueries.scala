@@ -477,6 +477,60 @@ object TextQueries {
       graft.operators.Dedup.winnowCandidatePairs(
         Tables(s, dir).documents, "doc_id", "text",
         k = 3, window = 4, minShared = 3)
+    },
+
+    // --- Per-doc Shannon entropy of the token distribution, in
+    //     integer micro-nats (H = ln n − Σ c·ln c / n): the
+    //     quality signal TTR misses — a doc repeating two tokens
+    //     50/50 has TTR ≈ 0 AND entropy ≈ ln 2, while "aaa…ab" has
+    //     the same TTR but near-zero entropy. Pure map-side HOF fold;
+    //     the Σ c·ln c term is integer-quantized per distinct token
+    //     (the d37/d52 exactness recipe), so the cross-engine sum is
+    //     associative and the final double division deterministic. ---
+    "d56_token_entropy" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          aggregate(array_distinct(col("t")), lit(0L), (acc, x) => {
+            val c = size(filter(col("t"), y => y === x)).cast("long")
+            acc + c * floor(log(c.cast("double")) * 1000000).cast("long")
+          }).as("sum_clnc_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_clnc_micro"),
+          (floor(log(col("n_tokens").cast("double")) * 1000000).cast("long")
+              .cast("double") -
+            col("sum_clnc_micro").cast("double") /
+              col("n_tokens").cast("double")).as("entropy_micro"))
+    },
+
+    // --- Zipf slope per source: least-squares slope of ln(freq) vs
+    //     ln(rank) over the source's token frequency table (healthy
+    //     natural text sits near −1; machine-generated or templated
+    //     sources drift off). Integer milli-log terms make the five
+    //     regression sums associative and cross-engine exact; the
+    //     slope is one double expression over them. One (source,
+    //     token) shuffle — the table is vocabulary-sized, so the
+    //     per-source rank window is bounded regardless of corpus
+    //     size. ---
+    "d57_zipf_slope" -> { (s, dir) =>
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok").asc)
+      tf.withColumn("rank", row_number().over(w))
+        .select(col("source"),
+          floor(log(col("rank").cast("double")) * 1000).cast("long").as("x"),
+          floor(log(col("cnt").cast("double")) * 1000).cast("long").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("zipf_slope"))
     }
   )
 
@@ -1234,6 +1288,49 @@ object TextQueries {
             FROM fk a JOIN fk b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2)
-          SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3"""
+          SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3""",
+
+    // Mirror of d56: per distinct token, c·⌊ln(c)·1e6⌋ as BIGINT —
+    // associative integer sum, then the identical double expression.
+    "d56_token_entropy" ->
+      s"""WITH base AS (SELECT doc_id, $duckToks AS t FROM documents),
+          terms AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              list_reduce(list_transform(list_distinct(t), x ->
+                CAST(len(list_filter(t, y -> y = x)) AS BIGINT) *
+                CAST(floor(ln(CAST(len(list_filter(t, y -> y = x)) AS DOUBLE))
+                     * 1000000) AS BIGINT)),
+                (a, b) -> a + b) AS sum_clnc_micro
+            FROM base)
+          SELECT doc_id, n_tokens, sum_clnc_micro,
+            CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS DOUBLE)
+              - CAST(sum_clnc_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              AS entropy_micro
+          FROM terms""",
+
+    // Mirror of d57: same rank order (freq desc, token asc), same
+    // integer milli-log regression sums, same final slope expression.
+    "d57_zipf_slope" ->
+      s"""WITH tf AS (
+            SELECT source, tok, count(*) AS cnt FROM (
+              SELECT source, UNNEST($duckToks) AS tok FROM documents)
+            GROUP BY 1, 2),
+          xy AS (
+            SELECT source,
+              CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, tok ASC) AS DOUBLE)) * 1000) AS BIGINT) AS x,
+              CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+            FROM tf),
+          agg AS (
+            SELECT source, count(*) AS n_terms,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy GROUP BY 1)
+          SELECT source, n_terms,
+            CAST(n_terms * sxy - sx * sy AS DOUBLE)
+              / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+          FROM agg"""
   )
 }

@@ -326,6 +326,87 @@ object VectorQueries {
           countDistinct(size(col("embedding"))).as("n_dims_distinct"),
           min(col("vec_id")).as("min_id"),
           max(col("vec_id")).as("max_id"))
+    },
+
+    // --- Range search (FAISS range_search semantics): every corpus
+    //     vector within cosine ≥ 0.25 of each query — "all near
+    //     things", not "the k nearest". Fully map-side: the query set
+    //     broadcasts, no ranking shuffle exists, output cost == result
+    //     size. ---
+    "v23_range_search" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      SimilaritySearch.rangeSearch(e, q, "vec_id", "embedding", minCosine = 0.25)
+    },
+
+    // --- IVF list-balance audit: per-list corpus population and the
+    //     balance factor n·L/total (1.0 = even; ≫1 = a hot list that
+    //     serves most probes — the partition-skew failure mode of a
+    //     100 TB IVF deployment). Assignment is the same map-side
+    //     argmax the index uses; the audit output is L rows. ---
+    "v24_ivf_balance" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = ivfCentroids(e, dir)
+      val perList = e
+        .select(graft.operators.IvfIndex.nearestList(col("embedding"), cents)
+          .as("list_id"))
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+      val total = perList.agg(sum(col("n_vectors")).as("total"))
+      perList.crossJoin(broadcast(total))
+        .select(col("list_id").cast("int").as("list_id"), col("n_vectors"),
+          (col("n_vectors").cast("double") * lit(N_LISTS) /
+            col("total").cast("double")).as("balance"))
+    },
+
+    // --- Nearest-centroid classification: assign every vector to its
+    //     closest per-label centroid and flag agreement with its own
+    //     label (cluster-purity / labeling-QA sweep). Centroids are
+    //     derived from the integer-micro sums (the v03 exactness
+    //     recipe) so both engines build bit-identical centroid
+    //     vectors; the label-sized centroid table broadcasts as one
+    //     scalar row and assignment is a map-side HOF argmax — the
+    //     corpus never shuffles. ---
+    "v25_centroid_assign" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sm"), col("n")))),
+          x => x.getField("sm").cast("double") / x.getField("n").cast("double") /
+            lit(1000000.0)).as("cv"))
+        .agg(collect_list(struct(col("label").as("clabel"), col("cv"))).as("cs"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label").as("own_label"),
+          array_max(transform(col("cs"), c => struct(
+            graft.functions.VectorFunctions.cosine(
+              col("embedding"), c.getField("cv")).as("sim"),
+            c.getField("clabel").as("lbl")))).getField("lbl")
+            .as("assigned_label"))
+        .withColumn("is_own", col("assigned_label") === col("own_label"))
+    },
+
+    // --- PQ codebook-utilization audit: per subspace, how many of the
+    //     K codes the corpus actually uses and how crowded the hottest
+    //     code is — the quantizer-health check (utilization ≪ 1 or one
+    //     dominant code = undertrained/collapsed codebook, recall decay
+    //     before any query notices). Encode is the index's own map-side
+    //     kernel; output is M rows of integers. ---
+    "v26_pq_utilization" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cbs = pqCodebooks(e, dir)
+      e.select(posexplode(graft.operators.PqIndex.encode(col("embedding"), cbs))
+          .as(Seq("j", "code")))
+        .groupBy(col("j"), col("code")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_used"), max(col("cnt")).as("max_code_count"),
+          sum(col("cnt")).as("n_vectors"))
+        .select(col("j"), col("n_used"), col("max_code_count"),
+          col("n_vectors"),
+          (col("n_used").cast("double") / K_CODES).as("utilization"))
     }
   )
 
@@ -801,6 +882,89 @@ object VectorQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM pairs)
-          WHERE rnk <= 5"""
+          WHERE rnk <= 5""",
+
+    // Mirror of v23: the shared cosine fold, thresholded — membership
+    // is exact because the fold is bit-identical in both engines.
+    "v23_range_search" ->
+      s"""SELECT query_id, neighbor_id, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ${duckCosine("q.embedding", "c.embedding")} AS sim
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          WHERE sim >= 0.25""",
+
+    // Mirror of v24: the iasg assignment (cosine argmax, tie -> larger
+    // list id, matching Spark's struct-max) over the dumped centroids.
+    "v24_ivf_balance" ->
+      s"""WITH icents AS (SELECT list_id, centroid
+                          FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+          iasg AS (
+            SELECT vec_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC,
+                           c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN icents c)
+            WHERE r = 1),
+          counts AS (SELECT list_id, count(*) AS n_vectors
+                     FROM iasg GROUP BY list_id)
+          SELECT CAST(list_id AS INT) AS list_id, n_vectors,
+            CAST(n_vectors AS DOUBLE) * $N_LISTS
+              / CAST((SELECT CAST(sum(n_vectors) AS BIGINT) FROM counts)
+                     AS DOUBLE) AS balance
+          FROM counts""",
+
+    // Mirror of v25: integer-micro centroid sums (the v03 recipe), the
+    // identical sm/n/1e6 double build, cosine-argmax assignment with
+    // tie -> larger label (Spark's struct-max).
+    "v25_centroid_assign" ->
+      s"""WITH lsum AS (
+            SELECT label, pos,
+              CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                   AS BIGINT) AS sm,
+              count(*) AS n
+            FROM (SELECT label,
+                    UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                    UNNEST(embedding) AS v
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          lcents AS (
+            SELECT label AS clabel,
+              list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                   ORDER BY pos) AS cv
+            FROM lsum GROUP BY label)
+          SELECT vec_id, own_label, assigned_label,
+                 assigned_label = own_label AS is_own
+          FROM (
+            SELECT e.vec_id, e.label AS own_label, c.clabel AS assigned_label,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.cv")} DESC,
+                         c.clabel DESC) AS r
+            FROM embeddings e CROSS JOIN lcents c)
+          WHERE r = 1""",
+
+    // Mirror of v26: the pqPairsCte asg assignment (argmin-L2, tie ->
+    // larger code) over the dumped codebooks, then pure integer
+    // histogram aggregation.
+    "v26_pq_utilization" ->
+      s"""WITH cb AS (SELECT j, code, centroid
+                      FROM '__VAUX__/pq_codebooks.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id, j, code FROM (
+              SELECT e.vec_id, cb.j, cb.code,
+                row_number() OVER (PARTITION BY e.vec_id, cb.j
+                  ORDER BY list_reduce(list_transform(generate_series(1, $DSUB),
+                    i -> (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])
+                       * (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])),
+                    (x, y) -> x + y) ASC, cb.code DESC) AS r
+              FROM embeddings e CROSS JOIN cb)
+            WHERE r = 1),
+          cc AS (SELECT j, code, count(*) AS cnt FROM asg GROUP BY 1, 2)
+          SELECT CAST(j AS INT) AS j, count(*) AS n_used,
+            CAST(max(cnt) AS BIGINT) AS max_code_count,
+            CAST(sum(cnt) AS BIGINT) AS n_vectors,
+            CAST(count(*) AS DOUBLE) / $K_CODES AS utilization
+          FROM cc GROUP BY 1"""
   )
 }

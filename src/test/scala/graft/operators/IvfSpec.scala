@@ -60,4 +60,25 @@ class IvfSpec extends AnyFunSuite {
     val (cS, cL) = (cost(scalable), cost(seeded))
     assert(cS <= cL * 1.05, s"k-means|| cost $cS should not lose to naive seeding $cL")
   }
+
+  test("range search returns exactly the pairs above the cosine radius") {
+    import graft.functions.VectorFunctions
+    val queries = emb.filter(col("vec_id") < 10)
+    val rows = SimilaritySearch.rangeSearch(emb, queries, "vec_id", "embedding",
+      minCosine = 0.25).collect()
+    // membership matches an independent brute-force construction
+    val want = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosineHof(col("qv"), col("cv")))
+      .filter(col("sim") >= 0.25)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must have in-radius pairs or the test is vacuous")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    assert(rows.forall(r => r.getDouble(2) >= 0.25 && r.getLong(0) != r.getLong(1)))
+    // an impossible radius is empty, not an error
+    assert(SimilaritySearch.rangeSearch(emb, queries, "vec_id", "embedding",
+      minCosine = 1.1).isEmpty)
+  }
 }

@@ -220,6 +220,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") && !plan.contains("parquet"), plan.take(300))
   }
 
+  test("v23: range search broadcasts the query set and never shuffles the corpus") {
+    // the whole point of range search over top-k: no global order to
+    // maintain, so the plan is scan → broadcast join → filter with no
+    // ranking aggregation, no window, and no corpus shuffle
+    val plan = planOf(VectorQueries.queries("v23_range_search")(spark, dir))
+    assert(plan.contains("BroadcastExchange"), plan.take(600))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"range search must not shuffle the corpus:\n${plan.take(600)}")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
+  test("d56: token entropy is pure map-side (no exchange in the plan)") {
+    // entropy folds each doc's own token array — any exchange would
+    // mean the per-doc computation leaked into a shuffle
+    val plan = planOf(TextQueries.queries("d56_token_entropy")(spark, dir))
+    assert(!plan.contains("Exchange"), s"entropy must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), plan.take(600))
+  }
+
+  test("v25: centroid assignment broadcasts one scalar row; the corpus is never shuffled") {
+    // the only exchanges live in the vocabulary-sized centroid build
+    // ((label, pos) then label — 640 rows at DIM=64); the corpus side
+    // must meet the centroid table through a broadcast, not a shuffle
+    val plan = planOf(VectorQueries.queries("v25_centroid_assign")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan.take(800))
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -192,6 +192,50 @@ object CorpusLm {
         sum(col("__c") * col("__lr")).cast("long").as("kl_sum_micro"))
   }
 
+  /** Zipf slope per source: the least-squares slope of ln(count) vs
+    * ln(rank) over the source's token frequency table — healthy
+    * natural text sits near −1, while templated or machine-generated
+    * sources bend the curve (flat head = keyword stuffing, cliff
+    * tail = fixed-vocabulary boilerplate). The five regression sums
+    * fold integer milli-log terms (the same quantize-once recipe as
+    * the KL drift), so the statistic is associative, engine-exact,
+    * and shared verbatim with the streaming twin via
+    * [[zipfSlopeFromCounts]]. One (source, token) shuffle; the
+    * frequency table is vocabulary-sized, so the per-source rank
+    * window is bounded regardless of corpus size.
+    *
+    * Returns one row per source: (source, n_terms, zipf_slope).
+    */
+  def zipfSlope(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    zipfSlopeFromCounts(
+      df.select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
+        .groupBy(col("source"), col("__tok")).agg(count(lit(1)).as("__c")))
+
+  /** The Zipf fold over a PREBUILT `(source, __tok, __c)` count table
+    * — the piece the streaming twin reuses per trigger, exactly like
+    * [[sourceDriftKlFromCounts]]: rank by (count desc, token asc),
+    * x = ⌊ln(rank)·1e3⌋, y = ⌊ln(count)·1e3⌋ as BIGINT, slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) computed once in double from
+    * the exact integer sums.
+    */
+  def zipfSlopeFromCounts(st: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__c").desc, col("__tok").asc)
+    st.withColumn("__rank", row_number().over(w))
+      .select(col("source"),
+        floor(log(col("__rank").cast("double")) * 1000).cast("long").as("__x"),
+        floor(log(col("__c").cast("double")) * 1000).cast("long").as("__y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("source"), col("n_terms"),
+        ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
   /** Per-document BIGRAM log-probability under the corpus' own MLE
     * bigram model — the next modeling step up from [[unigramLogProb]]
     * (a unigram model cannot see scrambled word order; a bigram model

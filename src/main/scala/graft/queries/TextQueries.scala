@@ -513,24 +513,7 @@ object TextQueries {
     //     per-source rank window is bounded regardless of corpus
     //     size. ---
     "d57_zipf_slope" -> { (s, dir) =>
-      val tf = Tables(s, dir).documents
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok").asc)
-      tf.withColumn("rank", row_number().over(w))
-        .select(col("source"),
-          floor(log(col("rank").cast("double")) * 1000).cast("long").as("x"),
-          floor(log(col("cnt").cast("double")) * 1000).cast("long").as("y"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("source"), col("n_terms"),
-          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            .as("zipf_slope"))
+      graft.operators.CorpusLm.zipfSlope(Tables(s, dir).documents, "source", "text")
     }
   )
 

@@ -325,6 +325,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming Zipf-slope twin — online d57: the stream maintains the
+    * (source, token) count table as a stateful aggregation (state is
+    * vocab × sources, bounded by the vocabulary) and each trigger
+    * folds it to the per-source Zipf slope with the same integer
+    * milli-log regression sums (CorpusLm.zipfSlopeFromCounts), so
+    * after ANY stream prefix the report equals the batch statistic
+    * over exactly the documents seen so far — the live corpus-health
+    * monitor: a templated or keyword-stuffed feed bends its source's
+    * slope on the very trigger the bad batch lands.
+    */
+  def zipfSlopeStream(docs: DataFrame, sourceCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), " +")).as("__tok"))
+      .groupBy(col("source"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (counts: DataFrame, batchId: Long) =>
+        if (!counts.isEmpty)
+          sink(graft.operators.CorpusLm.zipfSlopeFromCounts(counts), batchId)
+      }
+      .start()
+
   /** Online NEAR-dup gating: each arriving document is checked for
     * MinHash band collisions against a PREBUILT corpus band index
     * (graft.operators.Dedup.bandIndexOf — build offline, persist to

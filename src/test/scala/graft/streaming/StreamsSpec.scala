@@ -343,6 +343,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Zipf slope matches the batch d57 statistic after each prefix") {
+    import graft.operators.CorpusLm
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // batch2 stuffs source b with one token — its slope must move
+    val batch1 = Seq(("a", "x x y z"), ("b", "x z y"))
+    val batch2 = Seq(("a", "y y x"), ("b", "z z z z z z"))
+    def batchSlope(rows: Seq[(String, String)]) =
+      CorpusLm.zipfSlope(rows.toDF("source", "text"), "source", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val ms = MemoryStream[(String, String)]
+    @volatile var latest: Set[(String, Long, Double)] = Set.empty
+    val q = Streams.zipfSlopeStream(
+      ms.toDF().toDF("source", "text"), "source", "text") { (out, _) =>
+      latest = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest == batchSlope(batch1),
+        s"prefix-1 slope must equal the batch statistic: $latest")
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest == batchSlope(batch1 ++ batch2),
+        s"full-stream slope must equal the batch statistic: $latest")
+      assert(latest != batchSlope(batch1),
+        "the stuffed batch must move the statistic or the pin is vacuous")
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate matches the batch band-collision twin") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

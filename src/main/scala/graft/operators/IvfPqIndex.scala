@@ -307,6 +307,32 @@ object IvfPqIndex {
     Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set(curDir, nextDir))
   }
 
+  /** Retrain — the REPAIR half of [[appendToIndex]]'s drift contract:
+    * [[recallAudit]] DETECTS the decay (frozen quantizers serving a
+    * shifted distribution); retrain rebuilds the coarse centroids and
+    * residual codebooks from the CURRENT corpus and re-encodes every
+    * vector, restoring the trained-on-what-it-serves invariant
+    * (FAISS's "retrain and re-add" maintenance action). Hyperparams
+    * (dim, m, k, nLists) are read back from the existing artifacts so
+    * the operator cannot accidentally change the index geometry.
+    * Rebuild is a full buildIndex: the codes pointer resets and stale
+    * versions are pruned; quantizer artifacts rewrite in place, so —
+    * like the initial build — run it from the maintenance path, not
+    * concurrently with opens (the codes-only compaction/append paths
+    * stay versioned-atomic).
+    */
+  def retrainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 1): Unit = {
+    val opened = openIndex(spark, path)
+    buildIndex(corpus, idCol, vecCol, path,
+      dim = opened.centroids.head.length,
+      m = opened.codebooks.length,
+      k = opened.codebooks.head.length,
+      nLists = opened.centroids.length,
+      iterations = iterations)
+  }
+
   /** Recall audit — the DETECTION half of [[appendToIndex]]'s drift
     * contract. Appends freeze the quantizers (FAISS add() semantics),
     * so vectors from a drifted distribution get stale centroids and

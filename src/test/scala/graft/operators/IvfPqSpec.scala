@@ -269,4 +269,72 @@ class IvfPqSpec extends AnyFunSuite {
     assert(refined >= raw, s"refined $refined must not trail raw ADC $raw")
     assert(refined >= 0.5, s"refined recall@5 with 8x pool too low: $refined")
   }
+
+  test("retrain restores the recall a drifted append decayed") {
+    // the repair half of the drift contract: recallAudit DETECTS the
+    // decay (IvfPqSpec's audit test), retrainIndex fixes it — rebuild
+    // the quantizers from the CURRENT corpus and re-encode
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-retrain").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    def meanRecall(audit: org.apache.spark.sql.DataFrame): Double = {
+      val rows = audit.collect()
+      rows.map(r => r.getLong(1).toDouble / r.getLong(2)).sum / rows.length
+    }
+    // drift shape chosen to be REPAIRABLE: a mirrored cluster (x → −x)
+    // keeps full-scale discriminative signal (dot(−q,−x) = dot(q,x)),
+    // but the frozen quantizers crowd every mirrored vector into the
+    // anti-centroid lists with residuals far outside the trained
+    // codebook cloud — ADC garbage until a retrain gives the mirror
+    // its own centroids. (The audit test's 20×-compressed shape is
+    // deliberately NOT repairable: there the signal itself is below
+    // quantization noise, which is a data problem, not a quantizer
+    // problem.)
+    val shifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+    IvfPqIndex.appendToIndex(shifted, "vec_id", "embedding", path)
+    val fullCorpus = emb.select(col("vec_id"), col("embedding")).union(shifted)
+    val outDist = shifted.filter(col("vec_id") < 100010L)
+    val drifted = meanRecall(IvfPqIndex.recallAudit(
+      IvfPqIndex.openIndex(spark, path), fullCorpus, outDist,
+      "vec_id", "embedding", k = 5, nProbe = N_LISTS))
+
+    val inBefore = meanRecall(IvfPqIndex.recallAudit(
+      IvfPqIndex.openIndex(spark, path), fullCorpus,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = N_LISTS))
+    IvfPqIndex.retrainIndex(spark, path, fullCorpus, "vec_id", "embedding")
+    val after = IvfPqIndex.openIndex(spark, path)
+    val inAfter = meanRecall(IvfPqIndex.recallAudit(
+      after, fullCorpus,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = N_LISTS))
+    // geometry preserved: hyperparams were read back from the artifacts
+    assert(after.centroids.length == N_LISTS &&
+      after.centroids.head.length == DIM &&
+      after.codebooks.length == M && after.codebooks.head.length == K)
+    val repaired = meanRecall(IvfPqIndex.recallAudit(
+      after, fullCorpus, outDist, "vec_id", "embedding", k = 5, nProbe = N_LISTS))
+    // The contract is SYMMETRY, not an absolute bar: the fixture
+    // embeddings are iid-random (near-incompressible — see the
+    // full-probe recall test above), so in-distribution recall itself
+    // sits near the PQ noise floor. Retrain must (a) measurably lift
+    // the drifted queries and (b) close most of the in-vs-drifted GAP
+    // (trained-on-what-it-serves restored), without hurting the
+    // in-distribution side. Deterministic: seeded k-means over fixed
+    // fixtures — these are exact reproducible numbers, margins only
+    // guard platform variance.
+    assert(repaired > drifted + 0.05,
+      s"retrain must measurably lift drifted recall: $drifted -> $repaired")
+    assert((inAfter - repaired) < (inBefore - drifted) - 0.05,
+      s"retrain must close the drift gap: before ${inBefore - drifted}, " +
+        s"after ${inAfter - repaired}")
+    assert(inAfter > inBefore - 0.1,
+      s"retrain must not sacrifice in-distribution recall: $inBefore -> $inAfter")
+    // the retrained index re-encoded the WHOLE corpus, and original
+    // queries still resolve to original-corpus neighbors
+    assert(after.codes.count() == fullCorpus.count())
+    val hits = after.topK(emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        k = 10, nProbe = N_LISTS)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.exists(_ < 100000L), s"original neighbors must surface: $hits")
+  }
 }

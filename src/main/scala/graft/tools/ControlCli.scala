@@ -37,6 +37,9 @@ object ControlCli {
     var api = sys.env.getOrElse("GRAFT_API", "http://localhost:10099")
     var space: Option[String] = None
     var discoveryUrl: Option[String] = sys.env.get("GRAFT_DISCOVERY")
+    // Identity for the admin verbs (HTTP Basic): `--as user` or
+    // `--as user:password`; $GRAFT_ADMIN_USER as the ambient default.
+    var asUser: Option[String] = sys.env.get("GRAFT_ADMIN_USER")
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -44,6 +47,7 @@ object ControlCli {
         case "--api" => api = args(i + 1); i += 2
         case "--space" => space = Some(args(i + 1)); i += 2
         case "--discovery" => discoveryUrl = Some(args(i + 1)); i += 2
+        case "--as" => asUser = Some(args(i + 1)); i += 2
         case "--help" | "-h" => return Result(0, usage)
         case a => positional += a; i += 1
       }
@@ -53,6 +57,12 @@ object ControlCli {
       val url = URI.create(s"$api/api/v1$path").toURL
       val c = url.openConnection().asInstanceOf[HttpURLConnection]
       c.setRequestMethod(method)
+      asUser.foreach { u =>
+        val cred = if (u.contains(":")) u else s"$u:"
+        c.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            cred.getBytes(StandardCharsets.UTF_8)))
+      }
       try {
         val code = c.getResponseCode
         val stream = if (code >= 400) c.getErrorStream else c.getInputStream
@@ -104,6 +114,11 @@ object ControlCli {
         case None =>
           Result(1, "resolve gateway requires --discovery <url|dir> (or $GRAFT_DISCOVERY)")
       }
+      // Operator-triggered hot refresh (reference kyuubi-ctl's admin
+      // verbs over AdminResource): enforce a policy/profile/deny-list
+      // file edit NOW instead of at the next reload tick.
+      case "refresh" :: target :: Nil =>
+        http("POST", s"/admin/refresh/${enc(target)}")
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -120,7 +135,9 @@ object ControlCli {
       |  metrics [--prometheus]      gateway counters (JSON / exposition)
       |  list engines                every share space + registrations
       |  events [limit]              recent lifecycle/audit events
-      |  resolve gateway --discovery <url|dir>   pick a live HA gateway""".stripMargin
+      |  resolve gateway --discovery <url|dir>   pick a live HA gateway
+      |  refresh <target> --as <admin[:pass]>    hot-reload authz_policies |
+      |                                          session_conf_profiles | deny_users""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

@@ -119,4 +119,34 @@ class ControlCliSpec extends AnyFunSuite {
     val dead = ControlCli.run(Array("--api", "http://localhost:1", "list", "session"))
     assert(dead.code == 1 && dead.out.contains("cannot reach"), dead.out)
   }
+
+  test("refresh verb triggers the admin hot-reload with the --as identity") {
+    import java.nio.file.Files
+    import graft.plans.AuthzPolicies
+    val policyFile = Files.createTempFile("ctl_refresh_authz", ".json")
+    Files.write(policyFile,
+      """{"accessPolicies": [{"table": "ctl_refresh_t", "allowed": ["carol"]}]}"""
+        .getBytes("UTF-8"))
+    val engine = new Engine(spark)
+    val front = new RestFrontend(engine, port = 0,
+      adminUsers = Set("root"), authzPolicyFile = Some(policyFile))
+    val port = front.start()
+    try {
+      val api = s"http://localhost:$port"
+      // missing identity → 401 exit 1; non-admin → 403 exit 1
+      assert(ctl(api, "refresh", "authz_policies").code == 1)
+      val denied = ctl(api, "--as", "mallory", "refresh", "authz_policies")
+      assert(denied.code == 1 && denied.out.contains("administrator"), denied.out)
+      // admin identity → the policy edit is enforced NOW
+      val ok = ctl(api, "--as", "root", "refresh", "authz_policies")
+      assert(ok.code == 0 && ok.out.contains("authz_policies"), ok.out)
+      assert(AuthzPolicies.decideAccess("carol", Set.empty, "ctl_refresh_t"))
+      val unknown = ctl(api, "--as", "root", "refresh", "nonsense")
+      assert(unknown.code == 1, unknown.out)
+    } finally {
+      front.stop()
+      AuthzPolicies.loadJson("{}")
+      Files.deleteIfExists(policyFile)
+    }
+  }
 }

@@ -48,15 +48,44 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val tpchNs = sys.env.getOrElse("SPARK_GRAFT_TPCH_SF", "sf1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", classOf[graft.plans.GraftSparkExtension].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "target/bench_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The session catalog is backed by an embedded Derby metastore
+    // under target/, so the materialized bench databases AND their
+    // ANALYZE stats persist across bench runs — repeat rounds skip
+    // both the parquet regeneration and the stats scan (r12's mat_sec
+    // hit 563 s re-running sf10 fact generation + ANALYZE ALL COLUMNS
+    // every round against byte-identical data). A corrupt or locked
+    // metastore degrades to the in-memory catalog (one full
+    // re-materialization) rather than failing the bench.
+    def buildSession(hive: Boolean): SparkSession = {
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", classOf[graft.plans.GraftSparkExtension].getName)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "target/bench_warehouse")
+        .config("spark.ui.enabled", "false")
+      if (hive)
+        b.config("javax.jdo.option.ConnectionURL",
+            "jdbc:derby:;databaseName=target/bench_metastore;create=true")
+          .enableHiveSupport().getOrCreate()
+      else b.getOrCreate()
+    }
+    // SPARK_GRAFT_BENCH_HIVE=0: dev-only A/B lever to isolate catalog
+    // effects on suite timings (the driver never sets it).
+    val useHive = !sys.env.get("SPARK_GRAFT_BENCH_HIVE").contains("0")
+    val spark = try {
+      val s = buildSession(hive = useHive)
+      if (useHive) s.sql("SHOW DATABASES").collect() // metastore boot probe
+      s
+    } catch { case _: Throwable =>
+      SparkSession.getActiveSession.foreach { s =>
+        try s.stop() catch { case _: Throwable => }
+      }
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      buildSession(hive = false)
+    }
     // ERROR, not WARN: the TPC-DS spec's own unpartitioned-window queries
     // (q44/q49/q51) emit a WindowExec WARN per execution; the driver keeps
     // only a bounded tail of output, and that spam evicted the JSON line.
@@ -196,8 +225,22 @@ object Bench {
     // query whose committed-baseline min exceeds 3 s gets the full
     // min-of-N iterations (~15 queries × 2 extra runs ≈ +90-150 s);
     // the cheap tail keeps single-run + repair.
+    // A query benched for the FIRST time (absent from the committed
+    // baseline) also runs multi-run: r12's new d52 shipped a one-run
+    // 2.30 s committed baseline and then drifted to 5.28 s — invisible
+    // to both the 3× repair (under it) and this tier (baseline under
+    // the 3 s bar). The r12 cohort is seeded explicitly for one more
+    // round so every recently-added query has a multi-run artifact
+    // behind its committed baseline.
+    val seededMultiRun = Set(
+      "v17_ivfpq_recall_audit", "v18_filtered_knn", "v19_hamming_topk",
+      "v20_hamming_recall", "v21_mrl_funnel", "v22_mmr_rerank",
+      "d52_ppl_buckets", "d53_source_drift", "d54_leakage_split",
+      "d55_dup_gram_stats")
     def expensiveTail(name: String): Boolean =
-      suiteBaseline.get(name).exists(_ > 3.0)
+      suiteBaseline.get(name).exists(_ > 3.0) ||
+        (suiteBaseline.nonEmpty && !suiteBaseline.contains(name)) ||
+        seededMultiRun(name)
     val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
       if (flagshipSuite(name))
         timedN(name, iters,
@@ -218,24 +261,57 @@ object Bench {
     // timing — dev/kyuubi-tpcds/README.md:30-44), so the timed queries
     // measure query execution over files, not repeated in-process
     // data generation.
+    // Per-table materialization cost, for the bench_full.json "mat"
+    // breakdown — the r12 artifact could only report the 563 s total,
+    // not which table (sf10 store_sales generation? ANALYZE?) ate it.
+    val matBreakdown = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
     def materialize(db0: String, tables: Seq[String], src: String => String): String = {
       val db = db0.replace('.', '_') // "sf0.01" would break the identifier
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       tables.foreach { t =>
-        val path = new java.io.File(s"target/bench_mat/$db/$t").getAbsolutePath
-        spark.table(src(t)).write.mode("overwrite").parquet(path)
-        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-        spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
+        val t0 = System.nanoTime()
+        val dir = new java.io.File(s"target/bench_mat/$db/$t")
+        val path = dir.getAbsolutePath
+        // Generator output is deterministic per (table, sf, schema), so
+        // a parquet database from a previous bench run is byte-valid:
+        // a marker carrying the generator's schema fingerprint gates
+        // the rewrite (SPARK_GRAFT_MAT_REFRESH=1 forces one).
+        val marker = Paths.get(path, "_graft_mat_marker")
+        val fingerprint = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(spark.table(src(t)).schema.catalogString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        val dataCached = !sys.env.contains("SPARK_GRAFT_MAT_REFRESH") &&
+          Files.exists(marker) &&
+          scala.util.Try(Files.readString(marker)).toOption.contains(fingerprint)
+        if (!dataCached) {
+          spark.table(src(t)).write.mode("overwrite").parquet(path)
+          Files.writeString(marker, fingerprint)
+        }
         // The generator catalogs report row/size stats through DSv2
         // (SupportsReportStatistics); plain parquet tables lose them and
         // the stats-blind CBO mis-orders the fact-to-fact join chains
         // (r5: tpch q9 4.8 s → 18.3 s). ANALYZE restores table + column
         // stats — part of untimed setup, like the reference generating
-        // its benchmark database before timing.
-        spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        // its benchmark database before timing. With the Derby-backed
+        // catalog the stats persist too: unchanged data + a surviving
+        // table skips the stats scan.
+        val cached = dataCached && spark.catalog.tableExists(s"$db.$t")
+        if (!cached) {
+          spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+          spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
+          spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        matBreakdown += ((s"$db.$t", (System.nanoTime() - t0) / 1e9, cached))
       }
       db
     }
+
+    // Dev-only A/B switches (the driver sets neither): BENCH_ONLY=suite
+    // skips the corpora for fast suite iteration; BENCH_HIVE=0 forces
+    // the in-memory catalog to isolate metastore effects on timings.
+    val suiteOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("suite")
 
     TpchCatalogQueries.register(spark)
     val tpcdsNs = sys.env.getOrElse("SPARK_GRAFT_TPCDS_SF", "sf10")
@@ -254,15 +330,19 @@ object Bench {
       "web_site", "warehouse", "ship_mode", "call_center",
       "customer_demographics")
     val matT0 = System.nanoTime()
-    val tpchDb = materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.`$tpchNs`.$t")
-    val tpcdsDb = materialize(s"tpcds_$tpcdsNs", tpcdsBaselineTables,
-      t => s"tpcds.`$tpcdsNs`.$t")
-    val corpusDb = materialize(s"tpcds_$corpusNs",
-      graft.sources.tpcds.TpcdsGen.schemas.keys.toSeq.sorted,
-      t => s"tpcds.`$corpusNs`.$t")
+    val (tpchDb, tpcdsDb, corpusDb) =
+      if (suiteOnly) ("", "", "")
+      else (
+        materialize(s"tpch_$tpchNs", tpchTables, t => s"tpch.`$tpchNs`.$t"),
+        materialize(s"tpcds_$tpcdsNs", tpcdsBaselineTables,
+          t => s"tpcds.`$tpcdsNs`.$t"),
+        materialize(s"tpcds_$corpusNs",
+          graft.sources.tpcds.TpcdsGen.schemas.keys.toSeq.sorted,
+          t => s"tpcds.`$corpusNs`.$t"))
     val matSec = (System.nanoTime() - matT0) / 1e9
 
-    val tpch = TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
+    val tpch = if (suiteOnly) Seq.empty[Timing]
+    else TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpch_${tpchNs}_$qn", iters,
         careful = qn == "q1" || qn == "q9")(spark.sql(sql).foreach(_ => ()))
     }
@@ -271,11 +351,13 @@ object Bench {
     // baseline's sf10 (the judge's comparable slice), and the complete
     // 99-query corpus at sf1 (coverage + throughput without pushing
     // the round bench past its window). Both get min-of-N iterations.
-    val tpcds = TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
+    val tpcds = if (suiteOnly) Seq.empty[Timing]
+    else TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${tpcdsNs}_$qn", iters, careful = true)(
         spark.sql(sql).foreach(_ => ()))
     }
-    val corpus = TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
+    val corpus = if (suiteOnly) Seq.empty[Timing]
+    else TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${corpusNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
     }
 
@@ -289,7 +371,8 @@ object Bench {
     // queries buy little against that magnitude.
     val spotNames = Seq("q14", "q14b", "q23", "q23b", "q4", "q75", "q74",
       "q24b", "q11", "q10")
-    val spotSqls = TpcdsCorpusSql.queries(tpcdsDb).toMap
+    val spotSqls = if (suiteOnly) Map.empty[String, String]
+      else TpcdsCorpusSql.queries(tpcdsDb).toMap
     val tpcdsSpot = spotNames.flatMap(qn => spotSqls.get(qn).map { sql =>
       timedN(s"tpcds_${tpcdsNs}_$qn", 1, careful = true)(
         spark.sql(sql).foreach(_ => ()))
@@ -308,15 +391,24 @@ object Bench {
     // big enough for row-group skipping to dominate, small enough to
     // generate as untimed setup.
     val zorderNs = sys.env.getOrElse("SPARK_GRAFT_ZORDER_SF", "sf5")
-    val zorder = {
+    val zorder = if (suiteOnly) Seq.empty[Timing] else {
       import org.apache.spark.sql.functions.col
       val zdir = "target/bench_zorder"
-      val li = spark.table(s"tpch.`$zorderNs`.lineitem")
-      li.repartitionByRange(64, col("l_orderkey"))
-        .write.mode("overwrite").parquet(s"$zdir/linear")
-      graft.operators.ZorderOptimize.cluster(
-          li, Seq(col("l_partkey"), col("l_suppkey")), 64)
-        .write.mode("overwrite").parquet(s"$zdir/zordered")
+      // both layouts are deterministic functions of (zorderNs, column
+      // set) — cache them across runs like the materialized databases
+      val zmarker = Paths.get(zdir, "_graft_mat_marker")
+      val zfp = s"$zorderNs:l_partkey,l_suppkey:64"
+      if (sys.env.contains("SPARK_GRAFT_MAT_REFRESH") || !Files.exists(zmarker) ||
+          !scala.util.Try(Files.readString(zmarker)).toOption.contains(zfp)) {
+        val li = spark.table(s"tpch.`$zorderNs`.lineitem")
+        li.repartitionByRange(64, col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$zdir/linear")
+        graft.operators.ZorderOptimize.cluster(
+            li, Seq(col("l_partkey"), col("l_suppkey")), 64)
+          .write.mode("overwrite").parquet(s"$zdir/zordered")
+        Files.createDirectories(Paths.get(zdir))
+        Files.writeString(zmarker, zfp)
+      }
       def scan(layout: String): Unit = spark.read.parquet(s"$zdir/$layout")
         .filter("l_partkey BETWEEN 1000 AND 1199 AND l_suppkey BETWEEN 100 AND 199")
         .foreach(_ => ())
@@ -332,7 +424,7 @@ object Bench {
     // before/after pair for the r9 16-bit-key scale defect, same
     // role as the z-order skipping comparable. Corpus generation is
     // untimed setup.
-    val winnowCap = {
+    val winnowCap = if (suiteOnly) Seq.empty[Timing] else {
       import org.apache.spark.sql.functions._
       val boiler = "the quick brown fox jumps over the lazy dog again and again today"
       val wdir = "target/bench_winnow"
@@ -391,8 +483,13 @@ object Bench {
     // "sf" makes this file usable verbatim as the next round's
     // bench_baseline.json (the suite outlier-repair reference).
     val sfName = Paths.get(sfDir).getFileName.toString
+    // Per-table materialization breakdown — makes mat_sec auditable
+    // (which table, generation vs cache hit) instead of one number.
+    val matJson = matBreakdown.map { case (t, sec, cached) =>
+      "\"" + t + "\":{\"sec\":" + r3(sec) + ",\"cached\":" + cached + "}"
+    }.mkString("{", ",", "}")
     Files.writeString(Paths.get("target/bench_full.json"),
-      s"""{"total":${r3(total)},"iterations":$iters,"sf":"$sfName","queries":$fullQ,"errors":$errJson}""")
+      s"""{"total":${r3(total)},"iterations":$iters,"sf":"$sfName","mat_sec":${r3(matSec)},"mat":$matJson,"queries":$fullQ,"errors":$errJson}""")
 
     // Compact stdout line: group totals + the BASELINE.md-published
     // TPC-DS sf10 queries + the heaviest pipeline operators.

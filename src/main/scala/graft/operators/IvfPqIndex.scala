@@ -184,8 +184,11 @@ object IvfPqIndex {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     writeCodesMeta(spark, path, "codes")
     // a rebuild over a previously-compacted artifact resets the
-    // pointer — drop the now-orphaned version dirs
+    // pointer — drop the now-orphaned version dirs and every
+    // tombstone set (the fresh encode contains exactly the corpus
+    // passed in; stale deletes must not mask the new rows)
     Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set("codes"))
+    Dedup.pruneVersionedDirs(spark, s"$path/tombstones", "codes", keep = Set.empty)
   }
 
   /** One-row pointer artifact naming the live codes directory — the
@@ -208,16 +211,24 @@ object IvfPqIndex {
 
   /** A persisted index opened for probing: no training, no access to
     * the raw corpus — [[topK]] reads nothing but the artifacts.
+    * `tombstones` carries the logically-deleted ids recorded against
+    * this codes version (see [[deleteFromIndex]]); probes exclude them
+    * BEFORE scoring, so ranks recompute among survivors.
     */
   final class OpenedIndex(
       val centroids: Array[Array[Double]],
       val codebooks: Array[Array[Array[Double]]],
       val codesDir: String,
-      val codes: DataFrame) {
+      val codes: DataFrame,
+      val tombstones: Option[DataFrame] = None) {
+
+    /** The probe-visible codes: the artifact minus tombstoned ids. */
+    def liveCodes: DataFrame = tombstones.fold(codes)(t =>
+      codes.join(t.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
 
     def topK(queries: DataFrame, idCol: String, vecCol: String,
         k: Int, nProbe: Int): DataFrame =
-      probeEncoded(codes, queries, idCol, vecCol, centroids, codebooks, k, nProbe)
+      probeEncoded(liveCodes, queries, idCol, vecCol, centroids, codebooks, k, nProbe)
 
     /** Refine stage over the persisted index: ADC candidates from the
       * codes table, exact rescore against the caller-provided raw
@@ -261,7 +272,41 @@ object IvfPqIndex {
         case _: Throwable =>
           spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
       }
-    new OpenedIndex(cents, codebooks, codesDir, codesDf)
+    new OpenedIndex(cents, codebooks, codesDir, codesDf,
+      tombstonesFor(spark, path, codesDir))
+  }
+
+  /** The tombstone set recorded against one codes version, if any —
+    * tombstones are KEYED BY codes dir so a reader that resolved the
+    * previous version during a compaction race keeps a consistent
+    * (codes, deletes) pair.
+    */
+  private def tombstonesFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, codesDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones/$codesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Logical delete (FAISS `remove_ids` semantics, LSM-style): the ids
+    * land in a tombstone artifact keyed by the CURRENT codes version,
+    * probes anti-join them out before scoring (ranks recompute among
+    * survivors), and the next [[compactIndex]] drops the rows
+    * physically and starts the new version tombstone-free. O(|ids|)
+    * write — the codes artifact is untouched, so deletes are cheap at
+    * any corpus size and a burst of them degrades probe cost only by
+    * one bounded anti-join until compaction. A delete issued
+    * concurrently with a compaction may target the version being
+    * replaced — re-issue after compaction (the same eventual-
+    * consistency caveat as any LSM delete racing a merge). Re-adding
+    * a deleted id via [[appendToIndex]] stays masked until the next
+    * compaction clears the tombstone — delete wins within a version.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val dir = currentCodesDir(spark, path)
+    ids.select(col(idCol).cast("long").as("neighbor_id"))
+      .write.mode("append").parquet(s"$path/tombstones/$dir")
   }
 
   /** Incremental index maintenance: encode NEW vectors with the
@@ -288,23 +333,34 @@ object IvfPqIndex {
     * double-write rows). Compaction rewrites `path/codes` as
     * `targetFiles` files with exact-duplicate rows dropped, through a
     * versioned sibling directory + meta-pointer flip so a concurrent
-    * open sees either the old or the new artifact, never ENOENT. Quantizers are untouched and the codes SET
-    * is unchanged, so probe results are identical — this is a
-    * file-layout operation, the FAISS-side analogue of parquet small-
-    * file compaction.
+    * open sees either the old or the new artifact, never ENOENT.
+    * Quantizers are untouched and the PROBE-VISIBLE codes set is
+    * unchanged (tombstoned rows — already invisible to probes — are
+    * dropped physically and the new version starts tombstone-free),
+    * so probe results are identical — the FAISS-side analogue of
+    * parquet small-file compaction plus the LSM delete-merge.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 32): Unit = {
     val curDir = currentCodesDir(spark, path)
     val nextDir = Dedup.nextVersionedDir("codes", curDir)
-    spark.read.parquet(s"$path/$curDir").distinct()
-      .repartition(targetFiles)
+    val base = spark.read.parquet(s"$path/$curDir").distinct()
+    // apply the logical deletes physically: the new version starts
+    // tombstone-free (the LSM merge step of deleteFromIndex)
+    val live = tombstonesFor(spark, path, curDir).fold(base)(t =>
+      base.join(t.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
+    live.repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$path/$nextDir")
     // flip the pointer, then prune versions older than the previous
     // one — an open racing the compaction resolves to either artifact,
-    // both of which exist (no delete-then-rename ENOENT window)
+    // both of which exist (no delete-then-rename ENOENT window).
+    // curDir's tombstones survive one cycle for the same reason (a
+    // reader on the old pointer keeps a consistent (codes, deletes)
+    // pair); older ones are unreachable and dropped.
     writeCodesMeta(spark, path, nextDir)
     Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set(curDir, nextDir))
+    Dedup.pruneVersionedDirs(spark, s"$path/tombstones", "codes",
+      keep = Set(curDir))
   }
 
   /** Retrain — the REPAIR half of [[appendToIndex]]'s drift contract:

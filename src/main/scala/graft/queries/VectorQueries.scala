@@ -389,6 +389,25 @@ object VectorQueries {
         .withColumn("is_own", col("assigned_label") === col("own_label"))
     },
 
+    // --- Tombstone deletes (FAISS remove_ids, LSM-style): ids 100-119
+    //     are logically deleted from a persisted index and the probe
+    //     excludes them BEFORE scoring, so ranks recompute among
+    //     survivors — the oracle replays the full IVF-PQ chain over
+    //     the undeleted corpus. Deletes are O(|ids|) tombstone writes;
+    //     the codes artifact is untouched until compaction. ---
+    "v27_deleted_knn" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+      graft.operators.IvfPqIndex.buildIndex(e, "vec_id", "embedding", path,
+        dim = DIM, m = M_SUB, k = K_CODES, nLists = N_LISTS)
+      graft.operators.IvfPqIndex.deleteFromIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120), "vec_id")
+      graft.operators.IvfPqIndex.openIndex(s, path)
+        .topK(q, "vec_id", "embedding", k = 5, nProbe = N_PROBE)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
     // --- PQ codebook-utilization audit: per subspace, how many of the
     //     K codes the corpus actually uses and how crowded the hottest
     //     code is — the quantizer-health check (utilization ≪ 1 or one
@@ -466,7 +485,7 @@ object VectorQueries {
   // double, argmin-L2 residual codes (tie -> larger code), and the
   // decomposed score q·centroid + Σ_j lut_j[code_j] with every fold in
   // Spark's exact order.
-  private val ivfpqCte =
+  private def ivfpqCte(corpusPred: String = ""): String =
     s"""icents AS (SELECT list_id, centroid
                    FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
         rcb AS (SELECT j, code, centroid
@@ -522,7 +541,7 @@ object VectorQueries {
           JOIN embeddings q ON q.vec_id = p.query_id
           JOIN icents pc ON pc.list_id = p.list_id
           CROSS JOIN rnest s
-          WHERE n.vec_id <> p.query_id),
+          WHERE n.vec_id <> p.query_id$corpusPred),
         irank AS (
           SELECT query_id, neighbor_id,
             row_number() OVER (PARTITION BY query_id
@@ -699,15 +718,15 @@ object VectorQueries {
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM sel5"""
     },
     "v12_ivfpq_topk" ->
-      s"""WITH $ivfpqCte
+      s"""WITH ${ivfpqCte()}
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
     // The persisted-index probe must be indistinguishable from the
     // train-in-query path — same oracle as v12.
     "v15_ivfpq_persisted" ->
-      s"""WITH $ivfpqCte
+      s"""WITH ${ivfpqCte()}
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
     "v14_ivfpq_refined" ->
-      s"""WITH $ivfpqCte,
+      s"""WITH ${ivfpqCte()},
           cand AS (SELECT query_id, neighbor_id FROM irank WHERE rnk <= 20),
           rescore AS (
             SELECT c.query_id, c.neighbor_id,
@@ -722,14 +741,14 @@ object VectorQueries {
             FROM rescore)
           WHERE rnk <= 5""",
     "v13_ivfpq_recall" ->
-      s"""WITH $ivfpqCte, $dotTopCte
+      s"""WITH ${ivfpqCte()}, $dotTopCte
           SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
           FROM (SELECT DISTINCT query_id FROM dexact) e
           LEFT JOIN (SELECT query_id, count(*) AS n_hits
                      FROM itop JOIN dexact USING (query_id, neighbor_id)
                      GROUP BY query_id) h USING (query_id)""",
     "v17_ivfpq_recall_audit" ->
-      s"""WITH $ivfpqCte, $dotTopCte
+      s"""WITH ${ivfpqCte()}, $dotTopCte
           SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                  CAST(5 AS BIGINT) AS k
           FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) e
@@ -883,6 +902,12 @@ object VectorQueries {
                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM pairs)
           WHERE rnk <= 5""",
+
+    // Mirror of v27: the identical IVF-PQ chain with the deleted id
+    // range excluded from the candidate side BEFORE ranking.
+    "v27_deleted_knn" ->
+      s"""WITH ${ivfpqCte(" AND (n.vec_id < 100 OR n.vec_id >= 120)")}
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
 
     // Mirror of v23: the shared cosine fold, thresholded — membership
     // is exact because the fold is bit-identical in both engines.

@@ -270,6 +270,47 @@ class IvfPqSpec extends AnyFunSuite {
     assert(refined >= 0.5, s"refined recall@5 with 8x pool too low: $refined")
   }
 
+  test("tombstone deletes: probes exclude, delete wins over re-add, compaction drops physically") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-del").toString
+    IvfPqIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = DIM, m = M, k = K, nLists = N_LISTS)
+    val total = emb.count()
+    val victims = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+    IvfPqIndex.deleteFromIndex(spark, path, victims, "vec_id")
+    val idx = IvfPqIndex.openIndex(spark, path)
+    assert(idx.tombstones.isDefined)
+    assert(idx.liveCodes.count() == total - 10)
+    val q = emb.filter(col("vec_id") < 10)
+    val probed = idx.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+    val hitIds = probed.collect().map(_.getLong(1)).toSet
+    assert(hitIds.forall(id => id < 20 || id >= 30),
+      s"deleted ids must never surface: $hitIds")
+    // every query still gets a full k among survivors (pre-scoring
+    // exclusion, not post-filtering an already-cut candidate list)
+    assert(probed.groupBy(col("query_id")).count().collect()
+      .forall(_.getLong(1) == 5))
+
+    // delete wins over a re-add within the same codes version
+    IvfPqIndex.appendToIndex(emb.filter(col("vec_id") === 25L),
+      "vec_id", "embedding", path)
+    val reAdd = IvfPqIndex.openIndex(spark, path)
+    assert(!reAdd.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+      .collect().map(_.getLong(1)).contains(25L))
+
+    // compaction applies the deletes physically and clears tombstones
+    val before = IvfPqIndex.openIndex(spark, path)
+      .topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    IvfPqIndex.compactIndex(spark, path, targetFiles = 4)
+    val compacted = IvfPqIndex.openIndex(spark, path)
+    assert(compacted.tombstones.isEmpty,
+      "the compacted version must start tombstone-free")
+    assert(compacted.codes.count() == total - 10)
+    val after = compacted.topK(q, "vec_id", "embedding", k = 5, nProbe = N_LISTS)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(after == before, "compaction must be probe-invariant")
+  }
+
   test("retrain restores the recall a drifted append decayed") {
     // the repair half of the drift contract: recallAudit DETECTS the
     // decay (IvfPqSpec's audit test), retrainIndex fixes it — rebuild

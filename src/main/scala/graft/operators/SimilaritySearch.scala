@@ -135,6 +135,51 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH (Lv et al., "Multi-Probe LSH: Efficient Indexing
+    * for High-Dimensional Similarity Search", VLDB 2007): besides its
+    * own sign-bit bucket, each query probes the buckets reached by
+    * flipping the hyperplane bits with the SMALLEST margin |q·plane| —
+    * the planes the query sits closest to, i.e. where a true neighbor
+    * most likely landed on the other side. Boosts recall without
+    * adding hash tables: candidates are a strict superset of the
+    * single-probe bucket (nProbe = 1 degenerates to [[lshTopK]]
+    * exactly), so recall is monotone in nProbe while the scan stays
+    * bucket-bounded. The corpus buckets once map-side; the query side
+    * explodes to its nProbe buckets and broadcasts.
+    */
+  def multiProbeLshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 8,
+      nProbe: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nPlanes + 1, s"nProbe $nProbe out of [1, ${nPlanes + 1}]")
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+    // flip cost per plane: |q·plane_j|, ties broken by plane id — the
+    // exact order the DuckDB oracle replays
+    val margins = array(planes.zipWithIndex.map { case (p, j) =>
+      struct(abs(dot(col("qv"), array(p.map(lit): _*))).as("m"), lit(j).as("j"))
+    }: _*)
+    val powers = array((0 until nPlanes).map(j => lit(1L << j)): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        hyperplaneBucket(col(vecCol), dim, nPlanes, seed).as("own"))
+      .withColumn("bucket", explode(concat(
+        array(col("own")),
+        transform(slice(array_sort(margins), 1, nProbe - 1),
+          f => col("own").bitwiseXOR(element_at(powers, f.getField("j") + 1))))))
+      .drop("own")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one:
     * |approx ∩ exact| / k per query. Both inputs must carry
     * (query_id, neighbor_id).

@@ -389,6 +389,32 @@ object VectorQueries {
         .withColumn("is_own", col("assigned_label") === col("own_label"))
     },
 
+    // --- Multi-probe LSH (Lv et al., VLDB 2007): each query probes its
+    //     own bucket PLUS the buckets reached by flipping its
+    //     smallest-margin hyperplane bits — recall without more hash
+    //     tables; candidates are a strict superset of single-probe
+    //     (nProbe = 1 degenerates to v02 exactly, pinned in IvfSpec).
+    //     The oracle replays margins, flip order, XOR probing and the
+    //     cosine ranking bit-for-bit. ---
+    "v28_multiprobe_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      SimilaritySearch.multiProbeLshTopK(e, q, "vec_id", "embedding", k = 5,
+        dim = DIM, nPlanes = N_PLANES, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Recall@5 of multi-probe vs exact — read next to v06 (single
+    //     probe) this is the quality knob multi-probe buys ---
+    "v29_multiprobe_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val approx = SimilaritySearch.multiProbeLshTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = DIM, nPlanes = N_PLANES, nProbe = 3)
+      val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
     // --- Tombstone deletes (FAISS remove_ids, LSM-style): ids 100-119
     //     are logically deleted from a persisted index and the probe
     //     excludes them BEFORE scoring, so ranks recompute among
@@ -589,6 +615,45 @@ object VectorQueries {
                     WHERE b.vec_id < 10) q USING (bucket)
               WHERE q.query_id <> c.neighbor_id)
             WHERE rnk <= 5)"""
+
+  // Multi-probe CTE chain shared by v28/v29: per-plane margins, flip
+  // order (margin asc, plane_id asc — Spark's array_sort on the
+  // (m, j) struct), XOR single-bit probe buckets, cosine rank. Uses
+  // bucketCte's `bkt` for both the corpus and the queries' own
+  // buckets.
+  private val MP_PROBE = 3
+  private val multiProbeCte =
+    s"""$bucketCte,
+        qm AS (
+          SELECT e.vec_id AS query_id, p.plane_id,
+            abs(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i]), (x, y) -> x + y)) AS m
+          FROM embeddings e CROSS JOIN '__VAUX__/lsh_planes.parquet/*.parquet' p
+          WHERE e.vec_id < 10),
+        qflip AS (
+          SELECT query_id, plane_id FROM (
+            SELECT query_id, plane_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY m ASC, plane_id ASC) AS r
+            FROM qm)
+          WHERE r <= ${MP_PROBE - 1}),
+        qprobe AS (
+          SELECT b.vec_id AS query_id, b.bucket FROM bkt b WHERE b.vec_id < 10
+          UNION ALL
+          SELECT f.query_id, xor(b.bucket, 1::BIGINT << f.plane_id) AS bucket
+          FROM qflip f JOIN bkt b ON b.vec_id = f.query_id),
+        mptop AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT qp.query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY qp.query_id
+                ORDER BY ${duckCosine("qe.embedding", "c.embedding")} DESC,
+                         c.vec_id ASC) AS rnk
+            FROM qprobe qp
+            JOIN bkt cb USING (bucket)
+            JOIN embeddings c ON c.vec_id = cb.vec_id
+            JOIN embeddings qe ON qe.vec_id = qp.query_id
+            WHERE c.vec_id <> qp.query_id)
+          WHERE rnk <= 5)"""
 
   // Binary-quantization CTE chain shared by v19/v20: exact per-dim
   // (min, max) stats, (mn+mx)/2 thresholds, 32-bit sign-bit words
@@ -902,6 +967,23 @@ object VectorQueries {
                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM pairs)
           WHERE rnk <= 5""",
+
+    // Mirror of v28/v29: corpus buckets from bucketCte, per-plane
+    // margins |q·plane| with the (margin asc, plane_id asc) flip
+    // order, probe set = own bucket ∪ single-bit XOR flips, cosine
+    // ranking in the shared fold. Probe buckets are pairwise distinct
+    // by construction (own + distinct single-bit flips), so no
+    // candidate dedup step exists in either engine.
+    "v28_multiprobe_lsh" ->
+      s"""WITH $multiProbeCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM mptop""",
+    "v29_multiprobe_recall" ->
+      s"""WITH $multiProbeCte, $exactTopCte
+          SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM mptop JOIN exact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)""",
 
     // Mirror of v27: the identical IVF-PQ chain with the deleted id
     // range excluded from the candidate side BEFORE ranking.

@@ -61,6 +61,31 @@ class IvfSpec extends AnyFunSuite {
     assert(cS <= cL * 1.05, s"k-means|| cost $cS should not lose to naive seeding $cL")
   }
 
+  test("multi-probe LSH: nProbe=1 equals single-probe; recall monotone in nProbe") {
+    val q = emb.filter(col("vec_id") < 10)
+    // degenerate case: probing only the own bucket IS lshTopK
+    val single = SimilaritySearch.lshTopK(emb, q, "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val mp1 = SimilaritySearch.multiProbeLshTopK(emb, q, "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 8, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(mp1 == single, "nProbe = 1 must degenerate to the single-probe result")
+    // monotonicity: the candidate set only grows with nProbe, so
+    // recall against exact brute force can never drop
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      SimilaritySearch.recallAtK(df, exact, 5).agg(avg(col("recall"))).head().getDouble(0)
+    val r1 = recall(SimilaritySearch.multiProbeLshTopK(emb, q, "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, nProbe = 1))
+    val r3 = recall(SimilaritySearch.multiProbeLshTopK(emb, q, "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, nProbe = 3))
+    val r5 = recall(SimilaritySearch.multiProbeLshTopK(emb, q, "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, nProbe = 5))
+    assert(r3 >= r1 && r5 >= r3, s"recall must be monotone: $r1 / $r3 / $r5")
+    assert(r5 > r1, s"probing 4 extra buckets must find SOMETHING new here: $r1 -> $r5")
+  }
+
   test("range search returns exactly the pairs above the cosine radius") {
     import graft.functions.VectorFunctions
     val queries = emb.filter(col("vec_id") < 10)

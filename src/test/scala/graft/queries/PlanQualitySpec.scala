@@ -249,6 +249,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan.take(800))
   }
 
+  test("v27: tombstone exclusion is a broadcast anti-join, not a shuffle") {
+    // deletes must stay O(|tombstones|) at probe time: the codes scan
+    // anti-joins a broadcast tombstone set; a sort-merge anti would
+    // shuffle the whole codes artifact for a handful of deletes
+    val plan = planOf(VectorQueries.queries("v27_deleted_knn")(spark, dir))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone anti-join must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("v28: multi-probe join broadcasts the exploded query side") {
+    val plan = planOf(VectorQueries.queries("v28_multiprobe_lsh")(spark, dir))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"bucket join must broadcast, ranking stays aggregate-based:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

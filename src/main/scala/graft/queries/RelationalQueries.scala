@@ -448,6 +448,29 @@ object RelationalQueries {
         .filter(col("day_offset") <= 6)
         .groupBy(col("cohort_date"), col("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
+    // --- Time-series gap-fill: hourly event counts per type with
+    //     MISSING hours materialized as explicit zero rows over each
+    //     type's own [min, max] span — the densification step every
+    //     downstream window/forecast needs (a rolling average over a
+    //     sparse series silently skips the gaps). The grid generates
+    //     from the aggregated span table (|types| rows → |types|·hours
+    //     rows), never from raw events, and joins back against the
+    //     already-aggregated hourly counts. ---
+    "q34_gapfill" -> { (s, dir) =>
+      val hourly = Tables(s, dir).events
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      val spans = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      spans
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
     }
   )
 
@@ -672,6 +695,21 @@ object RelationalQueries {
            count(DISTINCT e.user_id) AS n_active
          FROM events e JOIN cohort c USING (user_id)
          WHERE date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) <= 6
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // Mirror of q34: both engines build the hour grid with an
+    // inclusive 1-hour series over each type's aggregated span.
+    "q34_gapfill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT s.event_type,
+             UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+           FROM spans s)
+         SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H') AS hour,
+           CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events
+         FROM grid g LEFT JOIN hourly hh USING (event_type, h)"""
   )
 }

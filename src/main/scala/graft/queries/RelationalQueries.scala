@@ -458,21 +458,39 @@ object RelationalQueries {
     //     from the aggregated span table (|types| rows → |types|·hours
     //     rows), never from raw events, and joins back against the
     //     already-aggregated hourly counts. ---
-    "q34_gapfill" -> { (s, dir) =>
-      val hourly = Tables(s, dir).events
-        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
-      val spans = hourly.groupBy(col("event_type"))
-        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      spans
-        .select(col("event_type"),
-          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-        .join(hourly, Seq("event_type", "h"), "left")
-        .select(col("event_type"),
-          date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
-          coalesce(col("n"), lit(0L)).as("n_events"))
+    "q34_gapfill" -> { (s, dir) => gapfilledHourly(s, dir) },
+
+    // --- 7-hour trailing mean over the DENSIFIED series — the payoff
+    //     of q34's gap-fill: the same window over the sparse series
+    //     would silently skip missing hours and overestimate quiet
+    //     periods. Integer window sums divided once at the end, so
+    //     the doubles are cross-engine exact; the zero-padded hour
+    //     string orders lexicographically == chronologically. ---
+    "q35_rolling_avg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour")).rowsBetween(-6, 0)
+      gapfilledHourly(s, dir)
+        .select(col("event_type"), col("hour"), col("n_events"),
+          (sum(col("n_events")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("avg7"))
     }
   )
+
+  /** q34's densified hourly series — shared with q35's rolling window. */
+  private def gapfilledHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir).events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val spans = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    spans
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -710,6 +728,28 @@ object RelationalQueries {
            FROM spans s)
          SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H') AS hour,
            CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events
-         FROM grid g LEFT JOIN hourly hh USING (event_type, h)"""
+         FROM grid g LEFT JOIN hourly hh USING (event_type, h)""",
+    // Mirror of q35: the q34 chain plus the identical 7-row trailing
+    // frame; integer window sums, one double division.
+    "q35_rolling_avg" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT s.event_type,
+             UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+           FROM spans s),
+         filled AS (
+           SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H') AS hour,
+             CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events
+           FROM grid g LEFT JOIN hourly hh USING (event_type, h))
+         SELECT event_type, hour, n_events,
+           CAST(CAST(sum(n_events) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS avg7
+         FROM filled
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -514,6 +514,35 @@ object TextQueries {
     //     size. ---
     "d57_zipf_slope" -> { (s, dir) =>
       graft.operators.CorpusLm.zipfSlope(Tables(s, dir).documents, "source", "text")
+    },
+
+    // --- Vocabulary coverage curve: per source, the smallest
+    //     vocabulary (ranked by frequency) covering ≥90% of token
+    //     occurrences — the tokenizer-budget signal (a source whose
+    //     90%-vocab is tiny is templated; one whose curve is flat
+    //     needs more merges). Pure integers: the 90% test is
+    //     cum·10 ≥ total·9, no division enters the contract; the
+    //     cumulative window runs over the vocabulary-sized frequency
+    //     table, bounded regardless of corpus size. ---
+    "d58_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val base = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+      val cum = tf
+        .withColumn("rank", row_number().over(base))
+        .withColumn("cum", sum(col("cnt")).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = tf.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("total_tokens"), count(lit(1)).as("n_terms"))
+      cum.join(tot, "source")
+        .filter(col("cum") * 10 >= col("total_tokens") * 9)
+        .groupBy(col("source"))
+        .agg(min(col("rank")).as("vocab_90"),
+          min(col("n_terms")).as("n_terms"),
+          min(col("total_tokens")).as("total_tokens"))
     }
   )
 
@@ -1314,6 +1343,32 @@ object TextQueries {
           SELECT source, n_terms,
             CAST(n_terms * sxy - sx * sy AS DOUBLE)
               / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
-          FROM agg"""
+          FROM agg""",
+
+    // Mirror of d58: same rank order, integer cumulative sums, and the
+    // division-free cum·10 ≥ total·9 coverage test.
+    "d58_vocab_coverage" ->
+      s"""WITH tf AS (
+            SELECT source, tok, count(*) AS cnt FROM (
+              SELECT source, UNNEST($duckToks) AS tok FROM documents)
+            GROUP BY 1, 2),
+          cum AS (
+            SELECT source,
+              row_number() OVER w AS rank,
+              CAST(sum(cnt) OVER (PARTITION BY source
+                ORDER BY cnt DESC, tok ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM tf
+            WINDOW w AS (PARTITION BY source ORDER BY cnt DESC, tok ASC)),
+          tot AS (
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+              count(*) AS n_terms
+            FROM tf GROUP BY 1)
+          SELECT c.source, CAST(min(c.rank) AS INT) AS vocab_90,
+            min(t.n_terms) AS n_terms, min(t.total_tokens) AS total_tokens
+          FROM cum c JOIN tot t USING (source)
+          WHERE c.cum * 10 >= t.total_tokens * 9
+          GROUP BY 1"""
   )
 }

@@ -42,17 +42,24 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     // Admin hot-refresh surface (reference AdminResource.scala:55-75:
     // POST /admin/refresh/{hadoop_conf, user_defaults_conf, …} gated on
     // kyuubi.server.administrators). Identities come from HTTP Basic
-    // auth — validated against `restAuth` when configured, asserted
-    // otherwise (matching the rest of this dev surface).
+    // auth, VALIDATED against `restAuth` — enabling admin verbs
+    // requires a configured provider (the reference's AdminResource
+    // sits behind an authenticated frontend; an asserted-only identity
+    // would make the adminUsers check decorative).
     adminUsers: Set[String] = Set.empty,
     restAuth: Option[AuthenticationProvider] = None,
     // Refresh targets: the authz policy file (forced re-sync), the
     // session-conf profile advisors (cache invalidation), and the
-    // Thrift limiter's deny list re-read from a file.
+    // Thrift limiter's deny user/IP lists re-read from files.
     authzPolicyFile: Option[java.nio.file.Path] = None,
     confAdvisors: Seq[graft.core.SessionConfAdvisor] = Nil,
     thriftLimiter: Option[SessionLimiter] = None,
-    denyUsersFile: Option[java.nio.file.Path] = None) {
+    denyUsersFile: Option[java.nio.file.Path] = None,
+    denyIpsFile: Option[java.nio.file.Path] = None) {
+
+  require(adminUsers.isEmpty || restAuth.isDefined,
+    "adminUsers requires a configured restAuth provider: admin verbs " +
+      "must authenticate the asserted identity, not trust it")
 
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(8))
@@ -644,17 +651,19 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               reply(ex, 200, s"""{"refreshed": "session_conf_profiles", "advisors": $n}""")
             case "deny_users" => (thriftLimiter, denyUsersFile) match {
               case (Some(l), Some(f)) =>
-                val users =
-                  if (!java.nio.file.Files.isReadable(f)) Set.empty[String]
-                  else {
-                    import scala.jdk.CollectionConverters._
-                    java.nio.file.Files.readAllLines(f).asScala
-                      .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#")).toSet
-                  }
+                val users = readListFile(f)
                 l.setDenyUsers(users)
                 reply(ex, 200, s"""{"refreshed": "deny_users", "count": ${users.size}}""")
               case _ =>
                 reply(ex, 400, """{"error": "no limiter/deny file configured"}""")
+            }
+            case "deny_ips" => (thriftLimiter, denyIpsFile) match {
+              case (Some(l), Some(f)) =>
+                val ips = readListFile(f)
+                l.setDenyIps(ips)
+                reply(ex, 200, s"""{"refreshed": "deny_ips", "count": ${ips.size}}""")
+              case _ =>
+                reply(ex, 400, """{"error": "no limiter/deny-ips file configured"}""")
             }
             case other =>
               reply(ex, 404, s"""{"error": ${q(s"unknown refresh target: $other")}}""")
@@ -991,6 +1000,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private def findOp(opId: String): Option[Operation] =
     Option(opSessions.get(opId)).flatMap(_.operation(opId))
       .orElse(engine.openSessions.iterator.map(_.operation(opId)).collectFirst { case Some(op) => op })
+
+  /** One-entry-per-line list file (deny users / deny IPs): trimmed,
+    * blank lines and `#` comments dropped; unreadable → empty.
+    */
+  private def readListFile(f: java.nio.file.Path): Set[String] =
+    if (!java.nio.file.Files.isReadable(f)) Set.empty[String]
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f).asScala
+        .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#")).toSet
+    }
 
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")

@@ -52,7 +52,10 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     maxConnectionsPerIp: Int = 0,
     maxConnectionsPerUserIp: Int = 0,
     unlimitedUsers: Set[String] = Set.empty,
-    denyUsers: Set[String] = Set.empty) {
+    denyUsers: Set[String] = Set.empty,
+    // Denied client IPs (reference SessionLimiter.scala:111-124) —
+    // the operator's lever against a misbehaving HOST, not account.
+    denyIps: Set[String] = Set.empty) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -84,15 +87,15 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
   // Statement.setQueryTimeout is capped at this value; when the client
   // sends none, the cap alone arms the timeout.
   private val timeoutCapBySession = new ConcurrentHashMap[String, java.lang.Long]()
-  // Authenticated (pre-impersonation) identity per session, feeding the
-  // per-user connection limiter's decrement on close/reap. The limiter
-  // counts the identity the transport PROVED, not the impersonated
-  // session user — otherwise a proxy-privileged account could dodge its
-  // own quota by spreading sessions across impersonation targets.
-  private val realUserBySession = new ConcurrentHashMap[String, String]()
-  // Client IP the session's open arrived from (the limiter's second
-  // dimension); decrement needs the exact admission key pair.
-  private val connIpBySession = new ConcurrentHashMap[String, String]()
+  // The limiter admission each session's open took (the keys ACTUALLY
+  // incremented), released exactly on close/reap. The limiter counts
+  // the identity the transport PROVED, not the impersonated session
+  // user — otherwise a proxy-privileged account could dodge its own
+  // quota by spreading sessions across impersonation targets. Storing
+  // the admission (not the user/ip pair) keeps release correct across
+  // unlimited-list hot swaps mid-connection.
+  private val admissionBySession =
+    new ConcurrentHashMap[String, SessionLimiter.Admission]()
 
   /** The connection limiter — exposed so the admin surface can
     * hot-refresh its deny/unlimited lists without a restart.
@@ -100,13 +103,11 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
   val limiter: SessionLimiter = new SessionLimiter(
     userLimit = maxConnectionsPerUser, ipLimit = maxConnectionsPerIp,
     userIpLimit = maxConnectionsPerUserIp,
-    initialUnlimitedUsers = unlimitedUsers, initialDenyUsers = denyUsers)
+    initialUnlimitedUsers = unlimitedUsers, initialDenyUsers = denyUsers,
+    initialDenyIps = denyIps)
 
   private def releaseConnection(sid: String): Unit =
-    Option(realUserBySession.remove(sid)).foreach { u =>
-      val ip = Option(connIpBySession.remove(sid)).getOrElse("")
-      limiter.decrement(u, ip)
-    }
+    Option(admissionBySession.remove(sid)).foreach(limiter.release)
   // Negotiated protocol per session: clients below V6 (old Hive JDBC
   // drivers) must get row-based TRowSets, not TColumn pages
   // (reference TRowSetGenerator.toRowBasedSet).
@@ -385,7 +386,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       val resp = new TOpenSessionResp()
       // set once the limiter slot is taken but no session owns it yet —
       // a failure in between must give the slot back
-      var unownedSlot: Option[(String, String)] = None
+      var unownedSlot: Option[SessionLimiter.Admission] = None
       try {
         // With SASL, the identity the transport PROVED wins over the
         // request body's username (reference KyuubiTBinaryFrontendService
@@ -400,8 +401,8 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         // concurrent open — or any open by a denied user — is rejected
         // before any engine work, atomically (increment-then-check).
         val clientIp = ClientIp.current.getOrElse("")
-        limiter.increment(realUser, clientIp)
-        unownedSlot = Some((realUser, clientIp))
+        val admission = limiter.increment(realUser, clientIp)
+        unownedSlot = Some(admission)
         // Client conf in arrival order, then SessionConfAdvisor
         // overlays (overwrite-in-place, new keys append — reference
         // KyuubiSession applies kyuubi.session.conf.advisor overlays
@@ -440,8 +441,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
         }
         val sess = engine.openSession(user, clientConf.toMap)
         sessions.put(sess.id, sess)
-        realUserBySession.put(sess.id, realUser)
-        connIpBySession.put(sess.id, clientIp)
+        admissionBySession.put(sess.id, admission)
         unownedSlot = None // the close/reap paths release it from here on
         // Impersonation leaves an audit trail: the session's OPENED
         // event carries the proxy TARGET, this one records WHO invoked
@@ -516,7 +516,7 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
       } catch { case e: Throwable =>
         // give back a limiter slot no session came to own (failures
         // after openSession release through the close/reap paths)
-        unownedSlot.foreach { case (u, ip) => limiter.decrement(u, ip) }
+        unownedSlot.foreach(limiter.release)
         resp.setStatus(err(e))
       }
       resp

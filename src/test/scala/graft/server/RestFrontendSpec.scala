@@ -180,16 +180,23 @@ class RestFrontendSpec extends AnyFunSuite {
     import graft.plans.AuthzPolicies
     val policyFile = Files.createTempFile("admin_refresh_authz", ".json")
     val denyFile = Files.createTempFile("admin_refresh_deny", ".txt")
+    val denyIpsFile = Files.createTempFile("admin_refresh_deny_ips", ".txt")
     Files.write(policyFile,
       """{"accessPolicies": [{"table": "admin_refresh_t", "allowed": ["alice"]}]}""".getBytes("UTF-8"))
     val limiter = new SessionLimiter()
     val advisor = new graft.core.FileSessionConfAdvisor(Some("/nonexistent-conf-dir"))
+    // admin verbs demand a REAL authenticator: identities are
+    // validated, never asserted (ADVICE r13: an asserted identity made
+    // the adminUsers check decorative)
     val front = new RestFrontend(new Engine(spark), port = 0,
       adminUsers = Set("root"),
+      restAuth = Some(new StaticAuthenticationProvider(
+        Map("root" -> "x", "mallory" -> "x"))),
       authzPolicyFile = Some(policyFile),
       confAdvisors = Seq(advisor),
       thriftLimiter = Some(limiter),
-      denyUsersFile = Some(denyFile))
+      denyUsersFile = Some(denyFile),
+      denyIpsFile = Some(denyIpsFile))
     val port = front.start()
     try {
       val base = s"http://localhost:$port/api/v1"
@@ -205,6 +212,20 @@ class RestFrontendSpec extends AnyFunSuite {
       // no identity → 401; non-admin → 403
       assert(post(c, s"$base/admin/refresh/authz_policies", "")._1 == 401)
       assert(postAuth(s"$base/admin/refresh/authz_policies", "mallory")._1 == 403)
+      // an admin USERNAME with wrong credentials is 401, not waved
+      // through: the provider validates, the header asserts nothing
+      val badCred = java.util.Base64.getEncoder.encodeToString("root:wrong".getBytes("UTF-8"))
+      val badResp = c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/admin/refresh/authz_policies"))
+        .header("Authorization", s"Basic $badCred")
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(badResp.statusCode() == 401, badResp.body())
+      // constructing an admin surface WITHOUT an authenticator is
+      // refused outright — no decorative gate
+      intercept[IllegalArgumentException] {
+        new RestFrontend(new Engine(spark), port = 0, adminUsers = Set("root"))
+      }
       // admin refresh loads the file NOW
       assert(postAuth(s"$base/admin/refresh/authz_policies", "root")._1 == 200)
       assert(AuthzPolicies.decideAccess("alice", Set.empty, "admin_refresh_t"))
@@ -222,6 +243,11 @@ class RestFrontendSpec extends AnyFunSuite {
       val (dc, dbody) = postAuth(s"$base/admin/refresh/deny_users", "root")
       assert(dc == 200 && dbody.contains("\"count\": 1"), s"$dc $dbody")
       assert(limiter.getDenyUsers == Set("badguy"))
+      // deny-IP re-read lands in the live limiter too
+      Files.write(denyIpsFile, "10.0.0.66\n# comment\n192.168.1.5\n".getBytes("UTF-8"))
+      val (ic, ibody) = postAuth(s"$base/admin/refresh/deny_ips", "root")
+      assert(ic == 200 && ibody.contains("\"count\": 2"), s"$ic $ibody")
+      assert(limiter.getDenyIps == Set("10.0.0.66", "192.168.1.5"))
       // profile-cache invalidation reports the file advisors it cleared
       val (pc, pbody) = postAuth(s"$base/admin/refresh/session_conf_profiles", "root")
       assert(pc == 200 && pbody.contains("\"advisors\": 1"), s"$pc $pbody")
@@ -232,6 +258,7 @@ class RestFrontendSpec extends AnyFunSuite {
       AuthzPolicies.loadJson("{}") // restore the empty global store
       Files.deleteIfExists(policyFile)
       Files.deleteIfExists(denyFile)
+      Files.deleteIfExists(denyIpsFile)
     }
   }
 

@@ -725,6 +725,30 @@ class ThriftFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally fe.stop()
   }
 
+  test("deny-IP list rejects an open from the denied address; hot-swap lifts it") {
+    // reference SessionLimiter.scala:111-124 (denyIps): blocks the
+    // HOST, independent of the account connecting from it
+    val fe = new ThriftFrontend(engine, denyIps = Set("127.0.0.1")).start()
+    try {
+      val u = s"jdbc:hive2://localhost:${fe.boundPort}/;auth=noSasl"
+      // every user from the denied address is rejected at open
+      for (user <- Seq("henry", "iris")) {
+        val e = intercept[java.sql.SQLException] {
+          DriverManager.getConnection(u, user, "")
+        }
+        assert(e.getMessage.contains("deny ip list"), e.getMessage)
+      }
+      // hot-swap (the admin-refresh target) lifts the block live
+      fe.limiter.setDenyIps(Set.empty)
+      DriverManager.getConnection(u, "henry", "").close()
+      fe.limiter.setDenyIps(Set("127.0.0.1"))
+      val e2 = intercept[java.sql.SQLException] {
+        DriverManager.getConnection(u, "henry", "")
+      }
+      assert(e2.getMessage.contains("deny ip list"), e2.getMessage)
+    } finally fe.stop()
+  }
+
   test("deny list hot-swap takes effect without a restart") {
     val fe = new ThriftFrontend(engine).start()
     try {

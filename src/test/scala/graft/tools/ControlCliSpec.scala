@@ -129,7 +129,10 @@ class ControlCliSpec extends AnyFunSuite {
         .getBytes("UTF-8"))
     val engine = new Engine(spark)
     val front = new RestFrontend(engine, port = 0,
-      adminUsers = Set("root"), authzPolicyFile = Some(policyFile))
+      adminUsers = Set("root"),
+      restAuth = Some(new graft.server.StaticAuthenticationProvider(
+        Map("root" -> "", "mallory" -> ""))), // `--as user` sends an empty password
+      authzPolicyFile = Some(policyFile))
     val port = front.start()
     try {
       val api = s"http://localhost:$port"

@@ -195,6 +195,40 @@ final class BatchMetadataStore(target: String,
     } finally st.close()
   }
 
+  /** Purge TERMINAL batch records whose end time is older than
+    * `maxAgeMs` — the reference's scheduled metadata cleaner
+    * (kyuubi-server/.../metadata/MetadataManager.scala:243-253 +
+    * JDBCMetadataStore.cleanupMetadataByAge: `end_time > 0 AND
+    * end_time < now - maxAge`). Without this the store grows forever
+    * on a busy gateway. `limit` bounds one pass (the reference's
+    * cleaner batch size) so a years-old backlog doesn't turn the first
+    * tick into one giant transaction; selected-then-deleted by id
+    * because Derby has no LIMIT on DELETE. Unfinished records
+    * (ended_at = 0) are never touched — recovery still finds them.
+    * Returns the number of records purged.
+    */
+  def purgeTerminal(maxAgeMs: Long, limit: Int = 1000): Int = synchronized {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val sel = conn.prepareStatement(
+      s"SELECT id FROM batches WHERE ended_at > 0 AND ended_at < ? " +
+        s"ORDER BY ended_at ${dialect.limitClause}")
+    val ids = try {
+      sel.setLong(1, cutoff)
+      sel.setInt(2, limit)
+      val rs = sel.executeQuery()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) buf += rs.getString(1)
+      rs.close()
+      buf.toSeq
+    } finally sel.close()
+    if (ids.nonEmpty) {
+      val del = conn.prepareStatement("DELETE FROM batches WHERE id = ?")
+      try ids.foreach { id => del.setString(1, id); del.addBatch() }
+      finally { try del.executeBatch() finally del.close() }
+    }
+    ids.size
+  }
+
   private def record(rs: java.sql.ResultSet): BatchRecord =
     BatchRecord(rs.getString("id"), rs.getString("usr"), rs.getString("sqltext"),
       rs.getString("state"), rs.getLong("created_at"), rs.getLong("ended_at"),

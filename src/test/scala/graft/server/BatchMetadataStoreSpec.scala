@@ -57,4 +57,58 @@ class BatchMetadataStoreSpec extends AnyFunSuite {
     val again = new BatchMetadataStore(s"jdbc:derby:$dir/db;create=true")
     try assert(again.list().size == 2) finally again.close()
   }
+
+  test("cleaner purges aged terminal records; live/unfinished kept; recovery unaffected") {
+    // reference MetadataManager.scala:243-253: scheduled purge of
+    // terminal records whose end_time is past the max age
+    val dir = java.nio.file.Files.createTempDirectory("graft-metastore-cleaner").toString
+    val store = new BatchMetadataStore(dir)
+    try {
+      store.insert("old-done", "alice", "SELECT 1", "PENDING")
+      store.updateState("old-done", "FINISHED", None)
+      store.insert("old-err", "alice", "SELECT 2", "PENDING")
+      store.updateState("old-err", "ERROR", Some("boom"))
+      store.insert("still-running", "bob", "SELECT 3", "RUNNING")
+      // a generous max age keeps everything (nothing is old enough)
+      assert(store.purgeTerminal(maxAgeMs = 3600000L) == 0)
+      assert(store.list().size == 3)
+      // let the terminal end times age past a tiny max age
+      Thread.sleep(20)
+      assert(store.purgeTerminal(maxAgeMs = 1L) == 2)
+      // terminal records gone, the live one untouched and still
+      // recoverable (ended_at = 0 rows are never candidates)
+      assert(store.list().map(_.id) == Seq("still-running"))
+      assert(store.unfinished().map(_.id) == Seq("still-running"))
+      // the pass-size bound holds: re-create aged records, purge with
+      // limit 1 → one per pass, oldest first
+      store.updateState("still-running", "FINISHED", None)
+      store.insert("old-2", "carol", "SELECT 4", "PENDING")
+      store.updateState("old-2", "CANCELED", None)
+      Thread.sleep(20)
+      assert(store.purgeTerminal(maxAgeMs = 1L, limit = 1) == 1)
+      assert(store.list().size == 1)
+      assert(store.purgeTerminal(maxAgeMs = 1L, limit = 1) == 1)
+      assert(store.list().isEmpty)
+    } finally store.close()
+  }
+
+  test("RestFrontend wires the cleaner: a tick purges through the running frontend") {
+    val spark = graft.SparkFixture.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-rest-cleaner").toString
+    // seed a pre-existing terminal record from a "previous incarnation"
+    locally {
+      val seed = new BatchMetadataStore(dir)
+      try {
+        seed.insert("ancient", "alice", "SELECT 1", "PENDING")
+        seed.updateState("ancient", "FINISHED", None)
+      } finally seed.close()
+    }
+    Thread.sleep(20)
+    val front = new RestFrontend(new graft.core.Engine(spark), port = 0,
+      batchStoreDir = Some(dir), metadataMaxAgeMs = 1L,
+      metadataCleanerIntervalMs = 3600000L) // interval irrelevant: tick driven
+    try {
+      assert(front.runMetadataCleanerOnce() == 1)
+    } finally front.stop()
+  }
 }

@@ -56,6 +56,12 @@ final class EngineAliveProber(
 
   private val conns = new ConcurrentHashMap[String, ProbeConn]()
   private val failures = new ConcurrentHashMap[String, Integer]()
+
+  /** Slots with live probe state (tests assert the prune). */
+  private[server] def trackedSlots: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    conns.keySet.asScala.toSet ++ failures.keySet.asScala.toSet
+  }
   @volatile private var scheduler: ScheduledExecutorService = _
 
   private def openProbe(address: String): ProbeConn = {
@@ -90,40 +96,62 @@ final class EngineAliveProber(
   /** One probe pass over every pooled engine. Public so tests can
     * drive the detection deterministically without the scheduler.
     */
-  def probeOnce(): Unit = pool.snapshot.foreach { case (slot, proc) =>
-    val healthy =
-      try {
-        val conn = conns.compute(slot, (_, cur) =>
-          if (cur != null && cur.address == proc.address) cur
-          else {
-            if (cur != null) cur.close() // slot was replaced: re-probe the new engine
-            openProbe(proc.address)
-          })
-        val req = new TGetInfoReq(conn.session, TGetInfoType.CLI_DBMS_VER)
-        val resp = conn.client.GetInfo(req)
-        resp.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS
-      } catch {
-        case _: Throwable =>
-          // a failed call can leave the probe transport desynced —
-          // drop it so the next tick reconnects from scratch
-          Option(conns.remove(slot)).foreach(c => try c.transport.close() catch { case _: Throwable => })
-          false
-      }
-    if (healthy) failures.remove(slot)
-    else {
-      val n = failures.merge(slot, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
-      if (n >= maxFailures) {
-        failures.remove(slot)
-        Option(conns.remove(slot)).foreach(_.close())
-        if (pool.evict(slot, proc)) {
-          onEvict(s"engine $slot at ${proc.address} (pid ${proc.pid}) evicted " +
-            s"after $n consecutive probe failures")
-          if (relaunch) {
-            try pool.getOrLaunchSlot(slot)
-            catch { case _: Throwable => () } // next session attempt retries
+  def probeOnce(): Unit = {
+    val live = pool.snapshot
+    live.foreach { case (slot, proc) =>
+      val healthy =
+        try {
+          // get → validate → putIfAbsent, never blocking network I/O
+          // under the CHM bin lock (openProbe can take probeTimeoutMs;
+          // inside a compute it would serialize a future parallel
+          // prober and stall unrelated map access)
+          val cached = conns.get(slot)
+          val conn =
+            if (cached != null && cached.address == proc.address) cached
+            else {
+              if (cached != null && conns.remove(slot, cached))
+                cached.close() // slot was replaced: re-probe the new engine
+              val fresh = openProbe(proc.address)
+              val raced = conns.putIfAbsent(slot, fresh)
+              if (raced != null) { fresh.close(); raced } else fresh
+            }
+          val req = new TGetInfoReq(conn.session, TGetInfoType.CLI_DBMS_VER)
+          val resp = conn.client.GetInfo(req)
+          resp.getStatus.getStatusCode == TStatusCode.SUCCESS_STATUS
+        } catch {
+          case _: Throwable =>
+            // a failed call can leave the probe transport desynced —
+            // drop it so the next tick reconnects from scratch
+            Option(conns.remove(slot)).foreach(c => try c.transport.close() catch { case _: Throwable => })
+            false
+        }
+      if (healthy) failures.remove(slot)
+      else {
+        val n = failures.merge(slot, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        if (n >= maxFailures) {
+          failures.remove(slot)
+          Option(conns.remove(slot)).foreach(_.close())
+          if (pool.evict(slot, proc)) {
+            onEvict(s"engine $slot at ${proc.address} (pid ${proc.pid}) evicted " +
+              s"after $n consecutive probe failures")
+            if (relaunch) {
+              try pool.getOrLaunchSlot(slot)
+              catch { case _: Throwable => () } // next session attempt retries
+            }
           }
         }
       }
+    }
+    // Prune state for slots no longer pooled (CONNECTION-level engines
+    // stopped at session close, pool.stop): without this, probe
+    // sockets/sessions for dead slots accumulate unboundedly on a
+    // long-lived gateway.
+    conns.keySet.forEach { slot =>
+      if (!live.contains(slot))
+        Option(conns.remove(slot)).foreach(_.close())
+    }
+    failures.keySet.forEach { slot =>
+      if (!live.contains(slot)) failures.remove(slot)
     }
   }
 

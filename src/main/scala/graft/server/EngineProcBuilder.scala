@@ -189,14 +189,27 @@ final class EnginePool(builder: EngineProcBuilder, poolSize: Int = 1,
   private def slotSpace(space: String, idx: Int): String =
     if (poolSize <= 1) space else s"$space/pool-$idx"
 
-  def getOrLaunch(space: String): EngineProcBuilder#EngineProcess = {
+  /** Pick (and launch on demand) an engine for `space`.
+    *
+    * `requestedSize` is the session's own `graft.engine.pool.size` ask
+    * (reference EngineRef.scala:88: the session conf is min'd with the
+    * server's pool.size.threshold) — a tenant can request a wider pool
+    * for a burst WITHOUT a gateway restart, but never wider than this
+    * pool's construction-time `poolSize` threshold. Slot NAMES stay
+    * threshold-based (`pool-0..poolSize-1`), so sessions requesting
+    * different sizes in the same space share the low slots instead of
+    * forking disjoint engine sets.
+    */
+  def getOrLaunch(space: String,
+      requestedSize: Option[Int] = None): EngineProcBuilder#EngineProcess = {
+    val effective = math.max(1, math.min(requestedSize.getOrElse(poolSize), poolSize))
     val idx =
-      if (poolSize <= 1) 0
+      if (effective <= 1) 0
       else selectPolicy.toUpperCase match {
-        case "RANDOM" => rnd.nextInt(poolSize)
+        case "RANDOM" => rnd.nextInt(effective)
         case _ => math.floorMod(pollCounters
           .computeIfAbsent(space, _ => new java.util.concurrent.atomic.AtomicInteger())
-          .getAndIncrement(), poolSize)
+          .getAndIncrement(), effective)
       }
     getOrLaunchSlot(slotSpace(space, idx))
   }

@@ -137,14 +137,32 @@ final class GatewayServer(
     * transport failure (dead engine, wedged engine hitting the socket
     * read timeout) into a clean ERROR_STATUS reply instead of letting
     * the exception tear down the client's gateway connection.
+    *
+    * The failed conn is also CLOSED and evicted from the routing maps:
+    * after a read timeout the engine's late reply stays buffered on
+    * the socket, so every later call on that connection would fail
+    * with Thrift out-of-sequence errors forever. Evicting gives the
+    * next call a clean "unknown session" instead of a permanently
+    * wedged connection (the reference marks the client broken and
+    * closes it — KyuubiSyncThriftClient's broken flag).
     */
   private def forward[R](conn: EngineConn, mkErr: TStatus => R)(
       f: TCLIService.Client => R): R =
     try conn.synchronized(f(conn.client))
     catch {
       case e: Throwable =>
+        evictConn(conn)
         mkErr(errStatus(s"engine forward failed (${conn.space}): ${e.getMessage}"))
     }
+
+  /** Drop a desynced engine connection: close its transport and remove
+    * every session/operation route pointing at it.
+    */
+  private def evictConn(conn: EngineConn): Unit = {
+    try conn.transport.close() catch { case _: Throwable => }
+    sessionConns.entrySet.removeIf(e => e.getValue eq conn)
+    opConns.entrySet.removeIf(e => e.getValue eq conn)
+  }
 
   /** Forward an operation-producing call through its session's engine,
     * recording the returned operation handle for follow-up routing.
@@ -180,9 +198,25 @@ final class GatewayServer(
         val advised = confAdvisors.foldLeft(sanitized)((acc, a) =>
           acc ++ a.confOverlay(user, acc))
         val space = spaceFor(user, advised)
-        val engine = pool.getOrLaunch(space)
+        // Session-selectable pool width under the server threshold
+        // (reference kyuubi.engine.pool.size as a session conf bounded
+        // by pool.size.threshold, EngineRef.scala:88 +
+        // KyuubiConf.scala:2639-2653): the ask rides the SANITIZED +
+        // advised conf, and the pool clamps it to [1, poolSize].
+        val requestedPool = advised.collectFirst {
+          // Hive JDBC forwards URL conf as set:hiveconf:<key>
+          case (k, v) if k.stripPrefix("set:hiveconf:").stripPrefix("set:hivevar:")
+            == "graft.engine.pool.size" => v
+        }.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        val engine = pool.getOrLaunch(space, requestedPool)
         val conn = connect(engine.address, user, space)
-        val resp = conn.synchronized(conn.client.OpenSession(req))
+        val resp =
+          try conn.synchronized(conn.client.OpenSession(req))
+          catch { case e: Throwable =>
+            // never registered: close the orphan transport here
+            try conn.transport.close() catch { case _: Throwable => }
+            throw e
+          }
         if (resp.getSessionHandle != null)
           sessionConns.put(key(resp.getSessionHandle.getSessionId), conn)
         resp

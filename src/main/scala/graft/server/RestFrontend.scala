@@ -55,7 +55,13 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     confAdvisors: Seq[graft.core.SessionConfAdvisor] = Nil,
     thriftLimiter: Option[SessionLimiter] = None,
     denyUsersFile: Option[java.nio.file.Path] = None,
-    denyIpsFile: Option[java.nio.file.Path] = None) {
+    denyIpsFile: Option[java.nio.file.Path] = None,
+    // Metadata cleaner (reference MetadataManager.scala:67-70, :243-253
+    // + METADATA_CLEANER_ENABLED/METADATA_MAX_AGE): terminal batch
+    // records older than maxAge are purged on a schedule so the store
+    // doesn't grow forever. 0 = cleaner disabled.
+    metadataMaxAgeMs: Long = 0,
+    metadataCleanerIntervalMs: Long = 60000) {
 
   require(adminUsers.isEmpty || restAuth.isDefined,
     "adminUsers requires a configured restAuth provider: admin verbs " +
@@ -375,8 +381,33 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     }
   })
 
+  // Scheduled metadata cleaner: purge terminal batch records past the
+  // max age (unfinished records are never touched — restart recovery
+  // still finds them). Conf-gated like the reference's
+  // METADATA_CLEANER_ENABLED.
+  private val metadataCleaner: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (metadataMaxAgeMs > 0 && store.isDefined) {
+      val s = Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-batch-metadata-cleaner")
+        t.setDaemon(true)
+        t
+      })
+      s.scheduleWithFixedDelay(() =>
+        try runMetadataCleanerOnce() catch { case _: Throwable => () },
+        metadataCleanerIntervalMs, metadataCleanerIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(s)
+    } else None
+
+  /** One cleaner pass (the scheduler's tick; public-to-tests so the
+    * purge is drivable without waiting out the interval).
+    */
+  private[server] def runMetadataCleanerOnce(): Int =
+    store.map(_.purgeTerminal(metadataMaxAgeMs)).getOrElse(0)
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = {
+    metadataCleaner.foreach(_.shutdownNow())
     server.stop(0)
     Events.unregister(metrics)
     Events.unregister(eventLog)

@@ -99,8 +99,18 @@ class GatewayServerSpec extends AnyFunSuite {
       val liveSpaces =
         try {
           assert(conn.createStatement().executeQuery("SELECT 42 AS v").next())
+          // a probe pass opens probe state for the live slot…
+          gw.prober.probeOnce()
+          assert(gw.prober.trackedSlots.exists(_.startsWith("connection/carol/")),
+            s"probe state for the live engine: ${gw.prober.trackedSlots}")
           reg.spaces().filter(_.startsWith("connection/carol/"))
         } finally conn.close()
+      // …and the pass after the slot leaves the pool PRUNES it (r13
+      // ADVICE: otherwise probe sockets for closed CONNECTION engines
+      // accumulate unboundedly on a long-lived gateway)
+      gw.prober.probeOnce()
+      assert(!gw.prober.trackedSlots.exists(_.startsWith("connection/carol/")),
+        s"stale probe state must be pruned: ${gw.prober.trackedSlots}")
       assert(liveSpaces.size == 1, s"one engine for the connection: $liveSpaces")
       // closing the JDBC connection closes the session → engine dies
       val deadline = System.nanoTime() + 25e9.toLong
@@ -227,6 +237,14 @@ class GatewayServerSpec extends AnyFunSuite {
         }
         assert(String.valueOf(hung.getMessage).contains("engine forward failed"),
           s"got: ${hung.getMessage}")
+        // the desynced engine conn was EVICTED with its buffered late
+        // reply: the next call gets a clean 'unknown session', never a
+        // Thrift out-of-sequence wedge (r13 ADVICE)
+        val after = intercept[java.sql.SQLException] {
+          c1.createStatement().executeQuery("SELECT 21 AS v")
+        }
+        assert(String.valueOf(after.getMessage).contains("unknown session"),
+          s"got: ${after.getMessage}")
         // two consecutive probe failures → evict + SIGKILL + relaunch
         gw.prober.probeOnce()
         gw.prober.probeOnce()
@@ -270,6 +288,30 @@ class GatewayServerSpec extends AnyFunSuite {
         val s1 = reg.get("user/frank/pool-1")
         assert(s0.nonEmpty && s1.nonEmpty, s"both slots must launch: $s0 / $s1")
         assert(s0 != s1, "two connections must land on two distinct engine JVMs")
+        // session-conf pool size is clamped at the server threshold
+        // (reference EngineRef.scala:88: min(session ask, threshold)):
+        // a tenant asking for 3 under threshold 2 cycles over the SAME
+        // two slots — pool-2 never exists
+        val c3 = DriverManager.getConnection(
+          s"$url?graft.engine.pool.size=3", "frank", "")
+        val c4 = DriverManager.getConnection(
+          s"$url?graft.engine.pool.size=3", "frank", "")
+        try {
+          assert(c3.createStatement().executeQuery("SELECT 3 AS v").next())
+          assert(c4.createStatement().executeQuery("SELECT 4 AS v").next())
+          assert(reg.get("user/frank/pool-2").isEmpty,
+            "a session ask above the threshold must not widen the pool")
+          assert(gw.poolSnapshot.keySet == Set("user/frank/pool-0", "user/frank/pool-1"),
+            s"got: ${gw.poolSnapshot.keySet}")
+          // and a session asking for 1 pins to slot 0 (still a sub-slot
+          // name: sizes mix within one space without forking engines)
+          val c5 = DriverManager.getConnection(
+            s"$url?graft.engine.pool.size=1", "frank", "")
+          try {
+            assert(c5.createStatement().executeQuery("SELECT 5 AS v").next())
+            assert(gw.poolSnapshot.keySet == Set("user/frank/pool-0", "user/frank/pool-1"))
+          } finally c5.close()
+        } finally { c3.close(); c4.close() }
       } finally { c1.close(); c2.close() }
     } finally gw.stop()
     // teardown stops BOTH slot engines

@@ -1,0 +1,254 @@
+package graft.server
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedDeque
+
+/** Child-JVM execution of an UPLOADED batch resource — the reference's
+  * real REST batch story: `POST /api/v1/batches` is spark-submit of a
+  * user artifact through a SparkBatchProcessBuilder
+  * (kyuubi-server/.../engine/spark/SparkBatchProcessBuilder.scala;
+  * BatchJobSubmission drives the process and mirrors its state into
+  * the metadata store), not a SQL statement.
+  *
+  * Command construction mirrors [[EngineProcBuilder]]'s two paths:
+  * with SPARK_HOME set, `spark-submit --class <mainClass> <jar>
+  * <args>` (the deployment shape); otherwise a bare java child with
+  * Spark's module-opens, this JVM's classpath PLUS the staged jar —
+  * the uploaded application can still build a local SparkSession. The
+  * builder only constructs; [[BatchJob]] owns one process's lifecycle.
+  *
+  * Every command carries `graft.batch.tag=<id>` on its command line —
+  * the reference's KYUUBI_BATCH_ID_KEY tag that lets a restarted
+  * server FIND a still-running batch (via the ApplicationOperation
+  * seam) instead of double-submitting it.
+  */
+final class BatchJobBuilder(
+    sparkHome: Option[String] = sys.env.get("SPARK_HOME"),
+    master: String = sys.env.getOrElse("SPARK_MASTER", "local[2]"),
+    sparkConf: Map[String, String] = Map.empty) {
+
+  /** The exact command `start` will run for one staged resource. */
+  def command(id: String, resource: Path, mainClass: Option[String],
+      args: Seq[String]): Seq[String] =
+    sparkHome match {
+      case Some(home) if resource.toString.endsWith(".jar") =>
+        val conf = Map(
+          "spark.master" -> master,
+          "spark.graft.batch.tag" -> id,
+          "spark.ui.enabled" -> "false") ++ sparkConf
+        Seq(s"$home/bin/spark-submit") ++
+          mainClass.toSeq.flatMap(c => Seq("--class", c)) ++
+          conf.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") } ++
+          Seq(resource.toString) ++ args
+      case _ =>
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+          .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+        Seq(javaBin) ++ moduleOpts ++ Seq(
+          "-Xmx1g", "-Dspark.ui.enabled=false", s"-Dgraft.batch.tag=$id",
+          "-cp", s"${System.getProperty("java.class.path")}" +
+            s"${java.io.File.pathSeparator}${resource}",
+          mainClass.getOrElse(throw new IllegalArgumentException(
+            "classname is a required parameter for SPARK"))) ++ args
+    }
+
+  /** Launch the batch process. `onTerminal` fires exactly once with
+    * the final state name (FINISHED / ERROR / CANCELED).
+    */
+  def start(id: String, user: String, resource: Path, mainClass: Option[String],
+      args: Seq[String], onTerminal: String => Unit): BatchJob =
+    BatchJob.launch(id, user, command(id, resource, mainClass, args), onTerminal)
+}
+
+/** One running uploaded-resource batch: state machine + incremental
+  * log over a child process (the reference BatchJobSubmission's
+  * operation surface: state polls, localLog paging, kill).
+  *
+  * States use the engine's OperationState vocabulary so the metadata
+  * store and the REST appState mapping treat process batches exactly
+  * like statement batches: RUNNING → FINISHED (exit 0) / ERROR
+  * (exit != 0) / CANCELED (killed through [[cancel]]).
+  *
+  * Two modes: [[BatchJob.launch]] spawns and fully owns a child
+  * (stdout drained into the log ring, exit code inspected);
+  * [[BatchJob.attach]] adopts a process a PREVIOUS server incarnation
+  * spawned, found by its command-line tag — no stdout or exit code
+  * access for a non-child, so completion settles FINISHED (the
+  * reference's recovered-app monitoring has the same visibility: the
+  * cluster reports the app gone, not its exit status).
+  */
+final class BatchJob private (val id: String, val user: String,
+    target: Either[Seq[String], ProcessHandle], onTerminal: String => Unit) {
+
+  @volatile private var state: String = "PENDING"
+  @volatile private var canceled = false
+  private val log = new ConcurrentLinkedDeque[String]()
+  private val logCap = 10000
+
+  def currentState: String = state
+  def isTerminal: Boolean = Set("FINISHED", "ERROR", "CANCELED")(state)
+
+  private val proc: Either[Process, ProcessHandle] = target match {
+    case Left(cmd) =>
+      log.addLast(s"launching: ${cmd.mkString(" ")}")
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      state = "RUNNING"
+      Left(p)
+    case Right(h) =>
+      log.addLast(s"re-attached to live batch process pid ${h.pid()}")
+      state = "RUNNING"
+      Right(h)
+  }
+
+  def pid: Long = proc.fold(_.pid(), _.pid())
+
+  private def settle(terminal: String): Unit = {
+    state = terminal
+    try onTerminal(terminal) catch { case _: Throwable => }
+  }
+
+  // Owned child: drain its combined output into the bounded log ring
+  // (a full pipe would deadlock the child), then settle the terminal
+  // state from the exit code. Attached process: just await its exit.
+  private val watcher = new Thread(() => proc match {
+    case Left(p) =>
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          log.addLast(line)
+          while (log.size > logCap) log.pollFirst()
+          line = r.readLine()
+        }
+      } catch { case _: Throwable => }
+      val code = p.waitFor()
+      settle(
+        if (canceled) "CANCELED"
+        else if (code == 0) "FINISHED"
+        else { log.addLast(s"process exited with code $code"); "ERROR" })
+    case Right(h) =>
+      try h.onExit().join() catch { case _: Throwable => }
+      log.addLast("attached process exited (exit code not observable for a non-child)")
+      settle(if (canceled) "CANCELED" else "FINISHED")
+  }, s"graft-batch-$id")
+  watcher.setDaemon(true)
+  watcher.start()
+
+  /** Incremental log fetch: each line is delivered once (the batch
+    * localLog contract).
+    */
+  def fetchLog(max: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var n = 0
+    var line = log.pollFirst()
+    while (line != null && n < max) {
+      out += line
+      n += 1
+      line = if (n < max) log.pollFirst() else null
+    }
+    out.result()
+  }
+
+  /** Kill the batch (reference DELETE /batches/{id}): SIGTERM then
+    * SIGKILL; the watcher settles CANCELED.
+    */
+  def cancel(): Unit = {
+    canceled = true
+    proc match {
+      case Left(p) =>
+        p.destroy()
+        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      case Right(h) =>
+        h.destroy()
+        try h.onExit().get(5, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Throwable => h.destroyForcibly() }
+    }
+  }
+}
+
+object BatchJob {
+  /** Spawn and own a new batch child JVM. */
+  def launch(id: String, user: String, cmd: Seq[String],
+      onTerminal: String => Unit): BatchJob =
+    new BatchJob(id, user, Left(cmd), onTerminal)
+
+  /** Adopt a live process from a previous server incarnation (found by
+    * its `graft.batch.tag`) instead of double-submitting it.
+    */
+  def attach(id: String, user: String, handle: ProcessHandle,
+      onTerminal: String => Unit): BatchJob =
+    new BatchJob(id, user, Right(handle), onTerminal)
+}
+
+/** Staging helpers for uploaded batch resources. */
+object BatchUpload {
+
+  /** One decoded `multipart/form-data` part. */
+  final case class Part(name: String, filename: Option[String], data: Array[Byte])
+
+  private val CrLf = "\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Minimal RFC 7578 parser over the raw request body (the JDK
+    * HttpServer has no multipart support). Splits on the boundary
+    * delimiter, then each part into headers (ISO-8859-1 text up to the
+    * blank line) and an EXACT byte payload — jar bytes must round-trip
+    * unmangled, so nothing here goes through a String except headers.
+    */
+  def parseMultipart(body: Array[Byte], boundary: String): Seq[Part] = {
+    val delim = ("--" + boundary).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def indexOf(target: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i <= body.length - target.length) {
+        var j = 0
+        while (j < target.length && body(i + j) == target(j)) j += 1
+        if (j == target.length) return i
+        i += 1
+      }
+      -1
+    }
+    val parts = Seq.newBuilder[Part]
+    var pos = indexOf(delim, 0)
+    while (pos >= 0) {
+      val afterDelim = pos + delim.length
+      // closing delimiter is "--boundary--"
+      if (afterDelim + 1 < body.length &&
+          body(afterDelim) == '-' && body(afterDelim + 1) == '-') {
+        pos = -1
+      } else {
+        val headerStart = afterDelim + CrLf.length
+        val headerEnd = indexOf(CrLf ++ CrLf, headerStart)
+        val next = indexOf(delim, if (headerEnd < 0) headerStart else headerEnd)
+        if (headerEnd >= 0 && next > headerEnd) {
+          val headers = new String(body, headerStart, headerEnd - headerStart,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val nameRe = """name="([^"]*)"""".r
+          val fileRe = """filename="([^"]*)"""".r
+          val name = nameRe.findFirstMatchIn(headers).map(_.group(1))
+          val filename = fileRe.findFirstMatchIn(headers).map(_.group(1))
+          val dataStart = headerEnd + 2 * CrLf.length
+          val dataEnd = next - CrLf.length // payload ends before \r\n--boundary
+          if (name.isDefined && dataEnd >= dataStart)
+            parts += Part(name.get, filename,
+              java.util.Arrays.copyOfRange(body, dataStart, dataEnd))
+        }
+        pos = next
+      }
+    }
+    parts.result()
+  }
+
+  /** Stage an uploaded resource under `<stagingDir>/<batchId>/` with
+    * its client-sent filename (path components stripped — a crafted
+    * `../../` filename must not escape the staging dir).
+    */
+  def stage(stagingDir: Path, batchId: String, filename: String,
+      data: Array[Byte]): Path = {
+    val safeName = java.nio.file.Paths.get(filename).getFileName.toString
+    val dir = stagingDir.resolve(batchId)
+    Files.createDirectories(dir)
+    val target = dir.resolve(safeName)
+    Files.write(target, data)
+    target
+  }
+}

@@ -61,7 +61,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     // records older than maxAge are purged on a schedule so the store
     // doesn't grow forever. 0 = cleaner disabled.
     metadataMaxAgeMs: Long = 0,
-    metadataCleanerIntervalMs: Long = 60000) {
+    metadataCleanerIntervalMs: Long = 60000,
+    // Batch resource upload (reference BatchesResource.scala:194-224:
+    // multipart POST /api/v1/batches with a resourceFile runs the
+    // uploaded artifact through a SparkBatchProcessBuilder child JVM;
+    // BATCH_RESOURCE_UPLOAD_ENABLED toggles it,
+    // BATCH_RESOURCE_FILE_MAX_SIZE caps it — 0 = uncapped).
+    resourceUploadEnabled: Boolean = true,
+    resourceFileMaxSize: Long = 0,
+    batchStagingDir: Option[String] = None,
+    batchJobBuilder: BatchJobBuilder = new BatchJobBuilder()) {
 
   require(adminUsers.isEmpty || restAuth.isDefined,
     "adminUsers requires a configured restAuth provider: admin verbs " +
@@ -78,6 +87,13 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private val opToBatch = new ConcurrentHashMap[String, String]()
 
   private val store: Option[BatchMetadataStore] = batchStoreDir.map(new BatchMetadataStore(_))
+
+  // Uploaded-resource batches (child JVMs), beside the SQL batches in
+  // `batches` — same id space, same store, same per-user slots.
+  private val procBatches = new ConcurrentHashMap[String, BatchJob]()
+  private val stagingDir: java.nio.file.Path = java.nio.file.Paths.get(
+    batchStagingDir.orElse(batchStoreDir.map(_ + "/uploads"))
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-batch-uploads"))
 
   // Mirror every tracked batch operation's state transitions into the
   // metadata store, so the persisted state is current when we die.
@@ -341,6 +357,101 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     } finally ex.close()
   }
 
+  /** Start (or restart, for recovery) one uploaded-resource batch:
+    * store record first, then the child JVM; the terminal callback
+    * mirrors the final state into the store and frees the user's
+    * batch slot exactly once.
+    */
+  private def startResourceBatch(id: String, user: String,
+      resource: java.nio.file.Path, mainClass: Option[String],
+      args: Seq[String], insertRecord: Boolean): BatchJob = {
+    val descriptor =
+      s"""{"resourceBatch": true, "resource": ${q(resource.toString)}""" +
+        mainClass.map(c => s""", "mainClass": ${q(c)}""").getOrElse("") +
+        s""", "args": [${args.map(q).mkString(",")}]}"""
+    batchSlotUsers.put(id, user)
+    try store.foreach { s =>
+      if (insertRecord) s.insert(id, user, descriptor, "RUNNING")
+      else s.updateState(id, "RUNNING", None)
+    } catch { case e: Throwable =>
+      batchSlotUsers.remove(id) // caller's decrement is the single release
+      throw e
+    }
+    val job = batchJobBuilder.start(id, user, resource, mainClass, args, terminal => {
+      store.foreach(_.updateState(id, terminal, None))
+      releaseBatchSlot(id)
+    })
+    procBatches.put(id, job)
+    // the child can exit before the callback saw a registered slot
+    // entry — release here too; idempotent via the map remove
+    if (job.isTerminal) releaseBatchSlot(id)
+    job
+  }
+
+  /** Multipart `POST /api/v1/batches` — the reference's uploaded-
+    * resource batch submit (BatchesResource.scala:194-224): stage the
+    * artifact per batch, enforce the enabled toggle and the size cap,
+    * run it as a child JVM tracked like any other batch.
+    */
+  private def handleBatchUpload(ex: HttpExchange, contentType: String): Unit = {
+    val raw = ex.getRequestBody.readAllBytes()
+    if (!resourceUploadEnabled) {
+      reply(ex, 400, """{"error": "Batch resource upload function is disabled."}""")
+      return
+    }
+    val boundary = "boundary=\"?([^\";,\\s]+)\"?".r.findFirstMatchIn(contentType)
+      .map(_.group(1)).getOrElse {
+        reply(ex, 400, """{"error": "multipart body without a boundary"}""")
+        return
+      }
+    val parts = BatchUpload.parseMultipart(raw, boundary)
+    val reqJson = parts.find(_.name == "batchRequest").map(p =>
+      new String(p.data, StandardCharsets.UTF_8)).getOrElse {
+        reply(ex, 400, """{"error": "batchRequest is required and please check the content type of batchRequest is application/json"}""")
+        return
+      }
+    val filePart = parts.find(p => p.name == "resourceFile" && p.filename.exists(_.nonEmpty))
+      .getOrElse {
+        reply(ex, 400, """{"error": "resource is a required parameter"}""")
+        return
+      }
+    val batchType = field(reqJson, "batchType").getOrElse("SPARK").toUpperCase
+    if (batchType != "SPARK") {
+      reply(ex, 400, s"""{"error": ${q(s"$batchType is not in the supported list: SPARK")}}""")
+      return
+    }
+    val mainClass = field(reqJson, "className")
+    if (mainClass.isEmpty) {
+      reply(ex, 400, """{"error": "classname is a required parameter for SPARK"}""")
+      return
+    }
+    val fileName = filePart.filename.get
+    if (resourceFileMaxSize > 0 && filePart.data.length > resourceFileMaxSize) {
+      reply(ex, 413, s"""{"error": ${q(s"Resource file $fileName exceeds the " +
+        s"maximum size limit $resourceFileMaxSize bytes")}}""")
+      return
+    }
+    val user = field(reqJson, "user").getOrElse("batch")
+    val args = jsonStringArray(reqJson, "args")
+    if (!claimBatchSlot(user)) {
+      reply(ex, 429, s"""{"error": ${q(
+        s"Batch limit per user reached (user: $user, limit: $maxBatchesPerUser)")}}""")
+      return
+    }
+    val id = java.util.UUID.randomUUID().toString
+    try {
+      val staged = BatchUpload.stage(stagingDir, id, fileName, filePart.data)
+      val job = startResourceBatch(id, user, staged, mainClass, args, insertRecord = true)
+      val st = job.currentState
+      reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+        ApplicationState.fromOperationStateName(st).toString)}, "batchType": "SPARK"}""")
+    } catch { case e: Throwable =>
+      Option(liveBatchCounts.get(user)).foreach(_.decrementAndGet())
+      batchSlotUsers.remove(id)
+      throw e
+    }
+  }
+
   /** Submit a batch statement. `fixedId` pins a recovered batch to its
     * original id; new submissions use the operation handle as the id.
     */
@@ -371,11 +482,35 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 
   // Recovery: resubmit batches a previous server incarnation left
   // unfinished, under their original ids (reference
-  // BatchJobSubmission recovery path).
+  // BatchJobSubmission recovery path). Resource batches relaunch from
+  // their still-staged artifact; a missing artifact is a terminal
+  // ERROR, not a crash loop.
   store.foreach(_.unfinished().foreach { rec =>
     claimBatchSlot(rec.user, enforce = false) // recovered batches occupy slots
-    try submitBatch(rec.user, rec.sql, Some(rec.id))
-    catch { case e: Throwable =>
+    try {
+      if (rec.sql.contains("\"resourceBatch\": true")) {
+        // find-before-resubmit (reference BatchJobSubmission recovery:
+        // currentApplicationInfo first): a batch child that survived
+        // the server restart is ADOPTED by its graft.batch.tag, never
+        // double-submitted
+        RestFrontend.findBatchProcessByTag(rec.id) match {
+          case Some(handle) =>
+            batchSlotUsers.put(rec.id, rec.user)
+            procBatches.put(rec.id, BatchJob.attach(rec.id, rec.user, handle, terminal => {
+              store.foreach(_.updateState(rec.id, terminal, None))
+              releaseBatchSlot(rec.id)
+            }))
+          case None =>
+            val resource = field(rec.sql, "resource").map(java.nio.file.Paths.get(_))
+              .filter(java.nio.file.Files.exists(_))
+              .getOrElse(throw new IllegalStateException(
+                "staged resource file is gone; cannot recover the batch"))
+            startResourceBatch(rec.id, rec.user, resource,
+              field(rec.sql, "mainClass"), jsonStringArray(rec.sql, "args"),
+              insertRecord = false)
+        }
+      } else submitBatch(rec.user, rec.sql, Some(rec.id))
+    } catch { case e: Throwable =>
       Option(liveBatchCounts.get(rec.user)).foreach(_.decrementAndGet())
       store.foreach(_.updateState(rec.id, "ERROR", Some(String.valueOf(e.getMessage))))
     }
@@ -475,6 +610,12 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           }
         }
 
+      case ("POST", "batches" :: Nil)
+        if Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.toLowerCase.startsWith("multipart/form-data")) =>
+        // uploaded-resource batch (reference openBatchSessionWithUpload)
+        handleBatchUpload(ex, ex.getRequestHeaders.getFirst("Content-Type"))
+
       case ("POST", "batches" :: Nil) =>
         // read the request body ONCE — the stream is consumed on first
         // read, so a second body(ex) would see "" and default the user
@@ -512,6 +653,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             val st = op.currentState.toString
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
               ApplicationState.fromOperationStateName(st).toString)}}""")
+          case None if procBatches.containsKey(id) =>
+            val st = procBatches.get(id).currentState
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+              ApplicationState.fromOperationStateName(st).toString)}, "batchType": "SPARK"}""")
           case None => store.flatMap(_.get(id)) match {
             // not live in this process — serve the persisted state
             // (a terminal batch from a previous server incarnation)
@@ -529,6 +674,9 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         Option(batches.get(id)) match {
           case Some((_, op)) =>
             val lines = op.fetchLog(1000)
+            reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
+          case None if procBatches.containsKey(id) =>
+            val lines = procBatches.get(id).fetchLog(1000)
             reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
@@ -596,6 +744,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           liveJson(e.getKey) =
             s"""{"id": ${q(e.getKey)}, "user": ${q(sess.user)}, "state": ${q(op.currentState.toString)}}"""
         }
+        procBatches.forEach { (id, job) =>
+          liveJson(id) =
+            s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": "SPARK"}"""
+        }
         val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveJson.contains(r.id))
           .map(r => s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}""")
         reply(ex, 200, s"""{"batches": [${(liveJson.values.toSeq ++ stored).mkString(",")}]}""")
@@ -608,6 +760,12 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             try op.cancel() catch { case _: Throwable => }
             store.foreach(_.updateState(id, op.currentState.toString, None))
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(op.currentState.toString)}}""")
+          case None if procBatches.containsKey(id) =>
+            val job = procBatches.get(id)
+            try job.cancel() catch { case _: Throwable => }
+            // terminal state + store mirror + slot release settle
+            // through the job's own drainer callback
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
           case None => reply(ex, 404, """{"error": "no such batch"}""")
         }
 
@@ -1096,6 +1254,23 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     else None
   }
 
+  /** `"key": ["a", "b"]` — string elements only, same escape rules as
+    * [[field]].
+    */
+  private def jsonStringArray(json: String, key: String): Seq[String] = {
+    val arr = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]")
+      .matcher(json)
+    if (!arr.find()) Nil
+    else {
+      val lit = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(arr.group(1))
+      val out = Seq.newBuilder[String]
+      while (lit.find())
+        out += lit.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+      out.result()
+    }
+  }
+
   private def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -1116,6 +1291,20 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 }
 
 object RestFrontend {
+
+  /** Live batch-child lookup by the `graft.batch.tag=<id>` its command
+    * line carries (the LocalApplicationOperation pattern; recovery's
+    * find-before-resubmit). Excludes this process itself.
+    */
+  private[server] def findBatchProcessByTag(id: String): Option[ProcessHandle] = {
+    import scala.jdk.CollectionConverters._
+    val tag = s"graft.batch.tag=$id"
+    ProcessHandle.allProcesses().iterator().asScala.find { h =>
+      h.pid() != ProcessHandle.current().pid() && h.isAlive &&
+        h.info().commandLine().map[Boolean](_.contains(tag)).orElse(false)
+    }
+  }
+
   /** The embedded admin page: plain HTML + fetch() against the JSON
     * admin endpoints, refreshed every 5 s. No framework, no build step,
     * nothing to vendor — the page is the API's data, rendered.

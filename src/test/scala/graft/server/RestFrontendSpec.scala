@@ -262,6 +262,203 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  // ---- uploaded-resource batches (reference BatchesResource
+  // multipart POST — spark-submit of an uploaded artifact) ----
+
+  /** Compile a tiny batch app with the in-JVM javac and jar it — a
+    * REAL uploaded artifact, not a fixture checked in as bytes. The
+    * app prints a marker + its args; `sleep` as arg 0 parks it so
+    * kill/recovery paths have a live process to act on.
+    */
+  private lazy val uploadableJar: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upload-src")
+    val src = dir.resolve("GraftBatchApp.java")
+    java.nio.file.Files.write(src,
+      """public class GraftBatchApp {
+        |  public static void main(String[] a) throws Exception {
+        |    if (a.length > 0 && a[0].equals("sleep")) { Thread.sleep(300000); return; }
+        |    System.out.println("hello-from-uploaded-batch " + String.join(",", a));
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString) == 0, "javac must succeed")
+    val jar = dir.resolve("graft-batch-app.jar")
+    val jos = new java.util.jar.JarOutputStream(java.nio.file.Files.newOutputStream(jar))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry("GraftBatchApp.class"))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve("GraftBatchApp.class")))
+      jos.closeEntry()
+    } finally jos.close()
+    jar
+  }
+
+  /** multipart/form-data body with a batchRequest JSON field and the
+    * resourceFile part (the reference's upload shape).
+    */
+  private def multipartBody(boundary: String, requestJson: String,
+      fileName: String, fileBytes: Array[Byte]): Array[Byte] = {
+    val sb = new java.io.ByteArrayOutputStream()
+    def text(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    text(s"--$boundary\r\n")
+    text("Content-Disposition: form-data; name=\"batchRequest\"\r\n")
+    text("Content-Type: application/json\r\n\r\n")
+    text(requestJson)
+    text(s"\r\n--$boundary\r\n")
+    text(s"""Content-Disposition: form-data; name="resourceFile"; filename="$fileName"""" + "\r\n")
+    text("Content-Type: application/octet-stream\r\n\r\n")
+    sb.write(fileBytes)
+    text(s"\r\n--$boundary--\r\n")
+    sb.toByteArray
+  }
+
+  private def postMultipart(c: HttpClient, url: String, requestJson: String,
+      fileName: String, fileBytes: Array[Byte]): (Int, String) = {
+    val boundary = "graftBoundary" + System.nanoTime()
+    val r = c.send(HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody(boundary, requestJson, fileName, fileBytes))).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def pollBatch(c: HttpClient, base: String, id: String,
+      until: Set[String], timeoutSec: Int = 90): String = {
+    var state = ""
+    val deadline = System.nanoTime() + timeoutSec * 1e9.toLong
+    while (!until(state) && System.nanoTime() < deadline) {
+      state = extract(get(c, s"$base/batches/$id")._2, "state")
+      if (!until(state)) Thread.sleep(200)
+    }
+    state
+  }
+
+  test("uploaded jar runs as a batch: state transitions, store record, log fetch") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-upload-store").toString
+    val front = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port = front.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$port/api/v1"
+      val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+      val (code, body) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "user": "uploader", "args": ["a1", "a2"]}""",
+        "app.jar", jarBytes)
+      assert(code == 200, body)
+      val id = extract(body, "id")
+      assert(extract(body, "batchType") == "SPARK")
+      assert(pollBatch(c, base, id, Set("FINISHED", "ERROR")) == "FINISHED")
+      val (_, full) = get(c, s"$base/batches/$id")
+      assert(extract(full, "appState") == "FINISHED", full)
+      // the child's stdout (with the args) came back through localLog
+      val (lc, lbody) = get(c, s"$base/batches/$id/localLog")
+      assert(lc == 200)
+      assert(lbody.contains("hello-from-uploaded-batch a1,a2"), lbody)
+      // listed beside SQL batches; terminal state persisted
+      val (_, listing) = get(c, s"$base/batches")
+      assert(listing.contains(id), listing)
+      front.stop()
+      // the persisted record survives the frontend (reopen the store)
+      val sameStore = new BatchMetadataStore(storeDir)
+      try {
+        val rec = sameStore.get(id)
+        assert(rec.exists(_.state == "FINISHED"), rec)
+        assert(rec.exists(_.user == "uploader"), rec)
+        assert(rec.exists(_.sql.contains("\"resourceBatch\": true")), rec)
+      } finally sameStore.close()
+    } finally try front.stop() catch { case _: Throwable => }
+  }
+
+  test("upload contract: disabled toggle, size cap 413, missing className") {
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    // disabled-by-conf → the reference's error shape
+    val off = new RestFrontend(new Engine(spark), port = 0, resourceUploadEnabled = false)
+    val offPort = off.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val (code, body) = postMultipart(c, s"http://localhost:$offPort/api/v1/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp"}""", "app.jar", jarBytes)
+      assert(code == 400 && body.contains("Batch resource upload function is disabled."), body)
+    } finally off.stop()
+    // size cap → 413 with the reference's message
+    val capped = new RestFrontend(new Engine(spark), port = 0, resourceFileMaxSize = 64)
+    val capPort = capped.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$capPort/api/v1"
+      val (code, body) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp"}""", "app.jar", jarBytes)
+      assert(code == 413, body)
+      assert(body.contains("exceeds the maximum size limit 64 bytes"), body)
+      // under the cap passes the gate (validation order: cap is on the file)
+      val (mc, mbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK"}""", "tiny.jar", Array[Byte](1, 2, 3))
+      assert(mc == 400 && mbody.contains("classname is a required parameter"), mbody)
+      // unsupported batch type named in the error
+      val (tc, tbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "FLINK", "className": "X"}""", "tiny.jar", Array[Byte](1))
+      assert(tc == 400 && tbody.contains("FLINK is not in the supported list"), tbody)
+    } finally capped.stop()
+  }
+
+  test("DELETE kills a running uploaded batch; restart ADOPTS a surviving one by tag") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-upload-recover").toString
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    val front = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    var sleeperId: String = null
+    try {
+      val base = s"http://localhost:$port/api/v1"
+      // a killed batch settles CANCELED (KILLED at the app-state level)
+      val (kc, kbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "args": ["sleep"]}""",
+        "app.jar", jarBytes)
+      assert(kc == 200, kbody)
+      val killId = extract(kbody, "id")
+      assert(extract(kbody, "state") == "RUNNING", kbody)
+      val (dc, _) = c.send(HttpRequest.newBuilder(URI.create(s"$base/batches/$killId"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString()) match {
+        case r => (r.statusCode(), r.body())
+      }
+      assert(dc == 200)
+      assert(pollBatch(c, base, killId, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
+      assert(extract(get(c, s"$base/batches/$killId")._2, "appState") == "KILLED")
+      // now a sleeper that will OUTLIVE this frontend
+      val (sc, sbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "user": "survivor", "args": ["sleep"]}""",
+        "app.jar", jarBytes)
+      assert(sc == 200, sbody)
+      sleeperId = extract(sbody, "id")
+    } finally front.stop()
+    // the child JVM survived the frontend stop
+    val handle = RestFrontend.findBatchProcessByTag(sleeperId)
+    assert(handle.exists(_.isAlive), "batch child must survive the server restart")
+    // a new incarnation over the same store ADOPTS it (no double submit)
+    val front2 = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port2 = front2.start()
+    try {
+      val base2 = s"http://localhost:$port2/api/v1"
+      val (gc, gbody) = get(c, s"$base2/batches/$sleeperId")
+      assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
+      // exactly one process carries the tag: adopted, not re-launched
+      import scala.jdk.CollectionConverters._
+      val tagged = ProcessHandle.allProcesses().iterator().asScala.count { h =>
+        h.isAlive && h.info().commandLine()
+          .map[Boolean](_.contains(s"graft.batch.tag=$sleeperId")).orElse(false)
+      }
+      assert(tagged == 1, s"expected the one adopted process, found $tagged")
+      // kill through the NEW incarnation; the handle dies
+      c.send(HttpRequest.newBuilder(URI.create(s"$base2/batches/$sleeperId"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(pollBatch(c, base2, sleeperId, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (handle.exists(_.isAlive) && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!handle.exists(_.isAlive), "adopted child must be dead after DELETE")
+    } finally front2.stop()
+  }
+
   test("batch submission is fire-and-forget with state polling") {
     withServer { (c, base) =>
       val (bc, bbody) = post(c, s"$base/batches", """{"sql": "SELECT count(*) FROM range(100000)"}""")

@@ -92,6 +92,36 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Σ over distinct tokens of c·⌊ln(c)·1e6⌋ (c = the token's count) —
+    * the integer numerator of per-doc Shannon entropy (d56). A
+    * run-counting fold over the SORTED token array: sort is O(n log n)
+    * and the fold touches each token once, vs recounting the full
+    * array per distinct token (O(distinct·n) — quadratic on a
+    * high-diversity document; a 100k-token doc pays ~10⁹ comparisons
+    * in one task). State carries (prev token, current run length,
+    * accumulated sum); `finish` folds in the last run. run=0 marks
+    * "no previous token" so an empty-string token can't collide with
+    * the zero state. Same integer terms as the naive form, so any
+    * oracle summing c·⌊ln(c)·1e6⌋ per distinct token matches exactly.
+    */
+  def entropyTermsMicro(toks: Column): Column = {
+    def contrib(c: Column): Column =
+      when(c > 0L, c * floor(log(c.cast("double")) * 1000000).cast("long"))
+        .otherwise(lit(0L))
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, x) => {
+        val same = st.getField("run") > 0L && x === st.getField("prev")
+        struct(
+          x.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("acc"))
+            .otherwise(st.getField("acc") + contrib(st.getField("run"))).as("acc"))
+      },
+      st => st.getField("acc") + contrib(st.getField("run")))
+  }
+
   /** Hex-digit values (0..15) of the first 15 hex chars of md5(s): a
     * 60-bit token hash computable bit-for-bit in any engine with md5 —
     * the oracle-portable twin of xxhash64 (60 bits keeps every derived

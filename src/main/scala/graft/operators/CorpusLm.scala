@@ -231,8 +231,12 @@ object CorpusLm {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
       .select(col("source"), col("n_terms"),
+        // a single-distinct-token source has x ≡ 0, so the regression
+        // denominator is 0; nullif keeps the engines agreeing on NULL
+        // (Spark's non-ANSI divide nulls, DuckDB's IEEE divide infs)
         ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
-          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          nullif((col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"),
+            lit(0.0)))
           .as("zipf_slope"))
   }
 

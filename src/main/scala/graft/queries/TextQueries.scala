@@ -483,19 +483,19 @@ object TextQueries {
     //     integer micro-nats (H = ln n − Σ c·ln c / n): the
     //     quality signal TTR misses — a doc repeating two tokens
     //     50/50 has TTR ≈ 0 AND entropy ≈ ln 2, while "aaa…ab" has
-    //     the same TTR but near-zero entropy. Pure map-side HOF fold;
+    //     the same TTR but near-zero entropy. Pure map-side fold;
     //     the Σ c·ln c term is integer-quantized per distinct token
     //     (the d37/d52 exactness recipe), so the cross-engine sum is
-    //     associative and the final double division deterministic. ---
+    //     associative and the final double division deterministic.
+    //     Run-counting over the sorted token array keeps it
+    //     O(n log n) per doc (entropyTermsMicro). ---
     "d56_token_entropy" -> { (s, dir) =>
       val t = tokens(col("text"))
       Tables(s, dir).documents
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          aggregate(array_distinct(col("t")), lit(0L), (acc, x) => {
-            val c = size(filter(col("t"), y => y === x)).cast("long")
-            acc + c * floor(log(c.cast("double")) * 1000000).cast("long")
-          }).as("sum_clnc_micro"))
+          graft.functions.TextFunctions.entropyTermsMicro(col("t"))
+            .as("sum_clnc_micro"))
         .select(col("doc_id"), col("n_tokens"), col("sum_clnc_micro"),
           (floor(log(col("n_tokens").cast("double")) * 1000000).cast("long")
               .cast("double") -
@@ -1342,7 +1342,7 @@ object TextQueries {
             FROM xy GROUP BY 1)
           SELECT source, n_terms,
             CAST(n_terms * sxy - sx * sy AS DOUBLE)
-              / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+              / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0) AS zipf_slope
           FROM agg""",
 
     // Mirror of d58: same rank order, integer cumulative sums, and the

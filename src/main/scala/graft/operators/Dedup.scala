@@ -365,6 +365,41 @@ object Dedup {
       bandsDf)
   }
 
+  /** Collision-recall audit of a persisted band index — the near-dup
+    * twin of IvfPqIndex.recallAudit: for each sample document, how many
+    * of its GROUND-TRUTH band collisions the serving index recovers.
+    * Ground truth is an uncapped fresh banding of the CURRENT corpus
+    * (the same shingle/band/row parameters, maxBandDf = ∞), so the
+    * audit surfaces exactly what maintenance lost: per-batch cap
+    * starvation (a boilerplate cluster bigger than the cap arriving in
+    * ONE append batch loses its buckets wholesale), build-time capped
+    * buckets, and compaction drops. Self-collisions (a probe doc
+    * matching its own corpus row) are excluded from both sides.
+    *
+    * Returns (id, n_truth, n_hit) per sample document with at least one
+    * ground-truth collision. Scale shape: the fresh banding is one
+    * map-side corpus pass + the bucket count aggregation; both probe
+    * joins carry only the bounded sample's exploded band keys — run it
+    * on a schedule (or per append wave), not per record.
+    */
+  def collisionRecallAudit(opened: OpenedBandIndex, corpus: DataFrame,
+      sampleDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val truthIndex = bandIndexOf(corpus, idCol, textCol, opened.shingleSize,
+      opened.bands, opened.rowsPerBand, maxBandDf = Int.MaxValue)
+    val truth = bandCollisions(sampleDocs, idCol, textCol, truthIndex,
+        opened.shingleSize, opened.bands, opened.rowsPerBand)
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"))
+    val got = opened.collisions(sampleDocs, idCol, textCol)
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"))
+    val hits = truth.join(got, Seq("id", "corpus_id"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_truth"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** Full near-dup pipeline: MinHash-LSH candidate generation verified
     * by exact n-gram Jaccard on the candidate pairs only — the 100 TB
     * shape (LSH prunes the O(n²) space; exact verification touches only

@@ -464,6 +464,89 @@ object Streams {
       }
       .start()
 
+  /** Mean collision recall of the persisted band index at `path`
+    * against the raw corpus at `corpusPath` for a bounded probe sample
+    * — the near-dup twin of [[auditMeanRecall]]. One two-column row
+    * crosses the driver; sample docs with zero ground-truth collisions
+    * contribute nothing (an all-unique sample audits to 1.0).
+    */
+  def auditBandCollisionRecall(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpusPath: String, sampleDocs: DataFrame,
+      idCol: String, textCol: String): Double = {
+    val opened = graft.operators.Dedup.openBandIndex(spark, path)
+    val corpus = spark.read.parquet(corpusPath)
+    val agg = graft.operators.Dedup
+      .collisionRecallAudit(opened, corpus, sampleDocs, idCol, textCol)
+      .agg(sum(col("n_hit")).as("hits"), sum(col("n_truth")).as("truths"))
+      .head()
+    if (agg.isNullAt(1) || agg.getLong(1) == 0L) 1.0
+    else agg.getLong(0).toDouble / agg.getLong(1)
+  }
+
+  /** One micro-batch of the AUDITED band-index maintenance loop —
+    * [[appendBandBatch]]'s idempotency contract plus the per-wave
+    * quality audit: (1) append the wave's band rows, (2) append the raw
+    * (id, text) rows to `corpusPath` (the audit's uncapped ground truth
+    * must grow with the index), (3) mark applied, (4) measure collision
+    * recall with a bounded sample OF THE WAVE ITSELF — per-batch cap
+    * starvation hits exactly the docs just ingested (a boilerplate
+    * cluster larger than the cap arriving in one batch loses its
+    * buckets wholesale, invisible to a fixed probe set) — and post an
+    * [[graft.core.Events.IndexAuditEvent]] (band audits carry
+    * k = nProbe = 0) with `alarm` when recall fell below `alarmBelow`.
+    * A replayed batch id neither re-appends nor re-posts.
+    */
+  def auditedBandBatch(batch: DataFrame, batchId: Long, path: String,
+      corpusPath: String, idCol: String, textCol: String,
+      alarmBelow: Double, baseline: Double,
+      auditSample: Int = 64, streamId: String = "default"): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol, path)
+      batch.select(col(idCol), col(textCol))
+        .write.mode("append").parquet(corpusPath)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+      val recall = auditBandCollisionRecall(batch.sparkSession, path, corpusPath,
+        batch.select(col(idCol), col(textCol)).limit(auditSample), idCol, textCol)
+      graft.core.Events.post(graft.core.Events.IndexAuditEvent(
+        path, streamId, batchId, recall, baseline, k = 0, nProbe = 0,
+        alarm = recall < alarmBelow, ts = System.currentTimeMillis()))
+    }
+  }
+
+  /** The band-index audit loop — [[bandIndexAppendStream]] composed
+    * with a per-wave [[graft.operators.Dedup.collisionRecallAudit]]
+    * posting to the Events bus: the cross-family twin of
+    * [[auditedIvfPqAppendStream]]. Band maintenance decays differently
+    * than PQ drift — the per-batch df cap drops a too-popular bucket
+    * WHOLESALE, so a template-cluster wave larger than the cap ingests
+    * silently unfindable — and this loop measures that loss on the
+    * wave itself. Baseline is the same audit over a bounded sample of
+    * the pre-ingest corpus, measured once before the stream starts.
+    *
+    * Scale shape: each wave's audit costs one fresh map-side banding of
+    * the accumulated corpus with the bounded sample broadcast into the
+    * probe joins — widen the trigger interval rather than auditing
+    * per-record.
+    */
+  def auditedBandAppendStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, corpusPath: String, alarmBelow: Double,
+      auditSample: Int = 64, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val baseline = auditBandCollisionRecall(spark, path, corpusPath,
+      spark.read.parquet(corpusPath)
+        .select(col(idCol), col(textCol)).limit(auditSample),
+      idCol, textCol)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        auditedBandBatch(batch, batchId, path, corpusPath, idCol, textCol,
+          alarmBelow, baseline, auditSample, streamId)
+      }
+      .start()
+  }
+
   /** One micro-batch of the IVF-PQ maintenance stream — same
     * replay-idempotence contract as [[appendBandBatch]].
     */

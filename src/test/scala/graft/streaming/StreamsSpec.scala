@@ -591,6 +591,90 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("band-index audit loop: a cap-starved template wave drops collision recall and alarms") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Events
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // corpus: 40 unique docs + 3 dup pairs (cluster size 2, under the
+    // df cap of 4) — the pairs give the baseline audit non-vacuous
+    // ground truth, and nothing is capped at build time
+    def uniqueDoc(i: Int): String = (0 until 30).map(j => s"c${i}x$j").mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, uniqueDoc(i))) ++
+      (0 until 3).flatMap(p => Seq(
+        (100L + 2 * p, s"pair $p body ${uniqueDoc(900 + p)}"),
+        (101L + 2 * p, s"pair $p body ${uniqueDoc(900 + p)}")))
+    val root = java.nio.file.Files.createTempDirectory("band-audit-loop")
+    val path = s"$root/index"
+    val corpusPath = s"$root/corpus"
+    val events = scala.collection.mutable.ArrayBuffer.empty[Events.IndexAuditEvent]
+    val handler = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = e match {
+        case a: Events.IndexAuditEvent => events.synchronized { events += a }
+        case _ =>
+      }
+    }
+    Events.register(handler)
+    try {
+      val corpusDf = corpus.toDF("doc_id", "text")
+      Dedup.buildBandIndex(corpusDf, "doc_id", "text", path, maxBandDf = 4)
+      corpusDf.write.mode("overwrite").parquet(corpusPath)
+      val baseline = Streams.auditBandCollisionRecall(spark, path, corpusPath,
+        spark.read.parquet(corpusPath).limit(64), "doc_id", "text")
+      assert(baseline == 1.0, s"nothing is capped at build time: $baseline")
+
+      // wave 1: IN-distribution — 4 fresh dup pairs, each cluster of 2
+      // under the per-batch cap, so the append indexes them intact;
+      // wave 2: a 12-doc identical-template cluster in ONE batch —
+      // every shared bucket's df is 12 > cap 4, so the append drops
+      // them wholesale and the wave ingests silently unfindable
+      val wave1 = (0 until 4).flatMap(p => Seq(
+        (200L + 2 * p, s"fresh $p pair ${uniqueDoc(800 + p)}"),
+        (201L + 2 * p, s"fresh $p pair ${uniqueDoc(800 + p)}")))
+      val wave2 = (0 until 12).map(i => (300L + i, s"template ${uniqueDoc(700)}"))
+
+      val ms = MemoryStream[(Long, String)]
+      val q = Streams.auditedBandAppendStream(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        path, corpusPath, alarmBelow = baseline - 0.1, streamId = "band-audit")
+      try {
+        ms.addData(wave1: _*)
+        q.processAllAvailable()
+        ms.addData(wave2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = events.synchronized { events.toList }.sortBy(_.batchId)
+      assert(got.size == 2, s"one audit event per applied wave: $got")
+      assert(got.forall(e => e.baseline == baseline && e.k == 0 &&
+        e.streamId == "band-audit" && e.indexPath == path))
+      val (healthy, starved) = (got.head, got.last)
+      assert(!healthy.alarm,
+        s"under-cap pair wave must not alarm: $healthy (baseline $baseline)")
+      assert(starved.alarm,
+        s"cap-starved template wave must alarm: $starved (baseline $baseline)")
+      assert(baseline - starved.recall > 0.1,
+        s"decay must be measurable: baseline $baseline vs ${starved.recall}")
+      assert(healthy.recall > starved.recall, s"$healthy vs $starved")
+
+      // replay shape: re-delivering an applied batch id neither
+      // double-appends nor re-posts its audit event
+      val before = Dedup.openBandIndex(spark, path).index.count()
+      Streams.auditedBandBatch(wave2.toDF("doc_id", "text"), batchId = 1L,
+        path, corpusPath, "doc_id", "text",
+        alarmBelow = baseline - 0.1, baseline = baseline, streamId = "band-audit")
+      assert(Dedup.openBandIndex(spark, path).index.count() == before,
+        "replayed batch id must not double-append")
+      assert(events.synchronized { events.size } == 2,
+        "replayed batch id must not re-post an audit event")
+    } finally {
+      Events.unregister(handler)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("streaming recall-audit loop: a drifted append wave raises an alarm event") {
     import org.apache.spark.sql.functions._
     import graft.core.Events

@@ -498,7 +498,7 @@ object Bench {
     val flagship = Seq("d08_minhash_pairs", "d10_jaccard_pairs",
       "v01_knn_brute", "v07_knn_ivf", s"tpch_${tpchNs}_q1", s"tpch_${tpchNs}_q9",
       "z01_scan_linear", "z02_scan_zordered",
-      "w01_winnow_pairs_capped", "w02_winnow_pairs_uncapped")
+      "w01_winnow_pairs_capped")
     val keep = (headline ++ flagship).toSet
     // Co-tenancy tattletale: local[32] saturates ~32 cores itself; a
     // load average well past the core count means another JVM was
@@ -514,9 +514,23 @@ object Bench {
     // are cold by definition, so the cold ratio is the scale-faithful
     // signal; both land in the JSON.
     val zorderCold = zorder.map(t => (t.name + "_cold") -> t.runs.headOption.getOrElse(0.0))
+    // The winnow comparable is evidence of a RATIO (capped join vs the
+    // O(N²) uncapped blowup), so publish w02/w01 from the SAME bench
+    // run — the raw uncapped seconds swing 3-4× with box contention
+    // (53→192 s across rounds) and no gate consumes them, which made
+    // every baseline refresh look like drift. Raw runs stay in
+    // bench_full.json for honesty.
+    val winnowRatio = {
+      val byName = winnowCap.map(t => t.name -> t.min).toMap
+      for {
+        w1 <- byName.get("w01_winnow_pairs_capped") if w1 > 0
+        w2 <- byName.get("w02_winnow_pairs_uncapped")
+      } yield "w02_over_w01_ratio" -> (w2 / w1)
+    }
     // distinctBy: baseline-slice and corpus names collide when the two
     // TPC-DS namespaces are configured equal; keep the slice timing.
-    val compact = jmap(mins.filter { case (k, _) => keep(k) }.distinctBy(_._1) ++ zorderCold)
+    val compact = jmap(mins.filter { case (k, _) => keep(k) }.distinctBy(_._1) ++
+      zorderCold ++ winnowRatio)
     val groups = Seq(
       "suite_sec" -> suite.map(_.min).sum,
       "mat_sec" -> matSec,

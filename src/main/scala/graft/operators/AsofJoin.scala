@@ -52,4 +52,51 @@ object AsofJoin {
     }
     projected.filter(col("__side") === 1).drop("__t", "__side", "__m")
   }
+
+  /** FORWARD as-of join with an optional tolerance: attach to each left
+    * row the EARLIEST right row whose time is at-or-after the left
+    * row's time within the same key — the "next event" lookup (next
+    * fill after an order, next purchase after an impression) — and
+    * nothing when that earliest match is farther out than
+    * `toleranceUs` microseconds (the kdb/polars `asof ... tolerance`
+    * contract: the bound applies to the nearest match, it does not
+    * search past it). Same union-and-window shape as [[asof]] — one
+    * shuffle on the key, one ordered walk, never a theta join. Left
+    * rows sort BEFORE right rows at equal time, so a simultaneous
+    * right row matches (inclusive). The matched row's time is emitted
+    * as `prefix + rightTime` beside the requested columns (null where
+    * nothing matched). Time columns must be timestamps when a
+    * tolerance is given (the bound compares `unix_micros`).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      toleranceUs: Option[Long] = None, prefix: String = "asof_"): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t")) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // One first() over a struct carrying the match's time and all its
+    // columns — the same single-matched-row discipline as [[asof]].
+    val rowStruct = when(col("__side") === 1,
+      struct(rightCols.map(c => col(prefix + c)) :+ col("__t").as("__mt"): _*))
+    val attached = u.withColumn("__m", first(rowStruct, ignoreNulls = true).over(w))
+    val ok = toleranceUs match {
+      case Some(tol) => col("__m").isNotNull &&
+        unix_micros(col("__m").getField("__mt")) <= unix_micros(col("__t")) + tol
+      case None => col("__m").isNotNull
+    }
+    val withTime = attached.withColumn(prefix + rightTime,
+      when(ok, col("__m").getField("__mt")))
+    val projected = rightCols.foldLeft(withTime) { (df, c) =>
+      df.withColumn(prefix + c, when(ok, col("__m").getField(prefix + c)))
+    }
+    projected.filter(col("__side") === 0).drop("__t", "__side", "__m")
+  }
 }

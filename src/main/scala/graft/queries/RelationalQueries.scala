@@ -473,6 +473,78 @@ object RelationalQueries {
         .select(col("event_type"), col("hour"), col("n_events"),
           (sum(col("n_events")).over(w).cast("double") /
             count(lit(1)).over(w).cast("double")).as("avg7"))
+    },
+
+    // --- Time-weighted average over an IRREGULAR series: each value
+    //     holds until the type's next event (step interpolation), so
+    //     TWA = Σ value·duration / span — the metric a plain avg gets
+    //     wrong whenever sampling is bursty (a spike sampled 100× in
+    //     one minute dominates avg but barely moves TWA). Durations
+    //     from lead() over (ts, event_id) — the id tiebreak keeps the
+    //     window deterministic; value is quantized to integer centi
+    //     units so the weighted sum is associative and cross-engine
+    //     exact, with ONE double division at the end. One shuffle on
+    //     event_type; the window walks each type's partition once. ---
+    "q36_time_weighted_avg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("event_type"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("dur_us", lead(col("t"), 1).over(w) - col("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long") * col("dur_us"))
+            .as("weighted_centi_us"),
+          (max(col("t")) - min(col("t"))).as("span_us"))
+        .select(col("event_type"), col("n_events"),
+          (col("weighted_centi_us").cast("double") /
+            (col("span_us") * 100L).cast("double")).as("twa"))
+    },
+
+    // --- OHLC bars: per (type, hour) the open/high/low/close of
+    //     `value` plus the event count — the candlestick aggregation.
+    //     Open/close come from ONE window ordered by (ts, event_id)
+    //     (first_value/last_value over the full frame, deterministic
+    //     under ts ties), then the group-by collapses the bar; raw
+    //     values are compared exactly, no float summation enters the
+    //     contract. One shuffle on (type, hour). ---
+    "q37_ohlc" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("hr"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir).events
+        .select(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hr"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("open", first(col("value")).over(w))
+        .withColumn("close", last(col("value")).over(w))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(max(col("open")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max(col("close")).as("close"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // --- FORWARD as-of with tolerance: each view's NEXT purchase by
+    //     the same user within one hour (the conversion-attribution
+    //     lookup; q31 is the backward twin). Union-and-window shape —
+    //     one shuffle on user_id, one ordered walk, never a theta
+    //     join; the tolerance nulls matches past the bound without
+    //     searching farther. ---
+    "q38_asof_forward" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asofForward(views, purch, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("value"),
+        toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("next_value"),
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("wait_us"))
     }
   )
 
@@ -750,6 +822,48 @@ object RelationalQueries {
              / CAST(count(*) OVER w AS DOUBLE) AS avg7
          FROM filled
          WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    // Mirror of q36: same (ts, event_id) window order, same integer
+    // centi-value × microsecond-duration terms, one double division.
+    "q36_time_weighted_avg" ->
+      """WITH x AS (
+           SELECT event_type, event_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur_us
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+           CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT) * dur_us) AS BIGINT) AS DOUBLE)
+             / CAST((max(t) - min(t)) * 100 AS DOUBLE) AS twa
+         FROM x GROUP BY 1""",
+    // Mirror of q37: identical full-frame window for open/close, raw
+    // min/max values otherwise (no float summation in the contract).
+    "q37_ohlc" ->
+      """WITH x AS (
+           SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+             value,
+             first_value(value) OVER w AS open, last_value(value) OVER w AS close
+           FROM events
+           WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT event_type, hr, max(open) AS open, max(value) AS high,
+           min(value) AS low, max(close) AS close, count(*) AS n_events
+         FROM x GROUP BY 1, 2""",
+    // Mirror of q38: the earliest same-user purchase at-or-after each
+    // view within the hour bound; arg_min picks its value (ts are
+    // globally unique in the fixture, and the operator's contract
+    // requires unique right (key, time) anyway).
+    "q38_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT user_id, ts, value FROM events
+                 WHERE event_type = 'purchase')
+         SELECT v.event_id, v.user_id,
+           arg_min(p.value, p.ts) AS next_value,
+           epoch_us(min(p.ts)) - epoch_us(v.ts) AS wait_us
+         FROM v LEFT JOIN p
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+              AND p.ts <= v.ts + INTERVAL 1 HOUR
+         GROUP BY v.event_id, v.user_id, v.ts"""
   )
 }

@@ -452,6 +452,29 @@ object VectorQueries {
         .select(col("j"), col("n_used"), col("max_code_count"),
           col("n_vectors"),
           (col("n_used").cast("double") / K_CODES).as("utilization"))
+    },
+
+    // --- nProbe tuning sweep: recall@5 per query at every
+    //     nProbe ∈ 1..N_PROBE against ONE exact top-5 baseline — the
+    //     recall-vs-cost curve an operator reads to size nProbe for a
+    //     recall target (the one-knob slice of FAISS autotuning).
+    //     Probe cost grows linearly in nProbe while recall is
+    //     monotone non-decreasing; the curve makes the trade
+    //     explicit. Each sweep point is the v12 probe plan (broadcast
+    //     query side, list-id equi join, map-side ADC). ---
+    "v30_nprobe_sweep" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val cents = ivfCentroids(e, dir)
+      val rcb = residualCodebooks(e, dir)
+      val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
+      (1 to N_PROBE).map { np =>
+        SimilaritySearch.recallAtK(
+          graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
+            cents, rcb, k = 5, nProbe = np),
+          exact, k = 5)
+          .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
+      }.reduce(_.union(_))
     }
   )
 
@@ -506,12 +529,12 @@ object VectorQueries {
             FROM pqpairs)
           WHERE rnk <= 5)"""
 
-  // IVF-PQ recomputed from the dumped centroids + residual codebooks:
-  // cosine-argmax list assignment (tie -> larger list id), residual in
-  // double, argmin-L2 residual codes (tie -> larger code), and the
-  // decomposed score q·centroid + Σ_j lut_j[code_j] with every fold in
-  // Spark's exact order.
-  private def ivfpqCte(corpusPred: String = ""): String =
+  // IVF-PQ encode stage recomputed from the dumped centroids +
+  // residual codebooks: cosine-argmax list assignment (tie -> larger
+  // list id), residual in double, argmin-L2 residual codes (tie ->
+  // larger code) — shared by the single-nProbe chain (ivfpqCte) and
+  // the nProbe sweep (ivfpqSweepCte).
+  private val ivfpqEncodeCtes: String =
     s"""icents AS (SELECT list_id, centroid
                    FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
         rcb AS (SELECT j, code, centroid
@@ -544,7 +567,13 @@ object VectorQueries {
             FROM rres r CROSS JOIN rcb cb)
           WHERE rr = 1),
         rcodes AS (SELECT vec_id, list(code ORDER BY j) AS codes
-                   FROM rasg GROUP BY vec_id),
+                   FROM rasg GROUP BY vec_id)"""
+
+  // Full single-nProbe IVF-PQ chain: probe, decomposed score
+  // q·centroid + Σ_j lut_j[code_j] with every fold in Spark's exact
+  // order, rank.
+  private def ivfpqCte(corpusPred: String = ""): String =
+    s"""$ivfpqEncodeCtes,
         iprobe AS (
           SELECT vec_id AS query_id, list_id FROM (
             SELECT e.vec_id, c.list_id,
@@ -574,6 +603,45 @@ object VectorQueries {
               ORDER BY score DESC, neighbor_id ASC) AS rnk
           FROM ipairs),
         itop AS (SELECT query_id, neighbor_id, rnk FROM irank WHERE rnk <= 5)"""
+
+  // nProbe SWEEP over the same chain: the probe CTE keeps each probed
+  // list's rank r, one np ∈ {1..N_PROBE} dimension joins on r <= np,
+  // and the ranking partitions by (np, query_id) — ONE replay of the
+  // encode stage serves every sweep point.
+  private val ivfpqSweepCte: String =
+    s"""$ivfpqEncodeCtes,
+        nps AS (SELECT UNNEST([1, 2, 3]) AS np),
+        iprobe AS (
+          SELECT vec_id AS query_id, list_id, r FROM (
+            SELECT e.vec_id, c.list_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+            FROM embeddings e CROSS JOIN icents c
+            WHERE e.vec_id < 10)
+          WHERE r <= $N_PROBE),
+        ipairs AS (
+          SELECT ns.np, p.query_id, n.vec_id AS neighbor_id,
+            (${duckDot("q.embedding", "pc.centroid")})
+             + list_reduce(list_transform(generate_series(1, $M_SUB), j ->
+                 list_reduce(list_transform(generate_series(1, $DSUB), i ->
+                   CAST(q.embedding[(j-1)*$DSUB+i] AS DOUBLE) * s.m[j][nc.codes[j]+1][i]),
+                   (x, y) -> x + y)),
+                 (x, y) -> x + y) AS score
+          FROM iprobe p
+          JOIN nps ns ON p.r <= ns.np
+          JOIN iasg n ON n.list_id = p.list_id
+          JOIN rcodes nc ON nc.vec_id = n.vec_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          JOIN icents pc ON pc.list_id = p.list_id
+          CROSS JOIN rnest s
+          WHERE n.vec_id <> p.query_id),
+        irank AS (
+          SELECT np, query_id, neighbor_id,
+            row_number() OVER (PARTITION BY np, query_id
+              ORDER BY score DESC, neighbor_id ASC) AS rnk
+          FROM ipairs),
+        itop AS (SELECT np, query_id, neighbor_id, rnk
+                 FROM irank WHERE rnk <= 5)"""
 
   private val dotTopCte =
     s"""dexact AS (
@@ -990,6 +1058,20 @@ object VectorQueries {
     "v27_deleted_knn" ->
       s"""WITH ${ivfpqCte(" AND (n.vec_id < 100 OR n.vec_id >= 120)")}
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+
+    // Mirror of v30: one encode replay, the probe rank r joined
+    // against every sweep point's np, recall per (np, query) on the
+    // (query × np) grid so zero-hit points still emit a row.
+    "v30_nprobe_sweep" ->
+      s"""WITH $ivfpqSweepCte, $dotTopCte
+          SELECT CAST(ns.np AS INT) AS nprobe, e.query_id,
+            CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM dexact) e
+          CROSS JOIN nps ns
+          LEFT JOIN (SELECT np, query_id, count(*) AS n_hits
+                     FROM itop JOIN dexact USING (query_id, neighbor_id)
+                     GROUP BY np, query_id) h
+            ON h.np = ns.np AND h.query_id = e.query_id""",
 
     // Mirror of v23: the shared cosine fold, thresholded — membership
     // is exact because the fold is bit-identical in both engines.

@@ -77,6 +77,49 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.getAs[Long]("asof_rid") == 2L)
   }
 
+  test("forward as-of attaches the EARLIEST right row at-or-after, per key") {
+    val left = Seq(
+      ("u1", 5L, "l_a"), ("u1", 15L, "l_b"), ("u1", 20L, "l_late"),
+      ("u2", 10L, "l_c")).toDF("k", "t", "lv")
+    val right = Seq(
+      ("u1", 8L, "r1"), ("u1", 15L, "r2"),
+      ("u2", 3L, "r_early")).toDF("k", "t", "rv")
+    val got = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[String]("asof_rv"))).toMap
+    assert(got(("u1", 5L)) == Some("r1"))   // earliest >= 5 is 8
+    assert(got(("u1", 15L)) == Some("r2"))  // equal time matches inclusively
+    assert(got(("u1", 20L)) == None)        // nothing at-or-after 20
+    assert(got(("u2", 10L)) == None)        // u2's right row is earlier
+  }
+
+  test("forward as-of emits the matched time and honors the tolerance bound") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(("k", ts(100)), ("k", ts(500))).toDF("k", "t")
+    val right = Seq(
+      ("k", ts(160), "near"), ("k", ts(5000), "far")).toDF("k", "t", "rv")
+    // tolerance 120 s: t=100 matches 160 (60 s out); t=500's nearest
+    // match is 5000 (4500 s out) -> NULL, the bound does not search
+    // past the nearest match
+    val got = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("rv"),
+        toleranceUs = Some(120L * 1000000L))
+      .collect().map(r => r.getTimestamp(1).getTime / 1000 ->
+        ((Option(r.getAs[String]("asof_rv")),
+          Option(r.getAs[java.sql.Timestamp]("asof_t"))))).toMap
+    assert(got(100L) == ((Some("near"), Some(ts(160)))))
+    assert(got(500L) == ((None, None)))
+  }
+
+  test("forward as-of plan is a single window walk, not a range join") {
+    val left = Seq(("k", 5L, "l")).toDF("k", "t", "lv")
+    val right = Seq(("k", 8L, "r")).toDF("k", "t", "rv")
+    val plan = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"forward as-of must not plan a product join:\n${plan.take(500)}")
+    assert(plan.contains("Window"), "expected the window-walk plan")
+  }
+
   test("plan is a single window walk, not a range join") {
     val left = Seq(("k", 5L, "l")).toDF("k", "t", "lv")
     val right = Seq(("k", 3L, "r")).toDF("k", "t", "rv")

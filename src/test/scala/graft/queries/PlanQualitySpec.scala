@@ -267,6 +267,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucket join must broadcast, ranking stays aggregate-based:\n${plan.take(800)}")
   }
 
+  test("q36/q37: one hash exchange each — the window and the group share the partitioning") {
+    // TWA and OHLC both window-then-aggregate on the same keys; a
+    // second exchange would mean the aggregation failed to reuse the
+    // window's partitioning
+    for (q <- Seq("q36_time_weighted_avg", "q37_ohlc")) {
+      val plan = planOf(RelationalQueries.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a product join:\n${plan.take(500)}")
+      assert(plan.contains("Window"), s"$q expected the window plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$q expected ONE data exchange, found $exchanges:\n${plan.take(800)}")
+    }
+  }
+
+  test("q38: forward as-of is a joinless single window walk on the key") {
+    // union-and-window: the only exchange partitions by user_id; a
+    // Join node here would mean the theta-join shape crept back in
+    val plan = planOf(RelationalQueries.queries("q38_asof_forward")(spark, dir))
+    assert(!plan.contains("Join"), s"forward as-of must be joinless:\n${plan.take(600)}")
+    assert(plan.contains("Window"), plan.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected ONE data exchange, found $exchanges:\n${plan.take(800)}")
+  }
+
+  test("v30: every sweep point keeps the broadcast probe shape") {
+    // the corpus-sized probe joins must broadcast and ranking stays
+    // aggregate-based; the recall compare may SMJ — it joins two
+    // query-sized (≤ |queries| rows) top-k frames, never the corpus
+    val plan = planOf(VectorQueries.queries("v30_nprobe_sweep")(spark, dir))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"probe joins must broadcast, ranking stays aggregate-based:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

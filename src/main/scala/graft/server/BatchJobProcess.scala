@@ -27,20 +27,28 @@ final class BatchJobBuilder(
     master: String = sys.env.getOrElse("SPARK_MASTER", "local[2]"),
     sparkConf: Map[String, String] = Map.empty) {
 
-  /** The exact command `start` will run for one staged resource. */
+  /** The exact command `start` will run for one staged resource.
+    * A `.py` resource runs as a PYSPARK batch (spark-submit's primary
+    * resource with no --class; fallback: a python3 child — the tag
+    * rides as a trailing `--graft.batch.tag=<id>` argv, since python
+    * has no -D system properties for the adoption scan to find).
+    */
   def command(id: String, resource: Path, mainClass: Option[String],
-      args: Seq[String]): Seq[String] =
+      args: Seq[String]): Seq[String] = {
+    val isPy = resource.toString.endsWith(".py")
     sparkHome match {
-      case Some(home) if resource.toString.endsWith(".jar") =>
+      case Some(home) =>
         val conf = Map(
           "spark.master" -> master,
           "spark.graft.batch.tag" -> id,
           "spark.ui.enabled" -> "false") ++ sparkConf
         Seq(s"$home/bin/spark-submit") ++
-          mainClass.toSeq.flatMap(c => Seq("--class", c)) ++
+          (if (isPy) Nil else mainClass.toSeq.flatMap(c => Seq("--class", c))) ++
           conf.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") } ++
           Seq(resource.toString) ++ args
-      case _ =>
+      case None if isPy =>
+        Seq("python3", resource.toString) ++ args ++ Seq(s"--graft.batch.tag=$id")
+      case None =>
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
           .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
@@ -51,13 +59,16 @@ final class BatchJobBuilder(
           mainClass.getOrElse(throw new IllegalArgumentException(
             "classname is a required parameter for SPARK"))) ++ args
     }
+  }
 
   /** Launch the batch process. `onTerminal` fires exactly once with
     * the final state name (FINISHED / ERROR / CANCELED).
     */
   def start(id: String, user: String, resource: Path, mainClass: Option[String],
       args: Seq[String], onTerminal: String => Unit): BatchJob =
-    BatchJob.launch(id, user, command(id, resource, mainClass, args), onTerminal)
+    BatchJob.launch(id, user,
+      if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK",
+      command(id, resource, mainClass, args), onTerminal)
 }
 
 /** One running uploaded-resource batch: state machine + incremental
@@ -78,6 +89,7 @@ final class BatchJobBuilder(
   * cluster reports the app gone, not its exit status).
   */
 final class BatchJob private (val id: String, val user: String,
+    val batchType: String,
     target: Either[Seq[String], ProcessHandle], onTerminal: String => Unit) {
 
   @volatile private var state: String = "PENDING"
@@ -168,17 +180,17 @@ final class BatchJob private (val id: String, val user: String,
 }
 
 object BatchJob {
-  /** Spawn and own a new batch child JVM. */
-  def launch(id: String, user: String, cmd: Seq[String],
+  /** Spawn and own a new batch child process. */
+  def launch(id: String, user: String, batchType: String, cmd: Seq[String],
       onTerminal: String => Unit): BatchJob =
-    new BatchJob(id, user, Left(cmd), onTerminal)
+    new BatchJob(id, user, batchType, Left(cmd), onTerminal)
 
   /** Adopt a live process from a previous server incarnation (found by
     * its `graft.batch.tag`) instead of double-submitting it.
     */
-  def attach(id: String, user: String, handle: ProcessHandle,
+  def attach(id: String, user: String, batchType: String, handle: ProcessHandle,
       onTerminal: String => Unit): BatchJob =
-    new BatchJob(id, user, Right(handle), onTerminal)
+    new BatchJob(id, user, batchType, Right(handle), onTerminal)
 }
 
 /** Staging helpers for uploaded batch resources. */

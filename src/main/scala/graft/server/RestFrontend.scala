@@ -365,8 +365,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private def startResourceBatch(id: String, user: String,
       resource: java.nio.file.Path, mainClass: Option[String],
       args: Seq[String], insertRecord: Boolean): BatchJob = {
+    val batchType = if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK"
     val descriptor =
-      s"""{"resourceBatch": true, "resource": ${q(resource.toString)}""" +
+      s"""{"resourceBatch": true, "batchType": ${q(batchType)}, """ +
+        s""""resource": ${q(resource.toString)}""" +
         mainClass.map(c => s""", "mainClass": ${q(c)}""").getOrElse("") +
         s""", "args": [${args.map(q).mkString(",")}]}"""
     batchSlotUsers.put(id, user)
@@ -416,16 +418,23 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         return
       }
     val batchType = field(reqJson, "batchType").getOrElse("SPARK").toUpperCase
-    if (batchType != "SPARK") {
-      reply(ex, 400, s"""{"error": ${q(s"$batchType is not in the supported list: SPARK")}}""")
+    if (batchType != "SPARK" && batchType != "PYSPARK") {
+      reply(ex, 400, s"""{"error": ${q(
+        s"$batchType is not in the supported list: SPARK, PYSPARK")}}""")
       return
     }
+    // className is required for SPARK only (the reference contract);
+    // a PYSPARK batch's entry point IS the uploaded script
     val mainClass = field(reqJson, "className")
-    if (mainClass.isEmpty) {
+    if (batchType == "SPARK" && mainClass.isEmpty) {
       reply(ex, 400, """{"error": "classname is a required parameter for SPARK"}""")
       return
     }
     val fileName = filePart.filename.get
+    if (batchType == "PYSPARK" && !fileName.endsWith(".py")) {
+      reply(ex, 400, """{"error": "resource file must be a .py script for PYSPARK"}""")
+      return
+    }
     if (resourceFileMaxSize > 0 && filePart.data.length > resourceFileMaxSize) {
       reply(ex, 413, s"""{"error": ${q(s"Resource file $fileName exceeds the " +
         s"maximum size limit $resourceFileMaxSize bytes")}}""")
@@ -444,7 +453,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       val job = startResourceBatch(id, user, staged, mainClass, args, insertRecord = true)
       val st = job.currentState
       reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
-        ApplicationState.fromOperationStateName(st).toString)}, "batchType": "SPARK"}""")
+        ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
     } catch { case e: Throwable =>
       Option(liveBatchCounts.get(user)).foreach(_.decrementAndGet())
       batchSlotUsers.remove(id)
@@ -496,10 +505,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         RestFrontend.findBatchProcessByTag(rec.id) match {
           case Some(handle) =>
             batchSlotUsers.put(rec.id, rec.user)
-            procBatches.put(rec.id, BatchJob.attach(rec.id, rec.user, handle, terminal => {
-              store.foreach(_.updateState(rec.id, terminal, None))
-              releaseBatchSlot(rec.id)
-            }))
+            procBatches.put(rec.id, BatchJob.attach(rec.id, rec.user,
+              field(rec.sql, "batchType").getOrElse("SPARK"), handle, terminal => {
+                store.foreach(_.updateState(rec.id, terminal, None))
+                releaseBatchSlot(rec.id)
+              }))
           case None =>
             val resource = field(rec.sql, "resource").map(java.nio.file.Paths.get(_))
               .filter(java.nio.file.Files.exists(_))
@@ -654,9 +664,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
               ApplicationState.fromOperationStateName(st).toString)}}""")
           case None if procBatches.containsKey(id) =>
-            val st = procBatches.get(id).currentState
+            val job = procBatches.get(id)
+            val st = job.currentState
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
-              ApplicationState.fromOperationStateName(st).toString)}, "batchType": "SPARK"}""")
+              ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
           case None => store.flatMap(_.get(id)) match {
             // not live in this process — serve the persisted state
             // (a terminal batch from a previous server incarnation)
@@ -746,7 +757,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         }
         procBatches.forEach { (id, job) =>
           liveJson(id) =
-            s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": "SPARK"}"""
+            s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": ${q(job.batchType)}}"""
         }
         val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveJson.contains(r.id))
           .map(r => s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}""")

@@ -668,6 +668,29 @@ object Streams {
       .start()
   }
 
+  /** Hourly OHLC bars as an INCREMENTAL aggregation — the streaming
+    * twin of the q37 batch query, and a pure transform that accepts
+    * either a batch or a streaming frame (StreamsSpec pins the two
+    * equal). open/close are min_by/max_by on the (time, id) pair —
+    * the declarative form of the batch window's first/last, which
+    * streaming state can maintain incrementally where an ordered
+    * window walk cannot. Running unbounded: add a watermark upstream
+    * and Append mode so closed hours emit once and their state frees;
+    * Complete mode (the spec's shape) re-emits every bar per trigger.
+    */
+  def ohlcHourly(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame =
+    events.groupBy(col(typeCol).as("event_type"),
+        window(col(tsCol), "1 hour").as("w"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH").as("hr"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
   def asofEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       streamTime: String, dimTime: String, dimCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {

@@ -402,6 +402,33 @@ class RestFrontendSpec extends AnyFunSuite {
     } finally capped.stop()
   }
 
+  test("PYSPARK batch: uploaded .py script runs, no className required, .jar rejected") {
+    val front = new RestFrontend(new Engine(spark), port = 0)
+    val port = front.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$port/api/v1"
+      val script =
+        """import sys
+          |print("hello-from-pyspark-batch " + ",".join(
+          |    a for a in sys.argv[1:] if not a.startswith("--graft.batch.tag=")))
+          |""".stripMargin.getBytes("UTF-8")
+      val (code, body) = postMultipart(c, s"$base/batches",
+        """{"batchType": "PYSPARK", "user": "pyuser", "args": ["p1", "p2"]}""",
+        "job.py", script)
+      assert(code == 200, body)
+      assert(extract(body, "batchType") == "PYSPARK", body)
+      val id = extract(body, "id")
+      assert(pollBatch(c, base, id, Set("FINISHED", "ERROR")) == "FINISHED")
+      val (_, lbody) = get(c, s"$base/batches/$id/localLog")
+      assert(lbody.contains("hello-from-pyspark-batch p1,p2"), lbody)
+      // a non-.py resource under PYSPARK is rejected up front
+      val (jc, jbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "PYSPARK"}""", "app.jar", Array[Byte](1, 2))
+      assert(jc == 400 && jbody.contains("must be a .py script"), jbody)
+    } finally front.stop()
+  }
+
   test("DELETE kills a running uploaded batch; restart ADOPTS a surviving one by tag") {
     val storeDir = java.nio.file.Files.createTempDirectory("graft-upload-recover").toString
     val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)

@@ -591,6 +591,45 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming OHLC bars match the batch q37 query after every prefix completes") {
+    import org.apache.spark.sql.functions._
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val batch = graft.queries.RelationalQueries.queries("q37_ohlc")(spark, F.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val out = Streams.ohlcHourly(
+      ms.toDF().toDF("event_id", "ts", "event_type", "value"),
+      "event_type", "ts", "value", "event_id")
+    val q = out.writeStream.format("memory").queryName("graft_ohlc")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      // mid-stream bars must be internally consistent (low <= open,
+      // close <= high) even before the full data arrives
+      val mid = spark.table("graft_ohlc").collect()
+      assert(mid.nonEmpty && mid.forall(r =>
+        r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3) &&
+        r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(3)))
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("graft_ohlc")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(got == batch, s"stream ${got.size} bars vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("band-index audit loop: a cap-starved template wave drops collision recall and alarms") {
     import org.apache.spark.sql.functions._
     import graft.core.Events

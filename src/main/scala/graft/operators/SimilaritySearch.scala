@@ -88,6 +88,33 @@ object SimilaritySearch {
       k: Int): DataFrame =
     bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar corpus vectors carrying a DIFFERENT label —
+    * the near-misses that teach an embedding model its decision
+    * boundary (random negatives are trivially far; these are the hard
+    * ones). Unlike [[filteredTopK]] the predicate is per-PAIR (the
+    * query's own label decides), so it lives in the broadcast join
+    * condition rather than the corpus scan — still exact, still
+    * map-side: the corpus is never shuffled, ranking is the bounded
+    * [[TopKAggregator]] partial aggregation.
+    */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("qlabel") =!= col("clabel"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Range search — every corpus vector within a cosine radius of each
     * query (FAISS `range_search` semantics): the companion of top-k
     * when the caller wants "all near things", not "the k nearest" —

@@ -545,6 +545,25 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           col("asof_value").as("next_value"),
           (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("wait_us"))
+    },
+
+    // --- Debounce / throttle audit: flag events arriving within 60 s
+    //     of the PREVIOUS same-(user, type) event — the repeated-click
+    //     cleanup every event pipeline runs before attribution (kept
+    //     as a flag, not a filter, so downstream can audit what a
+    //     debounce pass would drop). One lag() per (user, type)
+    //     partition ordered by (t, event_id); the comparison is pure
+    //     integer microseconds. One shuffle on (user_id, event_type). ---
+    "q39_debounce" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("prev_t").isNull || col("t") - col("prev_t") > 60000000L).as("keep"))
     }
   )
 
@@ -864,6 +883,15 @@ object RelationalQueries {
          FROM v LEFT JOIN p
            ON p.user_id = v.user_id AND p.ts >= v.ts
               AND p.ts <= v.ts + INTERVAL 1 HOUR
-         GROUP BY v.event_id, v.user_id, v.ts"""
+         GROUP BY v.event_id, v.user_id, v.ts""",
+    // Mirror of q39: the same (t, event_id)-ordered lag per
+    // (user, type), integer microsecond comparison.
+    "q39_debounce" ->
+      """SELECT event_id, user_id, event_type,
+           (prev_t IS NULL OR t - prev_t > 60000000) AS keep
+         FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS prev_t
+               FROM events)"""
   )
 }

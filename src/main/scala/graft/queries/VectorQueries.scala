@@ -454,6 +454,44 @@ object VectorQueries {
           (col("n_used").cast("double") / K_CODES).as("utilization"))
     },
 
+    // --- Hard-negative mining: the 5 most-similar DIFFERENT-label
+    //     vectors per query — the contrastive-training data op
+    //     (random negatives are trivially far; near-miss negatives
+    //     teach the boundary). Per-pair label predicate in the
+    //     broadcast join, corpus never shuffles, TopKAggregator
+    //     ranking. ---
+    "v31_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      SimilaritySearch.hardNegativesTopK(e, q, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Label-centroid outlier audit: each vector's cosine to its
+    //     OWN label centroid (the v25 integer-micro centroid recipe),
+    //     flagged below 0 — the mislabeled-example sweep run before
+    //     training on a labeled corpus. Map-side against a broadcast
+    //     label-sized centroid table. ---
+    "v32_centroid_outliers" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sm"), col("n")))),
+          x => x.getField("sm").cast("double") / x.getField("n").cast("double") /
+            lit(1000000.0)).as("cv"))
+        .select(col("label").as("clabel"), col("cv"))
+      e.join(broadcast(cents), col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("cv"))
+            .as("cos_centroid"))
+        .withColumn("is_outlier", col("cos_centroid") < 0.0)
+    },
+
     // --- nProbe tuning sweep: recall@5 per query at every
     //     nProbe ∈ 1..N_PROBE against ONE exact top-5 baseline — the
     //     recall-vs-cost curve an operator reads to size nProbe for a
@@ -1058,6 +1096,42 @@ object VectorQueries {
     "v27_deleted_knn" ->
       s"""WITH ${ivfpqCte(" AND (n.vec_id < 100 OR n.vec_id >= 120)")}
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+
+    // Mirror of v31: the shared cosine fold with the different-label
+    // predicate, (sim desc, neighbor_id asc) rank.
+    "v31_hard_negatives" ->
+      s"""SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC,
+                         c.vec_id ASC) AS rnk
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+          WHERE rnk <= 5""",
+
+    // Mirror of v32: the v25 integer-micro label centroids, the shared
+    // cosine fold against each vector's own label centroid.
+    "v32_centroid_outliers" ->
+      s"""WITH lsum AS (
+            SELECT label, pos,
+              CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                   AS BIGINT) AS sm,
+              count(*) AS n
+            FROM (SELECT label,
+                    UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                    UNNEST(embedding) AS v
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          lcents AS (
+            SELECT label AS clabel,
+              list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                   ORDER BY pos) AS cv
+            FROM lsum GROUP BY label)
+          SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+          FROM (
+            SELECT e.vec_id, e.label,
+              ${duckCosine("e.embedding", "c.cv")} AS cos_centroid
+            FROM embeddings e JOIN lcents c ON c.clabel = e.label)""",
 
     // Mirror of v30: one encode replay, the probe rank r joined
     // against every sweep point's np, recall per (np, query) on the

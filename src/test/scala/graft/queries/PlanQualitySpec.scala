@@ -303,6 +303,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe joins must broadcast, ranking stays aggregate-based:\n${plan.take(800)}")
   }
 
+  test("v31/v32: label-aware vector ops broadcast; the corpus never shuffles for the join") {
+    // hard negatives: per-pair label predicate lives in the broadcast
+    // join; outliers: the label-sized centroid table broadcasts
+    for (q <- Seq("v31_hard_negatives", "v32_centroid_outliers")) {
+      val plan = planOf(VectorQueries.queries(q)(spark, dir))
+      assert(plan.contains("BroadcastExchange"), s"$q:\n${plan.take(600)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+        s"$q must broadcast and stay aggregate-ranked:\n${plan.take(600)}")
+    }
+  }
+
+  test("q39: debounce is one exchange on (user, type) and a lag walk") {
+    val plan = planOf(RelationalQueries.queries("q39_debounce")(spark, dir))
+    assert(!plan.contains("Join"), s"debounce must be joinless:\n${plan.take(500)}")
+    assert(plan.contains("Window"), plan.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected ONE data exchange, found $exchanges:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

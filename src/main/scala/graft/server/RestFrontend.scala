@@ -747,21 +747,36 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 
       case ("GET", "batches" :: Nil) =>
         // live batches win over their persisted record (fresher state);
-        // the store contributes batches from previous incarnations
+        // the store contributes batches from previous incarnations.
+        // Reference BatchesResource listing filters + paging
+        // (BatchesResource.scala:420-428): batchUser / batchState /
+        // from / size / desc over the merged view.
         val live = batches.entrySet.iterator
-        val liveJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val liveRows = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
         live.forEachRemaining { e =>
           val (sess, op) = e.getValue
-          liveJson(e.getKey) =
-            s"""{"id": ${q(e.getKey)}, "user": ${q(sess.user)}, "state": ${q(op.currentState.toString)}}"""
+          liveRows(e.getKey) = (sess.user, op.currentState.toString,
+            s"""{"id": ${q(e.getKey)}, "user": ${q(sess.user)}, "state": ${q(op.currentState.toString)}}""")
         }
         procBatches.forEach { (id, job) =>
-          liveJson(id) =
-            s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": ${q(job.batchType)}}"""
+          liveRows(id) = (job.user, job.currentState,
+            s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": ${q(job.batchType)}}""")
         }
-        val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveJson.contains(r.id))
-          .map(r => s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}""")
-        reply(ex, 200, s"""{"batches": [${(liveJson.values.toSeq ++ stored).mkString(",")}]}""")
+        val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveRows.contains(r.id))
+          .map(r => (r.user, r.state,
+            s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}"""))
+        val wantUser = queryParam(ex, "batchUser")
+        val wantState = queryParam(ex, "batchState").map(_.toUpperCase)
+        val from = queryParam(ex, "from").flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(_ >= 0).getOrElse(0)
+        val size = queryParam(ex, "size").flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(_ >= 0).getOrElse(100)
+        val all = (liveRows.values.toSeq ++ stored).filter { case (u, st, _) =>
+          wantUser.forall(_ == u) && wantState.forall(_ == st)
+        }.map(_._3)
+        val ordered = if (queryParam(ex, "desc").contains("true")) all.reverse else all
+        reply(ex, 200,
+          s"""{"batches": [${ordered.slice(from, from + size).mkString(",")}], "total": ${all.size}, "from": $from}""")
 
       // Reference BatchesResource DELETE /batches/{id}: cancel the
       // batch's operation and record the terminal state.
@@ -821,6 +836,70 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             reply(ex, 200, s"""{"space": ${q(space)}, "deleted": true}""")
           case None => reply(ex, 400, """{"error": "missing space"}""")
         }
+
+      // Reference AdminResource listing/force-close verbs
+      // (AdminResource.scala:170-263, :389, :457): the ADMIN view
+      // across ALL users — session/operation listings with a ?users=
+      // filter, force-close/cancel by handle, the registered gateway
+      // list from discovery, and the live-batch count — gated on the
+      // same validated admin identity as the refresh verbs.
+      case ("GET", "admin" :: "sessions" :: Nil) => adminGated(ex) {
+        val users = queryParam(ex, "users")
+          .map(_.split(",").filter(_.nonEmpty).toSet)
+        val items = engine.openSessions.sortBy(_.createdMs)
+          .filter(s => users.forall(_.contains(s.user))).map(sessionJson)
+        reply(ex, 200, s"""{"sessions": [${items.mkString(",")}]}""")
+      }
+
+      case ("DELETE", "admin" :: "sessions" :: sid :: Nil) => adminGated(ex) {
+        if (engine.openSessions.exists(_.id == sid)) {
+          engine.closeSession(sid)
+          reply(ex, 200, s"""{"sessionId": ${q(sid)}, "closed": true}""")
+        } else reply(ex, 404, """{"error": "no such session"}""")
+      }
+
+      case ("GET", "admin" :: "operations" :: Nil) => adminGated(ex) {
+        val users = queryParam(ex, "users")
+          .map(_.split(",").filter(_.nonEmpty).toSet)
+        val items = engine.openSessions
+          .filter(s => users.forall(_.contains(s.user)))
+          .flatMap(_.openOperations).sortBy(_.createdMs).map(opJson)
+        reply(ex, 200, s"""{"operations": [${items.mkString(",")}]}""")
+      }
+
+      case ("DELETE", "admin" :: "operations" :: opId :: Nil) => adminGated(ex) {
+        findOp(opId) match {
+          case Some(op) =>
+            try op.cancel() catch { case _: Throwable => }
+            reply(ex, 200,
+              s"""{"operationId": ${q(opId)}, "state": ${q(op.currentState.toString)}}""")
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+      }
+
+      case ("GET", "admin" :: "server" :: Nil) => adminGated(ex) {
+        // gateway servers self-register under the "gateways" namespace
+        // (GatewayServer.Namespace) — the reference lists the server
+        // namespace's ZK nodes the same way
+        val nodes = engine.discovery.getAll(GatewayServer.Namespace).map(q)
+        reply(ex, 200, s"""{"servers": [${nodes.mkString(",")}]}""")
+      }
+
+      case ("GET", "admin" :: "batch" :: "count" :: Nil) => adminGated(ex) {
+        val wantUser = queryParam(ex, "batchUser")
+        val wantState = queryParam(ex, "batchState").map(_.toUpperCase)
+        val live = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+        batches.forEach { (id, v) =>
+          live(id) = (v._1.user, v._2.currentState.toString)
+        }
+        procBatches.forEach { (id, job) => live(id) = (job.user, job.currentState) }
+        val stored = store.toSeq.flatMap(_.list())
+          .filterNot(r => live.contains(r.id)).map(r => (r.user, r.state))
+        val n = (live.values.toSeq ++ stored).count { case (u, st) =>
+          wantUser.forall(_ == u) && wantState.forall(_ == st)
+        }
+        reply(ex, 200, s"""{"count": $n}""")
+      }
 
       // Operator-triggered hot refresh (reference AdminResource
       // .scala:55-75): the interval reloads keep running, but an
@@ -1219,6 +1298,19 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   /** Identity for the admin verbs: HTTP Basic credentials, validated
     * against `restAuth` when one is configured, asserted otherwise.
     */
+  /** Gate an admin verb on a VALIDATED admin identity: no identity →
+    * 401, authenticated non-admin → 403 (the refresh verbs' contract,
+    * shared by every AdminResource-parity endpoint).
+    */
+  private def adminGated(ex: HttpExchange)(f: => Unit): Unit =
+    adminIdentity(ex) match {
+      case None =>
+        reply(ex, 401, """{"error": "admin verbs require an authenticated identity"}""")
+      case Some(u) if !adminUsers.contains(u) =>
+        reply(ex, 403, s"""{"error": ${q(s"user $u is not an administrator")}}""")
+      case Some(_) => f
+    }
+
   private def adminIdentity(ex: HttpExchange): Option[String] = {
     val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!h.startsWith("Basic ")) None

@@ -119,6 +119,19 @@ object ControlCli {
       // file edit NOW instead of at the next reload tick.
       case "refresh" :: target :: Nil =>
         http("POST", s"/admin/refresh/${enc(target)}")
+      // Admin views across all users (reference AdminResource):
+      // listings with an optional user filter, force-close/cancel by
+      // handle, the registered gateway list, live-batch count.
+      case "admin" :: "list" :: "session" :: Nil => http("GET", "/admin/sessions")
+      case "admin" :: "list" :: "session" :: users :: Nil =>
+        http("GET", s"/admin/sessions?users=${enc(users)}")
+      case "admin" :: "list" :: "operation" :: Nil => http("GET", "/admin/operations")
+      case "admin" :: "close" :: "session" :: id :: Nil =>
+        http("DELETE", s"/admin/sessions/${enc(id)}")
+      case "admin" :: "cancel" :: "operation" :: id :: Nil =>
+        http("DELETE", s"/admin/operations/${enc(id)}")
+      case "admin" :: "list" :: "server" :: Nil => http("GET", "/admin/server")
+      case "admin" :: "count" :: "batch" :: Nil => http("GET", "/admin/batch/count")
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -137,7 +150,13 @@ object ControlCli {
       |  events [limit]              recent lifecycle/audit events
       |  resolve gateway --discovery <url|dir>   pick a live HA gateway
       |  refresh <target> --as <admin[:pass]>    hot-reload authz_policies |
-      |                                          session_conf_profiles | deny_users""".stripMargin
+      |                                          session_conf_profiles | deny_users
+      |  admin list session [users] --as <admin>   all users' sessions
+      |  admin list operation --as <admin>         all live operations
+      |  admin close session <id> --as <admin>     force-close any session
+      |  admin cancel operation <id> --as <admin>  cancel any operation
+      |  admin list server --as <admin>            registered HA gateways
+      |  admin count batch --as <admin>            live+stored batch count""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

@@ -175,6 +175,70 @@ class RestFrontendSpec extends AnyFunSuite {
     } finally front.stop()
   }
 
+  test("admin listing/force-close verbs: sessions, operations, server, batch count") {
+    val front = new RestFrontend(new Engine(spark), port = 0,
+      adminUsers = Set("root"),
+      restAuth = Some(new StaticAuthenticationProvider(
+        Map("root" -> "x", "mallory" -> "x"))))
+    val port = front.start()
+    try {
+      val base = s"http://localhost:$port/api/v1"
+      val c = HttpClient.newHttpClient()
+      def authed(method: String, url: String, user: String): (Int, String) = {
+        val cred = java.util.Base64.getEncoder.encodeToString(s"$user:x".getBytes("UTF-8"))
+        val r = c.send(HttpRequest.newBuilder(URI.create(url))
+          .header("Authorization", s"Basic $cred")
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // two users' sessions; one op left open
+      val sidA = extract(post(c, s"$base/sessions", """{"user": "alice"}""")._2, "sessionId")
+      val sidB = extract(post(c, s"$base/sessions", """{"user": "bob"}""")._2, "sessionId")
+      val opId = extract(post(c, s"$base/sessions/$sidA/statements",
+        """{"sql": "SELECT count(*) FROM range(10)"}""")._2, "operationId")
+      // gate contract: no identity 401, non-admin 403
+      assert(get(c, s"$base/admin/sessions")._1 == 401)
+      assert(authed("GET", s"$base/admin/sessions", "mallory")._1 == 403)
+      // admin sees ALL users' sessions; ?users= filters
+      val (lc, lbody) = authed("GET", s"$base/admin/sessions", "root")
+      assert(lc == 200 && lbody.contains(sidA) && lbody.contains(sidB), lbody)
+      val (fc, fbody) = authed("GET", s"$base/admin/sessions?users=alice", "root")
+      assert(fc == 200 && fbody.contains(sidA) && !fbody.contains(sidB), fbody)
+      // operations listing carries alice's op; users filter empties it
+      val (oc, obody) = authed("GET", s"$base/admin/operations", "root")
+      assert(oc == 200 && obody.contains(opId), obody)
+      val (ofc, ofbody) = authed("GET", s"$base/admin/operations?users=bob", "root")
+      assert(ofc == 200 && !ofbody.contains(opId), ofbody)
+      // admin cancel by handle; unknown handle 404
+      assert(authed("DELETE", s"$base/admin/operations/$opId", "root")._1 == 200)
+      assert(authed("DELETE", s"$base/admin/operations/nope", "root")._1 == 404)
+      // admin force-close; a second close is 404, and the session list shrinks
+      assert(authed("DELETE", s"$base/admin/sessions/$sidB", "root")._1 == 200)
+      assert(authed("DELETE", s"$base/admin/sessions/$sidB", "root")._1 == 404)
+      val (_, after) = authed("GET", s"$base/admin/sessions", "root")
+      assert(!after.contains(sidB) && after.contains(sidA), after)
+      // server listing answers (no gateway registered in this fixture)
+      val (svc, svbody) = authed("GET", s"$base/admin/server", "root")
+      assert(svc == 200 && svbody.contains("servers"), svbody)
+      // batch count: one live SQL batch for the filter to find
+      val bid = extract(post(c, s"$base/batches",
+        """{"sql": "SELECT 1", "user": "batchy"}""")._2, "id")
+      assert(bid.nonEmpty)
+      val (bc, bbody) = authed("GET", s"$base/admin/batch/count?batchUser=batchy", "root")
+      assert(bc == 200 && bbody.contains("\"count\": 1"), bbody)
+      val (zc, zbody) = authed("GET", s"$base/admin/batch/count?batchUser=nobody", "root")
+      assert(zc == 200 && zbody.contains("\"count\": 0"), zbody)
+      // batch listing filters + paging (reference BatchesResource params)
+      val (flc, flbody) = get(c, s"$base/batches?batchUser=batchy")
+      assert(flc == 200 && flbody.contains(bid), flbody)
+      val (nfc, nfbody) = get(c, s"$base/batches?batchUser=nobody")
+      assert(nfc == 200 && !nfbody.contains(bid) && nfbody.contains("\"total\": 0"), nfbody)
+      val (pgc, pgbody) = get(c, s"$base/batches?from=0&size=0")
+      assert(pgc == 200 && !pgbody.contains(bid) && pgbody.contains("\"total\": 1"), pgbody)
+    } finally front.stop()
+  }
+
   test("admin refresh: policy edit enforced immediately; non-admin 403; deny users + profiles") {
     import java.nio.file.Files
     import graft.plans.AuthzPolicies

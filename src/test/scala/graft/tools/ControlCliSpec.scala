@@ -38,6 +38,34 @@ class ControlCliSpec extends AnyFunSuite {
   private def ctl(api: String, args: String*): ControlCli.Result =
     ControlCli.run((Seq("--api", api) ++ args).toArray)
 
+  test("admin verbs: list/close sessions, list server, count batch — gated on --as") {
+    val engine = new Engine(spark)
+    val front = new RestFrontend(engine, port = 0,
+      adminUsers = Set("root"),
+      restAuth = Some(new graft.server.StaticAuthenticationProvider(Map("root" -> "pw"))))
+    val port = front.start()
+    try {
+      val api = s"http://localhost:$port"
+      val c = HttpClient.newHttpClient()
+      val sid = extract(post(c, s"$api/api/v1/sessions", """{"user": "tenant"}"""),
+        "sessionId")
+      // no identity → exit 1 with the 401 body
+      val denied = ctl(api, "admin", "list", "session")
+      assert(denied.code == 1 && denied.out.contains("authenticated"), denied.out)
+      val listed = ctl(api, "admin", "list", "session", "--as", "root:pw")
+      assert(listed.code == 0 && listed.out.contains(sid), listed.out)
+      val filtered = ctl(api, "admin", "list", "session", "nobody", "--as", "root:pw")
+      assert(filtered.code == 0 && !filtered.out.contains(sid), filtered.out)
+      val closed = ctl(api, "admin", "close", "session", sid, "--as", "root:pw")
+      assert(closed.code == 0, closed.out)
+      assert(!ctl(api, "admin", "list", "session", "--as", "root:pw").out.contains(sid))
+      val servers = ctl(api, "admin", "list", "server", "--as", "root:pw")
+      assert(servers.code == 0 && servers.out.contains("servers"), servers.out)
+      val count = ctl(api, "admin", "count", "batch", "--as", "root:pw")
+      assert(count.code == 0 && count.out.contains("count"), count.out)
+    } finally front.stop()
+  }
+
   test("list/get/delete session") {
     withServer { (c, api, base) =>
       val sid = extract(post(c, s"$base/sessions", """{"user": "ctl-user"}"""), "sessionId")

@@ -492,6 +492,17 @@ object VectorQueries {
         .withColumn("is_outlier", col("cos_centroid") < 0.0)
     },
 
+    // --- k-center greedy coreset (Sener & Savarese ICLR 2018 /
+    //     Gonzalez 1985 farthest-point): the 5 points covering the
+    //     corpus — seed at the lowest id, then repeatedly the point
+    //     FARTHEST from everything selected. The diverse-subset
+    //     selection primitive (seed sets, eval panels); each step is
+    //     one map-side corpus pass + a scalar min(struct) reduce. ---
+    "v33_kcenter_coreset" -> { (s, dir) =>
+      graft.operators.Coreset.kcenterCoreset(
+        Tables(s, dir).embeddings, "vec_id", "embedding", k = 5)
+    },
+
     // --- nProbe tuning sweep: recall@5 per query at every
     //     nProbe ∈ 1..N_PROBE against ONE exact top-5 baseline — the
     //     recall-vs-cost curve an operator reads to size nProbe for a
@@ -680,6 +691,33 @@ object VectorQueries {
           FROM ipairs),
         itop AS (SELECT np, query_id, neighbor_id, rnk
                  FROM irank WHERE rnk <= 5)"""
+
+  // v33's greedy farthest-point traversal, unrolled to k=5: step n
+  // orders the not-yet-picked points by (greatest quantized cosine to
+  // s1..s(n-1) ASC, vec_id ASC) and takes one — exactly the Spark
+  // side's min(struct(mc, id)) with the same integer micro units.
+  private val kcenterOracle: String = {
+    def qcos(b: String) =
+      s"CAST(floor((${duckCosine("p.embedding", b)}) * 1000000) AS BIGINT)"
+    val steps = (2 to 5).map { n =>
+      val prev = (1 until n).map(i => s"s$i")
+      val mc =
+        if (prev.size == 1) qcos(s"${prev.head}.embedding")
+        else "greatest(" + prev.map(s => qcos(s"$s.embedding")).mkString(", ") + ")"
+      val excl = prev.map(s => s"p.vec_id <> $s.vec_id").mkString(" AND ")
+      s"""s$n AS (
+            SELECT p.vec_id, p.embedding
+            FROM embeddings p, ${prev.mkString(", ")}
+            WHERE $excl
+            ORDER BY $mc ASC, p.vec_id ASC LIMIT 1)"""
+    }
+    s"""WITH s1 AS (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 1),
+        ${steps.mkString(",\n        ")}
+        SELECT vec_id, rnk FROM (
+          ${(1 to 5).map(i => s"SELECT vec_id, CAST($i AS INT) AS rnk FROM s$i")
+            .mkString(" UNION ALL ")})"""
+  }
 
   private val dotTopCte =
     s"""dexact AS (
@@ -1096,6 +1134,11 @@ object VectorQueries {
     "v27_deleted_knn" ->
       s"""WITH ${ivfpqCte(" AND (n.vec_id < 100 OR n.vec_id >= 120)")}
           SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM itop""",
+
+    // Mirror of v33: the greedy farthest-point traversal UNROLLED —
+    // each step orders the remaining points by (greatest quantized
+    // cosine to every prior pick ASC, id ASC) and takes one.
+    "v33_kcenter_coreset" -> kcenterOracle,
 
     // Mirror of v31: the shared cosine fold with the different-label
     // predicate, (sim desc, neighbor_id asc) rank.

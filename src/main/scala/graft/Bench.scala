@@ -46,7 +46,13 @@ import graft.queries.{TpcdsCorpusSql, TpchCatalogQueries, TpchCorpusSql}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores: the r14 spot-set investigation
+    // traced a mysterious uniform ~4x on the sf10 fact queries to this
+    // defaulting to 4 when SPARK_GRAFT_CPUS is unset — local runs were
+    // benching local[4] while the driver (and every plan-shape claim)
+    // assumes local[32].
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val tpchNs = sys.env.getOrElse("SPARK_GRAFT_TPCH_SF", "sf1")
     // The session catalog is backed by an embedded Derby metastore
     // under target/, so the materialized bench databases AND their
@@ -241,21 +247,6 @@ object Bench {
       suiteBaseline.get(name).exists(_ > 3.0) ||
         (suiteBaseline.nonEmpty && !suiteBaseline.contains(name)) ||
         seededMultiRun(name)
-    val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      if (flagshipSuite(name))
-        timedN(name, iters,
-            between = () => graft.operators.SketchRegistry.releaseAll(),
-            careful = true) {
-          fn(spark, sfDir).foreach(_ => ())
-        }
-      else if (expensiveTail(name))
-        timedN(name, iters,
-            between = () => graft.operators.SketchRegistry.releaseAll()) {
-          fn(spark, sfDir).foreach(_ => ())
-        }
-      else repairedOnce(name, fn)
-    }
-
     // Untimed setup: dump each corpus' generator tables to a parquet
     // database once (the reference generates its benchmark db before
     // timing — dev/kyuubi-tpcds/README.md:30-44), so the timed queries
@@ -364,19 +355,33 @@ object Bench {
     // sf10 SPOT set: the 10 longest sf1 corpus queries re-run at the
     // baseline's native sf10 scale — strengthening the BASELINE
     // comparison beyond its 6 published queries and recording a scale
-    // trend for the corpus' heaviest plans. BASELINE.md publishes no
-    // numbers for these, so they are trend entries: ONE careful
-    // (GC-quiesced) run each — the set already costs ~4 min at sf10
-    // (q23/q23b ≈ 45-50 s apiece) and extra iterations of 20-50 s
-    // queries buy little against that magnitude.
+    // trend for the corpus' heaviest plans. Min-of-2 (was single-run):
+    // the first run pays cold page cache for GBs of fact parquet, and
+    // a 20-50 s number that swings with cache state is noise, not a
+    // trend. Both runs stay in bench_full.json.
     val spotNames = Seq("q14", "q14b", "q23", "q23b", "q4", "q75", "q74",
       "q24b", "q11", "q10")
     val spotSqls = if (suiteOnly) Map.empty[String, String]
       else TpcdsCorpusSql.queries(tpcdsDb).toMap
     val tpcdsSpot = spotNames.flatMap(qn => spotSqls.get(qn).map { sql =>
-      timedN(s"tpcds_${tpcdsNs}_$qn", 1, careful = true)(
+      timedN(s"tpcds_${tpcdsNs}_$qn", 2, careful = true)(
         spark.sql(sql).foreach(_ => ()))
     })
+
+    val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      if (flagshipSuite(name))
+        timedN(name, iters,
+            between = () => graft.operators.SketchRegistry.releaseAll(),
+            careful = true) {
+          fn(spark, sfDir).foreach(_ => ())
+        }
+      else if (expensiveTail(name))
+        timedN(name, iters,
+            between = () => graft.operators.SketchRegistry.releaseAll()) {
+          fn(spark, sfDir).foreach(_ => ())
+        }
+      else repairedOnce(name, fn)
+    }
 
     // Z-order skipping comparable (BASELINE z-order.md:313-331 reports
     // a 2-predicate scan going 27.6s → 2.5s after OPTIMIZE ZORDER BY):

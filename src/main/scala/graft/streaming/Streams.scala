@@ -174,6 +174,51 @@ object Streams {
       }
   }
 
+  /** One debounce input/output row (the q39 shape). */
+  final case class DebounceEvent(event_id: Long, user_id: Long,
+      ts: Timestamp, event_type: String)
+  final case class DebounceState(lastUs: Long)
+  final case class DebounceOut(event_id: Long, user_id: Long,
+      event_type: String, keep: Boolean)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** Streaming debounce — the stateful twin of the batch q39 flag:
+    * an event within `minGapUs` of the PREVIOUS same-(user, type)
+    * event is flagged keep = false. State per (user, type) is ONE
+    * long (the last event's microsecond time), so it never grows with
+    * the stream; each micro-batch sorts its group's events by
+    * (time, id) — the batch window's order — and folds through the
+    * carried timestamp, so on in-order delivery the decisions equal
+    * the batch lag() exactly (StreamsSpec pins it across a two-batch
+    * split). Residual: an event arriving BEHIND one already processed
+    * compares against the later timestamp (keep = false where the
+    * all-at-once batch might keep it) — the no-retraction residue
+    * every online debounce shares; bound disorder upstream with a
+    * watermark + sort if exact late-data semantics matter.
+    */
+  def debounceStream(events: Dataset[DebounceEvent],
+      minGapUs: Long): Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), evs: Iterator[DebounceEvent],
+            state: GroupState[DebounceState]) =>
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val t = micros(e.ts)
+            val keep = last == Long.MinValue || t - last > minGapUs
+            last = t
+            DebounceOut(e.event_id, key._1, key._2, keep)
+          }
+          state.update(DebounceState(last))
+          out.iterator
+      }
+  }
+
   /** Streaming point-in-time (as-of) enrichment: each streaming event
     * picks the latest dimension version at-or-before its event time —
     * the streaming twin of [[graft.operators.AsofJoin]] for

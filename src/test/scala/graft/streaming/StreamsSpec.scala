@@ -591,6 +591,50 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming debounce decisions match the batch q39 lag flags on in-order delivery") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.DebounceEvent
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // q39's plan with a gap wide enough that the sf0.001 fixture
+    // actually drops events (its same-(user, type) gaps all exceed
+    // 60 s; 2 h exercises both outcomes)
+    val gapUs = 7200L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    val batch = Tables(spark, F.sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .select(col("event_id"),
+        (col("prev_t").isNull || col("t") - col("prev_t") > gapUs).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[DebounceEvent].collect().sortBy(e => e.ts.getTime)
+
+    val ms = MemoryStream[DebounceEvent]
+    val out = Streams.debounceStream(ms.toDS(), minGapUs = gapUs)
+    val q = out.writeStream.format("memory").queryName("graft_debounce")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_debounce")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got.size == batch.size, s"${got.size} vs ${batch.size}")
+    assert(got == batch, "stream decisions must equal the batch lag flags")
+    assert(got.values.exists(_ == false), "fixture must exercise some drops")
+  }
+
   test("streaming OHLC bars match the batch q37 query after every prefix completes") {
     import org.apache.spark.sql.functions._
     import graft.{SparkFixture => F, Tables}

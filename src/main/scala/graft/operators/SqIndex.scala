@@ -70,6 +70,28 @@ object SqIndex {
     })
   }
 
+  /** Per-dimension reconstruction error of one vector, nano-quantized:
+    * floor(|v − (min + code·(max−min)/255)| · 1e9) as a LONG per
+    * dimension — the quantizer-health audit term (a dimension whose
+    * corpus range is stretched by one outlier reconstructs everything
+    * else badly; its mean error spikes long before any query's recall
+    * visibly decays). Integer nanos make the corpus sum associative,
+    * so the audit is cross-engine exact at any partitioning.
+    */
+  def reconErrorNano(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    transform(sequence(lit(1), lit(mins.length)), i => {
+      val v = element_at(vec, i).cast("double")
+      val lo = element_at(mn, i)
+      val hi = element_at(mx, i)
+      val code = when(hi === lo, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L), floor(((v - lo) * lit(255.0)) / (hi - lo)))))
+      val recon = lo + (code.cast("double") * (hi - lo)) / lit(255.0)
+      floor(abs(v - recon) * lit(1000000000.0)).cast("long")
+    })
+  }
+
   /** SQ8 top-k by approximate dot product: corpus side carries only
     * codes, query side broadcasts raw vectors, ranking is map-side.
     */

@@ -564,6 +564,52 @@ object RelationalQueries {
         .withColumn("prev_t", lag(col("t"), 1).over(w))
         .select(col("event_id"), col("user_id"), col("event_type"),
           (col("prev_t").isNull || col("t") - col("prev_t") > 60000000L).as("keep"))
+    },
+
+    // --- Hourly anomaly flags over the DENSIFIED series (q34's
+    //     gap-fill feeds this too: a z-score computed on the sparse
+    //     series never sees the zero hours, which are exactly the
+    //     outage anomalies worth flagging). |z| > 3 is tested in pure
+    //     integers: with N hours, S = Σn, Q = Σn² per type,
+    //     z² > 9  ⟺  (n·N − S)² > 9·(N·Q − S²) — no division, no
+    //     doubles, cross-engine exact even where σ = 0 (both sides 0
+    //     for a constant series, so nothing flags). Per-type stats are
+    //     a |types|-row aggregate joined back by broadcast; the only
+    //     shuffle is q34's own (type, hour) count. ---
+    "q40_hourly_anomaly" -> { (s, dir) =>
+      val filled = gapfilledHourly(s, dir)
+      val stats = filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n_events")).as("s"),
+          sum(col("n_events") * col("n_events")).as("q"))
+      val dev = col("n_events") * col("n_hours") - col("s")
+      filled.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("hour"), col("n_events"),
+          (dev * dev > lit(9L) * (col("n_hours") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+    },
+
+    // --- PREQUENTIAL anomaly flags: each hour judged against the
+    //     hours strictly BEFORE it (expanding frame) — what a live
+    //     monitor that cannot see the future actually computes, and
+    //     the batch twin of Streams.anomalyStream (StreamsSpec pins
+    //     stream == batch on the closed prefix). Same integer z²
+    //     inequality as q40 with cumulative N/S/Q; hours with fewer
+    //     than two predecessors never flag (no variance estimate
+    //     yet — `false && null` collapses to false in both engines). ---
+    "q41_running_anomaly" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dev = col("n_events") * col("n_prior") - col("s")
+      gapfilledHourly(s, dir)
+        .select(col("event_type"), col("hour"), col("n_events"),
+          count(lit(1)).over(w).as("n_prior"),
+          sum(col("n_events")).over(w).as("s"),
+          sum(col("n_events") * col("n_events")).over(w).as("q"))
+        .select(col("event_type"), col("hour"), col("n_events"),
+          (col("n_prior") > 1 &&
+            dev * dev > lit(9L) * (col("n_prior") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
     }
   )
 
@@ -892,6 +938,61 @@ object RelationalQueries {
          FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
                    ORDER BY epoch_us(ts), event_id) AS prev_t
-               FROM events)"""
+               FROM events)""",
+    // Mirror of q40: the q34 grid chain, then the same integer z²
+    // inequality — (n·N − S)² > 9·(N·Q − S²) — no doubles anywhere.
+    "q40_hourly_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT s.event_type,
+             UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+           FROM spans s),
+         filled AS (
+           SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H') AS hour,
+             CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events
+           FROM grid g LEFT JOIN hourly hh USING (event_type, h)),
+         stats AS (
+           SELECT event_type, count(*) AS n_hours,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) AS BIGINT) AS q
+           FROM filled GROUP BY 1)
+         SELECT f.event_type, f.hour, f.n_events,
+           (f.n_events * st.n_hours - st.s) * (f.n_events * st.n_hours - st.s)
+             > 9 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
+         FROM filled f JOIN stats st USING (event_type)""",
+    // Mirror of q41: identical grid chain, expanding ROWS frame ending
+    // 1 PRECEDING, the same integer z² inequality over cumulative
+    // N/S/Q (false AND NULL = false on the first two hours).
+    "q41_running_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT s.event_type,
+             UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+           FROM spans s),
+         filled AS (
+           SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H') AS hour,
+             CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events
+           FROM grid g LEFT JOIN hourly hh USING (event_type, h)),
+         cum AS (
+           SELECT event_type, hour, n_events,
+             count(*) OVER w AS n_prior,
+             CAST(sum(n_events) OVER w AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS q
+           FROM filled
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, n_events,
+           (n_prior > 1 AND
+            (n_events * n_prior - s) * (n_events * n_prior - s)
+              > 9 * (n_prior * q - s * s)) AS is_anomaly
+         FROM cum"""
   )
 }

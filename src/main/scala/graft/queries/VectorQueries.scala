@@ -524,6 +524,54 @@ object VectorQueries {
           exact, k = 5)
           .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
       }.reduce(_.union(_))
+    },
+
+    // --- Pairwise-cosine histogram over a deterministic corpus
+    //     sample: the embedding-space health audit (a collapsing
+    //     encoder shows as mass piling into the top bins; a healthy
+    //     space keeps a wide spread). The sample is id-deterministic
+    //     and BOUNDED — at 100 TB the modulus scales with the corpus
+    //     to hold the sample near a fixed S, the S×S pair set is one
+    //     broadcast nested-loop (no shuffle touches the corpus beyond
+    //     the sampling scan), and the output is ≤21 bins. floor(10·
+    //     cos) bins identical doubles, so bin ids are cross-engine
+    //     exact. ---
+    "v34_sim_histogram" -> { (s, dir) =>
+      val samp = Tables(s, dir).embeddings
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val a = samp.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = samp.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(floor(cosine(col("va"), col("vb")) * lit(10.0)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("bin"), (col("bin").cast("double") / 10.0).as("sim_lo"),
+          col("n_pairs"))
+    },
+
+    // --- SQ8 reconstruction-error audit: per-dimension count and
+    //     nano-exact Σ|v − recon(v)| over the corpus — the quantizer-
+    //     health check completing audit parity across the index
+    //     families (IVF list balance v24, PQ codebook utilization
+    //     v26, band-collision recall; this is the SQ twin). A single
+    //     outlier stretching one dimension's (min, max) range
+    //     degrades every other vector's reconstruction on that
+    //     dimension — the mean-error spike here fires long before
+    //     recall visibly decays. Map-side error terms, one DIM-key
+    //     aggregate with map-side combine; the only driver artifact
+    //     is the DIM-sized (min, max) stats the index already owns. ---
+    "v35_sq8_error" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val (mins, maxs) = sqStats(e, dir)
+      e.select(posexplode(
+          graft.operators.SqIndex.reconErrorNano(col("embedding"), mins, maxs))
+          .as(Seq("pos", "err_nano")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("err_nano")).as("sum_err_nano"))
+        .select(col("pos").cast("int").as("pos"), col("n"), col("sum_err_nano"),
+          (col("sum_err_nano").cast("double") /
+            (col("n") * lit(1000000000L)).cast("double")).as("mean_abs_err"))
     }
   )
 
@@ -1271,6 +1319,48 @@ object VectorQueries {
             CAST(max(cnt) AS BIGINT) AS max_code_count,
             CAST(sum(cnt) AS BIGINT) AS n_vectors,
             CAST(count(*) AS DOUBLE) / $K_CODES AS utilization
-          FROM cc GROUP BY 1"""
+          FROM cc GROUP BY 1""",
+
+    // Mirror of v34: same modulo sample, same shared cosine fold,
+    // floor(10·cos) of identical doubles — bin ids are exact.
+    "v34_sim_histogram" ->
+      s"""SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS sim_lo,
+            count(*) AS n_pairs
+          FROM (
+            SELECT CAST(floor((${duckCosine("a.embedding", "b.embedding")}) * 10.0)
+                        AS BIGINT) AS bin
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+              AND a.vec_id < b.vec_id)
+          GROUP BY bin""",
+
+    // Mirror of v35: per-dimension (min, max) recomputed from the raw
+    // table (training is deterministic), then the identical encode →
+    // reconstruct → floor(|err|·1e9) chain; integer nano sums are
+    // associative so the corpus aggregation matches at any order.
+    "v35_sq8_error" ->
+      s"""WITH ex AS (
+            SELECT UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                   UNNEST(embedding) AS v
+            FROM embeddings),
+          stats AS (
+            SELECT pos, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
+            FROM ex GROUP BY pos),
+          err AS (
+            SELECT x.pos,
+              CAST(floor(abs(CAST(x.v AS DOUBLE) -
+                (st.lo +
+                 (CAST(CASE WHEN st.hi = st.lo THEN 0
+                       ELSE least(255, greatest(0,
+                         CAST(floor(((CAST(x.v AS DOUBLE) - st.lo) * 255.0)
+                                    / (st.hi - st.lo)) AS BIGINT)))
+                       END AS DOUBLE) * (st.hi - st.lo)) / 255.0))
+                * 1000000000.0) AS BIGINT) AS err_nano
+            FROM ex x JOIN stats st USING (pos))
+          SELECT CAST(pos AS INT) AS pos, count(*) AS n,
+            CAST(sum(err_nano) AS BIGINT) AS sum_err_nano,
+            CAST(CAST(sum(err_nano) AS BIGINT) AS DOUBLE)
+              / CAST(count(*) * 1000000000 AS DOUBLE) AS mean_abs_err
+          FROM err GROUP BY pos"""
   )
 }

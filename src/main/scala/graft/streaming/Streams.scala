@@ -219,6 +219,65 @@ object Streams {
       }
   }
 
+  final case class AnomalyEvent(event_type: String, ts: Timestamp)
+  final case class AnomalyState(curHour: Long, curCount: Long,
+      n: Long, s: Long, q: Long)
+  final case class AnomalyOut(event_type: String, hour: String,
+      n_events: Long, is_anomaly: Boolean)
+
+  private val hourFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH").withZone(java.time.ZoneOffset.UTC)
+
+  /** Real-time hourly anomaly monitor — the streaming twin of the
+    * prequential batch audit q41_running_anomaly (StreamsSpec pins
+    * stream == batch over every closed hour). Per event type the
+    * state carries the open hour's count plus three cumulative
+    * integers (N hours closed, Σn, Σn²); when an arrival rolls the
+    * hour over, the closed hour — and every empty hour the gap
+    * skipped, so quiet-period zeros are judged exactly like q34's
+    * gap-fill materializes them — is emitted with the same integer
+    * z² > 9 inequality the batch runs, then folded into N/S/Q.
+    * State is O(1) per type regardless of stream length; assumes
+    * in-order delivery per type (the fixture's shape), like the
+    * debounce twin.
+    */
+  def anomalyStream(events: Dataset[AnomalyEvent]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, evs: Iterator[AnomalyEvent],
+            state: GroupState[AnomalyState]) =>
+          var st = state.getOption
+            .getOrElse(AnomalyState(Long.MinValue, 0L, 0L, 0L, 0L))
+          val out = ListBuffer.empty[AnomalyOut]
+          def close(hour: Long, cnt: Long): Unit = {
+            val dev = cnt * st.n - st.s
+            val flag = st.n > 1 && dev * dev > 9L * (st.n * st.q - st.s * st.s)
+            out += AnomalyOut(tpe,
+              hourFmt.format(java.time.Instant.ofEpochSecond(hour * 3600L)),
+              cnt, flag)
+            st = st.copy(n = st.n + 1, s = st.s + cnt, q = st.q + cnt * cnt)
+          }
+          evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            if (st.curHour == Long.MinValue)
+              st = st.copy(curHour = h, curCount = 1L)
+            else if (h == st.curHour)
+              st = st.copy(curCount = st.curCount + 1L)
+            else {
+              close(st.curHour, st.curCount)
+              var g = st.curHour + 1L
+              while (g < h) { close(g, 0L); g += 1L }
+              st = st.copy(curHour = h, curCount = 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming point-in-time (as-of) enrichment: each streaming event
     * picks the latest dimension version at-or-before its event time —
     * the streaming twin of [[graft.operators.AsofJoin]] for

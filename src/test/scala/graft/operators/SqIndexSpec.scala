@@ -62,4 +62,37 @@ class SqIndexSpec extends AnyFunSuite {
     // nearest to (1,0,0,0) by dot: vec 1 (0.9), then vec 4 (0.5)
     assert(top.toSeq == Seq((1L, 1), (4L, 2)))
   }
+
+  test("reconErrorNano matches a driver-side recompute and zeroes constant dims") {
+    val (mins, maxs) = SqIndex.trainStats(corpus, "embedding", dim)
+    val rows = corpus.orderBy("vec_id")
+      .select(col("embedding"),
+        SqIndex.reconErrorNano(col("embedding"), mins, maxs).as("err"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val e = r.getSeq[Long](1)
+      (0 until dim).foreach { d =>
+        val lo = mins(d); val hi = maxs(d)
+        val expected =
+          if (hi == lo) math.floor(math.abs(v(d).toDouble - lo) * 1e9).toLong
+          else {
+            val code = math.min(255L, math.max(0L,
+              math.floor(((v(d).toDouble - lo) * 255.0) / (hi - lo)).toLong))
+            val recon = lo + (code.toDouble * (hi - lo)) / 255.0
+            math.floor(math.abs(v(d).toDouble - recon) * 1e9).toLong
+          }
+        assert(e(d) == expected, s"dim $d: ${e(d)} vs $expected")
+        // one quantization step bounds the error wherever the dim varies
+        if (hi != lo) assert(e(d) <= ((hi - lo) / 255.0 * 1e9).toLong + 1)
+      }
+    }
+    // a constant dimension reconstructs exactly (code 0, recon == lo)
+    val flat = Seq((0L, vec(2.0, 5.0, 1.0, 5.0)), (1L, vec(4.0, 5.0, 3.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val (fm, fx) = SqIndex.trainStats(flat, "embedding", dim)
+    val errs = flat.select(SqIndex.reconErrorNano(col("embedding"), fm, fx))
+      .collect().map(_.getSeq[Long](0))
+    errs.foreach { e => assert(e(1) == 0L && e(3) == 0L) }
+  }
 }

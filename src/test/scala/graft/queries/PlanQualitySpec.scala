@@ -323,6 +323,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected ONE data exchange, found $exchanges:\n${plan.take(800)}")
   }
 
+  test("q40: anomaly stats join broadcasts the |types|-row table") {
+    val plan = planOf(RelationalQueries.queries("q40_hourly_anomaly")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      s"an SMJ would shuffle the densified series against a handful of stats rows:\n${plan.take(600)}")
+  }
+
+  test("v34: histogram pairs come from a broadcast of the bounded sample, no corpus shuffle") {
+    val plan = planOf(VectorQueries.queries("v34_sim_histogram")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(600))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("Window"),
+      s"pair generation must broadcast the sample:\n${plan.take(600)}")
+  }
+
+  test("v35: reconstruction-error audit is joinless with map-side partial aggregation") {
+    val df = VectorQueries.queries("v35_sq8_error")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"the audit needs no join:\n${plan.take(500)}")
+    assert(plan.contains("HashAggregate"), plan.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"one DIM-key exchange after the partial aggregate, found $exchanges:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -535,9 +535,19 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
       // exactly one process carries the tag: adopted, not re-launched
       import scala.jdk.CollectionConverters._
-      val tagged = ProcessHandle.allProcesses().iterator().asScala.count { h =>
+      def taggedCount(): Int = ProcessHandle.allProcesses().iterator().asScala.count { h =>
         h.isAlive && h.info().commandLine()
           .map[Boolean](_.contains(s"graft.batch.tag=$sleeperId")).orElse(false)
+      }
+      // settle-retry: under a loaded box the process table transiently
+      // shows fork-in-flight duplicates of a spawning JVM's command
+      // line; a REAL double-launch is a sleeper that persists, so it
+      // still fails after the grace window
+      var tagged = taggedCount()
+      val tagDeadline = System.nanoTime() + 10e9.toLong
+      while (tagged != 1 && System.nanoTime() < tagDeadline) {
+        Thread.sleep(200)
+        tagged = taggedCount()
       }
       assert(tagged == 1, s"expected the one adopted process, found $tagged")
       // kill through the NEW incarnation; the handle dies
@@ -970,7 +980,10 @@ class RestFrontendSpec extends AnyFunSuite {
   test("Trino DELETE cancels a running query") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")
-      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      // count over a non-foldable predicate: long-running but immune to
+      // the ANSI overflow that sum(xxhash64(...)) hits when a fast box
+      // aggregates enough full-range hashes before the cancel lands
+      val slow = "SELECT count(*) FROM range(2000000000) WHERE xxhash64(cast(id AS string)) % 3 >= 0"
       val (pc, pbody) = post(c, s"$root/v1/statement", slow)
       assert(pc == 200, pbody)
       val id = extract(pbody, "id")
@@ -1108,7 +1121,10 @@ class RestFrontendSpec extends AnyFunSuite {
   test("admin: PUT /operations/{id} cancels a running statement") {
     withServer { (c, base) =>
       val sid = extract(post(c, s"$base/sessions", """{"user": "admin"}""")._2, "sessionId")
-      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      // count over a non-foldable predicate: long-running but immune to
+      // the ANSI overflow that sum(xxhash64(...)) hits when a fast box
+      // aggregates enough full-range hashes before the cancel lands
+      val slow = "SELECT count(*) FROM range(2000000000) WHERE xxhash64(cast(id AS string)) % 3 >= 0"
       val opId = extract(post(c, s"$base/sessions/$sid/statements",
         s"""{"sql": "$slow"}""")._2, "operationId")
       assert(put(c, s"$base/operations/$opId", """{"action": "resize"}""")._1 == 400)
@@ -1126,7 +1142,10 @@ class RestFrontendSpec extends AnyFunSuite {
 
   test("admin: batch listing and DELETE-cancel") {
     withServer { (c, base) =>
-      val slow = "SELECT sum(xxhash64(cast(id AS string))) FROM range(2000000000)"
+      // count over a non-foldable predicate: long-running but immune to
+      // the ANSI overflow that sum(xxhash64(...)) hits when a fast box
+      // aggregates enough full-range hashes before the cancel lands
+      val slow = "SELECT count(*) FROM range(2000000000) WHERE xxhash64(cast(id AS string)) % 3 >= 0"
       val (bc, bbody) = post(c, s"$base/batches", s"""{"sql": "$slow", "user": "batcher"}""")
       assert(bc == 200)
       val id = extract(bbody, "id")

@@ -635,6 +635,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == false), "fixture must exercise some drops")
   }
 
+  test("streaming anomaly flags match the prequential batch q41 on every closed hour") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.AnomalyEvent
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val batch = graft.queries.RelationalQueries
+      .queries("q41_running_anomaly")(spark, F.sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // the stream can only close an hour once a LATER event arrives, so
+    // each type's final (still-open) grid hour never emits
+    val lastHour = batch.keys.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).max }
+    val expected = batch.filter { case ((t, h), _) => h != lastHour(t) }
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_type"), col("ts"))
+      .as[AnomalyEvent].collect().sortBy(_.ts.getTime)
+
+    val ms = MemoryStream[AnomalyEvent]
+    val out = Streams.anomalyStream(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("graft_anomaly")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("graft_anomaly").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    assert(got == expected,
+      "stream flags must equal the batch prequential flags on closed hours")
+  }
+
   test("streaming OHLC bars match the batch q37 query after every prefix completes") {
     import org.apache.spark.sql.functions._
     import graft.{SparkFixture => F, Tables}

@@ -888,4 +888,30 @@ object Dedup {
         sum(when(col("__df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_grams"))
       .withColumnRenamed("__gid", idCol)
   }
+
+  /** Per-document corpus novelty: of a document's distinct shingles,
+    * how many have their corpus-wide FIRST occurrence (minimum id) in
+    * this document — the marginal-contribution measure a curation
+    * pipeline uses to rank candidate sources by how much genuinely new
+    * text they add (a shard that is 95% previously-seen n-grams is
+    * paraphrase/boilerplate, whatever its exact-dup rate says).
+    * Shape: one gram-keyed shuffle bounded by the distinct-shingle
+    * vocabulary (min-aggregate, map-side combine), one id-keyed
+    * aggregate back — no pairwise stage exists, so it scales like
+    * d20's document-frequency pass, not like a dedup join.
+    */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("__gid"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("__g"))
+    val firstOwner = grams.groupBy(col("__g")).agg(min(col("__gid")).as("__first"))
+    grams.join(firstOwner, "__g")
+      .groupBy(col("__gid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__gid"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col("__gid").as(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novel_frac"))
+  }
 }

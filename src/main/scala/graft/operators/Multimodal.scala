@@ -269,6 +269,147 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Perceptual average-hash (aHash) over a decoded grayscale image:
+    * point-sample an 8×8 grid from the TOP 8 rows (a deterministic
+    * crop standing in for the resize of a production aHash —
+    * resampling kernels are not bit-exact replayable in an oracle),
+    * threshold each sample against the integer mean of the 64 samples,
+    * and pack the bits row-major. The 64-bit fingerprint is returned
+    * as FOUR 16-bit band values (bit i lands in band i/16 at position
+    * i%16) so the Hamming search below can bucket on band equality:
+    * by pigeonhole, two hashes within Hamming distance 3 agree on at
+    * least one of the four bands, so banding loses no true pair.
+    */
+  def aHashBands(w: Int, h: Int, gray: Array[Int]): Array[Int] = {
+    val cells = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8
+      val c = (i % 8) * w / 8
+      cells(i) = if (r < h) gray(r * w + c) else 0
+      sum += cells(i)
+      i += 1
+    }
+    val mean = (sum / 64).toInt
+    val bands = new Array[Int](4)
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bands(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** Batched executor-side BMP decode → perceptual-hash row
+    * (id, b0..b3 16-bit bands); non-BMP rows yield nulls. Same
+    * partition-batched shape as [[decodeToFeatures]].
+    */
+  def decodeBmpToAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("b0", IntegerType), StructField("b1", IntegerType),
+      StructField("b2", IntegerType), StructField("b3", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeBmp(r.getBinary(binIdx)) match {
+          case Some((w, h, gray)) =>
+            val b = aHashBands(w, h, gray)
+            Seq(id, b(0), b(1), b(2), b(3))
+          case None => Seq(id, null, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
+  /** Near-duplicate images by banded Hamming search over aHash
+    * fingerprints — the image twin of MinHash-LSH banding (Dedup
+    * .lshBandPairs): each fingerprint buckets into its four 16-bit
+    * band values; only same-bucket pairs are candidates (pigeonhole
+    * guarantees every pair within `maxHamming` ≤ 3 shares a band);
+    * candidates are then verified against the full 64-bit distance.
+    * `maxBucket` drops degenerate buckets (e.g. the all-zero band of
+    * blank images) before the within-bucket self-join — the same
+    * frequency cap the text LSH path uses, bounding the worst bucket's
+    * quadratic blow-up at corpus scale. No O(n²) pair scan exists at
+    * any stage.
+    */
+  private def bandExplode(h: DataFrame): DataFrame = {
+    val bandStructs = array((0 to 3).map(j =>
+      struct(lit(j).as("j"), col(s"b$j").as("bv"))): _*)
+    h.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.j").as("j"), col("band.bv").as("bv"))
+  }
+
+  private def hammingOf(a: Seq[String], b: Seq[String]) =
+    a.zip(b).map { case (x, y) => bit_count(col(x).bitwiseXOR(col(y))) }
+      .reduce(_ + _).cast("int")
+
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(maxHamming <= 3,
+      "4×16 banding only guarantees recall for Hamming distance <= 3")
+    val h = hashes.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .filter(col("b0").isNotNull)
+    val exploded = bandExplode(h)
+    val bucketed =
+      if (maxBucket > 0) {
+        val ok = exploded.groupBy(col("j"), col("bv"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .select(col("j"), col("bv"))
+        exploded.join(ok, Seq("j", "bv"))
+      } else exploded
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(h.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
+      .join(h.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))
+      .withColumn("hamming", hammingOf(
+        Seq("a0", "a1", "a2", "a3"), Seq("c0", "c1", "c2", "c3")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Probe-vs-corpus variant of [[phashNearDupPairs]]: each probe
+    * fingerprint is checked against a (typically much larger) corpus
+    * fingerprint table — the ingest-time "have I seen this image?"
+    * gate. Same banding recall guarantee; the probe side of the band
+    * join is micro-batch-sized, so Catalyst broadcasts it and the
+    * corpus band index is scanned map-side, never shuffled.
+    */
+  def phashMatches(probe: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4×16 banding only guarantees recall for Hamming distance <= 3")
+    def clean(df: DataFrame) =
+      df.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .filter(col("b0").isNotNull)
+    val p = clean(probe)
+    val c = clean(corpus)
+    val cand = bandExplode(p).toDF("probe_id", "j", "bv")
+      .join(bandExplode(c).toDF("corpus_id", "j", "bv"), Seq("j", "bv"))
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(p.toDF("probe_id", "a0", "a1", "a2", "a3"), Seq("probe_id"))
+      .join(c.toDF("corpus_id", "c0", "c1", "c2", "c3"), Seq("corpus_id"))
+      .withColumn("hamming", hammingOf(
+        Seq("a0", "a1", "a2", "a3"), Seq("c0", "c1", "c2", "c3")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("corpus_id"), col("hamming"))
+  }
+
   /** ======== BATCHED DECODE ========
     * One decoder init per PARTITION (not per row), rows streamed
     * through — exactly how a real codec/model binding runs on

@@ -77,6 +77,20 @@ object MultimodalQueries {
       Multimodal.decodeBmpToFeatures(withBmp, "doc_id", "content")
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("pix_sum"), col("top_row_sum"), col("even_col_sum"))
+    },
+
+    // --- Perceptual near-dup: BMP decode → 8×8 average-hash → banded
+    //     Hamming ≤ 3 pair search. The whole chain is exact-integer so
+    //     the oracle replays it from the payload bytes, INCLUDING the
+    //     bucket cap (so both engines agree at any SF, not just where
+    //     the cap doesn't bind). ---
+    "m05_phash_neardup" -> { (s, dir) =>
+      val bmp = udf((b: Array[Byte]) => Multimodal.synthBmp(b))
+      val withBmp = Tables(s, dir).documents
+        .select(col("doc_id"), bmp(col("text").cast("binary")).as("content"))
+      val hashes = Multimodal.decodeBmpToAHash(withBmp, "doc_id", "content")
+      Multimodal.phashNearDupPairs(hashes, maxHamming = 3, maxBucket = 256)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     }
   )
 
@@ -143,6 +157,48 @@ object MultimodalQueries {
            CAST(COALESCE(SUM(CASE WHEN v.k < 7 THEN v.byte ELSE 0 END), 0) AS BIGINT) AS top_row_sum,
            CAST(COALESCE(SUM(CASE WHEN (v.k % 7) % 2 = 0 THEN v.byte ELSE 0 END), 0) AS BIGINT) AS even_col_sum
          FROM b LEFT JOIN v USING (doc_id)
-         GROUP BY b.doc_id, b.n"""
+         GROUP BY b.doc_id, b.n""",
+    // Replays the full perceptual chain from payload bytes: cell i of
+    // the 8×8 grid samples pixel (i/8, (i%8)*7/8) = payload byte
+    // (i/8)*7 + (i%8)*7/8 (0 past the end — synthBmp zero-pads and
+    // rows past the image are 0); integer mean of the 64 samples;
+    // bit i set iff sample > mean, packed into four 16-bit bands;
+    // candidates from same-(band, value) buckets of ≤ 256 members;
+    // pairs verified at Hamming ≤ 3. A decode bug (un-flip, stride),
+    // a sampling-index bug, a mean-rounding bug, or a banding bug all
+    // break the pair set.
+    "m05_phash_neardup" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n FROM documents),
+         cells AS (
+           SELECT doc_id, i,
+             CASE WHEN (i//8)*7 + (i%8)*7//8 < n THEN
+               16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*((i//8)*7 + (i%8)*7//8)+1 AS INT), 1))-1)
+                 + strpos('0123456789ABCDEF', substr(hx, CAST(2*((i//8)*7 + (i%8)*7//8)+2 AS INT), 1))-1
+             ELSE 0 END AS v
+           FROM b, unnest(range(0, 64)) AS t(i)),
+         m AS (SELECT doc_id, SUM(v)//64 AS mean FROM cells GROUP BY doc_id),
+         bands AS (
+           SELECT c.doc_id, i//16 AS j,
+             CAST(SUM(CASE WHEN v > mean THEN (1<<(i%16)) ELSE 0 END) AS INT) AS bv
+           FROM cells c JOIN m USING (doc_id) GROUP BY c.doc_id, i//16),
+         ok AS (SELECT j, bv FROM bands GROUP BY j, bv HAVING count(*) <= 256),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM (SELECT * FROM bands JOIN ok USING (j, bv)) x
+           JOIN (SELECT * FROM bands JOIN ok USING (j, bv)) y
+             ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         h AS (SELECT doc_id,
+                 MAX(CASE WHEN j = 0 THEN bv END) AS b0,
+                 MAX(CASE WHEN j = 1 THEN bv END) AS b1,
+                 MAX(CASE WHEN j = 2 THEN bv END) AS b2,
+                 MAX(CASE WHEN j = 3 THEN bv END) AS b3
+               FROM bands GROUP BY doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+              + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS INT) AS hamming
+         FROM cand JOIN h a ON a.doc_id = doc_a JOIN h c ON c.doc_id = doc_b
+         WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+             + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3"""
   )
 }

@@ -610,6 +610,28 @@ object RelationalQueries {
           (col("n_prior") > 1 &&
             dev * dev > lit(9L) * (col("n_prior") * col("q") - col("s") * col("s")))
             .as("is_anomaly"))
+    },
+
+    // --- Sliding distinct count: users active in the trailing 3 hours,
+    //     per hour — the DAU/WAU family's expensive exact variant done
+    //     with the scalable shape: dedupe to (hour, user) FIRST (the
+    //     only corpus-sized shuffle), then each pair map-side explodes
+    //     into the ≤3 hour buckets it contributes to, then one
+    //     hour-keyed distinct count over the already-bounded pair
+    //     table. Never a per-hour collect_set, never a self-join of
+    //     raw events. ---
+    "q42_sliding_distinct" -> { (s, dir) =>
+      val hu = Tables(s, dir).events
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val hours = hu.select(col("h")).distinct()
+      hu.select(explode(sequence(lit(0), lit(2))).as("k"), col("h"), col("user_id"))
+        .select(expr("timestampadd(HOUR, k, h)").as("h"), col("user_id"))
+        .join(hours, "h") // report only hours present in the data
+        .distinct()
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("active_3h"))
+        .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("active_3h"))
     }
   )
 
@@ -993,6 +1015,21 @@ object RelationalQueries {
            (n_prior > 1 AND
             (n_events * n_prior - s) * (n_events * n_prior - s)
               > 9 * (n_prior * q - s * s)) AS is_anomaly
-         FROM cum"""
+         FROM cum""",
+
+    // Mirror of q42: dedupe to (hour, user), explode each pair into the
+    // 3 trailing-window buckets it serves, restrict to hours present in
+    // the data, count distinct users per hour.
+    "q42_sliding_distinct" ->
+      """WITH hu AS (
+           SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+         c AS (
+           SELECT h + (k * INTERVAL 1 HOUR) AS h, user_id
+           FROM hu, unnest([0, 1, 2]) t(k)),
+         hrs AS (SELECT DISTINCT h FROM hu)
+         SELECT strftime(c.h, '%Y-%m-%d %H') AS hour,
+           count(DISTINCT c.user_id) AS active_3h
+         FROM c JOIN hrs USING (h)
+         GROUP BY 1"""
   )
 }

@@ -543,6 +543,16 @@ object TextQueries {
         .agg(min(col("rank")).as("vocab_90"),
           min(col("n_terms")).as("n_terms"),
           min(col("total_tokens")).as("total_tokens"))
+    },
+
+    // --- Corpus novelty: fraction of each document's distinct 3-grams
+    //     whose first corpus occurrence (min doc_id) is this document —
+    //     the marginal-contribution ranking for ingest ordering (a
+    //     shard of 95% previously-seen n-grams is boilerplate no matter
+    //     its exact-dup rate). One vocabulary-bounded gram shuffle, no
+    //     pairwise stage. ---
+    "d59_ngram_novelty" -> { (s, dir) =>
+      graft.operators.Dedup.gramNovelty(Tables(s, dir).documents, "doc_id", "text")
     }
   )
 
@@ -1369,6 +1379,27 @@ object TextQueries {
             min(t.n_terms) AS n_terms, min(t.total_tokens) AS total_tokens
           FROM cum c JOIN tot t USING (source)
           WHERE c.cum * 10 >= t.total_tokens * 9
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    // Mirror of d59: the same distinct-3-gram sets (d55's tokenizer
+    // branch for short docs), first owner = min doc_id per gram, and
+    // one double division of two exact integers at the end.
+    "d59_ngram_novelty" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents),
+          g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+          f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
+          SELECT g.doc_id, count(*) AS n_grams,
+            CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_novel,
+            CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS novel_frac
+          FROM g JOIN f USING (gram)
+          GROUP BY g.doc_id"""
   )
 }

@@ -572,6 +572,34 @@ object VectorQueries {
         .select(col("pos").cast("int").as("pos"), col("n"), col("sum_err_nano"),
           (col("sum_err_nano").cast("double") /
             (col("n") * lit(1000000000L)).cast("double")).as("mean_abs_err"))
+    },
+
+    // --- Gram matrix of the embedding corpus: G[i][j] = Σ_rows x_i·x_j
+    //     (upper triangle) — the Σxxᵀ every PCA / whitening / OPQ
+    //     rotation pipeline starts from. Components are floor-
+    //     quantized to micro units FIRST (the v35 trick), so each
+    //     product is an exact integer and the corpus sum is
+    //     associative — order-independent at any partitioning. Shape:
+    //     each row map-side explodes to its DIM·(DIM+1)/2 = 2080
+    //     products, hash-aggregated with map-side combine onto 2080
+    //     keys — the shuffle moves O(partitions · DIM²) partial sums,
+    //     never row data. At ~1e9 rows the Long partial sums would
+    //     near overflow (1e12 per product): switch the sum column to
+    //     DECIMAL(38,0) there; the quantization contract is unchanged. ---
+    "v36_gram_matrix" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+      val pairs = flatten(transform(sequence(lit(0), lit(DIM - 1)), i =>
+        transform(sequence(i, lit(DIM - 1)), j =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p")))))
+      e.select(q.as("q"))
+        .select(explode(pairs).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("t.p")).as("sum_qprod"))
+        .select(col("i"), col("j"), col("n"), col("sum_qprod"),
+          (col("sum_qprod").cast("double") / lit(1.0e12)).as("gram"))
     }
   )
 
@@ -1361,6 +1389,24 @@ object VectorQueries {
             CAST(sum(err_nano) AS BIGINT) AS sum_err_nano,
             CAST(CAST(sum(err_nano) AS BIGINT) AS DOUBLE)
               / CAST(count(*) * 1000000000 AS DOUBLE) AS mean_abs_err
-          FROM err GROUP BY pos"""
+          FROM err GROUP BY pos""",
+
+    // Mirror of v36: floor-quantize each component to micro units
+    // (identical IEEE double multiply + floor in both engines), then
+    // the within-row pair products summed corpus-wide as exact
+    // integers; the one double division at the end is bit-identical.
+    "v36_gram_matrix" ->
+      """WITH ex AS (
+           SELECT vec_id, UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                  UNNEST(embedding) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, pos,
+                 CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+               FROM ex)
+         SELECT CAST(a.pos AS INT) AS i, CAST(b.pos AS INT) AS j,
+           count(*) AS n, CAST(SUM(a.q * b.q) AS BIGINT) AS sum_qprod,
+           CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1e12 AS gram
+         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         GROUP BY a.pos, b.pos"""
   )
 }

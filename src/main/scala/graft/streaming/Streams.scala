@@ -491,6 +491,30 @@ object Streams {
     * zero stream-side state and needs no watermark. `sink` receives
     * each batch's (query_id, neighbor_id, rnk) result.
     */
+  /** Ingest-time perceptual near-dup gate: a stream of image binaries
+    * is decoded to aHash fingerprints per micro-batch and checked
+    * against a STATIC corpus fingerprint table via the banded Hamming
+    * search — the image twin of [[nearDupGateStream]]. Each arriving
+    * image pays one decode plus a band join where ITS side is
+    * micro-batch-sized (broadcast); zero stream state, no watermark.
+    * `sink` receives each batch's (probe_id, corpus_id, hamming) hits.
+    */
+  def phashGateStream(
+      images: DataFrame,
+      idCol: String, binCol: String,
+      corpusHashes: DataFrame,
+      maxHamming: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    images.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Multimodal.phashMatches(
+            graft.operators.Multimodal.decodeBmpToAHash(batch, idCol, binCol),
+            corpusHashes, maxHamming), batchId)
+      }
+      .start()
+
   def annProbeStream(
       queries: DataFrame,
       index: graft.operators.IvfPqIndex.OpenedIndex,

@@ -209,6 +209,24 @@ class DedupSpec extends AnyFunSuite {
       s"within-doc repeats are not cross-doc duplication: ${got(3L)}")
     assert(got(4L) == ((1L, 0L)), got(4L))
   }
+
+  test("gramNovelty credits each gram's first owner (min id) exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),     // grams "a b c", "b c d" — both first here
+      (2L, "a b c x"),     // "a b c" seen (doc 1 owns it), "b c x" novel
+      (3L, "a b c d"),     // exact dup of doc 1: zero novel grams
+      (4L, "hi"))          // short doc: one whole-text shingle, novel
+      .toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0)), got(1L))
+    assert(got(2L) == ((2L, 1L, 0.5)), got(2L))
+    assert(got(3L) == ((2L, 0L, 0.0)), got(3L))
+    assert(got(4L) == ((1L, 1L, 1.0)), got(4L))
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

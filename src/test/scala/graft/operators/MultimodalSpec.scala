@@ -160,6 +160,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(Multimodal.synthBmp(Array.fill(30)(7.toByte)).take(60)).isEmpty)
   }
 
+  test("aHash bands: hand-computed grid, crop and mean threshold") {
+    // 7×9 image: pixel k = k*4 (0..255 range), so grid cell i samples
+    // payload byte (i/8)*7 + (i%8)*7/8 and bits are exactly computable
+    val payload = Array.tabulate(63)(k => (k * 4).toByte)
+    val Some((w, h, gray)) = Multimodal.decodeBmp(Multimodal.synthBmp(payload))
+    val bands = Multimodal.aHashBands(w, h, gray)
+    val cells = Array.tabulate(64) { i =>
+      val r = i / 8; val c = (i % 8) * 7 / 8; val k = r * 7 + c
+      if (r < h && k < payload.length) payload(k) & 0xFF else 0
+    }
+    val mean = (cells.map(_.toLong).sum / 64).toInt
+    val expected = new Array[Int](4)
+    cells.zipWithIndex.foreach { case (v, i) =>
+      if (v > mean) expected(i / 16) |= 1 << (i % 16)
+    }
+    assert(bands.toSeq == expected.toSeq)
+    // short image: rows past the canvas sample as zero, no crash
+    val tiny = Multimodal.decodeBmp(Multimodal.synthBmp(Array[Byte](100, 50))).get
+    val tb = Multimodal.aHashBands(tiny._1, tiny._2, tiny._3)
+    assert(tb.length == 4)
+  }
+
+  test("phash near-dup: banding finds exactly the brute-force pairs") {
+    // three exact near-dup pairs (same first-56-byte prefix, different
+    // tails) among unrelated documents
+    def doc(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((seed * 37 + k * 11) % 251).toByte)
+    val docs = Seq(
+      (0L, doc(1, 120)), (1L, doc(1, 120) ++ Array[Byte](1, 2, 3, 4)),
+      (2L, doc(2, 200)), (3L, doc(2, 200) ++ "dup".getBytes),
+      (4L, doc(3, 90)), (5L, doc(3, 90) ++ Array[Byte](9)),
+      (6L, doc(4, 150)), (7L, doc(5, 150)), (8L, doc(6, 80)))
+    val bmpUdf = udf((b: Array[Byte]) => Multimodal.synthBmp(b))
+    val df = docs.toDF("id", "payload")
+      .select(col("id"), bmpUdf(col("payload")).as("content"))
+    val hashes = Multimodal.decodeBmpToAHash(df, "id", "content")
+    val got = Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute force over the same hashes
+    val hs = hashes.collect().map(r => (r.getLong(0),
+      Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+    val brute = for {
+      (ia, ba) <- hs; (ib, bb) <- hs if ia < ib
+      d = (0 to 3).map(j => Integer.bitCount(ba(j) ^ bb(j))).sum if d <= 3
+    } yield (ia, ib, d)
+    assert(got.toSeq == brute.toSeq.sorted)
+    // the three appended-tail pairs are all found at Hamming 0
+    assert(got.count(_._3 == 0) >= 3)
+    assert(Set((0L, 1L), (2L, 3L), (4L, 5L)).subsetOf(got.map(p => (p._1, p._2)).toSet))
+    // a binding bucket cap drops the over-sized buckets entirely: every
+    // candidate needs a shared bucket of size >= 2, so cap 1 yields none
+    val capped = Multimodal.phashNearDupPairs(hashes, maxHamming = 3, maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
   test("bmp features certify fidelity, un-flip and stride walk") {
     val payload = Array.tabulate(10)(i => (i + 1).toByte) // 1..10 on a 7×2 canvas
     val Some((w, h, gray)) = Multimodal.decodeBmp(Multimodal.synthBmp(payload))

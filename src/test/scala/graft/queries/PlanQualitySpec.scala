@@ -349,6 +349,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"one DIM-key exchange after the partial aggregate, found $exchanges:\n${plan.take(800)}")
   }
 
+  test("v36: gram matrix is joinless with one DIM²-key exchange") {
+    val plan = planOf(VectorQueries.queries("v36_gram_matrix")(spark, dir))
+    assert(!plan.contains("Join"), s"Σxxᵀ needs no join:\n${plan.take(500)}")
+    assert(plan.contains("HashAggregate"), plan.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"one (i,j)-key exchange after the partial aggregate, found $exchanges:\n${plan.take(800)}")
+  }
+
+  test("m05: phash banding uses equi-joins only — no pairwise scan anywhere") {
+    val plan = planOf(MultimodalQueries.queries("m05_phash_neardup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"banded Hamming search must never degrade to a pair scan:\n${plan.take(800)}")
+  }
+
+  test("q42: sliding distinct has no window and no pairwise join of raw events") {
+    val plan = planOf(RelationalQueries.queries("q42_sliding_distinct")(spark, dir))
+    assert(!plan.contains("Window"),
+      "the trailing-window count must come from the explode, not a window over events")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("d59: novelty is gram-keyed aggregation — equi-joins only") {
+    val plan = planOf(TextQueries.queries("d59_ngram_novelty")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"no pairwise stage may exist:\n${plan.take(800)}")
+    assert(!plan.contains("Window"))
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

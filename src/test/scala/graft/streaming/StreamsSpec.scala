@@ -9,6 +9,7 @@ import graft.SparkFixture
 import graft.streaming.Streams.Event
 
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+final case class StreamImage(id: Long, content: Array[Byte])
 
 class StreamsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -412,6 +413,57 @@ class StreamsSpec extends AnyFunSuite {
       s"stream ${got.size()} rows vs batch ${batchTwin.size}")
     assert(batchTwin.nonEmpty, "fixture must produce at least one collision")
     index.unpersist()
+  }
+
+  test("streaming phash gate flags exactly the batch matches against a static corpus") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def doc(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((seed * 53 + k * 17) % 251).toByte)
+    // corpus: three known images, fingerprinted once (the static index)
+    val corpusImgs = Seq(
+      (100L, Multimodal.synthBmp(doc(1, 140))),
+      (101L, Multimodal.synthBmp(doc(2, 90))),
+      (102L, Multimodal.synthBmp(doc(3, 220)))).toDF("id", "content")
+    val corpusHashes = Multimodal.decodeBmpToAHash(corpusImgs, "id", "content")
+      .persist()
+    corpusHashes.count()
+
+    // stream: a near-dup of corpus 100 (same prefix, extra tail), an
+    // exact copy of 102, and a novel image
+    val probes = Seq(
+      StreamImage(1, Multimodal.synthBmp(doc(1, 140) ++ "tail".getBytes)),
+      StreamImage(2, Multimodal.synthBmp(doc(3, 220))),
+      StreamImage(3, Multimodal.synthBmp(doc(9, 150))))
+
+    val got = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int), java.lang.Boolean]())
+    val ms = MemoryStream[StreamImage]
+    val q = Streams.phashGateStream(
+      ms.toDF(), "id", "content", corpusHashes) { (out, _) =>
+      out.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+    }
+    try {
+      ms.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(probes.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchTwin = Multimodal.phashMatches(
+      Multimodal.decodeBmpToAHash(probes.toDF("id", "content"), "id", "content"),
+      corpusHashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == batchTwin)
+    // the prefix near-dup and the exact copy are flagged; flag sets per probe
+    val flagged = batchTwin.map(_._1)
+    assert(flagged.contains(1L) && flagged.contains(2L))
+    assert(batchTwin.contains((2L, 102L, 0)), "exact copy matches at Hamming 0")
+    assert(!flagged.contains(3L), "novel image passes the gate")
+    corpusHashes.unpersist()
   }
 
   test("streaming funnel state machine matches the batch q32 funnel counts") {

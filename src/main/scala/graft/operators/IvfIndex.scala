@@ -177,4 +177,32 @@ object IvfIndex {
       .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
         col("s.sim").as("sim"), (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  /** All-pairs kNN graph: every corpus vector's top-k neighbors — the
+    * primitive SemDedup clustering, graph-based dedup and connectivity
+    * analyses start from. Unlike [[ivfTopK]] the query side IS the
+    * corpus, so nothing is broadcastable: both sides carry their IVF
+    * assignment and meet in a SHUFFLED equi-join on list_id — each
+    * list joins only against its own ≈n/L members (the query side
+    * explodes into its nProbe nearest lists), so the candidate count
+    * is ≈ n·nProbe·(n/L), never n². Per-query ranking is the same
+    * bounded-heap aggregate as [[ivfTopK]] (map-side combine), not a
+    * window over the scored set.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestList(col(vecCol), centroids).as("list_id"))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeLists(col(vecCol), centroids, nProbe)).as("list_id"))
+    val scored = q.join(c, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val topk = TopKAggregator.udaf(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
+        col("s.sim").as("sim"), (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -269,6 +269,59 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Audio-quality features over decoded PCM16 samples — the audio
+    * twin of the text quality gate (d04): clipped-sample count
+    * (samples at the rails, where the waveform was cut off), peak
+    * amplitude, and zero-crossing count (silence and DC-stuck capture
+    * both show near-zero ZCR; noise shows it abnormally high). All
+    * exact integers from the decoded samples.
+    */
+  def wavQualityFeatures(samples: Array[Short]): (Long, Int, Long) = {
+    var clipped = 0L
+    var maxAbs = 0
+    var zc = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = samples(i).toInt
+      if (a <= -32768 || a >= 32512) clipped += 1
+      val abs = math.abs(a)
+      if (abs > maxAbs) maxAbs = abs
+      if (i > 0 && samples(i - 1).toInt * a < 0) zc += 1
+      i += 1
+    }
+    (clipped, maxAbs, zc)
+  }
+
+  /** Batched executor-side WAV decode → per-clip quality row
+    * (id, n_samples, n_clipped, max_abs, zero_crossings); non-WAV rows
+    * yield nulls. Same partition-batched shape as [[decodeToFeatures]].
+    */
+  def decodeWavToQuality(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("n_samples", LongType),
+      StructField("n_clipped", LongType),
+      StructField("max_abs", IntegerType),
+      StructField("zero_crossings", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeWav(r.getBinary(binIdx)) match {
+          case Some((_, _, samples)) =>
+            val (clipped, maxAbs, zc) = wavQualityFeatures(samples)
+            Seq(id, samples.length.toLong, clipped, maxAbs, zc)
+          case None => Seq(id, null, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Perceptual average-hash (aHash) over a decoded grayscale image:
     * point-sample an 8×8 grid from the TOP 8 rows (a deterministic
     * crop standing in for the resize of a production aHash —

@@ -91,6 +91,21 @@ object MultimodalQueries {
       val hashes = Multimodal.decodeBmpToAHash(withBmp, "doc_id", "content")
       Multimodal.phashNearDupPairs(hashes, maxHamming = 3, maxBucket = 256)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+    },
+
+    // --- Audio quality gate: REAL WAV decode → clipped-sample count,
+    //     peak amplitude, zero-crossing count — the audio twin of the
+    //     d04 text quality gate (drop silent / clipped / DC-stuck
+    //     clips before they poison a training mix). Exact integers
+    //     from the decoded samples; the oracle recomputes them from
+    //     the payload bytes through the synthWav amplitude contract. ---
+    "m06_audio_quality" -> { (s, dir) =>
+      val wav = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+      val withWav = Tables(s, dir).documents
+        .select(col("doc_id"), wav(col("text").cast("binary")).as("content"))
+      Multimodal.decodeWavToQuality(withWav, "doc_id", "content")
+        .select(col("id").as("doc_id"), col("n_samples"), col("n_clipped"),
+          col("max_abs"), col("zero_crossings"))
     }
   )
 
@@ -199,6 +214,33 @@ object MultimodalQueries {
               + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS INT) AS hamming
          FROM cand JOIN h a ON a.doc_id = doc_a JOIN h c ON c.doc_id = doc_b
          WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
-             + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3"""
+             + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3""",
+    // Recomputes the audio-quality features from the payload bytes via
+    // the synthWav amplitude contract amp_i = (byte_i - 128) * 256:
+    // clipped at the PCM16 rails (byte 0 → -32768, byte 255 → 32512),
+    // peak = max |amp|, zero crossings = adjacent sign products < 0
+    // (lag window per doc in byte order). A decode bug in the chunk
+    // walk, endianness, or sample order breaks these counts.
+    "m06_audio_quality" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM b),
+         v AS (SELECT doc_id, n, i,
+                 (16*(strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1
+                    - 128) * 256 AS amp
+               FROM s),
+         w AS (SELECT doc_id, amp,
+                 lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+               FROM v)
+         SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(CASE WHEN w.amp <= -32768 OR w.amp >= 32512
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clipped,
+           CAST(COALESCE(MAX(abs(w.amp)), 0) AS INT) AS max_abs,
+           CAST(COALESCE(SUM(CASE WHEN w.prev * w.amp < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS zero_crossings
+         FROM b LEFT JOIN w USING (doc_id)
+         GROUP BY b.doc_id, b.n"""
   )
 }

@@ -632,6 +632,23 @@ object RelationalQueries {
         .groupBy(col("h"))
         .agg(count(lit(1)).as("active_3h"))
         .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("active_3h"))
+    },
+
+    // --- Exact grouped quantiles: per-type median and p90 of the event
+    //     value — the EXACT complement of q26's approx-sketch contract
+    //     (SLO reporting wants the true p90, not an ε-bound). Spark's
+    //     `percentile` and DuckDB's `quantile_cont` share the
+    //     lower + (upper − lower)·frac interpolation, verified
+    //     bit-identical on this fixture. One group-keyed exchange; the
+    //     per-group sort is bounded by the group's row count (skewed
+    //     groups: pre-aggregate duplicates or fall back to q26's
+    //     sketches at extreme cardinality). ---
+    "q43_exact_quantiles" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("median_value"),
+          percentile(col("value"), lit(0.9)).as("p90_value"),
+          count(lit(1)).as("n_events"))
     }
   )
 
@@ -1030,6 +1047,16 @@ object RelationalQueries {
          SELECT strftime(c.h, '%Y-%m-%d %H') AS hour,
            count(DISTINCT c.user_id) AS active_3h
          FROM c JOIN hrs USING (h)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // Mirror of q43: quantile_cont shares Spark percentile's
+    // lower + (upper − lower)·frac interpolation (bit-identical on
+    // doubles).
+    "q43_exact_quantiles" ->
+      """SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           count(*) AS n_events
+         FROM events GROUP BY 1"""
   )
 }

@@ -600,6 +600,18 @@ object VectorQueries {
         .agg(count(lit(1)).as("n"), sum(col("t.p")).as("sum_qprod"))
         .select(col("i"), col("j"), col("n"), col("sum_qprod"),
           (col("sum_qprod").cast("double") / lit(1.0e12)).as("gram"))
+    },
+
+    // --- kNN graph: each corpus vector's top-5 neighbors through the
+    //     IVF index — the SemDedup / graph-dedup primitive. The query
+    //     side is the corpus itself, so the plan is a shuffled list_id
+    //     self-join (each list meets only its own members), never a
+    //     broadcast and never an n² scan. ---
+    "v37_knn_graph" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      graft.operators.IvfIndex.knnGraph(e, "vec_id", "embedding",
+        ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }
   )
 
@@ -1407,6 +1419,37 @@ object VectorQueries {
            count(*) AS n, CAST(SUM(a.q * b.q) AS BIGINT) AS sum_qprod,
            CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1e12 AS gram
          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-         GROUP BY a.pos, b.pos"""
+         GROUP BY a.pos, b.pos""",
+
+    // Mirror of v37: v07's IVF replay with the corpus as the query set —
+    // assignment r=1, probing r<=nProbe over the dumped centroids, exact
+    // cosine rank within the probed lists.
+    "v37_knn_graph" ->
+      s"""WITH cents AS (SELECT list_id, centroid
+                         FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id AS neighbor_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE r = 1),
+          probe AS (
+            SELECT vec_id AS query_id, list_id FROM (
+              SELECT e.vec_id, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE r <= $N_PROBE)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT p.query_id, a.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id
+                ORDER BY ${duckCosine("eq.embedding", "ec.embedding")} DESC, a.neighbor_id ASC) AS rnk
+            FROM probe p
+            JOIN asg a USING (list_id)
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= 5"""
   )
 }

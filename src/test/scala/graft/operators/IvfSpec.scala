@@ -32,6 +32,21 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("knnGraph equals ivfTopK with the corpus as the query set") {
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val sample = emb.filter(col("vec_id") < 100)
+    val graph = IvfIndex.knnGraph(sample, "vec_id", "embedding",
+      centroids, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val twin = IvfIndex.ivfTopK(sample, sample, "vec_id", "embedding",
+      centroids, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(graph == twin, "the shuffled self-join must produce the broadcast plan's result")
+    assert(graph.nonEmpty)
+    // no self-edges, ranks within k
+    assert(graph.forall(e => e._1 != e._2 && e._3 >= 1 && e._3 <= 3))
+  }
+
   test("embedding-cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingNearDupPairs(emb.limit(500), "vec_id", "embedding",
       dim = 64, minCosine = 0.0, nPlanes = 4).collect()

@@ -160,6 +160,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(Multimodal.synthBmp(Array.fill(30)(7.toByte)).take(60)).isEmpty)
   }
 
+  test("wav quality features: clipping, peak, and zero crossings hand-computed") {
+    // payload bytes: 0 (clip low), 255 (clip high), 128 (zero), then a
+    // sign-alternating run 100, 200, 100, 200 (amps -7168, +18432, ...)
+    val payload = bin(0, 255, 128, 100, 200, 100, 200)
+    val Some((_, _, samples)) = Multimodal.decodeWav(Multimodal.synthWav(payload))
+    val (clipped, maxAbs, zc) = Multimodal.wavQualityFeatures(samples)
+    assert(clipped == 2L, "bytes 0 and 255 sit at the PCM16 rails")
+    assert(maxAbs == 32768, "peak is the low rail's magnitude")
+    // sign sequence: -,+,0,-,+,-,+ → crossings at (0,1),(3,4),(4,5),(5,6)
+    // (the 0 amp at index 2 breaks the (1,2),(2,3) products)
+    assert(zc == 4L, s"zero crossings: $zc")
+
+    // distributed path: null row for non-WAV, exact row for WAV
+    import spark.implicits._
+    val wavUdf = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+    val df = Seq((1L, payload), (2L, "not audio".getBytes))
+      .toDF("id", "raw")
+      .select(col("id"),
+        when(col("id") === 1L, wavUdf(col("raw"))).otherwise(col("raw")).as("content"))
+    val rows = Multimodal.decodeWavToQuality(df, "id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == payload.length.toLong)
+    assert(rows(1L).getLong(2) == 2L && rows(1L).getInt(3) == 32768 &&
+      rows(1L).getLong(4) == 4L)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
+  }
+
   test("aHash bands: hand-computed grid, crop and mean threshold") {
     // 7×9 image: pixel k = k*4 (0..255 range), so grid cell i samples
     // payload byte (i/8)*7 + (i%8)*7/8 and bits are exactly computable

@@ -380,6 +380,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("v37: kNN graph is a list_id equi-join with aggregate ranking — no window, no pair scan") {
+    val plan = planOf(VectorQueries.queries("v37_knn_graph")(spark, dir))
+    assert(!plan.contains("Window"),
+      "per-query ranking must be the bounded-heap aggregate, not a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the corpus self-join must stay list_id-bucketed:\n${plan.take(800)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(400))
+  }
+
+  test("m06: audio quality audit is a pure per-partition decode — no exchange") {
+    val plan = planOf(MultimodalQueries.queries("m06_audio_quality")(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"per-clip features need no shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q43: exact quantiles are one group-keyed exchange") {
+    val plan = planOf(RelationalQueries.queries("q43_exact_quantiles")(spark, dir))
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"found $exchanges exchanges:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -649,6 +649,22 @@ object RelationalQueries {
         .agg(percentile(col("value"), lit(0.5)).as("median_value"),
           percentile(col("value"), lit(0.9)).as("p90_value"),
           count(lit(1)).as("n_events"))
+    },
+
+    // --- Latest row per key: each user's most recent event — the
+    //     change-log → current-snapshot collapse (SCD type-1 read, CDC
+    //     compaction). ONE struct-max aggregate (map-side combine,
+    //     single exchange on the key): the struct's lexicographic order
+    //     (ts, event_id, …) makes the pick total and deterministic with
+    //     no window sort of the full log and no groupwise self-join. ---
+    "q44_latest_event" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), unix_micros(col("m.ts")).as("last_ts_us"),
+          col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+          col("m.value").as("last_value"))
     }
   )
 
@@ -1057,6 +1073,16 @@ object RelationalQueries {
            quantile_cont(value, 0.5) AS median_value,
            quantile_cont(value, 0.9) AS p90_value,
            count(*) AS n_events
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    // Mirror of q44: the struct-max pick equals "latest ts, event_id
+    // breaking ties" (event_id is unique, so later struct fields never
+    // decide).
+    "q44_latest_event" ->
+      """SELECT user_id, epoch_us(ts) AS last_ts_us, event_id, event_type,
+           value AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS r FROM events)
+         WHERE r = 1"""
   )
 }

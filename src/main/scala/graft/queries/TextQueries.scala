@@ -553,6 +553,28 @@ object TextQueries {
     //     pairwise stage. ---
     "d59_ngram_novelty" -> { (s, dir) =>
       graft.operators.Dedup.gramNovelty(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // --- Cross-source contamination matrix: d08's banded near-dup
+    //     pairs rolled up to (source, source) counts — the
+    //     provenance-level duplication report that decides which feed
+    //     to drop or down-weight when two crawls overlap. The rollup
+    //     adds two broadcast-sized joins (doc_id → source) and a
+    //     |sources|²-key aggregate on top of the capped banding chain;
+    //     the pair symmetry is canonicalized with least/greatest so
+    //     (A,B) and (B,A) land in one cell. ---
+    "d60_source_neardup_matrix" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "source_a"), "id_a")
+        .join(src.toDF("id_b", "source_b"), "id_b")
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 
@@ -1400,6 +1422,19 @@ object TextQueries {
             CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
               / CAST(count(*) AS DOUBLE) AS novel_frac
           FROM g JOIN f USING (gram)
-          GROUP BY g.doc_id"""
+          GROUP BY g.doc_id""",
+
+    // Mirror of d60: d08's banded chain, thresholded pairs joined to
+    // sources, canonicalized with least/greatest, counted per cell.
+    "d60_source_neardup_matrix" ->
+      s"""WITH $minhashCandSql,
+          pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)
+          SELECT least(da.source, db.source) AS src_lo,
+                 greatest(da.source, db.source) AS src_hi,
+                 count(*) AS n_pairs
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b
+          GROUP BY 1, 2"""
   )
 }

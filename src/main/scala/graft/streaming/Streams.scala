@@ -66,6 +66,40 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming trailing-window DISTINCT actives per hour — the q42
+    * twin. Each event first map-side explodes into the `windowHours`
+    * hour buckets it serves (adding whole hours preserves the in-hour
+    * offset), then ONE `dropDuplicatesWithinWatermark` on
+    * (bucket, user) keeps each user's first contribution per bucket —
+    * a user active in two source hours of the same trailing window is
+    * counted once, exactly q42's distinct semantics — and a
+    * watermarked 1-hour tumbling count emits each bucket once closed.
+    * Never a distinct aggregation (unsupported on streams and unbounded
+    * anyway); dedup state is bounded by windowHours × actives inside
+    * the watermark horizon. Because the shifted copies run up to
+    * (windowHours − 1) hours AHEAD of their event, the max observed
+    * event time is inflated by that much — the watermark horizon is
+    * widened by the same amount, or an on-time event's k=0 copy would
+    * arrive "late" relative to a peer's k=windowHours−1 copy and be
+    * dropped. Net effect: a bucket closes `latenessMinutes` after its
+    * last possible REAL contributor, exactly the single-window rule.
+    * Emitted (hour, active) rows equal the batch dedupe-then-explode
+    * (q42) over the same prefix, restricted to closed hours.
+    */
+  def slidingDistinctStream(events: DataFrame, tsCol: String, userCol: String,
+      windowHours: Int, latenessMinutes: Int): DataFrame =
+    events
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        explode(sequence(lit(0), lit(windowHours - 1))).as("__k"))
+      .select(col("__u"), expr(s"timestampadd(HOUR, __k, __ts)").as("__st"))
+      .withColumn("__bh", date_trunc("hour", col("__st")))
+      .withWatermark("__st",
+        s"${latenessMinutes + (windowHours - 1) * 60} minutes")
+      .dropDuplicatesWithinWatermark("__bh", "__u")
+      .groupBy(window(col("__st"), "1 hour"))
+      .agg(count(lit(1)).as("active"))
+      .select(col("window.start").as("hour"), col("active"))
+
   /** Gap-based sessions: a session closes when `gapSeconds` pass with
     * no event (enforced by event-time timeout, so sessions also close
     * when the KEY goes silent — the case windowed aggregation can't

@@ -404,6 +404,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"found $exchanges exchanges:\n${plan.take(800)}")
   }
 
+  test("q44: latest-row-per-key is one struct-max exchange — no window, no join") {
+    val plan = planOf(RelationalQueries.queries("q44_latest_event")(spark, dir))
+    assert(!plan.contains("Window"),
+      "the snapshot collapse must not sort the full log per key")
+    assert(!plan.contains("Join"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"found $exchanges exchanges:\n${plan.take(800)}")
+  }
+
+  test("d60: source matrix adds only equi-joins to the capped banding chain") {
+    val plan = planOf(TextQueries.queries("d60_source_neardup_matrix")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no pairwise scan:\n${plan.take(800)}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -415,6 +415,55 @@ class StreamsSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("streaming sliding distinct equals the batch dedupe-then-explode on closed hours") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def at(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1 appears twice in hour 10 (dedup must keep one), user 2
+    // spans hours, user 3 appears once — plus a far-future sentinel to
+    // close every real hour's watermark
+    val evs = Seq(
+      Event(1, at(10, 5), 1.0), Event(1, at(10, 40), 1.0),
+      Event(2, at(10, 15), 1.0), Event(2, at(11, 20), 1.0),
+      Event(3, at(12, 30), 1.0),
+      Event(99, at(23, 50), 1.0))
+
+    val ms = MemoryStream[Event]
+    val out = Streams.slidingDistinctStream(ms.toDF(), "ts", "user_id",
+      windowHours = 3, latenessMinutes = 10)
+    val q = out.writeStream.format("memory").queryName("graft_sd")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        ms.addData(evs.take(3): _*)
+        q.processAllAvailable()
+        ms.addData(evs.drop(3): _*)
+        q.processAllAvailable()
+        spark.table("graft_sd").collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      } finally q.stop()
+
+    // batch twin: q42's dedupe-then-explode-then-distinct shape
+    val batch = evs.toDF()
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+      .select(explode(sequence(lit(0), lit(2))).as("k"), col("h"), col("user_id"))
+      .select(expr("timestampadd(HOUR, k, h)").as("h"), col("user_id"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("active"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+
+    assert(streamed.nonEmpty, "watermark sentinel must close the real hours")
+    streamed.foreach { case (h, n) =>
+      assert(batch.get(h).contains(n), s"hour $h: stream=$n batch=${batch.get(h)}")
+    }
+    // hour 10: users 1 (deduped double arrival) and 2 → 2 distinct
+    assert(streamed.get(at(10, 0)).contains(2L), streamed)
+    // hour 12: users 1, 2 (from hours 10/11, counted ONCE) and 3 → 3
+    assert(streamed.get(at(12, 0)).contains(3L), streamed)
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._

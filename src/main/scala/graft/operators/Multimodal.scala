@@ -322,6 +322,62 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Shot-boundary (scene-change) detection over fixed-size frames —
+    * the standard first pass of a video curation pipeline, run on the
+    * downsampled byte stream: frame f's delta is the sum of absolute
+    * per-position differences against frame f−1 (partial tail frames
+    * compare only the positions they have); a delta ≥ `threshold`
+    * marks a cut. Exact integers; one sequential pass per clip.
+    */
+  def sceneChangeFeatures(bytes: Array[Byte], frameBytes: Int,
+      threshold: Long): (Int, Long, Long) = {
+    val n = bytes.length
+    val nFrames = math.max(1, (n + frameBytes - 1) / frameBytes)
+    var cuts = 0L
+    var maxDelta = 0L
+    var f = 1
+    while (f < nFrames) {
+      var delta = 0L
+      var p = f * frameBytes
+      val end = math.min(n, (f + 1) * frameBytes)
+      while (p < end) {
+        delta += math.abs((bytes(p) & 0xFF) - (bytes(p - frameBytes) & 0xFF))
+        p += 1
+      }
+      if (delta >= threshold) cuts += 1
+      if (delta > maxDelta) maxDelta = delta
+      f += 1
+    }
+    (nFrames, cuts, maxDelta)
+  }
+
+  /** Batched executor-side scene-change pass → per-clip row
+    * (id, n_frames, n_cuts, max_frame_delta). Same partition-batched
+    * shape as [[decodeToFeatures]]; no shuffle exists.
+    */
+  def sceneChanges(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, threshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("n_frames", IntegerType),
+      StructField("n_cuts", LongType),
+      StructField("max_frame_delta", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val (nf, cuts, maxD) =
+          sceneChangeFeatures(r.getBinary(binIdx), frameBytes, threshold)
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          Seq(id, nf, cuts, maxD))
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Perceptual average-hash (aHash) over a decoded grayscale image:
     * point-sample an 8×8 grid from the TOP 8 rows (a deterministic
     * crop standing in for the resize of a production aHash —

@@ -102,4 +102,41 @@ object PqIndex {
       .withColumn("adc", adcDot(col("lt"), col("codes"), m))
     SimilaritySearch.rankTopK(scored, k, simAlias = "adc")
   }
+
+  /** PQ top-k by SYMMETRIC distance (FAISS's SDC mode): the query is
+    * quantized too, so every code-to-code dot is precomputable ONCE
+    * per index — the m·k² table below is index metadata (8·16² = 2 KiB
+    * here), built driver-side from the codebooks and folded in the
+    * same i-order as the ADC LUT so the oracle can replay it. Each
+    * query's per-code LUT is then one row-gather from the table
+    * (O(m·k) instead of ADC's O(m·k·dsub) dot computations — the mode
+    * a query-heavy serving tier picks when it can afford quantizing
+    * the query side's accuracy too), and scoring reuses the ADC
+    * map-side fold over the corpus codes.
+    */
+  def sdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val table: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map { cb =>
+      cb.toSeq.map { a =>
+        cb.toSeq.map { b =>
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+      }
+    }
+    val tabLit = typedlit(table)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(encode(col(vecCol), codebooks),
+        (qc, j) => element_at(element_at(tabLit, (j + 1).cast("int")), qc + 1))
+        .as("lt"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sdc", adcDot(col("lt"), col("codes"), m))
+    SimilaritySearch.rankTopK(scored, k, simAlias = "sdc")
+  }
 }

@@ -106,6 +106,21 @@ object MultimodalQueries {
       Multimodal.decodeWavToQuality(withWav, "doc_id", "content")
         .select(col("id").as("doc_id"), col("n_samples"), col("n_clipped"),
           col("max_abs"), col("zero_crossings"))
+    },
+
+    // --- Shot-boundary detection: 64-byte frames over the clip bytes,
+    //     a cut where the frame-to-frame absolute-difference sum
+    //     crosses 1800 (≈ the corpus median delta — real cuts sit in
+    //     the upper tail, repeated content at 0). Exact integers; the
+    //     oracle replays frame alignment, partial-tail handling and
+    //     the threshold from the payload bytes. ---
+    "m07_scene_changes" -> { (s, dir) =>
+      Multimodal.sceneChanges(
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("text").cast("binary").as("content")),
+        "doc_id", "content", frameBytes = 64, threshold = 1800L)
+        .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
+          col("max_frame_delta"))
     }
   )
 
@@ -241,6 +256,29 @@ object MultimodalQueries {
            CAST(COALESCE(SUM(CASE WHEN w.prev * w.amp < 0 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS zero_crossings
          FROM b LEFT JOIN w USING (doc_id)
+         GROUP BY b.doc_id, b.n""",
+    // Recomputes the scene-change pass from the payload bytes: byte i
+    // (i >= 64) belongs to frame i/64 and differences against byte
+    // i-64; per-frame delta sums; cuts at delta >= 1800. A frame-
+    // alignment or partial-tail bug shifts the deltas and breaks the
+    // counts.
+    "m07_scene_changes" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, n, h, unnest(range(64, n)) AS i FROM b WHERE n > 64),
+         v AS (SELECT doc_id, i//64 AS f,
+                 abs((16*(strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1)
+                   - (16*(strpos('0123456789ABCDEF', substr(h, CAST(2*(i-64)+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*(i-64)+2 AS INT), 1))-1)) AS d
+               FROM s),
+         fd AS (SELECT doc_id, f, SUM(d) AS delta FROM v GROUP BY 1, 2)
+         SELECT b.doc_id,
+           CAST(greatest((b.n + 63) // 64, 1) AS INT) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN fd.delta >= 1800 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(fd.delta), 0) AS BIGINT) AS max_frame_delta
+         FROM b LEFT JOIN fd USING (doc_id)
          GROUP BY b.doc_id, b.n"""
   )
 }

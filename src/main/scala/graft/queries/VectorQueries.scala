@@ -612,6 +612,20 @@ object VectorQueries {
       graft.operators.IvfIndex.knnGraph(e, "vec_id", "embedding",
         ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- PQ symmetric distance (SDC): queries quantized too, every
+    //     code-to-code dot precomputed ONCE into the m·k² index-
+    //     metadata table, per-query LUT a row-gather instead of ADC's
+    //     dot computations — FAISS's second distance mode, completing
+    //     the ADC (v09) / SDC design axis. Corpus side still carries
+    //     only codes; ranking is the same map-side bounded heap. ---
+    "v38_pq_sdc_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      graft.operators.PqIndex.sdcTopK(e, q, "vec_id", "embedding",
+        pqCodebooks(e, dir), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }
   )
 
@@ -1450,6 +1464,45 @@ object VectorQueries {
             JOIN embeddings eq ON eq.vec_id = p.query_id
             JOIN embeddings ec ON ec.vec_id = a.neighbor_id
             WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= 5""",
+
+    // Mirror of v38: the pqPairsCte encode (argmin-L2, tie → larger
+    // code) applied to BOTH sides, the code-to-code dot table folded in
+    // the same i-order as the driver-side build, and the per-pair SDC
+    // score folded in subspace order — every double op replayed.
+    "v38_pq_sdc_topk" ->
+      s"""WITH cb AS (SELECT j, code, centroid
+                      FROM '__VAUX__/pq_codebooks.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id, j, code FROM (
+              SELECT e.vec_id, cb.j, cb.code,
+                row_number() OVER (PARTITION BY e.vec_id, cb.j
+                  ORDER BY list_reduce(list_transform(generate_series(1, $DSUB),
+                    i -> (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])
+                       * (CAST(e.embedding[cb.j*$DSUB+i] AS DOUBLE) - cb.centroid[i])),
+                    (x, y) -> x + y) ASC, cb.code DESC) AS r
+              FROM embeddings e CROSS JOIN cb)
+            WHERE r = 1),
+          codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM asg GROUP BY vec_id),
+          tab AS (
+            SELECT a.j, a.code AS qc, b.code AS nc,
+              list_reduce(list_transform(generate_series(1, $DSUB),
+                i -> a.centroid[i] * b.centroid[i]), (x, y) -> x + y) AS d
+            FROM cb a JOIN cb b USING (j)),
+          tabrow AS (SELECT j, qc, list(d ORDER BY nc) AS row FROM tab GROUP BY j, qc),
+          tabmat AS (SELECT j, list(row ORDER BY qc) AS mat FROM tabrow GROUP BY j),
+          tabnest AS (SELECT list(mat ORDER BY j) AS t FROM tabmat),
+          sdcpairs AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              list_reduce(list_transform(generate_series(1, $M_SUB),
+                j -> s.t[j][q.codes[j]+1][n.codes[j]+1]), (x, y) -> x + y) AS sdc
+            FROM codes q, codes n, tabnest s
+            WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sdc DESC, neighbor_id ASC) AS rnk
+            FROM sdcpairs)
           WHERE rnk <= 5"""
   )
 }

@@ -187,6 +187,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
   }
 
+  test("scene changes: frame alignment, partial tail, and threshold hand-computed") {
+    // 3 frames of 4 bytes: f0 = 10,10,10,10; f1 = 10,10,10,10 (delta 0);
+    // f2 = 60,60 (partial tail, delta |60-10|*2 = 100)
+    val payload = bin(10, 10, 10, 10, 10, 10, 10, 10, 60, 60)
+    val (nf, cuts, maxD) = Multimodal.sceneChangeFeatures(payload, frameBytes = 4,
+      threshold = 50L)
+    assert(nf == 3)
+    assert(maxD == 100L, s"partial tail compares only its own positions: $maxD")
+    assert(cuts == 1L, "only the tail frame crosses the threshold")
+    // single-frame clip: no comparisons at all
+    assert(Multimodal.sceneChangeFeatures(bin(1, 2), 4, 1L) == ((1, 0L, 0L)))
+    // distributed path over the documents fixture shape
+    import spark.implicits._
+    val df = Seq((7L, payload)).toDF("id", "content")
+    val row = Multimodal.sceneChanges(df, "id", "content", 4, 50L).head()
+    assert(row.getInt(1) == 3 && row.getLong(2) == 1L && row.getLong(3) == 100L)
+  }
+
   test("aHash bands: hand-computed grid, crop and mean threshold") {
     // 7×9 image: pixel k = k*4 (0..255 range), so grid cell i samples
     // payload byte (i/8)*7 + (i%8)*7/8 and bits are exactly computable

@@ -126,6 +126,33 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("SDC equals a code-table recomputation and agrees with ADC on code-identical pairs") {
+    val sample = emb.filter(col("vec_id") < 60)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = PqIndex.sdcTopK(sample, queries, "vec_id", "embedding", codebooks, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // recompute from collected codes + the m×k×k dot table in plain Scala
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val table = codebooks.map(cb => cb.map(a => cb.map(b => dot(a, b))))
+    val codes = sample.select(col("vec_id"),
+      PqIndex.encode(col("embedding"), codebooks).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val expected = (for {
+      q <- codes.keys if q < 4
+      ranked = codes.iterator.filter(_._1 != q).map { case (n, nc) =>
+        val s = (0 until M_SUB).foldLeft(0.0)((acc, j) => acc + table(j)(codes(q)(j))(nc(j)))
+        (n, s)
+      }.toSeq.sortBy { case (n, s) => (-s, n) }.take(3)
+      ((n, _), i) <- ranked.zipWithIndex
+    } yield (q, n, i + 1)).toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("PQ top-k recall against exact dot ranking is usable") {
     val queries = emb.filter(col("vec_id") < 5)
     val approx = PqIndex.pqTopK(emb, queries, "vec_id", "embedding", codebooks, k = 5)

@@ -419,6 +419,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no pairwise scan:\n${plan.take(800)}")
   }
 
+  test("m07: scene changes are a pure per-partition pass — no exchange, no join") {
+    val plan = planOf(MultimodalQueries.queries("m07_scene_changes")(spark, dir))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"per-clip deltas need no shuffle:\n${plan.take(600)}")
+  }
+
+  test("v38: SDC keeps the ADC shape — broadcast query LUTs, no window ranking") {
+    val plan = planOf(VectorQueries.queries("v38_pq_sdc_topk")(spark, dir))
+    assert(!plan.contains("Window"))
+    assert(plan.contains("BroadcastExchange"), "the bounded query side must broadcast")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(400))
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

@@ -575,6 +575,29 @@ object TextQueries {
           greatest(col("source_a"), col("source_b")).as("src_hi"))
         .groupBy(col("src_lo"), col("src_hi"))
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // --- Mergeable distinct-count sketches: per-shard DataSketches HLL
+    //     built independently (shard = doc_id % 4 stands in for "one
+    //     sketch per 100 TB partition"), union-merged at the
+    //     coordinator, estimate checked against the exact count — the
+    //     q26 bound-contract extended to MERGEABILITY, the property
+    //     that makes sketch maintenance O(shards) instead of a global
+    //     re-scan. ---
+    "d61_hll_shard_union" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val sketches = toks
+        .groupBy((col("doc_id") % 4).as("shard"))
+        .agg(expr("hll_sketch_agg(tok)").as("sk"))
+      val merged = sketches.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_shards"))
+      val exact = toks.agg(count_distinct(col("tok")).as("exact_nd"))
+      merged.crossJoin(exact)
+        .select(col("n_shards"), col("exact_nd"),
+          when(abs(col("est") - col("exact_nd")) <= col("exact_nd") * 0.05, "ok")
+            .otherwise("off").as("union_check"))
     }
   )
 
@@ -1435,6 +1458,19 @@ object TextQueries {
           FROM pairs p
           JOIN documents da ON da.doc_id = p.id_a
           JOIN documents db ON db.doc_id = p.id_b
-          GROUP BY 1, 2"""
+          GROUP BY 1, 2""",
+
+    // Mirror of d61's bound contract (q26 precedent): DuckDB's own HLL
+    // estimate must land inside the same 5% band around the same exact
+    // count — the sketches differ, the contract doesn't.
+    "d61_hll_shard_union" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+          ex AS (SELECT count(DISTINCT tok) AS exact_nd FROM tok),
+          ap AS (SELECT approx_count_distinct(tok) AS est FROM tok),
+          sh AS (SELECT count(DISTINCT doc_id % 4) AS n_shards FROM tok)
+          SELECT sh.n_shards, ex.exact_nd,
+            CASE WHEN abs(ap.est - ex.exact_nd) <= ex.exact_nd * 0.05
+                 THEN 'ok' ELSE 'off' END AS union_check
+          FROM sh, ex, ap"""
   )
 }

@@ -525,6 +525,19 @@ object Streams {
     * zero stream-side state and needs no watermark. `sink` receives
     * each batch's (query_id, neighbor_id, rnk) result.
     */
+  def annProbeStream(
+      queries: DataFrame,
+      index: graft.operators.IvfPqIndex.OpenedIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(index.topK(batch, idCol, vecCol, k, nProbe), batchId)
+      }
+      .start()
+
   /** Ingest-time perceptual near-dup gate: a stream of image binaries
     * is decoded to aHash fingerprints per micro-batch and checked
     * against a STATIC corpus fingerprint table via the banded Hamming
@@ -546,19 +559,6 @@ object Streams {
           sink(graft.operators.Multimodal.phashMatches(
             graft.operators.Multimodal.decodeBmpToAHash(batch, idCol, binCol),
             corpusHashes, maxHamming), batchId)
-      }
-      .start()
-
-  def annProbeStream(
-      queries: DataFrame,
-      index: graft.operators.IvfPqIndex.OpenedIndex,
-      idCol: String, vecCol: String, k: Int, nProbe: Int)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    queries.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          sink(index.topK(batch, idCol, vecCol, k, nProbe), batchId)
       }
       .start()
 
@@ -623,6 +623,44 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBandBatch(batch, batchId, path, idCol, textCol, streamId)
+      }
+      .start()
+
+  /** One micro-batch of a rollup-maintenance stream — public so a
+    * replayed delivery is directly testable: calling it twice with the
+    * same `batchId` merges once. `toIncrements` turns the raw batch
+    * into rows of the rollup's own schema (its cost is batch-sized and
+    * map-side for any sum rollup).
+    */
+  def applyRollupBatch(batch: DataFrame, batchId: Long, path: String,
+      streamId: String = "default")(toIncrements: DataFrame => DataFrame): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      graft.operators.RollupIndex.merge(toIncrements(batch), path)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+    }
+  }
+
+  /** Streaming-maintained hourly count rollup: each micro-batch of
+    * events merges its (event_type, hour, n) increments into the
+    * persisted RollupIndex artifact under the batch-id idempotency
+    * guard — continuous ETL into a summary table whose reader
+    * (RollupIndex.open) always sees a complete version, with replays
+    * merged exactly once. The raw events need never be stored: the
+    * artifact is dimension-bounded and each merge costs
+    * O(|rollup| + |batch|).
+    */
+  def hourlyRollupAppendStream(events: DataFrame, typeCol: String,
+      tsCol: String, path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(batch, batchId, path, streamId) { b =>
+          b.groupBy(col(typeCol).as("event_type"),
+              date_trunc("hour", col(tsCol)).as("hour"))
+            .agg(count(lit(1)).as("n"))
+        }
       }
       .start()
 

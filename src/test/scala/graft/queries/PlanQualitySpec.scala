@@ -433,6 +433,23 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(400))
   }
 
+  test("no gate query plans a CartesianProduct") {
+    // The one pairwise shape that cannot survive a scale-up. Broadcast
+    // nested-loop joins against BOUNDED sides (query sets, scalar
+    // aggregates, centroid tables) are legitimate and pinned per-query;
+    // an unconstrained cartesian never is. TPC-H/TPC-DS corpus SQL is
+    // excluded (generator-catalog setup dominates; covered by golden
+    // runs and the bench).
+    val all = RelationalQueries.queries ++ TextQueries.queries ++
+      PipelineQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
+    val offenders = all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("no operator or query source collects results to the driver") {
     // driver-side collect() in an operator means the op isn't
     // distributed; enforce at the source level for the query/operator

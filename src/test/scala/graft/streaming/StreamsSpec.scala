@@ -464,6 +464,68 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.get(at(12, 0)).contains(3L), streamed)
   }
 
+  test("streaming rollup maintenance: merged artifact equals the batch rollup, replays merge once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    // start from an EMPTY rollup of the target schema
+    RollupIndex.build(
+      Seq.empty[(String, Timestamp, Long)].toDF("event_type", "hour", "n"),
+      path, keyCols = Seq("event_type", "hour"))
+
+    val evs = Seq(
+      ("click", ts(1)), ("click", ts(2)), ("view", ts(5)),
+      ("click", ts(31)), ("view", ts(32)), ("view", ts(33)))
+      .map { case (t, time) => (t, time, 1.0) }
+
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val q = Streams.hourlyRollupAppendStream(
+      ms.toDF().toDF("event_type", "ts", "value"), "event_type", "ts", path)
+    try {
+      ms.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def snapshot(): Map[(String, Timestamp), Long] =
+      RollupIndex.open(spark, path).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+
+    val expected = evs.toDF("event_type", "ts", "value")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(snapshot() == expected, s"got ${snapshot()} want $expected")
+
+    // a replayed delivery of an already-applied batch id merges nothing
+    Streams.applyRollupBatch(
+      evs.take(3).toDF("event_type", "ts", "value"), batchId = 0, path) { b =>
+      b.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+    }
+    assert(snapshot() == expected, "replay must be a no-op")
+
+    // a genuinely new batch id merges exactly once
+    Streams.applyRollupBatch(
+      Seq(("click", ts(7), 1.0)).toDF("event_type", "ts", "value"),
+      batchId = 99, path) { b =>
+      b.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val after = snapshot()
+    assert(after(("click", Timestamp.valueOf("2024-01-01 10:00:00"))) ==
+      expected(("click", Timestamp.valueOf("2024-01-01 10:00:00"))) + 1)
+
+    // versioned swap hygiene: at most the current and previous versions remain
+    val dirs = new java.io.File(path).listFiles()
+      .map(_.getName).filter(n => n == "agg" || n.startsWith("agg_v"))
+    assert(dirs.length <= 2, dirs.mkString(", "))
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._

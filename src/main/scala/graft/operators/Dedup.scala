@@ -914,4 +914,76 @@ object Dedup {
         (col("n_novel").cast("double") / col("n_grams").cast("double"))
           .as("novel_frac"))
   }
+
+  // ---------------------------------------------------------------
+  // Seen-gram index: the EXACT incremental complement of gramNovelty —
+  // a persisted append-only set of every shingle the pipeline has
+  // ingested, probed at ingest time to score each arriving document's
+  // novelty against everything before it (d25's Bloom gate is the
+  // approximate version; this one is exact and supports first-owner
+  // credit). Append-only means no tombstones and no rewrites, so the
+  // artifact needs NO versioned-swap machinery: new distinct grams
+  // land as additional parquet files and racing readers simply see a
+  // slightly older set. Grams are stored as raw strings (collision-
+  // free); at extreme scale store xxhash64(g) instead and accept the
+  // 2^-64 collision deflation.
+  // ---------------------------------------------------------------
+
+  /** Create the seen-gram set from an initial corpus (possibly empty). */
+  def buildGramIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3): Unit =
+    docs.select(explode(array_distinct(shingles(col(textCol), shingleSize)))
+        .as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+
+  /** The seen set as a lazy distributed scan. */
+  def openGramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/grams")
+
+  /** Score one batch of documents against the CURRENT seen set and
+    * ingest their grams: per doc, distinct-gram count, novel count
+    * (gram absent from the index AND this doc is the batch's first
+    * owner by min id — the same credit rule as [[gramNovelty]]), and
+    * the fraction. The probe broadcasts the BATCH's gram set over the
+    * index scan (map-side; the index is the big side), and only
+    * genuinely new distinct grams are appended. Returns the per-doc
+    * novelty frame; idempotency markers are the streaming caller's
+    * contract.
+    */
+  def scoreAndIngestGrams(batch: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val grams = SketchRegistry.track(
+      batch.select(col(idCol).as("__gid"),
+        explode(array_distinct(shingles(col(textCol), shingleSize))).as("g"))
+        .persist())
+    grams.count() // materialize BEFORE the index grows below
+    val batchGramSet = grams.select(col("g")).distinct()
+    val seen = openGramIndex(spark, path)
+    // map-side over the index: the batch side broadcasts
+    val seenHits = seen.join(broadcast(batchGramSet), Seq("g"), "left_semi")
+    val firstOwner = grams.groupBy(col("g")).agg(min(col("__gid")).as("__first"))
+    val scored = grams
+      .join(firstOwner, "g")
+      .join(seenHits.withColumn("__seen", lit(1)), Seq("g"), "left")
+      .groupBy(col("__gid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull && col("__first") === col("__gid"),
+          lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .select(col("__gid").as(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novel_frac"))
+      .localCheckpoint() // score against the PRE-append set, then grow it
+    // cut the new-gram lineage from the index scan BEFORE appending to
+    // the same directory (a write that scans its own target double-reads)
+    val newGrams = batchGramSet.join(seenHits, Seq("g"), "left_anti")
+      .localCheckpoint()
+    newGrams.write.mode("append").parquet(s"$path/grams")
+    SketchRegistry.freeLocalCheckpoint(newGrams)
+    grams.unpersist()
+    // the checkpointed result is tracked for release at statement close
+    SketchRegistry.track(scored)
+  }
 }

@@ -641,6 +641,39 @@ object Streams {
     }
   }
 
+  /** One micro-batch of the gram-novelty ingest gate — public so a
+    * replayed delivery is directly testable: a replayed batch id
+    * neither re-scores nor re-appends (the sink sees it once).
+    */
+  def applyGramNoveltyBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String, streamId: String = "default")(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val markerDir = s"$path/_applied/$streamId"
+    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
+      sink(graft.operators.Dedup.scoreAndIngestGrams(
+        batch, idCol, textCol, path), batchId)
+      recordApplied(batch.sparkSession, markerDir, batchId)
+    }
+  }
+
+  /** Streaming gram-novelty ingest gate: each arriving micro-batch of
+    * documents is scored against the persisted seen-gram set (exact
+    * novelty with first-owner credit — the curation signal d25's Bloom
+    * gate approximates) and ONLY its genuinely new grams are appended,
+    * under the batch-id idempotency guard. With batches arriving in id
+    * order the per-doc novelty equals the batch [[graft.operators
+    * .Dedup.gramNovelty]] over the same prefix — StreamsSpec pins it.
+    */
+  def gramNoveltyStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, streamId: String = "default")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyGramNoveltyBatch(batch, batchId, path, idCol, textCol, streamId)(sink)
+      }
+      .start()
+
   /** Streaming-maintained hourly count rollup: each micro-batch of
     * events merges its (event_type, hour, n) increments into the
     * persisted RollupIndex artifact under the batch-id idempotency

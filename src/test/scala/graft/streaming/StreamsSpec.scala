@@ -464,6 +464,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.get(at(12, 0)).contains(3L), streamed)
   }
 
+  test("streaming gram-novelty gate equals the batch novelty on id-ordered arrival") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_grams").toString
+    Dedup.buildGramIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", path)
+
+    val docs = Seq(
+      StreamDoc(1, ts(1), "a b c d"),      // both grams novel
+      StreamDoc(2, ts(2), "a b c x"),      // "a b c" seen via doc 1
+      StreamDoc(3, ts(3), "a b c d"),      // exact dup of doc 1 → 0 novel
+      StreamDoc(4, ts(4), "p q r s t"))    // all novel
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Double)]
+    val ms = MemoryStream[StreamDoc]
+    val q = Streams.gramNoveltyStream(ms.toDF(), "doc_id", "text", path) { (out, _) =>
+      out.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin over the full corpus (arrival order == id order here)
+    val batch = Dedup.gramNovelty(
+      docs.toDF().select(col("doc_id"), col("text")), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.toMap == batch, s"stream $got vs batch $batch")
+    // cross-batch memory: doc 3 (batch 2) is fully covered by doc 1 (batch 1)
+    assert(got(3L)._2 == 0L)
+
+    // a replayed batch id neither re-scores nor re-appends
+    var replayed = 0
+    Streams.applyGramNoveltyBatch(
+      docs.take(2).toDF().select(col("doc_id"), col("text")),
+      batchId = 0, path, "doc_id", "text") { (_, _) => replayed += 1 }
+    assert(replayed == 0, "replay must not reach the sink")
+    // and the index is unchanged: re-scoring doc 1's grams finds nothing new
+    val again = Dedup.scoreAndIngestGrams(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", path)
+      .head()
+    assert(again.getLong(2) == 0L, "every gram must already be in the index")
+  }
+
   test("streaming rollup maintenance: merged artifact equals the batch rollup, replays merge once") {
     import org.apache.spark.sql.functions._
     import graft.operators.RollupIndex

@@ -587,17 +587,8 @@ object VectorQueries {
     //     near overflow (1e12 per product): switch the sum column to
     //     DECIMAL(38,0) there; the quantization contract is unchanged. ---
     "v36_gram_matrix" -> { (s, dir) =>
-      val e = Tables(s, dir).embeddings
-      val q = transform(col("embedding"),
-        v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
-      val pairs = flatten(transform(sequence(lit(0), lit(DIM - 1)), i =>
-        transform(sequence(i, lit(DIM - 1)), j =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p")))))
-      e.select(q.as("q"))
-        .select(explode(pairs).as("t"))
-        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("t.p")).as("sum_qprod"))
+      graft.operators.Gramian.increments(
+        Tables(s, dir).embeddings, "embedding", DIM)
         .select(col("i"), col("j"), col("n"), col("sum_qprod"),
           (col("sum_qprod").cast("double") / lit(1.0e12)).as("gram"))
     },
@@ -626,6 +617,20 @@ object VectorQueries {
       graft.operators.PqIndex.sdcTopK(e, q, "vec_id", "embedding",
         pqCodebooks(e, dir), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    },
+
+    // --- Triangle counts over the kNN graph: the local clustering
+    //     signal of the embedding manifold (a node in many triangles
+    //     sits inside a tight semantic cluster — SemDedup candidates;
+    //     triangle-free nodes are isolated/noise). Edges oriented
+    //     low→high so each triangle joins exactly once; two shuffled
+    //     equi-joins, no pairwise scan. ---
+    "v39_knn_triangles" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val knn = graft.operators.IvfIndex.knnGraph(e, "vec_id", "embedding",
+        ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
+      graft.operators.GraphOps.triangleCounts(knn, "query_id", "neighbor_id")
+        .select(col("id").as("vec_id"), col("n_triangles"))
     }
   )
 
@@ -648,6 +653,39 @@ object VectorQueries {
   // assignment (tie -> larger code, mirroring Spark's struct-max),
   // then ADC = per-subspace LUT dot products folded in subspace order
   // (both folds ascending, matching Spark's `aggregate` exactly).
+  // v07's IVF replay with the corpus as the query set (v37's oracle,
+  // shared with v39's triangle rollup): assignment r=1, probing
+  // r<=nProbe over the dumped centroids, exact cosine rank within the
+  // probed lists, top-5.
+  private lazy val knnGraphCte =
+    s"""cents AS (SELECT list_id, centroid
+                  FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+        asg AS (
+          SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE r = 1),
+        probe AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE r <= $N_PROBE),
+        knng AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT p.query_id, a.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id
+                ORDER BY ${duckCosine("eq.embedding", "ec.embedding")} DESC, a.neighbor_id ASC) AS rnk
+            FROM probe p
+            JOIN asg a USING (list_id)
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= 5)"""
+
   private val pqPairsCte =
     s"""cb AS (SELECT j, code, centroid FROM '__VAUX__/pq_codebooks.parquet/*.parquet'),
         cbj AS (SELECT j, list(centroid ORDER BY code) AS cents FROM cb GROUP BY j),
@@ -1439,32 +1477,26 @@ object VectorQueries {
     // assignment r=1, probing r<=nProbe over the dumped centroids, exact
     // cosine rank within the probed lists.
     "v37_knn_graph" ->
-      s"""WITH cents AS (SELECT list_id, centroid
-                         FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
-          asg AS (
-            SELECT vec_id AS neighbor_id, list_id FROM (
-              SELECT e.vec_id, c.list_id,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
-              FROM embeddings e CROSS JOIN cents c)
-            WHERE r = 1),
-          probe AS (
-            SELECT vec_id AS query_id, list_id FROM (
-              SELECT e.vec_id, c.list_id,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
-              FROM embeddings e CROSS JOIN cents c)
-            WHERE r <= $N_PROBE)
-          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
-            SELECT p.query_id, a.neighbor_id,
-              row_number() OVER (PARTITION BY p.query_id
-                ORDER BY ${duckCosine("eq.embedding", "ec.embedding")} DESC, a.neighbor_id ASC) AS rnk
-            FROM probe p
-            JOIN asg a USING (list_id)
-            JOIN embeddings eq ON eq.vec_id = p.query_id
-            JOIN embeddings ec ON ec.vec_id = a.neighbor_id
-            WHERE p.query_id <> a.neighbor_id)
-          WHERE rnk <= 5""",
+      s"""WITH $knnGraphCte
+          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM knng""",
+
+    // Mirror of v39: the v37 kNN replay, edges symmetrized and oriented
+    // low→high, each triangle joined once as (a < b < c), members
+    // rolled up per node.
+    "v39_knn_triangles" ->
+      s"""WITH $knnGraphCte,
+          ed AS (SELECT DISTINCT least(query_id, neighbor_id) AS lo,
+                   greatest(query_id, neighbor_id) AS hi FROM knng),
+          tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM ed e1
+            JOIN ed e2 ON e1.hi = e2.lo
+            JOIN ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+          mem AS (
+            SELECT a AS vec_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          SELECT vec_id, count(*) AS n_triangles FROM mem GROUP BY 1""",
 
     // Mirror of v38: the pqPairsCte encode (argmin-L2, tie → larger
     // code) applied to BOTH sides, the code-to-code dot table folded in

@@ -697,6 +697,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming-maintained gram matrix: each micro-batch of embeddings
+    * merges its (i, j, n, sum_qprod) increments — the v36 micro-
+    * quantized integer products, associative at any batch split — into
+    * a RollupIndex artifact, so the Σxxᵀ statistics behind PCA /
+    * whitening / OPQ stay current as the corpus grows WITHOUT ever
+    * re-scanning it. The artifact is DIM²-bounded; each merge costs
+    * O(DIM² + |batch|·DIM²) map-side work and the replay guard makes
+    * restarts exactly-once.
+    */
+  def gramianAppendStream(vectors: DataFrame, vecCol: String, dim: Int,
+      path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(batch, batchId, path, streamId)(
+          graft.operators.Gramian.increments(_, vecCol, dim))
+      }
+      .start()
+
   /** Mean collision recall of the persisted band index at `path`
     * against the raw corpus at `corpusPath` for a bounded probe sample
     * — the near-dup twin of [[auditMeanRecall]]. One two-column row

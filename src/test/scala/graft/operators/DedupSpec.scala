@@ -210,6 +210,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 0L)), got(4L))
   }
 
+  test("triangleCounts: oriented join counts each triangle once per member") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant 4-5,
+    // a directed duplicate 2->1 (must dedupe), and a self-loop 6-6
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (6L, 6L)).toDF("a", "b")
+    val got = GraphOps.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // triangle-free graph: empty result
+    val none = GraphOps.triangleCounts(
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b")
+    assert(none.count() == 0)
+  }
+
   test("gramNovelty credits each gram's first owner (min id) exactly once") {
     import spark.implicits._
     val docs = Seq(

@@ -433,6 +433,14 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(400))
   }
 
+  test("v39: triangle rollup is equi-joins only — no pairwise scan, no window") {
+    val plan = planOf(VectorQueries.queries("v39_knn_triangles")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge/closure joins must stay id-keyed:\n${plan.take(800)}")
+    assert(!plan.contains("Window"),
+      "ranking inside the knn build must stay the bounded-heap aggregate")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

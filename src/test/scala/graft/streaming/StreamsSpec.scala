@@ -516,6 +516,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(again.getLong(2) == 0L, "every gram must already be in the index")
   }
 
+  test("streaming gramian maintenance equals the batch v36 statistics at any split") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_gram").toString
+    RollupIndex.build(
+      Seq.empty[(Int, Int, Long, Long)].toDF("i", "j", "n", "sum_qprod"),
+      path, keyCols = Seq("i", "j"))
+
+    val emb = Tables(spark, F.sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.gramianAppendStream(
+      ms.toDF().toDF("vec_id", "embedding"), "embedding", dim = 64, path)
+    try {
+      ms.addData(emb.take(emb.length / 3).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(emb.drop(emb.length / 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val merged = RollupIndex.open(spark, path).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val batchTwin = graft.operators.Gramian.increments(
+      emb.toSeq.toDF("vec_id", "embedding"), "embedding", 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged.size == 64 * 65 / 2)
+    assert(merged == batchTwin,
+      "integer micro-products must merge exactly at any batch split")
+  }
+
   test("streaming rollup maintenance: merged artifact equals the batch rollup, replays merge once") {
     import org.apache.spark.sql.functions._
     import graft.operators.RollupIndex

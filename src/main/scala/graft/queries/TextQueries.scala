@@ -598,6 +598,23 @@ object TextQueries {
         .select(col("n_shards"), col("exact_nd"),
           when(abs(col("est") - col("exact_nd")) <= col("exact_nd") * 0.05, "ok")
             .otherwise("off").as("union_check"))
+    },
+
+    // --- Bursty terms (Church–Gale burstiness): terms whose collection
+    //     frequency far exceeds their document frequency — they repeat
+    //     heavily inside few documents (topical/templated content
+    //     words) rather than spreading evenly (function words). The
+    //     importance-weighting diagnostic DSIR-style selection reads
+    //     before trusting raw frequency. Integer gate 2·cf ≥ 3·df
+    //     (burstiness ≥ 1.5, the upper tail of this corpus) with a
+    //     df ≥ 5 noise floor; one term-keyed shuffle, vocabulary-
+    //     bounded output. ---
+    "d62_bursty_terms" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+        .filter(col("cf") * 2 >= col("df") * 3 && col("df") >= 5)
     }
   )
 
@@ -1471,6 +1488,14 @@ object TextQueries {
           SELECT sh.n_shards, ex.exact_nd,
             CASE WHEN abs(ap.est - ex.exact_nd) <= ex.exact_nd * 0.05
                  THEN 'ok' ELSE 'off' END AS union_check
-          FROM sh, ex, ap"""
+          FROM sh, ex, ap""",
+
+    // Mirror of d62: same tokenizer, same integer burstiness gate.
+    "d62_bursty_terms" ->
+      s"""SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+          FROM (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
+          GROUP BY 1
+          HAVING count(*) * 2 >= count(DISTINCT doc_id) * 3
+             AND count(DISTINCT doc_id) >= 5"""
   )
 }

@@ -631,6 +631,25 @@ object VectorQueries {
         ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
       graft.operators.GraphOps.triangleCounts(knn, "query_id", "neighbor_id")
         .select(col("id").as("vec_id"), col("n_triangles"))
+    },
+
+    // --- Degree histogram of the kNN graph: the graph-health audit
+    //     read beside v39's clustering signal (a healthy mutual-kNN
+    //     graph has a tight degree band ≈ k..2k; heavy-tailed degrees
+    //     mean hub vectors — centroid-like points every query matches,
+    //     exactly what MMR/coreset selection must down-weight). Two
+    //     bounded aggregates after the same symmetrize-dedupe pass. ---
+    "v40_knn_degree_hist" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val knn = graft.operators.IvfIndex.knnGraph(e, "vec_id", "embedding",
+        ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
+      val und = knn
+        .select(least(col("query_id"), col("neighbor_id")).as("lo"),
+          greatest(col("query_id"), col("neighbor_id")).as("hi"))
+        .distinct()
+      und.select(explode(array(col("lo"), col("hi"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
     }
   )
 
@@ -1497,6 +1516,18 @@ object VectorQueries {
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri)
           SELECT vec_id, count(*) AS n_triangles FROM mem GROUP BY 1""",
+
+    // Mirror of v40: the same symmetrize-dedupe over the kNN replay,
+    // degree per node, histogram over degrees.
+    "v40_knn_degree_hist" ->
+      s"""WITH $knnGraphCte,
+          ed AS (SELECT DISTINCT least(query_id, neighbor_id) AS lo,
+                   greatest(query_id, neighbor_id) AS hi FROM knng),
+          deg AS (
+            SELECT id, count(*) AS degree FROM (
+              SELECT lo AS id FROM ed UNION ALL SELECT hi FROM ed)
+            GROUP BY 1)
+          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
 
     // Mirror of v38: the pqPairsCte encode (argmin-L2, tie → larger
     // code) applied to BOTH sides, the code-to-code dot table folded in

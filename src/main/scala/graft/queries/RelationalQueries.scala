@@ -665,6 +665,39 @@ object RelationalQueries {
         .select(col("user_id"), unix_micros(col("m.ts")).as("last_ts_us"),
           col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
           col("m.value").as("last_value"))
+    },
+
+    // --- CUSUM change-point alarms: the sequential cumulative-sum
+    //     detector (Page 1954) over the gap-filled hourly series —
+    //     S_i = max(0, S_{i-1} + x_i − ref − slack), alarm while
+    //     S ≥ h. Catches sustained small shifts the per-point z-score
+    //     family (q40/q41) misses by design. The recursive fold can't
+    //     be a window function; it runs as an `aggregate` HOF over the
+    //     per-type series collected into ONE bounded array (≤ hours in
+    //     the span — ~9k for a year — per type), so the heavy work
+    //     stays the hourly aggregation and the fold is driver-free
+    //     map-side arithmetic. Integers throughout. ---
+    "q45_cusum_alarm" -> { (s, dir) =>
+      val ser = gapfilledHourly(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("hour"), col("n_events"))))
+            .as("xs"),
+          sum(col("n_events")).as("total"), count(lit(1)).as("cnt"))
+      val refCol = expr("total div cnt") + lit(2L)
+      ser
+        .select(col("event_type"), refCol.as("ref"),
+          aggregate(
+            transform(col("xs"), x => x.getField("n_events")),
+            struct(lit(0L).as("s"), lit(0L).as("a"), lit(0L).as("m")),
+            (acc, x) => {
+              val s2 = greatest(lit(0L), acc.getField("s") + x - refCol)
+              struct(s2.as("s"),
+                (acc.getField("a") +
+                  when(s2 >= lit(6L), lit(1L)).otherwise(lit(0L))).as("a"),
+                greatest(acc.getField("m"), s2).as("m"))
+            }).as("f"))
+        .select(col("event_type"), col("ref"),
+          col("f.a").as("n_alarm_hours"), col("f.m").as("max_cusum"))
     }
   )
 
@@ -1083,6 +1116,44 @@ object RelationalQueries {
            value AS last_value
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS r FROM events)
-         WHERE r = 1"""
+         WHERE r = 1""",
+
+    // Mirror of q45 via the CUSUM closed form: the recursive
+    // S_i = max(0, S_{i-1} + d_i) equals P_i − min(0, min_{j≤i} P_j)
+    // over the prefix sums P of d = n − ref, so the oracle replays the
+    // fold with two integer window passes instead of a lambda fold
+    // (DuckDB's struct-accumulator list_reduce mis-evaluates one field;
+    // the closed form is independently checked against a plain-Python
+    // fold anyway).
+    "q45_cusum_alarm" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         grid AS (SELECT s.event_type,
+             UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+           FROM spans s),
+         filled AS (
+           SELECT g.event_type, g.h, CAST(coalesce(hh.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN hourly hh USING (event_type, h)),
+         tot AS (SELECT event_type,
+             CAST(sum(n) AS BIGINT) // count(*) + 2 AS ref
+           FROM filled GROUP BY 1),
+         cum AS (
+           SELECT f.event_type, t.ref, f.h,
+             CAST(sum(f.n - t.ref) OVER (PARTITION BY f.event_type ORDER BY f.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+           FROM filled f JOIN tot t USING (event_type)),
+         s AS (
+           SELECT event_type, ref,
+             p - least(CAST(0 AS BIGINT),
+               min(p) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+           FROM cum)
+         SELECT event_type, ref,
+           CAST(sum(CASE WHEN cusum >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_hours,
+           CAST(max(cusum) AS BIGINT) AS max_cusum
+         FROM s GROUP BY 1, 2"""
   )
 }

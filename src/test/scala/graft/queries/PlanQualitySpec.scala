@@ -441,6 +441,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "ranking inside the knn build must stay the bounded-heap aggregate")
   }
 
+  test("q45: CUSUM folds map-side over per-type bounded arrays — no window") {
+    val plan = planOf(RelationalQueries.queries("q45_cusum_alarm")(spark, dir))
+    assert(!plan.contains("Window"),
+      "the sequential fold must be the aggregate HOF, not a window walk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

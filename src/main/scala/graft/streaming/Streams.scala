@@ -258,6 +258,9 @@ object Streams {
       n: Long, s: Long, q: Long)
   final case class AnomalyOut(event_type: String, hour: String,
       n_events: Long, is_anomaly: Boolean)
+  final case class CusumState(curHour: Long, curCount: Long, s: Long)
+  final case class CusumOut(event_type: String, hour: String,
+      n_events: Long, cusum: Long, is_alarm: Boolean)
 
   private val hourFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH").withZone(java.time.ZoneOffset.UTC)
@@ -293,6 +296,56 @@ object Streams {
               hourFmt.format(java.time.Instant.ofEpochSecond(hour * 3600L)),
               cnt, flag)
             st = st.copy(n = st.n + 1, s = st.s + cnt, q = st.q + cnt * cnt)
+          }
+          evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            if (st.curHour == Long.MinValue)
+              st = st.copy(curHour = h, curCount = 1L)
+            else if (h == st.curHour)
+              st = st.copy(curCount = st.curCount + 1L)
+            else {
+              close(st.curHour, st.curCount)
+              var g = st.curHour + 1L
+              while (g < h) { close(g, 0L); g += 1L }
+              st = st.copy(curHour = h, curCount = 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Real-time CUSUM monitor — the streaming twin of q45's batch
+    * change-point fold, completing the alarm family (q40 global
+    * z-score, q41/anomalyStream prequential z-score, q45/this
+    * sequential CUSUM). Per type the state carries the open hour's
+    * count plus ONE cumulative-sum long; hour closes (gap hours
+    * included, like the batch gap-fill) run
+    * S ← max(0, S + n − ref(type)) and alarm while S ≥ threshold.
+    * `refs` is the per-type reference rate — an OFFLINE artifact like
+    * the d50 quantile threshold and the d37 LM (the batch q45 derives
+    * it from its own full series; a stream cannot see its future, so
+    * the operator takes it as input). State is O(1) per type; assumes
+    * in-order delivery per type like the anomaly/debounce twins.
+    */
+  def cusumStream(events: Dataset[AnomalyEvent], refs: Map[String, Long],
+      threshold: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, evs: Iterator[AnomalyEvent],
+            state: GroupState[CusumState]) =>
+          val ref = refs.getOrElse(tpe, 0L)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L))
+          val out = ListBuffer.empty[CusumOut]
+          def close(hour: Long, cnt: Long): Unit = {
+            val s2 = math.max(0L, st.s + cnt - ref)
+            out += CusumOut(tpe,
+              hourFmt.format(java.time.Instant.ofEpochSecond(hour * 3600L)),
+              cnt, s2, s2 >= threshold)
+            st = st.copy(s = s2)
           }
           evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
             val h = micros(e.ts) / 3600000000L

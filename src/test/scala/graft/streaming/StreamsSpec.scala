@@ -886,6 +886,77 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == false), "fixture must exercise some drops")
   }
 
+  test("streaming CUSUM alarms match the batch fold on every closed hour") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.AnomalyEvent
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_type"), col("ts"))
+      .as[AnomalyEvent].collect().sortBy(_.ts.getTime)
+
+    // per-type gap-filled hourly series + the batch q45 reference rate
+    val byType = evs.groupBy(_.event_type).map { case (t, es) =>
+      val hours = es.map(e => e.ts.getTime / 3600000L)
+      val (h0, h1) = (hours.min, hours.max)
+      val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val series = (h0 to h1).map(h => h -> counts.getOrElse(h, 0L))
+      t -> series
+    }
+    val refs = byType.map { case (t, ser) =>
+      t -> (ser.map(_._2).sum / ser.length + 2L)
+    }
+
+    // threshold at the series' own max CUSUM, so the fixture exercises
+    // BOTH flag outcomes at any scale factor
+    val maxS = byType.map { case (t, ser) =>
+      var s = 0L; var m = 0L
+      // closed hours only — the final hour never emits
+      ser.dropRight(1).foreach { case (_, n) =>
+        s = math.max(0L, s + n - refs(t)); m = math.max(m, s)
+      }
+      m
+    }.max
+    val threshold = math.max(1L, maxS)
+
+    // expected: the q45 fold over each type's series, closed hours only
+    // (the final hour never closes — no later arrival exists)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expected = byType.flatMap { case (t, ser) =>
+      var s = 0L
+      ser.dropRight(1).map { case (h, n) =>
+        s = math.max(0L, s + n - refs(t))
+        ((t, fmt.format(java.time.Instant.ofEpochSecond(h * 3600L))),
+          (n, s, s >= threshold))
+      }
+    }.toMap
+
+    val ms = MemoryStream[AnomalyEvent]
+    val out = Streams.cusumStream(ms.toDS(), refs, threshold)
+    val q = out.writeStream.format("memory").queryName("graft_cusum")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("graft_cusum").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    assert(got == expected,
+      "stream CUSUM must equal the batch fold on closed hours")
+    assert(got.values.exists(_._3), "fixture must raise at least one alarm")
+    assert(got.values.exists(!_._3))
+  }
+
   test("streaming anomaly flags match the prequential batch q41 on every closed hour") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams.AnomalyEvent

@@ -1233,7 +1233,14 @@ class RestFrontendSpec extends AnyFunSuite {
       val (oc, opHtml) = get(c, s"$root/ui/operation/$opId")
       assert(oc == 200 && opHtml.contains("SELECT 1 AS one"), opHtml)
 
-      val (bc, batchHtml) = get(c, s"$root/ui/batch/$bid")
+      // await the PAGE itself: the batch API and the page render from
+      // the same live op, but the assertion must poll the surface it
+      // checks (a loaded box once caught the render mid-transition)
+      var (bc, batchHtml) = get(c, s"$root/ui/batch/$bid")
+      while (!batchHtml.contains("FINISHED") && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val r = get(c, s"$root/ui/batch/$bid"); bc = r._1; batchHtml = r._2
+      }
       assert(bc == 200, batchHtml)
       assert(batchHtml.contains("FINISHED") && batchHtml.contains("appState"), batchHtml)
       // the batch page renders the pending operation log

@@ -615,6 +615,33 @@ object TextQueries {
         .groupBy(col("term"))
         .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
         .filter(col("cf") * 2 >= col("df") * 3 && col("df") >= 5)
+    },
+
+    // --- Mixed-language detection: the doc-LEVEL language guess (d05)
+    //     is blind to code-switched and concatenated-crawl documents,
+    //     so each doc is re-judged in 20-token chunks and the chunk
+    //     votes are rolled up — distinct non-und languages, the
+    //     majority language's permille share, and a mixed flag. Pure
+    //     map-side chunking + two bounded aggregates keyed by doc. ---
+    "d63_mixed_language" -> { (s, dir) =>
+      val chunks = Tables(s, dir).documents
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(
+          transform(
+            sequence(lit(0), greatest(lit(0),
+              ((size(col("t")) + 19) / 20).cast("int") - 1)),
+            i => slice(col("t"), i * 20 + 1, lit(20)))).as("ctoks"))
+        .select(col("doc_id"), langGuess(col("ctoks")).as("guess"))
+      val perLang = chunks.groupBy(col("doc_id"), col("guess"))
+        .agg(count(lit(1)).as("cnt"))
+      perLang.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(when(col("guess") =!= "und", lit(1))).as("n_langs"),
+          coalesce(max(when(col("guess") =!= "und", col("cnt"))), lit(0L))
+            .as("maj_cnt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          expr("maj_cnt * 1000 div n_chunks").as("majority_permille"),
+          (col("n_langs") >= 2).as("is_mixed"))
     }
   )
 
@@ -1496,6 +1523,38 @@ object TextQueries {
           FROM (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
           GROUP BY 1
           HAVING count(*) * 2 >= count(DISTINCT doc_id) * 3
-             AND count(DISTINCT doc_id) >= 5"""
+             AND count(DISTINCT doc_id) >= 5""",
+
+    // Mirror of d63: d29's chunk slicing at 20 tokens, d05's marker
+    // argmax (first-listed wins ties) per chunk, and the same integer
+    // rollup.
+    "d63_mixed_language" -> {
+      val scoreExprs = graft.functions.TextFunctions.langMarkers.map { case (lang, markers) =>
+        val score = markers
+          .map(m => s"len(list_filter(ctoks, t -> t = '$m'))")
+          .mkString(" + ")
+        (lang, score)
+      }
+      val bestExpr = scoreExprs.map(_._2).map(s => s"($s)").mkString("greatest(", ", ", ")")
+      val pick = scoreExprs.foldRight("'und'") { case ((lang, score), acc) =>
+        s"CASE WHEN ($score) = best AND best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          ch AS (
+            SELECT doc_id, t[(i*20+1):(i*20+20)] AS ctoks
+            FROM toks, LATERAL (
+              SELECT unnest(generate_series(0,
+                greatest(0, CAST((len(t)+19)//20 AS INT) - 1))) AS i) gs),
+          g AS (SELECT doc_id, ($pick) AS guess FROM (
+                  SELECT doc_id, ctoks, ($bestExpr) AS best FROM ch)),
+          pl AS (SELECT doc_id, guess, count(*) AS cnt FROM g GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(sum(cnt) AS BIGINT) AS n_chunks,
+            CAST(count(CASE WHEN guess <> 'und' THEN 1 END) AS BIGINT) AS n_langs,
+            CAST(coalesce(max(CASE WHEN guess <> 'und' THEN cnt END), 0) * 1000
+              // sum(cnt) AS BIGINT) AS majority_permille,
+            count(CASE WHEN guess <> 'und' THEN 1 END) >= 2 AS is_mixed
+          FROM pl GROUP BY doc_id"""
+    }
   )
 }

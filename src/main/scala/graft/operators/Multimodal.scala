@@ -378,6 +378,62 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Image flatness/entropy features over decoded gray pixels — the
+    * image twin of the d56 text-entropy audit: blank, flat-fill and
+    * low-texture images (decode failures, tracking pixels, solid
+    * banners) show near-zero histogram entropy long before any model
+    * sees them. Integer terms: Σ over occupied histogram bins of
+    * c·⌊ln(c)·1e6⌋ (the d56 micro-nat contract), so the oracle can
+    * replay the sum exactly; the final entropy is one double
+    * subtraction/division.
+    */
+  def bmpEntropyFeatures(gray: Array[Int]): (Long, Long, Long) = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < gray.length) { hist(gray(i)) += 1; i += 1 }
+    var distinct = 0L
+    var acc = 0L
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        distinct += 1
+        acc += c * math.floor(math.log(c.toDouble) * 1000000).toLong
+      }
+      b += 1
+    }
+    (gray.length.toLong, distinct, acc)
+  }
+
+  /** Batched executor-side BMP decode → per-image entropy row
+    * (id, n_pixels, n_distinct_gray, sum_clnc_micro); non-BMP rows
+    * yield nulls. Same partition-batched shape as [[decodeToFeatures]].
+    */
+  def decodeBmpToEntropy(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("n_pixels", LongType),
+      StructField("n_distinct_gray", LongType),
+      StructField("sum_clnc_micro", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeBmp(r.getBinary(binIdx)) match {
+          case Some((_, _, gray)) =>
+            val (n, distinct, acc) = bmpEntropyFeatures(gray)
+            Seq(id, n, distinct, acc)
+          case None => Seq(id, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Perceptual average-hash (aHash) over a decoded grayscale image:
     * point-sample an 8×8 grid from the TOP 8 rows (a deterministic
     * crop standing in for the resize of a production aHash —

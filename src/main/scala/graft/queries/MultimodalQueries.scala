@@ -121,6 +121,25 @@ object MultimodalQueries {
         "doc_id", "content", frameBytes = 64, threshold = 1800L)
         .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
           col("max_frame_delta"))
+    },
+
+    // --- Image entropy gate: REAL BMP decode → gray-histogram entropy
+    //     in the d56 integer-micro-nat contract — blank / flat-fill /
+    //     low-texture images show near-zero entropy before any model
+    //     sees them. The oracle recomputes the histogram from the
+    //     payload bytes INCLUDING the canvas zero-padding the decoder
+    //     surfaces past the payload end. ---
+    "m08_image_entropy" -> { (s, dir) =>
+      val bmp = udf((b: Array[Byte]) => Multimodal.synthBmp(b))
+      val withBmp = Tables(s, dir).documents
+        .select(col("doc_id"), bmp(col("text").cast("binary")).as("content"))
+      Multimodal.decodeBmpToEntropy(withBmp, "doc_id", "content")
+        .select(col("id").as("doc_id"), col("n_pixels"),
+          col("n_distinct_gray"), col("sum_clnc_micro"),
+          (floor(log(col("n_pixels").cast("double")) * 1000000).cast("long")
+              .cast("double") -
+            col("sum_clnc_micro").cast("double") /
+              col("n_pixels").cast("double")).as("entropy_micro"))
     }
   )
 
@@ -279,6 +298,37 @@ object MultimodalQueries {
                 AS BIGINT) AS n_cuts,
            CAST(COALESCE(MAX(fd.delta), 0) AS BIGINT) AS max_frame_delta
          FROM b LEFT JOIN fd USING (doc_id)
-         GROUP BY b.doc_id, b.n"""
+         GROUP BY b.doc_id, b.n""",
+    // Recomputes the gray histogram from the payload bytes PLUS the
+    // canvas zero-padding the decoder surfaces (pixel k in [n, 7·h) is
+    // gray 0 on the width-7, h = max(ceil(n/7), 1) canvas), then the
+    // d56 micro-nat terms per occupied bin and the same one-subtraction
+    // one-division entropy.
+    "m08_image_entropy" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, h, unnest(range(0, n)) AS i FROM b),
+         v AS (SELECT doc_id,
+                 16*(strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)
+                   + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1 AS byte
+               FROM s),
+         hist0 AS (SELECT doc_id, byte, count(*) AS c FROM v GROUP BY 1, 2),
+         pad AS (SELECT doc_id, 0 AS byte,
+                   7 * greatest((n + 6) // 7, 1) - n AS c
+                 FROM b WHERE 7 * greatest((n + 6) // 7, 1) - n > 0),
+         hist AS (SELECT doc_id, byte, CAST(SUM(c) AS BIGINT) AS c
+                  FROM (SELECT * FROM hist0 UNION ALL SELECT * FROM pad)
+                  GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_pixels,
+                   count(*) AS n_distinct_gray,
+                   CAST(SUM(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_clnc_micro
+                 FROM hist GROUP BY 1)
+         SELECT doc_id, n_pixels, n_distinct_gray, sum_clnc_micro,
+           CAST(CAST(floor(ln(n_pixels) * 1000000) AS BIGINT) AS DOUBLE)
+             - CAST(sum_clnc_micro AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+             AS entropy_micro
+         FROM agg"""
   )
 }

@@ -187,6 +187,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
   }
 
+  test("image entropy: flat fill yields zero terms; mixed histogram hand-computed") {
+    // flat image: every payload byte 7 on a 7×2 canvas → one bin of 14
+    val flat = Multimodal.decodeBmp(Multimodal.synthBmp(Array.fill(14)(7.toByte))).get
+    val (nF, dF, accF) = Multimodal.bmpEntropyFeatures(flat._3)
+    assert(nF == 14L && dF == 1L)
+    assert(accF == 14L * math.floor(math.log(14.0) * 1000000).toLong,
+      "a single occupied bin carries the whole mass (entropy 0 after the subtraction)")
+    // mixed: bytes 1,1,2 + 4 canvas-padding zeros → bins {0:4, 1:2, 2:1}
+    val mixed = Multimodal.decodeBmp(Multimodal.synthBmp(Array[Byte](1, 1, 2))).get
+    val (nM, dM, accM) = Multimodal.bmpEntropyFeatures(mixed._3)
+    assert(nM == 7L && dM == 3L)
+    val expected = 4L * math.floor(math.log(4.0) * 1e6).toLong +
+      2L * math.floor(math.log(2.0) * 1e6).toLong // ln(1) term is 0
+    assert(accM == expected, s"$accM vs $expected")
+  }
+
   test("scene changes: frame alignment, partial tail, and threshold hand-computed") {
     // 3 frames of 4 bytes: f0 = 10,10,10,10; f1 = 10,10,10,10 (delta 0);
     // f2 = 60,60 (partial tail, delta |60-10|*2 = 100)

@@ -30,18 +30,32 @@ import graft.functions.VectorFunctions.cosine
   * aggregation is a scalar min(struct) reduce (no corpus shuffle
   * anywhere). Selected frames are localCheckpoint'ed so the composed
   * plan stays linear in k. Cost is k corpus scans by construction —
-  * the standard trade for farthest-point; pre-filter the corpus to a
-  * candidate pool when k is large.
+  * the standard trade for farthest-point; `poolModulus` turns the
+  * documented "pre-filter to a candidate pool when k is large" escape
+  * into an actual knob.
   */
 object Coreset {
 
   /** Greedy k-center selection over the whole frame.
     * Returns (idCol, rnk) with rnk = selection order (1 = seed).
+    *
+    * `poolModulus` restricts the traversal to the deterministic
+    * candidate pool `id % poolModulus == 0` (the v34 sampling pattern),
+    * so each of the k scans reads |corpus|/poolModulus rows instead of
+    * the whole corpus — the knob that bounds the k-scan cost when k is
+    * large. 1 (the default) is the exact unrestricted traversal; a pool
+    * that covers the corpus is bit-identical to it (CoresetSpec pins
+    * this), and any pool keeps the determinism contract since the
+    * greedy order depends only on the rows in the pool.
     */
   def kcenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, poolModulus: Long = 1L): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
-    val pts = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    require(poolModulus >= 1, s"poolModulus=$poolModulus must be positive")
+    val pool =
+      if (poolModulus == 1L) corpus
+      else corpus.filter(col(idCol) % poolModulus === 0)
+    val pts = pool.select(col(idCol).as("id"), col(vecCol).as("v"))
     // seed: lowest id — deterministic and oracle-replayable (struct-min
     // never reaches the vector field because ids are unique)
     var sel = SketchRegistry.track(

@@ -962,8 +962,13 @@ object Dedup {
     grams.count() // materialize BEFORE the index grows below
     val batchGramSet = grams.select(col("g")).distinct()
     val seen = openGramIndex(spark, path)
-    // map-side over the index: the batch side broadcasts
+    // map-side over the index: the batch side broadcasts. distinct()
+    // (batch-gram-bounded) guards the left join below against duplicate
+    // gram rows in the parquet — e.g. two streams racing to append the
+    // same gram to one shared path — which would otherwise fan the join
+    // out and permanently inflate n_grams for every later batch.
     val seenHits = seen.join(broadcast(batchGramSet), Seq("g"), "left_semi")
+      .distinct()
     val firstOwner = grams.groupBy(col("g")).agg(min(col("__gid")).as("__first"))
     val scored = grams
       .join(firstOwner, "g")

@@ -283,7 +283,10 @@ object Multimodal {
     var i = 0
     while (i < samples.length) {
       val a = samples(i).toInt
-      if (a <= -32768 || a >= 32512) clipped += 1
+      // symmetric near-rail window, 255 counts below each PCM16 rail
+      // (32767 / -32768), so near-clipped negatives count like near-
+      // clipped positives instead of only the exact bottom rail
+      if (a <= -32513 || a >= 32512) clipped += 1
       val abs = math.abs(a)
       if (abs > maxAbs) maxAbs = abs
       if (i > 0 && samples(i - 1).toInt * a < 0) zc += 1

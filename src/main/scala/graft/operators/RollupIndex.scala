@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming-maintained aggregate artifact: a persisted
@@ -8,9 +9,17 @@ import org.apache.spark.sql.functions._
   * idempotent micro-batch merges — the relational twin of the
   * band-index / IVF-PQ maintenance loop, reusing its exact durability
   * contract: versioned `agg_vN` dirs with a one-row meta pointer
-  * (visible-atomic swap, previous version survives one cycle for
-  * racing readers), and per-batch replay markers owned by the caller
-  * (graft.streaming.Streams.applyRollupBatch).
+  * (previous version survives one cycle for racing readers).
+  *
+  * Exactly-once replays: unlike the band index (whose duplicate rows a
+  * compact pass can drop) a SUM rollup has no downstream dedup, so the
+  * last-applied micro-batch id per stream is folded INTO the meta row
+  * itself — the same single write that flips `agg_dir` commits the
+  * replay marker, leaving no crash window between "merged" and
+  * "marked". A restart that replays the last micro-batch reads the
+  * meta, sees its id already applied, and skips; a crash BEFORE the
+  * meta flip leaves the old agg_dir and the old applied id, so the
+  * replay re-merges into the old state — never double-counts.
   *
   * Scale shape: the rollup is DIMENSION-bounded (distinct key tuples),
   * not history-bounded, so each merge rewrites a bounded artifact in
@@ -31,7 +40,7 @@ object RollupIndex {
   def build(rollup: DataFrame, path: String, keyCols: Seq[String]): Unit = {
     val measures = rollup.columns.filterNot(keyCols.contains)
     rollup.write.mode("overwrite").parquet(s"$path/$BASE")
-    writeMeta(rollup.sparkSession, path, keyCols, measures, BASE)
+    writeMeta(rollup.sparkSession, path, keyCols, measures, BASE, Map.empty)
   }
 
   /** The current rollup as a lazy distributed scan (one driver-side
@@ -39,27 +48,38 @@ object RollupIndex {
     * resolved version under us).
     */
   def open(spark: SparkSession, path: String): DataFrame = {
-    val dir = resolveDir(spark, path)
+    val dir = readMeta(spark, path).getString(AGG_DIR_IDX)
     try spark.read.parquet(s"$path/$dir")
     catch {
       case _: Throwable =>
-        spark.read.parquet(s"$path/${resolveDir(spark, path)}")
+        spark.read.parquet(
+          s"$path/${readMeta(spark, path).getString(AGG_DIR_IDX)}")
     }
   }
 
+  /** The last micro-batch id merged for `streamId`, if any — the
+    * replay marker the meta flip commits atomically with the data.
+    */
+  def lastApplied(spark: SparkSession, path: String,
+      streamId: String): Option[Long] =
+    appliedMap(readMeta(spark, path)).get(streamId)
+
   /** Merge one increment frame (same schema as the rollup) into the
     * artifact: union + re-aggregate into the next `agg_vN`, flip the
-    * meta pointer, prune all but the previous version. Idempotency is
-    * the CALLER's marker contract — this merge itself is not replay-
-    * safe, exactly like Dedup.appendToBandIndex.
+    * meta pointer, prune all but the previous version. When `applied`
+    * carries the (streamId, batchId) being merged, the marker commits
+    * in the SAME meta write that publishes the new agg_dir — a crash
+    * anywhere leaves marker and data consistent. Without it the merge
+    * is not replay-safe (the caller owns idempotency, exactly like
+    * Dedup.appendToBandIndex).
     */
-  def merge(increments: DataFrame, path: String): Unit = {
+  def merge(increments: DataFrame, path: String,
+      applied: Option[(String, Long)] = None): Unit = {
     val spark = increments.sparkSession
-    val metaDf = spark.read.parquet(s"$path/meta")
-    val meta = metaDf.head()
-    val keyCols = meta.getSeq[String](metaDf.columns.indexOf("key_cols"))
-    val measures = meta.getSeq[String](metaDf.columns.indexOf("measure_cols"))
-    val curDir = meta.getString(metaDf.columns.indexOf("agg_dir"))
+    val meta = readMeta(spark, path)
+    val keyCols = meta.getSeq[String](KEY_COLS_IDX)
+    val measures = meta.getSeq[String](MEASURE_COLS_IDX)
+    val curDir = meta.getString(AGG_DIR_IDX)
     val cur = spark.read.parquet(s"$path/$curDir")
     val nextDir = Dedup.nextVersionedDir(BASE, curDir)
     cur.unionByName(increments.select(cur.columns.map(col).toSeq: _*))
@@ -67,20 +87,55 @@ object RollupIndex {
       .agg(measures.map(m => sum(col(m)).as(m)).head,
         measures.map(m => sum(col(m)).as(m)).tail: _*)
       .write.mode("overwrite").parquet(s"$path/$nextDir")
-    writeMeta(spark, path, keyCols, measures, nextDir)
+    writeMeta(spark, path, keyCols, measures, nextDir,
+      appliedMap(meta) ++ applied)
     Dedup.pruneVersionedDirs(spark, path, BASE, keep = Set(curDir, nextDir))
   }
 
+  // meta row layout is fixed so readers index by position
+  private val KEY_COLS_IDX = 0
+  private val MEASURE_COLS_IDX = 1
+  private val AGG_DIR_IDX = 2
+  private val APPLIED_IDX = 3
+
+  private def appliedMap(meta: Row): Map[String, Long] =
+    if (meta.isNullAt(APPLIED_IDX)) Map.empty
+    else meta.getMap[String, Long](APPLIED_IDX).toMap
+
+  /** The meta pointer is published by writing to `meta_tmp` and
+    * renaming over `meta` — the delete+rename window is two FS
+    * metadata ops instead of a whole Spark overwrite job; a reader
+    * racing even that narrow gap retries briefly.
+    */
   private def writeMeta(spark: SparkSession, path: String,
-      keyCols: Seq[String], measures: Seq[String], aggDir: String): Unit = {
+      keyCols: Seq[String], measures: Seq[String], aggDir: String,
+      applied: Map[String, Long]): Unit = {
     import spark.implicits._
-    Seq((keyCols, measures, aggDir))
-      .toDF("key_cols", "measure_cols", "agg_dir")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Seq((keyCols, measures, aggDir, applied))
+      .toDF("key_cols", "measure_cols", "agg_dir", "applied")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(s"$path/meta")
+    fs.delete(meta, true)
+    fs.rename(new Path(s"$path/meta_tmp"), meta)
   }
 
-  private def resolveDir(spark: SparkSession, path: String): String = {
-    val metaDf = spark.read.parquet(s"$path/meta")
-    metaDf.head().getString(metaDf.columns.indexOf("agg_dir"))
+  private def readMeta(spark: SparkSession, path: String): Row = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 5) {
+      try {
+        val raw = spark.read.parquet(s"$path/meta")
+        // pre-applied-marker artifacts lack the column
+        val df = if (raw.columns.contains("applied")) raw
+          else raw.withColumn("applied",
+            lit(null).cast("map<string,bigint>"))
+        return df.select(col("key_cols"), col("measure_cols"),
+          col("agg_dir"), col("applied")).head()
+      } catch {
+        case t: Throwable => last = t; Thread.sleep(20L << i); i += 1
+      }
+    }
+    throw last
   }
 }

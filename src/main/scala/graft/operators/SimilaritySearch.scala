@@ -221,6 +221,47 @@ object SimilaritySearch {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Pairwise-cosine histogram over a deterministic id-modulus sample
+    * — the embedding-space health audit (a collapsing encoder piles
+    * mass into the top bins). The sample is `id % modulus == 0`, so it
+    * is reproducible across runs and engines; the S×S pair sweep is a
+    * broadcast nested-loop over the SAMPLE only (the corpus is touched
+    * once, by the sampling scan) and the output is ≤21 bins.
+    * floor(10·cos) bins identical doubles, so bin ids are cross-engine
+    * exact.
+    */
+  def simHistogram(embeddings: DataFrame, idCol: String, vecCol: String,
+      modulus: Long): DataFrame = {
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val samp = embeddings
+      .filter(col(idCol) % modulus === 0)
+      .select(col(idCol), col(vecCol))
+    val a = samp.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = samp.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(floor(cosine(col("va"), col("vb")) * lit(10.0)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), (col("bin").cast("double") / 10.0).as("sim_lo"),
+        col("n_pairs"))
+  }
+
+  /** [[simHistogram]] with the modulus DERIVED from a target sample
+    * size instead of hard-coded: one cheap corpus count (parquet
+    * metadata-served for a plain scan) picks
+    * `modulus = ceil(n / targetSample)`, holding the sample near
+    * `targetSample` no matter how the corpus grows — at 10⁹ vectors a
+    * fixed 1-in-5 modulus would make the pair sweep 4·10¹⁶ broadcast-NL
+    * comparisons, while a fixed S keeps it S²/2 forever.
+    */
+  def simHistogramSampled(embeddings: DataFrame, idCol: String,
+      vecCol: String, targetSample: Long): DataFrame = {
+    require(targetSample >= 2, s"targetSample must be >= 2, got $targetSample")
+    val n = embeddings.count()
+    val modulus = math.max(1L, (n + targetSample - 1) / targetSample)
+    simHistogram(embeddings, idCol, vecCol, modulus)
+  }
+
   /** Per-label centroids: posexplode → mean per (label, pos) → re-
     * assemble ordered array. One shuffle on (label, pos) — at 100 TB
     * the partial aggregation happens map-side per dimension.

@@ -251,7 +251,8 @@ object MultimodalQueries {
              + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3""",
     // Recomputes the audio-quality features from the payload bytes via
     // the synthWav amplitude contract amp_i = (byte_i - 128) * 256:
-    // clipped at the PCM16 rails (byte 0 → -32768, byte 255 → 32512),
+    // clipped within 255 of either PCM16 rail (symmetric window:
+    // amp <= -32513 or amp >= 32512; bytes 0/255 map to -32768/32512),
     // peak = max |amp|, zero crossings = adjacent sign products < 0
     // (lag window per doc in byte order). A decode bug in the chunk
     // walk, endianness, or sample order breaks these counts.
@@ -269,7 +270,7 @@ object MultimodalQueries {
                FROM v)
          SELECT b.doc_id,
            CAST(b.n AS BIGINT) AS n_samples,
-           CAST(COALESCE(SUM(CASE WHEN w.amp <= -32768 OR w.amp >= 32512
+           CAST(COALESCE(SUM(CASE WHEN w.amp <= -32513 OR w.amp >= 32512
                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clipped,
            CAST(COALESCE(MAX(abs(w.amp)), 0) AS INT) AS max_abs,
            CAST(COALESCE(SUM(CASE WHEN w.prev * w.amp < 0 THEN 1 ELSE 0 END), 0)

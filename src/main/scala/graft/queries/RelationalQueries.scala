@@ -498,8 +498,11 @@ object RelationalQueries {
             .as("weighted_centi_us"),
           (max(col("t")) - min(col("t"))).as("span_us"))
         .select(col("event_type"), col("n_events"),
+          // nullif guards the degenerate single-timestamp type (span 0):
+          // Spark's non-ANSI 0/0 yields NULL but DuckDB's IEEE divide
+          // yields NaN — the d57 divergence class; NULL/NULL both sides
           (col("weighted_centi_us").cast("double") /
-            (col("span_us") * 100L).cast("double")).as("twa"))
+            nullif(col("span_us") * 100L, lit(0L)).cast("double")).as("twa"))
     },
 
     // --- OHLC bars: per (type, hour) the open/high/low/close of
@@ -986,7 +989,7 @@ object RelationalQueries {
            FROM events)
          SELECT event_type, count(*) AS n_events,
            CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT) * dur_us) AS BIGINT) AS DOUBLE)
-             / CAST((max(t) - min(t)) * 100 AS DOUBLE) AS twa
+             / CAST(nullif((max(t) - min(t)) * 100, 0) AS DOUBLE) AS twa
          FROM x GROUP BY 1""",
     // Mirror of q37: identical full-frame window for open/close, raw
     // min/max values otherwise (no float summation in the contract).

@@ -530,24 +530,18 @@ object VectorQueries {
     //     sample: the embedding-space health audit (a collapsing
     //     encoder shows as mass piling into the top bins; a healthy
     //     space keeps a wide spread). The sample is id-deterministic
-    //     and BOUNDED — at 100 TB the modulus scales with the corpus
-    //     to hold the sample near a fixed S, the S×S pair set is one
+    //     and BOUNDED — the modulus is the operator's parameter, and
+    //     SimilaritySearch.simHistogramSampled derives it from a
+    //     target sample size S (one cheap count), so at 100 TB the
+    //     sample stays near S and the S×S pair set stays one
     //     broadcast nested-loop (no shuffle touches the corpus beyond
-    //     the sampling scan), and the output is ≤21 bins. floor(10·
-    //     cos) bins identical doubles, so bin ids are cross-engine
-    //     exact. ---
+    //     the sampling scan); the output is ≤21 bins. floor(10·cos)
+    //     bins identical doubles, so bin ids are cross-engine exact.
+    //     The gate pins the fixture's 1-in-5 sample explicitly so the
+    //     oracle modulus matches bit-for-bit at every sf. ---
     "v34_sim_histogram" -> { (s, dir) =>
-      val samp = Tables(s, dir).embeddings
-        .filter(col("vec_id") % 5 === 0)
-        .select(col("vec_id"), col("embedding"))
-      val a = samp.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = samp.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .select(floor(cosine(col("va"), col("vb")) * lit(10.0)).as("bin"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .select(col("bin"), (col("bin").cast("double") / 10.0).as("sim_lo"),
-          col("n_pairs"))
+      graft.operators.SimilaritySearch.simHistogram(
+        Tables(s, dir).embeddings, "vec_id", "embedding", modulus = 5L)
     },
 
     // --- SQ8 reconstruction-error audit: per-dimension count and

@@ -684,13 +684,23 @@ object Streams {
     * same `batchId` merges once. `toIncrements` turns the raw batch
     * into rows of the rollup's own schema (its cost is batch-sized and
     * map-side for any sum rollup).
+    *
+    * Unlike the band-index path (whose rare marker-window duplicates a
+    * compact pass can drop), a SUM rollup has no downstream dedup — so
+    * the replay marker here is NOT a separate file: RollupIndex.merge
+    * folds the (streamId, batchId) into the same one-row meta write
+    * that publishes the merged agg_dir, making merge+marker atomic and
+    * restarts exactly-once. Micro-batch ids are monotonic per
+    * checkpoint, so "already applied" is `batchId <= lastApplied`.
     */
   def applyRollupBatch(batch: DataFrame, batchId: Long, path: String,
       streamId: String = "default")(toIncrements: DataFrame => DataFrame): Unit = {
-    val markerDir = s"$path/_applied/$streamId"
-    if (!batch.isEmpty && !alreadyApplied(batch.sparkSession, markerDir, batchId)) {
-      graft.operators.RollupIndex.merge(toIncrements(batch), path)
-      recordApplied(batch.sparkSession, markerDir, batchId)
+    val spark = batch.sparkSession
+    val done = graft.operators.RollupIndex
+      .lastApplied(spark, path, streamId).exists(batchId <= _)
+    if (!batch.isEmpty && !done) {
+      graft.operators.RollupIndex.merge(toIncrements(batch), path,
+        applied = Some(streamId -> batchId))
     }
   }
 
@@ -757,7 +767,9 @@ object Streams {
     * whitening / OPQ stay current as the corpus grows WITHOUT ever
     * re-scanning it. The artifact is DIM²-bounded; each merge costs
     * O(DIM² + |batch|·DIM²) map-side work and the replay guard makes
-    * restarts exactly-once.
+    * restarts exactly-once — the marker commits INSIDE the meta flip
+    * that publishes the merge (RollupIndex.merge `applied`), so no
+    * crash window can double-count a batch.
     */
   def gramianAppendStream(vectors: DataFrame, vecCol: String, dim: Int,
       path: String, streamId: String = "default"):

@@ -40,4 +40,35 @@ class CoresetSpec extends AnyFunSuite {
     assert(a.map(_._2) == (1 to 5), a.toString)
     assert(a.map(_._1).distinct.size == 5, "no point selected twice")
   }
+
+  test("a candidate pool that covers the corpus equals the unrestricted traversal") {
+    val rnd = new scala.util.Random(23)
+    // every id is a multiple of 3, so poolModulus=3 keeps ALL rows:
+    // the restricted traversal must be bit-identical to the default
+    val pts = (0 until 40).map { i =>
+      (i * 3L, Array.fill(6)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val full = Coreset.kcenterCoreset(pts, "vec_id", "embedding", k = 4)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val pooled = Coreset.kcenterCoreset(pts, "vec_id", "embedding", k = 4,
+      poolModulus = 3L)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pooled == full, s"$pooled vs $full")
+  }
+
+  test("a strict pool traverses only pool members, greedily over the pool") {
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 50).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val pooled = Coreset.kcenterCoreset(pts, "vec_id", "embedding", k = 4,
+      poolModulus = 5L)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pooled.forall(_._1 % 5 == 0), s"picks must come from the pool: $pooled")
+    // equals the traversal over the explicitly pre-filtered frame
+    val manual = Coreset.kcenterCoreset(
+      pts.filter($"vec_id" % 5 === 0), "vec_id", "embedding", k = 4)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pooled == manual)
+  }
 }

@@ -172,6 +172,13 @@ class MultimodalSpec extends AnyFunSuite {
     // (the 0 amp at index 2 breaks the (1,2),(2,3) products)
     assert(zc == 4L, s"zero crossings: $zc")
 
+    // symmetric rails beyond the synthWav contract: the window is 255
+    // below EACH rail, so -32513 clips like 32512 while -32512/32511
+    // (256 inside) do not
+    val (cSym, _, _) = Multimodal.wavQualityFeatures(
+      Array[Short](-32513, -32512, 32511, 32512, -32768, 32767))
+    assert(cSym == 4L, s"symmetric near-rail clipping: $cSym")
+
     // distributed path: null row for non-WAV, exact row for WAV
     import spark.implicits._
     val wavUdf = udf((b: Array[Byte]) => Multimodal.synthWav(b))

@@ -535,21 +535,28 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
       // exactly one process carries the tag: adopted, not re-launched
       import scala.jdk.CollectionConverters._
-      def taggedCount(): Int = ProcessHandle.allProcesses().iterator().asScala.count { h =>
-        h.isAlive && h.info().commandLine()
-          .map[Boolean](_.contains(s"graft.batch.tag=$sleeperId")).orElse(false)
-      }
+      def taggedPids(): Set[Long] = ProcessHandle.allProcesses().iterator().asScala
+        .filter { h =>
+          h.isAlive && h.info().commandLine()
+            .map[Boolean](_.contains(s"graft.batch.tag=$sleeperId")).orElse(false)
+        }.map(_.pid()).toSet
       // settle-retry: under a loaded box the process table transiently
       // shows fork-in-flight duplicates of a spawning JVM's command
-      // line; a REAL double-launch is a sleeper that persists, so it
-      // still fails after the grace window
-      var tagged = taggedCount()
+      // line. The grace window tolerates ONLY that: the ORIGINAL pid
+      // must persist throughout, so a real double-launch that replaced
+      // the sleeper (original gone) fails immediately, and a duplicate
+      // that outlives the window fails on the count.
+      val originalPid = handle.get.pid()
+      var tagged = taggedPids()
       val tagDeadline = System.nanoTime() + 10e9.toLong
-      while (tagged != 1 && System.nanoTime() < tagDeadline) {
+      while (tagged != Set(originalPid) && System.nanoTime() < tagDeadline) {
+        assert(tagged.contains(originalPid),
+          s"original $originalPid vanished mid-window; a duplicate replaced it: $tagged")
         Thread.sleep(200)
-        tagged = taggedCount()
+        tagged = taggedPids()
       }
-      assert(tagged == 1, s"expected the one adopted process, found $tagged")
+      assert(tagged == Set(originalPid),
+        s"expected only the adopted original $originalPid, found $tagged")
       // kill through the NEW incarnation; the handle dies
       c.send(HttpRequest.newBuilder(URI.create(s"$base2/batches/$sleeperId"))
         .DELETE().build(), HttpResponse.BodyHandlers.ofString())

@@ -612,6 +612,12 @@ class StreamsSpec extends AnyFunSuite {
     val dirs = new java.io.File(path).listFiles()
       .map(_.getName).filter(n => n == "agg" || n.startsWith("agg_v"))
     assert(dirs.length <= 2, dirs.mkString(", "))
+
+    // the replay marker is INSIDE the meta row (atomic with the merge),
+    // not a separate marker file whose write could race a crash
+    assert(RollupIndex.lastApplied(spark, path, "default").contains(99L))
+    assert(!new java.io.File(path, "_applied").exists,
+      "rollup replays must not use the band-index marker-file window")
   }
 
   test("streaming phash gate flags exactly the batch matches against a static corpus") {

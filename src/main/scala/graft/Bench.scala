@@ -310,6 +310,28 @@ object Bench {
     spark.conf.set("spark.sql.catalog.tpcds",
       classOf[graft.sources.tpcds.TpcdsCatalog].getName)
 
+    // The suite runs FIRST, before the corpora touch GBs of generated
+    // fact parquet: r14 ran it after the sf10 spot set and the page-
+    // cache eviction drifted the posting-list self-join family
+    // (d10 4.37→7.72 s, w01, z01_cold — VERDICT r14 #3) at unchanged
+    // code. Suite inputs are the sf fixtures; keep them cache-warm by
+    // measuring them before the corpus reads evict them (the r13
+    // order, whose d10 was 4.37 s).
+    val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      if (flagshipSuite(name))
+        timedN(name, iters,
+            between = () => graft.operators.SketchRegistry.releaseAll(),
+            careful = true) {
+          fn(spark, sfDir).foreach(_ => ())
+        }
+      else if (expensiveTail(name))
+        timedN(name, iters,
+            between = () => graft.operators.SketchRegistry.releaseAll()) {
+          fn(spark, sfDir).foreach(_ => ())
+        }
+      else repairedOnce(name, fn)
+    }
+
     val tpchTables = Seq("region", "nation", "customer", "supplier",
       "part", "partsupp", "orders", "lineitem")
     // Tables referenced by the 6 BASELINE.md-published TPC-DS queries.
@@ -367,21 +389,6 @@ object Bench {
       timedN(s"tpcds_${tpcdsNs}_$qn", 2, careful = true)(
         spark.sql(sql).foreach(_ => ()))
     })
-
-    val suite = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      if (flagshipSuite(name))
-        timedN(name, iters,
-            between = () => graft.operators.SketchRegistry.releaseAll(),
-            careful = true) {
-          fn(spark, sfDir).foreach(_ => ())
-        }
-      else if (expensiveTail(name))
-        timedN(name, iters,
-            between = () => graft.operators.SketchRegistry.releaseAll()) {
-          fn(spark, sfDir).foreach(_ => ())
-        }
-      else repairedOnce(name, fn)
-    }
 
     // Z-order skipping comparable (BASELINE z-order.md:313-331 reports
     // a 2-predicate scan going 27.6s → 2.5s after OPTIMIZE ZORDER BY):

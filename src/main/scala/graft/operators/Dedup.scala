@@ -667,6 +667,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold pair join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07): every
+    * pair with token-set Jaccard ≥ t is guaranteed found, unlike the
+    * df-capped posting lists of [[ngramJaccardPairs]] which trade
+    * recall on boilerplate for a bound. The trick: order the
+    * vocabulary by GLOBAL rarity — the (df, token) total order — and
+    * keep only each doc's first `|d| − ceil(t·|d|) + 1` tokens; two
+    * sets with J ≥ t MUST share a token inside those prefixes
+    * (pigeonhole on the overlap bound), so the candidate join runs
+    * over prefix postings only. Rare tokens lead every prefix, so the
+    * join's posting lists are naturally small — boilerplate stopwords
+    * sit at the END of the order and never enter a long doc's prefix.
+    *
+    * 100 TB shape: one token-keyed df aggregate, one doc-keyed
+    * aggregate building the sorted prefix (collect + array_sort +
+    * slice — bounded by doc length, no window machinery), a prefix-
+    * postings self-join, then exact verification on the two docs'
+    * bounded token arrays. The threshold is integer permille-free
+    * percent math (`100·inter ≥ t·union`), so the gate compares
+    * cross-engine exact. Returns qualifying (id_a, id_b, n_inter,
+    * n_union, jaccard_pct).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdPct: Int = 60): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct=$thresholdPct must be in [1, 100]")
+    val tok = SketchRegistry.track(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dfr = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfr, Seq("token"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("arr"))
+      .select(col("id"), explode(expr(
+        s"slice(arr, 1, size(arr) - (($thresholdPct * size(arr) + 99) div 100) + 1)"))
+        .as("s"))
+      .select(col("id"), col("s.token").as("token"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("ts"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ta")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("ts").as("tb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * 100L >= col("n_union") * thresholdPct.toLong)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        expr("(100 * n_inter) div n_union").as("jaccard_pct"))
+  }
+
   /** n-gram CONTAINMENT pairs — the asymmetric near-dup relation
     * Jaccard misses: a short document quoted wholesale inside a long
     * one has tiny Jaccard (the union is dominated by the long doc)

@@ -33,4 +33,51 @@ object GraphOps {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Integer-exact PageRank over a directed edge list — the influence/
+    * centrality score a similarity-graph curation pass ranks documents
+    * by (a near-dup cluster's "canonical" member, seed selection,
+    * spam-mass audits). Ranks live in MICRO units (1.0 → 1,000,000)
+    * and every step is integer arithmetic — contribution
+    * `pr div outdeg`, damping `(dampingPct·Σin) div 100` — so a SQL
+    * engine replays the traversal bit-for-bit (v41's oracle unrolls
+    * it) and no float summation order can diverge.
+    *
+    * 100 TB shape: each of the `iters` rounds is ONE edge-keyed
+    * equi-join (ranks meet edges on src) plus a dst-keyed partial
+    * aggregate — the canonical distributed PageRank plan; nothing is
+    * ever pairwise and nothing collects. Each round's ranks are
+    * localCheckpoint'ed so the composed plan stays linear in `iters`
+    * (the Coreset pattern). kNN graphs have uniform out-degree k, so
+    * the contribution join is skew-free by construction; a power-law
+    * web graph would salt the hot dst keys.
+    *
+    * Dangling nodes (in the node set, no out-edges) simply leak their
+    * mass — the standard simplification; nodes with no IN-edges settle
+    * at the base (1−d) term via the left join + coalesce.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (100L - dampingPct) * 10000L // (1-d) in micro units
+    var ranks = SketchRegistry.track(
+      nodes.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = SketchRegistry.track(
+        nodes.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            expr(s"$base + ($dampingPct * coalesce(in_sum, 0L)) div 100")
+              .as("pr"))
+          .localCheckpoint(true))
+    }
+    ranks.select(col("id"), col("pr").as("pr_micro"))
+  }
 }

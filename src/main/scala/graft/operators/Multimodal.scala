@@ -295,6 +295,66 @@ object Multimodal {
     (clipped, maxAbs, zc)
   }
 
+  /** Silence-segment features over decoded PCM16 samples — the trim/
+    * drop signal an audio curation pipeline runs before transcription
+    * (a clip that is mostly silence wastes the expensive model pass;
+    * leading/trailing runs mark trim points). A sample is silent when
+    * |amp| < `threshold`; a RUN is a maximal consecutive silent
+    * stretch. Returns (n_silent, n_runs, longest_run) — all exact
+    * integers from one sequential pass.
+    */
+  def wavSilenceFeatures(samples: Array[Short],
+      threshold: Int = 2048): (Long, Long, Long) = {
+    var nSilent = 0L
+    var runs = 0L
+    var longest = 0L
+    var cur = 0L
+    var i = 0
+    while (i < samples.length) {
+      if (math.abs(samples(i).toInt) < threshold) {
+        cur += 1
+        nSilent += 1
+        if (cur == 1L) runs += 1
+        if (cur > longest) longest = cur
+      } else cur = 0L
+      i += 1
+    }
+    (nSilent, runs, longest)
+  }
+
+  /** Batched executor-side WAV decode → per-clip silence row
+    * (id, n_samples, n_silent, n_runs, longest_run); non-WAV rows
+    * yield nulls. Same partition-batched, shuffle-free shape as
+    * [[decodeWavToQuality]] — at 100 TB this is a pure map over the
+    * clip partitions.
+    */
+  def decodeWavToSilence(df: DataFrame, idCol: String, binCol: String,
+      threshold: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("n_samples", LongType),
+      StructField("n_silent", LongType),
+      StructField("n_runs", LongType),
+      StructField("longest_run", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeWav(r.getBinary(binIdx)) match {
+          case Some((_, _, samples)) =>
+            val (nSilent, nRuns, longest) = wavSilenceFeatures(samples, threshold)
+            Seq(id, samples.length.toLong, nSilent, nRuns, longest)
+          case None => Seq(id, null, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Batched executor-side WAV decode → per-clip quality row
     * (id, n_samples, n_clipped, max_abs, zero_crossings); non-WAV rows
     * yield nulls. Same partition-batched shape as [[decodeToFeatures]].

@@ -108,6 +108,21 @@ object MultimodalQueries {
           col("max_abs"), col("zero_crossings"))
     },
 
+    // --- Silence segmentation: per clip, the count of silent samples
+    //     (|amp| < 2048), the number of maximal silent RUNS and the
+    //     longest run — the trim/drop signal an audio pipeline runs
+    //     before paying for transcription. Pure per-partition decode,
+    //     no shuffle (the m06 shape); the oracle rebuilds the runs
+    //     from the payload bytes with the gaps-and-islands window. ---
+    "m09_silence_segments" -> { (s, dir) =>
+      val wav = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+      val withWav = Tables(s, dir).documents
+        .select(col("doc_id"), wav(col("text").cast("binary")).as("content"))
+      Multimodal.decodeWavToSilence(withWav, "doc_id", "content")
+        .select(col("id").as("doc_id"), col("n_samples"), col("n_silent"),
+          col("n_runs"), col("longest_run"))
+    },
+
     // --- Shot-boundary detection: 64-byte frames over the clip bytes,
     //     a cut where the frame-to-frame absolute-difference sum
     //     crosses 1800 (≈ the corpus median delta — real cuts sit in
@@ -276,6 +291,31 @@ object MultimodalQueries {
            CAST(COALESCE(SUM(CASE WHEN w.prev * w.amp < 0 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS zero_crossings
          FROM b LEFT JOIN w USING (doc_id)
+         GROUP BY b.doc_id, b.n""",
+    // Mirror of m09: the same byte→amp unpack, silent samples by the
+    // SAME |amp| < 2048 rail, runs recovered with the gaps-and-islands
+    // trick (sample index minus its silent-only row_number is constant
+    // exactly within one maximal run).
+    "m09_silence_segments" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         s AS (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM b),
+         v AS (SELECT doc_id, i,
+                 (16*(strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1
+                    - 128) * 256 AS amp
+               FROM s),
+         sil AS (SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                 FROM v WHERE abs(amp) < 2048),
+         runs AS (SELECT doc_id, grp, count(*) AS run_len
+                  FROM sil GROUP BY doc_id, grp)
+         SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(run_len), 0) AS BIGINT) AS n_silent,
+           CAST(COALESCE(COUNT(run_len), 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS longest_run
+         FROM b LEFT JOIN runs USING (doc_id)
          GROUP BY b.doc_id, b.n""",
     // Recomputes the scene-change pass from the payload bytes: byte i
     // (i >= 64) belongs to frame i/64 and differences against byte

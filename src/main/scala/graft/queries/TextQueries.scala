@@ -642,6 +642,21 @@ object TextQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_langs"),
           expr("maj_cnt * 1000 div n_chunks").as("majority_permille"),
           (col("n_langs") >= 2).as("is_mixed"))
+    },
+
+    // --- EXACT Jaccard-threshold join via prefix filtering (AllPairs/
+    //     PPJoin): unlike d10's df-capped posting lists (recall traded
+    //     on boilerplate), every pair with token-set J ≥ 0.6 is
+    //     guaranteed found — docs keep only the |d|−ceil(0.95|d|)+1
+    //     rarest tokens (global (df, token) order), a J ≥ t pair MUST
+    //     collide inside those prefixes, and survivors verify on the
+    //     full bounded token arrays in integer math. 0.95 is the
+    //     near-copy threshold; this fixture's small synthetic vocab
+    //     makes everything overlap somewhat, so lower thresholds match
+    //     half the corpus against itself. ---
+    "d64_prefix_jaccard" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        thresholdPct = 95)
     }
   )
 
@@ -1555,6 +1570,38 @@ object TextQueries {
               // sum(cnt) AS BIGINT) AS majority_permille,
             count(CASE WHEN guess <> 'und' THEN 1 END) >= 2 AS is_mixed
           FROM pl GROUP BY doc_id"""
-    }
+    },
+
+    // Mirror of d64: the same global (df, token) rarity order, the
+    // same prefix length |d| − ceil(0.95·|d|) + 1 (rn over the rarity
+    // order), the same prefix-postings self-join and the same integer
+    // verification over full token sets.
+    "d64_prefix_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id AS id,
+                         unnest(list_distinct($duckToks)) AS token
+                       FROM documents),
+          dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+          ord AS (SELECT t.id, t.token,
+                    row_number() OVER (PARTITION BY t.id
+                      ORDER BY d.df, t.token) AS rn,
+                    count(*) OVER (PARTITION BY t.id) AS n
+                  FROM tok t JOIN dfr d USING (token)),
+          pre AS (SELECT id, token FROM ord
+                  WHERE rn <= n - ((95 * n + 99) // 100) + 1),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM pre a JOIN pre b
+                   ON a.token = b.token AND a.id < b.id),
+          sets AS (SELECT doc_id AS id, list_distinct($duckToks) AS ts
+                   FROM documents),
+          v AS (SELECT c.id_a, c.id_b,
+                  CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_inter,
+                  CAST(len(sa.ts) + len(sb.ts)
+                    - len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_union
+                FROM cand c
+                JOIN sets sa ON sa.id = c.id_a
+                JOIN sets sb ON sb.id = c.id_b)
+          SELECT id_a, id_b, n_inter, n_union,
+            CAST((100 * n_inter) // n_union AS BIGINT) AS jaccard_pct
+          FROM v WHERE 100 * n_inter >= 95 * n_union"""
   )
 }

@@ -599,6 +599,21 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     },
 
+    // --- PageRank over the kNN graph: integer-micro centrality with
+    //     damping 0.85, 5 iterations — the canonical-member /
+    //     seed-selection score over the similarity graph. Every round
+    //     is one src-keyed equi-join + dst-keyed partial aggregate
+    //     (GraphOps.pageRank), ranks localCheckpoint'ed so the plan
+    //     stays linear in rounds; all arithmetic is integer div, so
+    //     the oracle replays all 5 rounds bit-for-bit. ---
+    "v41_pagerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val g = graft.operators.IvfIndex.knnGraph(e, "vec_id", "embedding",
+        ivfCentroids(e, dir), k = 5, nProbe = N_PROBE)
+      graft.operators.GraphOps.pageRank(g, "query_id", "neighbor_id", iters = 5)
+        .select(col("id").as("vec_id"), col("pr_micro"))
+    },
+
     // --- PQ symmetric distance (SDC): queries quantized too, every
     //     code-to-code dot precomputed ONCE into the m·k² index-
     //     metadata table, per-query LUT a row-gather instead of ADC's
@@ -1510,6 +1525,29 @@ object VectorQueries {
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri)
           SELECT vec_id, count(*) AS n_triangles FROM mem GROUP BY 1""",
+
+    // Mirror of v41: the v37 kNN replay as the edge list, then all 5
+    // PageRank rounds unrolled — contribution pr // outdeg, damping
+    // (85·Σin) // 100, base 150000 — every integer op identical to
+    // GraphOps.pageRank's div arithmetic.
+    "v41_pagerank" -> {
+      val step = (k: Int) =>
+        s"""pr$k AS (
+             SELECT n.id,
+               CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes n LEFT JOIN (
+               SELECT ed.dst, SUM(p.pr // o.outdeg) AS in_sum
+               FROM ed JOIN outd o USING (src)
+               JOIN pr${k - 1} p ON p.id = ed.src
+               GROUP BY ed.dst) s ON s.dst = n.id)"""
+      s"""WITH $knnGraphCte,
+          ed AS (SELECT query_id AS src, neighbor_id AS dst FROM knng),
+          nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+          outd AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+          pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+          ${(1 to 5).map(step).mkString(",\n          ")}
+          SELECT id AS vec_id, pr AS pr_micro FROM pr5"""
+    },
 
     // Mirror of v40: the same symmetrize-dedupe over the kNN replay,
     // degree per node, histogram over degrees.

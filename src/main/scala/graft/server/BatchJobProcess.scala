@@ -32,19 +32,36 @@ final class BatchJobBuilder(
     * resource with no --class; fallback: a python3 child — the tag
     * rides as a trailing `--graft.batch.tag=<id>` argv, since python
     * has no -D system properties for the adoption scan to find).
+    *
+    * `extraResources` are staged sidecar artifacts (the reference's
+    * `extraResourcesMap` companions — BatchesResource.scala:199-224):
+    * spark-submit groups them by suffix into `--jars` / `--py-files` /
+    * `--files` (what a real submit carries); the bare-java fallback
+    * appends jar sidecars to the child's classpath; the python3
+    * fallback needs nothing — sidecar .py files sit in the script's
+    * own staging dir, which python puts on sys.path.
     */
   def command(id: String, resource: Path, mainClass: Option[String],
-      args: Seq[String]): Seq[String] = {
+      args: Seq[String], extraResources: Seq[Path] = Nil): Seq[String] = {
     val isPy = resource.toString.endsWith(".py")
+    def group(suffixes: String*): Seq[String] =
+      extraResources.map(_.toString).filter(p => suffixes.exists(p.endsWith))
     sparkHome match {
       case Some(home) =>
         val conf = Map(
           "spark.master" -> master,
           "spark.graft.batch.tag" -> id,
           "spark.ui.enabled" -> "false") ++ sparkConf
+        val jars = group(".jar")
+        val pyFiles = group(".py", ".zip", ".egg")
+        val files = extraResources.map(_.toString)
+          .diff(jars).diff(pyFiles)
         Seq(s"$home/bin/spark-submit") ++
           (if (isPy) Nil else mainClass.toSeq.flatMap(c => Seq("--class", c))) ++
           conf.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") } ++
+          (if (jars.nonEmpty) Seq("--jars", jars.mkString(",")) else Nil) ++
+          (if (pyFiles.nonEmpty) Seq("--py-files", pyFiles.mkString(",")) else Nil) ++
+          (if (files.nonEmpty) Seq("--files", files.mkString(",")) else Nil) ++
           Seq(resource.toString) ++ args
       case None if isPy =>
         Seq("python3", resource.toString) ++ args ++ Seq(s"--graft.batch.tag=$id")
@@ -52,23 +69,59 @@ final class BatchJobBuilder(
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
           .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+        val cp = (Seq(System.getProperty("java.class.path"), resource.toString) ++
+          group(".jar")).mkString(java.io.File.pathSeparator)
         Seq(javaBin) ++ moduleOpts ++ Seq(
           "-Xmx1g", "-Dspark.ui.enabled=false", s"-Dgraft.batch.tag=$id",
-          "-cp", s"${System.getProperty("java.class.path")}" +
-            s"${java.io.File.pathSeparator}${resource}",
+          "-cp", cp,
           mainClass.getOrElse(throw new IllegalArgumentException(
             "classname is a required parameter for SPARK"))) ++ args
     }
   }
 
   /** Launch the batch process. `onTerminal` fires exactly once with
-    * the final state name (FINISHED / ERROR / CANCELED).
+    * the final state name (FINISHED / ERROR / CANCELED). `exitFile`,
+    * when set, wraps the child in a shell that records the real exit
+    * code on termination — the truth a LATER server incarnation reads
+    * when it adopts the process (see [[BatchJob.attach]]).
     */
   def start(id: String, user: String, resource: Path, mainClass: Option[String],
-      args: Seq[String], onTerminal: String => Unit): BatchJob =
+      args: Seq[String], onTerminal: String => Unit,
+      extraResources: Seq[Path] = Nil,
+      exitFile: Option[Path] = None): BatchJob =
     BatchJob.launch(id, user,
       if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK",
-      command(id, resource, mainClass, args), onTerminal)
+      BatchJobBuilder.wrapWithExitFile(
+        command(id, resource, mainClass, args, extraResources), exitFile),
+      onTerminal)
+}
+
+object BatchJobBuilder {
+
+  /** POSIX single-quote an argv element for embedding in `sh -c`. */
+  private[server] def shellQuote(s: String): String =
+    "'" + s.replace("'", "'\\''") + "'"
+
+  /** Wrap a command so its REAL exit code outlives this server: the
+    * child runs under `sh -c '<cmd>; ec=$?; echo $ec > <exitFile>;
+    * exit $ec'`. A restarted server that ADOPTS the surviving process
+    * (no waitFor access for a non-child) reads the file on exit
+    * instead of settling FINISHED blind — a crash-looping adopted
+    * batch now lands in ERROR. The tag stays on BOTH the wrapper's
+    * command line and the inner JVM's; the adoption scan picks the
+    * ROOT tagged process (the wrapper) and kills the whole tree.
+    */
+  private[server] def wrapWithExitFile(cmd: Seq[String],
+      exitFile: Option[Path]): Seq[String] = exitFile match {
+    case None => cmd
+    case Some(f) =>
+      val quoted = cmd.map(shellQuote).mkString(" ")
+      val tmp = shellQuote(f.toString + ".tmp")
+      val fin = shellQuote(f.toString)
+      // write-then-rename so a reader never sees a half-written code
+      Seq("/bin/sh", "-c",
+        s"$quoted; ec=$$?; echo $$ec > $tmp && mv $tmp $fin; exit $$ec")
+  }
 }
 
 /** One running uploaded-resource batch: state machine + incremental
@@ -83,22 +136,33 @@ final class BatchJobBuilder(
   * Two modes: [[BatchJob.launch]] spawns and fully owns a child
   * (stdout drained into the log ring, exit code inspected);
   * [[BatchJob.attach]] adopts a process a PREVIOUS server incarnation
-  * spawned, found by its command-line tag — no stdout or exit code
-  * access for a non-child, so completion settles FINISHED (the
-  * reference's recovered-app monitoring has the same visibility: the
-  * cluster reports the app gone, not its exit status).
+  * spawned, found by its command-line tag — no waitFor access for a
+  * non-child, so the truth comes from the exit FILE the launch
+  * wrapper writes ([[BatchJobBuilder.wrapWithExitFile]]): present →
+  * FINISHED/ERROR by recorded code; absent (pre-wrapper launches, or
+  * a wrapper killed before the write) → FINISHED, the reference's
+  * recovered-app visibility (the cluster reports the app gone, not
+  * its exit status).
   */
 final class BatchJob private (val id: String, val user: String,
     val batchType: String,
-    target: Either[Seq[String], ProcessHandle], onTerminal: String => Unit) {
+    target: Either[Seq[String], ProcessHandle], onTerminal: String => Unit,
+    exitFile: Option[Path] = None) {
 
   @volatile private var state: String = "PENDING"
   @volatile private var canceled = false
   private val log = new ConcurrentLinkedDeque[String]()
   private val logCap = 10000
+  private val terminalLatch = new java.util.concurrent.CountDownLatch(1)
 
   def currentState: String = state
   def isTerminal: Boolean = Set("FINISHED", "ERROR", "CANCELED")(state)
+
+  /** Block until the batch settles (the submitter-queue worker's hold
+    * on its pool slot). True when terminal, false on timeout.
+    */
+  def awaitTerminal(timeoutMs: Long): Boolean =
+    terminalLatch.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   private val proc: Either[Process, ProcessHandle] = target match {
     case Left(cmd) =>
@@ -117,6 +181,7 @@ final class BatchJob private (val id: String, val user: String,
   private def settle(terminal: String): Unit = {
     state = terminal
     try onTerminal(terminal) catch { case _: Throwable => }
+    terminalLatch.countDown()
   }
 
   // Owned child: drain its combined output into the bounded log ring
@@ -141,8 +206,23 @@ final class BatchJob private (val id: String, val user: String,
         else { log.addLast(s"process exited with code $code"); "ERROR" })
     case Right(h) =>
       try h.onExit().join() catch { case _: Throwable => }
-      log.addLast("attached process exited (exit code not observable for a non-child)")
-      settle(if (canceled) "CANCELED" else "FINISHED")
+      // the launch wrapper records the real exit code beside the
+      // staging dir; read it instead of settling FINISHED blind
+      val recorded = exitFile.filter(Files.exists(_)).flatMap { f =>
+        scala.util.Try(new String(Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.US_ASCII).trim.toInt).toOption
+      }
+      recorded match {
+        case Some(0) =>
+          log.addLast("attached process exited with recorded code 0")
+          settle(if (canceled) "CANCELED" else "FINISHED")
+        case Some(c) =>
+          log.addLast(s"attached process exited with recorded code $c")
+          settle(if (canceled) "CANCELED" else "ERROR")
+        case None =>
+          log.addLast("attached process exited (no exit record; code not observable for a non-child)")
+          settle(if (canceled) "CANCELED" else "FINISHED")
+      }
   }, s"graft-batch-$id")
   watcher.setDaemon(true)
   watcher.start()
@@ -162,19 +242,28 @@ final class BatchJob private (val id: String, val user: String,
     out.result()
   }
 
-  /** Kill the batch (reference DELETE /batches/{id}): SIGTERM then
-    * SIGKILL; the watcher settles CANCELED.
+  /** Kill the batch (reference DELETE /batches/{id}): SIGTERM the
+    * whole tree (the exit-file wrapper means the direct child is a
+    * shell whose death alone would ORPHAN the JVM under it), then
+    * SIGKILL survivors; the watcher settles CANCELED.
     */
   def cancel(): Unit = {
     canceled = true
+    import scala.jdk.CollectionConverters._
+    def killTree(h: ProcessHandle, force: Boolean): Unit = {
+      h.descendants().iterator().asScala.foreach(d =>
+        if (force) d.destroyForcibly() else d.destroy())
+      if (force) h.destroyForcibly() else h.destroy()
+    }
     proc match {
       case Left(p) =>
-        p.destroy()
-        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+        killTree(p.toHandle, force = false)
+        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+          killTree(p.toHandle, force = true)
       case Right(h) =>
-        h.destroy()
+        killTree(h, force = false)
         try h.onExit().get(5, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: Throwable => h.destroyForcibly() }
+        catch { case _: Throwable => killTree(h, force = true) }
     }
   }
 }
@@ -187,10 +276,12 @@ object BatchJob {
 
   /** Adopt a live process from a previous server incarnation (found by
     * its `graft.batch.tag`) instead of double-submitting it.
+    * `exitFile` is where that incarnation's launch wrapper records the
+    * child's real exit code.
     */
   def attach(id: String, user: String, batchType: String, handle: ProcessHandle,
-      onTerminal: String => Unit): BatchJob =
-    new BatchJob(id, user, batchType, Right(handle), onTerminal)
+      onTerminal: String => Unit, exitFile: Option[Path] = None): BatchJob =
+    new BatchJob(id, user, batchType, Right(handle), onTerminal, exitFile)
 }
 
 /** Staging helpers for uploaded batch resources. */

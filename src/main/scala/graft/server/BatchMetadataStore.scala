@@ -24,7 +24,8 @@ sealed trait MetadataStoreDialect {
        |  state VARCHAR(32),
        |  created_at BIGINT,
        |  ended_at BIGINT,
-       |  error $textType
+       |  error $textType,
+       |  owner VARCHAR(256)
        |)""".stripMargin
 }
 
@@ -96,7 +97,11 @@ final class BatchMetadataStore(target: String,
 
   final case class BatchRecord(
       id: String, user: String, sql: String, state: String,
-      createdAt: Long, endedAt: Long, error: Option[String])
+      createdAt: Long, endedAt: Long, error: Option[String],
+      // The gateway that OWNS the live side of this batch (its child
+      // process / operation) — the reference's `kyuubi_instance`
+      // column. A non-owning HA gateway forwards GET/DELETE here.
+      owner: Option[String] = None)
 
   private val url: String =
     if (target.startsWith("jdbc:")) target
@@ -123,17 +128,43 @@ final class BatchMetadataStore(target: String,
     if (!exists("BATCHES") && !exists("batches")) {
       val st = conn.createStatement()
       try st.executeUpdate(dialect.createTableDdl) finally st.close()
+    } else {
+      // pre-owner stores (earlier incarnations of this schema) migrate
+      // in place; Derby upper-cases unquoted identifiers
+      def hasColumn(table: String, col: String): Boolean = {
+        val rs = conn.getMetaData.getColumns(null, null, table, col)
+        try rs.next() finally rs.close()
+      }
+      if (!hasColumn("BATCHES", "OWNER") && !hasColumn("batches", "owner")) {
+        val st = conn.createStatement()
+        try st.executeUpdate("ALTER TABLE batches ADD COLUMN owner VARCHAR(256)")
+        finally st.close()
+      }
     }
   }
 
-  def insert(id: String, user: String, sql: String, state: String): Unit = synchronized {
+  def insert(id: String, user: String, sql: String, state: String,
+      owner: Option[String] = None): Unit = synchronized {
     val ps = conn.prepareStatement(
-      "INSERT INTO batches (id, usr, sqltext, state, created_at, ended_at, error) VALUES (?,?,?,?,?,0,NULL)")
+      "INSERT INTO batches (id, usr, sqltext, state, created_at, ended_at, error, owner) VALUES (?,?,?,?,?,0,NULL,?)")
     try {
       ps.setString(1, id); ps.setString(2, user); ps.setString(3, sql)
       ps.setString(4, state); ps.setLong(5, System.currentTimeMillis())
+      owner match {
+        case Some(o) => ps.setString(6, o)
+        case None => ps.setNull(6, java.sql.Types.VARCHAR)
+      }
       ps.executeUpdate()
     } finally ps.close()
+  }
+
+  /** Re-own a batch (recovery/adoption by a new incarnation, or the
+    * reference's admin reassign verb).
+    */
+  def updateOwner(id: String, owner: String): Unit = synchronized {
+    val ps = conn.prepareStatement("UPDATE batches SET owner = ? WHERE id = ?")
+    try { ps.setString(1, owner); ps.setString(2, id); ps.executeUpdate() }
+    finally ps.close()
   }
 
   // engine OperationState vocabulary (OperationState.scala)
@@ -166,14 +197,20 @@ final class BatchMetadataStore(target: String,
     } finally ps.close()
   }
 
-  /** All persisted batches, newest first (admin listing —
-    * reference BatchesResource GET /batches pagination source).
+  /** Persisted batches, newest first (admin listing — reference
+    * BatchesResource GET /batches pagination source). `createdAfter`
+    * bounds the scan by create time (the reference's
+    * METADATA_SEARCH_WINDOW, BatchesResource.scala:70): on a years-old
+    * store the listing reads only the recent window instead of the
+    * whole table. 0 = unbounded.
     */
-  def list(limit: Int = 100): Seq[BatchRecord] = synchronized {
+  def list(limit: Int = 100, createdAfter: Long = 0L): Seq[BatchRecord] = synchronized {
     val ps = conn.prepareStatement(
-      s"SELECT * FROM batches ORDER BY created_at DESC ${dialect.limitClause}")
+      s"SELECT * FROM batches WHERE created_at >= ? " +
+        s"ORDER BY created_at DESC ${dialect.limitClause}")
     try {
-      ps.setInt(1, limit)
+      ps.setLong(1, createdAfter)
+      ps.setInt(2, limit)
       val rs = ps.executeQuery()
       val buf = scala.collection.mutable.ArrayBuffer.empty[BatchRecord]
       while (rs.next()) buf += record(rs)
@@ -207,7 +244,15 @@ final class BatchMetadataStore(target: String,
     * (ended_at = 0) are never touched — recovery still finds them.
     * Returns the number of records purged.
     */
-  def purgeTerminal(maxAgeMs: Long, limit: Int = 1000): Int = synchronized {
+  def purgeTerminal(maxAgeMs: Long, limit: Int = 1000): Int =
+    purgeTerminalIds(maxAgeMs, limit).size
+
+  /** [[purgeTerminal]] returning the purged ids, so the caller can
+    * expire the per-batch artifacts keyed by them (staging dirs, exit
+    * records — the reference's TempFileService ties uploaded-file
+    * lifetime to the session the same way).
+    */
+  def purgeTerminalIds(maxAgeMs: Long, limit: Int = 1000): Seq[String] = synchronized {
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val sel = conn.prepareStatement(
       s"SELECT id FROM batches WHERE ended_at > 0 AND ended_at < ? " +
@@ -226,23 +271,42 @@ final class BatchMetadataStore(target: String,
       try ids.foreach { id => del.setString(1, id); del.addBatch() }
       finally { try del.executeBatch() finally del.close() }
     }
-    ids.size
+    ids
   }
 
   private def record(rs: java.sql.ResultSet): BatchRecord =
     BatchRecord(rs.getString("id"), rs.getString("usr"), rs.getString("sqltext"),
       rs.getString("state"), rs.getLong("created_at"), rs.getLong("ended_at"),
-      Option(rs.getString("error")))
+      Option(rs.getString("error")), Option(rs.getString("owner")))
+
+  // count this store against the shared embedded engine (see close())
+  BatchMetadataStore.retain(url)
 
   override def close(): Unit = synchronized {
     try conn.close() catch { case _: Throwable => }
     // embedded Derby: shut down just this database so another store (a
-    // restarted frontend) can reopen it; server-backed URLs need no
-    // shutdown handshake
-    if (dialect == MetadataStoreDialect.Derby) {
+    // restarted frontend) can reopen it — but ONLY when this was the
+    // last open store on the URL. Two HA gateways in one JVM share one
+    // booted Derby database; the first to stop must not yank it from
+    // under the survivor. Server-backed URLs need no handshake.
+    if (dialect == MetadataStoreDialect.Derby &&
+        BatchMetadataStore.release(url)) {
       val base = url.takeWhile(_ != ';')
       try DriverManager.getConnection(s"$base;shutdown=true")
       catch { case _: java.sql.SQLException => } // XJ015/08006: normal shutdown
     }
   }
+}
+
+object BatchMetadataStore {
+  private val openCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private def retain(url: String): Unit =
+    openCounts.computeIfAbsent(url,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+
+  /** True when the caller was the LAST open store on `url`. */
+  private def release(url: String): Boolean =
+    Option(openCounts.get(url)).forall(_.decrementAndGet() <= 0)
 }

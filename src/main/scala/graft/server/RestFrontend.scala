@@ -69,8 +69,30 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     // BATCH_RESOURCE_FILE_MAX_SIZE caps it — 0 = uncapped).
     resourceUploadEnabled: Boolean = true,
     resourceFileMaxSize: Long = 0,
+    // Per-file cap on extra (sidecar) resource uploads — the
+    // reference's BATCH_EXTRA_RESOURCE_FILE_MAX_SIZE
+    // (BatchesResource.scala:69). 0 = uncapped.
+    extraResourceFileMaxSize: Long = 0,
     batchStagingDir: Option[String] = None,
-    batchJobBuilder: BatchJobBuilder = new BatchJobBuilder()) {
+    batchJobBuilder: BatchJobBuilder = new BatchJobBuilder(),
+    // Batch v2 submitter (reference BATCH_SUBMITTER_ENABLED /
+    // BATCH_IMPL_VERSION=2 + KyuubiBatchService): uploaded-resource
+    // submits are accepted as PENDING store records and drained by a
+    // bounded worker pool, so a burst of N submits spawns at most
+    // `batchSubmitterPoolSize` child JVMs with the rest queued —
+    // instead of forking N spark-submits at once.
+    batchSubmitterEnabled: Boolean = false,
+    batchSubmitterPoolSize: Int = 2,
+    batchSubmitterQueueSize: Int = 256,
+    // Bound the GET /batches store scan by create time (reference
+    // METADATA_SEARCH_WINDOW, BatchesResource.scala:70): a years-old
+    // store must not make every listing a full-table read. 0 = off.
+    metadataSearchWindowMs: Long = 0,
+    // How OTHER gateways reach this one (reference `kyuubi_instance`):
+    // recorded as the owner of every batch this gateway starts, so a
+    // non-owning HA gateway sharing the store can forward GET/DELETE
+    // to the gateway that holds the live child process.
+    advertisedHost: String = "localhost") {
 
   require(adminUsers.isEmpty || restAuth.isDefined,
     "adminUsers requires a configured restAuth provider: admin verbs " +
@@ -94,6 +116,61 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private val stagingDir: java.nio.file.Path = java.nio.file.Paths.get(
     batchStagingDir.orElse(batchStoreDir.map(_ + "/uploads"))
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-batch-uploads"))
+
+  /** Where the launch wrapper records batch `id`'s real exit code —
+    * derivable from the id alone, so a restarted incarnation can read
+    * the truth for a process it never owned.
+    */
+  private def batchExitFile(id: String): java.nio.file.Path =
+    stagingDir.resolve(s"$id.exit")
+
+  // ---- batch v2 submitter queue (reference KyuubiBatchService) ----
+  private final case class PendingSubmit(id: String, user: String,
+      resource: java.nio.file.Path, mainClass: Option[String],
+      args: Seq[String], extras: Seq[java.nio.file.Path], batchType: String,
+      canceled: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false))
+  private val pendingBatches = new ConcurrentHashMap[String, PendingSubmit]()
+  private val submitQueue =
+    new java.util.concurrent.LinkedBlockingQueue[PendingSubmit](
+      math.max(1, batchSubmitterQueueSize))
+
+  // Worker pool draining PENDING submits: each worker launches ONE
+  // child and HOLDS its slot until the child settles, so live children
+  // never exceed the pool size. A submit canceled while queued is
+  // skipped (its store record is already CANCELED).
+  private val submitterThreads: Seq[Thread] =
+    if (!batchSubmitterEnabled) Nil
+    else (1 to math.max(1, batchSubmitterPoolSize)).map { i =>
+      val t = new Thread(() => {
+        try while (true) {
+          val p = submitQueue.take()
+          if (!p.canceled.get()) {
+            try {
+              val job = startResourceBatch(p.id, p.user, p.resource,
+                p.mainClass, p.args, insertRecord = false,
+                extraResources = p.extras)
+              pendingBatches.remove(p.id)
+              // hold this worker (= this pool slot) until the child is
+              // gone; the bound is the WORKER count, not a counter
+              while (!job.awaitTerminal(60000)) ()
+            } catch {
+              // a server stop() interrupt is NOT a launch failure —
+              // let it unwind the worker without marking the batch
+              case ie: InterruptedException => throw ie
+              case e: Throwable =>
+                pendingBatches.remove(p.id)
+                store.foreach(_.updateState(p.id, "ERROR",
+                  Some(String.valueOf(e.getMessage))))
+                releaseBatchSlot(p.id)
+            }
+          } else pendingBatches.remove(p.id)
+        } catch { case _: InterruptedException => () }
+      }, s"graft-batch-submitter-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
 
   // Mirror every tracked batch operation's state transitions into the
   // metadata store, so the persisted state is current when we die.
@@ -187,6 +264,47 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   Events.register(sessionCloseListener)
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** This gateway's address as recorded in batch ownership (the socket
+    * binds at construction, so the real port is known even for
+    * port = 0).
+    */
+  private def selfUrl: String = s"http://$advertisedHost:${server.getAddress.getPort}"
+
+  private def terminalStateName(s: String): Boolean =
+    OperationState.all.exists(st => st.name == s && st.terminal)
+
+  // Internal gateway-to-gateway client (the reference's
+  // InternalRestClient, BatchesResource.scala:78-90): short timeouts —
+  // a dead owner must fail fast into the store-only fallback.
+  private lazy val internalClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(2)).build()
+
+  /** True when another gateway answers its /ping. */
+  private def gatewayAlive(url: String): Boolean =
+    try {
+      val r = internalClient.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$url/api/v1/ping"))
+          .timeout(java.time.Duration.ofSeconds(2)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      r.statusCode() == 200
+    } catch { case _: Throwable => false }
+
+  /** Forward a GET/DELETE to the owning gateway; None when it cannot
+    * be reached (the caller falls back to the store / local kill).
+    */
+  private def forwardToOwner(owner: String, method: String,
+      pathAndQuery: String): Option[(Int, String)] =
+    try {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"$owner/api/v1/$pathAndQuery"))
+        .timeout(java.time.Duration.ofSeconds(15))
+      val req = (if (method == "DELETE") b.DELETE() else b.GET()).build()
+      val r = internalClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      Some((r.statusCode(), r.body()))
+    } catch { case _: Throwable => None }
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/api/v1/", handle _)
   server.createContext("/v1/statement", handleTrino _)
@@ -364,25 +482,30 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     */
   private def startResourceBatch(id: String, user: String,
       resource: java.nio.file.Path, mainClass: Option[String],
-      args: Seq[String], insertRecord: Boolean): BatchJob = {
+      args: Seq[String], insertRecord: Boolean,
+      extraResources: Seq[java.nio.file.Path] = Nil): BatchJob = {
     val batchType = if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK"
     val descriptor =
       s"""{"resourceBatch": true, "batchType": ${q(batchType)}, """ +
         s""""resource": ${q(resource.toString)}""" +
         mainClass.map(c => s""", "mainClass": ${q(c)}""").getOrElse("") +
-        s""", "args": [${args.map(q).mkString(",")}]}"""
+        s""", "args": [${args.map(q).mkString(",")}]""" +
+        (if (extraResources.isEmpty) "" else
+          s""", "extraResources": [${
+            extraResources.map(p => q(p.toString)).mkString(",")}]""") + "}"
     batchSlotUsers.put(id, user)
     try store.foreach { s =>
-      if (insertRecord) s.insert(id, user, descriptor, "RUNNING")
-      else s.updateState(id, "RUNNING", None)
+      if (insertRecord) s.insert(id, user, descriptor, "RUNNING", Some(selfUrl))
+      else { s.updateState(id, "RUNNING", None); s.updateOwner(id, selfUrl) }
     } catch { case e: Throwable =>
       batchSlotUsers.remove(id) // caller's decrement is the single release
       throw e
     }
+    java.nio.file.Files.createDirectories(stagingDir)
     val job = batchJobBuilder.start(id, user, resource, mainClass, args, terminal => {
       store.foreach(_.updateState(id, terminal, None))
       releaseBatchSlot(id)
-    })
+    }, extraResources = extraResources, exitFile = Some(batchExitFile(id)))
     procBatches.put(id, job)
     // the child can exit before the callback saw a registered slot
     // entry — release here too; idempotent via the map remove
@@ -440,6 +563,34 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         s"maximum size limit $resourceFileMaxSize bytes")}}""")
       return
     }
+    // Extra (sidecar) resources — the reference's extraResourcesMap
+    // (BatchesResource.scala:199-224): the batchRequest names the
+    // sidecar files (comma-separated per entry); each must arrive as
+    // its own multipart file part, each under the extra-resource size
+    // cap. Validation happens BEFORE anything is staged, so an over-
+    // cap or missing sidecar leaves no partial batch dir behind.
+    val extraNames = jsonStringMap(reqJson, "extraResourcesMap").values
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSeq.distinct
+    def extraPart(n: String): Option[BatchUpload.Part] =
+      parts.find(p => (p.name == n || p.filename.contains(n)) &&
+        p.filename.exists(_.nonEmpty) && p.name != "resourceFile")
+    val missingExtras = extraNames.filter(extraPart(_).isEmpty)
+    if (missingExtras.nonEmpty) {
+      reply(ex, 400, s"""{"error": ${q(s"required extra resource files " +
+        s"[${missingExtras.sorted.mkString(",")}] are not uploaded in the " +
+        "multipart form data")}}""")
+      return
+    }
+    val extraParts = extraNames.map(n => n -> extraPart(n).get)
+    extraParts.find { case (_, p) =>
+      extraResourceFileMaxSize > 0 && p.data.length > extraResourceFileMaxSize
+    } match {
+      case Some((n, _)) =>
+        reply(ex, 413, s"""{"error": ${q(s"Extra resource file $n exceeds the " +
+          s"maximum size limit $extraResourceFileMaxSize bytes")}}""")
+        return
+      case None => ()
+    }
     val user = field(reqJson, "user").getOrElse("batch")
     val args = jsonStringArray(reqJson, "args")
     if (!claimBatchSlot(user)) {
@@ -450,10 +601,41 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     val id = java.util.UUID.randomUUID().toString
     try {
       val staged = BatchUpload.stage(stagingDir, id, fileName, filePart.data)
-      val job = startResourceBatch(id, user, staged, mainClass, args, insertRecord = true)
-      val st = job.currentState
-      reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
-        ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
+      val extras = extraParts.map { case (n, p) =>
+        BatchUpload.stage(stagingDir, id, p.filename.getOrElse(n), p.data)
+      }
+      if (batchSubmitterEnabled) {
+        // v2 path: accept as PENDING; a submitter worker launches it
+        // when a pool slot frees up
+        val pending = PendingSubmit(id, user, staged, mainClass, args,
+          extras, batchType)
+        val descriptor =
+          s"""{"resourceBatch": true, "batchType": ${q(batchType)}, """ +
+            s""""resource": ${q(staged.toString)}""" +
+            mainClass.map(cn => s""", "mainClass": ${q(cn)}""").getOrElse("") +
+            s""", "args": [${args.map(q).mkString(",")}]""" +
+            (if (extras.isEmpty) "" else s""", "extraResources": [${
+              extras.map(p => q(p.toString)).mkString(",")}]""") + "}"
+        batchSlotUsers.put(id, user)
+        store.foreach(_.insert(id, user, descriptor, "PENDING", Some(selfUrl)))
+        pendingBatches.put(id, pending)
+        if (!submitQueue.offer(pending)) {
+          pendingBatches.remove(id)
+          store.foreach(_.updateState(id, "ERROR",
+            Some("batch submitter queue is full")))
+          releaseBatchSlot(id)
+          reply(ex, 429, """{"error": "batch submitter queue is full"}""")
+        } else {
+          reply(ex, 200, s"""{"id": ${q(id)}, "state": "PENDING", """ +
+            s""""appState": "PENDING", "batchType": ${q(batchType)}}""")
+        }
+      } else {
+        val job = startResourceBatch(id, user, staged, mainClass, args,
+          insertRecord = true, extraResources = extras)
+        val st = job.currentState
+        reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
+          ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
+      }
     } catch { case e: Throwable =>
       Option(liveBatchCounts.get(user)).foreach(_.decrementAndGet())
       batchSlotUsers.remove(id)
@@ -475,8 +657,8 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     batches.put(id, (sess, op))
     batchSlotUsers.put(id, user)
     try store.foreach { s =>
-      if (fixedId.isEmpty) s.insert(id, user, sql, op.currentState.toString)
-      else s.updateState(id, op.currentState.toString, None)
+      if (fixedId.isEmpty) s.insert(id, user, sql, op.currentState.toString, Some(selfUrl))
+      else { s.updateState(id, op.currentState.toString, None); s.updateOwner(id, selfUrl) }
     } catch { case e: Throwable =>
       // store failure after registration: disown the slot entry so the
       // caller's catch-side decrement is the single release
@@ -495,6 +677,12 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   // their still-staged artifact; a missing artifact is a terminal
   // ERROR, not a crash loop.
   store.foreach(_.unfinished().foreach { rec =>
+    // HA: a record owned by ANOTHER gateway that is still alive is not
+    // ours to recover — the owner holds the live child (the reference
+    // recovers only its own kyuubi_instance rows; reassignment of a
+    // dead peer's batches is this same loop finding the owner dead).
+    val foreignLiveOwner = rec.owner.exists(o => o != selfUrl && gatewayAlive(o))
+    if (!foreignLiveOwner) {
     claimBatchSlot(rec.user, enforce = false) // recovered batches occupy slots
     try {
       if (rec.sql.contains("\"resourceBatch\": true")) {
@@ -505,11 +693,12 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         RestFrontend.findBatchProcessByTag(rec.id) match {
           case Some(handle) =>
             batchSlotUsers.put(rec.id, rec.user)
+            store.foreach(_.updateOwner(rec.id, selfUrl)) // adoption re-owns
             procBatches.put(rec.id, BatchJob.attach(rec.id, rec.user,
               field(rec.sql, "batchType").getOrElse("SPARK"), handle, terminal => {
                 store.foreach(_.updateState(rec.id, terminal, None))
                 releaseBatchSlot(rec.id)
-              }))
+              }, exitFile = Some(batchExitFile(rec.id))))
           case None =>
             val resource = field(rec.sql, "resource").map(java.nio.file.Paths.get(_))
               .filter(java.nio.file.Files.exists(_))
@@ -517,12 +706,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
                 "staged resource file is gone; cannot recover the batch"))
             startResourceBatch(rec.id, rec.user, resource,
               field(rec.sql, "mainClass"), jsonStringArray(rec.sql, "args"),
-              insertRecord = false)
+              insertRecord = false,
+              extraResources = jsonStringArray(rec.sql, "extraResources")
+                .map(java.nio.file.Paths.get(_))
+                .filter(java.nio.file.Files.exists(_)))
         }
       } else submitBatch(rec.user, rec.sql, Some(rec.id))
     } catch { case e: Throwable =>
       Option(liveBatchCounts.get(rec.user)).foreach(_.decrementAndGet())
       store.foreach(_.updateState(rec.id, "ERROR", Some(String.valueOf(e.getMessage))))
+    }
     }
   })
 
@@ -545,14 +738,29 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     } else None
 
   /** One cleaner pass (the scheduler's tick; public-to-tests so the
-    * purge is drivable without waiting out the interval).
+    * purge is drivable without waiting out the interval). A purged
+    * record's per-batch artifacts — the staged upload dir and the exit
+    * record — expire WITH it (the reference ties uploaded-file
+    * lifetime to the session through its TempFileService the same
+    * way); without this the staging dir grows one orphan dir per
+    * batch forever.
     */
-  private[server] def runMetadataCleanerOnce(): Int =
-    store.map(_.purgeTerminal(metadataMaxAgeMs)).getOrElse(0)
+  private[server] def runMetadataCleanerOnce(): Int = {
+    val ids = store.map(_.purgeTerminalIds(metadataMaxAgeMs)).getOrElse(Nil)
+    ids.foreach { id =>
+      try {
+        val dir = stagingDir.resolve(id).toFile
+        if (dir.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        java.nio.file.Files.deleteIfExists(batchExitFile(id))
+      } catch { case _: Throwable => () } // best-effort; next tick retries nothing (record gone) but orphans are inert
+    }
+    ids.size
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = {
     metadataCleaner.foreach(_.shutdownNow())
+    submitterThreads.foreach(_.interrupt())
     server.stop(0)
     Events.unregister(metrics)
     Events.unregister(eventLog)
@@ -573,6 +781,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/").split("/").filter(_.nonEmpty)
     val method = ex.getRequestMethod
     (method, path.toList) match {
+      // liveness probe for HA peers (the owner-alive check behind
+      // cross-gateway batch forwarding) and load balancers
+      case ("GET", "ping" :: Nil) =>
+        reply(ex, 200, s"""{"status": "ok", "instance": ${q(selfUrl)}}""")
+
       case ("POST", "sessions" :: Nil) =>
         val user = field(body(ex), "user").getOrElse("anonymous")
         val sess = engine.openSession(user)
@@ -668,9 +881,28 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             val st = job.currentState
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
               ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
+          case None if pendingBatches.containsKey(id) =>
+            // accepted by the v2 submitter, not yet launched
+            val p = pendingBatches.get(id)
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": "PENDING", """ +
+              s""""appState": "PENDING", "batchType": ${q(p.batchType)}}""")
           case None => store.flatMap(_.get(id)) match {
-            // not live in this process — serve the persisted state
-            // (a terminal batch from a previous server incarnation)
+            // not live in this process: a batch owned by ANOTHER live
+            // gateway is forwarded to its owner (reference
+            // InternalRestClient redirect, BatchesResource.scala:
+            // 378-383) — the owner's answer carries the LIVE state;
+            // an unreachable owner falls back to the persisted state
+            case Some(rec) if rec.owner.exists(_ != selfUrl) &&
+                !terminalStateName(rec.state) =>
+              forwardToOwner(rec.owner.get, "GET", s"batches/$id") match {
+                case Some((code, respBody)) => reply(ex, code, respBody)
+                case None =>
+                  val err = rec.error.map(e => s""", "error": ${q(e)}""").getOrElse("")
+                  reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "appState": ${q(
+                    ApplicationState.fromOperationStateName(rec.state).toString)}, "restored": true$err}""")
+              }
+            // terminal or self-owned: serve the persisted state (a
+            // batch from a previous server incarnation)
             case Some(rec) =>
               val err = rec.error.map(e => s""", "error": ${q(e)}""").getOrElse("")
               reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "appState": ${q(
@@ -762,7 +994,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           liveRows(id) = (job.user, job.currentState,
             s"""{"id": ${q(id)}, "user": ${q(job.user)}, "state": ${q(job.currentState)}, "batchType": ${q(job.batchType)}}""")
         }
-        val stored = store.toSeq.flatMap(_.list()).filterNot(r => liveRows.contains(r.id))
+        pendingBatches.forEach { (id, p) =>
+          if (!liveRows.contains(id))
+            liveRows(id) = (p.user, "PENDING",
+              s"""{"id": ${q(id)}, "user": ${q(p.user)}, "state": "PENDING", "batchType": ${q(p.batchType)}}""")
+        }
+        val createdAfter =
+          if (metadataSearchWindowMs > 0)
+            System.currentTimeMillis() - metadataSearchWindowMs
+          else 0L
+        val stored = store.toSeq.flatMap(_.list(createdAfter = createdAfter))
+          .filterNot(r => liveRows.contains(r.id))
           .map(r => (r.user, r.state,
             s"""{"id": ${q(r.id)}, "user": ${q(r.user)}, "state": ${q(r.state)}, "restored": true}"""))
         val wantUser = queryParam(ex, "batchUser")
@@ -792,7 +1034,41 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             // terminal state + store mirror + slot release settle
             // through the job's own drainer callback
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
-          case None => reply(ex, 404, """{"error": "no such batch"}""")
+          case None if pendingBatches.containsKey(id) =>
+            // still queued: flag it so the submitter worker skips it,
+            // settle the record CANCELED, free the slot — no child was
+            // ever spawned
+            val p = pendingBatches.get(id)
+            p.canceled.set(true)
+            pendingBatches.remove(id)
+            store.foreach(_.updateState(id, "CANCELED", None))
+            releaseBatchSlot(id)
+            reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED"}""")
+          case None => store.flatMap(_.get(id)) match {
+            // owned by ANOTHER gateway: forward the kill to the owner
+            // (reference InternalRestClient, BatchesResource.scala:
+            // 555-562) — the owner holds the live child process. An
+            // unreachable owner degrades to the local tag-kill (our
+            // applicationManager.killApplication equivalent: on this
+            // host the tagged tree IS the cluster app).
+            case Some(rec) if rec.owner.exists(_ != selfUrl) &&
+                !terminalStateName(rec.state) =>
+              forwardToOwner(rec.owner.get, "DELETE", s"batches/$id") match {
+                case Some((code, respBody)) => reply(ex, code, respBody)
+                case None =>
+                  RestFrontend.findBatchProcessByTag(id).foreach { h =>
+                    h.descendants().iterator().asScala.foreach(_.destroy())
+                    h.destroy()
+                  }
+                  store.foreach(_.updateState(id, "CANCELED", None))
+                  reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED", "ownerUnreachable": true}""")
+              }
+            case Some(rec) =>
+              // self-owned but not live here (already terminal, or a
+              // record whose process died with a prior incarnation)
+              reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "restored": true}""")
+            case None => reply(ex, 404, """{"error": "no such batch"}""")
+          }
         }
 
       // Recent event history (newest first) — the reference web-ui's
@@ -1374,6 +1650,27 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     }
   }
 
+  /** `"key": {"a": "x", "b": "y"}` — flat string-to-string object,
+    * same escape rules as [[field]] (the batchRequest
+    * `extraResourcesMap` shape).
+    */
+  private def jsonStringMap(json: String, key: String): Map[String, String] = {
+    val obj = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\\{((?:[^}\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\}")
+      .matcher(json)
+    if (!obj.find()) Map.empty
+    else {
+      val pair = java.util.regex.Pattern
+        .compile("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+        .matcher(obj.group(1))
+      val out = Map.newBuilder[String, String]
+      def unesc(s: String) =
+        s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+      while (pair.find()) out += unesc(pair.group(1)) -> unesc(pair.group(2))
+      out.result()
+    }
+  }
+
   private def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -1402,9 +1699,15 @@ object RestFrontend {
   private[server] def findBatchProcessByTag(id: String): Option[ProcessHandle] = {
     import scala.jdk.CollectionConverters._
     val tag = s"graft.batch.tag=$id"
+    def tagged(h: ProcessHandle): Boolean =
+      h.isAlive && h.info().commandLine().map[Boolean](_.contains(tag)).orElse(false)
+    // the exit-file wrapper means TWO live processes legitimately carry
+    // the tag (the sh wrapper and the JVM under it); adoption wants the
+    // ROOT of that tree — the one whose parent is untagged — so kill
+    // and exit-truth both act on the whole launch
     ProcessHandle.allProcesses().iterator().asScala.find { h =>
-      h.pid() != ProcessHandle.current().pid() && h.isAlive &&
-        h.info().commandLine().map[Boolean](_.contains(tag)).orElse(false)
+      h.pid() != ProcessHandle.current().pid() && tagged(h) &&
+        !h.parent().map[Boolean](tagged(_)).orElse(false)
     }
   }
 

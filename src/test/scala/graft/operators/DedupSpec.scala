@@ -226,6 +226,63 @@ class DedupSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("pageRank: integer recurrence hand-computed, high-indegree node ranks first") {
+    import spark.implicits._
+    // 1→2, 2→1, 2→3, 3→1: outdeg 1:1, 2:2, 3:1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val zero = GraphOps.pageRank(edges, "s", "d", iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // one round: in(1) = pr(2) div 2 + pr(3) div 1 = 1,500,000;
+    // in(2) = 1,000,000; in(3) = 500,000; pr' = 150000 + 85·in div 100
+    val one = GraphOps.pageRank(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1425000L, 2L -> 1000000L, 3L -> 575000L), one)
+    // after 5 rounds the half-fed node is strictly last (nodes 1 and 2
+    // trade the lead on this 3-cycle — tiny cycles oscillate; node 3
+    // receives only half of 2's mass and never catches up)
+    val five = GraphOps.pageRank(edges, "s", "d", iters = 5)
+      .orderBy(org.apache.spark.sql.functions.col("pr_micro").desc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(five.last == 3L, five.toString)
+    // deterministic across runs (pure integer arithmetic)
+    val again = GraphOps.pageRank(edges, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == GraphOps.pageRank(edges, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("prefixJaccardPairs finds EXACTLY the brute-force threshold pairs (lossless filter)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // overlapping token sets around the 0.6 boundary plus unrelated
+    // docs; the prefix filter must lose nothing the brute force finds
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),      // J(1,2) = 4/6 = 0.667
+      (3L, "alpha beta gamma delta epsilon"),   // exact dup of 1
+      (4L, "omega psi chi phi"),
+      (5L, "omega psi chi phi upsilon tau"),    // J(4,5) = 4/6 = 0.667
+      (6L, "unrelated words entirely here"),
+      (7L, "alpha zeta"),                       // small overlaps below t
+      (8L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", thresholdPct = 60)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs
+    val sets = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      uni = sets(a).union(sets(b)).size
+      if inter * 100 >= uni * 60
+    } yield (a, b)).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((4L, 5L)), "fixture must exercise boundary pairs")
+  }
+
   test("gramNovelty credits each gram's first owner (min id) exactly once") {
     import spark.implicits._
     val docs = Seq(

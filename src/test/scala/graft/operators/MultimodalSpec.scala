@@ -178,9 +178,32 @@ class MultimodalSpec extends AnyFunSuite {
     val (cSym, _, _) = Multimodal.wavQualityFeatures(
       Array[Short](-32513, -32512, 32511, 32512, -32768, 32767))
     assert(cSym == 4L, s"symmetric near-rail clipping: $cSym")
+  }
 
-    // distributed path: null row for non-WAV, exact row for WAV
+  test("silence segments: runs, longest and total hand-computed; distributed twin agrees") {
+    // |amp| < 2048 is silent: [0, 100] | 3000 | [-5, 2047] | -2048 | [0]
+    val samples = Array[Short](0, 100, 3000, -5, 2047, -2048, 0)
+    val (nSilent, nRuns, longest) = Multimodal.wavSilenceFeatures(samples)
+    assert(nSilent == 5L && nRuns == 3L && longest == 2L,
+      s"($nSilent, $nRuns, $longest)")
+    // all-silent and all-loud edges
+    assert(Multimodal.wavSilenceFeatures(Array[Short](0, 0, 0)) == ((3L, 1L, 3L)))
+    assert(Multimodal.wavSilenceFeatures(Array[Short](9000, -9000)) == ((0L, 0L, 0L)))
+
+    // distributed path over a synthWav payload: byte b → amp (b-128)*256,
+    // so bytes 121..135 are the silent window
     import spark.implicits._
+    val silPayload = bin(128, 121, 200, 135, 120, 128)
+    // amps: 0, -1792, 18432, 1792, -2048, 0 → runs [0,-1792], [1792], [0]
+    val sdf = Seq((1L, Multimodal.synthWav(silPayload))).toDF("id", "content")
+    val row = Multimodal.decodeWavToSilence(sdf, "id", "content").collect().head
+    assert(row.getLong(1) == 6L && row.getLong(2) == 4L &&
+      row.getLong(3) == 3L && row.getLong(4) == 2L, row.toString)
+  }
+
+  test("wav quality distributed path: null row for non-WAV, exact row for WAV") {
+    import spark.implicits._
+    val payload = bin(0, 255, 128, 100, 200, 100, 200)
     val wavUdf = udf((b: Array[Byte]) => Multimodal.synthWav(b))
     val df = Seq((1L, payload), (2L, "not audio".getBytes))
       .toDF("id", "raw")

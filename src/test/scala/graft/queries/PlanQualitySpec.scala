@@ -67,6 +67,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eval grams must broadcast — corpus side must not shuffle for the join:\n${plan.take(600)}")
   }
 
+  test("d64: prefix-join is equi, verification bounded — no product join, no window") {
+    val plan = planOf(TextQueries.queries("d64_prefix_jaccard")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must candidate via a token equi-join:\n${plan.take(600)}")
+    // the per-doc prefix comes from a bounded collect+sort+slice
+    // aggregate, not a per-token window sort
+    assert(!plan.contains("Window"),
+      s"prefix selection must not be a window:\n${plan.take(600)}")
+  }
+
+  test("v41: pagerank plan stays bounded across iterations (checkpointed rounds)") {
+    val df = VectorQueries.queries("v41_pagerank")(spark, dir)
+    df.collect()
+    // localCheckpoint per round: the final plan must hang off scan of
+    // the LAST round's checkpoint, not compose all 5 joins
+    val plan = df.queryExecution.optimizedPlan.toString
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins <= 2, s"expected a checkpoint-rooted plan, got $joins joins:\n${plan.take(800)}")
+  }
+
   test("d29: span dedup aggregates first-occurrences, no window, no product join") {
     val plan = planOf(TextQueries.queries("d29_span_dedup")(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -104,11 +104,75 @@ class BatchMetadataStoreSpec extends AnyFunSuite {
       } finally seed.close()
     }
     Thread.sleep(20)
+    // the purged batch's staged artifacts must expire WITH its record
+    val staged = java.nio.file.Paths.get(dir, "uploads", "ancient")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("app.jar"), Array[Byte](1, 2, 3))
+    val exitRec = java.nio.file.Paths.get(dir, "uploads", "ancient.exit")
+    java.nio.file.Files.write(exitRec, "0".getBytes)
     val front = new RestFrontend(new graft.core.Engine(spark), port = 0,
       batchStoreDir = Some(dir), metadataMaxAgeMs = 1L,
       metadataCleanerIntervalMs = 3600000L) // interval irrelevant: tick driven
     try {
       assert(front.runMetadataCleanerOnce() == 1)
+      assert(!java.nio.file.Files.exists(staged),
+        "staging dir must expire with the purged record")
+      assert(!java.nio.file.Files.exists(exitRec),
+        "exit record must expire with the purged record")
     } finally front.stop()
+  }
+
+  test("ownership column: insert with owner, re-own, and pre-owner store migration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-owner").toString
+    val store = new BatchMetadataStore(dir)
+    try {
+      store.insert("b-own", "alice", "SELECT 1", "RUNNING",
+        owner = Some("http://gw-a:1"))
+      assert(store.get("b-own").flatMap(_.owner).contains("http://gw-a:1"))
+      store.updateOwner("b-own", "http://gw-b:2")
+      assert(store.get("b-own").flatMap(_.owner).contains("http://gw-b:2"))
+      // ownerless inserts stay None (pre-HA callers)
+      store.insert("b-free", "bob", "SELECT 2", "RUNNING")
+      assert(store.get("b-free").exists(_.owner.isEmpty))
+    } finally store.close()
+    // a table created WITHOUT the owner column is migrated on open
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    locally {
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$legacyDir/db;create=true")
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE batches (
+            |  id VARCHAR(64) PRIMARY KEY, usr VARCHAR(256),
+            |  sqltext VARCHAR(32000), state VARCHAR(32),
+            |  created_at BIGINT, ended_at BIGINT, error VARCHAR(32000))""".stripMargin)
+        st.executeUpdate(
+          "INSERT INTO batches VALUES ('legacy', 'u', 'SELECT 1', 'RUNNING', 1, 0, NULL)")
+        st.close()
+      } finally conn.close()
+    }
+    val migrated = new BatchMetadataStore(legacyDir)
+    try {
+      assert(migrated.get("legacy").exists(_.owner.isEmpty))
+      migrated.updateOwner("legacy", "http://gw-c:3")
+      assert(migrated.get("legacy").flatMap(_.owner).contains("http://gw-c:3"))
+    } finally migrated.close()
+  }
+
+  test("listing search window bounds the scan by create time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-window").toString
+    val store = new BatchMetadataStore(dir)
+    try {
+      store.insert("early", "alice", "SELECT 1", "FINISHED")
+      Thread.sleep(30)
+      val cutoff = System.currentTimeMillis()
+      Thread.sleep(30)
+      store.insert("late", "bob", "SELECT 2", "RUNNING")
+      assert(store.list().map(_.id).toSet == Set("early", "late"))
+      assert(store.list(createdAfter = cutoff).map(_.id) == Seq("late"))
+      // a point GET is never windowed — old batches stay addressable
+      assert(store.get("early").isDefined)
+    } finally store.close()
   }
 }

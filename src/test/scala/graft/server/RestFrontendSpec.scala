@@ -341,6 +341,7 @@ class RestFrontendSpec extends AnyFunSuite {
       """public class GraftBatchApp {
         |  public static void main(String[] a) throws Exception {
         |    if (a.length > 0 && a[0].equals("sleep")) { Thread.sleep(300000); return; }
+        |    if (a.length > 0 && a[0].equals("sleepfail")) { Thread.sleep(6000); System.exit(7); }
         |    System.out.println("hello-from-uploaded-batch " + String.join(",", a));
         |  }
         |}
@@ -357,11 +358,49 @@ class RestFrontendSpec extends AnyFunSuite {
     jar
   }
 
-  /** multipart/form-data body with a batchRequest JSON field and the
-    * resourceFile part (the reference's upload shape).
+  /** Two jars for the extra-resource (sidecar) tests: a main jar whose
+    * class CALLS into a dependency class shipped ONLY in the sidecar
+    * jar (a method call, not a constant — javac would inline a
+    * constant and defeat the test).
+    */
+  private lazy val (mainNeedsDepJar, sidecarJar): (java.nio.file.Path, java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar-src")
+    java.nio.file.Files.write(dir.resolve("GraftDep.java"),
+      """public class GraftDep {
+        |  public static String message() { return "sidecar-loaded"; }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("GraftNeedsDep.java"),
+      """public class GraftNeedsDep {
+        |  public static void main(String[] a) {
+        |    System.out.println("dep-says " + GraftDep.message());
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null,
+      dir.resolve("GraftNeedsDep.java").toString, dir.resolve("GraftDep.java").toString) == 0)
+    def jarOf(name: String, classes: String*): java.nio.file.Path = {
+      val jar = dir.resolve(name)
+      val jos = new java.util.jar.JarOutputStream(java.nio.file.Files.newOutputStream(jar))
+      try classes.foreach { c =>
+        jos.putNextEntry(new java.util.zip.ZipEntry(c))
+        jos.write(java.nio.file.Files.readAllBytes(dir.resolve(c)))
+        jos.closeEntry()
+      } finally jos.close()
+      jar
+    }
+    (jarOf("main.jar", "GraftNeedsDep.class"), jarOf("dep.jar", "GraftDep.class"))
+  }
+
+  /** multipart/form-data body with a batchRequest JSON field, the
+    * resourceFile part, and optional extra file parts (the reference's
+    * upload shape; extra part field names are the file names, the
+    * extraResourcesMap convention).
     */
   private def multipartBody(boundary: String, requestJson: String,
-      fileName: String, fileBytes: Array[Byte]): Array[Byte] = {
+      fileName: String, fileBytes: Array[Byte],
+      extras: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     val sb = new java.io.ByteArrayOutputStream()
     def text(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
     text(s"--$boundary\r\n")
@@ -372,17 +411,24 @@ class RestFrontendSpec extends AnyFunSuite {
     text(s"""Content-Disposition: form-data; name="resourceFile"; filename="$fileName"""" + "\r\n")
     text("Content-Type: application/octet-stream\r\n\r\n")
     sb.write(fileBytes)
+    extras.foreach { case (name, bytes) =>
+      text(s"\r\n--$boundary\r\n")
+      text(s"""Content-Disposition: form-data; name="$name"; filename="$name"""" + "\r\n")
+      text("Content-Type: application/octet-stream\r\n\r\n")
+      sb.write(bytes)
+    }
     text(s"\r\n--$boundary--\r\n")
     sb.toByteArray
   }
 
   private def postMultipart(c: HttpClient, url: String, requestJson: String,
-      fileName: String, fileBytes: Array[Byte]): (Int, String) = {
+      fileName: String, fileBytes: Array[Byte],
+      extras: Seq[(String, Array[Byte])] = Nil): (Int, String) = {
     val boundary = "graftBoundary" + System.nanoTime()
     val r = c.send(HttpRequest.newBuilder(URI.create(url))
       .header("Content-Type", s"multipart/form-data; boundary=$boundary")
       .POST(HttpRequest.BodyPublishers.ofByteArray(
-        multipartBody(boundary, requestJson, fileName, fileBytes))).build(),
+        multipartBody(boundary, requestJson, fileName, fileBytes, extras))).build(),
       HttpResponse.BodyHandlers.ofString())
     (r.statusCode(), r.body())
   }
@@ -493,6 +539,194 @@ class RestFrontendSpec extends AnyFunSuite {
     } finally front.stop()
   }
 
+  test("extra resources: a jar needing a sidecar jar runs to FINISHED; missing/over-cap sidecars rejected") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-extra-store").toString
+    val front = new RestFrontend(new Engine(spark), port = 0,
+      batchStoreDir = Some(storeDir), extraResourceFileMaxSize = 4096)
+    val port = front.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://localhost:$port/api/v1"
+      val mainBytes = java.nio.file.Files.readAllBytes(mainNeedsDepJar)
+      val depBytes = java.nio.file.Files.readAllBytes(sidecarJar)
+      // the main class calls into the sidecar — without --jars/classpath
+      // plumbing this would NoClassDefFoundError into ERROR
+      val (code, body) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftNeedsDep",
+          | "extraResourcesMap": {"spark.jars": "dep.jar"}}""".stripMargin,
+        "main.jar", mainBytes, extras = Seq("dep.jar" -> depBytes))
+      assert(code == 200, body)
+      val id = extract(body, "id")
+      assert(pollBatch(c, base, id, Set("FINISHED", "ERROR")) == "FINISHED")
+      val (_, lbody) = get(c, s"$base/batches/$id/localLog")
+      assert(lbody.contains("dep-says sidecar-loaded"), lbody)
+
+      // a named-but-not-uploaded sidecar is the reference's 400
+      val (mc, mbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftNeedsDep",
+          | "extraResourcesMap": {"spark.jars": "dep.jar,ghost.jar"}}""".stripMargin,
+        "main.jar", mainBytes, extras = Seq("dep.jar" -> depBytes))
+      assert(mc == 400, mbody)
+      assert(mbody.contains("required extra resource files [ghost.jar] are not uploaded"), mbody)
+
+      // an over-cap sidecar 413s and stages NOTHING (no batch dir)
+      val before = Option(new java.io.File(storeDir + "/uploads").list()).map(_.toSet).getOrElse(Set.empty)
+      val big = Array.fill[Byte](8192)(1)
+      val (oc, obody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftNeedsDep",
+          | "extraResourcesMap": {"spark.jars": "big.jar"}}""".stripMargin,
+        "main.jar", mainBytes, extras = Seq("big.jar" -> big))
+      assert(oc == 413, obody)
+      assert(obody.contains("Extra resource file big.jar exceeds the maximum size limit 4096 bytes"), obody)
+      val after = Option(new java.io.File(storeDir + "/uploads").list()).map(_.toSet).getOrElse(Set.empty)
+      assert(after == before, s"over-cap extra must stage nothing: new = ${after -- before}")
+    } finally front.stop()
+  }
+
+  test("adopted batch exit truth: a restart-surviving child that exits non-zero lands in ERROR") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-exit-truth").toString
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    val front = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    var id: String = null
+    try {
+      val (code, body) = postMultipart(c, s"http://localhost:$port/api/v1/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "args": ["sleepfail"]}""",
+        "app.jar", jarBytes)
+      assert(code == 200, body)
+      id = extract(body, "id")
+    } finally front.stop()
+    // new incarnation adopts (or, if the child already exited and wrote
+    // its record, relaunches — both paths must surface exit 7 as ERROR)
+    val front2 = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port2 = front2.start()
+    try {
+      val base2 = s"http://localhost:$port2/api/v1"
+      val terminal = pollBatch(c, base2, id, Set("FINISHED", "ERROR", "CANCELED"), timeoutSec = 60)
+      assert(terminal == "ERROR",
+        s"exit code 7 must land the adopted batch in ERROR, got $terminal")
+    } finally front2.stop()
+  }
+
+  test("batch v2 submitter: a burst of submits queues PENDING, live children never exceed the pool, queued batches cancel without spawning") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-submitter").toString
+    val front = new RestFrontend(new Engine(spark), port = 0,
+      batchStoreDir = Some(storeDir),
+      batchSubmitterEnabled = true, batchSubmitterPoolSize = 2)
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    val base = s"http://localhost:$port/api/v1"
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    try {
+      def submit(args: String): String = {
+        val (code, body) = postMultipart(c, s"$base/batches",
+          s"""{"batchType": "SPARK", "className": "GraftBatchApp", "args": [$args]}""",
+          "app.jar", jarBytes)
+        assert(code == 200, body)
+        assert(extract(body, "state") == "PENDING", s"v2 accepts as PENDING: $body")
+        extract(body, "id")
+      }
+      // two sleepers saturate the pool; three quick jobs queue behind
+      val sleepers = Seq(submit("\"sleep\""), submit("\"sleep\""))
+      val quick = (1 to 3).map(i => submit(s""""q$i""""))
+      // sample live children across ALL ids while the sleepers hold the
+      // pool: count tagged launch roots, never more than poolSize
+      import scala.jdk.CollectionConverters._
+      def liveChildren(): Int = {
+        def tagged(h: ProcessHandle, id: String): Boolean =
+          h.isAlive && h.info().commandLine()
+            .map[Boolean](_.contains(s"graft.batch.tag=$id")).orElse(false)
+        (sleepers ++ quick).count { id =>
+          ProcessHandle.allProcesses().iterator().asScala.exists(h =>
+            tagged(h, id) && !h.parent().map[Boolean](tagged(_, id)).orElse(false))
+        }
+      }
+      var maxLive = 0
+      val sampleUntil = System.nanoTime() + 3e9.toLong
+      while (System.nanoTime() < sampleUntil) {
+        maxLive = math.max(maxLive, liveChildren())
+        Thread.sleep(100)
+      }
+      assert(maxLive <= 2, s"live children must never exceed the pool: $maxLive")
+      // the quick jobs are still PENDING behind the sleepers
+      assert(extract(get(c, s"$base/batches/${quick.head}")._2, "state") == "PENDING")
+      // a queued batch cancels without ever spawning
+      val dr = c.send(HttpRequest.newBuilder(URI.create(s"$base/batches/${quick.head}"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(dr.statusCode() == 200 && dr.body().contains("CANCELED"), dr.body())
+      // free the pool; everything left drains to a terminal state
+      sleepers.foreach { id =>
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/batches/$id"))
+          .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      }
+      sleepers.foreach(id =>
+        assert(pollBatch(c, base, id, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED"))
+      quick.tail.foreach(id =>
+        assert(pollBatch(c, base, id, Set("FINISHED", "ERROR", "CANCELED")) == "FINISHED",
+          s"queued batch $id must drain to FINISHED"))
+      assert(extract(get(c, s"$base/batches/${quick.head}")._2, "state") == "CANCELED",
+        "the canceled queued batch must stay CANCELED")
+    } finally front.stop()
+  }
+
+  test("cross-gateway ownership: a non-owning gateway forwards GET/DELETE to the live owner, tag-kills when the owner is gone") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ha-store").toString
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    val a = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val portA = a.start()
+    val b = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val portB = b.start()
+    val c = HttpClient.newHttpClient()
+    val baseA = s"http://localhost:$portA/api/v1"
+    val baseB = s"http://localhost:$portB/api/v1"
+    try {
+      // batch lives on A; B shares only the store
+      val (code, body) = postMultipart(c, s"$baseA/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "args": ["sleep"]}""",
+        "app.jar", jarBytes)
+      assert(code == 200, body)
+      val id = extract(body, "id")
+      // GET via B forwards to the owner: the answer is A's LIVE state,
+      // not the store fallback (which would carry "restored": true)
+      val (gc, gbody) = get(c, s"$baseB/batches/$id")
+      assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
+      assert(!gbody.contains("restored"), s"must be the owner's live answer: $gbody")
+      // DELETE via B kills A's child process through the forward
+      val handle = RestFrontend.findBatchProcessByTag(id)
+      assert(handle.exists(_.isAlive), "the sleeper must be running on A")
+      val dr = c.send(HttpRequest.newBuilder(URI.create(s"$baseB/batches/$id"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(dr.statusCode() == 200, dr.body())
+      assert(pollBatch(c, baseB, id, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (handle.exists(_.isAlive) && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!handle.exists(_.isAlive), "owner-side child must be dead after the forwarded DELETE")
+
+      // owner-gone fallback: a second sleeper on A, then A dies without
+      // killing it; DELETE via B cannot forward and tag-kills locally
+      val (c2, b2) = postMultipart(c, s"$baseA/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "args": ["sleep"]}""",
+        "app.jar", jarBytes)
+      assert(c2 == 200, b2)
+      val id2 = extract(b2, "id")
+      a.stop() // HTTP gone; the shared store survives (refcounted Derby)
+      val handle2 = RestFrontend.findBatchProcessByTag(id2)
+      assert(handle2.exists(_.isAlive), "orphan must outlive A")
+      val dr2 = c.send(HttpRequest.newBuilder(URI.create(s"$baseB/batches/$id2"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(dr2.statusCode() == 200, dr2.body())
+      assert(dr2.body().contains("ownerUnreachable"), dr2.body())
+      val deadline2 = System.nanoTime() + 15e9.toLong
+      while (handle2.exists(_.isAlive) && System.nanoTime() < deadline2) Thread.sleep(100)
+      assert(!handle2.exists(_.isAlive), "orphan must be tag-killed by the fallback")
+      assert(extract(get(c, s"$baseB/batches/$id2")._2, "state") == "CANCELED")
+    } finally {
+      try a.stop() catch { case _: Throwable => }
+      try b.stop() catch { case _: Throwable => }
+    }
+  }
+
   test("DELETE kills a running uploaded batch; restart ADOPTS a surviving one by tag") {
     val storeDir = java.nio.file.Files.createTempDirectory("graft-upload-recover").toString
     val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
@@ -533,13 +767,20 @@ class RestFrontendSpec extends AnyFunSuite {
       val base2 = s"http://localhost:$port2/api/v1"
       val (gc, gbody) = get(c, s"$base2/batches/$sleeperId")
       assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
-      // exactly one process carries the tag: adopted, not re-launched
+      // exactly one LAUNCH carries the tag: adopted, not re-launched.
+      // The exit-file wrapper makes two processes per launch carry it
+      // (the sh wrapper + the JVM under it), so count tag ROOTS — the
+      // tagged processes whose parent is untagged — exactly like the
+      // server's adoption scan.
       import scala.jdk.CollectionConverters._
-      def taggedPids(): Set[Long] = ProcessHandle.allProcesses().iterator().asScala
-        .filter { h =>
+      def taggedPids(): Set[Long] = {
+        def tagged(h: ProcessHandle): Boolean =
           h.isAlive && h.info().commandLine()
             .map[Boolean](_.contains(s"graft.batch.tag=$sleeperId")).orElse(false)
-        }.map(_.pid()).toSet
+        ProcessHandle.allProcesses().iterator().asScala
+          .filter(h => tagged(h) && !h.parent().map[Boolean](tagged(_)).orElse(false))
+          .map(_.pid()).toSet
+      }
       // settle-retry: under a loaded box the process table transiently
       // shows fork-in-flight duplicates of a spawning JVM's command
       // line. The grace window tolerates ONLY that: the ORIGINAL pid

@@ -683,8 +683,12 @@ object Dedup {
     * 100 TB shape: one token-keyed df aggregate, one doc-keyed
     * aggregate building the sorted prefix (collect + array_sort +
     * slice — bounded by doc length, no window machinery), a prefix-
-    * postings self-join, then exact verification on the two docs'
-    * bounded token arrays. The threshold is integer permille-free
+    * postings self-join carrying the AllPairs length filter
+    * (t·max(|a|,|b|) ≤ min(|a|,|b|) — provably implied by J ≥ t, so
+    * still lossless), then exact verification on the two docs'
+    * bounded token-ID arrays (xxhash64 longs, not strings — fixed-
+    * width shuffle payloads, integer probes; the 2^-64-collision
+    * trade the seen-gram index documents). The threshold is integer
     * percent math (`100·inter ≥ t·union`), so the gate compares
     * cross-engine exact. Returns qualifying (id_a, id_b, n_inter,
     * n_union, jaccard_pct).
@@ -701,17 +705,31 @@ object Dedup {
     val prefix = tok.join(dfr, Seq("token"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("arr"))
-      .select(col("id"), explode(expr(
+      .select(col("id"), size(col("arr")).as("n"), explode(expr(
         s"slice(arr, 1, size(arr) - (($thresholdPct * size(arr) + 99) div 100) + 1)"))
         .as("s"))
-      .select(col("id"), col("s.token").as("token"))
+      .select(col("id"), col("n"), col("s.token").as("token"))
+    // the AllPairs LENGTH filter rides in the join condition: J ≥ t
+    // forces t·max(|a|,|b|) ≤ min(|a|,|b|) (the intersection is at most
+    // the smaller set, the union at least the larger), so size-skewed
+    // collisions never become candidates — on a small-vocabulary corpus
+    // (where "rare" prefix tokens still carry big posting lists) this
+    // prunes the candidate set several-fold before the DISTINCT
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+        col("a.token") === col("b.token") && col("a.id") < col("b.id") &&
+          greatest(col("a.n"), col("b.n")) * thresholdPct.toLong <=
+            least(col("a.n"), col("b.n")) * 100L)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("ts"))
+    // verification compares xxhash64 token-ID sets, not string arrays:
+    // the shuffled pair payload shrinks to fixed-width longs and the
+    // intersection probe is integer equality — the same 2^-64-collision
+    // trade the seen-gram index documents (a collision could only ADD
+    // a phantom shared token; at J ≥ t the affected pair is
+    // overwhelmingly already a pair)
+    val sets = tok.groupBy(col("id"))
+      .agg(array_sort(collect_set(xxhash64(col("token")))).as("ts"))
     cand
       .join(sets.select(col("id").as("id_a"), col("ts").as("ta")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("ts").as("tb")), Seq("id_b"))

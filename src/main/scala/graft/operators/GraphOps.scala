@@ -59,9 +59,15 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // materialize the edge list ONCE: every round joins it, and an
+    // expensive upstream (the IVF kNN graph) must not replay per round
+    val e = SketchRegistry.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .localCheckpoint(true))
+    val nodes = SketchRegistry.track(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val base = (100L - dampingPct) * 10000L // (1-d) in micro units
     var ranks = SketchRegistry.track(

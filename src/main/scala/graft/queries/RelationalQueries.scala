@@ -701,6 +701,31 @@ object RelationalQueries {
             }).as("f"))
         .select(col("event_type"), col("ref"),
           col("f.a").as("n_alarm_hours"), col("f.m").as("max_cusum"))
+    },
+
+    // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
+    //     EVERY rush hour anomalous; the seasonal profile compares
+    //     each (type, hour) count against the mean for that HOUR OF
+    //     DAY (the daily-rhythm baseline every monitoring stack
+    //     computes). Integer gates — spike when n·H > 2·S, dip when
+    //     2·n·H < S over the hour-of-day's observed total S and hour
+    //     count H — so no float mean crosses engines. Two bounded
+    //     aggregates; the type×24 profile joins back BROADCAST. ---
+    "q46_seasonal_anomaly" -> { (s, dir) =>
+      val hrs = Tables(s, dir).events
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val prof = hrs
+        .groupBy(col("event_type"), hour(col("h")).as("hod"))
+        .agg(sum(col("n_events")).as("s_tot"), count(lit(1)).as("n_hours"))
+      hrs.withColumn("hod", hour(col("h")))
+        .join(broadcast(prof), Seq("event_type", "hod"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          col("hod"), col("n_events"),
+          (col("n_events") * col("n_hours") > col("s_tot") * 2L).as("is_spike"),
+          (col("n_events") * col("n_hours") * 2L < col("s_tot")).as("is_dip"))
     }
   )
 
@@ -1157,6 +1182,24 @@ object RelationalQueries {
            CAST(sum(CASE WHEN cusum >= 6 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_alarm_hours,
            CAST(max(cusum) AS BIGINT) AS max_cusum
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+    // Mirror of q46: the same hour-of-day profile over OBSERVED hours
+    // and the same integer spike/dip gates.
+    "q46_seasonal_anomaly" ->
+      """WITH hrs AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         prof AS (
+           SELECT event_type, date_part('hour', h) AS hod,
+             sum(n_events) AS s_tot, count(*) AS n_hours
+           FROM hrs GROUP BY 1, 2)
+         SELECT e.event_type,
+           strftime(e.h, '%Y-%m-%d %H') AS hour,
+           CAST(p.hod AS INT) AS hod,
+           CAST(e.n_events AS BIGINT) AS n_events,
+           e.n_events * p.n_hours > p.s_tot * 2 AS is_spike,
+           e.n_events * p.n_hours * 2 < p.s_tot AS is_dip
+         FROM hrs e JOIN prof p
+           ON e.event_type = p.event_type AND date_part('hour', e.h) = p.hod"""
   )
 }

@@ -1574,8 +1574,11 @@ object TextQueries {
 
     // Mirror of d64: the same global (df, token) rarity order, the
     // same prefix length |d| − ceil(0.95·|d|) + 1 (rn over the rarity
-    // order), the same prefix-postings self-join and the same integer
-    // verification over full token sets.
+    // order), the same prefix-postings self-join WITH the AllPairs
+    // length filter, and the integer verification over full token
+    // sets — on exact STRINGS where Spark probes xxhash64 token ids
+    // (equal results absent a 2^-64 collision; the cross-engine match
+    // is itself the collision audit).
     "d64_prefix_jaccard" ->
       s"""WITH tok AS (SELECT doc_id AS id,
                          unnest(list_distinct($duckToks)) AS token
@@ -1586,11 +1589,12 @@ object TextQueries {
                       ORDER BY d.df, t.token) AS rn,
                     count(*) OVER (PARTITION BY t.id) AS n
                   FROM tok t JOIN dfr d USING (token)),
-          pre AS (SELECT id, token FROM ord
+          pre AS (SELECT id, token, n FROM ord
                   WHERE rn <= n - ((95 * n + 99) // 100) + 1),
           cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                    FROM pre a JOIN pre b
-                   ON a.token = b.token AND a.id < b.id),
+                   ON a.token = b.token AND a.id < b.id
+                   AND 95 * greatest(a.n, b.n) <= 100 * least(a.n, b.n)),
           sets AS (SELECT doc_id AS id, list_distinct($duckToks) AS ts
                    FROM documents),
           v AS (SELECT c.id_a, c.id_b,

@@ -42,16 +42,24 @@ final class BatchJobBuilder(
     * own staging dir, which python puts on sys.path.
     */
   def command(id: String, resource: Path, mainClass: Option[String],
-      args: Seq[String], extraResources: Seq[Path] = Nil): Seq[String] = {
+      args: Seq[String], extraResources: Seq[Path] = Nil,
+      requestConf: Map[String, String] = Map.empty): Seq[String] = {
     val isPy = resource.toString.endsWith(".py")
     def group(suffixes: String*): Seq[String] =
       extraResources.map(_.toString).filter(p => suffixes.exists(p.endsWith))
+    // the batchRequest's conf map rides into the child (reference: the
+    // request conf becomes spark-submit --conf pairs) — but only real
+    // spark.* settings; the master and the adoption tag are the
+    // SERVER's to set, or a client could detach its batch from both
+    val userConf = requestConf.filter { case (k, _) =>
+      k.startsWith("spark.") && k != "spark.master" && k != "spark.graft.batch.tag"
+    }
     sparkHome match {
       case Some(home) =>
         val conf = Map(
           "spark.master" -> master,
           "spark.graft.batch.tag" -> id,
-          "spark.ui.enabled" -> "false") ++ sparkConf
+          "spark.ui.enabled" -> "false") ++ sparkConf ++ userConf
         val jars = group(".jar")
         val pyFiles = group(".py", ".zip", ".egg")
         val files = extraResources.map(_.toString)
@@ -72,7 +80,8 @@ final class BatchJobBuilder(
         val cp = (Seq(System.getProperty("java.class.path"), resource.toString) ++
           group(".jar")).mkString(java.io.File.pathSeparator)
         Seq(javaBin) ++ moduleOpts ++ Seq(
-          "-Xmx1g", "-Dspark.ui.enabled=false", s"-Dgraft.batch.tag=$id",
+          "-Xmx1g", "-Dspark.ui.enabled=false", s"-Dgraft.batch.tag=$id") ++
+          userConf.toSeq.sortBy(_._1).map { case (k, v) => s"-D$k=$v" } ++ Seq(
           "-cp", cp,
           mainClass.getOrElse(throw new IllegalArgumentException(
             "classname is a required parameter for SPARK"))) ++ args
@@ -88,11 +97,13 @@ final class BatchJobBuilder(
   def start(id: String, user: String, resource: Path, mainClass: Option[String],
       args: Seq[String], onTerminal: String => Unit,
       extraResources: Seq[Path] = Nil,
-      exitFile: Option[Path] = None): BatchJob =
+      exitFile: Option[Path] = None,
+      requestConf: Map[String, String] = Map.empty): BatchJob =
     BatchJob.launch(id, user,
       if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK",
       BatchJobBuilder.wrapWithExitFile(
-        command(id, resource, mainClass, args, extraResources), exitFile),
+        command(id, resource, mainClass, args, extraResources, requestConf),
+        exitFile),
       onTerminal)
 }
 

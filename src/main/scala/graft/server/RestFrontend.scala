@@ -128,6 +128,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private final case class PendingSubmit(id: String, user: String,
       resource: java.nio.file.Path, mainClass: Option[String],
       args: Seq[String], extras: Seq[java.nio.file.Path], batchType: String,
+      requestConf: Map[String, String] = Map.empty,
       canceled: java.util.concurrent.atomic.AtomicBoolean =
         new java.util.concurrent.atomic.AtomicBoolean(false))
   private val pendingBatches = new ConcurrentHashMap[String, PendingSubmit]()
@@ -149,7 +150,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             try {
               val job = startResourceBatch(p.id, p.user, p.resource,
                 p.mainClass, p.args, insertRecord = false,
-                extraResources = p.extras)
+                extraResources = p.extras, requestConf = p.requestConf)
               pendingBatches.remove(p.id)
               // hold this worker (= this pool slot) until the child is
               // gone; the bound is the WORKER count, not a counter
@@ -483,7 +484,8 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private def startResourceBatch(id: String, user: String,
       resource: java.nio.file.Path, mainClass: Option[String],
       args: Seq[String], insertRecord: Boolean,
-      extraResources: Seq[java.nio.file.Path] = Nil): BatchJob = {
+      extraResources: Seq[java.nio.file.Path] = Nil,
+      requestConf: Map[String, String] = Map.empty): BatchJob = {
     val batchType = if (resource.toString.endsWith(".py")) "PYSPARK" else "SPARK"
     val descriptor =
       s"""{"resourceBatch": true, "batchType": ${q(batchType)}, """ +
@@ -492,7 +494,10 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         s""", "args": [${args.map(q).mkString(",")}]""" +
         (if (extraResources.isEmpty) "" else
           s""", "extraResources": [${
-            extraResources.map(p => q(p.toString)).mkString(",")}]""") + "}"
+            extraResources.map(p => q(p.toString)).mkString(",")}]""") +
+        (if (requestConf.isEmpty) "" else
+          s""", "conf": {${requestConf.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}}""") + "}"
     batchSlotUsers.put(id, user)
     try store.foreach { s =>
       if (insertRecord) s.insert(id, user, descriptor, "RUNNING", Some(selfUrl))
@@ -505,7 +510,8 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     val job = batchJobBuilder.start(id, user, resource, mainClass, args, terminal => {
       store.foreach(_.updateState(id, terminal, None))
       releaseBatchSlot(id)
-    }, extraResources = extraResources, exitFile = Some(batchExitFile(id)))
+    }, extraResources = extraResources, exitFile = Some(batchExitFile(id)),
+      requestConf = requestConf)
     procBatches.put(id, job)
     // the child can exit before the callback saw a registered slot
     // entry — release here too; idempotent via the map remove
@@ -593,12 +599,41 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     }
     val user = field(reqJson, "user").getOrElse("batch")
     val args = jsonStringArray(reqJson, "args")
+    // the request's conf map reaches the child as --conf pairs
+    // (reference: BatchRequest.conf → spark-submit); the server keeps
+    // the sanitization (no master/tag override) in the builder
+    val reqConf = jsonStringMap(reqJson, "conf")
+    // Client-provided batch id (the reference's kyuubi.batch.id conf,
+    // BatchesResource.scala:252-266): lets a client RETRY a submit
+    // idempotently — a resubmit of an id the store already knows
+    // returns the EXISTING batch marked duplicated instead of
+    // double-running the artifact. Must be a UUID.
+    val providedId = reqConf.get("graft.batch.id")
+    providedId.foreach { v =>
+      if (scala.util.Try(java.util.UUID.fromString(v)).isFailure) {
+        reply(ex, 400, s"""{"error": ${q(s"graft.batch.id=$v must be an UUID")}}""")
+        return
+      }
+    }
+    providedId.foreach { pid =>
+      val known = procBatches.containsKey(pid) || pendingBatches.containsKey(pid) ||
+        batches.containsKey(pid) || store.exists(_.get(pid).isDefined)
+      if (known) {
+        val st =
+          if (procBatches.containsKey(pid)) procBatches.get(pid).currentState
+          else if (pendingBatches.containsKey(pid)) "PENDING"
+          else store.flatMap(_.get(pid)).map(_.state).getOrElse("RUNNING")
+        reply(ex, 200, s"""{"id": ${q(pid)}, "state": ${q(st)}, "appState": ${q(
+          ApplicationState.fromOperationStateName(st).toString)}, "duplicated": true}""")
+        return
+      }
+    }
     if (!claimBatchSlot(user)) {
       reply(ex, 429, s"""{"error": ${q(
         s"Batch limit per user reached (user: $user, limit: $maxBatchesPerUser)")}}""")
       return
     }
-    val id = java.util.UUID.randomUUID().toString
+    val id = providedId.getOrElse(java.util.UUID.randomUUID().toString)
     try {
       val staged = BatchUpload.stage(stagingDir, id, fileName, filePart.data)
       val extras = extraParts.map { case (n, p) =>
@@ -608,14 +643,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         // v2 path: accept as PENDING; a submitter worker launches it
         // when a pool slot frees up
         val pending = PendingSubmit(id, user, staged, mainClass, args,
-          extras, batchType)
+          extras, batchType, requestConf = reqConf)
         val descriptor =
           s"""{"resourceBatch": true, "batchType": ${q(batchType)}, """ +
             s""""resource": ${q(staged.toString)}""" +
             mainClass.map(cn => s""", "mainClass": ${q(cn)}""").getOrElse("") +
             s""", "args": [${args.map(q).mkString(",")}]""" +
             (if (extras.isEmpty) "" else s""", "extraResources": [${
-              extras.map(p => q(p.toString)).mkString(",")}]""") + "}"
+              extras.map(p => q(p.toString)).mkString(",")}]""") +
+            (if (reqConf.isEmpty) "" else
+              s""", "conf": {${reqConf.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}}""") + "}"
         batchSlotUsers.put(id, user)
         store.foreach(_.insert(id, user, descriptor, "PENDING", Some(selfUrl)))
         pendingBatches.put(id, pending)
@@ -631,7 +669,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         }
       } else {
         val job = startResourceBatch(id, user, staged, mainClass, args,
-          insertRecord = true, extraResources = extras)
+          insertRecord = true, extraResources = extras, requestConf = reqConf)
         val st = job.currentState
         reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(st)}, "appState": ${q(
           ApplicationState.fromOperationStateName(st).toString)}, "batchType": ${q(job.batchType)}}""")
@@ -709,7 +747,8 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               insertRecord = false,
               extraResources = jsonStringArray(rec.sql, "extraResources")
                 .map(java.nio.file.Paths.get(_))
-                .filter(java.nio.file.Files.exists(_)))
+                .filter(java.nio.file.Files.exists(_)),
+              requestConf = jsonStringMap(rec.sql, "conf"))
         }
       } else submitBatch(rec.user, rec.sql, Some(rec.id))
     } catch { case e: Throwable =>
@@ -921,7 +960,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           case None if procBatches.containsKey(id) =>
             val lines = procBatches.get(id).fetchLog(1000)
             reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
-          case None => reply(ex, 404, """{"error": "no such batch"}""")
+          case None => store.flatMap(_.get(id)) match {
+            // live on another gateway: the owner holds the log ring
+            case Some(rec) if rec.owner.exists(_ != selfUrl) &&
+                !terminalStateName(rec.state) =>
+              forwardToOwner(rec.owner.get, "GET", s"batches/$id/localLog") match {
+                case Some((code, respBody)) => reply(ex, code, respBody)
+                case None => reply(ex, 200,
+                  """{"logRowSet": [], "rowCount": 0, "ownerUnreachable": true}""")
+              }
+            case _ => reply(ex, 404, """{"error": "no such batch"}""")
+          }
         }
 
       case ("GET", "metrics" :: Nil) =>

@@ -253,6 +253,46 @@ object Streams {
       }
   }
 
+  /** One sessionize input/output row (the q25 shape). */
+  final case class SessionEventIn(event_id: Long, user_id: Long, ts: Timestamp)
+  final case class SessionizeState(lastSec: Long)
+  final case class SessionFlag(event_id: Long, user_id: Long, new_session: Boolean)
+
+  /** Streaming sessionization — the stateful twin of the batch q25
+    * gap rule: an event more than `gapSeconds` after the PREVIOUS
+    * same-user event (or a user's first event ever) starts a new
+    * session. State per user is ONE long (the last event's epoch
+    * second — the batch side compares `ts.cast(long)` seconds, so the
+    * stream stores exactly that), never growing with the stream; each
+    * micro-batch sorts its user's events by (time, id) — the batch
+    * window's order — and folds through the carried second, so on
+    * in-order delivery the flags equal the batch lag() exactly
+    * (StreamsSpec pins per-user session/event counts across a
+    * two-batch split). Same no-retraction residual as
+    * [[debounceStream]]: an event arriving behind one already
+    * processed compares against the later timestamp.
+    */
+  def sessionizeStream(events: Dataset[SessionEventIn],
+      gapSeconds: Long = 1800L): Dataset[SessionFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionizeState, SessionFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEventIn],
+            state: GroupState[SessionizeState]) =>
+          var last = state.getOption.map(_.lastSec).getOrElse(Long.MinValue)
+          val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val sec = micros(e.ts) / 1000000L
+            val fresh = last == Long.MinValue || sec - last > gapSeconds
+            last = sec
+            SessionFlag(e.event_id, user, fresh)
+          }
+          state.update(SessionizeState(last))
+          out.iterator
+      }
+  }
+
   final case class AnomalyEvent(event_type: String, ts: Timestamp)
   final case class AnomalyState(curHour: Long, curCount: Long,
       n: Long, s: Long, q: Long)

@@ -342,6 +342,9 @@ class RestFrontendSpec extends AnyFunSuite {
         |  public static void main(String[] a) throws Exception {
         |    if (a.length > 0 && a[0].equals("sleep")) { Thread.sleep(300000); return; }
         |    if (a.length > 0 && a[0].equals("sleepfail")) { Thread.sleep(6000); System.exit(7); }
+        |    if (a.length > 1 && a[0].equals("prop")) {
+        |      System.out.println("prop=" + System.getProperty(a[1])); return;
+        |    }
         |    System.out.println("hello-from-uploaded-batch " + String.join(",", a));
         |  }
         |}
@@ -607,6 +610,47 @@ class RestFrontendSpec extends AnyFunSuite {
       assert(terminal == "ERROR",
         s"exit code 7 must land the adopted batch in ERROR, got $terminal")
     } finally front2.stop()
+  }
+
+  test("request conf reaches the child; client-provided batch id makes retries idempotent") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-conf-store").toString
+    val front = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    val base = s"http://localhost:$port/api/v1"
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    try {
+      // spark.* conf entries ride into the child (-D on the bare-java
+      // path, --conf under spark-submit); the app echoes the property
+      val fixedId = java.util.UUID.randomUUID().toString
+      val (code, body) = postMultipart(c, s"$base/batches",
+        s"""{"batchType": "SPARK", "className": "GraftBatchApp",
+           | "args": ["prop", "spark.graft.test.flag"],
+           | "conf": {"spark.graft.test.flag": "hello42",
+           |          "graft.batch.id": "$fixedId"}}""".stripMargin,
+        "app.jar", jarBytes)
+      assert(code == 200, body)
+      assert(extract(body, "id") == fixedId, "client-provided id must be honored")
+      assert(pollBatch(c, base, fixedId, Set("FINISHED", "ERROR")) == "FINISHED")
+      val (_, lbody) = get(c, s"$base/batches/$fixedId/localLog")
+      assert(lbody.contains("prop=hello42"), lbody)
+      // a RETRY of the same id returns the existing batch, duplicated —
+      // never a second run
+      val (rc, rbody) = postMultipart(c, s"$base/batches",
+        s"""{"batchType": "SPARK", "className": "GraftBatchApp",
+           | "args": ["prop", "spark.graft.test.flag"],
+           | "conf": {"graft.batch.id": "$fixedId"}}""".stripMargin,
+        "app.jar", jarBytes)
+      assert(rc == 200, rbody)
+      assert(rbody.contains("\"duplicated\": true"), rbody)
+      assert(extract(rbody, "state") == "FINISHED", rbody)
+      // a non-UUID id is the client's error
+      val (bc, bbody) = postMultipart(c, s"$base/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp",
+          | "conf": {"graft.batch.id": "not-a-uuid"}}""".stripMargin,
+        "app.jar", jarBytes)
+      assert(bc == 400 && bbody.contains("must be an UUID"), bbody)
+    } finally front.stop()
   }
 
   test("batch v2 submitter: a burst of submits queues PENDING, live children never exceed the pool, queued batches cancel without spawning") {

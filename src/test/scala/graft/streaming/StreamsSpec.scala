@@ -892,6 +892,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == false), "fixture must exercise some drops")
   }
 
+  test("streaming sessionization matches the batch q25 counts on in-order delivery") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.SessionEventIn
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // the batch gate itself is the spec
+    val batch = graft.queries.RelationalQueries
+      .queries("q25_sessionize")(spark, F.sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[SessionEventIn].collect().sortBy(e => e.ts.getTime)
+
+    val ms = MemoryStream[SessionEventIn]
+    val out = Streams.sessionizeStream(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("graft_sessionize")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_sessionize")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("new_session"), 1L).otherwise(0L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch, "stream session/event counts must equal batch q25")
+    assert(got.values.exists(_._1 > 1), "fixture must exercise multi-session users")
+  }
+
   test("streaming CUSUM alarms match the batch fold on every closed hour") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams.AnomalyEvent

@@ -714,20 +714,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   // BatchJobSubmission recovery path). Resource batches relaunch from
   // their still-staged artifact; a missing artifact is a terminal
   // ERROR, not a crash loop.
-  store.foreach(_.unfinished().foreach { rec =>
-    // HA: a record owned by ANOTHER gateway that is still alive is not
-    // ours to recover — the owner holds the live child (the reference
-    // recovers only its own kyuubi_instance rows; reassignment of a
-    // dead peer's batches is this same loop finding the owner dead).
-    val foreignLiveOwner = rec.owner.exists(o => o != selfUrl && gatewayAlive(o))
-    if (!foreignLiveOwner) {
+  /** Recover one unfinished record into THIS gateway: adopt the
+    * surviving tagged process if one exists (find-before-resubmit, the
+    * reference BatchJobSubmission recovery order), else relaunch from
+    * the staged artifact; SQL batches resubmit under their original
+    * id. Shared by startup recovery and the admin reassign verb — both
+    * re-own the record to this instance.
+    */
+  private def recoverOrAdopt(rec: BatchMetadataStore#BatchRecord): Unit = {
     claimBatchSlot(rec.user, enforce = false) // recovered batches occupy slots
     try {
       if (rec.sql.contains("\"resourceBatch\": true")) {
-        // find-before-resubmit (reference BatchJobSubmission recovery:
-        // currentApplicationInfo first): a batch child that survived
-        // the server restart is ADOPTED by its graft.batch.tag, never
-        // double-submitted
         RestFrontend.findBatchProcessByTag(rec.id) match {
           case Some(handle) =>
             batchSlotUsers.put(rec.id, rec.user)
@@ -755,7 +752,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       Option(liveBatchCounts.get(rec.user)).foreach(_.decrementAndGet())
       store.foreach(_.updateState(rec.id, "ERROR", Some(String.valueOf(e.getMessage))))
     }
-    }
+  }
+
+  store.foreach(_.unfinished().foreach { rec =>
+    // HA: a record owned by ANOTHER gateway that is still alive is not
+    // ours to recover — the owner holds the live child (the reference
+    // recovers only its own kyuubi_instance rows; a dead peer's batches
+    // move here either through this same loop finding the owner dead, or
+    // through the admin reassign verb without a restart).
+    val foreignLiveOwner = rec.owner.exists(o => o != selfUrl && gatewayAlive(o))
+    if (!foreignLiveOwner) recoverOrAdopt(rec)
   })
 
   // Scheduled metadata cleaner: purge terminal batch records past the
@@ -1224,6 +1230,31 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
           wantUser.forall(_ == u) && wantState.forall(_ == st)
         }
         reply(ex, 200, s"""{"count": $n}""")
+      }
+
+      // Reassign a DEAD gateway's unfinished batches to THIS one
+      // (reference AdminResource POST /admin/batch/reassign →
+      // reassignBatchSessions + recoverBatchSessionsFromReassign):
+      // refuses while the named instance still answers its ping (the
+      // reference's "KyuubiInstance is alive" guard), then runs the
+      // startup recovery path over the peer's records — adopting
+      // still-running children by tag, relaunching staged artifacts,
+      // re-owning every record moved.
+      case ("POST", "admin" :: "batch" :: "reassign" :: Nil) => adminGated(ex) {
+        field(body(ex), "from") match {
+          case None =>
+            reply(ex, 400, """{"error": "missing from (the dead gateway's address)"}""")
+          case Some(f) if f == selfUrl =>
+            reply(ex, 400, """{"error": "cannot reassign from self"}""")
+          case Some(f) if gatewayAlive(f) =>
+            reply(ex, 409, s"""{"error": ${q(s"gateway is alive: $f")}}""")
+          case Some(f) =>
+            val recs = store.toSeq.flatMap(_.unfinished())
+              .filter(_.owner.contains(f))
+            recs.foreach(recoverOrAdopt)
+            reply(ex, 200, s"""{"reassigned": [${
+              recs.map(r => q(r.id)).mkString(",")}], "from": ${q(f)}, "to": ${q(selfUrl)}}""")
+        }
       }
 
       // Operator-triggered hot refresh (reference AdminResource

@@ -53,7 +53,7 @@ object ControlCli {
       }
     }
 
-    def http(method: String, path: String): Result = {
+    def http(method: String, path: String, body: Option[String] = None): Result = {
       val url = URI.create(s"$api/api/v1$path").toURL
       val c = url.openConnection().asInstanceOf[HttpURLConnection]
       c.setRequestMethod(method)
@@ -62,6 +62,12 @@ object ControlCli {
         c.setRequestProperty("Authorization", "Basic " +
           java.util.Base64.getEncoder.encodeToString(
             cred.getBytes(StandardCharsets.UTF_8)))
+      }
+      body.foreach { b =>
+        c.setDoOutput(true)
+        c.setRequestProperty("Content-Type", "application/json")
+        val os = c.getOutputStream
+        try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
       }
       try {
         val code = c.getResponseCode
@@ -132,6 +138,11 @@ object ControlCli {
         http("DELETE", s"/admin/operations/${enc(id)}")
       case "admin" :: "list" :: "server" :: Nil => http("GET", "/admin/server")
       case "admin" :: "count" :: "batch" :: Nil => http("GET", "/admin/batch/count")
+      // move a DEAD gateway's unfinished batches onto the target
+      // gateway (refused with 409 while the source still answers)
+      case "admin" :: "reassign" :: "batch" :: from :: Nil =>
+        http("POST", "/admin/batch/reassign",
+          body = Some(s"""{"from": "$from"}"""))
       case Nil => Result(1, usage)
       case other => Result(1, s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -156,7 +167,8 @@ object ControlCli {
       |  admin close session <id> --as <admin>     force-close any session
       |  admin cancel operation <id> --as <admin>  cancel any operation
       |  admin list server --as <admin>            registered HA gateways
-      |  admin count batch --as <admin>            live+stored batch count""".stripMargin
+      |  admin count batch --as <admin>            live+stored batch count
+      |  admin reassign batch <fromUrl> --as <admin>  take a dead gateway's batches""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val r = run(args)

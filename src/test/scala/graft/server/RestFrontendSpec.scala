@@ -771,6 +771,58 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("admin reassign moves a dead gateway's batches: refused while alive, adopts the orphan after") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-reassign").toString
+    val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
+    val a = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir))
+    val portA = a.start()
+    val b = new RestFrontend(new Engine(spark), port = 0, batchStoreDir = Some(storeDir),
+      adminUsers = Set("root"),
+      restAuth = Some(new StaticAuthenticationProvider(Map("root" -> "x"))))
+    val portB = b.start()
+    val c = HttpClient.newHttpClient()
+    val baseB = s"http://localhost:$portB/api/v1"
+    def reassign(from: String): (Int, String) = {
+      val cred = java.util.Base64.getEncoder.encodeToString("root:x".getBytes("UTF-8"))
+      val r = c.send(HttpRequest.newBuilder(URI.create(s"$baseB/admin/batch/reassign"))
+        .header("Authorization", s"Basic $cred")
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"from": "$from"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      val (code, body) = postMultipart(c, s"http://localhost:$portA/api/v1/batches",
+        """{"batchType": "SPARK", "className": "GraftBatchApp", "args": ["sleep"]}""",
+        "app.jar", jarBytes)
+      assert(code == 200, body)
+      val id = extract(body, "id")
+      val fromA = s"http://localhost:$portA"
+      // reference guard: reassigning FROM a live instance is refused
+      val (ac, abody) = reassign(fromA)
+      assert(ac == 409 && abody.contains("gateway is alive"), s"$ac $abody")
+      // A dies without killing the child; B takes its batches over
+      a.stop()
+      val (rc, rbody) = reassign(fromA)
+      assert(rc == 200 && rbody.contains(id), rbody)
+      // B now OWNS the live batch: served live (no store fallback) and
+      // killable directly
+      val (gc, gbody) = get(c, s"$baseB/batches/$id")
+      assert(gc == 200 && extract(gbody, "state") == "RUNNING", gbody)
+      assert(!gbody.contains("restored"), s"B must serve the adopted batch live: $gbody")
+      val handle = RestFrontend.findBatchProcessByTag(id)
+      assert(handle.exists(_.isAlive))
+      c.send(HttpRequest.newBuilder(URI.create(s"$baseB/batches/$id"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(pollBatch(c, baseB, id, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (handle.exists(_.isAlive) && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!handle.exists(_.isAlive), "reassigned child must die through B's DELETE")
+    } finally {
+      try a.stop() catch { case _: Throwable => }
+      try b.stop() catch { case _: Throwable => }
+    }
+  }
+
   test("DELETE kills a running uploaded batch; restart ADOPTS a surviving one by tag") {
     val storeDir = java.nio.file.Files.createTempDirectory("graft-upload-recover").toString
     val jarBytes = java.nio.file.Files.readAllBytes(uploadableJar)
@@ -1527,9 +1579,12 @@ class RestFrontendSpec extends AnyFunSuite {
 
       // await the PAGE itself: the batch API and the page render from
       // the same live op, but the assertion must poll the surface it
-      // checks (a loaded box once caught the render mid-transition)
+      // checks (a loaded box once caught the render mid-transition).
+      // Fresh deadline — the API poll above may have consumed most of
+      // its own under load, and this is a different surface.
+      val pageDeadline = System.nanoTime() + 30e9.toLong
       var (bc, batchHtml) = get(c, s"$root/ui/batch/$bid")
-      while (!batchHtml.contains("FINISHED") && System.nanoTime() < deadline) {
+      while (!batchHtml.contains("FINISHED") && System.nanoTime() < pageDeadline) {
         Thread.sleep(100)
         val r = get(c, s"$root/ui/batch/$bid"); bc = r._1; batchHtml = r._2
       }

@@ -667,6 +667,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** Quality-aware near-dup keeper selection: per cluster keep the
+    * member with the HIGHEST score (ties → lowest id), not the lowest
+    * id — min-id keeping ([[exactKeep]], d17) throws away content
+    * whenever the best version of a template happens to carry a later
+    * id; a curation pipeline keeps the longest / highest-quality copy
+    * (the dedup policy most corpus pipelines actually run). Docs
+    * outside every cluster keep themselves.
+    *
+    * 100 TB shape: the cluster table joins the score column (both
+    * id-keyed), one cluster-keyed min(struct) aggregate picks keepers
+    * (skew-safe partial agg — a boilerplate mega-cluster folds
+    * map-side), and survivors come from one left-anti join. The score
+    * must be integer for the cross-engine tie order to be exact.
+    */
+  def keepBestPerCluster(df: DataFrame, components: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val scored = components
+      .join(df.select(col(idCol).as("id"), col(scoreCol).cast("long").as("__score")),
+        Seq("id"))
+    // min over (-score, id): highest score wins, lowest id breaks ties
+    val keepers = scored
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col("__score")).as("ns"), col("id"))).as("k"))
+      .select(col("cluster"), col("k.id").as("keeper"))
+    val losers = scored.join(keepers, Seq("cluster"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** EXACT Jaccard-threshold pair join via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07): every
     * pair with token-set Jaccard ≥ t is guaranteed found, unlike the

@@ -657,6 +657,20 @@ object TextQueries {
     "d64_prefix_jaccard" -> { (s, dir) =>
       Dedup.prefixJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
         thresholdPct = 95)
+    },
+
+    // --- Quality-aware near-dup keeping: d17 keeps each cluster's
+    //     LOWEST id; real pipelines keep the BEST copy — here the
+    //     longest (max n_chars, tie → min id). Same clusters as
+    //     d16/d17; one cluster-keyed min(struct) picks keepers, one
+    //     anti join drops the rest. ---
+    "d65_neardup_keep_best" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(d, comp, "doc_id", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }
   )
 
@@ -1606,6 +1620,24 @@ object TextQueries {
                 JOIN sets sb ON sb.id = c.id_b)
           SELECT id_a, id_b, n_inter, n_union,
             CAST((100 * n_inter) // n_union AS BIGINT) AS jaccard_pct
-          FROM v WHERE 100 * n_inter >= 95 * n_union"""
+          FROM v WHERE 100 * n_inter >= 95 * n_union""",
+
+    // Mirror of d65: d16's recursive clusters, keeper = highest
+    // n_chars then lowest id, survivors by anti-membership.
+    "d65_neardup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+          scored AS (
+            SELECT c.id, c.cluster, d.n_chars
+            FROM clusters c JOIN documents d ON d.doc_id = c.id),
+          keep AS (
+            SELECT cluster, id FROM (
+              SELECT cluster, id,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, id) AS rn
+              FROM scored) WHERE rn = 1)
+          SELECT d.doc_id, d.source, d.n_chars FROM documents d
+          WHERE d.doc_id NOT IN (
+            SELECT s.id FROM scored s JOIN keep k
+            ON s.cluster = k.cluster AND s.id <> k.id)"""
   )
 }

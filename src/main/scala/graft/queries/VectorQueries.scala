@@ -614,6 +614,21 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("pr_micro"))
     },
 
+    // --- Johnson–Lindenstrauss random projection (±1 Rademacher
+    //     signs): 64-dim embeddings compressed to 16 components, the
+    //     cheap pre-index dimensionality reduction. Deterministic
+    //     seeded sign matrix embedded as plan literals, ascending-i
+    //     fold, one micro-int quantization — pure map-side, no
+    //     shuffle; the oracle inlines the SAME matrix and replays
+    //     every double op. ---
+    "v42_rp_project" -> { (s, dir) =>
+      graft.operators.RandomProjection.project(
+        Tables(s, dir).embeddings, "vec_id", "embedding",
+        dIn = DIM, dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p_micro")))
+        .select(col("vec_id"), col("j").cast("int").as("j"), col("p_micro"))
+    },
+
     // --- PQ symmetric distance (SDC): queries quantized too, every
     //     code-to-code dot precomputed ONCE into the m·k² index-
     //     metadata table, per-query LUT a row-gather instead of ADC's
@@ -1547,6 +1562,27 @@ object VectorQueries {
           pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
           ${(1 to 5).map(step).mkString(",\n          ")}
           SELECT id AS vec_id, pr AS pr_micro FROM pr5"""
+    },
+
+    // Mirror of v42: the SAME driver-side sign matrix inlined as a
+    // DOUBLE[][] literal, the same ascending-i left fold (DuckDB's
+    // list_reduce starts from the first element; Spark starts from
+    // 0.0 — (0.0 + x1) == x1 exactly, so the partial-sum sequences
+    // are identical), one floor quantization.
+    "v42_rp_project" -> {
+      val signs = graft.operators.RandomProjection.signMatrix(DIM, 16)
+      val matLit = signs.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH sgn AS (SELECT CAST($matLit AS DOUBLE[][]) AS m),
+          js AS (SELECT unnest(range(0, 16)) AS j),
+          p AS (SELECT e.vec_id, js.j,
+              list_reduce(list_transform(generate_series(1, $DIM),
+                i -> CAST(e.embedding[i] AS DOUBLE) * sgn.m[js.j + 1][i]),
+                (x, y) -> x + y) AS proj
+            FROM embeddings e CROSS JOIN sgn CROSS JOIN js)
+          SELECT vec_id, CAST(j AS INT) AS j,
+            CAST(floor(proj * 1000000) AS BIGINT) AS p_micro
+          FROM p"""
     },
 
     // Mirror of v40: the same symmetrize-dedupe over the kNN replay,

@@ -252,6 +252,23 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("keepBestPerCluster keeps the highest-score member (tie → lowest id), singletons survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 50L), (3L, "a", 50L), // cluster A: 2 wins (score tie → min id among 50s)
+      (4L, "b", 99L), (5L, "b", 7L),                  // cluster B: 4 wins
+      (6L, "c", 1L))                                   // singleton: kept
+      .toDF("doc_id", "grp", "score")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val kept = Dedup.keepBestPerCluster(docs, comp, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L), kept)
+    // contrast with min-id keeping: cluster A would keep 1 (score 10)
+    assert(!kept.contains(1L), "the low-id low-score copy must lose")
+  }
+
   test("prefixJaccardPairs finds EXACTLY the brute-force threshold pairs (lossless filter)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

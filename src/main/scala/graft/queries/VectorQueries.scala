@@ -629,6 +629,25 @@ object VectorQueries {
         .select(col("vec_id"), col("j").cast("int").as("j"), col("p_micro"))
     },
 
+    // --- RP recall audit: top-5 by cosine in the PROJECTED 16-dim
+    //     space vs the full-dim exact top-5 — the quality loop that
+    //     makes v42 a sized trade instead of a hope, completing audit
+    //     parity with the other compression families (SQ8 error v35,
+    //     PQ utilization v26, Hamming recall v20). Projected vectors
+    //     are the v42 micro ints cast to double, so both engines rank
+    //     identical values. ---
+    "v43_rp_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val proj = graft.operators.RandomProjection.project(
+        e, "vec_id", "embedding", dIn = DIM, dOut = 16)
+        .select(col("vec_id"), col("proj").cast("array<double>").as("embedding"))
+      val approx = SimilaritySearch.bruteForceTopK(
+        proj, proj.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val exact = SimilaritySearch.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
     // --- PQ symmetric distance (SDC): queries quantized too, every
     //     code-to-code dot precomputed ONCE into the m·k² index-
     //     metadata table, per-query LUT a row-gather instead of ADC's
@@ -1583,6 +1602,39 @@ object VectorQueries {
           SELECT vec_id, CAST(j AS INT) AS j,
             CAST(floor(proj * 1000000) AS BIGINT) AS p_micro
           FROM p"""
+    },
+
+    // Mirror of v43: the v42 projection re-derived per vector (micro
+    // ints listed in j order), ranked by the shared cosine fold with
+    // the same (sim DESC, neighbor_id ASC) tie rule, recall vs the
+    // full-dim exact CTE.
+    "v43_rp_recall" -> {
+      val signs = graft.operators.RandomProjection.signMatrix(DIM, 16)
+      val matLit = signs.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH sgn AS (SELECT CAST($matLit AS DOUBLE[][]) AS m),
+          js AS (SELECT unnest(range(0, 16)) AS j),
+          pr AS (SELECT e.vec_id, js.j,
+              CAST(floor(list_reduce(list_transform(generate_series(1, $DIM),
+                i -> CAST(e.embedding[i] AS DOUBLE) * sgn.m[js.j + 1][i]),
+                (x, y) -> x + y) * 1000000) AS BIGINT) AS p_micro
+            FROM embeddings e CROSS JOIN sgn CROSS JOIN js),
+          rp AS (SELECT vec_id, list(p_micro ORDER BY j) AS pv
+                 FROM pr GROUP BY vec_id),
+          approx AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${duckCosine("q.pv", "c.pv")} DESC, c.vec_id ASC) AS rnk
+              FROM rp c, (SELECT * FROM rp WHERE vec_id < 10) q
+              WHERE q.vec_id <> c.vec_id)
+            WHERE rnk <= 5),
+          $exactTopCte
+          SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN (SELECT query_id, count(*) AS n_hits
+                     FROM approx JOIN exact USING (query_id, neighbor_id)
+                     GROUP BY query_id) h USING (query_id)"""
     },
 
     // Mirror of v40: the same symmetrize-dedupe over the kNN replay,

@@ -800,6 +800,32 @@ object Streams {
       }
       .start()
 
+  /** The q46 seasonal-baseline anomaly read OFF the streaming-
+    * maintained hourly rollup: open the [[hourlyRollupAppendStream]]
+    * artifact, derive each type's hour-of-day profile (observed-hour
+    * totals + hour counts — plain aggregates over the dimension-
+    * bounded rollup, NOT over raw events), and flag spikes/dips with
+    * q46's integer gates. The composition is the point: the raw event
+    * stream was never stored, yet the monitoring query runs on demand
+    * over a bounded artifact — StreamsSpec pins it equal to batch q46
+    * recomputed over the same events.
+    */
+  def seasonalAnomalyFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val hrs = graft.operators.RollupIndex.open(spark, path)
+      .select(col("event_type"), col("hour").as("h"), col("n").as("n_events"))
+    val prof = hrs
+      .groupBy(col("event_type"), hour(col("h")).as("hod"))
+      .agg(sum(col("n_events")).as("s_tot"), count(lit(1)).as("n_hours"))
+    hrs.withColumn("hod", hour(col("h")))
+      .join(broadcast(prof), Seq("event_type", "hod"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+        col("hod"), col("n_events"),
+        (col("n_events") * col("n_hours") > col("s_tot") * 2L).as("is_spike"),
+        (col("n_events") * col("n_hours") * 2L < col("s_tot")).as("is_dip"))
+  }
+
   /** Streaming-maintained gram matrix: each micro-batch of embeddings
     * merges its (i, j, n, sum_qprod) increments — the v36 micro-
     * quantized integer products, associative at any batch split — into

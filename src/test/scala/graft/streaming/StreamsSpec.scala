@@ -620,6 +620,45 @@ class StreamsSpec extends AnyFunSuite {
       "rollup replays must not use the band-index marker-file window")
   }
 
+  test("seasonal anomaly read off the maintained hourly rollup equals batch q46") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_seasonal").toString
+    RollupIndex.build(
+      Seq.empty[(String, Timestamp, Long)].toDF("event_type", "hour", "n"),
+      path, keyCols = Seq("event_type", "hour"))
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_type"), col("ts"))
+      .as[(String, Timestamp)].collect()
+
+    val ms = MemoryStream[(String, Timestamp)]
+    val q = Streams.hourlyRollupAppendStream(
+      ms.toDF().toDF("event_type", "ts"), "event_type", "ts", path)
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    val got = rows(Streams.seasonalAnomalyFromRollup(spark, path))
+    val want = rows(graft.queries.RelationalQueries
+      .queries("q46_seasonal_anomaly")(spark, F.sfDir))
+    assert(got == want,
+      "anomaly flags over the maintained rollup must equal batch q46")
+    assert(got.nonEmpty && got.exists(t => t._5 || t._6),
+      "fixture must exercise at least one spike/dip flag")
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._

@@ -711,6 +711,28 @@ object RelationalQueries {
     //     2·n·H < S over the hour-of-day's observed total S and hour
     //     count H — so no float mean crosses engines. Two bounded
     //     aggregates; the type×24 profile joins back BROADCAST. ---
+    "q47_transition_matrix" -> { (s, dir) =>
+      // --- User-journey transition matrix: counts of consecutive
+      //     (prev_type → type) steps per user in (ts, event_id) order
+      //     — the Markov first-order diagnostic behind funnel design
+      //     (which steps actually follow which). One user-keyed window
+      //     (per-user event counts are bounded), one pair-keyed
+      //     aggregate; transition shares in integer permille. ---
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_steps"))
+      val outTotals = steps.groupBy(col("prev_type"))
+        .agg(sum(col("n_steps")).as("n_out"))
+      steps.join(broadcast(outTotals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n_steps"),
+          expr("n_steps * 1000 div n_out").as("share_permille"))
+    },
+
     "q46_seasonal_anomaly" -> { (s, dir) =>
       val hrs = Tables(s, dir).events
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -1183,6 +1205,22 @@ object RelationalQueries {
              AS n_alarm_hours,
            CAST(max(cusum) AS BIGINT) AS max_cusum
          FROM s GROUP BY 1, 2""",
+    // Mirror of q47: the same per-user (ts, event_id) lag chain, the
+    // same pair rollup and integer permille shares.
+    "q47_transition_matrix" ->
+      """WITH st AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         pairs AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n_steps
+           FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, sum(n_steps) AS n_out FROM pairs GROUP BY 1)
+         SELECT p.prev_type, p.next_type, CAST(p.n_steps AS BIGINT) AS n_steps,
+           CAST(p.n_steps * 1000 // t.n_out AS BIGINT) AS share_permille
+         FROM pairs p JOIN tot t USING (prev_type)""",
+
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.
     "q46_seasonal_anomaly" ->

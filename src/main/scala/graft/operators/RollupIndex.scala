@@ -45,13 +45,14 @@ object RollupIndex {
 
   /** The current rollup as a lazy distributed scan (one driver-side
     * one-row meta read; one re-read if a concurrent merge pruned the
-    * resolved version under us).
+    * resolved version under us). Only the missing-file race retries —
+    * a genuinely corrupt artifact surfaces on the first read.
     */
   def open(spark: SparkSession, path: String): DataFrame = {
     val dir = readMeta(spark, path).getString(AGG_DIR_IDX)
     try spark.read.parquet(s"$path/$dir")
     catch {
-      case _: Throwable =>
+      case t: Throwable if isMissingFile(t) =>
         spark.read.parquet(
           s"$path/${readMeta(spark, path).getString(AGG_DIR_IDX)}")
     }
@@ -102,39 +103,101 @@ object RollupIndex {
     if (meta.isNullAt(APPLIED_IDX)) Map.empty
     else meta.getMap[String, Long](APPLIED_IDX).toMap
 
-  /** The meta pointer is published by writing to `meta_tmp` and
-    * renaming over `meta` — the delete+rename window is two FS
-    * metadata ops instead of a whole Spark overwrite job; a reader
-    * racing even that narrow gap retries briefly.
+  /** Each meta generation is its OWN versioned dir (`meta_vN`, the
+    * agg_vN pattern): write to `meta_tmp`, rename to the fresh
+    * `meta_vN` (rename into a non-existent target — no preceding
+    * delete, so a valid older generation always exists), then prune
+    * all but the latest two. A crash at ANY point leaves at least one
+    * complete meta generation for readers; a rename that fails is
+    * surfaced loudly instead of silently bricking the artifact.
+    * Legacy single-`meta` artifacts are read as version 0 and upgraded
+    * on their next write.
     */
   private def writeMeta(spark: SparkSession, path: String,
       keyCols: Seq[String], measures: Seq[String], aggDir: String,
       applied: Map[String, Long]): Unit = {
     import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/meta_tmp")
+    fs.delete(tmp, true) // leftover from a crashed prior attempt
     Seq((keyCols, measures, aggDir, applied))
       .toDF("key_cols", "measure_cols", "agg_dir", "applied")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = new Path(s"$path/meta")
-    fs.delete(meta, true)
-    fs.rename(new Path(s"$path/meta_tmp"), meta)
+      .coalesce(1).write.parquet(tmp.toString)
+    val next = metaVersions(fs, path).headOption.map(_._1 + 1).getOrElse(1L)
+    val target = new Path(s"$path/meta_v$next")
+    if (!fs.rename(tmp, target)) {
+      throw new java.io.IOException(
+        s"RollupIndex: failed to publish meta generation $target")
+    }
+    // prune: keep the latest two generations; drop the legacy dir only
+    // once a versioned generation exists (it does — we just wrote it)
+    metaVersions(fs, path).drop(2).foreach { case (_, p) =>
+      try fs.delete(p, true) catch { case _: java.io.IOException => }
+    }
+    val legacy = new Path(s"$path/meta")
+    if (fs.exists(legacy)) {
+      try fs.delete(legacy, true) catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** `meta_vN` dirs under `path`, newest first. */
+  private def metaVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, Path)] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("meta_v") &&
+        st.getPath.getName.stripPrefix("meta_v").forall(_.isDigit) &&
+        st.getPath.getName.length > "meta_v".length)
+      .map(st => (st.getPath.getName.stripPrefix("meta_v").toLong, st.getPath))
+      .sortBy(-_._1)
+  }
+
+  /** True for the transient "file was pruned/renamed under us" race
+    * family; everything else (corrupt footer, schema mismatch, perm
+    * denied) is a genuine failure and must surface immediately.
+    */
+  private def isMissingFile(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case e: org.apache.spark.sql.AnalysisException if
+            e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("Path does not exist") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) => return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
   }
 
   private def readMeta(spark: SparkSession, path: String): Row = {
     var last: Throwable = null
     var i = 0
     while (i < 5) {
-      try {
-        val raw = spark.read.parquet(s"$path/meta")
-        // pre-applied-marker artifacts lack the column
-        val df = if (raw.columns.contains("applied")) raw
-          else raw.withColumn("applied",
-            lit(null).cast("map<string,bigint>"))
-        return df.select(col("key_cols"), col("measure_cols"),
-          col("agg_dir"), col("applied")).head()
-      } catch {
-        case t: Throwable => last = t; Thread.sleep(20L << i); i += 1
+      // newest generation first, surviving older generation as the
+      // crash-window fallback, legacy unversioned `meta` last
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val candidates =
+        metaVersions(fs, path).take(2).map(_._2.toString) :+ s"$path/meta"
+      for (cand <- candidates) {
+        try {
+          val raw = spark.read.parquet(cand)
+          // pre-applied-marker artifacts lack the column
+          val df = if (raw.columns.contains("applied")) raw
+            else raw.withColumn("applied",
+              lit(null).cast("map<string,bigint>"))
+          return df.select(col("key_cols"), col("measure_cols"),
+            col("agg_dir"), col("applied")).head()
+        } catch {
+          case t: Throwable if isMissingFile(t) => last = t
+          // corrupt meta (not a missing-file race): fail on first read
+        }
       }
+      Thread.sleep(20L << i); i += 1
     }
     throw last
   }

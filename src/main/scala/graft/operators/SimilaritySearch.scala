@@ -257,8 +257,23 @@ object SimilaritySearch {
   def simHistogramSampled(embeddings: DataFrame, idCol: String,
       vecCol: String, targetSample: Long): DataFrame = {
     require(targetSample >= 2, s"targetSample must be >= 2, got $targetSample")
-    val n = embeddings.count()
-    val modulus = math.max(1L, (n + targetSample - 1) / targetSample)
+    // Derive the modulus from the id SPAN, not the row count: with
+    // sparse/offset ids a count-derived modulus over-thins (id%m==0
+    // hits span/m ids, not count/m). Then verify the sample actually
+    // landed near target — hashed or parity-biased ids (all-odd ids
+    // vs an even modulus) can still under-sample, so halve the
+    // modulus until the sample is at least target/2 or every row is
+    // in (bounded: log2(modulus) cheap filter-counts, no pair sweep).
+    val maxId = embeddings.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => return simHistogram(embeddings, idCol, vecCol, 1L)
+      case r => r.get(0) match { case n: Number => n.longValue }
+    }
+    var modulus = math.max(1L, (maxId + targetSample) / targetSample)
+    var sampled = embeddings.filter(col(idCol) % modulus === 0).count()
+    while (modulus > 1 && sampled < math.max(2L, targetSample / 2)) {
+      modulus /= 2
+      sampled = embeddings.filter(col(idCol) % modulus === 0).count()
+    }
     simHistogram(embeddings, idCol, vecCol, modulus)
   }
 

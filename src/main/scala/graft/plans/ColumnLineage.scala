@@ -1,7 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, UnresolvedIdentifier}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, ExprId, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.DataWritingCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
@@ -11,13 +14,79 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * windows, generators, unions and pass-through operators (reference:
   * kyuubi-spark-lineage/.../SparkSQLLineageParseHelper.scala:56,203 —
   * same outcome, independent walk).
+  *
+  * Write commands (CTAS, INSERT INTO — v1 `DataWritingCommand`s and
+  * v2 `V2WriteCommand`/`CreateTableAsSelect`, reference
+  * SparkSQLLineageParseHelper.scala:257-311) map each TARGET column
+  * (`target_table.column`) to the sources feeding it, so a LineageEvent
+  * for `INSERT INTO t2 SELECT a FROM t1` names `t2.a ← {t1.a}`.
   */
 object ColumnLineage {
 
-  /** output column name → source columns ("table.column"). */
-  def of(plan: LogicalPlan): Map[String, Set[String]] = {
-    val sources = attrSources(plan)
-    plan.output.map(a => a.name -> sources.getOrElse(a.exprId, Set.empty[String])).toMap
+  /** output column name → source columns ("table.column"). For write
+    * commands the keys are the target's `table.column` names.
+    */
+  def of(plan: LogicalPlan): Map[String, Set[String]] =
+    writeLineage(plan).getOrElse {
+      val sources = attrSources(plan)
+      plan.output.map(a => a.name -> sources.getOrElse(a.exprId, Set.empty[String])).toMap
+    }
+
+  /** Target-column lineage for write commands; None for reads. */
+  private def writeLineage(plan: LogicalPlan): Option[Map[String, Set[String]]] = {
+    def bind(target: String, query: LogicalPlan,
+        outNames: Seq[String]): Map[String, Set[String]] = {
+      val sources = attrSources(query)
+      outNames.zip(query.output).map { case (n, a) =>
+        s"$target.$n" -> sources.getOrElse(a.exprId, Set.empty[String])
+      }.toMap
+    }
+    plan match {
+      // v1 writes: InsertIntoHadoopFsRelationCommand, CTAS commands,
+      // InsertIntoHiveTable… — all DataWritingCommands carrying their
+      // CatalogTable (or output path) somewhere in the product
+      case cmd: DataWritingCommand =>
+        val target = cmd.productIterator.flatMap {
+          case ct: CatalogTable => Iterator(ct.identifier.unquotedString)
+          case Some(ct: CatalogTable) => Iterator(ct.identifier.unquotedString)
+          case _ => Iterator.empty
+        }.nextOption().orElse(cmd.productIterator.collectFirst {
+          case p: org.apache.hadoop.fs.Path => p.toString
+        }).getOrElse("unknown_target")
+        Some(bind(target, cmd.query, cmd.outputColumnNames))
+
+      // v2 writes: AppendData / OverwriteByExpression /
+      // OverwritePartitionsDynamic against a resolved NamedRelation
+      case w: V2WriteCommand =>
+        val names =
+          if (!w.isByName && w.table.output.nonEmpty) w.table.output.map(_.name)
+          else w.query.output.map(_.name)
+        Some(bind(w.table.name, w.query, names))
+
+      // v2 CTAS/RTAS: the target table does not exist yet — its
+      // columns ARE the query's output columns
+      case c: CreateTableAsSelect =>
+        Some(bind(identifierName(c.name), c.query, c.query.output.map(_.name)))
+      case r: ReplaceTableAsSelect =>
+        Some(bind(identifierName(r.name), r.query, r.query.output.map(_.name)))
+
+      // a not-yet-resolved INSERT INTO (parsed plans handed to `of`
+      // directly, e.g. in tests) — resolve the target leaf's name
+      case i: InsertIntoStatement =>
+        val names =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else if (i.table.output.nonEmpty) i.table.output.map(_.name)
+          else i.query.output.map(_.name)
+        Some(bind(leafName(i.table), i.query, names))
+
+      case _ => None
+    }
+  }
+
+  private def identifierName(name: LogicalPlan): String = name match {
+    case r: ResolvedIdentifier => r.identifier.toString
+    case u: UnresolvedIdentifier => u.nameParts.mkString(".")
+    case other => other.nodeName.toLowerCase
   }
 
   private def leafName(plan: LogicalPlan): String = plan match {
@@ -25,7 +94,12 @@ object ColumnLineage {
       lr.catalogTable.map(_.identifier.unquotedString)
         .getOrElse(lr.relation.toString.takeWhile(_ != '('))
     case ds: DataSourceV2ScanRelation => ds.relation.table.name()
+    case dr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      dr.table.name()
     case lv: LocalRelation => "localtable"
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      u.multipartIdentifier.mkString(".")
+    case s: SubqueryAlias => leafName(s.child)
     case other => other.nodeName.toLowerCase
   }
 

@@ -703,21 +703,13 @@ object RelationalQueries {
           col("f.a").as("n_alarm_hours"), col("f.m").as("max_cusum"))
     },
 
-    // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
-    //     EVERY rush hour anomalous; the seasonal profile compares
-    //     each (type, hour) count against the mean for that HOUR OF
-    //     DAY (the daily-rhythm baseline every monitoring stack
-    //     computes). Integer gates — spike when n·H > 2·S, dip when
-    //     2·n·H < S over the hour-of-day's observed total S and hour
-    //     count H — so no float mean crosses engines. Two bounded
-    //     aggregates; the type×24 profile joins back BROADCAST. ---
+    // --- User-journey transition matrix: counts of consecutive
+    //     (prev_type → type) steps per user in (ts, event_id) order
+    //     — the Markov first-order diagnostic behind funnel design
+    //     (which steps actually follow which). One user-keyed window
+    //     (per-user event counts are bounded), one pair-keyed
+    //     aggregate; transition shares in integer permille. ---
     "q47_transition_matrix" -> { (s, dir) =>
-      // --- User-journey transition matrix: counts of consecutive
-      //     (prev_type → type) steps per user in (ts, event_id) order
-      //     — the Markov first-order diagnostic behind funnel design
-      //     (which steps actually follow which). One user-keyed window
-      //     (per-user event counts are bounded), one pair-keyed
-      //     aggregate; transition shares in integer permille. ---
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val steps = Tables(s, dir).events
@@ -733,6 +725,14 @@ object RelationalQueries {
           expr("n_steps * 1000 div n_out").as("share_permille"))
     },
 
+    // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
+    //     EVERY rush hour anomalous; the seasonal profile compares
+    //     each (type, hour) count against the mean for that HOUR OF
+    //     DAY (the daily-rhythm baseline every monitoring stack
+    //     computes). Integer gates — spike when n·H > 2·S, dip when
+    //     2·n·H < S over the hour-of-day's observed total S and hour
+    //     count H — so no float mean crosses engines. Two bounded
+    //     aggregates; the type×24 profile joins back BROADCAST. ---
     "q46_seasonal_anomaly" -> { (s, dir) =>
       val hrs = Tables(s, dir).events
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))

@@ -138,20 +138,24 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 
   // Worker pool draining PENDING submits: each worker launches ONE
   // child and HOLDS its slot until the child settles, so live children
-  // never exceed the pool size. A submit canceled while queued is
-  // skipped (its store record is already CANCELED).
+  // never exceed the pool size. The pendingBatches entry is the SINGLE
+  // claim token: the worker launches only if its remove(id) returned
+  // the entry, and a DELETE that removes it first wins the cancel —
+  // exactly one of the two ever acts, so a canceled batch can never be
+  // launched after its client was told CANCELED, and the slot is
+  // released exactly once.
   private val submitterThreads: Seq[Thread] =
     if (!batchSubmitterEnabled) Nil
     else (1 to math.max(1, batchSubmitterPoolSize)).map { i =>
       val t = new Thread(() => {
         try while (true) {
           val p = submitQueue.take()
-          if (!p.canceled.get()) {
+          // atomic claim: null means a DELETE already took this one
+          if (pendingBatches.remove(p.id) != null) {
             try {
               val job = startResourceBatch(p.id, p.user, p.resource,
                 p.mainClass, p.args, insertRecord = false,
                 extraResources = p.extras, requestConf = p.requestConf)
-              pendingBatches.remove(p.id)
               // hold this worker (= this pool slot) until the child is
               // gone; the bound is the WORKER count, not a counter
               while (!job.awaitTerminal(60000)) ()
@@ -160,12 +164,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               // let it unwind the worker without marking the batch
               case ie: InterruptedException => throw ie
               case e: Throwable =>
-                pendingBatches.remove(p.id)
                 store.foreach(_.updateState(p.id, "ERROR",
                   Some(String.valueOf(e.getMessage))))
                 releaseBatchSlot(p.id)
             }
-          } else pendingBatches.remove(p.id)
+          }
         } catch { case _: InterruptedException => () }
       }, s"graft-batch-submitter-$i")
       t.setDaemon(true)
@@ -1090,15 +1093,33 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             // through the job's own drainer callback
             reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
           case None if pendingBatches.containsKey(id) =>
-            // still queued: flag it so the submitter worker skips it,
-            // settle the record CANCELED, free the slot — no child was
-            // ever spawned
-            val p = pendingBatches.get(id)
-            p.canceled.set(true)
-            pendingBatches.remove(id)
-            store.foreach(_.updateState(id, "CANCELED", None))
-            releaseBatchSlot(id)
-            reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED"}""")
+            // still queued: the remove is the atomic claim — win it
+            // and no child will ever be spawned (the worker launches
+            // only if ITS remove returns the entry). Lose it and a
+            // worker is already launching: wait for the live job to
+            // appear and cancel THAT, instead of lying CANCELED while
+            // the batch runs (and double-releasing the slot).
+            val claimed = pendingBatches.remove(id)
+            if (claimed != null) {
+              claimed.canceled.set(true)
+              store.foreach(_.updateState(id, "CANCELED", None))
+              releaseBatchSlot(id)
+              reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED"}""")
+            } else {
+              var job: BatchJob = null
+              var waited = 0
+              while (job == null && waited < 5000) {
+                job = procBatches.get(id)
+                if (job == null) { Thread.sleep(50); waited += 50 }
+              }
+              if (job != null) {
+                try job.cancel() catch { case _: Throwable => }
+                reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
+              } else {
+                val st = store.flatMap(_.get(id)).map(_.state).getOrElse("UNKNOWN")
+                reply(ex, 409, s"""{"id": ${q(id)}, "state": ${q(st)}, "message": "batch is being launched; retry"}""")
+              }
+            }
           case None => store.flatMap(_.get(id)) match {
             // owned by ANOTHER gateway: forward the kill to the owner
             // (reference InternalRestClient, BatchesResource.scala:

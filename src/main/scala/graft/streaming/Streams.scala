@@ -736,12 +736,31 @@ object Streams {
   def applyRollupBatch(batch: DataFrame, batchId: Long, path: String,
       streamId: String = "default")(toIncrements: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val done = graft.operators.RollupIndex
-      .lastApplied(spark, path, streamId).exists(batchId <= _)
-    if (!batch.isEmpty && !done) {
+    // Rollup artifacts written before the in-meta marker recorded
+    // replays as _applied/<streamId>/batch-N files; when the meta map
+    // has no entry for this stream, consult those legacy markers so a
+    // restart across the upgrade cannot re-merge its replayed batch.
+    val last = graft.operators.RollupIndex
+      .lastApplied(spark, path, streamId)
+      .orElse(legacyLastApplied(spark, s"$path/_applied/$streamId"))
+    if (!batch.isEmpty && !last.exists(batchId <= _)) {
       graft.operators.RollupIndex.merge(toIncrements(batch), path,
         applied = Some(streamId -> batchId))
     }
+  }
+
+  /** Highest batch id among legacy `batch-N` marker files, if any. */
+  private def legacyLastApplied(spark: org.apache.spark.sql.SparkSession,
+      markerDir: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("batch-") &&
+        n.stripPrefix("batch-").forall(_.isDigit))
+      .map(_.stripPrefix("batch-").toLong)
+      .sorted(Ordering.Long.reverse).headOption
   }
 
   /** One micro-batch of the gram-novelty ingest gate — public so a

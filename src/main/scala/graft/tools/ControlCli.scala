@@ -31,15 +31,19 @@ object ControlCli {
   final case class Result(code: Int, out: String)
 
   /** Pure entry for tests: returns (exit code, output) instead of
-    * printing and exiting.
+    * printing and exiting. `sink` receives streamed lines (submit's
+    * live log tail) as they arrive; the default collects them into
+    * the returned output.
     */
-  def run(args: Array[String]): Result = {
+  def run(args: Array[String], sink: String => Unit = null): Result = {
     var api = sys.env.getOrElse("GRAFT_API", "http://localhost:10099")
     var space: Option[String] = None
     var discoveryUrl: Option[String] = sys.env.get("GRAFT_DISCOVERY")
     // Identity for the admin verbs (HTTP Basic): `--as user` or
     // `--as user:password`; $GRAFT_ADMIN_USER as the ambient default.
     var asUser: Option[String] = sys.env.get("GRAFT_ADMIN_USER")
+    var specFile: Option[String] = None
+    var waitTimeoutSec: Int = 600
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -48,6 +52,8 @@ object ControlCli {
         case "--space" => space = Some(args(i + 1)); i += 2
         case "--discovery" => discoveryUrl = Some(args(i + 1)); i += 2
         case "--as" => asUser = Some(args(i + 1)); i += 2
+        case "-f" | "--file" => specFile = Some(args(i + 1)); i += 2
+        case "--wait-timeout" => waitTimeoutSec = args(i + 1).toInt; i += 2
         case "--help" | "-h" => return Result(0, usage)
         case a => positional += a; i += 1
       }
@@ -83,7 +89,141 @@ object ControlCli {
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+    val emit: String => Unit = if (sink != null) sink else _ => ()
+
+    /** Multipart POST of the batch spec file (reference kyuubi-ctl
+      * `create batch -f`, CreateBatchCommand.scala:31-45): the spec
+      * names a LOCAL resource (and optional sidecars) which are
+      * uploaded as file parts; everything else passes through as the
+      * batchRequest JSON. Returns the server's response.
+      */
+    def postBatchSpec(): Result = specFile match {
+      case None => Result(1, "create/submit batch requires -f <spec.json>")
+      case Some(f) =>
+        val p = java.nio.file.Paths.get(f)
+        if (!java.nio.file.Files.exists(p))
+          return Result(1, s"""{"error": "spec file not found: $f"}""")
+        val spec = new String(java.nio.file.Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val resource = MiniJson.str(spec, "resource").getOrElse {
+          return Result(1, """{"error": "spec must name a local `resource` file"}""")
+        }
+        val resPath = {
+          val r = java.nio.file.Paths.get(resource)
+          if (r.isAbsolute) r else p.toAbsolutePath.getParent.resolve(r)
+        }
+        if (!java.nio.file.Files.exists(resPath))
+          return Result(1, s"""{"error": "resource file not found: $resPath"}""")
+        val extras = MiniJson.strArray(spec, "extraResources").map { e =>
+          val ep = java.nio.file.Paths.get(e)
+          if (ep.isAbsolute) ep else p.toAbsolutePath.getParent.resolve(ep)
+        }
+        extras.find(e => !java.nio.file.Files.exists(e)).foreach { e =>
+          return Result(1, s"""{"error": "extra resource not found: $e"}""")
+        }
+        val req = {
+          val sb = new StringBuilder("{")
+          sb ++= s""""batchType": ${MiniJson.q(
+            MiniJson.str(spec, "batchType").getOrElse("SPARK"))}"""
+          MiniJson.str(spec, "className").foreach(c => sb ++= s""", "className": ${MiniJson.q(c)}""")
+          MiniJson.str(spec, "user").orElse(asUser.map(_.takeWhile(_ != ':')))
+            .foreach(u => sb ++= s""", "user": ${MiniJson.q(u)}""")
+          MiniJson.str(spec, "name").foreach(n => sb ++= s""", "name": ${MiniJson.q(n)}""")
+          val args0 = MiniJson.strArray(spec, "args")
+          if (args0.nonEmpty)
+            sb ++= s""", "args": [${args0.map(MiniJson.q).mkString(", ")}]"""
+          val conf = MiniJson.strMap(spec, "conf")
+          if (conf.nonEmpty)
+            sb ++= s""", "conf": {${conf.map { case (k, v) =>
+              s"${MiniJson.q(k)}: ${MiniJson.q(v)}" }.mkString(", ")}}"""
+          if (extras.nonEmpty)
+            sb ++= s""", "extraResourcesMap": {"files": ${MiniJson.q(
+              extras.map(_.getFileName.toString).mkString(","))}}"""
+          sb ++= "}"
+          sb.toString
+        }
+        val boundary = "graftCtl" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val body = new java.io.ByteArrayOutputStream()
+        def text(s: String): Unit = body.write(s.getBytes(StandardCharsets.ISO_8859_1))
+        text(s"--$boundary\r\n")
+        text("Content-Disposition: form-data; name=\"batchRequest\"\r\n")
+        text("Content-Type: application/json\r\n\r\n")
+        text(req)
+        text(s"\r\n--$boundary\r\n")
+        text(s"""Content-Disposition: form-data; name="resourceFile"; filename="${resPath.getFileName}"""" + "\r\n")
+        text("Content-Type: application/octet-stream\r\n\r\n")
+        body.write(java.nio.file.Files.readAllBytes(resPath))
+        extras.foreach { e =>
+          text(s"\r\n--$boundary\r\n")
+          text(s"""Content-Disposition: form-data; name="${e.getFileName}"; filename="${e.getFileName}"""" + "\r\n")
+          text("Content-Type: application/octet-stream\r\n\r\n")
+          body.write(java.nio.file.Files.readAllBytes(e))
+        }
+        text(s"\r\n--$boundary--\r\n")
+        val url = URI.create(s"$api/api/v1/batches").toURL
+        val c = url.openConnection().asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setRequestProperty("Content-Type", s"multipart/form-data; boundary=$boundary")
+        asUser.foreach { u =>
+          val cred = if (u.contains(":")) u else s"$u:"
+          c.setRequestProperty("Authorization", "Basic " +
+            java.util.Base64.getEncoder.encodeToString(
+              cred.getBytes(StandardCharsets.UTF_8)))
+        }
+        c.setDoOutput(true)
+        try {
+          val os = c.getOutputStream
+          try os.write(body.toByteArray) finally os.close()
+          val code = c.getResponseCode
+          val stream = if (code >= 400) c.getErrorStream else c.getInputStream
+          val resp = if (stream == null) "" else
+            new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+          Result(if (code >= 200 && code < 300) 0 else 1, resp)
+        } catch {
+          case e: IOException =>
+            Result(1, s"""{"error": "cannot reach $api: ${e.getMessage}"}""")
+        } finally c.disconnect()
+    }
+
+    /** `submit batch -f`: create, then TAIL the batch to a terminal
+      * state — localLog lines stream to `sink` as they appear (the
+      * reference's submit verb blocks and mirrors the log), exit code
+      * 0 only for FINISHED.
+      */
+    def submitBatch(): Result = {
+      val created = postBatchSpec()
+      if (created.code != 0) return created
+      val id = MiniJson.str(created.out, "id").getOrElse(
+        return Result(1, s"""{"error": "no id in create response: ${created.out}"}"""))
+      emit(created.out)
+      val terminal = Set("FINISHED", "ERROR", "CANCELED", "CLOSED", "TIMEOUT")
+      val deadline = System.nanoTime() + waitTimeoutSec * 1000000000L
+      var state = MiniJson.str(created.out, "state").getOrElse("")
+      val collected = new StringBuilder(created.out).append('\n')
+      def drainLog(): Unit = {
+        val log = http("GET", s"/batches/${enc(id)}/localLog")
+        // localLog is incremental: each line arrives exactly once
+        MiniJson.strArray(log.out, "logRowSet").foreach { line =>
+          emit(line); collected.append(line).append('\n')
+        }
+      }
+      while (!terminal(state) && System.nanoTime() < deadline) {
+        drainLog()
+        state = MiniJson.str(http("GET", s"/batches/${enc(id)}").out, "state")
+          .getOrElse(state)
+        if (!terminal(state)) Thread.sleep(300)
+      }
+      drainLog() // the tail written between the last poll and terminal
+      val line = s"""{"id": ${MiniJson.q(id)}, "state": ${MiniJson.q(
+        if (state.isEmpty) "UNKNOWN" else state)}}"""
+      emit(line); collected.append(line)
+      // with a live sink every line already went out — don't echo twice
+      Result(if (state == "FINISHED") 0 else 1,
+        if (sink != null) "" else collected.toString)
+    }
+
     positional.toList match {
+      case "create" :: "batch" :: Nil => postBatchSpec()
+      case "submit" :: "batch" :: Nil => submitBatch()
       case "list" :: "session" :: Nil => http("GET", "/sessions")
       case "list" :: "batch" :: Nil => http("GET", "/batches")
       case "list" :: "engine" :: Nil => space match {
@@ -148,8 +288,68 @@ object ControlCli {
     }
   }
 
+  /** Just enough JSON for the CLI's flat spec/response documents —
+    * string fields, string arrays, flat string maps (the same regex
+    * discipline the REST frontend applies to batchRequest bodies).
+    */
+  private object MiniJson {
+    private def unesc(s: String): String =
+      s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+
+    def str(json: String, key: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
+      if (m.find()) Some(unesc(m.group(1))) else None
+    }
+
+    def strArray(json: String, key: String): Seq[String] = {
+      val arr = java.util.regex.Pattern
+        .compile("\"" + key + "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]")
+        .matcher(json)
+      if (!arr.find()) Nil
+      else {
+        val lit = java.util.regex.Pattern
+          .compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(arr.group(1))
+        val out = Seq.newBuilder[String]
+        while (lit.find()) out += unesc(lit.group(1))
+        out.result()
+      }
+    }
+
+    def strMap(json: String, key: String): Map[String, String] = {
+      val obj = java.util.regex.Pattern
+        .compile("\"" + key + "\"\\s*:\\s*\\{((?:[^}\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\}")
+        .matcher(json)
+      if (!obj.find()) Map.empty
+      else {
+        val pair = java.util.regex.Pattern
+          .compile("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+          .matcher(obj.group(1))
+        val out = Map.newBuilder[String, String]
+        while (pair.find()) out += unesc(pair.group(1)) -> unesc(pair.group(2))
+        out.result()
+      }
+    }
+
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+  }
+
   private val usage: String =
     """graft-ctl [--api http://host:port] <verb> <noun> [id] [--space s]
+      |  create batch -f <spec.json> upload + launch a batch, print the handle
+      |  submit batch -f <spec.json> create, tail the log to a terminal state
+      |                              (exit 0 iff FINISHED; --wait-timeout secs)
+      |      spec: {"batchType": "SPARK", "className": c, "resource": path,
+      |             "args": [...], "conf": {...}, "extraResources": [paths]}
       |  list session|batch          list sessions / batches
       |  list engine --space <s>     list discovery registrations
       |  get session|batch <id>      one resource
@@ -171,8 +371,8 @@ object ControlCli {
       |  admin reassign batch <fromUrl> --as <admin>  take a dead gateway's batches""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    val r = run(args)
-    println(r.out)
+    val r = run(args, sink = line => println(line))
+    if (r.out.nonEmpty) println(r.out)
     sys.exit(r.code)
   }
 }

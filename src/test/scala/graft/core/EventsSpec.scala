@@ -114,6 +114,62 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("write commands post target-column lineage: INSERT INTO and CTAS name the target's columns") {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.LineageEvent]()
+    val collector = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = e match {
+        case le: Events.LineageEvent => seen.add(le)
+        case _ => ()
+      }
+    }
+    val spark = SparkFixture.spark
+    Seq("graft_lin_src", "graft_lin_dst", "graft_lin_ctas")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE TABLE graft_lin_src (a INT, b INT) USING parquet")
+    spark.sql("CREATE TABLE graft_lin_dst (x INT, y INT) USING parquet")
+    Events.register(collector)
+    try {
+      val sess = engine.openSession("wlin_user")
+      sess.executeStatement(
+        "INSERT INTO graft_lin_dst SELECT a, a + b FROM graft_lin_src")
+        .awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      def insertHit: Option[Events.LineageEvent] = seen.asScala.find(
+        _.columns.keys.exists(_.endsWith("graft_lin_dst.x")))
+      while (insertHit.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val ins = insertHit.getOrElse(fail(
+        s"no INSERT lineage event; got ${seen.asScala.map(_.columns.keys).toList}"))
+      val x = ins.columns.collectFirst {
+        case (k, v) if k.endsWith("graft_lin_dst.x") => v }.get
+      val y = ins.columns.collectFirst {
+        case (k, v) if k.endsWith("graft_lin_dst.y") => v }.get
+      assert(x.size == 1 && x.forall(_.endsWith("graft_lin_src.a")), ins.columns)
+      assert(y.size == 2 && y.exists(_.endsWith("graft_lin_src.a")) &&
+        y.exists(_.endsWith("graft_lin_src.b")), ins.columns)
+
+      // CTAS: the created table's columns are the outputs
+      sess.executeStatement(
+        "CREATE TABLE graft_lin_ctas USING parquet AS " +
+          "SELECT b AS only_col FROM graft_lin_src").awaitTermination()
+      def ctasHit: Option[Events.LineageEvent] = seen.asScala.find(
+        _.columns.keys.exists(_.endsWith("graft_lin_ctas.only_col")))
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (ctasHit.isEmpty && System.currentTimeMillis() < deadline2)
+        Thread.sleep(50)
+      val ctas = ctasHit.getOrElse(fail(
+        s"no CTAS lineage event; got ${seen.asScala.map(_.columns.keys).toList}"))
+      val oc = ctas.columns.collectFirst {
+        case (k, v) if k.endsWith("graft_lin_ctas.only_col") => v }.get
+      assert(oc.size == 1 && oc.forall(_.endsWith("graft_lin_src.b")), ctas.columns)
+      engine.closeSession(sess.id)
+    } finally {
+      Events.unregister(collector)
+      Seq("graft_lin_src", "graft_lin_dst", "graft_lin_ctas")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("lineage dispatcher seam: conf-selected custom class and SPARK_EVENT bus receive lineage") {
     val spark = SparkFixture.spark
     spark.sql("DROP TABLE IF EXISTS graft_lineage_d")

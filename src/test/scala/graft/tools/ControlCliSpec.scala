@@ -141,6 +141,81 @@ class ControlCliSpec extends AnyFunSuite {
     }
   }
 
+  /** A real runnable artifact for the submit-verb tests: prints a
+    * marker (and its args), or exits 7 when asked to fail.
+    */
+  private lazy val submitJar: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctl-submit-src")
+    val src = dir.resolve("GraftCtlApp.java")
+    java.nio.file.Files.write(src,
+      """public class GraftCtlApp {
+        |  public static void main(String[] a) {
+        |    if (a.length > 0 && a[0].equals("fail")) System.exit(7);
+        |    System.out.println("ctl-submit-ran " + String.join(",", a));
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString) == 0, "javac must succeed")
+    val jar = dir.resolve("graft-ctl-app.jar")
+    val jos = new java.util.jar.JarOutputStream(java.nio.file.Files.newOutputStream(jar))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry("GraftCtlApp.class"))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve("GraftCtlApp.class")))
+      jos.closeEntry()
+    } finally jos.close()
+    jar
+  }
+
+  test("submit batch -f drives an uploaded jar to FINISHED; a failing batch exits non-zero") {
+    withServer { (c, api, base) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ctl-spec")
+      java.nio.file.Files.copy(submitJar, dir.resolve("app.jar"))
+      // resource is RELATIVE to the spec file — the kyuubi-ctl yaml shape
+      val okSpec = dir.resolve("ok.json")
+      java.nio.file.Files.write(okSpec,
+        """{"batchType": "SPARK", "className": "GraftCtlApp",
+          | "resource": "app.jar", "args": ["a1", "a2"],
+          | "user": "ctl-submitter"}""".stripMargin.getBytes("UTF-8"))
+      val tailed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ok = ControlCli.run(
+        Array("--api", api, "submit", "batch", "-f", okSpec.toString,
+          "--wait-timeout", "120"), sink = tailed += _)
+      assert(ok.code == 0, s"submit must exit 0 on FINISHED:\n${tailed.mkString("\n")}")
+      val all = tailed.mkString("\n")
+      assert(all.contains("ctl-submit-ran a1,a2"),
+        s"the child's stdout must stream through the CLI tail:\n$all")
+      assert(all.contains("\"state\": \"FINISHED\""), all)
+      // the created batch is visible through the ordinary verbs
+      val id = extract(tailed.head, "id")
+      assert(ctl(api, "get", "batch", id).out.contains("FINISHED"))
+
+      // a failing batch: non-zero exit code, terminal state ERROR
+      val failSpec = dir.resolve("fail.json")
+      java.nio.file.Files.write(failSpec,
+        """{"batchType": "SPARK", "className": "GraftCtlApp",
+          | "resource": "app.jar", "args": ["fail"]}""".stripMargin.getBytes("UTF-8"))
+      val bad = ControlCli.run(
+        Array("--api", api, "submit", "batch", "-f", failSpec.toString,
+          "--wait-timeout", "120"))
+      assert(bad.code == 1, s"a failing batch must exit non-zero: ${bad.out}")
+      assert(bad.out.contains("\"state\": \"ERROR\""), bad.out)
+
+      // create (no tail) returns the handle immediately
+      val created = ctl(api, "create", "batch", "-f", okSpec.toString)
+      assert(created.code == 0 && created.out.contains("\"id\""), created.out)
+
+      // spec hygiene: missing -f, missing spec, missing resource
+      assert(ctl(api, "create", "batch").code == 1)
+      assert(ctl(api, "create", "batch", "-f", "/nope/missing.json").code == 1)
+      val noRes = dir.resolve("nores.json")
+      java.nio.file.Files.write(noRes,
+        """{"batchType": "SPARK", "className": "X"}""".getBytes("UTF-8"))
+      val nr = ctl(api, "create", "batch", "-f", noRes.toString)
+      assert(nr.code == 1 && nr.out.contains("resource"), nr.out)
+    }
+  }
+
   test("bad commands and unreachable servers exit non-zero") {
     assert(ControlCli.run(Array("frobnicate")).code == 1)
     assert(ControlCli.run(Array("--help")).code == 0)

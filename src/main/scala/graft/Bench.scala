@@ -385,6 +385,16 @@ object Bench {
       "q24b", "q11", "q10")
     val spotSqls = if (suiteOnly) Map.empty[String, String]
       else TpcdsCorpusSql.queries(tpcdsDb).toMap
+    // Untimed page-cache warm of the sf10 tables before the spot set:
+    // the sf1 corpus scan just evicted them, so without this the spot
+    // numbers measured RUN ORDER (the r14↔r15 flip-flop: suite-first
+    // fixed d10/w01/z01 and regressed q11/q24b/q14 by the same
+    // mechanism), not plans. A full untimed touch per table makes the
+    // timed min-of-2 cache-state-independent across rounds.
+    if (!suiteOnly) tpcdsBaselineTables.foreach { t =>
+      try spark.table(s"$tpcdsDb.$t").foreach(_ => ())
+      catch { case _: Throwable => }
+    }
     val tpcdsSpot = spotNames.flatMap(qn => spotSqls.get(qn).map { sql =>
       timedN(s"tpcds_${tpcdsNs}_$qn", 2, careful = true)(
         spark.sql(sql).foreach(_ => ()))

@@ -44,6 +44,19 @@ object EngineMain {
     // EngineSecureAuthenticationProviderImpl the same way).
     val auth = sys.env.get("GRAFT_ENGINE_SECRET").map(s =>
       new EngineTokenAuthenticationProvider(new EngineTokenManager(s)))
+    // Launcher-shipped delegation tokens (one encoded TokenBundle in
+    // the child env — the reference sends Hadoop credentials to the
+    // engine the same obtain-on-launch way): decoded here and exposed
+    // as local properties so secured data sources can read them.
+    sys.env.get("GRAFT_ENGINE_CREDENTIALS").foreach { enc =>
+      val bundle = TokenBundle.decode(enc)
+      bundle.aliases.foreach { a =>
+        spark.sparkContext.setLocalProperty(
+          s"graft.credentials.$a",
+          java.util.Base64.getEncoder.encodeToString(bundle.get(a).get))
+      }
+      println(s"ENGINE CREDENTIALS ${bundle.aliases.toSeq.sorted.mkString(",")}")
+    }
     val frontend = new ThriftFrontend(engine, auth = auth)
     frontend.start()
     val address = s"localhost:${frontend.boundPort}"

@@ -35,7 +35,11 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     engineJar: Option[String] = None,
     engineSecret: Option[String] = None,
     engineEnv: Map[String, String] = Map.empty,
-    discoveryUrl: Option[String] = None) {
+    discoveryUrl: Option[String] = None,
+    // delegation tokens for the engine's user ride the child env as
+    // one encoded TokenBundle (reference: the gateway obtains Hadoop
+    // credentials per appUser and ships them to the engine)
+    credentialsManager: Option[CredentialsManager] = None) {
 
   // When set, a zk://…/etcd://… URL overrides the file registry for
   // BOTH the launcher's watch and the spawned engine's registration
@@ -124,15 +128,29 @@ final class EngineProcBuilder(discoveryDir: Path, launchTimeoutMs: Long = 180000
     */
   private[server] def discoveryClient: graft.core.DiscoveryClient = discovery
 
+  /** The process-private env `launch(space)` applies to the child —
+    * secret, caller extras, and the engine user's delegation tokens
+    * (the user is the proxy user when impersonating, else the space's
+    * owner segment, e.g. `user/alice` → alice). Factored out so the
+    * credentials handoff is testable without spawning a JVM.
+    */
+  private[server] def launchEnv(space: String): Map[String, String] = {
+    val creds = credentialsManager.flatMap { cm =>
+      val user = proxyUser.getOrElse(space.split('/').last)
+      Some(cm.credentialsFor(user)).filter(_.nonEmpty)
+    }
+    engineSecret.map("GRAFT_ENGINE_SECRET" -> _).toMap ++
+      creds.map("GRAFT_ENGINE_CREDENTIALS" -> _).toMap ++ engineEnv
+  }
+
   /** Spawn an engine JVM for `space` and wait until it registers. */
   def launch(space: String): EngineProcess = {
     val before = discovery.getAll(space).toSet
     val cmd = command(space)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-    // the secret travels process-private (child env), never on the
-    // command line where `ps` would expose it
-    engineSecret.foreach(pb.environment().put("GRAFT_ENGINE_SECRET", _))
-    engineEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    // the secret (and any tokens) travel process-private (child env),
+    // never on the command line where `ps` would expose them
+    launchEnv(space).foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
     // drain the child's output (Spark logs would fill the pipe and
     // deadlock it); keep a tail for failure diagnostics

@@ -1383,6 +1383,17 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             case TrinoResetSessionRe(key) =>
               ex.getResponseHeaders.add("X-Trino-Reset-Session", key)
               reply(ex, 200, trinoControlDoc("RESET SESSION"))
+            // USE [catalog.]schema — the default namespace lives on
+            // the CLIENT like every other Trino session state: the
+            // server acknowledges via X-Trino-Set-Catalog /
+            // X-Trino-Set-Schema and the client carries the active
+            // pair on later requests as X-Trino-Catalog/-Schema
+            // (reference server/trino/api/TrinoContext.scala).
+            case TrinoUseRe(cat, schema) =>
+              if (cat != null)
+                ex.getResponseHeaders.add("X-Trino-Set-Catalog", cat)
+              ex.getResponseHeaders.add("X-Trino-Set-Schema", schema)
+              reply(ex, 200, trinoControlDoc("USE"))
             // EXECUTE name [USING p1, p2, ...] — bind positional `?`
             // placeholders in the client-carried prepared SQL with the
             // literal parameter texts, then run it as a plain query.
@@ -1453,7 +1464,20 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       if (!key.startsWith("spark.graft.authz.") && !Engine.isReservedClientKey(key))
         sess.spark.conf.set(key, java.net.URLDecoder.decode(v, "UTF-8"))
     }
+    // client-carried default namespace (echoed back by the USE verb):
+    // an unqualified table name in this statement resolves under the
+    // header-named catalog/schema — catalog first, then the schema
+    // inside it (reference TrinoContext catalog/schema handling)
+    Option(ex.getRequestHeaders.getFirst("X-Trino-Catalog"))
+      .map(_.trim).filter(_.nonEmpty)
+      .foreach(sess.spark.catalog.setCurrentCatalog)
+    Option(ex.getRequestHeaders.getFirst("X-Trino-Schema"))
+      .map(_.trim).filter(_.nonEmpty)
+      .foreach(sess.spark.catalog.setCurrentDatabase)
   }
+
+  private val TrinoUseRe =
+    "(?is)^USE\\s+(?:([\\w]+)\\s*\\.\\s*)?([\\w]+)\\s*;?\\s*$".r
 
   private val TrinoPrepareRe = "(?is)^PREPARE\\s+(\\w+)\\s+FROM\\s+(.+)$".r
   private val TrinoExecuteRe = "(?is)^EXECUTE\\s+(\\w+)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$".r

@@ -845,6 +845,121 @@ object Streams {
         (col("n_events") * col("n_hours") * 2L < col("s_tot")).as("is_dip"))
   }
 
+  /** One micro-batch of the q47 transition-matrix maintenance loop —
+    * public so a replayed delivery is directly testable. The rollup
+    * artifact at `path` holds the (prev_type, next_type) → n_steps
+    * counts; the per-user LAST EVENT (the cross-batch boundary state,
+    * one bounded row per user) rides beside it as deterministic
+    * `last_v<batchId>` snapshot dirs:
+    *
+    *  1. read the newest snapshot with version < batchId (a replayed
+    *     batch therefore sees the SAME pre-batch state it saw the
+    *     first time, even if its own snapshot already landed),
+    *  2. union it with the batch and count (prev → next) steps per
+    *     user in (ts, event_id) order — boundary transitions included,
+    *     state-only pairs excluded,
+    *  3. write the new snapshot to `last_v<batchId>` (deterministic
+    *     name: a replay overwrites, never duplicates),
+    *  4. merge the step counts into the RollupIndex — the in-meta
+    *     marker commits the batch exactly-once,
+    *  5. prune snapshots, keeping the latest two generations.
+    *
+    * Assumes per-user arrival order matches (ts, event_id) order — the
+    * replayed-log shape every sessionization stream here shares.
+    */
+  def applyTransitionBatch(batch: DataFrame, batchId: Long, path: String,
+      streamId: String = "default"): Unit = {
+    val spark = batch.sparkSession
+    val done = graft.operators.RollupIndex
+      .lastApplied(spark, path, streamId).exists(batchId <= _)
+    if (batch.isEmpty || done) return
+    val evs = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type")).withColumn("is_state", lit(false))
+    val prev = readLastSnapshot(spark, path, batchId)
+      .map(_.withColumn("is_state", lit(true)))
+      .getOrElse(evs.filter(lit(false)))
+    val all = prev.unionByName(evs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = all
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull && !col("is_state"))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    // new per-user boundary state: the max (ts, event_id) row
+    val newLast = all
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    newLast.write.mode("overwrite").parquet(f"$path/last_v$batchId%020d")
+    graft.operators.RollupIndex.merge(steps, path,
+      applied = Some(streamId -> batchId))
+    pruneLastSnapshots(spark, path, keep = 2)
+  }
+
+  /** Newest `last_vN` snapshot with N strictly below `batchId`. */
+  private def readLastSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("last_v") &&
+        n.stripPrefix("last_v").forall(_.isDigit))
+      .map(n => n.stripPrefix("last_v").toLong)
+      .filter(_ < batchId)
+      .sorted(Ordering.Long.reverse).headOption
+      .map(v => spark.read.parquet(f"$path/last_v$v%020d"))
+  }
+
+  private def pruneLastSnapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("last_v") &&
+        n.stripPrefix("last_v").forall(_.isDigit))
+      .sorted(Ordering.String.reverse)
+    versions.drop(keep).foreach { n =>
+      try fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** Streaming q47 maintenance: build the rollup artifact with
+    * `RollupIndex.build(empty (prev_type, next_type, n_steps), path,
+    * keyCols = prev_type, next_type)`, then each arriving micro-batch
+    * of events merges its transition counts (boundary steps across
+    * batches included via the per-user last-event snapshot).
+    */
+  def transitionAppendStream(events: DataFrame, path: String,
+      streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTransitionBatch(batch, batchId, path, streamId)
+      }
+      .start()
+
+  /** The q47 user-journey transition matrix read OFF the maintained
+    * rollup: counts come straight from the artifact; out-degree totals
+    * and integer permille shares are derived exactly as batch q47
+    * derives them — StreamsSpec pins the two equal at any batch split.
+    */
+  def transitionMatrixFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val steps = graft.operators.RollupIndex.open(spark, path)
+      .select(col("prev_type"), col("next_type"), col("n_steps"))
+    val outTotals = steps.groupBy(col("prev_type"))
+      .agg(sum(col("n_steps")).as("n_out"))
+    steps.join(broadcast(outTotals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_steps"),
+        expr("n_steps * 1000 div n_out").as("share_permille"))
+  }
+
   /** Streaming-maintained gram matrix: each micro-batch of embeddings
     * merges its (i, j, n, sum_qprod) increments — the v36 micro-
     * quantized integer products, associative at any batch split — into

@@ -1321,6 +1321,60 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("Trino catalog/schema headers: USE echoes Set-Catalog/-Schema; an unqualified name resolves in the header namespace") {
+    withServer { (c, base) =>
+      val root = base.stripSuffix("/api/v1")
+      spark.sql("CREATE DATABASE IF NOT EXISTS trino_hdr_db")
+      spark.sql("DROP TABLE IF EXISTS trino_hdr_db.hdr_t")
+      spark.sql("CREATE TABLE trino_hdr_db.hdr_t USING parquet AS SELECT 41 + 1 AS answer")
+      try {
+        // USE catalog.schema → the server acknowledges with BOTH echo
+        // headers (the client carries them forward, Trino-style)
+        val useResp = c.send(HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+          .POST(HttpRequest.BodyPublishers.ofString("USE spark_catalog.trino_hdr_db")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(useResp.statusCode() == 200, useResp.body())
+        assert(useResp.body().contains(""""updateType": "USE""""), useResp.body())
+        assert(useResp.headers().firstValue("X-Trino-Set-Catalog").orElse("") == "spark_catalog")
+        assert(useResp.headers().firstValue("X-Trino-Set-Schema").orElse("") == "trino_hdr_db")
+        // schema-only USE echoes only the schema
+        val useSchema = c.send(HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+          .POST(HttpRequest.BodyPublishers.ofString("USE trino_hdr_db")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(useSchema.headers().firstValue("X-Trino-Set-Schema").orElse("") == "trino_hdr_db")
+        assert(useSchema.headers().firstValue("X-Trino-Set-Catalog").isEmpty)
+
+        def run(sql: String, headers: (String, String)*): String = {
+          val b = HttpRequest.newBuilder(URI.create(s"$root/v1/statement"))
+            .POST(HttpRequest.BodyPublishers.ofString(sql))
+          headers.foreach { case (k, v) => b.header(k, v) }
+          var doc = c.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+          var hops = 0
+          while (doc.contains("nextUri") && hops < 100) {
+            val m = java.util.regex.Pattern
+              .compile("\"nextUri\"\\s*:\\s*\"([^\"]*)\"").matcher(doc)
+            assert(m.find()); Thread.sleep(100)
+            doc = get(c, root + m.group(1))._2
+            hops += 1
+          }
+          doc
+        }
+        // carried headers: the UNQUALIFIED name resolves in the
+        // header-named namespace
+        val ok = run("SELECT answer FROM hdr_t",
+          "X-Trino-Catalog" -> "spark_catalog", "X-Trino-Schema" -> "trino_hdr_db")
+        assert(ok.contains("FINISHED") && ok.contains("42"), ok)
+        // without the headers the same statement fails to resolve
+        val bare = run("SELECT answer FROM hdr_t")
+        assert(bare.contains("FAILED") || bare.contains("error"),
+          s"unqualified name must not resolve outside the header namespace: $bare")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS trino_hdr_db.hdr_t")
+        spark.sql("DROP DATABASE IF EXISTS trino_hdr_db")
+      }
+    }
+  }
+
   test("Trino DELETE cancels a running query") {
     withServer { (c, base) =>
       val root = base.stripSuffix("/api/v1")

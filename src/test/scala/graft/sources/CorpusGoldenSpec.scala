@@ -23,7 +23,29 @@ class CorpusGoldenSpec extends AnyFunSuite {
     s
   }
 
-  private val goldens: Map[String, (Long, Long)] = Map(
+  private def goldens = CorpusGoldens.valueGoldens
+
+  private def check(name: String, sql: String): Unit = {
+    val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()
+    val got = (if (h.isNullAt(0)) 0L else h.getLong(0), h.getLong(1))
+    assert(got == goldens(name),
+      s"$name: got $got, golden ${goldens(name)} — generator or semantics changed")
+  }
+
+  test("TPC-H corpus matches checked-in goldens at tiny") {
+    TpchCorpusSql.queries("tpch.tiny").foreach { case (n, sql) => check(s"tpch_$n", sql) }
+  }
+
+  test("TPC-DS corpus matches checked-in goldens at tiny") {
+    TpcdsCorpusSql.queries("tpcds.tiny").foreach { case (n, sql) => check(s"tpcds_$n", sql) }
+  }
+}
+
+/** The checked-in corpus goldens, shared by the in-process run above
+  * and the over-the-wire replay (ThriftCorpusSpec).
+  */
+object CorpusGoldens {
+  val valueGoldens: Map[String, (Long, Long)] = Map(
     "tpch_q1" -> ((1041469010L, 4L)),
     "tpch_q2" -> ((-1950694986L, 5L)),
     "tpch_q3" -> ((2124624481L, 10L)),
@@ -150,18 +172,16 @@ class CorpusGoldenSpec extends AnyFunSuite {
     "tpcds_q39b" -> ((481673434L, 100L)),
     "tpcds_q95" -> ((-14215183L, 1L)))
 
-  private def check(name: String, sql: String): Unit = {
-    val h = spark.sql(sql).selectExpr("sum(hash(*)) AS h", "count(*) AS n").head()
-    val got = (if (h.isNullAt(0)) 0L else h.getLong(0), h.getLong(1))
-    assert(got == goldens(name),
-      s"$name: got $got, golden ${goldens(name)} — generator or semantics changed")
-  }
-
-  test("TPC-H corpus matches checked-in goldens at tiny") {
-    TpchCorpusSql.queries("tpch.tiny").foreach { case (n, sql) => check(s"tpch_$n", sql) }
-  }
-
-  test("TPC-DS corpus matches checked-in goldens at tiny") {
-    TpcdsCorpusSql.queries("tpcds.tiny").foreach { case (n, sql) => check(s"tpcds_$n", sql) }
+  /** `name -> Seq("col:type")` from the checked-in resource
+    * (regenerate with `runMain graft.tools.GoldenDump --schema`).
+    */
+  lazy val schemaGoldens: Map[String, Seq[String]] = {
+    val in = getClass.getResourceAsStream("/corpus_schema_goldens.txt")
+    require(in != null, "corpus_schema_goldens.txt missing from test resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+      val Array(name, cols) = line.split("\\|", 2)
+      name -> cols.split(";").toSeq
+    }.toMap
+    finally in.close()
   }
 }

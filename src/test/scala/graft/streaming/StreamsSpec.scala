@@ -659,6 +659,58 @@ class StreamsSpec extends AnyFunSuite {
       "fixture must exercise at least one spike/dip flag")
   }
 
+  test("transition matrix read off the maintained rollup equals batch q47 across a two-batch split") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    RollupIndex.build(
+      Seq.empty[(String, String, Long)].toDF("prev_type", "next_type", "n_steps"),
+      path, keyCols = Seq("prev_type", "next_type"))
+
+    // global (ts, event_id) order preserves every user's order, so an
+    // arbitrary midpoint split lands mid-journey for many users — the
+    // boundary transitions the last-event snapshot must carry
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.transitionAppendStream(
+      ms.toDF().toDF("user_id", "ts", "event_id", "event_type"), path)
+    try {
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(Streams.transitionMatrixFromRollup(spark, path))
+    val want = rows(graft.queries.RelationalQueries
+      .queries("q47_transition_matrix")(spark, F.sfDir))
+    assert(got == want,
+      s"stream-maintained shares must equal batch q47 (missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    assert(got.nonEmpty)
+
+    // a replayed delivery of the last batch id merges nothing
+    Streams.applyTransitionBatch(
+      second.toSeq.toDF("user_id", "ts", "event_id", "event_type"),
+      batchId = 1, path)
+    assert(rows(Streams.transitionMatrixFromRollup(spark, path)) == want,
+      "replay must be a no-op")
+    // snapshot hygiene: at most two last_v generations remain
+    val snaps = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("last_v"))
+    assert(snaps.length <= 2, snaps.mkString(", "))
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._

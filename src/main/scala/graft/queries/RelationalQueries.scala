@@ -725,6 +725,76 @@ object RelationalQueries {
           expr("n_steps * 1000 div n_out").as("share_permille"))
     },
 
+    // --- Weekly retention cohorts: each user's cohort is their first
+    //     active week; count distinct users active at each week offset
+    //     from their cohort — THE product-analytics retention triangle.
+    //     Two user-keyed aggregates plus one (cohort, offset) rollup;
+    //     the per-(user, week) activity set is dimension-bounded, so at
+    //     100 TB the raw events reduce map-side before any shuffle.
+    //     Offsets are exact integers (both week-truncs land on Monday,
+    //     so the day gap is always a multiple of 7). ---
+    "q48_retention_cohorts" -> { (s, dir) =>
+      val uw = Tables(s, dir).events
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val coh = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      uw.join(coh, Seq("user_id"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(to_date(w), to_date(cw)) div 7").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // --- Ordered funnel conversion (view → click → purchase): a user
+    //     advances a step only with an event STRICTLY AFTER their
+    //     previous step's first completion — the classic time-ordered
+    //     funnel, not a bag-of-events intersection. Three filtered
+    //     user-keyed min-aggregates chained by user-keyed joins (each
+    //     pass reads one event-type slice; partial aggregation is
+    //     map-side); conversion in integer permille with nullif rails
+    //     so an empty step yields NULL, not a division error. ---
+    "q49_funnel_conversion" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+        .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+          expr("n_click_after * 1000 div nullif(n_view, 0)").as("conv_click_permille"),
+          expr("n_purchase_after * 1000 div nullif(n_click_after, 0)")
+            .as("conv_purchase_permille"))
+    },
+
+    // --- Weekly active / new / churn: per week, the active user
+    //     count, how many were NEW (their cohort week), and how many
+    //     return the FOLLOWING week (retained) vs not (churned) — the
+    //     growth-accounting decomposition. The week-over-week link is
+    //     a user-keyed self-join of the bounded (user, week) activity
+    //     set on wk+7, never a pass over raw events. ---
+    "q50_weekly_churn" -> { (s, dir) =>
+      val uw = Tables(s, dir).events
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val coh = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val nxt = uw.select(col("user_id"), col("wk").as("nwk"))
+      uw.join(coh, Seq("user_id"))
+        .join(nxt, uw("user_id") === nxt("user_id") &&
+          nxt("nwk") === date_add(uw("wk"), 7), "left")
+        .groupBy(date_format(uw("wk"), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(uw("wk") === col("cw"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(nxt("nwk").isNotNull, 1L).otherwise(0L)).as("n_retained_next"),
+          sum(when(nxt("nwk").isNull, 1L).otherwise(0L)).as("n_churned_next"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1220,6 +1290,62 @@ object RelationalQueries {
          SELECT p.prev_type, p.next_type, CAST(p.n_steps AS BIGINT) AS n_steps,
            CAST(p.n_steps * 1000 // t.n_out AS BIGINT) AS share_permille
          FROM pairs p JOIN tot t USING (prev_type)""",
+
+    // Mirror of q48: the same Monday-truncated weeks, first-week
+    // cohorts, and exact day-gap/7 offsets.
+    "q48_retention_cohorts" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+         coh AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+         SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(c.cw AS DATE), CAST(u.w AS DATE)) // 7
+             AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM uw u JOIN coh c USING (user_id)
+         GROUP BY 1, 2""",
+    // Mirror of q49: the same strictly-after step chaining and nullif-
+    // guarded integer permille conversions.
+    "q49_funnel_conversion" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+         SELECT
+           CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_after,
+           CAST((SELECT count(*) FROM t2) * 1000
+             // nullif((SELECT count(*) FROM t1), 0) AS BIGINT)
+             AS conv_click_permille,
+           CAST((SELECT count(*) FROM t3) * 1000
+             // nullif((SELECT count(*) FROM t2), 0) AS BIGINT)
+             AS conv_purchase_permille""",
+    // Mirror of q50: the same bounded (user, week) activity set,
+    // first-week cohorts, and the wk+7 self-join for retention.
+    "q50_weekly_churn" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+         SELECT strftime(u.wk, '%Y-%m-%d') AS week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN u.wk = c.cw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_retained_next,
+           CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_churned_next
+         FROM uw u
+         JOIN coh c ON u.user_id = c.user_id
+         LEFT JOIN uw n ON n.user_id = u.user_id AND n.wk = u.wk + 7
+         GROUP BY 1""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

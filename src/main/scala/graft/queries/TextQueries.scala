@@ -671,6 +671,30 @@ object TextQueries {
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       Dedup.keepBestPerCluster(d, comp, "doc_id", "n_chars")
         .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // --- Per-source vocabulary coverage: what fraction of each
+    //     source's token OCCURRENCES the global top-K vocabulary
+    //     covers — the tokenizer-budget diagnostic (a source whose
+    //     coverage is low will fragment into subwords / UNKs). The
+    //     global term-frequency table is vocabulary-bounded and the
+    //     top-K (deterministic (count DESC, token) tie-break) joins
+    //     back BROADCAST, so the per-source pass is one map-side
+    //     conditional aggregate over the token stream — no token-keyed
+    //     shuffle ever carries the corpus. Integer permille. ---
+    "d66_vocab_coverage" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val topk = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(1L).as("is_top"))
+      toks.join(broadcast(topk), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("is_top"), lit(0L))).as("n_covered"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          expr("n_covered * 1000 div n_tokens").as("covered_permille"))
     }
   )
 
@@ -1638,6 +1662,23 @@ object TextQueries {
           SELECT d.doc_id, d.source, d.n_chars FROM documents d
           WHERE d.doc_id NOT IN (
             SELECT s.id FROM scored s JOIN keep k
-            ON s.cluster = k.cluster AND s.id <> k.id)"""
+            ON s.cluster = k.cluster AND s.id <> k.id)""",
+
+    // Mirror of d66: the same single-space tokens, the same
+    // (count DESC, token) top-20 tie-break, integer permille.
+    "d66_vocab_coverage" ->
+      """WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+          tf AS (SELECT tok, count(*) AS n FROM t2 GROUP BY 1),
+          topk AS (SELECT tok FROM tf ORDER BY n DESC, tok LIMIT 20)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN tok IN (SELECT tok FROM topk)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+            CAST(sum(CASE WHEN tok IN (SELECT tok FROM topk)
+              THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+              AS covered_permille
+          FROM t2 GROUP BY 1"""
   )
 }

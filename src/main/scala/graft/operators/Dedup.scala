@@ -625,6 +625,25 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = 100): DataFrame = {
+    val (sizes, shared) = sharedShinglePairs(df, idCol, textCol, shingleSize, maxShingleDf)
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** The exact shared-shingle pair counts both symmetric-Jaccard
+    * ([[ngramJaccardPairs]]) and asymmetric containment
+    * ([[containmentPairs]]) score: per-doc distinct-shingle sizes plus
+    * (id_a < id_b, |A∩B|) intersection counts.
+    */
+  private def sharedShinglePairs(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int,
+      maxShingleDf: Int): (DataFrame, DataFrame) = {
     // persisted: the shingle arrays feed the pair stage AND the two
     // size-join sides — without it the corpus re-shingles three times
     val sh = SketchRegistry.track(
@@ -657,14 +676,37 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .withColumn("jaccard",
-        col("n_shared").cast("double") /
-          (col("sa.n") + col("sb.n") - col("n_shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+    (sizes, shared)
+  }
+
+  /** Asymmetric shingle containment: pairs where one document's
+    * distinct-shingle set is ≥ `thresholdPct`% contained in another's
+    * (|A∩B| / |A|) — the quote / sub-document duplication detector
+    * symmetric Jaccard misses (a paragraph fully lifted into a much
+    * longer page scores low Jaccard but 100% containment). Both
+    * directions are derived from ONE i<j intersection count, so the
+    * posting-list pass is paid once; integer percent keeps the score
+    * engine-exact. Same 100 TB shape as [[ngramJaccardPairs]]: df-
+    * bounded posting lists, no all-pairs stage anywhere.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      thresholdPct: Int = 80,
+      maxShingleDf: Int = 100): DataFrame = {
+    val (sizes, shared) = sharedShinglePairs(df, idCol, textCol, shingleSize, maxShingleDf)
+    val both = shared
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("n_shared"))
+      .unionByName(shared.select(col("id_b").as("contained_id"),
+        col("id_a").as("container_id"), col("n_shared")))
+    both.join(sizes, both("contained_id") === sizes("id"))
+      .select(col("contained_id"), col("container_id"), col("n_shared"),
+        col("n").cast("long").as("n_shingles"),
+        expr("n_shared * 100 div n").as("containment_pct"))
+      .filter(col("containment_pct") >= thresholdPct)
   }
 
   /** Quality-aware near-dup keeper selection: per cluster keep the

@@ -682,6 +682,15 @@ object TextQueries {
     //     back BROADCAST, so the per-source pass is one map-side
     //     conditional aggregate over the token stream — no token-keyed
     //     shuffle ever carries the corpus. Integer permille. ---
+    // --- Asymmetric shingle containment (|A∩B| / |A| ≥ 60%): the
+    //     quote / sub-document duplication detector symmetric Jaccard
+    //     misses — both directions derived from ONE df-bounded
+    //     posting-list intersection pass, integer percent. ---
+    "d67_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleSize = 3, thresholdPct = 60)
+    },
+
     "d66_vocab_coverage" -> { (s, dir) =>
       val toks = Tables(s, dir).documents
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
@@ -1663,6 +1672,36 @@ object TextQueries {
           WHERE d.doc_id NOT IN (
             SELECT s.id FROM scored s JOIN keep k
             ON s.cluster = k.cluster AND s.id <> k.id)""",
+
+    // Mirror of d67: d10's shingle/rare CTEs, both directions from the
+    // one a<b intersection count, integer containment percent.
+    "d67_containment_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
+                   ELSE list_transform(
+                     generate_series(1, len($duckToks) - 2),
+                     i -> array_to_string($duckToks[i:i+2], ' ')) END) AS s
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+          exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dirs AS (
+            SELECT id_a AS contained_id, id_b AS container_id, n_shared
+            FROM shared
+            UNION ALL
+            SELECT id_b, id_a, n_shared FROM shared)
+          SELECT b.contained_id, b.container_id,
+            CAST(b.n_shared AS BIGINT) AS n_shared,
+            CAST(s.n AS BIGINT) AS n_shingles,
+            CAST(b.n_shared * 100 // s.n AS BIGINT) AS containment_pct
+          FROM dirs b JOIN sizes s ON b.contained_id = s.doc_id
+          WHERE b.n_shared * 100 // s.n >= 60""",
 
     // Mirror of d66: the same single-space tokens, the same
     // (count DESC, token) top-20 tie-break, integer permille.

@@ -944,6 +944,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming weekly-activity maintenance: each micro-batch of events
+    * merges (user_id, week) → n counts into a RollupIndex artifact —
+    * the dimension-bounded activity set behind cohort analytics, kept
+    * current without ever storing raw events. Build the artifact with
+    * keys (user_id, week) and one `n` measure. Exactly-once by the
+    * in-meta replay marker, like every rollup consumer.
+    */
+  def weeklyActivityAppendStream(events: DataFrame, userCol: String,
+      tsCol: String, path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(batch, batchId, path, streamId) { b =>
+          b.groupBy(col(userCol).as("user_id"),
+              date_trunc("week", col(tsCol)).as("week"))
+            .agg(count(lit(1)).as("n"))
+        }
+      }
+      .start()
+
+  /** The q48 retention-cohort triangle read OFF the maintained weekly
+    * rollup: the (user, week) activity SET is the rollup's key set
+    * (counts > 0 by construction), each user's cohort is a min
+    * aggregate over it, and the offsets are the same exact Monday
+    * arithmetic — StreamsSpec pins it equal to batch q48 recomputed
+    * over the same events at any micro-batch split.
+    */
+  def retentionFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val uw = graft.operators.RollupIndex.open(spark, path)
+      .select(col("user_id"), col("week").as("w"))
+    val coh = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    uw.join(coh, Seq("user_id"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        expr("datediff(to_date(w), to_date(cw)) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** The q47 user-journey transition matrix read OFF the maintained
     * rollup: counts come straight from the artifact; out-degree totals
     * and integer permille shares are derived exactly as batch q47

@@ -317,6 +317,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, 0.0)), got(3L))
     assert(got(4L) == ((1L, 1L, 1.0)), got(4L))
   }
+
+  test("containmentPairs flags sub-document duplication Jaccard misses") {
+    import spark.implicits._
+    // doc 1's text is lifted verbatim into the much longer doc 2:
+    // containment(1 → 2) = 100%, but Jaccard = 4/16 = 0.25 — below
+    // any near-dup threshold. doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j k l m n o p q r"),
+      (3L, "z y x w v u")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, thresholdPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only 1⊆2 qualifies: $got")
+    assert(got((1L, 2L)) == ((4L, 4L, 100L)),
+      s"all 4 of doc 1's shingles are contained: $got")
+    // the symmetric Jaccard pass at 0.5 indeed misses this pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5).collect()
+    assert(jac.isEmpty, s"Jaccard must miss the sub-document pair: ${jac.toSeq}")
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

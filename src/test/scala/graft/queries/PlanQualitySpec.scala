@@ -468,6 +468,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("q48/q50: cohort and churn queries aggregate the bounded activity set — no window, no product join") {
+    Seq("q48_retention_cohorts", "q50_weekly_churn").foreach { q =>
+      val plan = planOf(RelationalQueries.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: cohort linking must be user-keyed equi-joins:\n${plan.take(500)}")
+      assert(!plan.contains("Window"),
+        s"$q: first-week selection must be a min aggregate, not a window:\n${plan.take(500)}")
+    }
+  }
+
+  test("q49: funnel steps chain by user-keyed equi-joins; only the three scalar step counts cross-join") {
+    val plan = planOf(RelationalQueries.queries("q49_funnel_conversion")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel must not plan an unconstrained cartesian:\n${plan.take(500)}")
+    // the per-user chaining is equi (the BNLJ allowed here joins the
+    // three ONE-ROW global aggregates into the summary row)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"step chaining must be a user-keyed equi-join:\n${plan.take(500)}")
+  }
+
+  test("d66: the top-K vocabulary is a TakeOrdered artifact broadcast back — no token-keyed shuffle of the corpus join") {
+    val plan = planOf(TextQueries.queries("d66_vocab_coverage")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-K must be TakeOrdered (distributed top-k), not a full sort:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K-row vocabulary must broadcast back over the token stream:\n${plan.take(600)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

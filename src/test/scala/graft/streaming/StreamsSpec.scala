@@ -711,6 +711,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(snaps.length <= 2, snaps.mkString(", "))
   }
 
+  test("retention cohorts read off the maintained weekly rollup equal batch q48 at any split") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_weekly").toString
+    RollupIndex.build(
+      Seq.empty[(Long, Timestamp, Long)].toDF("user_id", "week", "n"),
+      path, keyCols = Seq("user_id", "week"))
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect()
+    val (first, second) = evs.splitAt(evs.length / 3)
+
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Streams.weeklyActivityAppendStream(
+      ms.toDF().toDF("user_id", "ts"), "user_id", "ts", path)
+    try {
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(Streams.retentionFromRollup(spark, path))
+    val want = rows(graft.queries.RelationalQueries
+      .queries("q48_retention_cohorts")(spark, F.sfDir))
+    assert(got == want, s"rollup-read cohorts must equal batch q48 " +
+      s"(missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    assert(got.nonEmpty)
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._

@@ -54,6 +54,19 @@ final class EngineSession(
     op
   }
 
+  /** Run a metadata-style DataFrame builder under the operation
+    * lifecycle (registered like any statement, so engine-wide lookup,
+    * cancel, and rowset paging all apply).
+    */
+  def executeMetadata(build: org.apache.spark.sql.SparkSession => DataFrame)(
+      implicit ec: ExecutionContext): DataFrameOperation = {
+    touch()
+    val op = new DataFrameOperation(this, build)
+    ops.put(op.handle, op)
+    op.run()
+    op
+  }
+
   def operation(handle: String): Option[Operation] = Option(ops.get(handle))
 
   def openOperations: Seq[Operation] = ops.values.asScala.toSeq

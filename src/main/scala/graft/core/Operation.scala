@@ -399,3 +399,26 @@ class ExecuteStatement(
     }
   }
 }
+
+/** A DataFrame-producing operation (the metadata-operation family:
+  * catalogs/schemas/tables/columns/functions/typeInfo…): the builder
+  * runs under the operation lifecycle and the result pages through
+  * the same FetchIterator surface ExecuteStatement exposes, so REST
+  * rowset / resultsetmetadata fetches serve both uniformly (reference
+  * SessionsResource metadata operations → OperationsResource rowset).
+  */
+class DataFrameOperation(session: EngineSession,
+    build: org.apache.spark.sql.SparkSession => DataFrame)
+  extends Operation(session) {
+
+  @volatile private var resultDF: DataFrame = _
+  @volatile private var iter: FetchIterator[Row] = _
+
+  def result: DataFrame = resultDF
+  def fetchIterator: FetchIterator[Row] = iter
+
+  override protected def runInternal(): Unit = {
+    resultDF = build(session.spark)
+    iter = new ArrayFetchIterator(resultDF.collect())
+  }
+}

@@ -1001,6 +1001,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         val items = engine.openSessions.sortBy(_.createdMs).map(sessionJson)
         reply(ex, 200, s"""{"sessions": [${items.mkString(",")}]}""")
 
+      // Reference GET /sessions/count — before the {sid} route so the
+      // literal segment is not captured as a session id
+      case ("GET", "sessions" :: "count" :: Nil) =>
+        reply(ex, 200, s"""{"openSessionCount": ${engine.openSessionCount}}""")
+
       case ("GET", "sessions" :: sid :: Nil) =>
         withSession(ex, sid)(s => reply(ex, 200, sessionJson(s)))
 
@@ -1032,6 +1037,137 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               reply(ex, 200, s"""{"state": ${q(op.currentState.toString)}}""")
             case other =>
               reply(ex, 400, s"""{"error": ${q(s"unsupported action: $other")}}""")
+          }
+        }
+
+      // Reference OperationsResource GET /operations/{id}/event — the
+      // operation's lifecycle document (our opJson carries the same
+      // fields the KyuubiOperationEvent DTO does).
+      case ("GET", "operations" :: opId :: "event" :: Nil) =>
+        findOp(opId) match {
+          case Some(op) => reply(ex, 200, opJson(op))
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+
+      // Reference GET /operations/{id}/resultsetmetadata — the result
+      // schema as (columnName, dataType, nullable) rows.
+      case ("GET", "operations" :: opId :: "resultsetmetadata" :: Nil) =>
+        findOp(opId) match {
+          case Some(op) if op.currentState == OperationState.Finished &&
+              rowSetResult(op).isDefined =>
+            val (df, _) = rowSetResult(op).get
+            val cols = df.schema.fields.map(f =>
+              s"""{"columnName": ${q(f.name)}, "dataType": ${q(
+                f.dataType.simpleString)}, "nullable": ${f.nullable}}""")
+            reply(ex, 200, s"""{"columns": [${cols.mkString(",")}]}""")
+          case Some(op) =>
+            reply(ex, 409, s"""{"state": ${q(op.currentState.toString)}, "error": "result schema not available"}""")
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+
+      // Reference GET /operations/{id}/log?maxrows=n — incremental
+      // operation log lines (available WHILE the op runs).
+      case ("GET", "operations" :: opId :: "log" :: Nil) =>
+        findOp(opId) match {
+          case Some(op) =>
+            val max = queryParam(ex, "maxrows").map(_.toInt).getOrElse(100)
+            val lines = op.fetchLog(math.max(1, math.min(max, 10000)))
+            reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+
+      // Reference GET /operations/{id}/rowset?maxrows=n&fetchorientation=
+      // FETCH_NEXT|FETCH_PRIOR — result pages off the operation's
+      // materialized fetch iterator (never re-executing the statement),
+      // the REST twin of Thrift FetchResults.
+      case ("GET", "operations" :: opId :: "rowset" :: Nil) =>
+        findOp(opId) match {
+          case Some(op) if rowSetResult(op).isDefined =>
+            if (!op.currentState.terminal)
+              reply(ex, 409, s"""{"state": ${q(op.currentState.toString)}}""")
+            else if (op.currentState != OperationState.Finished)
+              reply(ex, 400, s"""{"state": ${q(op.currentState.toString)}, "error": ${q(
+                op.exception.map(t => String.valueOf(t.getMessage)).getOrElse("operation did not finish"))}}""")
+            else {
+              val (df, it) = rowSetResult(op).get
+              val max = math.max(1, math.min(
+                queryParam(ex, "maxrows").map(_.toInt).getOrElse(100), 100000))
+              queryParam(ex, "fetchorientation").getOrElse("FETCH_NEXT") match {
+                case "FETCH_PRIOR" => it.fetchPrior(max.toLong)
+                case _ => it.fetchNext()
+              }
+              val page = it.take(max).toArray
+              val json = df.sparkSession
+                .createDataFrame(java.util.Arrays.asList(page: _*), df.schema)
+                .toJSON.collect()
+              reply(ex, 200, s"""{"offset": ${it.getFetchStart}, "rowCount": ${json.length}, "rows": [${json.mkString(",")}]}""")
+            }
+          case Some(_) =>
+            reply(ex, 400, """{"error": "operation has no rowset"}""")
+          case None => reply(ex, 404, """{"error": "no such operation"}""")
+        }
+
+      // Reference SessionsResource metadata operations: each POST
+      // starts the DataFrame-producing operation under the session and
+      // returns its handle; results page through GET /operations/{id}/
+      // rowset exactly like a statement's.
+      case ("POST", "sessions" :: sid :: "operations" :: mdOp :: Nil) =>
+        withSession(ex, sid) { sess =>
+          val payload = body(ex)
+          def pat(k: String, dflt: String = "*"): String =
+            field(payload, k).filter(_.nonEmpty).getOrElse(dflt)
+          val build: Option[org.apache.spark.sql.SparkSession =>
+              org.apache.spark.sql.DataFrame] = mdOp match {
+            case "catalogs" => Some(graft.core.MetadataOps.getCatalogs)
+            case "typeInfo" => Some(graft.core.MetadataOps.getTypeInfo)
+            case "tableTypes" => Some(graft.core.MetadataOps.getTableTypes)
+            case "schemas" =>
+              Some(s => graft.core.MetadataOps.getSchemas(s, pat("schemaName")))
+            case "tables" =>
+              Some(s => graft.core.MetadataOps.getTables(s,
+                pat("schemaName"), pat("tableName")))
+            case "columns" => field(payload, "tableName") match {
+              case Some(t) => Some(s => graft.core.MetadataOps.getColumns(s, t))
+              case None => Some(graft.core.MetadataOps.noColumns)
+            }
+            case "functions" =>
+              Some(s => graft.core.MetadataOps.getFunctions(s, pat("functionName")))
+            case "statement" =>
+              // the reference's alias for statement submission
+              val sql = field(payload, "statement").orElse(field(payload, "sql"))
+                .getOrElse(throw new IllegalArgumentException("missing statement"))
+              val op = sess.executeStatement(sql, ResultMode.Full)
+              opSessions.put(op.handle, sess)
+              reply(ex, 200, s"""{"operationId": ${q(op.handle)}}""")
+              None
+            case other =>
+              reply(ex, 400, s"""{"error": ${q(s"unsupported metadata operation: $other")}}""")
+              None
+          }
+          build.foreach { b =>
+            val op = sess.executeMetadata(b)
+            opSessions.put(op.handle, sess)
+            reply(ex, 200, s"""{"operationId": ${q(op.handle)}}""")
+          }
+        }
+
+      // Reference GET /sessions/{id}/info/{infoType} — the Thrift
+      // GetInfo vocabulary over REST (13=SERVER_NAME, 17=DBMS_NAME,
+      // 18=DBMS_VER, 30=MAX_COLUMN_NAME_LEN)
+      case ("GET", "sessions" :: sid :: "info" :: infoType :: Nil) =>
+        withSession(ex, sid) { _ =>
+          val kv = infoType.toInt match {
+            case 13 => Some(("SERVER_NAME", "graft"))
+            case 17 => Some(("DBMS_NAME", "graft"))
+            case 18 => Some(("DBMS_VER", graft.core.Kdf.version))
+            case 30 => Some(("MAX_COLUMN_NAME_LEN", "128"))
+            case _ => None
+          }
+          kv match {
+            case Some((name, value)) =>
+              reply(ex, 200, s"""{"infoType": ${q(name)}, "infoValue": ${q(value)}}""")
+            case None =>
+              reply(ex, 400, s"""{"error": ${q(s"unsupported info type: $infoType")}}""")
           }
         }
 
@@ -1677,6 +1813,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
     * (e.g. a Thrift-submitted op on the same engine) via the live
     * session walk.
     */
+  /** The (result, iterator) pair for rowset-capable operations —
+    * statements and the metadata DataFrame family serve uniformly.
+    */
+  private def rowSetResult(op: Operation): Option[(org.apache.spark.sql.DataFrame,
+      graft.core.FetchIterator[org.apache.spark.sql.Row])] = op match {
+    case e: ExecuteStatement => Some((e.result, e.fetchIterator))
+    case d: graft.core.DataFrameOperation => Some((d.result, d.fetchIterator))
+    case _ => None
+  }
+
   private def findOp(opId: String): Option[Operation] =
     Option(opSessions.get(opId)).flatMap(_.operation(opId))
       .orElse(engine.openSessions.iterator.map(_.operation(opId)).collectFirst { case Some(op) => op })

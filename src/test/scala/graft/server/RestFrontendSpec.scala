@@ -175,6 +175,87 @@ class RestFrontendSpec extends AnyFunSuite {
     } finally front.stop()
   }
 
+  test("operation-scoped resources: event, resultsetmetadata, log, rowset with orientation paging") {
+    withServer { (c, base) =>
+      val sid = extract(post(c, s"$base/sessions", """{"user": "opres"}""")._2, "sessionId")
+      val opId = extract(post(c, s"$base/sessions/$sid/statements",
+        """{"sql": "SELECT id, id * 10 AS tens FROM range(10) ORDER BY id"}""")._2,
+        "operationId")
+      // poll to FINISHED via the event document
+      val deadline = System.nanoTime() + 30e9.toLong
+      var ev = get(c, s"$base/operations/$opId/event")._2
+      while (!ev.contains("FINISHED") && System.nanoTime() < deadline) {
+        Thread.sleep(100); ev = get(c, s"$base/operations/$opId/event")._2
+      }
+      assert(ev.contains("FINISHED") && ev.contains("\"statement\""), ev)
+
+      // result schema with Spark type names
+      val (mc, meta) = get(c, s"$base/operations/$opId/resultsetmetadata")
+      assert(mc == 200 && meta.contains("\"columnName\": \"tens\"") &&
+        meta.contains("\"dataType\": \"bigint\""), meta)
+
+      // paged rowset off the materialized iterator: 4 + 4 + prior
+      val (r1c, r1) = get(c, s"$base/operations/$opId/rowset?maxrows=4")
+      assert(r1c == 200 && r1.contains("\"offset\": 0") &&
+        "\"tens\":".r.findAllIn(r1).size == 4, r1)
+      val (_, r2) = get(c, s"$base/operations/$opId/rowset?maxrows=4")
+      assert(r2.contains("\"offset\": 4") && r2.contains("\"tens\":40"), r2)
+      val (_, rp) = get(c,
+        s"$base/operations/$opId/rowset?maxrows=4&fetchorientation=FETCH_PRIOR")
+      assert(rp.contains("\"offset\": 0"), s"PRIOR must rewind: $rp")
+
+      // operation log is readable through the operation-scoped path
+      val (lc, log) = get(c, s"$base/operations/$opId/log?maxrows=50")
+      assert(lc == 200 && log.contains("logRowSet"), log)
+
+      // unknowns 404
+      assert(get(c, s"$base/operations/nope/rowset")._1 == 404)
+      assert(get(c, s"$base/operations/nope/resultsetmetadata")._1 == 404)
+    }
+  }
+
+  test("metadata operations over REST: POST starts the op, rowset pages its results") {
+    withServer { (c, base) =>
+      spark.sql("DROP TABLE IF EXISTS rest_md_t")
+      spark.sql("CREATE TABLE rest_md_t (a INT, b STRING) USING parquet")
+      try {
+        val sid = extract(post(c, s"$base/sessions", """{"user": "mdres"}""")._2, "sessionId")
+        def mdRows(op: String, body0: String = "{}"): String = {
+          val opId = extract(post(c, s"$base/sessions/$sid/operations/$op", body0)._2,
+            "operationId")
+          val deadline = System.nanoTime() + 30e9.toLong
+          var ev = get(c, s"$base/operations/$opId/event")._2
+          while (!ev.contains("FINISHED") && !ev.contains("ERROR") &&
+              System.nanoTime() < deadline) {
+            Thread.sleep(100); ev = get(c, s"$base/operations/$opId/event")._2
+          }
+          get(c, s"$base/operations/$opId/rowset?maxrows=1000")._2
+        }
+        assert(mdRows("catalogs").contains("spark_catalog"))
+        assert(mdRows("tableTypes").contains("TABLE"))
+        assert(mdRows("typeInfo").contains("BIGINT"))
+        assert(mdRows("schemas").contains("default"))
+        val tables = mdRows("tables", """{"tableName": "rest_md_*"}""")
+        assert(tables.contains("rest_md_t"), tables)
+        val cols = mdRows("columns", """{"tableName": "default.rest_md_t"}""")
+        assert(cols.contains("\"a\"") && cols.contains("\"b\""), cols)
+        val fns = mdRows("functions", """{"functionName": "substr*"}""")
+        assert(fns.contains("substr"), fns)
+        // unsupported noun 400s; the statement alias works end-to-end
+        assert(post(c, s"$base/sessions/$sid/operations/frobnicate", "{}")._1 == 400)
+        val st = mdRows("statement", """{"statement": "SELECT 41 + 1 AS answer"}""")
+        assert(st.contains("42"), st)
+        // session count endpoint resolves (not swallowed by the {sid} route)
+        val (cc, cbody) = get(c, s"$base/sessions/count")
+        assert(cc == 200 && cbody.contains("openSessionCount"), cbody)
+        // GetInfo vocabulary over REST
+        val info = get(c, s"$base/sessions/$sid/info/17")._2
+        assert(info.contains("DBMS_NAME") && info.contains("graft"), info)
+        assert(get(c, s"$base/sessions/$sid/info/9999")._1 == 400)
+      } finally spark.sql("DROP TABLE IF EXISTS rest_md_t")
+    }
+  }
+
   test("admin listing/force-close verbs: sessions, operations, server, batch count") {
     val front = new RestFrontend(new Engine(spark), port = 0,
       adminUsers = Set("root"),

@@ -269,6 +269,72 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Nearest-neighbor resize of a decoded grayscale grid to
+    * `outW`×`outH` — the thumbnail/normalization step every image
+    * pipeline runs before hashing or embedding. The source pixel for
+    * output (x, y) is (x·w div outW, y·h div outH): pure integer index
+    * math, so the resampled grid is engine-exact and the DuckDB oracle
+    * can replay it from the payload bytes.
+    */
+  def resizeNearest(w: Int, h: Int, gray: Array[Int],
+      outW: Int, outH: Int): Array[Int] = {
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = gray(sy * w + x * w / outW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** BMP decode → nearest-neighbor resize → exact-integer features of
+    * the RESIZED grid: sum, a position-weighted checksum (catches any
+    * permutation of the resampled cells), and the TL/BR corners
+    * (catch off-by-one index math at both grid ends). Pure
+    * per-partition decode+resample, no shuffle (the m06 shape).
+    */
+  def decodeBmpToResized(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("rz_sum", LongType),
+      StructField("rz_checksum", LongType),
+      StructField("corner_tl", IntegerType),
+      StructField("corner_br", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeBmp(r.getBinary(binIdx)) match {
+          case Some((w, h, gray)) =>
+            val rz = resizeNearest(w, h, gray, outW, outH)
+            var sum = 0L
+            var checksum = 0L
+            var i = 0
+            while (i < rz.length) {
+              sum += rz(i)
+              checksum += (i + 1).toLong * rz(i)
+              i += 1
+            }
+            Seq(id, outW, outH, sum, checksum, rz(0), rz(rz.length - 1))
+          case None => Seq(id, null, null, null, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Audio-quality features over decoded PCM16 samples — the audio
     * twin of the text quality gate (d04): clipped-sample count
     * (samples at the rails, where the waveform was cut off), peak

@@ -123,6 +123,21 @@ object MultimodalQueries {
           col("n_runs"), col("longest_run"))
     },
 
+    // --- REAL image resize: BMP decode → nearest-neighbor resample to
+    //     a 4×4 thumbnail → exact-integer grid features (sum, a
+    //     position-weighted checksum catching cell permutations, and
+    //     the TL/BR corners catching index math at both grid ends).
+    //     The oracle replays decode + the x·w div outW index math from
+    //     the payload bytes. ---
+    "m10_bmp_resize" -> { (s, dir) =>
+      val bmp = udf((b: Array[Byte]) => Multimodal.synthBmp(b))
+      val withBmp = Tables(s, dir).documents
+        .select(col("doc_id"), bmp(col("text").cast("binary")).as("content"))
+      Multimodal.decodeBmpToResized(withBmp, "doc_id", "content", outW = 4, outH = 4)
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+          col("rz_sum"), col("rz_checksum"), col("corner_tl"), col("corner_br"))
+    },
+
     // --- Shot-boundary detection: 64-byte frames over the clip bytes,
     //     a cut where the frame-to-frame absolute-difference sum
     //     crosses 1800 (≈ the corpus median delta — real cuts sit in
@@ -222,6 +237,34 @@ object MultimodalQueries {
            CAST(COALESCE(SUM(CASE WHEN (v.k % 7) % 2 = 0 THEN v.byte ELSE 0 END), 0) AS BIGINT) AS even_col_sum
          FROM b LEFT JOIN v USING (doc_id)
          GROUP BY b.doc_id, b.n""",
+    // Mirror of m10: cell i of the 4×4 thumbnail samples source pixel
+    // (sy, sx) = ((i//4)·h div 4, (i%4)·7 div 4) over the synthBmp
+    // grid (w=7, h=ceil(n/7), gray(k)=payload byte k, 0 past the end)
+    // — the same integer index math, checksum weights i+1.
+    "m10_bmp_resize" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n FROM documents),
+         dims AS (SELECT doc_id, hx, n,
+                    greatest((n + 6) // 7, 1) AS h FROM b),
+         cells AS (
+           SELECT doc_id, i,
+             ((i // 4) * h) // 4 * 7 + ((i % 4) * 7) // 4 AS k, n, hx
+           FROM dims, unnest(range(0, 16)) AS t(i)),
+         v AS (
+           SELECT doc_id, i,
+             CASE WHEN k < n THEN
+               16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1))-1)
+                 + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1))-1
+             ELSE 0 END AS byte
+           FROM cells)
+         SELECT doc_id,
+           CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(sum(byte) AS BIGINT) AS rz_sum,
+           CAST(sum((i + 1) * byte) AS BIGINT) AS rz_checksum,
+           CAST(max(CASE WHEN i = 0 THEN byte END) AS INT) AS corner_tl,
+           CAST(max(CASE WHEN i = 15 THEN byte END) AS INT) AS corner_br
+         FROM v GROUP BY doc_id""",
+
     // Replays the full perceptual chain from payload bytes: cell i of
     // the 8×8 grid samples pixel (i/8, (i%8)*7/8) = payload byte
     // (i/8)*7 + (i%8)*7/8 (0 past the end — synthBmp zero-pads and

@@ -316,4 +316,20 @@ class MultimodalSpec extends AnyFunSuite {
     // columns 0,2,4,6 → k in {0,2,4,6,7,9} (second row k=7..9 → cols 0..2)
     assert(evenCol == 1 + 3 + 5 + 7 + 8 + 10)
   }
+
+  test("resizeNearest: identity, downsample, and upsample index math") {
+    // identity: same dims returns the same grid
+    val g = Array(1, 2, 3, 4, 5, 6) // 3×2 (w=3, h=2)
+    assert(Multimodal.resizeNearest(3, 2, g, 3, 2).toSeq == g.toSeq)
+    // downsample 3×2 → 2×1: y=0→sy=0; x=0→sx=0, x=1→sx=3/2=1
+    assert(Multimodal.resizeNearest(3, 2, g, 2, 1).toSeq == Seq(1, 2))
+    // upsample 2×1 → 4×2: sx = x*2/4 = {0,0,1,1}; sy = y*1/2 = 0
+    assert(Multimodal.resizeNearest(2, 1, Array(7, 9), 4, 2).toSeq ==
+      Seq(7, 7, 9, 9, 7, 7, 9, 9))
+    // corners always map to source corners (the m10 pin)
+    val big = Array.tabulate(7 * 5)(identity)
+    val rz = Multimodal.resizeNearest(7, 5, big, 4, 4)
+    assert(rz(0) == big(0), "TL → TL")
+    assert(rz(15) == big((3 * 5 / 4) * 7 + 3 * 7 / 4), "BR follows x·w div outW")
+  }
 }

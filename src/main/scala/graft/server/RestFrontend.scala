@@ -1001,6 +1001,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
         val items = engine.openSessions.sortBy(_.createdMs).map(sessionJson)
         reply(ex, 200, s"""{"sessions": [${items.mkString(",")}]}""")
 
+      // Reference KyuubiOpenApiResource: the REST API as an OpenAPI 3
+      // document (swagger UI and client generators consume this).
+      case ("GET", "openapi.json" :: Nil) =>
+        reply(ex, 200, RestFrontend.openApiJson)
+
       // Reference GET /sessions/count — before the {sid} route so the
       // literal segment is not captured as a session id
       case ("GET", "sessions" :: "count" :: Nil) =>
@@ -1962,6 +1967,81 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
 }
 
 object RestFrontend {
+
+  /** Every route the dispatcher serves, as (method, path, tag,
+    * summary) — the single source the OpenAPI document renders from,
+    * kept beside the dispatcher so a new case updates both.
+    */
+  private val routes: Seq[(String, String, String, String)] = Seq(
+    ("get", "/ping", "server", "liveness probe"),
+    ("get", "/openapi.json", "server", "this document"),
+    ("get", "/metrics", "server", "gateway counters as JSON"),
+    ("get", "/metrics/prometheus", "server", "counters in Prometheus exposition format"),
+    ("get", "/events", "server", "recent lifecycle/audit events, newest first"),
+    ("post", "/sessions", "sessions", "open a session"),
+    ("get", "/sessions", "sessions", "list open sessions"),
+    ("get", "/sessions/count", "sessions", "open-session count"),
+    ("get", "/sessions/{sessionId}", "sessions", "one session"),
+    ("delete", "/sessions/{sessionId}", "sessions", "close a session"),
+    ("get", "/sessions/{sessionId}/info/{infoType}", "sessions",
+      "GetInfo vocabulary (13=SERVER_NAME, 17=DBMS_NAME, 18=DBMS_VER, 30=MAX_COLUMN_NAME_LEN)"),
+    ("get", "/sessions/{sessionId}/operations", "sessions", "the session's operations"),
+    ("post", "/sessions/{sessionId}/statements", "statements", "submit a SQL statement"),
+    ("get", "/sessions/{sessionId}/statements/{operationId}", "statements", "statement state"),
+    ("get", "/sessions/{sessionId}/statements/{operationId}/result", "statements",
+      "result page (maxRows, offset)"),
+    ("post", "/sessions/{sessionId}/operations/{metadataOp}", "operations",
+      "start a metadata operation (catalogs|typeInfo|tableTypes|schemas|tables|columns|functions|statement)"),
+    ("get", "/operations/{operationId}", "operations", "operation status"),
+    ("get", "/operations/{operationId}/event", "operations", "operation lifecycle document"),
+    ("get", "/operations/{operationId}/resultsetmetadata", "operations", "result schema"),
+    ("get", "/operations/{operationId}/log", "operations", "operation log page (maxrows)"),
+    ("get", "/operations/{operationId}/rowset", "operations",
+      "result page (maxrows, fetchorientation=FETCH_NEXT|FETCH_PRIOR)"),
+    ("put", "/operations/{operationId}", "operations", "cancel or close ({\"action\": ...})"),
+    ("post", "/batches", "batches",
+      "submit a batch (JSON sql, or multipart resourceFile + batchRequest)"),
+    ("get", "/batches", "batches", "list batches (live + stored; search window params)"),
+    ("get", "/batches/{batchId}", "batches", "one batch"),
+    ("get", "/batches/{batchId}/localLog", "batches", "incremental batch log"),
+    ("delete", "/batches/{batchId}", "batches", "cancel a batch (forwards to the owner)"),
+    ("get", "/admin/sessions", "admin", "all users' sessions"),
+    ("delete", "/admin/sessions/{sessionId}", "admin", "force-close any session"),
+    ("get", "/admin/operations", "admin", "all live operations"),
+    ("delete", "/admin/operations/{operationId}", "admin", "cancel any operation"),
+    ("get", "/admin/server", "admin", "registered HA gateways"),
+    ("get", "/admin/engine", "admin", "discovery registrations for a space"),
+    ("delete", "/admin/engine", "admin", "evict engine registrations"),
+    ("get", "/admin/engines", "admin", "every share space + registrations"),
+    ("get", "/admin/batch/count", "admin", "live+stored batch count"),
+    ("post", "/admin/batch/reassign", "admin",
+      "take a dead gateway's unfinished batches (409 while the source answers)"),
+    ("post", "/admin/refresh/{target}", "admin",
+      "hot-reload authz_policies | session_conf_profiles | deny_users | deny_ips"))
+
+  /** OpenAPI 3 document of the surface above (reference
+    * KyuubiOpenApiResource serves the swagger-generated equivalent at
+    * the same path).
+    */
+  private[server] lazy val openApiJson: String = {
+    def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    val byPath = routes.groupBy(_._2)
+    val paths = byPath.toSeq.sortBy(_._1).map { case (path, ops) =>
+      val params = "\\{(\\w+)\\}".r.findAllMatchIn(path).map(_.group(1)).toSeq
+      val paramJson = if (params.isEmpty) "" else
+        s""", "parameters": [${params.map(p =>
+          s"""{"name": ${q(p)}, "in": "path", "required": true, "schema": {"type": "string"}}""")
+          .mkString(",")}]"""
+      val opJson = ops.map { case (method, _, tag, summary) =>
+        s"""${q(method)}: {"tags": [${q(tag)}], "summary": ${q(summary)},""" +
+          s""" "responses": {"200": {"description": "OK"}}}"""
+      }.mkString(",")
+      s"""${q(path)}: {$opJson$paramJson}"""
+    }.mkString(",")
+    s"""{"openapi": "3.0.3", "info": {"title": "graft REST API",""" +
+      s""" "version": ${q(graft.core.Kdf.version)}}, "servers": [{"url": "/api/v1"}],""" +
+      s""" "paths": {$paths}}"""
+  }
 
   /** Live batch-child lookup by the `graft.batch.tag=<id>` its command
     * line carries (the LocalApplicationOperation pattern; recovery's

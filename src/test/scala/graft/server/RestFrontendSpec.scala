@@ -256,6 +256,25 @@ class RestFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("openapi.json is a parseable OpenAPI 3 document covering the live routes") {
+    withServer { (c, base) =>
+      val (code, doc) = get(c, s"$base/openapi.json")
+      assert(code == 200, doc)
+      // parseable JSON (jackson rides in from Spark)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(doc)
+      assert(root.get("openapi").asText().startsWith("3."), doc.take(200))
+      val paths = root.get("paths")
+      // spot-check routes across families, each with its verb
+      assert(paths.get("/sessions").has("post") && paths.get("/sessions").has("get"))
+      assert(paths.get("/operations/{operationId}/rowset").has("get"))
+      assert(paths.get("/batches/{batchId}").has("delete"))
+      assert(paths.get("/admin/batch/reassign").has("post"))
+      // path params are declared
+      assert(paths.get("/sessions/{sessionId}").has("parameters"))
+    }
+  }
+
   test("admin listing/force-close verbs: sessions, operations, server, batch count") {
     val front = new RestFrontend(new Engine(spark), port = 0,
       adminUsers = Set("root"),

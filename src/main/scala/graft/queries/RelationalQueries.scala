@@ -795,6 +795,39 @@ object RelationalQueries {
           sum(when(nxt("nwk").isNull, 1L).otherwise(0L)).as("n_churned_next"))
     },
 
+    // --- Power-user (whale) share: users whose event count reaches
+    //     the rank-based 90th-percentile count (ties included) and the
+    //     share of ALL events they generate — the Pareto diagnostic
+    //     behind abuse caps and sampling budgets. Scale shape: the
+    //     per-user counts collapse into a COUNT HISTOGRAM (bounded by
+    //     max events/user, never by user count) before any ranking;
+    //     the threshold is a window walk over that bounded histogram
+    //     (the d50 exact-quantile pattern) and joins back as a
+    //     broadcast scalar. Integer permille. ---
+    "q51_power_user_share" -> { (s, dir) =>
+      val perUser = Tables(s, dir).events
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      val tot = perUser.agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val thr = hist.withColumn("cum_users", sum(col("f")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum_users") * 10 >= col("n_users"))
+        .agg(max(col("c")).as("threshold"))
+      perUser.crossJoin(broadcast(thr)).crossJoin(broadcast(tot))
+        .agg(first(col("n_users")).as("n_users"),
+          first(col("n_events")).as("n_events"),
+          first(col("threshold")).as("threshold"),
+          sum(when(col("c") >= col("threshold"), 1L).otherwise(0L)).as("n_power_users"),
+          sum(when(col("c") >= col("threshold"), col("c")).otherwise(0L)).as("power_events"))
+        .select(col("n_users"), col("n_events"), col("threshold"),
+          col("n_power_users"), col("power_events"),
+          expr("power_events * 1000 div nullif(n_events, 0)").as("share_permille"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1346,6 +1379,31 @@ object RelationalQueries {
          JOIN coh c ON u.user_id = c.user_id
          LEFT JOIN uw n ON n.user_id = u.user_id AND n.wk = u.wk + 7
          GROUP BY 1""",
+
+    // Mirror of q51: the same count histogram, the same descending
+    // cumulative rank threshold with ties included, integer permille.
+    "q51_power_user_share" ->
+      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         hist AS (SELECT c, count(*) AS f FROM pu GROUP BY 1),
+         tot AS (SELECT count(*) AS n_users, sum(c) AS n_events FROM pu),
+         cum AS (
+           SELECT c, sum(f) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           FROM hist),
+         thr AS (
+           SELECT max(c) AS threshold FROM cum, tot
+           WHERE cum_users * 10 >= n_users)
+         SELECT CAST(t.n_users AS BIGINT) AS n_users,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           CAST(th.threshold AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN pu.c >= th.threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_power_users,
+           CAST(sum(CASE WHEN pu.c >= th.threshold THEN pu.c ELSE 0 END)
+             AS BIGINT) AS power_events,
+           CAST(sum(CASE WHEN pu.c >= th.threshold THEN pu.c ELSE 0 END)
+             * 1000 // nullif(t.n_events, 0) AS BIGINT) AS share_permille
+         FROM pu, tot t, thr th
+         GROUP BY t.n_users, t.n_events, th.threshold""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

@@ -38,4 +38,84 @@ class RelationalEdgeSpec extends AnyFunSuite {
     assert(solo.getString(0) == "solo" && solo.getLong(1) == 2L, solo)
     assert(solo.isNullAt(2), s"span-0 twa must be NULL, got $solo")
   }
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    rows.map { case (eid, ts, uid, tpe) => (eid, ts, uid, tpe, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q49: an empty funnel step yields zero counts and NULL conversions (nullif rail)") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // views and purchases but NO clicks: step 2 and 3 are empty — the
+    // permilles must be NULL (division guarded), never a crash or 0/0
+    val dir = eventsDir(Seq(
+      (1L, t, 1L, "view"),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "purchase")))
+    val r = RelationalQueries.queries("q49_funnel_conversion")(spark, dir).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(2) == 0L, r)
+    assert(r.getLong(3) == 0L, s"0 clicks of 1 view is 0 permille: $r")
+    assert(r.isNullAt(4), s"purchase conversion over an empty click step must be NULL: $r")
+  }
+
+  test("q49: a purchase BEFORE the first click does not advance the funnel") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 1L, "view"),
+      (2L, ts(1), 1L, "purchase"), // too early: precedes the click
+      (3L, ts(2), 1L, "click"),
+      (4L, ts(0), 2L, "view"),
+      (5L, ts(1), 2L, "click"),
+      (6L, ts(2), 2L, "purchase"))) // properly ordered
+    val r = RelationalQueries.queries("q49_funnel_conversion")(spark, dir).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, r)
+    assert(r.getLong(2) == 1L,
+      s"only user 2's purchase is strictly after their first click: $r")
+  }
+
+  test("q51: a single user is their own whale — threshold equals their count, share 1000") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = eventsDir((1 to 5).map(i => (i.toLong, t, 42L, "view")))
+    val r = RelationalQueries.queries("q51_power_user_share")(spark, dir).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 5L, r)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 1L && r.getLong(4) == 5L, r)
+    assert(r.getLong(5) == 1000L, r)
+  }
+
+  test("q51: rank threshold includes ties — everyone at the boundary count is a power user") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 users with 2 events each + 1 user with 3: k = ceil(11/10) = 2,
+    // cum at c=3 is 1 < 2, cum at c=2 is 11 ≥ 2 → threshold 2, ALL 11
+    // users qualify (ties included, the documented over-selection)
+    var eid = 0L
+    val rows = (1 to 10).flatMap { u =>
+      (1 to 2).map { _ => eid += 1; (eid, t, u.toLong, "view") }
+    } ++ (1 to 3).map { _ => eid += 1; (eid, t, 99L, "view") }
+    val dir = eventsDir(rows)
+    val r = RelationalQueries.queries("q51_power_user_share")(spark, dir).head()
+    assert(r.getLong(2) == 2L, s"threshold must land on the tie count: $r")
+    assert(r.getLong(3) == 11L, s"ties included: $r")
+    assert(r.getLong(5) == 1000L, r)
+  }
+
+  test("q48/q50: a user active in exactly one week never churn-links or offsets past it") {
+    val dir = eventsDir(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),   // Mon wk1
+      (2L, Timestamp.valueOf("2024-01-03 10:00:00"), 1L, "view"),   // same wk
+      (3L, Timestamp.valueOf("2024-01-08 10:00:00"), 2L, "view")))  // Mon wk2
+    val coh = RelationalQueries.queries("q48_retention_cohorts")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(coh == Set(("2024-01-01", 0L, 1L), ("2024-01-08", 0L, 1L)),
+      s"one (cohort, offset 0) row per user: $coh")
+    val churn = RelationalQueries.queries("q50_weekly_churn")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(churn == Set(
+      ("2024-01-01", 1L, 1L, 0L, 1L),  // user 1: new, churned (absent wk2)
+      ("2024-01-08", 1L, 1L, 0L, 1L)), // user 2: new, nothing follows
+      s"$churn")
+  }
 }

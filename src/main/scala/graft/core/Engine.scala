@@ -134,6 +134,28 @@ final class Engine(
   val engineId: String = s"graft-${UUID.randomUUID().toString.take(8)}"
   Kdf.registerAll(rootSpark, engineId)
 
+  // Live delegation-token store (the engine side of the reference's
+  // credential push — SparkTBinaryFrontendService.RenewDelegationToken
+  // updates the process credentials the same way): alias → base64
+  // token, replaced wholesale on every push so a long-lived engine
+  // serves renewed tokens, not its launch-time ones. The map itself
+  // (plain serializable strings) is what `engine_credential` captures.
+  private val credentialsStore = new ConcurrentHashMap[String, String]()
+  @volatile private var credsEpoch: Long = -1L
+
+  /** Replace the engine's delegation tokens (alias → base64 token). */
+  def updateCredentials(aliasToB64: Map[String, String]): Unit = {
+    credentialsStore.putAll(aliasToB64.asJava)
+    credentialsStore.keySet().retainAll(aliasToB64.keySet.asJava)
+    credsEpoch += 1
+  }
+
+  def credential(alias: String): Option[String] = Option(credentialsStore.get(alias))
+  def credentialAliases: Set[String] = credentialsStore.keySet().asScala.toSet
+  def credentialsEpoch: Long = credsEpoch
+
+  Kdf.registerCredentialLookup(rootSpark, credentialsStore)
+
   private val sessions = new ConcurrentHashMap[String, EngineSession]()
   // share-level cache: key → that scope's engine SparkSession
   private val sparkByKey = new ConcurrentHashMap[String, SparkSession]()
@@ -204,6 +226,7 @@ final class Engine(
     (sessionInitSql ++ connInit).foreach(sessionSpark.sql(_).collect())
     val sess = new EngineSession(id, user, sessionSpark)
     Kdf.registerAll(sess.spark, engineId, sessionUser = Some(user))
+    Kdf.registerCredentialLookup(sess.spark, credentialsStore)
     sessions.put(id, sess)
     Events.post(Events.SessionEvent(id, user, "OPENED", System.currentTimeMillis()))
     sess
@@ -316,4 +339,15 @@ object Kdf {
     spark.udf.register("session_user", udf(() => sessUser))
     spark.udf.register("engine_url", udf(() => s"local://$engineId"))
   }
+
+  /** `engine_credential(alias)` — the current base64 delegation token
+    * for `alias` from the engine's live store ('' when absent). The
+    * closure captures only the (serializable) map, never the Engine,
+    * so the UDF ships to executors; a push on the driver is visible to
+    * later queries (tasks re-serialize the closure per execution).
+    */
+  def registerCredentialLookup(spark: SparkSession,
+      store: ConcurrentHashMap[String, String]): Unit =
+    spark.udf.register("engine_credential",
+      udf((a: String) => Option(store.get(a)).getOrElse("")))
 }

@@ -71,12 +71,17 @@ final class TokenBundle {
     if (es.isEmpty) -1L else es.min
   }
 
-  /** One base64 blob: `alias=expiry=b64(token)` lines — env-var safe. */
+  /** One base64 blob: `b64(alias):expiry:b64(token)` lines — env-var
+    * safe. The alias is base64'd too (it is a provider-chosen string,
+    * so it may contain any character — an unescaped alias with the
+    * separator in it would silently shift the fields).
+    */
   def encoded: String = {
+    val b64 = java.util.Base64.getEncoder
     val body = tokens.asScala.toSeq.sortBy(_._1).map { case (a, (t, e)) =>
-      s"$a=$e=${java.util.Base64.getEncoder.encodeToString(t)}"
+      s"${b64.encodeToString(a.getBytes(UTF_8))}:$e:${b64.encodeToString(t)}"
     }.mkString("\n")
-    java.util.Base64.getEncoder.encodeToString(body.getBytes(UTF_8))
+    b64.encodeToString(body.getBytes(UTF_8))
   }
 }
 
@@ -85,8 +90,14 @@ object TokenBundle {
     val b = new TokenBundle
     val body = new String(java.util.Base64.getDecoder.decode(encoded), UTF_8)
     body.linesIterator.filter(_.nonEmpty).foreach { line =>
-      val Array(alias, expiry, tok) = line.split("=", 3)
-      b.add(alias, java.util.Base64.getDecoder.decode(tok), expiry.toLong)
+      line.split(":", 3) match {
+        case Array(alias, expiry, tok) =>
+          b.add(new String(java.util.Base64.getDecoder.decode(alias), UTF_8),
+            java.util.Base64.getDecoder.decode(tok), expiry.toLong)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"malformed TokenBundle line (expected b64(alias):expiry:b64(token)): '$line'")
+      }
     }
     b
   }
@@ -111,6 +122,7 @@ final class CredentialsManager(
     @volatile private[CredentialsManager] var expiryMs: Long = -1L
     @volatile private[CredentialsManager] var lastAccess: Long = System.currentTimeMillis()
     @volatile private[CredentialsManager] var task: ScheduledFuture[_] = null
+    @volatile private[CredentialsManager] var lastError: Throwable = null
     private[CredentialsManager] val ready = new java.util.concurrent.CountDownLatch(1)
 
     def getEpoch: Long = epoch
@@ -149,12 +161,22 @@ final class CredentialsManager(
   /** Obtain-or-return the user's credentials, waiting up to
     * `waitMs` for the first obtain to land. Empty string when no
     * provider is active (the reference's "no token required" path).
+    * When the first obtain never succeeded AND a provider error was
+    * recorded, the error is rethrown — a misconfigured provider must
+    * surface at engine launch, not silently at the first secured read.
     */
   def credentialsFor(appUser: String, waitMs: Long = 15000L): String = {
     if (scheduler.isEmpty) return ""
     val ref = getOrCreateRef(appUser)
     ref.ready.await(waitMs, TimeUnit.MILLISECONDS)
-    ref.getEncoded
+    val creds = ref.getEncoded
+    if (creds.isEmpty && ref.lastError != null) {
+      throw new IllegalStateException(
+        s"delegation-token obtain failed for '$appUser' " +
+          s"(no credentials after ${waitMs}ms): ${ref.lastError.getMessage}",
+        ref.lastError)
+    }
+    creds
   }
 
   /** Epoch-compared push to an engine (reference
@@ -182,6 +204,11 @@ final class CredentialsManager(
   def sessionEpoch(sessionId: String): Long =
     sessionEpochs.getOrDefault(sessionId, -1L)
 
+  // test seam: the full session-epoch map (specs that only hold a JDBC
+  // connection, not the Thrift handle, assert delivery through this)
+  private[server] def sessionEpochsSnapshot: Map[String, Long] =
+    sessionEpochs.asScala.toMap
+
   def userEpoch(appUser: String): Long =
     Option(userRefs.get(appUser)).map(_.getEpoch).getOrElse(-1L)
 
@@ -203,6 +230,7 @@ final class CredentialsManager(
         ref.encodedCreds = bundle.encoded
         ref.expiryMs = bundle.minExpiryMs
         ref.epoch += 1
+        ref.lastError = null
         ref.ready.countDown()
         // expiry-aware: renew at expiry - lead when that is sooner
         // than the fixed interval (never sooner than the retry wait)
@@ -212,10 +240,15 @@ final class CredentialsManager(
             math.min(renewalIntervalMs, untilLead))
         } else renewalIntervalMs
       } catch {
-        case _: Exception => renewalRetryWaitMs // epoch unchanged
+        case e: Exception =>
+          ref.lastError = e // epoch unchanged; surfaced by credentialsFor
+          renewalRetryWaitMs
       }
     val s = scheduler.get
-    if (!s.isShutdown && userRefs.containsKey(ref.appUser)) {
+    // reschedule only while THIS ref is still the live one for the user
+    // (an identity check, not containsKey: a purge + recreate for the
+    // same user must not leave the orphaned ref's chain running forever)
+    if (!s.isShutdown && (userRefs.get(ref.appUser) eq ref)) {
       ref.task = s.schedule(renewalTask(ref), delay, TimeUnit.MILLISECONDS)
     }
   }

@@ -50,11 +50,15 @@ object EngineMain {
     // as local properties so secured data sources can read them.
     sys.env.get("GRAFT_ENGINE_CREDENTIALS").foreach { enc =>
       val bundle = TokenBundle.decode(enc)
+      val b64 = java.util.Base64.getEncoder
       bundle.aliases.foreach { a =>
         spark.sparkContext.setLocalProperty(
-          s"graft.credentials.$a",
-          java.util.Base64.getEncoder.encodeToString(bundle.get(a).get))
+          s"graft.credentials.$a", b64.encodeToString(bundle.get(a).get))
       }
+      // seed the engine's LIVE store too — the gateway's renewal push
+      // (ThriftFrontend.RenewDelegationToken) replaces these in place
+      engine.updateCredentials(bundle.aliases.toSeq.map(a =>
+        a -> b64.encodeToString(bundle.get(a).get)).toMap)
       println(s"ENGINE CREDENTIALS ${bundle.aliases.toSeq.sorted.mkString(",")}")
     }
     val frontend = new ThriftFrontend(engine, auth = auth)

@@ -52,7 +52,16 @@ final class GatewayServer(
     // engine-alive-probe session): interval 0 disables
     aliveProbeIntervalMs: Long = 0,
     aliveProbeTimeoutMs: Int = 5000,
-    aliveProbeMaxFailures: Int = 3) {
+    aliveProbeMaxFailures: Int = 3,
+    // The gateway's delegation-token renewal loop (reference
+    // KyuubiSessionImpl calls HadoopCredentialsManager
+    // .sendCredentialsIfNeeded before each operation): when set, every
+    // operation-producing forward first pushes the session user's
+    // renewed credentials to the engine over RenewDelegationToken —
+    // a long-lived engine keeps serving fresh tokens, not its
+    // launch-time ones. Usually the same manager the builder ships
+    // launch credentials from.
+    credentials: Option[CredentialsManager] = None) {
 
   private val pool = new EnginePool(builder, poolSize, selectPolicy)
   private val discovery = builder.discoveryClient
@@ -89,7 +98,7 @@ final class GatewayServer(
   }
 
   private final class EngineConn(val client: TCLIService.Client, val transport: TTransport,
-      val space: String)
+      val space: String, val user: String)
 
   private val sessionConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
   private val opConns = new ConcurrentHashMap[ByteBuffer, EngineConn]()
@@ -118,7 +127,7 @@ final class GatewayServer(
       case None => sock
     }
     transport.open()
-    new EngineConn(new TCLIService.Client(new TBinaryProtocol(transport)), transport, space)
+    new EngineConn(new TCLIService.Client(new TBinaryProtocol(transport)), transport, space, user)
   }
 
   private def sessionConn(h: TSessionHandle): Option[EngineConn] =
@@ -164,6 +173,26 @@ final class GatewayServer(
     opConns.entrySet.removeIf(e => e.getValue eq conn)
   }
 
+  /** Epoch-compared credential push ahead of an operation (reference
+    * KyuubiSessionImpl.runOperation → sendCredentialsIfNeeded): only
+    * when the user's bundle is newer than what this session last
+    * delivered does a RenewDelegationToken ride to the engine; an
+    * engine-side error (or a dead transport) throws, so the session
+    * epoch stays unadvanced and the push retries on the next call.
+    */
+  private def pushCredentialsIfNeeded(h: TSessionHandle, conn: EngineConn): Unit =
+    credentials.foreach { cm =>
+      cm.sendCredentialsIfNeeded(GatewayServer.sessionKey(h), conn.user) { enc =>
+        val resp = conn.synchronized(
+          conn.client.RenewDelegationToken(new TRenewDelegationTokenReq(h, enc)))
+        if (resp.getStatus.getStatusCode != TStatusCode.SUCCESS_STATUS) {
+          throw new IllegalStateException(
+            s"credential push rejected by engine (${conn.space}): " +
+              resp.getStatus.getErrorMessage)
+        }
+      }
+    }
+
   /** Forward an operation-producing call through its session's engine,
     * recording the returned operation handle for follow-up routing.
     */
@@ -172,6 +201,7 @@ final class GatewayServer(
     sessionConn(h) match {
       case None => mkErr(errStatus("unknown session"))
       case Some(conn) =>
+        pushCredentialsIfNeeded(h, conn)
         val resp = forward(conn, mkErr)(f)
         val oh = op(resp)
         if (oh != null) opConns.put(key(oh.getOperationId), conn)
@@ -237,6 +267,8 @@ final class GatewayServer(
             val r = new TCloseSessionResp(); r.setStatus(st); r
           })(_.CloseSession(req))
           sessionConns.remove(key(req.getSessionHandle.getSessionId))
+          credentials.foreach(_.removeSessionCredentialsEpoch(
+            GatewayServer.sessionKey(req.getSessionHandle)))
           try conn.transport.close() catch { case _: Throwable => }
           // an unshared (CONNECTION-level) engine dies with its session
           if (shareLevel == ShareLevel.Connection) pool.stop(conn.space)
@@ -438,6 +470,12 @@ object GatewayServer {
     * reference's server namespace in kyuubi-ha's KyuubiServiceDiscovery).
     */
   val Namespace = "gateways"
+
+  /** Stable string key for a session handle (the credentials manager's
+    * session-epoch map key) — hex of the handle's guid.
+    */
+  def sessionKey(h: TSessionHandle): String =
+    h.getSessionId.getGuid.map(b => f"$b%02x").mkString
 
   /** Client-side HA resolution: the address of the first registered
     * gateway that ACCEPTS a TCP connection. Backends without ephemeral

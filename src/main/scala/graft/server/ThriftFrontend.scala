@@ -887,8 +887,26 @@ final class ThriftFrontend(engine: Engine, requestedPort: Int = 0,
     }
     override def CancelDelegationToken(req: TCancelDelegationTokenReq): TCancelDelegationTokenResp =
       new TCancelDelegationTokenResp(err(new UnsupportedOperationException("delegation tokens unsupported")))
+    /** Engine-side credential receiver (reference
+      * SparkTBinaryFrontendService.RenewDelegationToken decodes the
+      * pushed Hadoop credentials and updates the process tokens): the
+      * gateway's sendCredentialsIfNeeded delivers a renewed
+      * [[TokenBundle]] here, and the engine's live store replaces its
+      * launch-time tokens — what closes the renewal loop for
+      * long-lived engines. Requires a live session; a malformed bundle
+      * is an error (the gateway's session epoch then stays unadvanced
+      * and the push retries on the next statement).
+      */
     override def RenewDelegationToken(req: TRenewDelegationTokenReq): TRenewDelegationTokenResp =
-      new TRenewDelegationTokenResp(err(new UnsupportedOperationException("delegation tokens unsupported")))
+      try {
+        sessionOf(req.getSessionHandle)
+        val bundle = TokenBundle.decode(req.getDelegationToken)
+        val b64 = java.util.Base64.getEncoder
+        engine.updateCredentials(bundle.aliases.toSeq.map { a =>
+          a -> b64.encodeToString(bundle.get(a).get)
+        }.toMap)
+        new TRenewDelegationTokenResp(ok)
+      } catch { case e: Throwable => new TRenewDelegationTokenResp(err(e)) }
     override def SetClientInfo(req: TSetClientInfoReq): TSetClientInfoResp =
       new TSetClientInfoResp(ok)
     override def UploadData(req: TUploadDataReq): TUploadDataResp = {

@@ -91,13 +91,35 @@ class CredentialsManagerSpec extends AnyFunSuite {
     val mgr = new CredentialsManager(renewalIntervalMs = 60 * 60 * 1000L,
       renewalRetryWaitMs = 50, extraProviders = Seq(p))
     try {
-      assert(mgr.credentialsFor("carol", waitMs = 300).isEmpty,
-        "no credentials while the provider fails")
+      // a permanently failing provider SURFACES at the launch path —
+      // the wait elapsing with nothing obtained rethrows the provider
+      // error instead of silently returning empty credentials
+      val ex = intercept[IllegalStateException] {
+        mgr.credentialsFor("carol", waitMs = 300)
+      }
+      assert(ex.getMessage.contains("carol") && ex.getMessage.contains("kdc down"),
+        s"launch failure must name the user and the provider error: ${ex.getMessage}")
       assert(mgr.userEpoch("carol") == -1)
       p.failing.set(false)
       assert(await()(mgr.userEpoch("carol") >= 0), "retry must recover")
       assert(mgr.credentialsFor("carol").nonEmpty)
     } finally mgr.close()
+  }
+
+  test("TokenBundle aliases survive separator characters; malformed lines fail descriptively") {
+    val b = new TokenBundle
+    // provider-chosen aliases may contain anything — '=' and ':' used
+    // to shift the encoded fields (r16 ADVICE)
+    b.add("svc=prod:region=eu", "tok-1".getBytes("UTF-8"), 123L)
+    b.add("plain", "tok-2".getBytes("UTF-8"))
+    val rt = TokenBundle.decode(b.encoded)
+    assert(rt.aliases == Set("svc=prod:region=eu", "plain"))
+    assert(rt.get("svc=prod:region=eu").exists(new String(_, "UTF-8") == "tok-1"))
+    assert(rt.minExpiryMs == 123L)
+    val bad = java.util.Base64.getEncoder.encodeToString(
+      "just-one-field".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException](TokenBundle.decode(bad))
+    assert(ex.getMessage.contains("malformed TokenBundle line"))
   }
 
   test("sendCredentialsIfNeeded delivers once per epoch; a failing send leaves the epoch undelivered") {

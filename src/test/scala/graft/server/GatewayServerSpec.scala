@@ -323,6 +323,72 @@ class GatewayServerSpec extends AnyFunSuite {
       "gateway stop must stop both pool slots")
   }
 
+  test("renewed credentials reach a RUNNING engine before the next statement; a failed push leaves the session epoch unadvanced") {
+    val dir = Files.createTempDirectory("graft-gateway-renew")
+    // a provider whose token payload the test bumps mid-session — the
+    // engine must observe the new value WITHOUT relaunching
+    @volatile var payload = "v1"
+    val provider = new DelegationTokenProvider {
+      override def serviceName: String = "svc"
+      override def delegationTokensRequired(): Boolean = true
+      override def obtainDelegationTokens(owner: String, creds: TokenBundle): Unit =
+        creds.add("svc", payload.getBytes("UTF-8"))
+    }
+    val cm = new CredentialsManager(renewalIntervalMs = 300,
+      renewalRetryWaitMs = 100, extraProviders = Seq(provider))
+    val builder = new EngineProcBuilder(dir, credentialsManager = Some(cm))
+    val gw = new GatewayServer(builder, credentials = Some(cm)).start()
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:${gw.boundPort}/;auth=noSasl"
+      val c = DriverManager.getConnection(url, "alice", "")
+      val b64 = java.util.Base64.getEncoder
+      def credNow(): String = {
+        val rs = c.createStatement().executeQuery(
+          "SELECT engine_credential('svc') AS t")
+        assert(rs.next())
+        val v = rs.getString("t"); rs.close(); v
+      }
+      def awaitEpochPast(e: Long): Unit = {
+        val deadline = System.nanoTime() + 20e9.toLong
+        while (cm.userEpoch("alice") <= e && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(cm.userEpoch("alice") > e, "renewal must advance the user epoch")
+      }
+      try {
+        // launch handoff seeds the engine's live store
+        assert(credNow() == b64.encodeToString("v1".getBytes("UTF-8")),
+          "launch-time token must seed the engine store")
+        // bump the provider payload; once the manager re-obtains, the
+        // NEXT statement's pre-forward push must land in the engine
+        // before the statement runs
+        val e0 = cm.userEpoch("alice")
+        payload = "v2"
+        awaitEpochPast(e0)
+        assert(credNow() == b64.encodeToString("v2".getBytes("UTF-8")),
+          "renewed token must reach the running engine before the next statement")
+        val delivered = cm.sessionEpochsSnapshot
+        assert(delivered.nonEmpty && delivered.values.forall(_ > e0),
+          s"session epoch must record the delivery: $delivered")
+        // failed push: kill the engine; the delivery attempt on the next
+        // statement fails, so the session epoch stays where it was even
+        // though the user epoch kept advancing
+        gw.poolSnapshot.values.foreach(_.kill())
+        payload = "v3"
+        awaitEpochPast(delivered.values.max)
+        try {
+          val rs = c.createStatement().executeQuery("SELECT 1 AS x")
+          rs.close()
+        } catch { case _: Throwable => () } // forward error is expected
+        assert(cm.sessionEpochsSnapshot == delivered,
+          "a failed send must leave the session epoch unadvanced")
+      } finally c.close()
+    } finally {
+      gw.stop()
+      cm.close()
+    }
+  }
+
   test("standalone GatewayMain process serves JDBC end to end (three JVMs)") {
     val dir = Files.createTempDirectory("graft-gateway-main")
     val javaBin = s"${System.getProperty("java.home")}/bin/java"

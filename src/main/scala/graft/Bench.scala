@@ -107,6 +107,10 @@ object Bench {
     final case class Timing(name: String, runs: Seq[Double], loads: Seq[Double] = Nil) {
       def min: Double = if (runs.isEmpty) 0.0 else runs.min
       def avg: Double = if (runs.isEmpty) 0.0 else runs.sum / runs.size
+      // upper median — reported beside min so a single-run outlier in a
+      // section wall is visible as (p50 ≈ min) vs a real regression
+      // (p50 and min move together), r16 VERDICT #3
+      def p50: Double = if (runs.isEmpty) 0.0 else runs.sorted.apply(runs.size / 2)
       def maxLoad: Double = if (loads.isEmpty) 0.0 else loads.max
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
@@ -162,13 +166,22 @@ object Bench {
     }
     val loadStart = loadAvg()
 
+    // Untimed touches stay non-fatal but NAME what failed (r16 VERDICT
+    // #1: a silently-swallowed warm failure resurfaces later inside a
+    // TIMED query's number — the exact pollution the touch prevents).
+    def warmTouch(name: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] untimed warm touch failed for $name: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
     // Untimed warmup: absorb JVM/codegen/scan-init one-time costs so
     // they aren't charged to whichever suite query Map ordering puts
     // first (it was showing as a ~6s outlier even on sf0.001).
-    try {
+    warmTouch("suite fixtures") {
       Tables(spark, sfDir).lineitem.limit(1000).foreach(_ => ())
       spark.sql("SELECT sum(id) FROM range(1000000)").foreach(_ => ())
-    } catch { case _: Throwable => }
+    }
     // Release each query's tracked sketch caches before the next one
     // runs: the pipeline operators persist intermediates (signatures,
     // buckets, shingle explosions) that must outlive their own call,
@@ -354,6 +367,13 @@ object Bench {
           t => s"tpcds.`$corpusNs`.$t"))
     val matSec = (System.nanoTime() - matT0) / 1e9
 
+    // Untimed page-cache warm before each corpus section — the spot-set
+    // treatment generalized (r16 VERDICT #3: tpch_sf1_q17's 34.4 s
+    // middle run and q9's 19.3 s first run doubled the SECTION wall
+    // while per-query minima stayed sane; first runs were measuring
+    // cache state, not plans).
+    if (!suiteOnly) tpchTables.foreach(t =>
+      warmTouch(s"$tpchDb.$t")(spark.table(s"$tpchDb.$t").foreach(_ => ())))
     val tpch = if (suiteOnly) Seq.empty[Timing]
     else TpchCorpusSql.queries(tpchDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpch_${tpchNs}_$qn", iters,
@@ -364,11 +384,16 @@ object Bench {
     // baseline's sf10 (the judge's comparable slice), and the complete
     // 99-query corpus at sf1 (coverage + throughput without pushing
     // the round bench past its window). Both get min-of-N iterations.
+    if (!suiteOnly) tpcdsBaselineTables.foreach(t =>
+      warmTouch(s"$tpcdsDb.$t")(spark.table(s"$tpcdsDb.$t").foreach(_ => ())))
     val tpcds = if (suiteOnly) Seq.empty[Timing]
     else TpcdsCorpusSql.baseline(tpcdsDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${tpcdsNs}_$qn", iters, careful = true)(
         spark.sql(sql).foreach(_ => ()))
     }
+    if (!suiteOnly)
+      graft.sources.tpcds.TpcdsGen.schemas.keys.toSeq.sorted.foreach(t =>
+        warmTouch(s"$corpusDb.$t")(spark.table(s"$corpusDb.$t").foreach(_ => ())))
     val corpus = if (suiteOnly) Seq.empty[Timing]
     else TpcdsCorpusSql.queries(corpusDb).toSeq.map { case (qn, sql) =>
       timedN(s"tpcds_${corpusNs}_$qn", iters)(spark.sql(sql).foreach(_ => ()))
@@ -391,10 +416,8 @@ object Bench {
     // fixed d10/w01/z01 and regressed q11/q24b/q14 by the same
     // mechanism), not plans. A full untimed touch per table makes the
     // timed min-of-2 cache-state-independent across rounds.
-    if (!suiteOnly) tpcdsBaselineTables.foreach { t =>
-      try spark.table(s"$tpcdsDb.$t").foreach(_ => ())
-      catch { case _: Throwable => }
-    }
+    if (!suiteOnly) tpcdsBaselineTables.foreach(t =>
+      warmTouch(s"$tpcdsDb.$t")(spark.table(s"$tpcdsDb.$t").foreach(_ => ())))
     val tpcdsSpot = spotNames.flatMap(qn => spotSqls.get(qn).map { sql =>
       timedN(s"tpcds_${tpcdsNs}_$qn", 2, careful = true)(
         spark.sql(sql).foreach(_ => ()))
@@ -498,6 +521,7 @@ object Bench {
     // query by query, not just via the global flag.
     val fullQ = results.map { t =>
       "\"" + t.name + "\":{\"min\":" + r3(t.min) + ",\"avg\":" + r3(t.avg) +
+        ",\"p50\":" + r3(t.p50) +
         ",\"runs\":[" + t.runs.map(r3).mkString(",") + "]" +
         ",\"load\":[" + t.loads.map(r3).mkString(",") + "]" +
         ",\"contended\":" + (t.maxLoad > cpus.toDouble * 1.5) + "}"
@@ -557,8 +581,12 @@ object Bench {
       "suite_sec" -> suite.map(_.min).sum,
       "mat_sec" -> matSec,
       "tpch_sec" -> tpch.map(_.min).sum,
+      // p50 walls beside the min walls for the sections that historically
+      // carried single-run outliers: p50 ≈ min ⇒ noise; both up ⇒ real
+      "tpch_sec_p50" -> tpch.map(_.p50).sum,
       "tpcds_sec" -> tpcds.map(_.min).sum,
       "tpcds_spot_sec" -> tpcdsSpot.map(_.min).sum,
+      "tpcds_spot_sec_p50" -> tpcdsSpot.map(_.p50).sum,
       "tpcds_corpus_sec" -> corpus.map(_.min).sum,
       "zorder_sec" -> zorder.map(_.min).sum,
       "winnow_cap_sec" -> winnowCap.map(_.min).sum)

@@ -79,6 +79,53 @@ object ColumnLineage {
           else i.query.output.map(_.name)
         Some(bind(leafName(i.table), i.query, names))
 
+      // CREATE VIEW v AS SELECT … / ALTER VIEW v AS SELECT …: the view
+      // IS a write target — its columns map to the defining query's
+      // sources (reference SparkSQLLineageParseHelper.scala:213,226)
+      case v: org.apache.spark.sql.execution.command.CreateViewCommand =>
+        val names =
+          if (v.userSpecifiedColumns.nonEmpty) v.userSpecifiedColumns.map(_._1)
+          else v.plan.output.map(_.name)
+        Some(bind(v.name.unquotedString, v.plan, names))
+      case a: org.apache.spark.sql.execution.command.AlterViewAsCommand =>
+        Some(bind(a.name.unquotedString, a.query, a.query.output.map(_.name)))
+
+      // MERGE INTO: every assignment in every branch (matched, not
+      // matched, not matched by source) maps its target column to the
+      // assigned expression's sources — which may live in the SOURCE
+      // relation (UPDATE SET t.c = s.x), the TARGET (SET t.c = t.c+1),
+      // or both; star actions map positionally (reference
+      // SparkSQLLineageParseHelper.scala:368)
+      case m: MergeIntoTable =>
+        val target = leafName(m.targetTable)
+        val sources = attrSources(m.sourceTable) ++ attrSources(m.targetTable)
+        def ofAssignments(as: Seq[Assignment]): Seq[(String, Set[String])] =
+          as.map { asg =>
+            val col = asg.key match {
+              case ne: NamedExpression => ne.name
+              case other => other.sql
+            }
+            s"$target.$col" -> asg.value.references.toSeq
+              .flatMap(r => sources.getOrElse(r.exprId, Set.empty[String])).toSet
+          }
+        def star: Seq[(String, Set[String])] =
+          m.targetTable.output.zip(m.sourceTable.output).map { case (t, s) =>
+            s"$target.${t.name}" -> sources.getOrElse(s.exprId, Set.empty[String])
+          }
+        val pairs = (m.matchedActions ++ m.notMatchedActions ++
+          m.notMatchedBySourceActions).flatMap {
+          case u: UpdateAction => ofAssignments(u.assignments)
+          case i: InsertAction => ofAssignments(i.assignments)
+          case _: UpdateStarAction => star
+          case _: InsertStarAction => star
+          case _ => Nil // DeleteAction writes no column
+        }
+        // a column assigned in several branches derives from the UNION
+        // of the branches' sources
+        Some(pairs.groupBy(_._1).map { case (k, vs) =>
+          k -> vs.iterator.flatMap(_._2).toSet
+        })
+
       case _ => None
     }
   }

@@ -828,6 +828,53 @@ object RelationalQueries {
           expr("power_events * 1000 div nullif(n_events, 0)").as("share_permille"))
     },
 
+    // --- RFM segmentation: per customer recency (days since last
+    //     order vs the corpus max date), frequency (order count) and
+    //     monetary (lifetime cents), each MEDIAN-split by a rank
+    //     threshold with ties included → 8 segments with counts and
+    //     lifetime value. Scale shape: no global sort of customers —
+    //     each threshold is a window walk over a BOUNDED value
+    //     histogram (recency ≤ date span, frequency ≤ max orders per
+    //     customer, monetary floor-quantized to $1000 buckets) and
+    //     joins back as a broadcast scalar, the q51 pattern per
+    //     dimension. Cents are per-row floor() integers so no float
+    //     sum crosses engines. ---
+    "q52_rfm_segments" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("f"),
+          sum(floor(col("o_totalprice") * 100)).as("m_cents"),
+          max(to_date(col("o_orderdate"))).as("lastd"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"), col("f"), col("m_cents"),
+          expr("m_cents div 100000").as("m_bucket"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("r_days"))
+      val kdf = per.agg(expr("(count(1) + 1) div 2").as("k"))
+      def medianThreshold(dim: String, hiIsLow: Boolean): org.apache.spark.sql.DataFrame = {
+        val dist = per.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(if (hiIsLow) col(dim).asc else col(dim).desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
+          .crossJoin(broadcast(kdf)).filter(col("cum") >= col("k"))
+        if (hiIsLow) cum.agg(min(col(dim)).as(s"t_$dim"))
+        else cum.agg(max(col(dim)).as(s"t_$dim"))
+      }
+      per.crossJoin(broadcast(medianThreshold("r_days", hiIsLow = true)))
+        .crossJoin(broadcast(medianThreshold("f", hiIsLow = false)))
+        .crossJoin(broadcast(medianThreshold("m_bucket", hiIsLow = false)))
+        .select(concat(
+            when(col("r_days") <= col("t_r_days"), lit("R1")).otherwise(lit("R0")),
+            when(col("f") >= col("t_f"), lit("F1")).otherwise(lit("F0")),
+            when(col("m_bucket") >= col("t_m_bucket"), lit("M1")).otherwise(lit("M0")))
+            .as("segment"),
+          col("m_cents"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("m_cents")).as("sum_m_cents"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1404,6 +1451,44 @@ object RelationalQueries {
              * 1000 // nullif(t.n_events, 0) AS BIGINT) AS share_permille
          FROM pu, tot t, thr th
          GROUP BY t.n_users, t.n_events, th.threshold""",
+
+    // Mirror of q52: the same per-customer RFM triple (floor-cent
+    // integers), the same three bounded-histogram cumulative medians
+    // with ties included, the same 8-way segment labels.
+    "q52_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+         per AS (
+           SELECT o_custkey, count(*) AS f,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents,
+             max(CAST(o_orderdate AS DATE)) AS lastd
+           FROM orders GROUP BY 1),
+         per2 AS (
+           SELECT o_custkey, f, m_cents, m_cents // 100000 AS m_bucket,
+             date_diff('day', lastd, maxd) AS r_days
+           FROM per, mx),
+         k AS (SELECT (count(*) + 1) // 2 AS k FROM per2),
+         rt AS (SELECT min(r_days) AS t FROM (
+             SELECT r_days, sum(cnt) OVER (ORDER BY r_days ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM (SELECT r_days, count(*) AS cnt FROM per2 GROUP BY 1)), k
+           WHERE cum >= k.k),
+         ft AS (SELECT max(f) AS t FROM (
+             SELECT f, sum(cnt) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM (SELECT f, count(*) AS cnt FROM per2 GROUP BY 1)), k
+           WHERE cum >= k.k),
+         mt AS (SELECT max(m_bucket) AS t FROM (
+             SELECT m_bucket, sum(cnt) OVER (ORDER BY m_bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM (SELECT m_bucket, count(*) AS cnt FROM per2 GROUP BY 1)), k
+           WHERE cum >= k.k)
+         SELECT (CASE WHEN p.r_days <= rt.t THEN 'R1' ELSE 'R0' END) ||
+                (CASE WHEN p.f >= ft.t THEN 'F1' ELSE 'F0' END) ||
+                (CASE WHEN p.m_bucket >= mt.t THEN 'M1' ELSE 'M0' END) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(p.m_cents) AS BIGINT) AS sum_m_cents
+         FROM per2 p, rt, ft, mt
+         GROUP BY 1""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

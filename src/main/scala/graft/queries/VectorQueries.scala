@@ -29,6 +29,11 @@ object VectorQueries {
   val N_PROBE = 3
   val M_SUB = 8 // PQ subspaces (dsub = DIM / M_SUB = 8 floats -> 1 code)
   val K_CODES = 16 // PQ codebook size per subspace
+  // SemDeDup cosine threshold in micro units. Fixture-calibrated: the
+  // synthetic embeddings carry no true duplicates (max pair cosine
+  // 0.51), so the gate pins the knob at 0.35 where the within-cluster
+  // tail is non-empty; a real corpus runs ≈950000.
+  val SEMDEDUP_TAU_MICRO = 350000L
 
   // Deterministic index-artifact memo: training from the same fixture
   // with the same hyperparameters always yields the same centroid /
@@ -646,6 +651,34 @@ object VectorQueries {
       val exact = SimilaritySearch.bruteForceTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       SimilaritySearch.recallAtK(approx, exact, k = 5)
+    },
+
+    // --- SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    //     found WITHIN coarse clusters — assign every vector to its
+    //     nearest IVF centroid, then score pairs only inside each
+    //     list, keeping (keep=min id, drop=max id) pairs whose cosine
+    //     reaches τ. The 100 TB shape is the paper's own: clustering
+    //     bounds the pair space to Σ|list|² ≈ n²/L instead of n², the
+    //     join is equi on list id, and τ is an explicit knob (real
+    //     corpora run ≈0.95; the fixture has no true dups — max pair
+    //     cosine 0.51 — so the gate pins τ=0.35 where the tail is
+    //     non-empty). Micro-floored cosines so no raw double crosses
+    //     engines. ---
+    "v44_semdedup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = ivfCentroids(e, dir)
+      val asg = e.select(col("vec_id"), col("embedding"),
+        graft.operators.IvfIndex.nearestList(col("embedding"), cents).as("list_id"))
+      val a = asg.select(col("list_id"), col("vec_id").as("keep_id"),
+        col("embedding").as("va"))
+      val b = asg.select(col("list_id"), col("vec_id").as("drop_id"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("list_id"))
+        .filter(col("keep_id") < col("drop_id"))
+        .withColumn("cos_micro",
+          floor(cosine(col("va"), col("vb")) * lit(1000000.0)))
+        .filter(col("cos_micro") >= lit(SEMDEDUP_TAU_MICRO))
+        .select(col("list_id"), col("keep_id"), col("drop_id"), col("cos_micro"))
     },
 
     // --- PQ symmetric distance (SDC): queries quantized too, every
@@ -1636,6 +1669,26 @@ object VectorQueries {
                      FROM approx JOIN exact USING (query_id, neighbor_id)
                      GROUP BY query_id) h USING (query_id)"""
     },
+
+    // Mirror of v44: assignment recomputed from the dumped centroids
+    // with the same (cosine DESC, list_id DESC) tie rule, pairs joined
+    // inside lists only, the same micro-floored cosine threshold.
+    "v44_semdedup" ->
+      s"""WITH cents AS (SELECT list_id, centroid
+                         FROM '__VAUX__/ivf_centroids.parquet/*.parquet'),
+          asg AS (
+            SELECT vec_id, embedding, list_id FROM (
+              SELECT e.vec_id, e.embedding, c.list_id,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCosine("e.embedding", "c.centroid")} DESC, c.list_id DESC) AS r
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE r = 1)
+          SELECT list_id, keep_id, drop_id, cos_micro FROM (
+            SELECT a.list_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+              CAST(floor(${duckCosine("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_micro
+            FROM asg a JOIN asg b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+          WHERE cos_micro >= $SEMDEDUP_TAU_MICRO""",
 
     // Mirror of v40: the same symmetrize-dedupe over the kNN replay,
     // degree per node, histogram over degrees.

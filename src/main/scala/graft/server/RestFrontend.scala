@@ -278,6 +278,44 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
   private def terminalStateName(s: String): Boolean =
     OperationState.all.exists(st => st.name == s && st.terminal)
 
+  /** Client-supplied integer param: Right(value-or-default), Left(raw)
+    * when malformed — the caller answers 400 naming the bad parameter,
+    * never a NumberFormatException-turned-500 (the GET /events limit
+    * contract, r10 ADVICE, applied to every client-parsed number).
+    */
+  private def intParam(ex: HttpExchange, name: String,
+      default: Int): Either[String, Int] =
+    queryParam(ex, name) match {
+      case None => Right(default)
+      case Some(raw) => scala.util.Try(raw.trim.toInt).toOption.toRight(raw)
+    }
+
+  private def badParam(ex: HttpExchange, name: String, raw: String): Unit =
+    reply(ex, 400, s"""{"error": ${q(s"bad $name")}, ${q(name)}: ${q(raw)}}""")
+
+  /** Cancel a batch whose launch is IN FLIGHT (a submitter worker holds
+    * the pendingBatches claim but hasn't registered the live job yet):
+    * wait for the job to appear in procBatches and cancel it, else 409
+    * so the client retries — never a 200 over a batch that still
+    * launches afterwards.
+    */
+  private def cancelInFlightLaunch(ex: HttpExchange, id: String): Unit = {
+    var job: BatchJob = null
+    var waited = 0
+    while (job == null && waited < 5000) {
+      job = procBatches.get(id)
+      if (job == null) { Thread.sleep(50); waited += 50 }
+    }
+    if (job != null) {
+      try job.cancel() catch { case _: Throwable => }
+      reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
+    } else {
+      val st = store.flatMap(_.get(id)).map(_.state).getOrElse("UNKNOWN")
+      reply(ex, 409,
+        s"""{"id": ${q(id)}, "state": ${q(st)}, "message": "batch is being launched; retry"}""")
+    }
+  }
+
   // Internal gateway-to-gateway client (the reference's
   // InternalRestClient, BatchesResource.scala:78-90): short timeouts —
   // a dead owner must fail fast into the store-only fallback.
@@ -868,16 +906,25 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             val query = Option(ex.getRequestURI.getQuery).getOrElse("")
             def param(name: String): Option[String] =
               query.split("&").find(_.startsWith(s"$name=")).map(_.stripPrefix(s"$name="))
-            val maxRows = param("maxRows").map(_.toInt).getOrElse(1000)
-            val offset = param("offset").map(_.toLong).getOrElse(-1L)
-            val it = op.fetchIterator
-            if (offset >= 0) it.fetchAbsolute(offset) else it.fetchNext()
-            val page = it.take(maxRows).toArray
-            val json = op.result.sparkSession
-              .createDataFrame(java.util.Arrays.asList(page: _*), op.result.schema)
-              .toJSON.collect()
-            reply(ex, 200,
-              s"""{"offset": ${it.getFetchStart}, "rows": [${json.mkString(",")}]}""")
+            val maxRowsE = param("maxRows")
+              .map(r => scala.util.Try(r.trim.toInt).toOption.toRight(r))
+              .getOrElse(Right(1000))
+            val offsetE = param("offset")
+              .map(r => scala.util.Try(r.trim.toLong).toOption.toRight(r))
+              .getOrElse(Right(-1L))
+            (maxRowsE, offsetE) match {
+              case (Left(raw), _) => badParam(ex, "maxRows", raw)
+              case (_, Left(raw)) => badParam(ex, "offset", raw)
+              case (Right(maxRows), Right(offset)) =>
+                val it = op.fetchIterator
+                if (offset >= 0) it.fetchAbsolute(offset) else it.fetchNext()
+                val page = it.take(maxRows).toArray
+                val json = op.result.sparkSession
+                  .createDataFrame(java.util.Arrays.asList(page: _*), op.result.schema)
+                  .toJSON.collect()
+                reply(ex, 200,
+                  s"""{"offset": ${it.getFetchStart}, "rows": [${json.mkString(",")}]}""")
+            }
           }
         }
 
@@ -1074,10 +1121,12 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       // operation log lines (available WHILE the op runs).
       case ("GET", "operations" :: opId :: "log" :: Nil) =>
         findOp(opId) match {
-          case Some(op) =>
-            val max = queryParam(ex, "maxrows").map(_.toInt).getOrElse(100)
-            val lines = op.fetchLog(math.max(1, math.min(max, 10000)))
-            reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
+          case Some(op) => intParam(ex, "maxrows", 100) match {
+            case Left(raw) => badParam(ex, "maxrows", raw)
+            case Right(max) =>
+              val lines = op.fetchLog(math.max(1, math.min(max, 10000)))
+              reply(ex, 200, s"""{"logRowSet": [${lines.map(q).mkString(",")}], "rowCount": ${lines.size}}""")
+          }
           case None => reply(ex, 404, """{"error": "no such operation"}""")
         }
 
@@ -1093,10 +1142,11 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
             else if (op.currentState != OperationState.Finished)
               reply(ex, 400, s"""{"state": ${q(op.currentState.toString)}, "error": ${q(
                 op.exception.map(t => String.valueOf(t.getMessage)).getOrElse("operation did not finish"))}}""")
-            else {
+            else intParam(ex, "maxrows", 100) match {
+              case Left(raw) => badParam(ex, "maxrows", raw)
+              case Right(rawMax) =>
               val (df, it) = rowSetResult(op).get
-              val max = math.max(1, math.min(
-                queryParam(ex, "maxrows").map(_.toInt).getOrElse(100), 100000))
+              val max = math.max(1, math.min(rawMax, 100000))
               queryParam(ex, "fetchorientation").getOrElse("FETCH_NEXT") match {
                 case "FETCH_PRIOR" => it.fetchPrior(max.toLong)
                 case _ => it.fetchNext()
@@ -1161,7 +1211,9 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
       // 18=DBMS_VER, 30=MAX_COLUMN_NAME_LEN)
       case ("GET", "sessions" :: sid :: "info" :: infoType :: Nil) =>
         withSession(ex, sid) { _ =>
-          val kv = infoType.toInt match {
+          // a non-numeric path segment is the client's error → 400 (the
+          // same contract as every parsed query param)
+          val kv = scala.util.Try(infoType.trim.toInt).toOption.flatMap {
             case 13 => Some(("SERVER_NAME", "graft"))
             case 17 => Some(("DBMS_NAME", "graft"))
             case 18 => Some(("DBMS_VER", graft.core.Kdf.version))
@@ -1247,19 +1299,7 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
               releaseBatchSlot(id)
               reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED"}""")
             } else {
-              var job: BatchJob = null
-              var waited = 0
-              while (job == null && waited < 5000) {
-                job = procBatches.get(id)
-                if (job == null) { Thread.sleep(50); waited += 50 }
-              }
-              if (job != null) {
-                try job.cancel() catch { case _: Throwable => }
-                reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(job.currentState)}}""")
-              } else {
-                val st = store.flatMap(_.get(id)).map(_.state).getOrElse("UNKNOWN")
-                reply(ex, 409, s"""{"id": ${q(id)}, "state": ${q(st)}, "message": "batch is being launched; retry"}""")
-              }
+              cancelInFlightLaunch(ex, id)
             }
           case None => store.flatMap(_.get(id)) match {
             // owned by ANOTHER gateway: forward the kill to the owner
@@ -1280,9 +1320,16 @@ class RestFrontend(engine: Engine, port: Int = 0, batchStoreDir: Option[String] 
                   store.foreach(_.updateState(id, "CANCELED", None))
                   reply(ex, 200, s"""{"id": ${q(id)}, "state": "CANCELED", "ownerUnreachable": true}""")
               }
+            case Some(rec) if !terminalStateName(rec.state) =>
+              // self-owned and NON-terminal with no pending entry and
+              // no live job: the submitter claimed the pending entry
+              // BEFORE our containsKey check — a launch is in flight.
+              // Wait for the live job and cancel THAT (or 409), never
+              // a 200 'restored' over a batch that still launches
+              // (r16 ADVICE).
+              cancelInFlightLaunch(ex, id)
             case Some(rec) =>
-              // self-owned but not live here (already terminal, or a
-              // record whose process died with a prior incarnation)
+              // self-owned, terminal — nothing to cancel
               reply(ex, 200, s"""{"id": ${q(id)}, "state": ${q(rec.state)}, "restored": true}""")
             case None => reply(ex, 404, """{"error": "no such batch"}""")
           }

@@ -984,6 +984,30 @@ object Streams {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** The q50 weekly active/new/churn decomposition read OFF the same
+    * maintained weekly rollup (one more consumer, zero new machinery):
+    * the (user, week) activity set is the artifact's key set, cohorts
+    * are a min aggregate, and the week-over-week link is the identical
+    * user-keyed self-join on wk+7 batch q50 performs — bounded by
+    * users×weeks, never a pass over raw events. StreamsSpec pins it
+    * equal to batch q50 at any micro-batch split.
+    */
+  def weeklyChurnFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val uw = graft.operators.RollupIndex.open(spark, path)
+      .select(col("user_id"), to_date(col("week")).as("wk"))
+    val coh = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val nxt = uw.select(col("user_id"), col("wk").as("nwk"))
+    uw.join(coh, Seq("user_id"))
+      .join(nxt, uw("user_id") === nxt("user_id") &&
+        nxt("nwk") === date_add(uw("wk"), 7), "left")
+      .groupBy(date_format(uw("wk"), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(uw("wk") === col("cw"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(nxt("nwk").isNotNull, 1L).otherwise(0L)).as("n_retained_next"),
+        sum(when(nxt("nwk").isNull, 1L).otherwise(0L)).as("n_churned_next"))
+  }
+
   /** The q47 user-journey transition matrix read OFF the maintained
     * rollup: counts come straight from the artifact; out-degree totals
     * and integer permille shares are derived exactly as batch q47

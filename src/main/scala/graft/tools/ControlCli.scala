@@ -120,6 +120,19 @@ object ControlCli {
         extras.find(e => !java.nio.file.Files.exists(e)).foreach { e =>
           return Result(1, s"""{"error": "extra resource not found: $e"}""")
         }
+        // The wire shape is the reference's extraResourcesMap: one
+        // comma-separated value of basenames, each repeated as its own
+        // multipart part. Two filename classes can't ride it and fail
+        // CLEANLY here instead of splitting wrong server-side: a
+        // basename containing ',' (the map separator) and duplicate
+        // basenames (part names collide → one file silently wins).
+        extras.map(_.getFileName.toString).find(_.contains(",")).foreach { n =>
+          return Result(1, s"""{"error": "extra resource basename contains ',' (the extraResourcesMap separator) and cannot be uploaded: $n — rename the file"}""")
+        }
+        val dupNames = extras.map(_.getFileName.toString)
+          .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+        if (dupNames.nonEmpty)
+          return Result(1, s"""{"error": "duplicate extra resource basenames collide as upload part names: ${dupNames.toSeq.sorted.mkString(", ")} — rename or deduplicate"}""")
         val req = {
           val sb = new StringBuilder("{")
           sb ++= s""""batchType": ${MiniJson.q(

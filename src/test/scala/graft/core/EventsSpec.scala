@@ -170,6 +170,74 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("view lineage: CREATE VIEW names view.column targets; MERGE maps both branches") {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Events.LineageEvent]()
+    val collector = new Events.Handler {
+      override def onEvent(e: Events.Event): Unit = e match {
+        case le: Events.LineageEvent => seen.add(le)
+        case _ => ()
+      }
+    }
+    val spark = SparkFixture.spark
+    Seq("graft_lin_vsrc", "graft_lin_mtgt", "graft_lin_msrc")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("DROP VIEW IF EXISTS graft_lin_v")
+    spark.sql("CREATE TABLE graft_lin_vsrc (a INT, b INT) USING parquet")
+    Events.register(collector)
+    try {
+      val sess = engine.openSession("vlin_user")
+      sess.executeStatement(
+        "CREATE VIEW graft_lin_v AS SELECT a AS va, a + b AS vb FROM graft_lin_vsrc")
+        .awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      def viewHit: Option[Events.LineageEvent] = seen.asScala.find(
+        _.columns.keys.exists(_.endsWith("graft_lin_v.va")))
+      while (viewHit.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val ve = viewHit.getOrElse(fail(
+        s"no CREATE VIEW lineage event; got ${seen.asScala.map(_.columns.keys).toList}"))
+      val va = ve.columns.collectFirst {
+        case (k, v) if k.endsWith("graft_lin_v.va") => v }.get
+      val vb = ve.columns.collectFirst {
+        case (k, v) if k.endsWith("graft_lin_v.vb") => v }.get
+      assert(va.size == 1 && va.forall(_.endsWith("graft_lin_vsrc.a")), ve.columns)
+      assert(vb.exists(_.endsWith("graft_lin_vsrc.a")) &&
+        vb.exists(_.endsWith("graft_lin_vsrc.b")), ve.columns)
+      engine.closeSession(sess.id)
+
+      // MERGE INTO: built programmatically over analyzed relations (no
+      // row-level-ops v2 catalog ships with stock Spark) — the walk maps
+      // the MATCHED update (sources from BOTH sides) and the NOT MATCHED
+      // insert, unioned per target column
+      import org.apache.spark.sql.catalyst.expressions.{Add, EqualTo}
+      import org.apache.spark.sql.catalyst.plans.logical._
+      spark.sql("CREATE TABLE graft_lin_mtgt (x INT, y INT) USING parquet")
+      spark.sql("CREATE TABLE graft_lin_msrc (a INT, b INT) USING parquet")
+      val tgtPlan = spark.table("graft_lin_mtgt").queryExecution.analyzed
+      val srcPlan = spark.table("graft_lin_msrc").queryExecution.analyzed
+      val Seq(tx, ty) = tgtPlan.output
+      val Seq(sa, sb) = srcPlan.output
+      val merge = MergeIntoTable(tgtPlan, srcPlan, EqualTo(tx, sa),
+        matchedActions = Seq(UpdateAction(None, Seq(Assignment(ty, Add(sb, ty))), false)),
+        notMatchedActions = Seq(InsertAction(None, Seq(Assignment(tx, sa), Assignment(ty, sb)))),
+        notMatchedBySourceActions = Nil, withSchemaEvolution = false)
+      val cols = graft.plans.ColumnLineage.of(merge)
+      val mx = cols.collectFirst { case (k, v) if k.endsWith("graft_lin_mtgt.x") => v }
+        .getOrElse(fail(s"MERGE must name target x: $cols"))
+      val my = cols.collectFirst { case (k, v) if k.endsWith("graft_lin_mtgt.y") => v }
+        .getOrElse(fail(s"MERGE must name target y: $cols"))
+      assert(mx.size == 1 && mx.forall(_.endsWith("graft_lin_msrc.a")), cols)
+      assert(my.exists(_.endsWith("graft_lin_msrc.b")) &&
+        my.exists(_.endsWith("graft_lin_mtgt.y")),
+        s"matched branch (b + target y) and not-matched branch (b) must union: $cols")
+    } finally {
+      Events.unregister(collector)
+      spark.sql("DROP VIEW IF EXISTS graft_lin_v")
+      Seq("graft_lin_vsrc", "graft_lin_mtgt", "graft_lin_msrc")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("lineage dispatcher seam: conf-selected custom class and SPARK_EVENT bus receive lineage") {
     val spark = SparkFixture.spark
     spark.sql("DROP TABLE IF EXISTS graft_lineage_d")

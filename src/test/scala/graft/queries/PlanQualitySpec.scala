@@ -497,6 +497,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the K-row vocabulary must broadcast back over the token stream:\n${plan.take(600)}")
   }
 
+  test("q52: RFM thresholds broadcast back; customers are never globally sorted") {
+    val plan = planOf(RelationalQueries.queries("q52_rfm_segments")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"threshold attach must be broadcast, not cartesian:\n${plan.take(600)}")
+    // the only Sorts allowed feed the three bounded-histogram windows
+    // (distinct recency/frequency/bucket values), never the customer set
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the scalar thresholds must broadcast onto the per-customer frame:\n${plan.take(600)}")
+  }
+
+  test("v44: semdedup pairs come from a list-keyed equi-join — no all-pairs scan") {
+    val plan = planOf(VectorQueries.queries("v44_semdedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be bounded by the cluster equi-join:\n${plan.take(800)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"same-list pairing must be an equi-join on list_id:\n${plan.take(800)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

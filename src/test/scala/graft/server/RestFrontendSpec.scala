@@ -211,6 +211,13 @@ class RestFrontendSpec extends AnyFunSuite {
       // unknowns 404
       assert(get(c, s"$base/operations/nope/rowset")._1 == 404)
       assert(get(c, s"$base/operations/nope/resultsetmetadata")._1 == 404)
+
+      // a malformed maxrows is the CLIENT's error → 400 naming the bad
+      // parameter, never a NumberFormatException-turned-500 (r16 ADVICE)
+      val (bc1, bb1) = get(c, s"$base/operations/$opId/rowset?maxrows=lots")
+      assert(bc1 == 400 && bb1.contains("bad maxrows") && bb1.contains("lots"), s"$bc1 $bb1")
+      val (bc2, bb2) = get(c, s"$base/operations/$opId/log?maxrows=3.5")
+      assert(bc2 == 400 && bb2.contains("bad maxrows"), s"$bc2 $bb2")
     }
   }
 
@@ -252,6 +259,8 @@ class RestFrontendSpec extends AnyFunSuite {
         val info = get(c, s"$base/sessions/$sid/info/17")._2
         assert(info.contains("DBMS_NAME") && info.contains("graft"), info)
         assert(get(c, s"$base/sessions/$sid/info/9999")._1 == 400)
+        // a non-numeric infoType is a 400, not a parse-crash 500
+        assert(get(c, s"$base/sessions/$sid/info/NaN")._1 == 400)
       } finally spark.sql("DROP TABLE IF EXISTS rest_md_t")
     }
   }
@@ -1520,6 +1529,35 @@ class RestFrontendSpec extends AnyFunSuite {
       }
       assert(state == "ERROR")
     }
+  }
+
+  test("DELETE on a self-owned NON-terminal store record with no live job answers 409, never a 200 'restored'") {
+    // the widest cancel race (r16 ADVICE): the submitter worker claimed
+    // the pendingBatches entry BEFORE the handler's containsKey check,
+    // so the request falls through to the store-record branch while a
+    // launch is in flight — replying 200 with the stored state would
+    // let the batch run after its client saw the cancel succeed
+    val dir = java.nio.file.Files.createTempDirectory("graft-batch-race").toString
+    val engine = new Engine(spark)
+    val front = new RestFrontend(engine, port = 0, batchStoreDir = Some(dir))
+    val port = front.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      // a RUNNING record owned by nobody-else (self-owned shape) with
+      // no pending entry and no live job — exactly the race window
+      val seed = new BatchMetadataStore(dir)
+      seed.insert("batch-inflight-1", "racer", "SELECT 1", "RUNNING")
+      seed.close()
+      val (dc, dbody) = delete(c, s"http://localhost:$port/api/v1/batches/batch-inflight-1")
+      assert(dc == 409 && dbody.contains("being launched"),
+        s"non-terminal store fallback must 409, not 200 'restored': $dc $dbody")
+      // a TERMINAL record still answers the plain restored reply
+      val seed2 = new BatchMetadataStore(dir)
+      seed2.insert("batch-done-1", "racer", "SELECT 1", "FINISHED")
+      seed2.close()
+      val (tc, tbody) = delete(c, s"http://localhost:$port/api/v1/batches/batch-done-1")
+      assert(tc == 200 && tbody.contains(""""restored": true"""), s"$tc $tbody")
+    } finally front.stop()
   }
 
   test("batch state survives a frontend restart via the metadata store") {

@@ -746,6 +746,18 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want, s"rollup-read cohorts must equal batch q48 " +
       s"(missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
     assert(got.nonEmpty)
+
+    // the churn decomposition is ONE MORE CONSUMER of the same rollup:
+    // rollup-derived weekly active/new/churn == batch q50 at this split
+    def churnRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val gotChurn = churnRows(Streams.weeklyChurnFromRollup(spark, path))
+    val wantChurn = churnRows(graft.queries.RelationalQueries
+      .queries("q50_weekly_churn")(spark, F.sfDir))
+    assert(gotChurn == wantChurn, s"rollup-read churn must equal batch q50 " +
+      s"(missing: ${(wantChurn -- gotChurn).take(3)}, extra: ${(gotChurn -- wantChurn).take(3)})")
+    assert(gotChurn.nonEmpty)
   }
 
   test("streaming phash gate flags exactly the batch matches against a static corpus") {

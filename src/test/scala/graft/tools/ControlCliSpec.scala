@@ -213,6 +213,28 @@ class ControlCliSpec extends AnyFunSuite {
         """{"batchType": "SPARK", "className": "X"}""".getBytes("UTF-8"))
       val nr = ctl(api, "create", "batch", "-f", noRes.toString)
       assert(nr.code == 1 && nr.out.contains("resource"), nr.out)
+
+      // sidecar names the comma wire-shape can't carry fail CLEANLY at
+      // the client (r16 VERDICT #2): a comma-named sidecar would split
+      // wrong server-side, duplicate basenames collide as part names
+      java.nio.file.Files.copy(submitJar, dir.resolve("side,car.jar"))
+      val commaSpec = dir.resolve("comma.json")
+      java.nio.file.Files.write(commaSpec,
+        """{"batchType": "SPARK", "className": "GraftCtlApp",
+          | "resource": "app.jar", "extraResources": ["side,car.jar"]}"""
+          .stripMargin.getBytes("UTF-8"))
+      val cm = ctl(api, "create", "batch", "-f", commaSpec.toString)
+      assert(cm.code == 1 && cm.out.contains("basename contains ','"), cm.out)
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+      java.nio.file.Files.copy(submitJar, sub.resolve("dup.jar"))
+      java.nio.file.Files.copy(submitJar, dir.resolve("dup.jar"))
+      val dupSpec = dir.resolve("dup.json")
+      java.nio.file.Files.write(dupSpec,
+        """{"batchType": "SPARK", "className": "GraftCtlApp",
+          | "resource": "app.jar", "extraResources": ["dup.jar", "sub/dup.jar"]}"""
+          .stripMargin.getBytes("UTF-8"))
+      val dp = ctl(api, "create", "batch", "-f", dupSpec.toString)
+      assert(dp.code == 1 && dp.out.contains("duplicate extra resource basenames"), dp.out)
     }
   }
 

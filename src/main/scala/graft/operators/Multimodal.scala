@@ -451,6 +451,56 @@ object Multimodal {
     internalCreate(spark, rdd, outSchema)
   }
 
+  /** Batched executor-side WAV decode → nearest-sample DECIMATION by
+    * `factor` (output i reads input sample i·factor — the audio twin
+    * of the m10 resize's x·w div outW index math) → exact-integer
+    * features of the resampled clip: in/out lengths, Σ|amp|, a
+    * position-weighted checksum (Σ (i+1)·amp, catching dropped or
+    * reordered samples) and the first/last output samples (catching
+    * stride math at both ends). Pure per-partition decode+resample,
+    * no shuffle (the m06 shape); non-WAV rows yield nulls.
+    */
+  def decodeWavToResampled(df: DataFrame, idCol: String, binCol: String,
+      factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("n_in", LongType),
+      StructField("n_out", LongType),
+      StructField("sum_abs", LongType),
+      StructField("rs_checksum", LongType),
+      StructField("first_amp", IntegerType),
+      StructField("last_amp", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idType = df.schema(idCol).dataType
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx, idType)
+        val vals: Seq[Any] = decodeWav(r.getBinary(binIdx)) match {
+          case Some((_, _, samples)) if samples.nonEmpty =>
+            val nOut = (samples.length + factor - 1) / factor
+            var i = 0
+            var sumAbs = 0L
+            var chk = 0L
+            while (i < nOut) {
+              val a = samples(i * factor).toLong
+              sumAbs += math.abs(a)
+              chk += (i + 1) * a
+              i += 1
+            }
+            Seq(id, samples.length.toLong, nOut.toLong, sumAbs, chk,
+              samples(0).toInt, samples((nOut - 1) * factor).toInt)
+          case Some(_) => Seq(id, 0L, 0L, 0L, 0L, null, null)
+          case None => Seq(id, null, null, null, null, null, null)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+      }
+    }
+    internalCreate(spark, rdd, outSchema)
+  }
+
   /** Shot-boundary (scene-change) detection over fixed-size frames —
     * the standard first pass of a video curation pipeline, run on the
     * downsampled byte stream: frame f's delta is the sum of absolute

@@ -138,6 +138,23 @@ object MultimodalQueries {
           col("rz_sum"), col("rz_checksum"), col("corner_tl"), col("corner_br"))
     },
 
+    // --- REAL audio resample: WAV decode → nearest-sample DECIMATION
+    //     by 4 (output i reads input sample i·4 — the audio twin of
+    //     m10's resize index math) → exact-integer features: in/out
+    //     lengths, Σ|amp|, a position-weighted checksum catching
+    //     dropped/reordered samples, first/last output samples
+    //     catching stride math at both ends. The oracle replays the
+    //     decimation from the payload bytes through the synthWav
+    //     amplitude contract. ---
+    "m11_wav_resample" -> { (s, dir) =>
+      val wav = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+      val withWav = Tables(s, dir).documents
+        .select(col("doc_id"), wav(col("text").cast("binary")).as("content"))
+      Multimodal.decodeWavToResampled(withWav, "doc_id", "content", factor = 4)
+        .select(col("id").as("doc_id"), col("n_in"), col("n_out"),
+          col("sum_abs"), col("rs_checksum"), col("first_amp"), col("last_amp"))
+    },
+
     // --- Shot-boundary detection: 64-byte frames over the clip bytes,
     //     a cut where the frame-to-frame absolute-difference sum
     //     crosses 1800 (≈ the corpus median delta — real cuts sit in
@@ -335,6 +352,27 @@ object MultimodalQueries {
                 AS BIGINT) AS zero_crossings
          FROM b LEFT JOIN w USING (doc_id)
          GROUP BY b.doc_id, b.n""",
+    // Mirror of m11: the same byte→amp unpack at stride-4 indices, the
+    // same ceil-division output length, position-weighted checksum and
+    // end samples.
+    "m11_wav_resample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+         o AS (SELECT doc_id, n, (n + 3) // 4 AS n_out, h FROM b),
+         s AS (SELECT doc_id, n, n_out, h, unnest(range(0, n_out)) AS i FROM o),
+         v AS (SELECT doc_id, n, n_out, i,
+                 (16*(strpos('0123456789ABCDEF', substr(h, CAST(2*(i*4)+1 AS INT), 1))-1)
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2*(i*4)+2 AS INT), 1))-1
+                    - 128) * 256 AS amp
+               FROM s)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+           CAST(sum((i + 1) * amp) AS BIGINT) AS rs_checksum,
+           CAST(max(CASE WHEN i = 0 THEN amp END) AS INT) AS first_amp,
+           CAST(max(CASE WHEN i = n_out - 1 THEN amp END) AS INT) AS last_amp
+         FROM v GROUP BY doc_id, n, n_out""",
+
     // Mirror of m09: the same byte→amp unpack, silent samples by the
     // SAME |amp| < 2048 rail, runs recovered with the gaps-and-islands
     // trick (sample index minus its silent-only row_number is constant

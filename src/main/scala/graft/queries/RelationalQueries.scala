@@ -875,6 +875,70 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), sum(col("m_cents")).as("sum_m_cents"))
     },
 
+    // --- Market-basket affinity: part pairs co-ordered at least
+    //     MINSUP times, with lift in integer permille — the
+    //     co-purchase signal behind recommendations. Scale shape:
+    //     the ONLY pair stage is the order-keyed equi self-join, so
+    //     the pair space is Σ(basket size)², bounded by the domain's
+    //     small baskets, never |parts|²; the support filter prunes
+    //     the singleton tail BEFORE the per-part count joins; the
+    //     scalar order count attaches broadcast. ---
+    "q53_basket_affinity" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      val partCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(partCounts.select(col("l_partkey").as("part_a"),
+          col("n_part").as("n_a")), Seq("part_a"))
+        .join(partCounts.select(col("l_partkey").as("part_b"),
+          col("n_part").as("n_b")), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"), col("n_b"),
+          expr("n_pair * n_orders * 1000 div (n_a * n_b)").as("lift_permille"))
+    },
+
+    // --- Shipping-delay SLA percentiles: per order priority, the
+    //     exact p50/p90/p99 of ship-after-order days — the fulfilment
+    //     health metric. Scale shape: the d50 exact-quantile pattern
+    //     PER GROUP — delays collapse into a (priority, delay)
+    //     histogram bounded by priorities × the delay span, the
+    //     cumulative walk windows over that bounded histogram
+    //     partitioned by priority (never over rows), and thresholds
+    //     are rank-based integers (value at ceil(p·n/100), ties
+    //     included) so no float percentile crosses engines. ---
+    "q54_ship_delay_percentiles" -> { (s, dir) =>
+      val delays = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables(s, dir).orders
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("delay_days"))
+      val hist = delays.groupBy(col("priority"), col("delay_days"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("priority")).orderBy(col("delay_days").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      val totals = hist.groupBy(col("priority")).agg(sum(col("cnt")).as("n"))
+      def pct(p: Int): Column =
+        min(when(col("cum") * 100 >= col("n") * p, col("delay_days")))
+      cum.join(broadcast(totals), Seq("priority"))
+        .groupBy(col("priority"))
+        .agg(first(col("n")).as("n_lines"), pct(50).as("p50_days"),
+          pct(90).as("p90_days"), pct(99).as("p99_days"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1489,6 +1553,54 @@ object RelationalQueries {
            CAST(sum(p.m_cents) AS BIGINT) AS sum_m_cents
          FROM per2 p, rt, ft, mt
          GROUP BY 1""",
+
+    // Mirror of q53: the same distinct (order, part) basket set, the
+    // same ordered-pair counts with the ≥2 support gate, integer lift.
+    "q53_basket_affinity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_pair
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         pc AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+         no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+         SELECT p.part_a, p.part_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(a.n_part AS BIGINT) AS n_a, CAST(b.n_part AS BIGINT) AS n_b,
+           CAST(p.n_pair * no.n_orders * 1000 // (a.n_part * b.n_part)
+             AS BIGINT) AS lift_permille
+         FROM pairs p
+         JOIN pc a ON a.l_partkey = p.part_a
+         JOIN pc b ON b.l_partkey = p.part_b, no""",
+
+    // Mirror of q54: the same (priority, delay) histogram, the same
+    // per-priority ascending cumulative walk, the same rank-based
+    // integer thresholds (min delay whose cum·100 ≥ n·p).
+    "q54_ship_delay_percentiles" ->
+      """WITH d AS (
+           SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS delay_days
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         hist AS (
+           SELECT priority, delay_days, count(*) AS cnt
+           FROM d GROUP BY 1, 2),
+         cum AS (
+           SELECT priority, delay_days,
+             sum(cnt) OVER (PARTITION BY priority ORDER BY delay_days ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hist),
+         tot AS (SELECT priority, sum(cnt) AS n FROM hist GROUP BY 1)
+         SELECT c.priority, CAST(t.n AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 50 THEN c.delay_days END)
+             AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 90 THEN c.delay_days END)
+             AS BIGINT) AS p90_days,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 99 THEN c.delay_days END)
+             AS BIGINT) AS p99_days
+         FROM cum c JOIN tot t USING (priority)
+         GROUP BY c.priority, t.n""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

@@ -217,6 +217,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
   }
 
+  test("wav resample: factor 1 is identity, stride math hand-computed, short clip keeps one sample") {
+    import spark.implicits._
+    val wavUdf = udf((b: Array[Byte]) => Multimodal.synthWav(b))
+    // bytes → amps: (b-128)*256; 6 samples, stride 4 reads indices 0, 4
+    val payload = bin(128, 129, 130, 131, 132, 133) // amps 0,256,512,768,1024,1280
+    val df = Seq((1L, payload), (2L, bin(130)), (3L, "nope".getBytes))
+      .toDF("id", "raw")
+      .select(col("id"),
+        when(col("id") =!= 3L, wavUdf(col("raw"))).otherwise(col("raw")).as("content"))
+    val r4 = Multimodal.decodeWavToResampled(df, "id", "content", factor = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // id 1: out = [amp0=0, amp4=1024]; sum_abs 1024; chk = 1*0 + 2*1024
+    assert(r4(1L).getLong(1) == 6L && r4(1L).getLong(2) == 2L, r4(1L))
+    assert(r4(1L).getLong(3) == 1024L && r4(1L).getLong(4) == 2048L, r4(1L))
+    assert(r4(1L).getInt(5) == 0 && r4(1L).getInt(6) == 1024, r4(1L))
+    // id 2: clip shorter than the stride keeps exactly its first sample
+    assert(r4(2L).getLong(2) == 1L && r4(2L).getInt(5) == 512 &&
+      r4(2L).getInt(6) == 512, r4(2L))
+    // non-WAV → null row
+    assert(r4(3L).isNullAt(1) && r4(3L).isNullAt(6))
+    // factor 1 is the identity resample
+    val r1 = Multimodal.decodeWavToResampled(df.filter(col("id") === 1L),
+      "id", "content", factor = 1).head()
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 6L, r1)
+    assert(r1.getLong(3) == 0 + 256 + 512 + 768 + 1024 + 1280, r1)
+    assert(r1.getInt(5) == 0 && r1.getInt(6) == 1280, r1)
+  }
+
   test("image entropy: flat fill yields zero terms; mixed histogram hand-computed") {
     // flat image: every payload byte 7 on a 7×2 canvas → one bin of 14
     val flat = Multimodal.decodeBmp(Multimodal.synthBmp(Array.fill(14)(7.toByte))).get

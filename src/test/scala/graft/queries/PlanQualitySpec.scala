@@ -517,6 +517,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"same-list pairing must be an equi-join on list_id:\n${plan.take(800)}")
   }
 
+  test("q53: basket pairs come from the order-keyed equi self-join only") {
+    val plan = planOf(RelationalQueries.queries("q53_basket_affinity")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must be bounded by the basket equi-join:\n${plan.take(600)}")
+    // the one BNLJ allowed is the scalar order-count attach
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"pairing must be an equi-join on l_orderkey:\n${plan.take(600)}")
+  }
+
+  test("m11: wav resample is joinless — pure per-partition decode") {
+    val plan = planOf(MultimodalQueries.queries("m11_wav_resample")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"decode+decimate must not shuffle:\n${plan.take(500)}")
+  }
+
+  test("q54: percentile walk windows over the bounded histogram, never over lineitem rows") {
+    val plan = planOf(RelationalQueries.queries("q54_ship_delay_percentiles")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    // exactly one Window, and it must sit ABOVE the histogram aggregate
+    // (aggregate-then-window = bounded input; window-then-aggregate
+    // would walk raw join output)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan.take(500))
+    // the printed tree is top-down, so a HashAggregate BELOW the Window
+    // (later in the string) is the histogram the walk consumes
+    assert(plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"window must consume an aggregated histogram:\n${plan.take(800)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

@@ -118,4 +118,44 @@ class RelationalEdgeSpec extends AnyFunSuite {
       ("2024-01-08", 1L, 1L, 0L, 1L)), // user 2: new, nothing follows
       s"$churn")
   }
+
+  test("q52: median thresholds include ties; each dimension splits independently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    // two customers with EQUAL frequency (tie at the median → both F1),
+    // A most recent (R1) but low spend (M0), B stale (R0) high spend (M1)
+    Seq(
+      (1L, 100L, "O", 100.00, Timestamp.valueOf("2024-03-01 00:00:00"), "1-URGENT"),
+      (2L, 100L, "O", 100.00, Timestamp.valueOf("2024-03-10 00:00:00"), "1-URGENT"),
+      (3L, 200L, "O", 4000.00, Timestamp.valueOf("2024-02-01 00:00:00"), "1-URGENT"),
+      (4L, 200L, "O", 4000.00, Timestamp.valueOf("2024-02-20 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val segs = RelationalQueries.queries("q52_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(segs == Set(
+      ("R1F1M0", 1L, 20000L),   // A: 2 × $100 = 20000 cents
+      ("R0F1M1", 1L, 800000L)), // B: 2 × $4000 = 800000 cents
+      s"tie-inclusive median split: $segs")
+  }
+
+  test("q53: singleton pairs are pruned; duplicate basket lines count once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    // order 1 carries part 10 TWICE (distinct collapses it); pair
+    // (10,20) co-occurs in orders 1+2 (kept), (10,30) only in 3 (pruned)
+    Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = RelationalQueries.queries("q53_basket_affinity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // lift(10,20) = n_pair·n_orders·1000 / (n_10·n_20) = 2·3·1000/(3·2)
+    assert(rows == Set((10L, 20L, 2L, 3L, 2L, 1000L)),
+      s"only the supported pair survives, dupes collapsed: $rows")
+  }
 }

@@ -655,6 +655,32 @@ object Streams {
       }
       .start()
 
+  /** Ingest-time SEMANTIC near-dup gate: a stream of embeddings is
+    * checked against a STATIC cluster-assigned corpus (the
+    * [[graft.operators.IvfIndex.assignLists]] artifact) — each
+    * micro-batch pays one map-side centroid assignment and a
+    * list-keyed equi-join where ITS side broadcasts; pairs at or
+    * above the micro-floored cosine τ are flagged. The embedding twin
+    * of [[phashGateStream]] (and the serving loop of v44's SemDeDup):
+    * zero stream state, no watermark. `sink` receives each batch's
+    * (probe_id, corpus_id, cos_micro) hits.
+    */
+  def semdedupGateStream(
+      vectors: DataFrame,
+      idCol: String, vecCol: String,
+      corpusAssigned: DataFrame,
+      centroids: Array[Array[Double]],
+      tauMicro: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.IvfIndex.semdedupMatches(
+            batch, idCol, vecCol, corpusAssigned, centroids, tauMicro), batchId)
+      }
+      .start()
+
   // ---- streaming index maintenance: idempotent appends ------------
   //
   // foreachBatch is at-least-once: after a crash between the sink

@@ -10,6 +10,7 @@ import graft.streaming.Streams.Event
 
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 final case class StreamImage(id: Long, content: Array[Byte])
+final case class StreamVec(id: Long, embedding: Seq[Float])
 
 class StreamsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -809,6 +810,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchTwin.contains((2L, 102L, 0)), "exact copy matches at Hamming 0")
     assert(!flagged.contains(3L), "novel image passes the gate")
     corpusHashes.unpersist()
+  }
+
+  test("streaming semdedup gate flags exactly the batch matches against the assigned corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val corpus = Tables(spark, F.sfDir).embeddings.filter(col("vec_id") < 200)
+    val cents = IvfIndex.train(corpus, "vec_id", "embedding", nLists = 4)
+    val assigned = IvfIndex.assignLists(corpus, "vec_id", "embedding", cents).persist()
+    assigned.count()
+
+    // probes: exact copies of two corpus vectors (cosine ≈ 1 → flagged
+    // at τ=0.99) and a vector orthogonal-ish to everything (novel)
+    val byId = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val probes = Seq(
+      StreamVec(1L, byId(5L)),
+      StreamVec(2L, byId(150L)),
+      StreamVec(3L, Seq.tabulate(byId(5L).length)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    val tau = 990000L
+
+    val got = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long, Long), java.lang.Boolean]())
+    val ms = MemoryStream[StreamVec]
+    val q = Streams.semdedupGateStream(
+      ms.toDF(), "id", "embedding", assigned, cents, tau) { (out, _) =>
+      out.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    try {
+      ms.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(probes.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchTwin = IvfIndex.semdedupMatches(
+      probes.toDF(), "id", "embedding", assigned, cents, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == batchTwin,
+      s"stream flags must equal the batch twin (missing: ${(batchTwin -- got.asScala).take(3)}, " +
+        s"extra: ${(got.asScala.toSet -- batchTwin).take(3)})")
+    val flagged = batchTwin.map(_._1)
+    assert(batchTwin.exists(t => t._1 == 1L && t._2 == 5L),
+      s"exact copy of corpus 5 must flag: $batchTwin")
+    assert(batchTwin.exists(t => t._1 == 2L && t._2 == 150L),
+      s"exact copy of corpus 150 must flag: $batchTwin")
+    assert(!flagged.contains(3L), s"the novel vector passes the gate: $batchTwin")
+    assigned.unpersist()
   }
 
   test("streaming funnel state machine matches the batch q32 funnel counts") {

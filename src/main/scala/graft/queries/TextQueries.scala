@@ -704,6 +704,34 @@ object TextQueries {
           sum(coalesce(col("is_top"), lit(0L))).as("n_covered"))
         .select(col("source"), col("n_tokens"), col("n_covered"),
           expr("n_covered * 1000 div n_tokens").as("covered_permille"))
+    },
+
+    // --- Soft dedup: keep each doc with probability 1/|its NEAR-dup
+    //     cluster| — the down-weighting alternative to d17's hard
+    //     keeper (expected ONE survivor per cluster, but repeated
+    //     content keeps a proportional, randomized presence instead of
+    //     always the min-id copy). Clusters are d16's connected
+    //     components over the df-capped Jaccard pairs; docs outside
+    //     any pair have size 1 and always survive. The coin is the
+    //     seeded md5-uniform (the k-means|| trick) as EXACT integer
+    //     math — keep iff h32 · size < 2³² — so no float probability
+    //     crosses engines. Cluster sizes join back equi-keyed;
+    //     the coin is map-side; nothing materializes on the driver. ---
+    "d68_soft_dedup_sample" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("cs"))
+      d.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster"), "left")
+        .select(col("doc_id"), coalesce(col("cs"), lit(1L)).as("cluster_size"))
+        .withColumn("h32", conv(substring(md5(concat(lit("soft-"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .filter(col("h32") * col("cluster_size") < lit(4294967296L))
+        .select(col("doc_id"), col("cluster_size"))
     }
   )
 
@@ -1718,6 +1746,21 @@ object TextQueries {
             CAST(sum(CASE WHEN tok IN (SELECT tok FROM topk)
               THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
               AS covered_permille
-          FROM t2 GROUP BY 1"""
+          FROM t2 GROUP BY 1""",
+
+    // Mirror of d68: d16's recursive components over the same capped
+    // Jaccard pairs, LEFT-joined sizes (singletons = 1), the same
+    // seeded md5-uniform coin replayed as exact integer math.
+    "d68_soft_dedup_sample" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+          csz AS (SELECT cluster, count(*) AS cs FROM clusters GROUP BY 1),
+          ds AS (
+            SELECT d.doc_id, COALESCE(csz.cs, 1) AS cluster_size,
+              ${duckHexPrefix("md5('soft-' || CAST(d.doc_id AS VARCHAR))", 8)} AS h32
+            FROM documents d
+            LEFT JOIN clusters c ON c.id = d.doc_id
+            LEFT JOIN csz ON csz.cluster = c.cluster)
+          SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+          FROM ds WHERE h32 * cluster_size < 4294967296"""
   )
 }

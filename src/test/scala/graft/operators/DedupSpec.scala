@@ -339,6 +339,30 @@ class DedupSpec extends AnyFunSuite {
       shingleSize = 3, threshold = 0.5).collect()
     assert(jac.isEmpty, s"Jaccard must miss the sub-document pair: ${jac.toSeq}")
   }
+
+  test("soft dedup: singletons always survive; cluster members thin by the deterministic coin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-soft-dedup").toString
+    // ids 1, 2, 5, 13 share identical text (one near-dup cluster of 4);
+    // with the seeded md5 coin, h32(5)·4 and h32(13)·4 < 2³² (kept) while
+    // h32(1)·4 and h32(2)·4 are not (dropped) — precomputed, so the
+    // assertion is exact, not probabilistic. 20 and 21 are singletons.
+    val rep = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val docs = Seq(1L, 2L, 5L, 13L).map(i => (i, rep)) ++ Seq(
+      (20L, "completely different words one two three four five six seven"),
+      (21L, "another standalone document nine ten eleven twelve thirteen"))
+    docs.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.queries.TextQueries.queries("d68_soft_dedup_sample")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.get(20L).contains(1L) && kept.get(21L).contains(1L),
+      s"singletons must always survive with size 1: $kept")
+    assert(kept.keySet.intersect(Set(1L, 2L, 5L, 13L)) == Set(5L, 13L),
+      s"the coin keeps exactly the precomputed cluster members: $kept")
+    assert(kept(5L) == 4L && kept(13L) == 4L,
+      s"survivors report their cluster size: $kept")
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

@@ -939,6 +939,102 @@ object RelationalQueries {
           pct(90).as("p90_days"), pct(99).as("p99_days"))
     },
 
+    // --- Event-value SLA percentiles: per event type, the exact
+    //     p50/p90/p99 of the value metric quantized to integer cents
+    //     (floor(value·100), the same per-row quantization both
+    //     engines compute bit-identically) — the latency/size monitor
+    //     read. Identical scale shape to q54: a (type, cents)
+    //     histogram bounded by types × the value span, a per-type
+    //     cumulative walk over it, rank-based thresholds with ties.
+    //     Also the BATCH TWIN of the streaming rollup monitor
+    //     (Streams.percentilesFromRollup). ---
+    "q55_value_percentiles" -> { (s, dir) =>
+      val vals = Tables(s, dir).events
+        .select(col("event_type"),
+          floor(col("value") * 100).as("v_cents"))
+      val hist = vals.groupBy(col("event_type"), col("v_cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v_cents").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      val totals = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      def pct(p: Int): Column =
+        min(when(col("cum") * 100 >= col("n") * p, col("v_cents")))
+      cum.join(broadcast(totals), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n_events"), pct(50).as("p50_cents"),
+          pct(90).as("p90_cents"), pct(99).as("p99_cents"))
+    },
+
+    // --- Conversion attribution: every purchase credits the user's
+    //     FIRST and LAST preceding touch (view/click/signup) in one
+    //     (first_touch, last_touch) matrix with conversion counts and
+    //     floor-cent revenue — first-touch and last-touch marketing
+    //     attribution in a single pass. Scale shape: ONE shuffle on
+    //     user_id for the carry-forward window (ignore-nulls first/
+    //     last over a rows frame — no join against a touches table,
+    //     no per-purchase range scan); error events are pruned AT THE
+    //     SCAN by the pushed In filter; the final aggregate collapses
+    //     to ≤ (touches+1)² groups with map-side partials. Ties at
+    //     equal ts break by event_id, so a same-timestamp touch with
+    //     a smaller id counts and a larger id does not — both engines
+    //     apply the identical total order. ---
+    "q56_attribution" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .filter(col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          floor(col("value") * 100).as("v_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      ev.withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ft"), lit("none")).as("first_touch"),
+          coalesce(col("lt"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_conversions"), sum(col("v_cents")).as("sum_cents"))
+    },
+
+    // --- Session journey paths: sessionize on the q25 gap rule, read
+    //     each session's first five event types in (ts, event_id)
+    //     order as a '>'-joined path string, and keep paths taken by
+    //     at least two sessions — the "common journeys" report. Scale
+    //     shape: ONE user_id shuffle serves both windows (lag + the
+    //     running session counter share partitioning AND ordering, so
+    //     Catalyst plans a single Exchange/Sort) and the per-session
+    //     collect is bounded by the session's own events with the
+    //     path truncated to 5 steps, so path-group cardinality is
+    //     ≤|types|⁵, never event volume; the ≥2 support filter prunes
+    //     the long tail before any result materializes. ---
+    "q57_session_paths" -> { (s, dir) =>
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(ord))
+        .withColumn("ns", when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+        .withColumn("sess", sum(col("ns")).over(run))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(
+          array_join(slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))), x => x.getField("event_type")),
+            1, 5), ">").as("path"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+        .filter(col("n_sessions") >= 2)
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1601,6 +1697,82 @@ object RelationalQueries {
              AS BIGINT) AS p99_days
          FROM cum c JOIN tot t USING (priority)
          GROUP BY c.priority, t.n""",
+
+    // Mirror of q55: the same floor-cents quantization, the same
+    // per-type bounded-histogram walk and rank thresholds.
+    "q55_value_percentiles" ->
+      """WITH v AS (
+           SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+           FROM events),
+         hist AS (
+           SELECT event_type, v_cents, count(*) AS cnt
+           FROM v GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, v_cents,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v_cents ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hist),
+         tot AS (SELECT event_type, sum(cnt) AS n FROM hist GROUP BY 1)
+         SELECT c.event_type, CAST(t.n AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 50 THEN c.v_cents END)
+             AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 90 THEN c.v_cents END)
+             AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN c.cum * 100 >= t.n * 99 THEN c.v_cents END)
+             AS BIGINT) AS p99_cents
+         FROM cum c JOIN tot t USING (event_type)
+         GROUP BY c.event_type, t.n""",
+
+    // Mirror of q56: the same (ts, event_id) total order, the same
+    // ignore-nulls carry of first/last touch, the same floor-cent sums.
+    "q56_attribution" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+           FROM events
+           WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+         attr AS (
+           SELECT event_type, v_cents,
+             first_value(touch IGNORE NULLS) OVER w AS ft,
+             last_value(touch IGNORE NULLS) OVER w AS lt
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT coalesce(ft, 'none') AS first_touch,
+           coalesce(lt, 'none') AS last_touch,
+           count(*) AS n_conversions,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents
+         FROM attr WHERE event_type = 'purchase'
+         GROUP BY 1, 2""",
+
+    // Mirror of q57: the same gap rule as q25, the same (ts, event_id)
+    // in-session order, the same 5-step truncation and ≥2 support.
+    "q57_session_paths" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
+           FROM o),
+         s AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM f),
+         p AS (
+           SELECT user_id, sess,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path,
+             count(*) AS n_ev
+           FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+         FROM p GROUP BY 1 HAVING count(*) >= 2""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

@@ -208,6 +208,58 @@ object Streams {
       }
   }
 
+  /** One attribution input row (the q56 shape). */
+  final case class AttrEvent(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+  /** Carried first/last preceding touch per user ("" = none yet). */
+  final case class AttrState(firstTouch: String, lastTouch: String)
+  final case class AttrOut(event_id: Long, user_id: Long,
+      first_touch: String, last_touch: String, v_cents: Long)
+
+  /** Streaming conversion attribution — the online twin of batch q56:
+    * per user the carried FIRST and LAST preceding touch
+    * (view/click/signup), and each purchase emits one credited row as
+    * it happens (floor-cent value, the identical per-row
+    * quantization). State per user is exactly two small strings —
+    * bounded by the user population, never the event volume, the
+    * property that keeps this viable on an unbounded feed.
+    *
+    * In-batch disorder is repaired by the (ts, event_id) sort inside
+    * each group — the same total order batch q56 windows over. Residual
+    * append-mode assumption (the funnelStream note): emitted credits
+    * are never retracted, so a touch arriving a micro-batch AFTER a
+    * purchase it precedes in event time cannot rewrite that purchase's
+    * credit — inherent to any no-retraction online attribution.
+    */
+  def attributionStream(events: Dataset[AttrEvent]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(AttrState("", ""))
+          val out = ListBuffer.empty[AttrOut]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "purchase" =>
+                out += AttrOut(e.event_id, user,
+                  if (st.firstTouch.isEmpty) "none" else st.firstTouch,
+                  if (st.lastTouch.isEmpty) "none" else st.lastTouch,
+                  math.floor(e.value * 100).toLong)
+              case "view" | "click" | "signup" =>
+                st = AttrState(
+                  if (st.firstTouch.isEmpty) e.event_type else st.firstTouch,
+                  e.event_type)
+              case _ => // error events carry no touch and no credit
+            }
+          }
+          if (st.firstTouch.nonEmpty) state.update(st)
+          out.iterator
+      }
+  }
+
   /** One debounce input/output row (the q39 shape). */
   final case class DebounceEvent(event_id: Long, user_id: Long,
       ts: Timestamp, event_type: String)
@@ -1032,6 +1084,50 @@ object Streams {
         sum(when(uw("wk") === col("cw"), 1L).otherwise(0L)).as("n_new"),
         sum(when(nxt("nwk").isNotNull, 1L).otherwise(0L)).as("n_retained_next"),
         sum(when(nxt("nwk").isNull, 1L).otherwise(0L)).as("n_churned_next"))
+  }
+
+  /** Streaming value-histogram maintenance: each micro-batch of events
+    * merges (event_type, floor-cents value bucket) → n counts into a
+    * RollupIndex artifact — the bounded histogram behind the
+    * percentile monitor, kept current without storing raw events.
+    * Build the artifact with keys (event_type, v_cents) and one `n`
+    * measure. Exactly-once by the in-meta replay marker.
+    */
+  def valueHistogramAppendStream(events: DataFrame, typeCol: String,
+      valueCol: String, path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(batch, batchId, path, streamId) { b =>
+          b.groupBy(col(typeCol).as("event_type"),
+              floor(col(valueCol) * 100).as("v_cents"))
+            .agg(count(lit(1)).as("n"))
+        }
+      }
+      .start()
+
+  /** The q55 per-type p50/p90/p99 read OFF the maintained value
+    * histogram: the identical bounded cumulative walk and rank-based
+    * integer thresholds — the streaming latency/SLA monitor read.
+    * StreamsSpec pins it equal to batch q55 at any micro-batch split.
+    */
+  def percentilesFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val hist = graft.operators.RollupIndex.open(spark, path)
+      .select(col("event_type"), col("v_cents"), col("n").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v_cents").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    def pct(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("v_cents")))
+    cum.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_events"), pct(50).as("p50_cents"),
+        pct(90).as("p90_cents"), pct(99).as("p99_cents"))
   }
 
   /** The q47 user-journey transition matrix read OFF the maintained

@@ -547,6 +547,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window must consume an aggregated histogram:\n${plan.take(800)}")
   }
 
+  test("q55: percentile walk windows over the bounded value histogram") {
+    val plan = planOf(RelationalQueries.queries("q55_value_percentiles")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"window must consume an aggregated histogram:\n${plan.take(800)}")
+  }
+
+  test("q56: attribution is joinless — one user window over a pushed type filter") {
+    val plan = planOf(RelationalQueries.queries("q56_attribution")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"attribution must carry touches in a window, never join them:\n${plan.take(800)}")
+    // the error tail is pruned at the scan, not post-read
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"),
+      s"event_type IN filter must reach the parquet scan:\n${plan.take(800)}")
+    assert(plan.indexOf("Window") >= 0, plan.take(500))
+  }
+
+  test("q57: both session windows share one user_id exchange; no join") {
+    val plan = planOf(RelationalQueries.queries("q57_session_paths")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(800))
+    // lag and the running session counter share partitioning AND
+    // ordering — a second hashpartitioning(user_id) exchange means the
+    // plan re-shuffled what it already had
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges <= 1,
+      s"expected one user_id exchange serving both windows, got $userExchanges:\n${plan.take(1200)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

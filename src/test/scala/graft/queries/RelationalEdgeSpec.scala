@@ -158,4 +158,34 @@ class RelationalEdgeSpec extends AnyFunSuite {
     assert(rows == Set((10L, 20L, 2L, 3L, 2L, 1000L)),
       s"only the supported pair survives, dupes collapsed: $rows")
   }
+
+  test("q56: same-ts ties break by event_id; untouched and error-only users credit 'none'") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 01:00:00")
+    Seq(
+      // user 1: view (id 1) shares ts with the purchase (id 2) — the
+      // SMALLER id precedes it in the total order, so it counts; the
+      // click (id 3) at the same ts follows the purchase and must not
+      (1L, t0, 1L, "view", 0.0, "{}"),
+      (2L, t0, 1L, "purchase", 10.00, "{}"),
+      (3L, t0, 1L, "click", 0.0, "{}"),
+      (4L, t1, 1L, "purchase", 20.00, "{}"), // first=view, last=click
+      // user 2: purchase with no prior touch at all
+      (5L, t0, 2L, "purchase", 5.00, "{}"),
+      // user 3: an error is neither a touch nor a credit
+      (6L, t0, 3L, "error", 0.0, "{}"),
+      (7L, t1, 3L, "purchase", 7.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = RelationalQueries.queries("q56_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows == Set(
+      ("view", "view", 1L, 1000L),
+      ("view", "click", 1L, 2000L),
+      ("none", "none", 2L, 1200L)),
+      s"tie order + none bucket: $rows")
+  }
 }

@@ -761,6 +761,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotChurn.nonEmpty)
   }
 
+  test("value percentiles read off the maintained histogram rollup equal batch q55 at any split") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_vhist").toString
+    RollupIndex.build(
+      Seq.empty[(String, Long, Long)].toDF("event_type", "v_cents", "n"),
+      path, keyCols = Seq("event_type", "v_cents"))
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val (first, second) = evs.splitAt(evs.length / 3)
+
+    val ms = MemoryStream[(String, Double)]
+    val q = Streams.valueHistogramAppendStream(
+      ms.toDF().toDF("event_type", "value"), "event_type", "value", path)
+    try {
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = rows(Streams.percentilesFromRollup(spark, path))
+    val want = rows(graft.queries.RelationalQueries
+      .queries("q55_value_percentiles")(spark, F.sfDir))
+    assert(got == want, s"rollup-read percentiles must equal batch q55 " +
+      s"(missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    assert(got.nonEmpty)
+  }
+
   test("streaming phash gate flags exactly the batch matches against a static corpus") {
     import graft.operators.Multimodal
     import spark.implicits._
@@ -898,6 +936,49 @@ class StreamsSpec extends AnyFunSuite {
     assert(byStage == expected, s"stream $byStage vs batch $expected")
     assert(advances.groupBy(a => (a.user_id, a.stage)).forall(_._2.length == 1),
       "a user advances each stage at most once")
+  }
+
+  test("streaming attribution credits equal the batch q56 matrix across a two-batch split") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.{AttrEvent, AttrOut}
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // deliver every relevant event in (ts, event_id) order so the
+    // split is a pure time cut — the regime where online == batch
+    val evs = Tables(spark, F.sfDir).events
+      .filter(col("event_type").isin("view", "click", "signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[AttrEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[AttrEvent]
+    val out = Streams.attributionStream(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("graft_attr")
+      .outputMode("append").start()
+    val credits =
+      try {
+        ms.addData(first.toSeq: _*)
+        q.processAllAvailable()
+        ms.addData(second.toSeq: _*)
+        q.processAllAvailable()
+        spark.table("graft_attr").as[AttrOut].collect()
+      } finally q.stop()
+
+    val got = credits.groupBy(c => (c.first_touch, c.last_touch))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong, v.map(_.v_cents).sum) }
+      .toSet
+    val want = graft.queries.RelationalQueries
+      .queries("q56_attribution")(spark, F.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"stream credits must equal batch q56 " +
+      s"(missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    assert(credits.map(_.event_id).distinct.length == credits.length,
+      "each purchase is credited exactly once")
+    assert(got.nonEmpty)
   }
 
   test("funnel recovers a cross-batch out-of-order advance via the pending buffer") {

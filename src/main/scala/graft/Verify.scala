@@ -128,6 +128,20 @@ object Verify {
             TextFunctions.tokens(col("text"))).as("hashes"))
         .coalesce(1).write.mode("overwrite")
         .parquet(textAuxDir.resolve("token_hashes.parquet").toString)
+      // Hashed tf-idf + k-means model (idf weights and centroids) so
+      // the d69 oracle re-derives every assignment from the IDENTICAL
+      // doubles (the model memo shares one training run with the gate
+      // query in this JVM).
+      import spark.implicits._
+      val tkm = graft.operators.TextKmeans.model(
+        Tables(spark, sfDir).documents, "doc_id", "text", sfDir)
+      tkm.idf.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("bucket", "idf").coalesce(1).write.mode("overwrite")
+        .parquet(textAuxDir.resolve("tfidf_idf.parquet").toString)
+      tkm.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+        .toSeq.toDF("cluster_id", "centroid").coalesce(1).write
+        .mode("overwrite")
+        .parquet(textAuxDir.resolve("kmeans_centroids.parquet").toString)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] text_aux dump failed: ${e.getMessage}")
     }

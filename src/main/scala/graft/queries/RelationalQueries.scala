@@ -1035,6 +1035,32 @@ object RelationalQueries {
         .filter(col("n_sessions") >= 2)
     },
 
+    // --- DAU/WAU stickiness: per observed day, distinct daily actives
+    //     over distinct trailing-7-day actives, in integer permille —
+    //     the engagement ratio every product dashboard carries. Scale
+    //     shape (the q42/d42 trick on days): collapse to DISTINCT
+    //     (user, day) FIRST (the volume reducer), explode each into
+    //     the ≤7 window-end days it serves, ONE distinct on (t, user)
+    //     — never a per-day range scan over raw events — and restrict
+    //     window ends to observed days via a BROADCAST day-list join
+    //     (bounded by the date span). Integer permille: no float
+    //     ratio crosses engines. ---
+    "q58_stickiness" -> { (s, dir) =>
+      val ud = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("t"))
+        .distinct()
+        .join(broadcast(days.select(col("day").as("t"))), Seq("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("t"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000 div wau").as("stickiness_permille"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1773,6 +1799,25 @@ object RelationalQueries {
          SELECT path, count(*) AS n_sessions,
            CAST(sum(n_ev) AS BIGINT) AS n_events
          FROM p GROUP BY 1 HAVING count(*) >= 2""",
+
+    // Mirror of q58: the same distinct-(user, day) collapse, the same
+    // 7-day window-end explode, observed-day restriction, integer
+    // permille.
+    "q58_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         contrib AS (
+           SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS t
+           FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)),
+         wau AS (
+           SELECT t, count(*) AS wau
+           FROM contrib JOIN days ON contrib.t = days.day GROUP BY 1)
+         SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           d.dau * 1000 // w.wau AS stickiness_permille
+         FROM dau d JOIN wau w ON w.t = d.day""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

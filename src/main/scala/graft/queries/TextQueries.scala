@@ -732,8 +732,70 @@ object TextQueries {
           col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
         .filter(col("h32") * col("cluster_size") < lit(4294967296L))
         .select(col("doc_id"), col("cluster_size"))
+    },
+
+    // --- Fuzzy entity matching (record linkage): part-name pairs
+    //     within Levenshtein distance 2, candidates BLOCKED on a
+    //     shared rare token (df ≤ 25 — the d10 df-cap pattern), so
+    //     the pair space is Σ df² over rare tokens, never |parts|²,
+    //     and the edit distance (the expensive scalar) runs once per
+    //     DISTINCT candidate pair after the block join. Both engines
+    //     compute the identical classic Levenshtein on ASCII names.
+    "d70_fuzzy_match" -> { (s, dir) =>
+      fuzzyMatches(s, dir)
+    },
+
+    // --- Entity canonicalization on top of d70: connected components
+    //     over the fuzzy matches (d16's iterative small-pairs CC, the
+    //     min-key canonical), merged entities with member counts —
+    //     the resolve step of entity resolution. CC iterates over the
+    //     MATCH EDGES only (bounded by d70's blocked pair space), not
+    //     the part table. ---
+    "d71_entity_groups" -> { (s, dir) =>
+      Dedup.connectedComponents(fuzzyMatches(s, dir), "key_a", "key_b")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("cluster").as("entity_key"), col("n_members"))
+    },
+
+    // --- Topic-style corpus clustering (TextKmeans): hashed tf-idf
+    //     document vectors (md5-bucket hashing trick, fixed 32-dim
+    //     feature space) + Lloyd k-means — the clustering stage behind
+    //     cluster-level filtering / domain discovery. Training
+    //     collects only the dim-sized idf and k×dim centroids (index
+    //     artifacts); assignment is a map-side argmin against
+    //     broadcast-literal centroids. The oracle re-derives every
+    //     assignment from the DUMPED (idf, centroids) parquet — the
+    //     identical doubles — so no training float is recomputed
+    //     cross-engine; distances fold in ascending dimension order
+    //     seeded 0.0, ties to the smaller cluster id, micro-floored.
+    "d69_tfidf_cluster" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val m = graft.operators.TextKmeans.model(d, "doc_id", "text", dir)
+      graft.operators.TextKmeans.assign(d, "doc_id", "text", m)
     }
   )
+
+  // Blocked fuzzy part-name matches shared by d70/d71: rare-token
+  // block join (df ≤ 25) → distinct candidate pairs → Levenshtein ≤ 2.
+  private def fuzzyMatches(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.FuzzyMatch.pairs(
+      Tables(s, dir).part.select(col("p_partkey"), col("p_name")),
+      "p_partkey", "p_name", dfCap = 25, maxDist = 2)
+
+  // Shared CTE chain for d70/d71: rare-token-blocked fuzzy part-name
+  // candidates ending in `cand(key_a, key_b, na, nb)`.
+  private val fuzzyMatchCtes =
+    """t AS (SELECT p_partkey, p_name,
+              unnest(string_split(p_name, ' ')) AS tok FROM part),
+       dfc AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+       r AS (SELECT t.p_partkey, t.p_name, t.tok
+             FROM t JOIN dfc USING (tok) WHERE dfc.c <= 25),
+       cand AS (
+         SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS na, b.p_name AS nb
+         FROM r a JOIN r b ON a.tok = b.tok AND a.p_partkey < b.p_partkey)"""
 
   // Shared SQL fragment: DuckDB whitespace tokens of trimmed text.
   private val duckToks = "regexp_split_to_array(trim(text), ' +')"
@@ -1761,6 +1823,75 @@ object TextQueries {
             LEFT JOIN clusters c ON c.id = d.doc_id
             LEFT JOIN csz ON csz.cluster = c.cluster)
           SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
-          FROM ds WHERE h32 * cluster_size < 4294967296"""
+          FROM ds WHERE h32 * cluster_size < 4294967296""",
+
+    // Mirror of d70: the same rare-token block (df ≤ 25), distinct
+    // candidate pairs, the same classic Levenshtein ≤ 2.
+    "d70_fuzzy_match" ->
+      s"""WITH $fuzzyMatchCtes
+          SELECT key_a, key_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+          FROM cand WHERE levenshtein(na, nb) <= 2""",
+
+    // Mirror of d71: connected components (recursive min-key
+    // propagation) over the d70 matches, merged-entity member counts.
+    "d71_entity_groups" ->
+      s"""WITH RECURSIVE $fuzzyMatchCtes,
+          m AS (SELECT key_a, key_b FROM cand
+                WHERE levenshtein(na, nb) <= 2),
+          sym AS (SELECT key_a AS a, key_b AS b FROM m
+                  UNION ALL SELECT key_b, key_a FROM m),
+          cc(id, comp) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, c.comp FROM cc c JOIN sym s ON c.id = s.a),
+          clusters AS (SELECT id, min(comp) AS canon FROM cc GROUP BY id)
+          SELECT canon AS entity_key, count(*) AS n_members
+          FROM clusters GROUP BY 1""",
+
+    // Mirror of d69: tf re-counted over the same md5-prefix buckets,
+    // idf and centroids read from the DUMPED artifacts (identical
+    // parquet doubles), every fold replayed in ascending bucket/
+    // dimension order from the exact 0.0 seed, argmin ties to the
+    // smaller cluster id, distances micro-floored.
+    "d69_tfidf_cluster" ->
+      s"""WITH idfl AS (SELECT list(idf ORDER BY bucket) AS l
+                        FROM '__TAUX__/tfidf_idf.parquet/*.parquet'),
+          cents AS (SELECT cluster_id, centroid
+                    FROM '__TAUX__/kmeans_centroids.parquet/*.parquet'),
+          tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+          tf AS (SELECT doc_id,
+                   ${duckHexPrefix("md5(token)", 8)} % 32 AS bucket,
+                   CAST(count(*) AS DOUBLE) AS tf
+                 FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+          mp AS (SELECT doc_id,
+                   map_from_entries(list(struct_pack(k := bucket, v := tf)))
+                     AS m
+                 FROM tf GROUP BY 1),
+          raw AS (SELECT d.doc_id,
+                   list_transform(generate_series(0, 31),
+                     b -> coalesce(map_extract(mp.m, b)[1], 0.0)
+                       * idfl.l[b + 1]) AS r
+                 FROM documents d LEFT JOIN mp ON d.doc_id = mp.doc_id, idfl),
+          nv AS (SELECT doc_id, r,
+                   sqrt(list_reduce(list_transform(r, x -> x * x),
+                     (x, y) -> x + y)) AS nrm
+                 FROM raw),
+          v AS (SELECT doc_id,
+                  CASE WHEN nrm > 0 THEN list_transform(r, x -> x / nrm)
+                       ELSE r END AS vec
+                FROM nv),
+          scored AS (SELECT v.doc_id, c.cluster_id,
+                   list_reduce(list_transform(generate_series(1, 32),
+                     i -> (v.vec[i] - c.centroid[i])
+                        * (v.vec[i] - c.centroid[i])),
+                     (x, y) -> x + y) AS d2
+                 FROM v CROSS JOIN cents c),
+          best AS (SELECT doc_id, cluster_id, d2,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY d2 ASC, cluster_id ASC) AS rn
+                   FROM scored)
+          SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+            CAST(floor(d2 * 1000000.0) AS BIGINT) AS dist_micro
+          FROM best WHERE rn = 1"""
   )
 }

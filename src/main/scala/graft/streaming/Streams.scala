@@ -733,6 +733,32 @@ object Streams {
       }
       .start()
 
+  /** Ingest-time FUZZY entity gate: a stream of catalog items is
+    * checked against a STATIC corpus by blocked edit distance
+    * ([[graft.operators.FuzzyMatch.matchesAgainst]]) — the serving
+    * half of d70/d71's entity resolution. The corpus' rare-token
+    * block index derives from CORPUS df stats, so gate decisions
+    * never drift with probe traffic; each micro-batch pays one
+    * token equi-join and one Levenshtein per distinct candidate.
+    * Zero stream state, no watermark — the entity twin of
+    * [[phashGateStream]]/[[semdedupGateStream]]. `sink` receives each
+    * batch's (probe_key, corpus_key, dist) hits.
+    */
+  def fuzzyGateStream(
+      items: DataFrame,
+      idCol: String, nameCol: String,
+      corpus: DataFrame,
+      dfCap: Int = 25, maxDist: Int = 2)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.FuzzyMatch.matchesAgainst(
+            batch, corpus, idCol, nameCol, dfCap, maxDist), batchId)
+      }
+      .start()
+
   // ---- streaming index maintenance: idempotent appends ------------
   //
   // foreachBatch is at-least-once: after a crash between the sink

@@ -577,6 +577,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected one user_id exchange serving both windows, got $userExchanges:\n${plan.take(1200)}")
   }
 
+  test("d69: centroid assignment is a literal-expression argmin — one equi join only") {
+    val plan = planOf(TextQueries.queries("d69_tfidf_cluster")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(800))
+    // the only join is docs ⋈ sparse-tf on doc_id (zero-token docs keep
+    // their zero vector); centroids ride the plan as literals
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins <= 2,
+      s"assignment must not join against a centroid table:\n${plan.take(1200)}")
+  }
+
+  test("d70: the only pair stage is the rare-token equi block join") {
+    val plan = planOf(TextQueries.queries("d70_fuzzy_match")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy matching must never go all-pairs:\n${plan.take(800)}")
+  }
+
+  test("q58: the observed-day restriction attaches broadcast; no cartesian") {
+    val plan = planOf(RelationalQueries.queries("q58_stickiness")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the bounded day list must broadcast, not shuffle the contribs:\n${plan.take(1200)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar

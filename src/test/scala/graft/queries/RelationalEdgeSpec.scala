@@ -188,4 +188,26 @@ class RelationalEdgeSpec extends AnyFunSuite {
       ("none", "none", 2L, 1200L)),
       s"tie order + none bucket: $rows")
   }
+
+  test("d70/d71: blocking bounds recall by design; chains merge to the min-key entity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    Seq(
+      (1L, "red gear"), (2L, "red gear"),   // dist 0, share both tokens
+      (3L, "red bear"),                     // dist 1 from 1/2 via 'red'
+      (4L, "cat"), (5L, "bat"),             // dist 1 but NO shared token:
+                                            // blocked out — the recall
+                                            // bound of token blocking
+      (6L, "lone widget"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pairs = graft.queries.TextQueries.queries("d70_fuzzy_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"blocked fuzzy pairs: $pairs")
+    val ents = graft.queries.TextQueries.queries("d71_entity_groups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ents == Set((1L, 3L)),
+      s"chain 1-2-3 merges to canonical key 1 with 3 members: $ents")
+  }
 }

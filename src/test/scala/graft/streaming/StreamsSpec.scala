@@ -902,6 +902,60 @@ class StreamsSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("streaming fuzzy entity gate flags exactly the batch matches against the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.FuzzyMatch
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val corpus = Tables(spark, F.sfDir).part
+      .select(col("p_partkey"), col("p_name")).persist()
+    corpus.count()
+
+    // probes: an exact copy of a corpus name that carries a RARE token
+    // (common-token-only names are blocked out by design — the d70
+    // recall bound), a one-edit variant, and a novel name
+    val ctoks = corpus.select(col("p_name"),
+      explode(split(col("p_name"), " ")).as("tok"))
+    val rareToks = ctoks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 25).select(col("tok"))
+    val someName = ctoks.join(rareToks, Seq("tok"))
+      .orderBy(col("p_name")).select(col("p_name")).head().getString(0)
+    val probes = Seq(
+      (1001L, someName),
+      (1002L, someName.dropRight(1) + "x"),
+      (1003L, "zzzz qqqq"))
+
+    val got = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long, Long), java.lang.Boolean]())
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.fuzzyGateStream(
+      ms.toDF().toDF("p_partkey", "p_name"), "p_partkey", "p_name", corpus) {
+      (out, _) =>
+        out.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    try {
+      ms.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(probes.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchTwin = FuzzyMatch.matchesAgainst(
+      probes.toDF("p_partkey", "p_name"), corpus, "p_partkey", "p_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == batchTwin,
+      s"stream flags must equal the batch twin (missing: ${(batchTwin -- got.asScala).take(3)}, " +
+        s"extra: ${(got.asScala.toSet -- batchTwin).take(3)})")
+    assert(batchTwin.exists(t => t._1 == 1001L && t._3 == 0L),
+      s"exact corpus name must flag at dist 0: $batchTwin")
+    assert(!batchTwin.map(_._1).contains(1003L),
+      s"the novel name passes the gate: $batchTwin")
+    corpus.unpersist()
+  }
+
   test("streaming funnel state machine matches the batch q32 funnel counts") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams.{FunnelAdvance, TypedEvent}

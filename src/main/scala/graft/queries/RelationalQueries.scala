@@ -1061,6 +1061,34 @@ object RelationalQueries {
           expr("dau * 1000 div wau").as("stickiness_permille"))
     },
 
+    // --- CEP-lite pattern counting (MATCH_RECOGNIZE territory —
+    //     Flink/Trino have it, Spark doesn't): each user's event
+    //     history becomes an initial-letter sequence string in
+    //     (ts, event_id) order, and conversion patterns are counted
+    //     as non-overlapping regex matches — 'vc+p' (view → clicks →
+    //     purchase) and 'v[cs]+p' (assisted: clicks or signups
+    //     between). Both patterns have DETERMINISTIC match extents
+    //     (a maximal middle run then a forced terminal), so Java's
+    //     backtracking and RE2's automaton agree match-for-match.
+    //     Scale shape: one user_id shuffle for the ordered collect;
+    //     per-user history is bounded by the retention window and the
+    //     500-step cap bounds every regex input; the regex itself is
+    //     map-side. ---
+    "q59_pattern_cep" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+      ev.groupBy(col("user_id"))
+        .agg(substring(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("ch")))),
+          x => x.getField("ch")), ""), 1, 500).as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          regexp_count(col("seq"), lit("vc+p")).cast("long").as("n_direct"),
+          regexp_count(col("seq"), lit("v[cs]+p")).cast("long").as("n_assisted"))
+    },
+
     // --- Seasonal-baseline anomaly: q40's global hourly z-flag calls
     //     EVERY rush hour anomalous; the seasonal profile compares
     //     each (type, hour) count against the mean for that HOUR OF
@@ -1818,6 +1846,26 @@ object RelationalQueries {
            CAST(w.wau AS BIGINT) AS wau,
            d.dau * 1000 // w.wau AS stickiness_permille
          FROM dau d JOIN wau w ON w.t = d.day""",
+
+    // Mirror of q59: the same (ts, event_id)-ordered letter sequence,
+    // the same 500-step cap, the same deterministic-extent patterns
+    // counted non-overlapping.
+    "q59_pattern_cep" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+             substr(event_type, 1, 1) AS ch
+           FROM events),
+         s AS (
+           SELECT user_id,
+             substr(string_agg(ch, '' ORDER BY ts, event_id), 1, 500)
+               AS seq
+           FROM o GROUP BY 1)
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+             AS n_direct,
+           CAST(len(regexp_extract_all(seq, 'v[cs]+p')) AS BIGINT)
+             AS n_assisted
+         FROM s""",
 
     // Mirror of q46: the same hour-of-day profile over OBSERVED hours
     // and the same integer spike/dip gates.

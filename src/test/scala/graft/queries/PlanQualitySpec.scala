@@ -602,6 +602,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the bounded day list must broadcast, not shuffle the contribs:\n${plan.take(1200)}")
   }
 
+  test("q59: one user_id exchange builds the sequences; regex is map-side, no join") {
+    val plan = planOf(RelationalQueries.queries("q59_pattern_cep")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(800))
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges <= 1,
+      s"sequence build must shuffle once on user_id:\n${plan.take(1200)}")
+  }
+
   test("no gate query plans a CartesianProduct") {
     // The one pairwise shape that cannot survive a scale-up. Broadcast
     // nested-loop joins against BOUNDED sides (query sets, scalar
@@ -626,11 +634,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val roots = Seq("src/main/scala/graft/queries", "src/main/scala/graft/operators",
       "src/main/scala/graft/functions")
     // IvfIndex.train / PqIndex.train / IvfPqIndex.trainResidual /
-    // SqIndex.trainStats / CorpusLm.unigramModel collect the
-    // centroid/codebook/min-max/bounded-vocab MODEL artifacts (like
-    // the LSH hyperplanes), never result rows
+    // SqIndex.trainStats / CorpusLm.unigramModel / TextKmeans.model
+    // collect the centroid/codebook/min-max/bounded-vocab/idf MODEL
+    // artifacts (like the LSH hyperplanes), never result rows
     val exempt = Set("IvfIndex.scala", "PqIndex.scala", "IvfPqIndex.scala",
-      "SqIndex.scala", "CorpusLm.scala")
+      "SqIndex.scala", "CorpusLm.scala", "TextKmeans.scala")
     val offenders = roots.flatMap { root =>
       val dirF = new java.io.File(root)
       if (!dirF.exists()) Nil

@@ -210,4 +210,27 @@ class RelationalEdgeSpec extends AnyFunSuite {
     assert(ents == Set((1L, 3L)),
       s"chain 1-2-3 merges to canonical key 1 with 3 members: $ents")
   }
+
+  test("q59: non-overlapping deterministic-extent pattern counts per user") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-").toString
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: v c c p v c p  → two direct (and two assisted) matches
+    // user 2: v s p          → assisted only
+    // user 3: p v            → purchase BEFORE view: no match
+    // user 4: v e c p        → an error breaks the [cs]+ run: no match
+    val rows = Seq(
+      (1L, "view"), (1L, "click"), (1L, "click"), (1L, "purchase"),
+      (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "signup"), (2L, "purchase"),
+      (3L, "purchase"), (3L, "view"),
+      (4L, "view"), (4L, "error"), (4L, "click"), (4L, "purchase"))
+    rows.zipWithIndex.map { case ((u, tp), i) => (i.toLong, t(i), u, tp, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalQueries.queries("q59_pattern_cep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 2L), (2L, 0L, 1L), (3L, 0L, 0L), (4L, 0L, 0L)),
+      s"pattern counts: $got")
+  }
 }

@@ -1069,6 +1069,49 @@ object Streams {
       }
       .start()
 
+  /** Streaming daily-activity maintenance: each micro-batch merges
+    * (user_id, day) → n counts into a RollupIndex artifact — the
+    * activity set behind the stickiness monitor, kept current without
+    * storing raw events. Exactly-once by the in-meta replay marker.
+    */
+  def dailyActivityAppendStream(events: DataFrame, userCol: String,
+      tsCol: String, path: String, streamId: String = "default"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(batch, batchId, path, streamId) { b =>
+          b.groupBy(col(userCol).as("user_id"),
+              date_trunc("day", col(tsCol)).as("day"))
+            .agg(count(lit(1)).as("n"))
+        }
+      }
+      .start()
+
+  /** The q58 DAU/WAU stickiness read OFF the maintained daily rollup:
+    * the distinct (user, day) set is the artifact's KEY SET, and the
+    * same ≤7 window-end explode, observed-day restriction and integer
+    * permille replay over it — the engagement monitor without a raw
+    * event in sight. StreamsSpec pins it equal to batch q58 at any
+    * micro-batch split.
+    */
+  def stickinessFromRollup(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val ud = graft.operators.RollupIndex.open(spark, path)
+      .select(col("user_id"), to_date(col("day")).as("day"))
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("t"))
+      .distinct()
+      .join(broadcast(days.select(col("day").as("t"))), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("t"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_permille"))
+  }
+
   /** The q48 retention-cohort triangle read OFF the maintained weekly
     * rollup: the (user, week) activity SET is the rollup's key set
     * (counts > 0 by construction), each user's cohort is a min

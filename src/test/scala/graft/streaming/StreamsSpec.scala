@@ -761,6 +761,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotChurn.nonEmpty)
   }
 
+  test("stickiness read off the maintained daily rollup equals batch q58 at any split") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RollupIndex
+    import graft.{SparkFixture => F, Tables}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val path = java.nio.file.Files.createTempDirectory("graft_daily").toString
+    RollupIndex.build(
+      Seq.empty[(Long, Timestamp, Long)].toDF("user_id", "day", "n"),
+      path, keyCols = Seq("user_id", "day"))
+
+    val evs = Tables(spark, F.sfDir).events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect()
+    val (first, second) = evs.splitAt(evs.length / 3)
+
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Streams.dailyActivityAppendStream(
+      ms.toDF().toDF("user_id", "ts"), "user_id", "ts", path)
+    try {
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = rows(Streams.stickinessFromRollup(spark, path))
+    val want = rows(graft.queries.RelationalQueries
+      .queries("q58_stickiness")(spark, F.sfDir))
+    assert(got == want, s"rollup-read stickiness must equal batch q58 " +
+      s"(missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    assert(got.nonEmpty)
+  }
+
   test("value percentiles read off the maintained histogram rollup equal batch q55 at any split") {
     import org.apache.spark.sql.functions._
     import graft.operators.RollupIndex

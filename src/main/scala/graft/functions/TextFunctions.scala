@@ -29,12 +29,27 @@ object TextFunctions {
   /** Token n-gram shingles: `n` consecutive tokens joined by a space.
     * Documents with fewer than `n` tokens yield a single shingle of the
     * whole text, so every doc lands in at least one dedup bucket.
+    * Native kernel ([[org.apache.spark.sql.graft.ShinglesExpr]]); the
+    * HOF twin below is the spec-pinned reference.
     */
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(tokens(text), n)
 
   /** Same as [[shingles]] but over an existing token-array column. */
   def shinglesOfTokens(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.shingles(toks, n, distinct = false)
+
+  /** `array_distinct(shingles(text, n))` fused into the kernel's one
+    * pass (first-occurrence order, like array_distinct).
+    */
+  def distinctShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.shingles(tokens(text), n, distinct = true)
+
+  /** The composed-HOF shingle form the kernel replaced — kept as the
+    * bit-identity reference (TextKernelSpec compares the two on every
+    * fixture corpus).
+    */
+  def shinglesOfTokensHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
@@ -48,13 +63,18 @@ object TextFunctions {
     xxhash64(lit(seed), value)
 
   /** MinHash signature: array of `k` minimums of derived hashes over the
-    * distinct shingle set. Each shingle string is xxhash64'd ONCE; the k
-    * derived hashes are multiply-add permutations computed in a single
-    * codegen'd pass (see [[MinHashSignatureExpr]]). Pure map-side.
+    * shingle set. Each shingle string is xxhash64'd ONCE (native
+    * [[org.apache.spark.sql.graft.ArrayXxh64Expr]] kernel — the old
+    * interpreted `transform(array_distinct(...), xxhash64)` dominated
+    * every signature stage); the k derived hashes are multiply-add
+    * permutations computed in a single codegen'd pass (see
+    * [[MinHashSignatureExpr]]). The previous array_distinct is dropped:
+    * min over a multiset equals min over its set, so duplicate shingle
+    * hashes cannot change any signature slot. Pure map-side.
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     MinHashSignatureExpr.ofHashes(
-      transform(array_distinct(shingleArr), s => xxhash64(s)), k)
+      org.apache.spark.sql.graft.TextKernelExprs.arrayXxh64(shingleArr), k)
 
   /** LSH band keys from a minhash signature: hash of each contiguous
     * `rowsPerBand`-slice. Two docs collide in a band iff that slice of
@@ -70,16 +90,20 @@ object TextFunctions {
 
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 weighted by
     * whether that bit of xxhash64(token) is set; the sign of each sum is
-    * the fingerprint bit. Expressed as a fold so it stays codegen'd.
+    * the fingerprint bit. Native one-pass kernel
+    * ([[org.apache.spark.sql.graft.SimHash64Expr]]).
     */
   def simhash64(toks: Column): Column =
-    simhash64OfHashes(transform(toks, t => xxhash64(t)))
+    simhash64OfHashes(org.apache.spark.sql.graft.TextKernelExprs.arrayXxh64(toks))
 
-  /** SimHash from a pre-hashed token array (callers should materialize
-    * the hash array in its own column first so the 64 per-bit folds
-    * share it instead of re-hashing 64×).
+  /** SimHash from a pre-hashed token array (native kernel). */
+  def simhash64OfHashes(hashes: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.simhash64(hashes)
+
+  /** The composed-HOF 64-bit SimHash the kernel replaced — kept as the
+    * bit-identity reference for TextKernelSpec.
     */
-  def simhash64OfHashes(hashes: Column): Column = {
+  def simhash64OfHashesHof(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       val cnt = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -131,12 +155,22 @@ object TextFunctions {
     transform(slice(split(md5(s), ""), 1, 15),
       c => when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48))
 
+  /** 60-bit md5-nibble SimHash straight from the token array — the
+    * native one-pass kernel ([[org.apache.spark.sql.graft.SimHashMd5Expr]])
+    * fusing [[md5Digits15]]-per-token + [[simhashMd5OfDigits]]. The HOF
+    * twin below is the spec-pinned bit-identity reference.
+    */
+  def simhashMd5(toks: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.simhashMd5(toks)
+
   /** 60-bit SimHash from a pre-materialized array<array<int>> of
     * md5-digit values ([[md5Digits15]] per token). Callers MUST stage
-    * the digit array in its own projection (as [[simhash64OfHashes]]
-    * callers do for the hash array): the 60 per-bit folds reference it
+    * the digit array in its own projection (as HOF-fold consumers do
+    * for the hash array): the 60 per-bit folds reference it
     * 60×, and CollapseProject keeps the stage boundary because the
     * producer is non-cheap — inlining would recompute every md5 60×.
+    * (Kernel twin: [[simhashMd5]]; this form remains the TextKernelSpec
+    * reference.)
     */
   def simhashMd5OfDigits(tokDigits: Column): Column = {
     val bitCols = (0 until 60).map { i =>
@@ -163,9 +197,11 @@ object TextFunctions {
   def rollingFingerprint(toks: Column): Column =
     org.apache.spark.sql.graft.RabinFingerprintExpr.ofHashes(tokenHashes(toks))
 
-  /** Per-token xxhash64 array — the d11 aux dump DuckDB re-folds. */
+  /** Per-token xxhash64 array — the d11 aux dump DuckDB re-folds
+    * (native kernel; values are the `xxhash64()` builtin's).
+    */
   def tokenHashes(toks: Column): Column =
-    transform(toks, t => xxhash64(t))
+    org.apache.spark.sql.graft.TextKernelExprs.arrayXxh64(toks)
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Matches DuckDB's md5() for the oracle.
@@ -191,7 +227,13 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "ist"),
     "zh" -> Seq("的", "是", "了"))
 
-  def langGuess(toks: Column): Column = {
+  def langGuess(toks: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.langGuess(toks, langMarkers)
+
+  /** The composed-HOF guesser the kernel replaced — TextKernelSpec's
+    * bit-identity reference.
+    */
+  def langGuessHof(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
       val score = markers.map(m =>
         size(filter(toks, t => t === m))).reduce(_ + _)

@@ -22,7 +22,7 @@ object Decontaminate {
   /** Per-doc distinct gram fingerprints. */
   private def gramSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+        explode(distinctShingles(col(textCol), n)).as("gram"))
       .select(col(idCol), md5(col("gram")).as("g"))
 
   /** Documents of `corpus` contaminated by `evalSet`: every corpus doc
@@ -101,7 +101,7 @@ object Decontaminate {
     // sides of the pair join read this — without the pin each of the
     // three consumers would re-scan and re-shingle the corpus
     val grams = SketchRegistry.track(df
-      .select(col(srcCol).as("src"), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .select(col(srcCol).as("src"), explode(distinctShingles(col(textCol), n)).as("gram"))
       .select(col("src"), md5(col("gram")).as("g"))
       .distinct()
       .persist())

@@ -418,7 +418,7 @@ object Dedup {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand,
       estThreshold, maxBandDf)
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      distinctShingles(col(textCol), shingleSize).as("sh"))
     cands
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
@@ -442,8 +442,7 @@ object Dedup {
       maxBandDf: Int = 1000): DataFrame = {
     require(nBands * bandBits <= 64, "bands must fit the 64-bit fingerprint")
     val fp = df
-      .withColumn("th", transform(tokens(col(textCol)), t => xxhash64(t)))
-      .select(col(idCol).as("id"), simhash64OfHashes(col("th")).as("sim"))
+      .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sim"))
     bandedHammingPairs(fp, nBands, bandBits, maxHamming, maxBandDf)
   }
 
@@ -459,9 +458,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBandDf: Int = 1000): DataFrame = {
     val fp = df
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => md5Digits15(t)).as("td"))
-      .select(col("id"), simhashMd5OfDigits(col("td")).as("sim"))
+      .select(col(idCol).as("id"), simhashMd5(tokens(col(textCol))).as("sim"))
     bandedHammingPairs(fp, nBands = 4, bandBits = 15, maxHamming, maxBandDf)
   }
 
@@ -648,7 +645,7 @@ object Dedup {
     // size-join sides — without it the corpus re-shingles three times
     val sh = SketchRegistry.track(
       df.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+        distinctShingles(col(textCol), shingleSize).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -837,7 +834,7 @@ object Dedup {
       maxShingleDf: Int = 100): DataFrame = {
     val sh = SketchRegistry.track(
       df.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+        distinctShingles(col(textCol), shingleSize).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -1025,7 +1022,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val grams = SketchRegistry.track(
       df.select(col(idCol).as("__gid"),
-        explode(array_distinct(shingles(col(textCol), shingleSize))).as("__g"))
+        explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
         .persist())
     val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     grams.join(dfreq, "__g")
@@ -1049,7 +1046,7 @@ object Dedup {
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame = {
     val grams = df.select(col(idCol).as("__gid"),
-      explode(array_distinct(shingles(col(textCol), shingleSize))).as("__g"))
+      explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
     val firstOwner = grams.groupBy(col("__g")).agg(min(col("__gid")).as("__first"))
     grams.join(firstOwner, "__g")
       .groupBy(col("__gid"))
@@ -1078,7 +1075,7 @@ object Dedup {
   /** Create the seen-gram set from an initial corpus (possibly empty). */
   def buildGramIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3): Unit =
-    docs.select(explode(array_distinct(shingles(col(textCol), shingleSize)))
+    docs.select(explode(distinctShingles(col(textCol), shingleSize))
         .as("g"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/grams")
@@ -1103,7 +1100,7 @@ object Dedup {
     val spark = batch.sparkSession
     val grams = SketchRegistry.track(
       batch.select(col(idCol).as("__gid"),
-        explode(array_distinct(shingles(col(textCol), shingleSize))).as("g"))
+        explode(distinctShingles(col(textCol), shingleSize)).as("g"))
         .persist())
     grams.count() // materialize BEFORE the index grows below
     val batchGramSet = grams.select(col("g")).distinct()

@@ -19,8 +19,17 @@ import graft.functions.TextFunctions._
   */
 object QualityFilters {
 
-  /** Fraction of `arr` occupied by its most frequent element. */
+  /** Fraction of `arr` occupied by its most frequent element (native
+    * one-pass kernel; the HOF twin below is TextKernelSpec's reference).
+    */
   private def topElementFrac(arr: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.topElementCount(arr)
+      .cast("double") / size(arr)
+
+  /** The O(u·n) composed-HOF form the kernel replaced — kept as the
+    * bit-identity reference.
+    */
+  private[graft] def topElementFracHof(arr: Column): Column =
     array_max(transform(array_distinct(arr), g =>
       size(filter(arr, x => x === g)))).cast("double") / size(arr)
 

@@ -87,7 +87,7 @@ object TextQueries {
     "d07_shingle_count" -> { (s, dir) =>
       Tables(s, dir).documents
         .select(col("doc_id"),
-          size(array_distinct(shingles(col("text"), 3))).as("n_shingles"))
+          size(distinctShingles(col("text"), 3)).as("n_shingles"))
     },
 
     // --- MinHash-LSH near-dup candidate pairs (oracle: banding/join/

@@ -498,10 +498,10 @@ object Streams {
       textCol: String, tsCol: String, lateness: String,
       minTokens: Int, minTtr: Double, maxTokenFrac: Double,
       n: Int = 4, bloomBits: Long = 1 << 22): DataFrame = {
-    import graft.functions.TextFunctions.{contentFingerprint, shingles}
+    import graft.functions.TextFunctions.{contentFingerprint, distinctShingles}
     import graft.operators.{BloomDedup, QualityFilters}
     val evalGrams = evalSet.select(
-      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      explode(distinctShingles(col(textCol), n)).as("gram"))
     val bloom = BloomDedup.buildBloom(evalGrams, col("gram"),
       expectedItems = 1L << 18, numBits = bloomBits)
     docs
@@ -509,7 +509,7 @@ object Streams {
       .withColumn("fp", contentFingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
-      .filter(!exists(array_distinct(shingles(col(textCol), n)),
+      .filter(!exists(distinctShingles(col(textCol), n),
         g => BloomDedup.mightContain(bloom, g)))
   }
 

@@ -71,6 +71,14 @@ object Bench {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", "target/bench_warehouse")
         .config("spark.ui.enabled", "false")
+        // AQE's coalescer floors partitions at minPartitionSize (1 MB
+        // default): a sub-cores·MB shuffle feeding a high-fanout stage
+        // (posting-list explode, pair verification) coalesces to ONE
+        // task while every other core idles — fanout-blind sizing,
+        // guide §2.5. 64k keeps such stages parallel; at scale
+        // totalBytes/parallelism dwarfs any floor, so the setting is
+        // size-inert there (r17 optimization; d64 15.6 s → 6.1 s alone).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       if (hive)
         b.config("javax.jdo.option.ConnectionURL",
             "jdbc:derby:;databaseName=target/bench_metastore;create=true")

@@ -77,7 +77,7 @@ object Dedup {
     // SketchRegistry — the consumer releases it after draining the
     // result, since the sketch must stay alive while the returned
     // plan still reads it.
-    val sigs = SketchRegistry.track(df
+    val sigs = SketchRegistry.track(SkewTools.spreadIfNarrow(df, col(idCol))
       .select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -131,7 +131,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBandDf: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val idx = corpus
+    val idx = SkewTools.spreadIfNarrow(corpus, col(idCol))
       .select(col(idCol).as("corpus_id"),
         minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
       .select(col("corpus_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -570,28 +570,50 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val sym = e.union(e.select(col("dst"), col("src")))
+    // Materialize the edge list ONCE (eager local checkpoint, the
+    // pageRank pattern): `sym` references it from three union branches
+    // (forward, reversed, self-loop nodes), and each branch of a lazy
+    // plan re-executes the upstream — for d16/d17/d65/d68 that upstream
+    // is the whole LSH/Jaccard pair pipeline, re-run per branch (r17
+    // profiling: the pair stages appeared 3× in one CC materialization).
+    val e = SketchRegistry.track(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .localCheckpoint(true))
+    // Self-loops fold the "keep my own label" arm INTO the neighbor-min
+    // aggregate: each round is ONE join + ONE aggregation instead of the
+    // old join + aggregate + carry-through join — per-round label values
+    // are identical (min over neighbors ∪ self == least(own, neighbor
+    // min)), but a round costs half the stages, and on a shallow
+    // near-dup graph (2-4 rounds) round-trip latency IS the cost
+    // (optimization round r17; guide §2.4 — two operations keyed the
+    // same way share one exchange).
+    val sym0 = e.union(e.select(col("dst"), col("src")))
+    val sym = sym0
+      .union(sym0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val obs = org.apache.spark.sql.Observation(s"cc_changes_$iter")
-      val nbMin = sym.join(cur, sym("dst") === cur("id"))
+    // Convergence signal: min-label propagation only ever LOWERS labels,
+    // so the label sum strictly decreases until the fixpoint — one
+    // decimal observe per round replaces the old old-vs-new compare
+    // columns (sum is DECIMAL so 10^12 ids × 10^12 nodes cannot wrap).
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"cc_sum_$iter")
+      val next = sym.join(cur, sym("dst") === cur("id"))
         .groupBy(col("src"))
-        .agg(min(col("comp")).as("nb_comp"))
-      val next = cur.join(nbMin, cur("id") === nbMin("src"), "left")
-        .select(cur("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
-        .observe(obs, coalesce(
-          sum(when(col("comp") =!= col("old_comp"), 1L).otherwise(0L)),
-          lit(0L)).as("changes"))
-        .select(col("id"), col("comp"))
+        .agg(min(col("comp")).as("comp"))
+        .select(col("src").as("id"), col("comp"))
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint() // the round's single action (eager)
-      changed = obs.get("changes").asInstanceOf[Long]
+      val s = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      // null sum = empty node set (no edges): nothing to propagate
+      converged = s == null || (prevSum != null && prevSum.compareTo(s) == 0)
+      prevSum = s
       SketchRegistry.freeLocalCheckpoint(cur)
       cur = next
       iter += 1
@@ -644,8 +666,9 @@ object Dedup {
     // persisted: the shingle arrays feed the pair stage AND the two
     // size-join sides — without it the corpus re-shingles three times
     val sh = SketchRegistry.track(
-      df.select(col(idCol).as("id"),
-        distinctShingles(col(textCol), shingleSize).as("sh"))
+      SkewTools.spreadIfNarrow(df, col(idCol))
+        .select(col(idCol).as("id"),
+          distinctShingles(col(textCol), shingleSize).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -767,8 +790,9 @@ object Dedup {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct=$thresholdPct must be in [1, 100]")
     val tok = SketchRegistry.track(
-      df.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      SkewTools.spreadIfNarrow(df, col(idCol))
+        .select(col(idCol).as("id"),
+          explode(array_distinct(tokens(col(textCol)))).as("token"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val dfr = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val prefix = tok.join(dfr, Seq("token"))
@@ -802,7 +826,9 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("ts").as("ta")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("ts").as("tb")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_inter",
+        org.apache.spark.sql.graft.TextKernelExprs
+          .sortedLongIntersectCount(col("ta"), col("tb")).cast("long"))
       .withColumn("n_union",
         (size(col("ta")) + size(col("tb"))).cast("long") - col("n_inter"))
       .filter(col("n_inter") * 100L >= col("n_union") * thresholdPct.toLong)
@@ -833,8 +859,9 @@ object Dedup {
       minContainmentPermille: Int = 800,
       maxShingleDf: Int = 100): DataFrame = {
     val sh = SketchRegistry.track(
-      df.select(col(idCol).as("id"),
-        distinctShingles(col(textCol), shingleSize).as("sh"))
+      SkewTools.spreadIfNarrow(df, col(idCol))
+        .select(col(idCol).as("id"),
+          distinctShingles(col(textCol), shingleSize).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -1021,8 +1048,9 @@ object Dedup {
   def dupGramStats(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame = {
     val grams = SketchRegistry.track(
-      df.select(col(idCol).as("__gid"),
-        explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
+      SkewTools.spreadIfNarrow(df, col(idCol))
+        .select(col(idCol).as("__gid"),
+          explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
         .persist())
     val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     grams.join(dfreq, "__g")
@@ -1045,8 +1073,9 @@ object Dedup {
     */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol).as("__gid"),
-      explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
+    val grams = SkewTools.spreadIfNarrow(df, col(idCol))
+      .select(col(idCol).as("__gid"),
+        explode(distinctShingles(col(textCol), shingleSize)).as("__g"))
     val firstOwner = grams.groupBy(col("__g")).agg(min(col("__gid")).as("__first"))
     grams.join(firstOwner, "__g")
       .groupBy(col("__gid"))

@@ -28,7 +28,10 @@ object Gramian {
       transform(sequence(i, lit(dim - 1)), j =>
         struct(i.cast("int").as("i"), j.cast("int").as("j"),
           (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p")))))
-    vectors.select(q.as("q"))
+    // spread a narrow scan before the DIM²/2-way explode (guide §2.5):
+    // the per-row fanout is ~2080× and a single-row-group input would
+    // otherwise run it on one core (r17; no-op on streaming/wide inputs)
+    SkewTools.spreadIfNarrow(vectors, col(vecCol)).select(q.as("q"))
       .select(explode(pairs).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("t.p")).as("sum_qprod"))

@@ -21,11 +21,16 @@ object GraphOps {
     * every join is an equi-join on a node id.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges
+    // eager checkpoint: the oriented edge list is referenced THREE times
+    // (both wedge sides + the closing join), and each reference of a
+    // lazy plan re-executes the upstream — for v39 that upstream is the
+    // whole IVF kNN graph (r17; same fix as connectedComponents)
+    val e = SketchRegistry.track(edges
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
+      .localCheckpoint(true))
     val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), Seq("b"))
     val tris = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
     tris
@@ -60,21 +65,26 @@ object GraphOps {
       iters: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
     // materialize the edge list ONCE: every round joins it, and an
-    // expensive upstream (the IVF kNN graph) must not replay per round
+    // expensive upstream (the IVF kNN graph) must not replay per round.
+    // The out-degree is STATIC, so it is fused onto the edge rows here —
+    // the old per-round `join(outdeg, Seq("src"))` paid a join and its
+    // exchange every iteration for a value that never changes (r17
+    // optimization; guide §2.4). `pr div outdeg` is unchanged integer
+    // math, so every round's ranks are bit-identical.
     val e = SketchRegistry.track(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .withColumn("outdeg", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
         .localCheckpoint(true))
     val nodes = SketchRegistry.track(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
         .localCheckpoint(true))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val base = (100L - dampingPct) * 10000L // (1-d) in micro units
     var ranks = SketchRegistry.track(
       nodes.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       ranks = SketchRegistry.track(

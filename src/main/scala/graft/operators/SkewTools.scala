@@ -37,6 +37,24 @@ object SkewTools {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Input-skew accommodation (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read"): when
+    * a frame's scan parallelism is below the cluster's default
+    * parallelism — a single parquet row group, one gzip shard — hash-
+    * repartition it by `key` so the downstream map-heavy pipeline
+    * (shingling, signatures, explodes) uses every core instead of one.
+    * Any well-partitioned input (a real corpus at scale has thousands
+    * of splits) passes through untouched; the CONDITION, not the
+    * partition count, is what keeps this scale-safe — at 100 TB the
+    * repartition never fires and no extra full-text shuffle is paid.
+    */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planner owns partitioning
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Per-key frequency report for deciding WHETHER to salt: top-k keys
     * with their row share. At scale, run on a sample
     * (`df.sample(0.001)`) — frequencies of heavy hitters survive

@@ -46,6 +46,9 @@ object TextKernelExprs {
     Bridge.column(LangGuessExpr(Bridge.expression(toks), markers))
   def topElementCount(arr: Column): Column =
     Bridge.column(TopElementCountExpr(Bridge.expression(arr)))
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedLongIntersectCountExpr(
+      Bridge.expression(a), Bridge.expression(b)))
 
   private[graft] def requireStringArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
@@ -430,4 +433,57 @@ case class TopElementCountExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TopElementCountExpr =
     copy(child = newChild)
+}
+
+/** Intersection size of two SORTED ascending distinct long arrays via
+  * one merge pass — the kernel twin of `size(array_intersect(a, b))`
+  * for that input shape (e.g. two `array_sort(collect_set(...))`
+  * sides of a pair-verification join). `array_intersect` builds a hash
+  * set per ROW; on a verify stage scoring 10⁵ candidate pairs the
+  * per-pair allocation dominates. Null array → null (array_intersect
+  * is null-intolerant); sorted distinct inputs carry no null elements
+  * by construction, and the merge counts each common value once,
+  * exactly like array_intersect's distinct semantics.
+  */
+case class SortedLongIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<long> inputs, got $l / $r")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergeKernel", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -373,9 +373,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(VectorQueries.queries("v36_gram_matrix")(spark, dir))
     assert(!plan.contains("Join"), s"Σxxᵀ needs no join:\n${plan.take(500)}")
     assert(plan.contains("HashAggregate"), plan.take(400))
+    // exactly one REQUIRED exchange — the (i,j)-key one after the
+    // partial aggregate (the shuffle carries only DIM² partial sums).
+    // An explicit REPARTITION_BY_COL may additionally appear: the r17
+    // narrow-input spread (SkewTools.spreadIfNarrow) fires on the
+    // single-row-group fixture and never at scale, so it is excluded
+    // from the scale contract this pin protects.
+    val required = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1,
-      s"one (i,j)-key exchange after the partial aggregate, found $exchanges:\n${plan.take(800)}")
+    assert(required == 1 && exchanges <= 2,
+      s"one (i,j)-key exchange after the partial aggregate, found $required required / $exchanges total:\n${plan.take(800)}")
   }
 
   test("m05: phash banding uses equi-joins only — no pairwise scan anywhere") {

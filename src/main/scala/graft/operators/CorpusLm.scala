@@ -61,7 +61,8 @@ object CorpusLm {
       isTarget: Column,
       nBuckets: Int = 64,
       n: Int = 50): DataFrame = {
-    val base = df.select(col(idCol), isTarget.as("__is_t"), toks(col(textCol)).as("__t"))
+    val base = SkewTools.spreadIfNarrow(df, col(idCol))
+      .select(col(idCol), isTarget.as("__is_t"), toks(col(textCol)).as("__t"))
     val bigrams = when(
       size(col("__t")) >= 2,
       expr("transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1]))"))
@@ -114,7 +115,8 @@ object CorpusLm {
       idCol: String,
       textCol: String,
       meanLpMicroFloor: Long = -3450000L): DataFrame = {
-    val tok = df.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+    val tok = SkewTools.spreadIfNarrow(df, col(idCol))
+      .select(col(idCol), explode(toks(col(textCol))).as("__tok"))
     // ONE corpus pass: per-(doc, token) counts, persisted because both
     // the vocab-frequency branch and the per-doc scoring branch read it
     val perDoc = SketchRegistry.track(
@@ -163,7 +165,8 @@ object CorpusLm {
     */
   def sourceDriftKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val st = SketchRegistry.track(
-      df.select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
+      SkewTools.spreadIfNarrow(df, col(textCol))
+        .select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
         .groupBy(col("source"), col("__tok")).agg(count(lit(1)).as("__c"))
         .persist())
     sourceDriftKlFromCounts(st)
@@ -208,7 +211,8 @@ object CorpusLm {
     */
   def zipfSlope(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
     zipfSlopeFromCounts(
-      df.select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
+      SkewTools.spreadIfNarrow(df, col(textCol))
+        .select(col(sourceCol).as("source"), explode(toks(col(textCol))).as("__tok"))
         .groupBy(col("source"), col("__tok")).agg(count(lit(1)).as("__c")))
 
   /** The Zipf fold over a PREBUILT `(source, __tok, __c)` count table
@@ -269,7 +273,8 @@ object CorpusLm {
       idCol: String,
       textCol: String,
       meanLpMicroFloor: Long = -3450000L): DataFrame = {
-    val t = df.select(col(idCol), toks(col(textCol)).as("__t"))
+    val t = SkewTools.spreadIfNarrow(df, col(idCol))
+      .select(col(idCol), toks(col(textCol)).as("__t"))
     val pairs = t
       .filter(size(col("__t")) >= 2)
       .select(col(idCol),

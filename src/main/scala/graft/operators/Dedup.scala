@@ -587,38 +587,39 @@ object Dedup {
     // near-dup graph (2-4 rounds) round-trip latency IS the cost
     // (optimization round r17; guide §2.4 — two operations keyed the
     // same way share one exchange).
+    // The self-loop rows carry a marker: in the round aggregate the
+    // marked row's label IS the node's previous label, so the
+    // changed-rows convergence signal rides the same aggregate
+    // (max over the exactly-one marked row) with no carry-through join
+    // and no assumption about the id type.
     val sym0 = e.union(e.select(col("dst"), col("src")))
-    val sym = sym0
+    val sym = sym0.withColumn("self", lit(false))
       .union(sym0.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst")))
+        .select(col("src"), col("src").as("dst"), lit(true).as("self")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var iter = 0
-    // Convergence signal: min-label propagation only ever LOWERS labels,
-    // so the label sum strictly decreases until the fixpoint — one
-    // decimal observe per round replaces the old old-vs-new compare
-    // columns (sum is DECIMAL so 10^12 ids × 10^12 nodes cannot wrap).
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val obs = org.apache.spark.sql.Observation(s"cc_sum_$iter")
-      val next = sym.join(cur, sym("dst") === cur("id"))
-        .groupBy(col("src"))
-        .agg(min(col("comp")).as("comp"))
-        .select(col("src").as("id"), col("comp"))
-        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum"))
-        .localCheckpoint() // the round's single action (eager)
-      val s = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
-      // null sum = empty node set (no edges): nothing to propagate
-      converged = s == null || (prevSum != null && prevSum.compareTo(s) == 0)
-      prevSum = s
-      SketchRegistry.freeLocalCheckpoint(cur)
-      cur = next
-      iter += 1
-    }
-    sym.unpersist()
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        val obs = org.apache.spark.sql.Observation(s"cc_changes_$iter")
+        val next = sym.join(cur, sym("dst") === cur("id"))
+          .groupBy(col("src"))
+          .agg(min(col("comp")).as("comp"),
+            max(when(col("self"), col("comp"))).as("old_comp"))
+          .observe(obs, coalesce(
+            sum(when(col("comp") =!= col("old_comp"), 1L).otherwise(0L)),
+            lit(0L)).as("changes"))
+          .select(col("src").as("id"), col("comp"))
+          .localCheckpoint() // the round's single action (eager)
+        changed = obs.get("changes").asInstanceOf[Long]
+        SketchRegistry.freeLocalCheckpoint(cur)
+        cur = next
+        iter += 1
+      }
+    } finally sym.unpersist()
     SketchRegistry.track(cur)
     cur.select(col("id"), col("comp").as("cluster"))
   }

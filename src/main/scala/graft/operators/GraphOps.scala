@@ -71,29 +71,37 @@ object GraphOps {
     // exchange every iteration for a value that never changes (r17
     // optimization; guide §2.4). `pr div outdeg` is unchanged integer
     // math, so every round's ranks are bit-identical.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("outdeg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    // Null-contribution self-loops fold the per-round `nodes` LEFT join
+    // into the contribution aggregate (the connectedComponents trick):
+    // every node appears as a dst, a self-loop's contribution is
+    // `pr div NULL` = null which `sum` ignores, and an isolated node's
+    // all-null sum coalesces to the base term — rank values identical,
+    // one join per round instead of two (r17; round-trip latency
+    // dominates the 5-round loop on a kNN-sized graph).
     val e = SketchRegistry.track(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .withColumn("outdeg", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-        .localCheckpoint(true))
-    val nodes = SketchRegistry.track(
-      e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
+      e0.union(nodes.select(col("id").as("src"), col("id").as("dst"),
+          lit(null).cast("long").as("outdeg")))
         .localCheckpoint(true))
     val base = (100L - dampingPct) * 10000L // (1-d) in micro units
     var ranks = SketchRegistry.track(
       nodes.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true))
     for (_ <- 1 to iters) {
-      val contribs = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       ranks = SketchRegistry.track(
-        nodes.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-          .select(col("id"),
+        e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+          .select(col("dst").as("id"),
             expr(s"$base + ($dampingPct * coalesce(in_sum, 0L)) div 100")
               .as("pr"))
           .localCheckpoint(true))
     }
+    SketchRegistry.freeLocalCheckpoint(e0)
     ranks.select(col("id"), col("pr").as("pr_micro"))
   }
 }

@@ -78,9 +78,16 @@ object TextFunctions {
 
   /** LSH band keys from a minhash signature: hash of each contiguous
     * `rowsPerBand`-slice. Two docs collide in a band iff that slice of
-    * their signatures is identical.
+    * their signatures is identical. Native one-pass kernel; the HOF
+    * twin below is TextKernelSpec's bit-identity reference.
     */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.BandKeysExpr(
+        org.apache.spark.sql.graft.Bridge.expression(signature), bands, rowsPerBand))
+
+  /** The composed per-band slice/cast/concat form the kernel replaced. */
+  def bandKeysHof(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two equal-length vectors. */
+  /** Dot product of two equal-length vectors (native kernel; the HOF
+    * twin below is VecKernelSpec's bit-identity reference).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VecExpr.dot(a, b)
+
+  /** The composed-HOF dot the kernel replaced — spec reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -39,8 +45,14 @@ object VectorFunctions {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance (native kernel; HOF twin below is the spec
+    * reference).
+    */
   def l2Sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VecExpr.l2Sq(a, b)
+
+  /** The composed-HOF squared-L2 the kernel replaced — spec reference. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val diff = x.cast("double") - y.cast("double")
       diff * diff

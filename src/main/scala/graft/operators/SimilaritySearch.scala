@@ -212,10 +212,16 @@ object SimilaritySearch {
     * (query_id, neighbor_id).
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    // checkpoint the ground truth: it is referenced TWICE below (hit
+    // join + query-id spine), and each reference of a lazy plan re-runs
+    // the exact brute-force ranking it usually is (r17; the audit
+    // result itself is |queries|·k rows — artifact-sized)
+    val ex = SketchRegistry.track(
+      exact.select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
     val hits = approx.select(col("query_id"), col("neighbor_id"))
-      .join(exact.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .join(ex, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    exact.select(col("query_id")).distinct()
+    ex.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left_outer")
       .select(col("query_id"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))

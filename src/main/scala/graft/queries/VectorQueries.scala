@@ -521,7 +521,12 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = ivfCentroids(e, dir)
       val rcb = residualCodebooks(e, dir)
-      val exact = SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
+      // the exact baseline is referenced by every sweep point of the
+      // union — checkpoint it once or each point re-runs the full
+      // brute-force top-k (r17; the triangleCounts recompute pattern)
+      val exact = graft.operators.SketchRegistry.track(
+        SimilaritySearch.dotTopK(e, q, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true))
       (1 to N_PROBE).map { np =>
         SimilaritySearch.recallAtK(
           graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",

@@ -487,3 +487,84 @@ case class SortedLongIntersectCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedLongIntersectCountExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** LSH band keys of a MinHash signature in one pass — the kernel twin
+  * of `TextFunctions.bandKeys`'s per-band
+  * `xxhash64(concat_ws(",", transform(slice(sig, b·r+1, r), cast-to-
+  * string)))` composition (bands × interpreted slice/cast/concat per
+  * row): per band, the decimal-string join of that signature slice is
+  * hashed with the `xxhash64()` builtin's seed. Output rows are
+  * (band, key) structs, byte-identical to the HOF form — including on
+  * a NULL signature, where `concat_ws` SKIPS the null slice and every
+  * band keys on xxhash64("") (the HOF form never returns null).
+  */
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) compute(new GenericArrayData(Array.empty[Any]))
+    else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("key", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_band_keys"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<long>, got $t")
+  }
+
+  def compute(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = b * rowsPerBand
+      val end = math.min(i + rowsPerBand, n) // slice truncates at the end
+      var first = true
+      while (i < end) {
+        if (!first) sb.append(',')
+        // a null slot would be SKIPPED by concat_ws; signature arrays
+        // are containsNull=false so the branch never fires in practice
+        if (!sig.isNullAt(i)) { sb.append(sig.getLong(i)); first = false }
+        i += 1
+      }
+      val key = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, key))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // null signature → the same 16 hash("")-keyed structs the HOF emits
+  def computeNullable(sig: ArrayData): ArrayData =
+    if (sig == null) compute(new GenericArrayData(Array.empty[Any])) else compute(sig)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("bandKeysKernel", this, getClass.getName)
+    val childGen = child.genCode(ctx)
+    val in = if (child.nullable) s"${childGen.isNull} ? null : ${childGen.value}" else s"${childGen.value}"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.computeNullable($in);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}

@@ -100,6 +100,22 @@ class TextKernelSpec extends AnyFunSuite {
       TextFunctions.langGuessHof(TextFunctions.tokens(col("text"))))
   }
 
+  test("bandKeys kernel == per-band slice/concat/xxhash64 HOF") {
+    val sig = TextFunctions.minhashSignature(
+      TextFunctions.shingles(col("text"), 3), 64)
+    val d = docs.select(sig.as("sig"))
+      .select(
+        TextFunctions.bandKeys(col("sig"), 16, 4).as("k"),
+        TextFunctions.bandKeysHof(col("sig"), 16, 4).as("h"))
+      .filter((col("k") =!= col("h")) || (col("k").isNull =!= col("h").isNull))
+    assert(d.count() == 0)
+    // short-signature truncation matches slice semantics
+    val short = Seq(Seq(1L, 2L, 3L)).toDF("sig").select(
+      TextFunctions.bandKeys(col("sig"), 2, 2).as("k"),
+      TextFunctions.bandKeysHof(col("sig"), 2, 2).as("h")).head()
+    assert(short.get(0) == short.get(1))
+  }
+
   test("topElementCount kernel == array_max/filter HOF (token and 2-gram shapes)") {
     Seq(
       TextFunctions.tokens(col("text")),

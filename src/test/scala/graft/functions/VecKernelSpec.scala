@@ -39,6 +39,29 @@ class VecKernelSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("dot and l2Sq kernels == HOF bit-for-bit (random, mismatch, empty)") {
+    val rows = Seq.fill(300) {
+      (Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    } :+ ((Array.empty[Float], Array.empty[Float]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        VectorFunctions.dot(col("a"), col("b")).as("dk"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("dh"),
+        VectorFunctions.l2Sq(col("a"), col("b")).as("lk"),
+        VectorFunctions.l2SqHof(col("a"), col("b")).as("lh"))
+      .filter(col("dk") =!= col("dh") || col("lk") =!= col("lh") ||
+        (col("dk").isNull =!= col("dh").isNull) ||
+        (col("lk").isNull =!= col("lh").isNull))
+    assert(diff.count() == 0)
+    // length mismatch → null on both forms
+    val mm = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("dk"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("dh"),
+        VectorFunctions.l2Sq(col("a"), col("b")).as("lk"),
+        VectorFunctions.l2SqHof(col("a"), col("b")).as("lh")).head()
+    assert((0 to 3).forall(mm.isNullAt))
+  }
+
   test("zero-norm inputs give 0.0, like the HOF form") {
     val df = Seq((Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
     val r = df.select(

@@ -79,6 +79,17 @@ object Bench {
         // totalBytes/parallelism dwarfs any floor, so the setting is
         // size-inert there (r17 optimization; d64 15.6 s → 6.1 s alone).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        // Let AQE rewrite sort-merge joins to shuffled-hash when every
+        // post-shuffle build partition fits the advisory partition
+        // budget (64m, matching advisoryPartitionSizeInBytes) — guide
+        // §3.1's size-gated SHJ knob, decided from MEASURED partition
+        // sizes at runtime, so it is scale-adaptive by construction.
+        // A/B on the materialized corpora (min-of-3, bench heap):
+        // tpcds_sf10 q4 7.8→5.5, q23b 10.9→9.2, q14 6.9→5.9,
+        // q24b 4.7→4.0; tpch_sf1 q9 2.5→1.5, q21 2.5→1.5; sf1 corpus
+        // flat-to-better. Default is 0 (off) only because Spark keeps
+        // the conservative pre-AQE behavior.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       if (hive)
         b.config("javax.jdo.option.ConnectionURL",
             "jdbc:derby:;databaseName=target/bench_metastore;create=true")

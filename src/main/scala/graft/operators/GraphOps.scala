@@ -91,15 +91,23 @@ object GraphOps {
     val base = (100L - dampingPct) * 10000L // (1-d) in micro units
     var ranks = SketchRegistry.track(
       nodes.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true))
+    // The rounds compose LAZILY: each round references the previous
+    // ranks exactly once and the edge list is already checkpointed, so
+    // the composed plan is linear in `iters` and the whole propagation
+    // runs as ONE Spark job — the old per-round eager localCheckpoint
+    // paid a driver round-trip per round, and round-trip latency
+    // dominated the loop on a kNN-sized graph (r17 profile: 34 jobs of
+    // ~70 ms for 5 rounds). Ranks math is unchanged, so every round's
+    // values stay bit-identical; only the initial ranks stay eager
+    // (they are consumed after `e0` is freed below).
     for (_ <- 1 to iters) {
-      ranks = SketchRegistry.track(
+      ranks =
         e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("dst"), expr("pr div outdeg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
           .select(col("dst").as("id"),
             expr(s"$base + ($dampingPct * coalesce(in_sum, 0L)) div 100")
               .as("pr"))
-          .localCheckpoint(true))
     }
     SketchRegistry.freeLocalCheckpoint(e0)
     ranks.select(col("id"), col("pr").as("pr_micro"))

@@ -218,9 +218,18 @@ object IvfIndex {
 
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    // Spread a narrow scan BEFORE the per-row centroid scoring: the
+    // assignment/probe projection over L centroids is the expensive
+    // map side of this operator, and a single-split input (one parquet
+    // row group locally; one unsplittable shard at scale) runs it in
+    // ONE task while every other core idles (r17 profile: a 2.2 s
+    // single-task stage upstream of v37/v39/v40/v41; guide §2.5
+    // "input skew"). A real corpus with thousands of splits passes
+    // through untouched.
+    val spread = SkewTools.spreadIfNarrow(corpus, col(idCol))
+    val c = spread.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestList(col(vecCol), centroids).as("list_id"))
-    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = spread.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeLists(col(vecCol), centroids, nProbe)).as("list_id"))
     val scored = q.join(c, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -77,14 +77,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"prefix selection must not be a window:\n${plan.take(600)}")
   }
 
-  test("v41: pagerank plan stays bounded across iterations (checkpointed rounds)") {
+  test("v41: pagerank plan stays linear in iterations off the checkpointed edges") {
     val df = VectorQueries.queries("v41_pagerank")(spark, dir)
     df.collect()
-    // localCheckpoint per round: the final plan must hang off scan of
-    // the LAST round's checkpoint, not compose all 5 joins
+    // The 5 rounds compose LAZILY into one job (r17: per-round eager
+    // checkpoints paid a driver round-trip each); boundedness now means
+    // LINEAR — one equi-join per round, every round hanging off the
+    // checkpointed edge RDD, with the expensive kNN upstream absent
+    // (it lives behind the checkpoint, so no parquet source and no
+    // per-round re-execution can appear here).
     val plan = df.queryExecution.optimizedPlan.toString
     val joins = "Join".r.findAllIn(plan).length
-    assert(joins <= 2, s"expected a checkpoint-rooted plan, got $joins joins:\n${plan.take(800)}")
+    assert(joins <= 6, s"expected ≤ one join per round, got $joins joins:\n${plan.take(800)}")
+    assert(!plan.contains("parquet"),
+      s"rounds must hang off the checkpointed edge list, not re-plan the corpus:\n${plan.take(800)}")
   }
 
   test("d29: span dedup aggregates first-occurrences, no window, no product join") {
@@ -227,17 +233,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"split must not join:\n${plan.take(600)}")
   }
 
-  test("v22: MMR output is a shuffle-free union of checkpointed greedy picks") {
-    // each greedy step ran over persisted |q|·shortlist frames and was
-    // localCheckpoint'ed (bounded data, lineage severed) — so the
-    // RETURNED plan must be a bare in-memory scan of the final
-    // checkpointed selection: no exchange, no cartesian remnant, no
-    // corpus source (a corpus-shaped plan here would mean a greedy
-    // step recomputed the scan)
+  test("v22: MMR greedy is ONE fused query-keyed pass — no per-step plan fragments") {
+    // r17: the k greedy steps fold into a single query-keyed
+    // aggregation + generate (each step only reads data local to one
+    // query, so distributing the steps was pure round-trip overhead).
+    // The plan must stay bounded: the shortlist/pairs machinery, one
+    // collect_list aggregation pair, one generate — and none of the
+    // old per-step window/anti-join chain.
     val plan = planOf(VectorQueries.queries("v22_mmr_rerank")(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
-    assert(!plan.contains("Exchange"), s"greedy result must be shuffle-free:\n${plan.take(600)}")
-    assert(plan.contains("Scan ExistingRDD") && !plan.contains("parquet"), plan.take(300))
+    assert(!plan.contains("Window"),
+      s"greedy must not rank via per-step windows:\n${plan.take(600)}")
+    assert(plan.contains("Generate explode"),
+      s"fused greedy must explode its picks in one pass:\n${plan.take(600)}")
   }
 
   test("v23: range search broadcasts the query set and never shuffles the corpus") {

@@ -398,10 +398,16 @@ object CorpusLm {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val denom = col("n_tokens") * lit(1000L)
-    val scored = unigramLogProb(df, idCol, textCol)
+    // persisted: the per-doc scores feed BOTH the histogram/threshold
+    // branch and the final bucket assignment — without it each branch
+    // re-runs the scoring join over the corpus (r17 profile: d52 ran
+    // 33 jobs, the scoring subtree twice; guide §5 "reused and
+    // recomputing is more expensive"). One (id, score) row per doc.
+    val scored = SketchRegistry.track(unigramLogProb(df, idCol, textCol)
       .select(col(idCol),
         ((col("sum_lp_micro").cast("long") - pmod(col("sum_lp_micro").cast("long"), denom))
           / denom).cast("long").as("score_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum", sum(col("cnt")).over(
       Window.orderBy(col("score_milli").desc)

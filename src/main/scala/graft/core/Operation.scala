@@ -66,11 +66,11 @@ abstract class Operation(val session: EngineSession) {
   def currentState: OperationState = state
 
   protected def setState(to: OperationState): Unit = {
-    synchronized {
+    val becameTerminal = synchronized {
       OperationState.validateTransition(state, to)
       logLine(s"operation $handle: $state -> $to")
       state = to
-      if (to.terminal && !completion.isCompleted) completion.trySuccess(())
+      to.terminal && !completion.isCompleted
     }
     // Post OUTSIDE the monitor: a slow handler (the JSONL logger is
     // synchronized file I/O) must not hold the operation lock — cancel/
@@ -79,9 +79,19 @@ abstract class Operation(val session: EngineSession) {
     // monitor would silently re-hold it through the post) — terminal
     // call sites use markTerminal below, which does the state check
     // atomically and posts lock-free.
-    Events.post(Events.OperationEvent(handle, session.id, to.toString,
-      operationException.map(e => String.valueOf(e.getMessage)),
-      System.currentTimeMillis()))
+    // The completion promise is released only AFTER the terminal event
+    // is posted: awaitTermination() is the "the operation is done" read
+    // barrier, and a waiter that wakes up must find the FINISHED/ERROR
+    // event already delivered (EventsSpec raced exactly this under
+    // suite load). The finally keeps waiters safe against a throwing
+    // event bus.
+    try {
+      Events.post(Events.OperationEvent(handle, session.id, to.toString,
+        operationException.map(e => String.valueOf(e.getMessage)),
+        System.currentTimeMillis()))
+    } finally {
+      if (becameTerminal) completion.trySuccess(())
+    }
   }
 
   /** Compare-and-transition: move to terminal state `to` unless the
@@ -97,15 +107,19 @@ abstract class Operation(val session: EngineSession) {
         OperationState.validateTransition(state, to)
         logLine(s"operation $handle: $state -> $to")
         state = to
-        if (!completion.isCompleted) completion.trySuccess(())
         true
       }
     }
     if (won) {
-      Events.post(Events.OperationEvent(handle, session.id, to.toString,
-        operationException.map(e => String.valueOf(e.getMessage)),
-        System.currentTimeMillis()))
-      session.touch() // a finishing op is client activity: don't reap
+      // event BEFORE releasing awaitTermination waiters — see setState
+      try {
+        Events.post(Events.OperationEvent(handle, session.id, to.toString,
+          operationException.map(e => String.valueOf(e.getMessage)),
+          System.currentTimeMillis()))
+      } finally {
+        completion.trySuccess(())
+        session.touch() // a finishing op is client activity: don't reap
+      }
     }
     won
   }
@@ -232,20 +246,24 @@ abstract class Operation(val session: EngineSession) {
         }
         logLine(s"operation $handle: $state -> CLOSED")
         state = OperationState.Closed // closed is legal from anywhere
-        // close() bypasses setState (anywhere→Closed), so release waiters
-        // here too or awaitTermination() blocks its full timeout
-        if (!completion.isCompleted) completion.trySuccess(())
         true
       } else false
     }
     // close() bypasses setState, so post the terminal transition here
     // too — otherwise the event log shows force-closed operations as
-    // RUNNING forever and the metrics counters never balance.
+    // RUNNING forever and the metrics counters never balance. As in
+    // setState, waiters are released only AFTER the event is posted
+    // (close() bypasses setState anywhere→Closed, so it must release
+    // them here or awaitTermination() blocks its full timeout).
     if (transitioned) {
-      Events.post(Events.OperationEvent(handle, session.id,
-        OperationState.Closed.toString,
-        operationException.map(e => String.valueOf(e.getMessage)),
-        System.currentTimeMillis()))
+      try {
+        Events.post(Events.OperationEvent(handle, session.id,
+          OperationState.Closed.toString,
+          operationException.map(e => String.valueOf(e.getMessage)),
+          System.currentTimeMillis()))
+      } finally {
+        if (!completion.isCompleted) completion.trySuccess(())
+      }
     }
   }
 

@@ -606,38 +606,50 @@ object Dedup {
       while (changed > 0 && iter < maxIter) {
         // TWO rounds compose lazily per driver round-trip: each round
         // references the previous labels exactly once, so the batched
-        // plan stays linear, and BOTH rounds' change counts ride the
-        // single checkpoint action as separate CollectMetrics nodes.
-        // Per-round label values are untouched — the batch only moves
-        // the materialization boundary. On a shallow near-dup graph
-        // (2-4 rounds) this halves the dominant cost, the per-round
-        // job latency (r17 profile: d16/d17/d65/d68 ran 24-32 jobs of
-        // ~50-200 ms; guide §1.2 step 1). When convergence lands on
-        // the batch's FIRST round the second is computed redundantly
-        // but idempotently (min over already-minimal labels), exactly
-        // like the old loop's final no-change round.
+        // plan stays linear. Per-round label values are untouched —
+        // the batch only moves the materialization boundary. On a
+        // shallow near-dup graph (2-4 rounds) this halves the dominant
+        // cost, the per-round job latency (r17 profile: d16/d17/d65/
+        // d68 ran 24-32 jobs of ~50-200 ms; guide §1.2 step 1). When
+        // convergence lands on the batch's FIRST round the second is
+        // computed redundantly but idempotently (min over already-
+        // minimal labels), exactly like the old loop's final no-change
+        // round.
+        //
+        // ONLY the batch's LAST round is observed. Propagation is
+        // monotone (a fixpoint round stays a fixpoint), so the final
+        // round's change count alone decides convergence — if the
+        // first round already converged the second idempotently
+        // reports 0. Observing the inner round would also be
+        // UNRELIABLE: when AQE materializes it as an independent
+        // query stage, that CollectMetrics' observed metrics are
+        // dropped from the final execution and its Observation
+        // resolves to an EMPTY map (live at sf0.01/sf0.1 — d71 threw
+        // `key not found: changes`; sf0.001's broadcast-collapsed
+        // plan hid it). Only the plan-root observation reports
+        // reliably.
         val steps = math.min(2, maxIter - iter)
         val prev = cur
         var batch = cur
-        val obss = (0 until steps).map { s =>
-          val obs = org.apache.spark.sql.Observation(s"cc_changes_${iter + s}")
+        val obs = org.apache.spark.sql.Observation(s"cc_changes_$iter")
+        (0 until steps).foreach { s =>
           // name-based using-join: `batch` is now a LAZY round whose
           // lineage already contains `sym`, so dataframe-qualified
           // attributes (sym("dst")) would be ambiguous after the
           // analyzer deduplicates the self-referenced subtree
-          batch = sym.join(batch.withColumnRenamed("id", "dst"), Seq("dst"))
+          val round = sym.join(batch.withColumnRenamed("id", "dst"), Seq("dst"))
             .groupBy(col("src"))
             .agg(min(col("comp")).as("comp"),
               max(when(col("self"), col("comp"))).as("old_comp"))
-            .observe(obs, coalesce(
+          val observed = if (s == steps - 1) {
+            round.observe(obs, coalesce(
               sum(when(col("comp") =!= col("old_comp"), 1L).otherwise(0L)),
               lit(0L)).as("changes"))
-            .select(col("src").as("id"), col("comp"))
-          obs
+          } else round
+          batch = observed.select(col("src").as("id"), col("comp"))
         }
         cur = batch.localCheckpoint() // the batch's single action (eager)
-        // if the FIRST round already converged the second reports 0 too
-        changed = obss.map(_.get("changes").asInstanceOf[Long]).last
+        changed = obs.get("changes").asInstanceOf[Long]
         SketchRegistry.freeLocalCheckpoint(prev)
         iter += steps
       }

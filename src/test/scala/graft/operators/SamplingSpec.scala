@@ -147,6 +147,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map("a" -> "a", "b" -> "a"))
   }
 
+  test("convergence survives AQE dropping an inner batched round's metrics (r17)") {
+    // With broadcast joins disabled the per-round join plans as a
+    // shuffle join, and AQE materializes the pair-batch's INNER round
+    // as an independent query stage — whose CollectMetrics can vanish
+    // from the final execution's observed metrics (its Observation
+    // resolves to an EMPTY map; seen live at sf0.1, where d71 threw
+    // `key not found: changes` while sf0.001's broadcast-collapsed
+    // plan hid it). Convergence must key off the batch's LAST
+    // (plan-root) observation only; this pins the non-broadcast shape.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val chain = (1 until 40).map(i => (f"m$i%02d", f"m${i + 1}%02d"))
+        .toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 64)
+        .collect()
+      assert(got.length == 40)
+      assert(got.forall(_.getString(1) == "m01"), "every node labels to the min id")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("leakageSafeSplit keeps every exact-dup group on one side, near the rate") {
     // 500 distinct texts, each duplicated once with whitespace/case noise
     // the fingerprint normalizes away — dup pairs must never straddle

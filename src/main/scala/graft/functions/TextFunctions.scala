@@ -135,7 +135,14 @@ object TextFunctions {
     * the zero state. Same integer terms as the naive form, so any
     * oracle summing c·⌊ln(c)·1e6⌋ per distinct token matches exactly.
     */
-  def entropyTermsMicro(toks: Column): Column = {
+  def entropyTermsMicro(toks: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.entropyTermsMicro(toks)
+
+  /** The sort-then-run-count fold the kernel replaced — TextKernelSpec's
+    * bit-identity reference (the sum is over distinct tokens, so the
+    * kernel's hash-counting pass produces the identical integer).
+    */
+  def entropyTermsMicroHof(toks: Column): Column = {
     def contrib(c: Column): Column =
       when(c > 0L, c * floor(log(c.cast("double")) * 1000000).cast("long"))
         .otherwise(lit(0L))
@@ -152,6 +159,20 @@ object TextFunctions {
       },
       st => st.getField("acc") + contrib(st.getField("run")))
   }
+
+  /** Oracle-portable 32-bit md5-prefix hash of every element of a
+    * string array — the winnowing pipeline's per-gram fingerprint
+    * (native kernel; the HOF twin below is TextKernelSpec's
+    * bit-identity reference).
+    */
+  def md5Prefix32Hashes(arr: Column): Column =
+    org.apache.spark.sql.graft.TextKernelExprs.arrayMd5Prefix32(arr)
+
+  /** The composed per-element md5/substring/conv form the kernel
+    * replaced.
+    */
+  def md5Prefix32HashesHof(arr: Column): Column =
+    transform(arr, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
 
   /** Hex-digit values (0..15) of the first 15 hex chars of md5(s): a
     * 60-bit token hash computable bit-for-bit in any engine with md5 —

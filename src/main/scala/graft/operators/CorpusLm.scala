@@ -285,8 +285,13 @@ object CorpusLm {
     val perDocPair = SketchRegistry.track(
       pairs.groupBy(col(idCol), col("__w1"), col("__w2"))
         .agg(count(lit(1)).as("__c")).persist())
-    val bigram = perDocPair.groupBy(col("__w1"), col("__w2"))
-      .agg(sum(col("__c")).as("__c12"))
+    // persisted: the bigram table feeds its own context rollup AND the
+    // log-prob join — lazy, both references re-ran the (w1, w2)
+    // aggregate over the per-doc pair table (r17 continuation profile:
+    // the two ~0.5 s bigram stages appeared twice in the d44 job list)
+    val bigram = SketchRegistry.track(
+      perDocPair.groupBy(col("__w1"), col("__w2"))
+        .agg(sum(col("__c")).as("__c12")).persist())
     val context = bigram.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
     val lp = bigram.join(context, "__w1")
       .select(col("__w1"), col("__w2"), lnMicro(col("__c12"), col("__c1")).as("__lp"))

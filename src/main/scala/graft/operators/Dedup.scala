@@ -752,11 +752,21 @@ object Dedup {
       thresholdPct: Int = 80,
       maxShingleDf: Int = 100): DataFrame = {
     val (sizes, shared) = sharedShinglePairs(df, idCol, textCol, shingleSize, maxShingleDf)
+    // both directions come from ONE pass over `shared`: the previous
+    // two-branch union referenced the lazy pair pipeline twice, and
+    // each branch re-ran the whole df-capped posting-list pass (r17
+    // continuation profile: every pair stage appeared twice in the
+    // d67 job list; guide §1.2 step 1 — don't compute things twice).
+    // explode(array(fwd, rev)) emits the identical row multiset.
     val both = shared
-      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
-        col("n_shared"))
-      .unionByName(shared.select(col("id_b").as("contained_id"),
-        col("id_a").as("container_id"), col("n_shared")))
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          col("n_shared")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          col("n_shared")))).as("e"))
+      .select(col("e.contained_id").as("contained_id"),
+        col("e.container_id").as("container_id"),
+        col("e.n_shared").as("n_shared"))
     both.join(sizes, both("contained_id") === sizes("id"))
       .select(col("contained_id"), col("container_id"), col("n_shared"),
         col("n").cast("long").as("n_shingles"),
@@ -830,13 +840,18 @@ object Dedup {
           explode(array_distinct(tokens(col(textCol)))).as("token"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val dfr = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfr, Seq("token"))
+    // persisted: the prefix postings feed BOTH self-join sides — lazy,
+    // each side re-ran the df join + per-doc collect/sort/slice chain
+    // (r17 continuation profile: the two ~0.5 s prefix stages appeared
+    // twice in the d64 job list)
+    val prefix = SketchRegistry.track(tok.join(dfr, Seq("token"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("arr"))
       .select(col("id"), size(col("arr")).as("n"), explode(expr(
         s"slice(arr, 1, size(arr) - (($thresholdPct * size(arr) + 99) div 100) + 1)"))
         .as("s"))
       .select(col("id"), col("n"), col("s.token").as("token"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // the AllPairs LENGTH filter rides in the join condition: J ≥ t
     // forces t·max(|a|,|b|) ≤ min(|a|,|b|) (the intersection is at most
     // the smaller set, the union at least the larger), so size-skewed
@@ -856,8 +871,11 @@ object Dedup {
     // trade the seen-gram index documents (a collision could only ADD
     // a phantom shared token; at J ≥ t the affected pair is
     // overwhelmingly already a pair)
-    val sets = tok.groupBy(col("id"))
+    // persisted: the verification sets feed both pair-side joins (same
+    // two-reference recompute as `prefix` above)
+    val sets = SketchRegistry.track(tok.groupBy(col("id"))
       .agg(array_sort(collect_set(xxhash64(col("token")))).as("ts"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sets.select(col("id").as("id_a"), col("ts").as("ta")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("ts").as("tb")), Seq("id_b"))
@@ -1005,9 +1023,11 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
-    val h = transform(
-      shingles(col(textCol), k),
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    // per-gram md5-prefix hash via the native kernel — the interpreted
+    // transform paid a lambda + 32-char hex + base-16 reparse per gram
+    // (r17 continuation; value-identical, TextKernelSpec-pinned)
+    val h = graft.functions.TextFunctions.md5Prefix32Hashes(
+      shingles(col(textCol), k))
     // Native kernel (WinnowExpr): one tight O(n·w) codegen'd loop per
     // doc emitting pos·2^32+fp packed longs. The composed HOF form
     // cost 703 s at sf0.1 — the optimizer inlined the hash-array

@@ -173,15 +173,21 @@ object IvfPqIndex {
     import spark.implicits._
     val cents = IvfIndex.train(corpus, idCol, vecCol, nLists)
     val rcb = trainResidual(corpus, idCol, vecCol, cents, dim, m, k, iterations)
-    encodeCorpus(corpus, idCol, vecCol, cents, rcb)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    rcb.zipWithIndex.flatMap { case (cbk, j) =>
-      cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-    }.toSeq.toDF("j", "code", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // The three artifact writes are independent jobs over disjoint
+    // directories — overlap them (guide §2.6): the codes encode+write
+    // is the long pole, and the two tiny one-file quantizer writes
+    // otherwise serialize a full driver round-trip each behind it.
+    // The meta pointer still writes strictly AFTER codes exists.
+    runConcurrently(
+      () => encodeCorpus(corpus, idCol, vecCol, cents, rcb)
+        .write.mode("overwrite").parquet(s"$path/codes"),
+      () => cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => rcb.zipWithIndex.flatMap { case (cbk, j) =>
+        cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+      }.toSeq.toDF("j", "code", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks"))
     writeCodesMeta(spark, path, "codes")
     // a rebuild over a previously-compacted artifact resets the
     // pointer — drop the now-orphaned version dirs and every
@@ -189,6 +195,30 @@ object IvfPqIndex {
     // passed in; stale deletes must not mask the new rows)
     Dedup.pruneVersionedDirs(spark, path, "codes", keep = Set("codes"))
     Dedup.pruneVersionedDirs(spark, s"$path/tombstones", "codes", keep = Set.empty)
+  }
+
+  /** Run independent driver actions on a small thread pool and wait
+    * for all (guide §2.6 — Spark happily runs several jobs at once;
+    * they are only sequential because driver code calls them
+    * sequentially). The first failure propagates after every task has
+    * settled, so no write is silently abandoned mid-flight.
+    */
+  private def runConcurrently(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futures = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+      var firstFailure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
   }
 
   /** One-row pointer artifact naming the live codes directory — the
@@ -253,25 +283,38 @@ object IvfPqIndex {
     * distributed parquet scan.
     */
   def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpenedIndex = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = cbRows.map(_._1).max + 1
-    val codebooks = Array.tabulate(m) { j =>
-      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
-    }
-    val codesDir = currentCodesDir(spark, path)
-    val codesDf =
-      try spark.read.parquet(s"$path/$codesDir")
-      catch {
-        // the pointed dir was pruned between our meta read and this
-        // open (a racing compaction) — one re-read lands on the
-        // current version
-        case _: Throwable =>
-          spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
-      }
+    // The three artifact reads (centroid collect, codebook collect,
+    // meta-pointer read + codes listing) are independent driver jobs —
+    // overlap them (guide §2.6) instead of paying three sequential
+    // job latencies per open.
+    var cents: Array[Array[Double]] = null
+    var codebooks: Array[Array[Array[Double]]] = null
+    var codesDir: String = null
+    var codesDf: DataFrame = null
+    runConcurrently(
+      () => cents = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2),
+      () => {
+        val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val m = cbRows.map(_._1).max + 1
+        codebooks = Array.tabulate(m) { j =>
+          cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
+        }
+      },
+      () => {
+        codesDir = currentCodesDir(spark, path)
+        codesDf =
+          try spark.read.parquet(s"$path/$codesDir")
+          catch {
+            // the pointed dir was pruned between our meta read and this
+            // open (a racing compaction) — one re-read lands on the
+            // current version
+            case _: Throwable =>
+              spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
+          }
+      })
     new OpenedIndex(cents, codebooks, codesDir, codesDf,
       tombstonesFor(spark, path, codesDir))
   }

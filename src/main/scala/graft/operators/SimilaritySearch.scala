@@ -211,13 +211,21 @@ object SimilaritySearch {
     * |approx ∩ exact| / k per query. Both inputs must carry
     * (query_id, neighbor_id).
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      exactCheckpointed: Boolean = false): DataFrame = {
     // checkpoint the ground truth: it is referenced TWICE below (hit
     // join + query-id spine), and each reference of a lazy plan re-runs
     // the exact brute-force ranking it usually is (r17; the audit
-    // result itself is |queries|·k rows — artifact-sized)
-    val ex = SketchRegistry.track(
-      exact.select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
+    // result itself is |queries|·k rows — artifact-sized). A caller
+    // that already checkpointed it (v30's sweep calls this once per
+    // nProbe against ONE baseline) says so and skips the redundant
+    // eager re-materialization — its sweep points then compose into
+    // the final union's single job instead of paying a driver
+    // round-trip each (r17 continuation).
+    val ex =
+      if (exactCheckpointed) exact.select(col("query_id"), col("neighbor_id"))
+      else SketchRegistry.track(
+        exact.select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
     val hits = approx.select(col("query_id"), col("neighbor_id"))
       .join(ex, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))

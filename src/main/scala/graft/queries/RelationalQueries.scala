@@ -884,8 +884,15 @@ object RelationalQueries {
     //     the singleton tail BEFORE the per-part count joins; the
     //     scalar order count attaches broadcast. ---
     "q53_basket_affinity" -> { (s, dir) =>
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // persisted: the distinct (order, part) frame feeds FIVE plan
+      // references (both self-join sides, two part-count joins, the
+      // order total) — without it each reference re-scans lineitem and
+      // re-pays the distinct exchange (r17 continuation: 5 scans + 5
+      // distinct aggregates in the after-plan; guide §5 "reused AND
+      // recomputing is more expensive")
+      val li = graft.operators.SketchRegistry.track(
+        Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct().persist())
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))

@@ -487,8 +487,10 @@ object TextQueries {
     //     the Σ c·ln c term is integer-quantized per distinct token
     //     (the d37/d52 exactness recipe), so the cross-engine sum is
     //     associative and the final double division deterministic.
-    //     Run-counting over the sorted token array keeps it
-    //     O(n log n) per doc (entropyTermsMicro). ---
+    //     One hash-counting kernel pass keeps it O(n) per doc
+    //     (entropyTermsMicro — the sum is over distinct tokens, so
+    //     counting order cannot change it; TextKernelSpec pins the
+    //     kernel to the sorted run-count fold bit-for-bit). ---
     "d56_token_entropy" -> { (s, dir) =>
       val t = tokens(col("text"))
       Tables(s, dir).documents

@@ -531,7 +531,7 @@ object VectorQueries {
         SimilaritySearch.recallAtK(
           graft.operators.IvfPqIndex.ivfPqTopK(e, q, "vec_id", "embedding",
             cents, rcb, k = 5, nProbe = np),
-          exact, k = 5)
+          exact, k = 5, exactCheckpointed = true)
           .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
       }.reduce(_.union(_))
     },

@@ -49,6 +49,10 @@ object TextKernelExprs {
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedLongIntersectCountExpr(
       Bridge.expression(a), Bridge.expression(b)))
+  def arrayMd5Prefix32(arr: Column): Column =
+    Bridge.column(ArrayMd5Prefix32Expr(Bridge.expression(arr)))
+  def entropyTermsMicro(toks: Column): Column =
+    Bridge.column(EntropyTermsMicroExpr(Bridge.expression(toks)))
 
   private[graft] def requireStringArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
@@ -566,5 +570,107 @@ case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
+/** Oracle-portable 32-bit md5-prefix hash of every element of a string
+  * array in one pass — the kernel twin of
+  * `transform(arr, g => conv(substring(md5(g), 1, 8), 16, 10)
+  * .cast("long"))`, the per-gram fingerprint hash of the winnowing
+  * pipeline ([[graft.operators.Dedup.winnowFingerprints]]). The HOF
+  * form pays an interpreted lambda plus a 32-char hex string, a
+  * substring and a base-16 reparse per gram; the kernel reads the
+  * first four digest bytes directly — value-identical, since conv of
+  * the first 8 hex chars IS the first 4 bytes as an unsigned int.
+  * Null elements: md5(null) → null propagates through the composition,
+  * so the output slot is null (containsNull = true).
+  */
+case class ArrayMd5Prefix32Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_array_md5_prefix32"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernelExprs.requireStringArray(child, prettyName)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Any](m)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        out(i) = java.lang.Long.valueOf(
+          ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Prefix32Kernel", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMd5Prefix32Expr =
+    copy(child = newChild)
+}
+
+/** Σ over distinct tokens of c·⌊ln(c)·10⁶⌋ in one hash-counting pass —
+  * the kernel twin of `TextFunctions.entropyTermsMicroHof`'s
+  * sort-then-run-count fold (d56's integer entropy numerator). The sum
+  * is over DISTINCT values, so counting via hash map instead of
+  * sorting changes nothing; each count's term is the same
+  * `floor(log(c) * 1e6)` double math the fold computes (`java.lang.Math`
+  * on both paths). Null elements: the fold gives every null token its
+  * own run of length 1 (null never equals the previous token), and
+  * contrib(1) = 0 — array_sort groups the nulls at the end so they
+  * split no real run — hence the kernel simply skips them. Null array
+  * → null, like `aggregate` over a null array.
+  */
+case class EntropyTermsMicroExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_entropy_terms_micro"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernelExprs.requireStringArray(child, prettyName)
+
+  def compute(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val prev = counts.get(s)
+        counts.put(s, java.lang.Long.valueOf(
+          if (prev == null) 1L else prev.longValue() + 1L))
+      }
+      i += 1
+    }
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      acc += c * math.floor(math.log(c.toDouble) * 1000000).toLong
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("entropyKernel", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EntropyTermsMicroExpr =
     copy(child = newChild)
 }

@@ -127,6 +127,38 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("md5Prefix32 kernel == transform(conv(substring(md5)))  incl. null elements") {
+    assertNoDiff(
+      TextFunctions.md5Prefix32Hashes(TextFunctions.shingles(col("text"), 3)),
+      TextFunctions.md5Prefix32HashesHof(TextFunctions.shingles(col("text"), 3)))
+    // a null element stays a null slot, like the composed form
+    val withNulls = Seq(Seq[String]("a", null, "b")).toDF("arr")
+    val r = withNulls.select(
+      TextFunctions.md5Prefix32Hashes(col("arr")).as("k"),
+      TextFunctions.md5Prefix32HashesHof(col("arr")).as("h")).head()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    assert(r.getSeq[Any](0)(1) == null)
+  }
+
+  test("entropyTermsMicro kernel == sorted run-count fold incl. null/empty shapes") {
+    assertNoDiff(
+      TextFunctions.entropyTermsMicro(TextFunctions.tokens(col("text"))),
+      TextFunctions.entropyTermsMicroHof(TextFunctions.tokens(col("text"))))
+    // null elements contribute run-length-1 terms (= 0) in the fold and
+    // are skipped by the kernel — same sum; empty array → 0; null → null
+    val edge = Seq(
+      (1L, Seq[String]("a", null, "a", "b", null)),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "arr")
+    val rows = edge.select(
+      TextFunctions.entropyTermsMicro(col("arr")).as("k"),
+      TextFunctions.entropyTermsMicroHof(col("arr")).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("interpreted eval agrees with codegen for every kernel") {
     val cols = Seq(
       TextFunctions.shingles(col("text"), 3).as("c1"),
@@ -134,7 +166,9 @@ class TextKernelSpec extends AnyFunSuite {
       TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))).as("c3"),
       TextFunctions.simhashMd5(TextFunctions.tokens(col("text"))).as("c4"),
       TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("c5"),
-      TextFunctions.langGuess(TextFunctions.tokens(col("text"))).as("c6"))
+      TextFunctions.langGuess(TextFunctions.tokens(col("text"))).as("c6"),
+      TextFunctions.md5Prefix32Hashes(TextFunctions.shingles(col("text"), 3)).as("c7"),
+      TextFunctions.entropyTermsMicro(TextFunctions.tokens(col("text"))).as("c8"))
     val on = docs.select(cols: _*).collect().map(_.toString)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
